@@ -12,6 +12,11 @@ import graft.operators._
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational,
+    MergeOps,
+    TextOps,
+    Dedup,
+    Similarity,
+    Multimodal,
   )
 
   lazy val registry: Seq[RegisteredQuery] = modules.flatMap(_.queries)

@@ -25,11 +25,24 @@ object Scalars {
   def hourDiffFrac(start: Column, end: Column): Column =
     (unix_timestamp(end) - unix_timestamp(start)) / lit(3600.0)
 
+  /** Binary-exact half-up rounding: `floor(x*10^n + 0.5)/10^n`. Used for
+    * every oracle-compared value instead of `round`: Spark's `round` on
+    * doubles rounds the shortest DECIMAL string repr (HALF_UP on
+    * BigDecimal.valueOf) while DuckDB rounds the BINARY value, so exact
+    * rationals like 189/40 = "4.725" round differently (4.73 vs 4.72).
+    * floor() is defined purely on the binary value in both engines →
+    * identical results. Oracle-side twin: `floor(x * 1eN + 0.5) / 1eN`.
+    */
+  def roundTo(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
   /** Guarded percentage ratio — `round(num/den*100, 2)`, NULL when den = 0
     * (reference: calculate_success_rate, src/models.py:112-116).
     */
   def ratioPct(num: Column, den: Column): Column =
-    when(den === 0, lit(null)).otherwise(round(num * lit(100.0) / den, 2))
+    when(den === 0, lit(null)).otherwise(roundTo(num * lit(100.0) / den, 2))
 
   /** Tri-state boolean derivation from a status code — maps one value to
     * true, one to false, everything else to NULL (FIXTURES.md role mapping

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+import graft.functions.Scalars._
+
+/** Merge/upsert and snapshot time-series operators — the reference's
+  * `INSERT ... ON CONFLICT DO UPDATE` sink (S7, src/database.py:133-202) and
+  * its append-only running-aggregate snapshot table (A10,
+  * src/aggregations.py:417-465) re-expressed as DataFrame programs.
+  *
+  * Scale notes: the merge shuffles both sides once on the key (sort-merge or
+  * hash join by size — Catalyst/AQE picks); at 100 TB the launches table
+  * would be bucketed by key so the merge is shuffle-free on the big side.
+  * Last-write-wins is a per-key window (row_number), which runs inside the
+  * same exchange as the union — one shuffle total.
+  */
+object MergeOps extends QueryModule {
+
+  /** S7 core: key-based last-write-wins merge. `existing ∪ incoming`,
+    * keep the newest row per key by `version` (ties broken toward incoming
+    * is not needed here: callers guarantee a strictly newer version, like
+    * the reference's refreshed `ingested_at`, src/database.py:181).
+    */
+  def mergeByKey(existing: DataFrame, incoming: DataFrame,
+                 keyCol: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+    existing.unionByName(incoming)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** S7 metric: count of genuinely-new keys (the reference counts these via
+    * before/after COUNT(*), src/database.py:164-190 — updates don't count).
+    */
+  def newKeyCount(existing: DataFrame, incoming: DataFrame, keyCol: String): DataFrame =
+    incoming.select(keyCol).distinct()
+      .join(existing.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .agg(count(lit(1)).as("new_keys"))
+
+  /** Registered S7 exercise: synthesize an incoming batch from `events`
+    * (updates = every 7th key, 1h newer and doubled value; inserts = every
+    * 11th key re-keyed into fresh ids), merge, and emit a deterministic
+    * digest: merged row count, new-key count, value checksum.
+    */
+  def s7MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+    val updates = base.filter(col("event_id") % 7 === 0)
+      .select(col("event_id"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
+        (col("value") * 2).as("value"))
+    val inserts = base.filter(col("event_id") % 11 === 0)
+      .select((col("event_id") + 1000000L).as("event_id"), col("ts"), col("value"))
+    val incoming = updates.unionByName(inserts)
+    val merged = mergeByKey(base, incoming, "event_id", "ts")
+    merged.agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(sum(col("value")), 2).as("sum_value"))
+      .crossJoin(newKeyCount(base, incoming, "event_id"))
+  }
+
+  val s7Oracle: String =
+    """WITH base AS (SELECT event_id, ts, value FROM events),
+      |upd AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, value * 2 AS value
+      |        FROM base WHERE event_id % 7 = 0),
+      |ins AS (SELECT event_id + 1000000 AS event_id, ts, value
+      |        FROM base WHERE event_id % 11 = 0),
+      |incoming AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |merged AS (
+      | SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+      | FROM (SELECT * FROM base UNION ALL SELECT * FROM incoming))
+      |SELECT
+      | (SELECT count(*) FROM merged WHERE rn = 1) AS n_rows,
+      | (SELECT floor(sum(value) * 1e2 + 0.5) / 1e2 FROM merged WHERE rn = 1) AS sum_value,
+      | (SELECT count(*) FROM (SELECT DISTINCT event_id FROM incoming)
+      |   WHERE event_id NOT IN (SELECT event_id FROM base)) AS new_keys""".stripMargin
+
+  /** A10 + W2: the snapshot time-series. Each day of `events` is a
+    * micro-batch; a snapshot row carries the batch count plus running
+    * totals (the reference's `launch_aggregations` rows,
+    * sql/init.sql:23-42), and the W2 trend delta vs the previous snapshot
+    * (show_aggregation_trends, src/test_aggregations.py:177-191).
+    *
+    * The cumulative window is a single-partition sort over ~30 snapshot
+    * rows — the heavy lifting (per-day aggregation) is a parallel hash
+    * aggregate; only the already-tiny snapshot table is serialized.
+    */
+  def a10SnapshotSeries(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("snapshot_day"))
+      .agg(
+        count(lit(1)).as("batch_events"),
+        sum(col("value")).as("batch_value"),
+        count(when(col("event_type") === "purchase", 1)).as("batch_purchases"))
+    val cum = Window.orderBy("snapshot_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagW = Window.orderBy("snapshot_day")
+    daily.select(
+        col("snapshot_day"), col("batch_events"),
+        sum(col("batch_events")).over(cum).as("total_events"),
+        sum(col("batch_value")).over(cum).as("raw_total_value"),
+        sum(col("batch_purchases")).over(cum).as("total_purchases"))
+      .select(
+        col("snapshot_day"), col("batch_events"), col("total_events"),
+        roundTo(col("raw_total_value"), 2).as("total_value"),
+        col("total_purchases"),
+        roundTo(col("total_purchases") * lit(100.0) / col("total_events"), 2).as("purchase_rate"),
+        (col("total_events") - coalesce(lag(col("total_events"), 1).over(lagW), lit(0L)))
+          .as("events_delta"))
+      .orderBy("snapshot_day")
+  }
+
+  val a10Oracle: String =
+    """WITH daily AS (
+      | SELECT date_trunc('day', ts) AS snapshot_day, count(*) AS batch_events,
+      |  sum(value) AS batch_value,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS batch_purchases
+      | FROM events GROUP BY 1),
+      |cum AS (
+      | SELECT snapshot_day, batch_events,
+      |  sum(batch_events) OVER w AS total_events,
+      |  sum(batch_value) OVER w AS raw_total_value,
+      |  sum(batch_purchases) OVER w AS total_purchases
+      | FROM daily
+      | WINDOW w AS (ORDER BY snapshot_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT snapshot_day, batch_events, total_events,
+      | floor(raw_total_value * 1e2 + 0.5) / 1e2 AS total_value, total_purchases,
+      | floor((total_purchases * 100.0::DOUBLE / total_events) * 1e2 + 0.5) / 1e2 AS purchase_rate,
+      | total_events - coalesce(lag(total_events) OVER (ORDER BY snapshot_day), 0) AS events_delta
+      |FROM cum ORDER BY snapshot_day""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
+    RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata, and decode/feature-extraction runs as a
+  * batched per-partition transform — the Spark-side shape (schema,
+  * partitioning, batch iteration) is real; only the codec call is a stub.
+  *
+  * The fixtures carry no media, so the payload is derived (`text` bytes) —
+  * at 100 TB the payload column would come from parquet binary pages and
+  * everything downstream is identical. Decode happens partition-local with
+  * NO shuffle; a real deployment would add `repartition(n)` upstream only
+  * to right-size decode tasks, not for correctness.
+  */
+object Multimodal extends QueryModule {
+
+  /** Typed rows for the decode path. */
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Int, height: Int,
+      n_frames: Int, mean_byte: Double)
+
+  /** ======== STUB ========
+    * Deterministic fake codec: derives "image" dimensions and a feature
+    * from raw bytes. A real deployment swaps ONLY this function for an
+    * actual decoder (libjpeg/ffmpeg/...) — its signature (batch of byte
+    * arrays in, metadata out) is the real contract, mirroring a vectorized
+    * decode over record batches.
+    */
+  def decodeStub(batch: Seq[MediaIn]): Seq[MediaMeta] =
+    batch.map { m =>
+      val b = m.payload
+      val w = (java.lang.Byte.toUnsignedInt(b(0)) % 64) + 16
+      val h = (java.lang.Byte.toUnsignedInt(b(b.length - 1)) % 64) + 16
+      MediaMeta(
+        doc_id = m.doc_id,
+        byte_len = b.length.toLong,
+        width = w,
+        height = h,
+        n_frames = b.length / 64 + 1,
+        mean_byte = math.round(b.map(java.lang.Byte.toUnsignedInt).sum.toDouble / b.length * 100) / 100.0)
+    }
+
+  /** Binary ingest + batched decode: binary payload column → typed Dataset
+    * → mapPartitions in fixed-size batches (the vectorized-decode shape) →
+    * metadata DataFrame. Rows-only check (the stub is not SQL semantics);
+    * ScalaTest pins exact values.
+    */
+  def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batchSize = 64
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Pure-SQL binary stats over the payload column — the oracle-checkable
+    * slice of the multimodal path (schema + byte-level access).
+    */
+  def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+        (floor(octet_length(col("text")) / lit(256)) + 1).cast("long").as("n_chunks"))
+      .orderBy("doc_id")
+
+  val mmBinaryStatsOracle: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+      | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+      | CAST(floor(strlen(text) / 256.0) + 1 AS BIGINT) AS n_chunks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("mm_binary_stats", mmBinaryStats, Some(mmBinaryStatsOracle)),
+    RegisteredQuery("mm_decode_stub", mmDecodeStub, None),
+  )
+}

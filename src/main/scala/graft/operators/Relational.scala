@@ -45,7 +45,7 @@ object Relational extends QueryModule {
 
   val q1Oracle: String =
     """SELECT order_year, total_launches, successful_launches, failed_launches,
-      | round(100.0::DOUBLE * successful_launches / total_launches, 2) AS success_rate
+      | floor((100.0::DOUBLE * successful_launches / total_launches) * 1e2 + 0.5) / 1e2 AS success_rate
       |FROM (
       | SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
       |  count(*) AS total_launches,
@@ -92,7 +92,7 @@ object Relational extends QueryModule {
       .groupBy("order_year")
       .agg(
         count(lit(1)).as("n_shipments"),
-        round(avg(col("delay_hours")), 2).as("avg_delay_hours"),
+        roundTo(avg(col("delay_hours")), 2).as("avg_delay_hours"),
         max(col("delay_hours")).as("max_delay_hours"))
       .orderBy("order_year")
   }
@@ -100,7 +100,7 @@ object Relational extends QueryModule {
   val q3Oracle: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
       | count(*) AS n_shipments,
-      | round(avg(delay_hours), 2) AS avg_delay_hours,
+      | floor(avg(delay_hours) * 1e2 + 0.5) / 1e2 AS avg_delay_hours,
       | max(delay_hours) AS max_delay_hours
       |FROM (
       | SELECT o_orderdate,
@@ -121,13 +121,13 @@ object Relational extends QueryModule {
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("total_orders"),
-        round(avg(col("o_totalprice")), 2).as("avg_order_price"))
+        roundTo(avg(col("o_totalprice")), 2).as("avg_order_price"))
       .orderBy(col("total_orders").desc, col("c_mktsegment"))
   }
 
   val q4Oracle: String =
     """SELECT c_mktsegment, count(*) AS total_orders,
-      | round(avg(o_totalprice), 2) AS avg_order_price
+      | floor(avg(o_totalprice) * 1e2 + 0.5) / 1e2 AS avg_order_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY total_orders DESC, c_mktsegment""".stripMargin
 
@@ -198,14 +198,14 @@ object Relational extends QueryModule {
         sum(when(col("p_retailprice") > 0, col("p_retailprice"))).as("raw_total"))
       .select(
         col("l_orderkey"), col("n_items"),
-        when(col("raw_total") > 0, round(col("raw_total"), 2)).as("total_part_price"))
+        when(col("raw_total") > 0, roundTo(col("raw_total"), 2)).as("total_part_price"))
       .orderBy("l_orderkey")
   }
 
   val j1Oracle: String =
     """SELECT l_orderkey, count(*) AS n_items,
       | CASE WHEN sum(CASE WHEN p_retailprice > 0 THEN p_retailprice END) > 0
-      |  THEN round(sum(CASE WHEN p_retailprice > 0 THEN p_retailprice END), 2)
+      |  THEN floor(sum(CASE WHEN p_retailprice > 0 THEN p_retailprice END) * 1e2 + 0.5) / 1e2
       | END AS total_part_price
       |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY l_orderkey""".stripMargin
@@ -257,13 +257,13 @@ object Relational extends QueryModule {
     */
   def a5CondAvg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
-      round(avg(when(col("l_discount") > 0, col("l_extendedprice"))), 2).as("avg_discounted_price"),
-      round(avg(col("l_extendedprice")), 2).as("avg_price"),
+      roundTo(avg(when(col("l_discount") > 0, col("l_extendedprice"))), 2).as("avg_discounted_price"),
+      roundTo(avg(col("l_extendedprice")), 2).as("avg_price"),
       count(when(col("l_discount") > 0, 1)).as("n_discounted"))
 
   val a5Oracle: String =
-    """SELECT round(avg(CASE WHEN l_discount > 0 THEN l_extendedprice END), 2) AS avg_discounted_price,
-      | round(avg(l_extendedprice), 2) AS avg_price,
+    """SELECT floor(avg(CASE WHEN l_discount > 0 THEN l_extendedprice END) * 1e2 + 0.5) / 1e2 AS avg_discounted_price,
+      | floor(avg(l_extendedprice) * 1e2 + 0.5) / 1e2 AS avg_price,
       | count(CASE WHEN l_discount > 0 THEN 1 END) AS n_discounted
       |FROM lineitem""".stripMargin
 
@@ -284,13 +284,13 @@ object Relational extends QueryModule {
         min(col("o_orderdate")).as("earliest_launch_date"),
         max(col("o_orderdate")).as("latest_launch_date"),
         countDistinct(col("o_orderpriority")).as("total_sites"),
-        round(avg(when(col("o_totalprice") > 0, col("o_totalprice"))), 2).as("average_payload_mass"))
+        roundTo(avg(when(col("o_totalprice") > 0, col("o_totalprice"))), 2).as("average_payload_mass"))
       .withColumn("success_rate", ratioPct(col("successful_launches"), col("total_launches")))
 
   val aggSnapshotOracle: String =
     """SELECT total_launches, successful_launches, failed_launches,
       | earliest_launch_date, latest_launch_date, total_sites, average_payload_mass,
-      | round(100.0::DOUBLE * successful_launches / total_launches, 2) AS success_rate
+      | floor((100.0::DOUBLE * successful_launches / total_launches) * 1e2 + 0.5) / 1e2 AS success_rate
       |FROM (
       | SELECT count(*) AS total_launches,
       |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS successful_launches,
@@ -298,7 +298,7 @@ object Relational extends QueryModule {
       |  min(o_orderdate) AS earliest_launch_date,
       |  max(o_orderdate) AS latest_launch_date,
       |  count(DISTINCT o_orderpriority) AS total_sites,
-      |  round(avg(CASE WHEN o_totalprice > 0 THEN o_totalprice END), 2) AS average_payload_mass
+      |  floor(avg(CASE WHEN o_totalprice > 0 THEN o_totalprice END) * 1e2 + 0.5) / 1e2 AS average_payload_mass
       | FROM orders)""".stripMargin
 
   /** W1: latest row per key (the reference's ORDER BY ... DESC LIMIT 1
@@ -342,13 +342,13 @@ object Relational extends QueryModule {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        round(avg(col("k")), 2).as("avg_k"),
+        roundTo(avg(col("k")), 2).as("avg_k"),
         max(col("k")).cast("long").as("max_k"))
       .orderBy("event_type")
 
   val jsonPropsOracle: String =
     """SELECT event_type, count(*) AS n_events,
-      | round(avg(k), 2) AS avg_k, CAST(max(k) AS BIGINT) AS max_k
+      | floor(avg(k) * 1e2 + 0.5) / 1e2 AS avg_k, CAST(max(k) AS BIGINT) AS max_k
       |FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Scalars._
+
+/** Text-analysis operators for a training-data pipeline: token/char stats,
+  * quality scoring, language-ID heuristics, regex (BPE-ish) token counting,
+  * and content fingerprinting — all pure built-in expression trees (no UDFs)
+  * so they stay inside whole-stage codegen and scale linearly with no
+  * shuffle at all (narrow, per-row transforms over the documents scan).
+  */
+object TextOps extends QueryModule {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document statistics + composite quality score (length, lexical
+    * diversity, stopword load). The score formula is plain double
+    * arithmetic replicated verbatim in the oracle.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"), col("text"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (length(translate(col("text"), " ", "")).cast("double") / size(col("t"))).as("raw_tok_len"),
+        (size(filter(col("t"), x => x.isin(stopwords: _*))).cast("double") / size(col("t"))).as("raw_stop"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("raw_uniq"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        roundTo(col("raw_tok_len"), 2).as("avg_token_len"),
+        roundTo(col("raw_stop"), 3).as("stopword_ratio"),
+        roundTo(col("raw_uniq"), 3).as("uniq_ratio"),
+        roundTo(
+          lit(0.5) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+          lit(0.3) * col("raw_uniq") +
+          lit(0.2) * (lit(1.0) - col("raw_stop")), 3).as("quality_score"))
+      .orderBy("doc_id")
+
+  val textStatsOracle: String =
+    s"""SELECT doc_id, lang, n_tokens,
+       | floor(raw_tok_len * 1e2 + 0.5) / 1e2 AS avg_token_len,
+       | floor(raw_stop * 1e3 + 0.5) / 1e3 AS stopword_ratio,
+       | floor(raw_uniq * 1e3 + 0.5) / 1e3 AS uniq_ratio,
+       | floor((0.5::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
+       |   + 0.3::DOUBLE * raw_uniq + 0.2::DOUBLE * (1.0::DOUBLE - raw_stop)) * 1e3 + 0.5) / 1e3 AS quality_score
+       |FROM (
+       | SELECT doc_id, lang, len(t) AS n_tokens,
+       |  length(replace(text, ' ', ''))::DOUBLE / len(t) AS raw_tok_len,
+       |  len(list_filter(t, x -> x IN ($stopList)))::DOUBLE / len(t) AS raw_stop,
+       |  len(list_distinct(t))::DOUBLE / len(t) AS raw_uniq
+       | FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: marker-token hit counts per language, argmax
+    * with a fixed priority order. (On the synthetic fixtures the text is
+    * drawn from one vocabulary, so this mostly predicts 'en' — the
+    * operator's semantics, not its fixture accuracy, are under test; the
+    * provided `lang` column rides along for the agreement flag.)
+    */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "data", "query"),
+      "es" -> Seq("el", "la", "los", "datos"),
+      "de" -> Seq("der", "die", "und", "daten"),
+      "fr" -> Seq("le", "la", "les", "et"))
+    val t = split(col("text"), " ")
+    def hits(lang: String) =
+      size(array_intersect(t, array(markers(lang).map(lit): _*)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        hits("en").as("en_hits"), hits("es").as("es_hits"),
+        hits("de").as("de_hits"), hits("fr").as("fr_hits"))
+      .select(col("doc_id"), col("lang"),
+        when(col("en_hits") >= greatest(col("es_hits"), col("de_hits"), col("fr_hits"))
+              && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= greatest(col("de_hits"), col("fr_hits")) && col("es_hits") > 0, "es")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und").as("predicted_lang"))
+      .withColumn("is_match", col("predicted_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val textLangIdOracle: String =
+    """SELECT doc_id, lang,
+      | CASE
+      |  WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) AND en_hits > 0 THEN 'en'
+      |  WHEN es_hits >= greatest(de_hits, fr_hits) AND es_hits > 0 THEN 'es'
+      |  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+      |  WHEN fr_hits > 0 THEN 'fr'
+      |  ELSE 'und' END AS predicted_lang,
+      | (CASE
+      |  WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) AND en_hits > 0 THEN 'en'
+      |  WHEN es_hits >= greatest(de_hits, fr_hits) AND es_hits > 0 THEN 'es'
+      |  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+      |  WHEN fr_hits > 0 THEN 'fr'
+      |  ELSE 'und' END) = lang AS is_match
+      |FROM (
+      | SELECT doc_id, lang,
+      |  len(list_intersect(t, ['the','a','data','query'])) AS en_hits,
+      |  len(list_intersect(t, ['el','la','los','datos'])) AS es_hits,
+      |  len(list_intersect(t, ['der','die','und','daten'])) AS de_hits,
+      |  len(list_intersect(t, ['le','la','les','et'])) AS fr_hits
+      | FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** BPE-ish regex token counting (word/number/other classes) + type-token
+    * ratio — the tokenizer-cost estimator of a training-data pipeline.
+    */
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+      .withColumn("type_token_ratio",
+        roundTo(col("n_distinct_tokens").cast("double") / col("n_bpe_tokens"), 3))
+      .orderBy("doc_id")
+
+  val textTokenCountOracle: String =
+    """SELECT doc_id, n_bpe_tokens, n_distinct_tokens,
+      | floor((n_distinct_tokens::DOUBLE / n_bpe_tokens) * 1e3 + 0.5) / 1e3 AS type_token_ratio
+      |FROM (
+      | SELECT doc_id, len(toks) AS n_bpe_tokens, len(list_distinct(toks)) AS n_distinct_tokens
+      | FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+') AS toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: content hash (md5), order-insensitive
+    * bag-of-words hash (md5 of the sorted distinct token list), and a
+    * short routing bucket — the identity keys an exact-dedup pass joins on.
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("bow_fp"))
+      .withColumn("bucket", substring(col("content_fp"), 1, 4))
+      .orderBy("doc_id")
+
+  val textFingerprintOracle: String =
+    """SELECT doc_id, md5(text) AS content_fp,
+      | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+      | substring(md5(text), 1, 4) AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("text_stats", textStats, Some(textStatsOracle)),
+    RegisteredQuery("text_lang_id", textLangId, Some(textLangIdOracle)),
+    RegisteredQuery("text_token_count", textTokenCount, Some(textTokenCountOracle)),
+    RegisteredQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle)),
+  )
+}
