@@ -17,6 +17,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     Multimodal,
+    graft.pipeline.PipelineOps,
   )
 
   lazy val registry: Seq[RegisteredQuery] = modules.flatMap(_.queries)

@@ -129,18 +129,20 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash: 64-bit signature from per-token xxhash64 majority vote.
-    * Candidate pairs via 4×16-bit band equality — by pigeonhole this is
-    * EXHAUSTIVE for hamming distance <= 3 (4 bands can't all differ), the
-    * emitted threshold. Rows-only check (hash-specific); ScalaTest
-    * cross-checks against the Jaccard near-dup pairs.
+  /** SimHash: 64-bit signature from per-token xxhash64 majority vote,
+    * frequency-weighted (every occurrence votes — canonical simhash, which
+    * keeps vote margins wide so near-identical docs land within a few
+    * bits). Candidate pairs via 4×16-bit band equality — by pigeonhole
+    * this is EXHAUSTIVE for hamming distance <= 3 (4 bands can't all
+    * differ), the emitted threshold. Rows-only check (hash-specific);
+    * ScalaTest cross-checks against the Jaccard near-dup pairs.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val hammingMax = 3
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
-        expr("transform(array_distinct(t), x -> xxhash64(x))").as("hs"))
+        expr("transform(t, x -> xxhash64(x))").as("hs"))
       .select(col("doc_id"),
         expr(
           """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.pipeline.IncrementalPipeline.Store
+import graft.streaming.StreamingPipeline
+
+/** §2.9: the CDC loop as Structured Streaming. AvailableNow over a file
+  * source must converge to exactly the batch-merge result, and a second
+  * pass with no new files must be a no-op (the reference's early-exit).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("AvailableNow + foreachBatch merge converges to the batch result") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val inDir = tmpDir("graft-stream-in")
+    val root = tmpDir("graft-stream-store")
+    val ckpt = tmpDir("graft-stream-ckpt")
+    val store = new Store(spark, root)
+
+    // stage the feed as three arriving files (micro-batch boundaries)
+    val cut1 = to_timestamp(lit("2024-01-10 00:00:00"))
+    val cut2 = to_timestamp(lit("2024-01-20 00:00:00"))
+    ev.filter(col("ts") < cut1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$inDir/f1")
+    ev.filter(col("ts") >= cut1 && col("ts") < cut2)
+      .write.mode(SaveMode.Overwrite).parquet(s"$inDir/f2")
+    ev.filter(col("ts") >= cut2)
+      .write.mode(SaveMode.Overwrite).parquet(s"$inDir/f3")
+
+    StreamingPipeline.runAvailableNow(spark, ev.schema, s"$inDir/*", store, ckpt)
+    val streamed = store.launches.get
+    assert(streamed.count() === ev.count())
+    // exactly the same key set and latest-version rows as one batch merge
+    val diff = streamed.select("event_id", "ts", "value")
+      .exceptAll(ev.select("event_id", "ts", "value"))
+    assert(diff.isEmpty)
+
+    // second AvailableNow pass with no new files: checkpoint short-circuits
+    val before = store.latestVersion
+    StreamingPipeline.runAvailableNow(spark, ev.schema, s"$inDir/*", store, ckpt)
+    assert(store.launches.get.count() === ev.count())
+  }
+}
