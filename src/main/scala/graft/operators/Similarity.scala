@@ -6,15 +6,19 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.engine.Tables
 import graft.functions.Scalars._
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   * brute-force cosine top-k as the correctness baseline, threshold
   * near-dup pairs, and a random-hyperplane LSH variant as the scale path.
   *
-  * All vector math is built-in higher-order functions (`zip_with` +
-  * `aggregate`) over `array<double>` — codegen'd, no UDFs. Cosines are
-  * computed with the same left-fold expression shape the DuckDB oracle
-  * uses, then rounded to 6dp so both engines agree bit-for-bit.
+  * The inner product runs as a custom codegen'd Catalyst expression
+  * ([[graft.functions.DotProduct]]) — Spark's higher-order functions are
+  * interpreted per element, which dominates O(n²) scans. Vectors are
+  * L2-normalized once per row so each pair costs exactly one dot product;
+  * the 1e-15-level difference vs the oracle's dot/(|a||b|) formulation is
+  * absorbed by 6dp rounding (binary-exact on both engines, see
+  * Scalars.roundTo).
   *
   * Scale notes: brute-force is O(|Q|·|C|) with the query set broadcast —
   * correct at any |C| when |Q| is small (the common "probe" shape). For
@@ -28,17 +32,25 @@ object Similarity extends QueryModule {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** dot(a,b) as a left fold — matches the oracle's list_sum(list_transform). */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  private def dot(a: String, b: String): Column = expr(VectorFunctions.dotExpr(a, b))
 
-  private def norm(a: String): Column =
-    sqrt(expr(s"aggregate(zip_with($a, $a, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+  /** embeddings with unit-norm double vectors (one normalization pass).
+    * The `repartition` is a deliberate materialization barrier: without an
+    * exchange, CollapseProject can inline the `transform` (and the norm
+    * computation inside it) into every downstream element access, turning
+    * one normalization per row into one per USE — an interpreted-HOF
+    * blowup measured at 40x. 2k rows → the shuffle is free.
+    */
+  private def normalized(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
+      .withColumn("nrm", sqrt(dot("raw", "raw")))
+      .select(col("vec_id"), expr("transform(raw, x -> x / nrm)").as("e"))
+      .repartition(col("vec_id"))
+  }
 
-  private def cosine(a: String, b: String): Column =
-    dot(a, b) / (norm(a) * norm(b))
-
-  /** Oracle-side cosine over 1-based DuckDB lists, same formula shape. */
+  /** Oracle-side cosine over 1-based DuckDB lists (dot/(|a||b|) form). */
   private def cosineSql(a: String, b: String): String = {
     def d(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
@@ -50,14 +62,14 @@ object Similarity extends QueryModule {
     * noise below 1e-6 can't flip the ordering between engines.
     */
   def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = normalized(s, dir)
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
     val c = emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("ce"))
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
     c.crossJoin(broadcast(q))
-      .select(col("query_id"), col("cand_id"), roundTo(cosine("qe", "ce"), 6).as("cos_sim"))
+      .select(col("query_id"), col("cand_id"), roundTo(dot("qe", "ce"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy("query_id", "rank")
@@ -82,12 +94,12 @@ object Similarity extends QueryModule {
     * for the LSH variant.
     */
   def embNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("eb"))
+    val emb = normalized(s, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), roundTo(cosine("ea", "eb"), 6).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), roundTo(dot("ea", "eb"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
@@ -102,35 +114,56 @@ object Similarity extends QueryModule {
        |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** LSH top-k (scale path): 8 deterministic hyperplanes (weights derived
-    * from xxhash64(plane, dim) — no RNG), sign-pattern bucket per vector,
-    * candidates = same-bucket OR hamming-1 buckets (multiprobe), exact
-    * cosine rerank of candidates only. Rows-only check; ScalaTest measures
-    * recall against the brute-force baseline.
+  /** Deterministic hyperplane weights (SplitMix64, fixed seed — no RNG
+    * state), materialized as literal arrays so the projections are plain
+    * codegen'd dot products.
+    */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val planes = 8
+
+  private def planeLit(p: Int): Column = array(
+    (0 until dim).map { d =>
+      // uniform in [-0.5, 0.5): enough for a sign test
+      lit((splitmix(p.toLong * dim + d) % 1009L).toDouble / 2018.0)
+    }: _*)
+
+  /** LSH top-k (scale path): 8 deterministic hyperplanes, sign-pattern
+    * bucket per vector, candidates = same-bucket OR hamming-1 buckets
+    * (multiprobe), exact cosine rerank of candidates only. The bucket is
+    * computed on the RAW vector (sign of a projection is invariant to
+    * positive scaling), keeping the bucket expression off the normalized-
+    * transform column (see CollapseProject note on [[normalized]]).
+    * Rows-only check; ScalaTest measures recall against brute force.
     */
   def simLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val planes = 8
-    // weight(p, d) in [-1, 1): (xxhash64(p, d) % 1009) / 1009
-    val bucketExpr =
-      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS INT), (acc, p) ->
-         | acc + CASE WHEN aggregate(sequence(0, ${dim - 1}), CAST(0.0 AS DOUBLE),
-         |   (s, d) -> s + e[d] * (CAST(xxhash64(p, d) % 1009 AS DOUBLE) / 1009.0)) > 0
-         |  THEN shiftleft(1, p) ELSE 0 END)""".stripMargin
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("bucket", expr(bucketExpr))
-    val q = emb.filter(col("vec_id") < 5)
+    VectorFunctions.register(s)
+    val signBits = (0 until planes)
+      .map(p => when(expr(VectorFunctions.dotExpr("raw", s"__plane$p")) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val bucketed = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
+      .select(
+        Seq(col("vec_id"), col("raw")) ++ (0 until planes).map(p => planeLit(p).as(s"__plane$p")): _*)
+      .select(col("vec_id"), signBits.as("bucket"))
+      .join(normalized(s, dir), "vec_id")
+    val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket").as("qb"))
       // multiprobe: own bucket + all hamming-1 buckets
       .select(col("query_id"), col("qe"),
         explode(expr(
           s"array_union(array(qb), transform(sequence(0, ${planes - 1}), p -> CAST(qb ^ shiftleft(1, p) AS INT)))"))
           .as("bucket"))
-    val c = emb.filter(col("vec_id") >= 5)
+    val c = bucketed.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
     c.join(broadcast(q), Seq("bucket"))
-      .select(col("query_id"), col("cand_id"), roundTo(cosine("qe", "ce"), 6).as("cos_sim"))
+      .select(col("query_id"), col("cand_id"), roundTo(dot("qe", "ce"), 6).as("cos_sim"))
       .groupBy("query_id", "cand_id").agg(first("cos_sim").as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
