@@ -17,6 +17,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     Multimodal,
+    Extras,
     graft.pipeline.PipelineOps,
   )
 

@@ -37,6 +37,34 @@ object Tables {
       case _        => raw
     }
   }
+
+  /** Events at/after a watermark, with the predicate applied in the RAW
+    * column domain. A filter on the converted `timestamp_micros(ts div
+    * 1000)` column cannot push through the expression into the parquet
+    * scan (full scan at 100 TB); comparing the stored nanos long directly
+    * reaches PushedFilters and prunes row groups via footer min/max.
+    * The conversion is monotonic, so the predicates are equivalent.
+    */
+  def eventsSince(s: SparkSession, d: String, wm: java.sql.Timestamp,
+                  strict: Boolean = false): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val i = wm.toInstant
+        val nanos = Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
+        val f = if (strict) raw.filter(col("ts") > nanos) else raw.filter(col("ts") >= nanos)
+        f.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        if (strict) raw.filter(col("ts") > lit(wm)) else raw.filter(col("ts") >= lit(wm))
+    }
+  }
+
+  /** UTC-safe literal → Timestamp ("yyyy-MM-dd HH:mm:ss", no JVM-zone
+    * dependence like Timestamp.valueOf has). */
+  def utcTs(literal: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(literal.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Scalars._
+
+/** Coverage closers for SURVEY.md §2 rows not already first-class:
+  * P1 projection/rename, E3 (the Trino-over-views path as spark.sql over
+  * temp views), A11 aggregate-of-aggregates over the snapshot series, and
+  * the §2.10 scalar kit (ISO format/parse, JSON round trips).
+  */
+object Extras extends QueryModule {
+
+  /** P1: the declared-schema projection — rename + type discipline + P10
+    * null-mapping (the reference's 8-column Pydantic projection,
+    * src/models.py:13-26).
+    */
+  def p1Projection(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id").as("launch_id"),
+        col("ts").as("date_utc"),
+        col("event_type").as("mission_type"),
+        nullIfNonPositive(col("value")).as("payload_mass"),
+        col("user_id").cast("string").as("launchpad_id"))
+      .orderBy("launch_id")
+
+  val p1Oracle: String =
+    """SELECT event_id AS launch_id, ts AS date_utc, event_type AS mission_type,
+      | CASE WHEN value > 0 THEN value END AS payload_mass,
+      | CAST(user_id AS VARCHAR) AS launchpad_id
+      |FROM events ORDER BY launch_id""".stripMargin
+
+  /** E3: the analytics-SQL entry point — the reference runs Q1–Q4 as SQL
+    * text through Trino over Postgres views (SURVEY.md §3-E3); here the
+    * SAME ANSI text runs through spark.sql over temp views AND through
+    * DuckDB as the oracle. One engine collapses the federation.
+    */
+  val sqlQ4Text: String =
+    """SELECT c_mktsegment, count(*) AS total_orders,
+      | floor(avg(o_totalprice) * 1e2 + 0.5) / 1e2 AS avg_order_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY total_orders DESC, c_mktsegment""".stripMargin
+
+  def sqlQ4(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(sqlQ4Text)
+  }
+
+  /** A11: aggregate-of-aggregates — Q1 reads the SNAPSHOT table, not raw
+    * (launch_performance_over_time.sql:3-21): weekly rollup of the daily
+    * running-aggregate series.
+    */
+  def a11AggOfAgg(s: SparkSession, dir: String): DataFrame =
+    MergeOps.a10SnapshotSeries(s, dir)
+      .groupBy(date_trunc("week", col("snapshot_day")).as("snapshot_week"))
+      .agg(
+        count(lit(1)).as("n_snapshots"),
+        roundTo(avg(col("purchase_rate")), 2).as("avg_purchase_rate"),
+        max(col("total_events")).as("max_total_events"))
+      .orderBy("snapshot_week")
+
+  val a11Oracle: String =
+    s"""WITH series AS (${MergeOps.a10Oracle.replace("ORDER BY snapshot_day", "")})
+       |SELECT date_trunc('week', snapshot_day) AS snapshot_week,
+       | count(*) AS n_snapshots,
+       | floor(avg(purchase_rate) * 1e2 + 0.5) / 1e2 AS avg_purchase_rate,
+       | max(total_events) AS max_total_events
+       |FROM series GROUP BY 1 ORDER BY snapshot_week""".stripMargin
+
+  /** §2.10 scalar kit: ISO-8601 serialization (isoformat analog), its
+    * parse-back (second precision, the reference's boundary convention),
+    * and the JSONB array/struct round trip (src/database.py:110-119,158).
+    */
+  def scalarRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("iso_ts"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX")).as("reparsed_ts"),
+        to_json(struct(col("k").as("k"))).as("props_json"),
+        expr("try_cast(get_json_object(to_json(struct(k AS k)), '$.k') AS INT)").as("k_roundtrip"),
+        to_json(array(col("event_type"), col("user_id").cast("string"))).as("tags_json"))
+      .orderBy("event_id")
+
+  val scalarRoundtripOracle: String =
+    """SELECT event_id,
+      | strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+      | date_trunc('second', ts) AS reparsed_ts,
+      | to_json({'k': k})::VARCHAR AS props_json,
+      | CAST(json_extract_string(to_json({'k': k}), '$.k') AS INT) AS k_roundtrip,
+      | to_json([event_type, CAST(user_id AS VARCHAR)])::VARCHAR AS tags_json
+      |FROM (SELECT event_id, ts, event_type, user_id,
+      |       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("p1_projection", p1Projection, Some(p1Oracle)),
+    RegisteredQuery("sql_q4", sqlQ4, Some(sqlQ4Text)),
+    RegisteredQuery("a11_agg_of_agg", a11AggOfAgg, Some(a11Oracle)),
+    RegisteredQuery("scalar_roundtrip", scalarRoundtrip, Some(scalarRoundtripOracle)),
+  )
+}

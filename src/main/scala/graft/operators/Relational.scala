@@ -61,6 +61,10 @@ object Relational extends QueryModule {
     */
   def q2TopMass(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      // filter on the STORED column first: `payload_mass IS NOT NULL` on
+      // the derived when() can't reach the scan, `l_discount <= 0.05`
+      // lands in PushedFilters (row-group pruning at scale)
+      .filter(col("l_discount") <= 0.05)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_shipdate"),
         when(col("l_discount") <= 0.05, col("l_extendedprice")).as("payload_mass"))
@@ -148,9 +152,8 @@ object Relational extends QueryModule {
   val watermark = "2024-01-25 00:00:00"
 
   def s3WatermarkScan(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    Tables.eventsSince(s, dir, Tables.utcTs(watermark))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .filter(col("ts") >= to_timestamp(lit(watermark)))
       .orderBy("event_id")
 
   val s3Oracle: String =
