@@ -18,6 +18,7 @@ object SparkEntry {
     Similarity,
     Multimodal,
     Extras,
+    WindowsAndStats,
     graft.pipeline.PipelineOps,
   )
 
