@@ -44,4 +44,39 @@ class StreamingSpec extends SparkSpec {
     StreamingPipeline.runAvailableNow(spark, ev.schema, s"$inDir/*", store, ckpt)
     assert(store.launches.get.count() === ev.count())
   }
+
+  test("watermarked event-time window aggregation (append mode) matches batch windows") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val inDir = tmpDir("graft-wm-in")
+    val ckpt = tmpDir("graft-wm-ckpt")
+    ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$inDir/f1")
+
+    val batchWindows = ev.groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$inDir/*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("wm_windows").outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    val emitted = spark.table("wm_windows")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // append mode emits only windows finalized by the watermark: a strict
+    // subset that must agree exactly with the batch counts
+    assert(emitted.nonEmpty, "no windows finalized")
+    emitted.foreach { case (w, n) =>
+      assert(batchWindows(w) === n, s"window $w count mismatch")
+    }
+    assert(emitted.size < batchWindows.size, "watermark should hold back the tail window")
+  }
 }
