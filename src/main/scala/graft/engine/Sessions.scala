@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def tune(b: SparkSession.Builder, cores: String): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -79,4 +79,44 @@ class StreamingSpec extends SparkSpec {
     }
     assert(emitted.size < batchWindows.size, "watermark should hold back the tail window")
   }
+
+  test("mapGroupsWithState running per-user counts converge to batch counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_id"))
+    val inDir = tmpDir("graft-state-in")
+    val ckpt = tmpDir("graft-state-ckpt")
+    // two arriving files → with maxFilesPerTrigger(1), AvailableNow runs
+    // two micro-batches and the state must carry counts across them
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$inDir/f1")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$inDir/f2")
+
+    val counts = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (user, c)
+      }
+    val q = counts.toDF("user_id", "n").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("state_counts").outputMode("update")
+      .start()
+    q.awaitTermination()
+
+    // last emitted state per user == batch group count
+    val streamed = spark.table("state_counts")
+      .groupBy("user_id").agg(max(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
 }
