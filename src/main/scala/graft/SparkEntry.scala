@@ -19,6 +19,7 @@ object SparkEntry {
     Multimodal,
     Extras,
     WindowsAndStats,
+    AsofOps,
     graft.pipeline.PipelineOps,
   )
 

@@ -18,6 +18,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write int64 micros, not INT96: the oracle compare reads our output
+      // and DuckDB's result side-by-side and INT96 decodes as nanos
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String, cores: Int = 4): SparkSession = {

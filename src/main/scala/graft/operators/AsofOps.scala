@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+
+import graft.engine.Tables
+
+/** As-of join — an operator vanilla Spark lacks. Composed from existing
+  * ops (preference (a) of the custom-operator ladder): union both sides,
+  * one window pass carrying the latest right row forward
+  * (`last_value(ignoreNulls)` over rows-unbounded-preceding), keep left
+  * rows. ONE shuffle on the key, state O(1) per row — no range cross join,
+  * no per-left-row probe. DuckDB's native ASOF JOIN is the oracle.
+  */
+object AsofOps extends QueryModule {
+
+  /** For each left row: the latest right row with `right.ts <= left.ts`
+    * (inclusive) sharing `key`. Right columns come back nested as a
+    * `matched` struct (null when no prior right row exists).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, leftTs: String, rightTs: String,
+               rightTieBreak: String): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag"),
+      lit(null).cast("long").as("__rid"),
+      lStruct.as("__lv"), lit(null).cast(rType).as("__rv"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      col(rightTieBreak).cast("long").as("__rid"),
+      lit(null).cast(lType).as("__lv"), rStruct.as("__rv"))
+
+    // right rows sort before left rows at equal ts (inclusive <=);
+    // __rid makes duplicate right timestamps deterministic
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__lv").as("left"), col("__m").as("matched"))
+  }
+
+  /** Registered exercise: each purchase matched to the user's latest
+    * preceding click.
+    */
+  def asofClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoin(purchases, clicks, "user_id", "ts", "ts", "event_id")
+      .select(
+        col("left.event_id").as("event_id"),
+        col("left.user_id").as("user_id"),
+        col("left.ts").as("ts"),
+        col("matched.ts").as("last_click_ts"),
+        col("matched.event_id").as("last_click_id"))
+      .orderBy("event_id")
+  }
+
+  val asofOracle: String =
+    """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts,
+      | c.event_id AS last_click_id
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("asof_join", asofClicks, Some(asofOracle)),
+  )
+}

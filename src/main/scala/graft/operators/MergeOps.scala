@@ -122,9 +122,9 @@ object MergeOps extends QueryModule {
       | FROM events GROUP BY 1),
       |cum AS (
       | SELECT snapshot_day, batch_events,
-      |  sum(batch_events) OVER w AS total_events,
+      |  CAST(sum(batch_events) OVER w AS BIGINT) AS total_events,
       |  sum(batch_value) OVER w AS raw_total_value,
-      |  sum(batch_purchases) OVER w AS total_purchases
+      |  CAST(sum(batch_purchases) OVER w AS BIGINT) AS total_purchases
       | FROM daily
       | WINDOW w AS (ORDER BY snapshot_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT snapshot_day, batch_events, total_events,

@@ -91,6 +91,19 @@ object IncrementalPipeline {
   def isValid = col("event_id").isNotNull && col("ts").isNotNull &&
     (col("value").isNull || col("value") >= 0)
 
+  /** Fail-open source read (src/ingest.py:260-264: the paginated fetch
+    * falls back to a full scan + client filter on error; change-detection
+    * errors assume new data, src/database.py:268-271). `primary` is
+    * evaluated eagerly so read-time failures (missing path, bad schema)
+    * trip the fallback instead of surfacing later mid-plan.
+    */
+  def withFallback(primary: => DataFrame)(fallback: => DataFrame): DataFrame =
+    try {
+      val df = primary
+      df.queryExecution.analyzed // force analysis
+      df
+    } catch { case _: Exception => fallback }
+
   /** One micro-batch run. `runId` is the logical clock (tests pass
     * deterministic values; production passes epoch millis).
     */

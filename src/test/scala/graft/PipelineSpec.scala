@@ -67,4 +67,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.dropped === 1L)
     assert(r.totalAfter === 2L)
   }
+
+  test("fail-open source fallback (optimized path error -> full scan)") {
+    val fell = IncrementalPipeline.withFallback(
+      spark.read.parquet("/root/testdata/does-not-exist/events.parquet")) {
+      Tables.events(spark, sfDir)
+    }
+    assert(fell.count() === Tables.events(spark, sfDir).count())
+    // and the primary path is used when it works
+    val used = IncrementalPipeline.withFallback(Tables.events(spark, sfDir)) {
+      throw new IllegalStateException("fallback must not evaluate")
+    }
+    assert(used.count() > 0)
+  }
+
+  test("approx sketches track exact values (HLL within 5%)") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL $approx vs exact $exact")
+  }
 }
