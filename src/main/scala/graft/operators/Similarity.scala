@@ -170,9 +170,59 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF top-k (the other scale path): coarse-quantize candidates into
+    * k-means cells (MLlib KMeans, fixed seed), probe the `nprobe` nearest
+    * cells per query, exact cosine rerank inside the probed cells only.
+    * At 100 TB the candidate side is written partitioned by cell id, so a
+    * probe touches nprobe/k of the data. Centroid table is 16 rows —
+    * driver-side math on it is the index metadata, not data. Rows-only
+    * (k-means-specific); ScalaTest measures recall vs brute force.
+    */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    VectorFunctions.register(s)
+    val k = 16
+    val nprobe = 4
+    val emb = normalized(s, dir).withColumn("fv", array_to_vector(col("e"))).cache()
+    val fitted = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = fitted.transform(emb).select(col("vec_id"), col("e"), col("cell"))
+
+    // centroid directions as a tiny literal table: (cell, centroid array)
+    val centers = fitted.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    import s.implicits._
+    val centDf = centers.toSeq.toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<double>").as("centroid"))
+
+    // probe list: nprobe nearest centroids per query (16 x 5 rows — tiny)
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("qe"), col("cell"),
+        expr(VectorFunctions.dotExpr("qe", "centroid")).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+
+    val c = assigned.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+    c.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("cand_id"), roundTo(dot("qe", "ce"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
     RegisteredQuery("emb_neardup_pairs", embNearDupPairs, Some(embNearDupOracle)),
     RegisteredQuery("sim_lsh_topk", simLshTopk, None),
+    RegisteredQuery("sim_ivf_topk", simIvfTopk, None),
   )
 }

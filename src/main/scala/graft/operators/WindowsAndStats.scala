@@ -160,8 +160,24 @@ object WindowsAndStats extends QueryModule {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** A14b: cube — all grouping-set combinations in one pass. */
+  def a14Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        roundTo(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val a14CubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | floor(avg(o_totalprice) * 1e2 + 0.5) / 1e2 AS avg_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("a6_frac_delay", a6FracDelay, Some(a6Oracle)),
+    RegisteredQuery("a14_cube", a14Cube, Some(a14CubeOracle)),
     RegisteredQuery("w3_tumbling_window", w3TumblingWindow, Some(w3Oracle)),
     RegisteredQuery("sessionize", sessionize, Some(sessionizeOracle)),
     RegisteredQuery("a13_percentiles", a13Percentiles, Some(a13Oracle)),

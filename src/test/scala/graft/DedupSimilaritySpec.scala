@@ -54,4 +54,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val hits = lsh.count(r => bruteAll.contains((r.getLong(0), r.getLong(1))))
     assert(hits >= 1, s"LSH recall collapsed: $hits overlapping pairs")
   }
+
+  test("IVF top-k returns exact scores for its hits and nontrivial recall") {
+    val brute = Similarity.simTopkBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.simIvfTopk(spark, sfDir).collect()
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(exact => assert(r.getDouble(2) === exact))
+    }
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    // nprobe=4 of k=16 cells probes ~25% of candidates; top-1 neighbors
+    // concentrate in the nearest cells, so recall must beat that share
+    assert(hits >= 5, s"IVF recall too low: $hits of ${brute.size}")
+    info(s"IVF recall@3: $hits/${brute.size}")
+  }
 }

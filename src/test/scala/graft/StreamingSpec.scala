@@ -119,4 +119,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+
+  test("streaming dropDuplicates dedups re-delivered batches across triggers (§2.9 late/dup data)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("value"))
+    val inDir = tmpDir("graft-dup-in")
+    val ckpt = tmpDir("graft-dup-ckpt")
+    // the same data delivered twice, as two files -> two micro-batches
+    ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$inDir/f1")
+    ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$inDir/f2")
+
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .dropDuplicates("event_id")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("dedup_stream").outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    assert(spark.table("dedup_stream").count() === ev.count())
+    assert(spark.table("dedup_stream").select("event_id").distinct().count() === ev.count())
+  }
 }
