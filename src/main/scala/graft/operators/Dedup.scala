@@ -200,8 +200,9 @@ object Dedup extends QueryModule {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup exchange: only near pairs shuffle
       .filter(col("hamming") <= hammingMax)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -184,7 +184,10 @@ object Similarity extends QueryModule {
     VectorFunctions.register(s)
     val k = 16
     val nprobe = 4
-    val emb = normalized(s, dir).withColumn("fv", array_to_vector(col("e"))).cache()
+    // no .cache(): the input is candidate-count rows and KMeans manages its
+    // own iteration caching; a leaked cache entry per invocation degrades
+    // every later query in the session via GC pressure
+    val emb = normalized(s, dir).withColumn("fv", array_to_vector(col("e")))
     val fitted = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(emb)
