@@ -160,6 +160,28 @@ object WindowsAndStats extends QueryModule {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** A15: second-moment statistics (stddev / correlation / covariance) —
+    * single-pass mergeable moment aggregates, the numeric profiling a
+    * training-data pipeline runs next to count/avg. 4dp rounding absorbs
+    * the engines' different update formulas (~1e-10 relative).
+    */
+  def a15Moments(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+        roundTo(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        roundTo(covar_samp(col("l_discount"), col("l_tax")), 4).as("disc_tax_covar"))
+      .orderBy("l_linestatus")
+
+  val a15Oracle: String =
+    """SELECT l_linestatus, count(*) AS n_rows,
+      | floor(stddev_samp(l_extendedprice) * 1e4 + 0.5) / 1e4 AS std_price,
+      | floor(corr(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4 AS qty_price_corr,
+      | floor(covar_samp(l_discount, l_tax) * 1e4 + 0.5) / 1e4 AS disc_tax_covar
+      |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin
+
   /** A14b: cube — all grouping-set combinations in one pass. */
   def a14Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -178,6 +200,7 @@ object WindowsAndStats extends QueryModule {
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("a6_frac_delay", a6FracDelay, Some(a6Oracle)),
     RegisteredQuery("a14_cube", a14Cube, Some(a14CubeOracle)),
+    RegisteredQuery("a15_moments", a15Moments, Some(a15Oracle)),
     RegisteredQuery("w3_tumbling_window", w3TumblingWindow, Some(w3Oracle)),
     RegisteredQuery("sessionize", sessionize, Some(sessionizeOracle)),
     RegisteredQuery("a13_percentiles", a13Percentiles, Some(a13Oracle)),
