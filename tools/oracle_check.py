@@ -64,10 +64,14 @@ def main(sf_dir, out_dir):
                 print(f"  spark: {hs[i]}")
                 print(f"  duck : {hd[i]}")
             n_fail += 1; continue
-        # loose dtype check (driver checks schema too)
+        # strict dtype check (the driver compares schemas too)
         dt_s, dt_d = [str(x) for x in s.dtypes], [str(x) for x in d.dtypes]
-        note = "" if dt_s == dt_d else f"  [dtype diff: {list(zip(s.columns, dt_s, dt_d))}]"
-        print(f"PASS {name} ({len(s)} rows){note}")
+        if dt_s != dt_d:
+            bad = [t for t in zip(s.columns, dt_s, dt_d) if t[1] != t[2]]
+            print(f"FAIL {name}: dtype mismatch {bad}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(s)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {len(oracles)} total")
     return 1 if n_fail else 0
