@@ -206,7 +206,37 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark-contamination check (training-data hygiene): documents
+    * sharing at least `minShared` 3-gram shingles with any document of a
+    * probe/benchmark set (here: doc_id < 5). Same inverted-index shape as
+    * the near-dup pass — candidate work scales with postings overlap, not
+    * corpus², and the probe side is benchmark-sized (broadcast).
+    */
+  def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val minShared = 2
+    val posts = postings(s, dir)
+    val bench = posts.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val corpus = posts.filter(col("doc_id") >= 5)
+    corpus.join(broadcast(bench), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val contaminationOracle: String =
+    s"""WITH posts AS (
+       | SELECT doc_id, unnest(s) AS g FROM ($shingledSql)),
+       |bench AS (SELECT doc_id AS bench_id, g FROM posts WHERE doc_id < 5),
+       |corpus AS (SELECT doc_id, g FROM posts WHERE doc_id >= 5)
+       |SELECT doc_id, bench_id, count(*) AS shared_shingles
+       |FROM corpus JOIN bench USING (g)
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("contamination_check", contaminationCheck, Some(contaminationOracle)),
     RegisteredQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     RegisteredQuery("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     RegisteredQuery("dedup_minhash_lsh", dedupMinhashLsh, None),
