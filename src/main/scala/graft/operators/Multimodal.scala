@@ -78,8 +78,32 @@ object Multimodal extends QueryModule {
       | CAST(floor(strlen(text) / 256.0) + 1 AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over the payload: every `stride`-th 64-byte "frame"
+    * of each payload becomes a row (the video-frame-sample shape: explode
+    * with a computed index list, then a per-frame feature from the bytes).
+    * Deterministic fake feature (the codec stays a STUB); the Spark-side
+    * explode/partitioning is the real contract. Rows-only.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameBytes = 64
+    val stride = 4
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("payload"),
+        expr(s"sequence(0, (octet_length(payload) - 1) div $frameBytes)").as("frames"))
+      .select(col("doc_id"), explode(expr(s"filter(frames, f -> f % $stride = 0)")).as("frame_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        // STUB per-frame feature: first byte of the frame
+        ascii(substring(col("payload").cast("string"),
+            (col("frame_idx").cast("int") * frameBytes + 1), lit(1)))
+          .cast("long").as("frame_feature"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("mm_binary_stats", mmBinaryStats, Some(mmBinaryStatsOracle)),
     RegisteredQuery("mm_decode_stub", mmDecodeStub, None),
+    RegisteredQuery("mm_frame_sample", mmFrameSample, None),
   )
 }
