@@ -7,9 +7,12 @@ object Bench {
     val spark = graft.engine.Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet reader, shuffle machinery) so the
-    // first timed query doesn't carry ~4s of one-time JVM/session cost.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm the session (codegen, parquet reader, shuffle machinery, OS page
+    // cache for every fixture) so the first timed query doesn't carry
+    // one-time JVM/session cost — a resident cluster's steady state.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
       .as("k")).count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
