@@ -20,6 +20,7 @@ object SparkEntry {
     Extras,
     WindowsAndStats,
     AsofOps,
+    SamplingOps,
     graft.pipeline.PipelineOps,
   )
 

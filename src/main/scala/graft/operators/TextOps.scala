@@ -149,7 +149,45 @@ object TextOps extends QueryModule {
       | substring(md5(text), 1, 4) AS bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Repetition detection — max run length of consecutively repeated
+    * tokens and total run count per doc (the repetition-filter signal of
+    * LLM data pipelines). Run ids via lag + cumulative flag sum (same
+    * shape as sessionization); all codegen'd, one shuffle on doc_id.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("new_run",
+        when(col("tok") === lag(col("tok"), 1).over(w), 0).otherwise(1))
+      .withColumn("run_id", sum(col("new_run")).over(cum))
+      .groupBy("doc_id", "run_id")
+      .agg(count(lit(1)).as("rl"))
+      .groupBy("doc_id")
+      .agg(max(col("rl")).as("max_run_len"), count(lit(1)).as("n_runs"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionOracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)+1), i -> {'pos': i, 'tok': t[i]})) AS u
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |runs AS (
+      | SELECT doc_id, pos, CASE WHEN tok = lag(tok) OVER w THEN 0 ELSE 1 END AS new_run
+      | FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |rid AS (
+      | SELECT doc_id, CAST(sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      | FROM runs)
+      |SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run_len, count(*) AS n_runs FROM (
+      | SELECT doc_id, run_id, count(*) AS rl FROM rid GROUP BY 1, 2)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("text_repetition", textRepetition, Some(textRepetitionOracle)),
     RegisteredQuery("text_stats", textStats, Some(textStatsOracle)),
     RegisteredQuery("text_lang_id", textLangId, Some(textLangIdOracle)),
     RegisteredQuery("text_token_count", textTokenCount, Some(textTokenCountOracle)),
