@@ -188,7 +188,8 @@ object Similarity extends QueryModule {
     // own iteration caching; a leaked cache entry per invocation degrades
     // every later query in the session via GC pressure
     val emb = normalized(s, dir).withColumn("fv", array_to_vector(col("e")))
-    val fitted = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+    val fitted = new KMeans().setK(k).setSeed(42L).setMaxIter(8)
+      .setInitMode("random") // kmeans|| runs extra passes; random is plenty for coarse cells
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(emb)
     val assigned = fitted.transform(emb).select(col("vec_id"), col("e"), col("cell"))
