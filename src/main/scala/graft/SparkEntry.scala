@@ -21,6 +21,7 @@ object SparkEntry {
     WindowsAndStats,
     AsofOps,
     SamplingOps,
+    CorpusOps,
     graft.pipeline.PipelineOps,
   )
 
