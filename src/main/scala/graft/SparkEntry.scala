@@ -22,6 +22,7 @@ object SparkEntry {
     AsofOps,
     SamplingOps,
     CorpusOps,
+    ProfilingOps,
     graft.pipeline.PipelineOps,
   )
 
