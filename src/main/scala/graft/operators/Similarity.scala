@@ -152,13 +152,17 @@ object Similarity extends QueryModule {
         Seq(col("vec_id"), col("raw")) ++ (0 until planes).map(p => planeLit(p).as(s"__plane$p")): _*)
       .select(col("vec_id"), signBits.as("bucket"))
       .join(normalized(s, dir), "vec_id")
+    // multiprobe masks: all 0-, 1- and 2-bit flips of the query bucket
+    // (37 of 256 buckets — ~14% of candidates, computed once in Scala)
+    val masks: Seq[Int] = 0 +:
+      ((0 until planes).map(1 << _) ++
+        (for (p <- 0 until planes; r <- p + 1 until planes) yield (1 << p) | (1 << r)))
+    val maskArr = array(masks.map(lit): _*)
     val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket").as("qb"))
-      // multiprobe: own bucket + all hamming-1 buckets
+      .withColumn("__masks", maskArr)
       .select(col("query_id"), col("qe"),
-        explode(expr(
-          s"array_union(array(qb), transform(sequence(0, ${planes - 1}), p -> CAST(qb ^ shiftleft(1, p) AS INT)))"))
-          .as("bucket"))
+        explode(expr("transform(__masks, m -> CAST(qb ^ m AS INT))")).as("bucket"))
     val c = bucketed.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
