@@ -60,14 +60,15 @@ object AsofOps extends QueryModule {
       .select(
         col("left.event_id").as("event_id"),
         col("left.user_id").as("user_id"),
-        col("left.ts").as("ts"),
-        col("matched.ts").as("last_click_ts"),
+        unix_micros(col("left.ts")).as("ts_us"),
+        unix_micros(col("matched.ts")).as("last_click_ts_us"),
         col("matched.event_id").as("last_click_id"))
       .orderBy("event_id")
   }
 
   val asofOracle: String =
-    """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts,
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      | epoch_us(c.ts) AS last_click_ts_us,
       | c.event_id AS last_click_id
       |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

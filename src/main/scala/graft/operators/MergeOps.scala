@@ -89,7 +89,7 @@ object MergeOps extends QueryModule {
     * rows — the heavy lifting (per-day aggregation) is a parallel hash
     * aggregate; only the already-tiny snapshot table is serialized.
     */
-  def a10SnapshotSeries(s: SparkSession, dir: String): DataFrame = {
+  def a10SnapshotSeriesTs(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(date_trunc("day", col("ts")).as("snapshot_day"))
       .agg(
@@ -114,7 +114,22 @@ object MergeOps extends QueryModule {
       .orderBy("snapshot_day")
   }
 
-  val a10Oracle: String =
+  /** Driver-compared rendition: `snapshot_day` as epoch-micros BIGINT (the
+    * tz/unit-strict compare convention; [[a10SnapshotSeriesTs]] keeps the
+    * TimestampType column for composition, e.g. Extras.a11AggOfAgg).
+    */
+  def a10SnapshotSeries(s: SparkSession, dir: String): DataFrame =
+    a10SnapshotSeriesTs(s, dir)
+      .withColumn("snapshot_day_us", unix_micros(col("snapshot_day")))
+      .drop("snapshot_day")
+      .orderBy("snapshot_day_us")
+
+  /** TimestampType-domain oracle WITHOUT the trailing sort, for composition
+    * into CTEs (a11, the compared a10). Kept separate from the sorted form
+    * because a naive `.replace("ORDER BY snapshot_day", "")` would also
+    * gut the WINDOW clause and the lag() OVER ordering inside the body.
+    */
+  val a10OracleTsBody: String =
     """WITH daily AS (
       | SELECT date_trunc('day', ts) AS snapshot_day, count(*) AS batch_events,
       |  sum(value) AS batch_value,
@@ -131,7 +146,13 @@ object MergeOps extends QueryModule {
       | floor(raw_total_value * 1e2 + 0.5) / 1e2 AS total_value, total_purchases,
       | floor((total_purchases * 100.0::DOUBLE / total_events) * 1e2 + 0.5) / 1e2 AS purchase_rate,
       | total_events - coalesce(lag(total_events) OVER (ORDER BY snapshot_day), 0) AS events_delta
-      |FROM cum ORDER BY snapshot_day""".stripMargin
+      |FROM cum""".stripMargin
+
+  val a10Oracle: String =
+    s"""SELECT batch_events, total_events, total_value, total_purchases,
+       | purchase_rate, events_delta, epoch_us(snapshot_day) AS snapshot_day_us
+       |FROM ($a10OracleTsBody)
+       |ORDER BY snapshot_day_us""".stripMargin
 
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),

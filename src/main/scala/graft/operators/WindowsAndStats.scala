@@ -57,17 +57,18 @@ object WindowsAndStats extends QueryModule {
         count(lit(1)).as("n_events"),
         roundTo(sum(col("value")), 2).as("sum_value"))
       .select(
-        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        unix_micros(col("window.start")).as("w_start_us"),
+        unix_micros(col("window.end")).as("w_end_us"),
         col("n_events"), col("sum_value"))
-      .orderBy("w_start")
+      .orderBy("w_start_us")
 
   val w3Oracle: String =
-    """SELECT TIMESTAMP '1970-01-01' + to_seconds(b) AS w_start,
-      | TIMESTAMP '1970-01-01' + to_seconds(b + 21600) AS w_end,
+    """SELECT b * 1000000 AS w_start_us,
+      | (b + 21600) * 1000000 AS w_end_us,
       | count(*) AS n_events,
       | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
       |FROM (SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS b, value FROM events)
-      |GROUP BY b ORDER BY w_start""".stripMargin
+      |GROUP BY b ORDER BY w_start_us""".stripMargin
 
   /** Sessionization: 30-minute-gap sessions per user — the batch twin of
     * `session_window`/`flatMapGroupsWithState` state logic, expressed as
@@ -88,8 +89,8 @@ object WindowsAndStats extends QueryModule {
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"))
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"))
       .orderBy("user_id", "session_id")
   }
 
@@ -105,7 +106,7 @@ object WindowsAndStats extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       | FROM g)
       |SELECT user_id, session_id, count(*) AS n_events,
-      | min(ts) AS session_start, max(ts) AS session_end
+      | epoch_us(min(ts)) AS session_start_us, epoch_us(max(ts)) AS session_end_us
       |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
   /** A13: exact interpolated percentiles (the reference has none; at scale

@@ -28,14 +28,14 @@ object PipelineOps extends QueryModule {
     val mIncoming = incoming.agg(count(lit(1)).as("new_events_found"))
     val mValid = valid.agg(
       count(lit(1)).as("valid_events"),
-      max(col("ts")).as("batch_watermark"))
+      max(unix_micros(col("ts"))).as("batch_watermark_us"))
     val mMerged = merged.agg(count(lit(1)).as("total_after"))
     val mNewKeys = MergeOps.newKeyCount(existing, valid, "event_id")
 
     mIncoming.crossJoin(mValid).crossJoin(mMerged).crossJoin(mNewKeys)
       .withColumn("dropped_events", col("new_events_found") - col("valid_events"))
       .select("new_events_found", "valid_events", "dropped_events", "new_keys",
-        "total_after", "batch_watermark")
+        "total_after", "batch_watermark_us")
   }
 
   val pipelineMetricsOracle: String =
@@ -52,7 +52,7 @@ object PipelineOps extends QueryModule {
        |   WHERE event_id NOT IN (SELECT event_id FROM existing)) AS new_keys,
        | (SELECT count(DISTINCT event_id) FROM
        |   (SELECT event_id FROM existing UNION ALL SELECT event_id FROM valid)) AS total_after,
-       | (SELECT max(ts) FROM valid) AS batch_watermark""".stripMargin
+       | (SELECT epoch_us(max(ts)) FROM valid) AS batch_watermark_us""".stripMargin
 
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("pipeline_metrics", pipelineMetrics, Some(pipelineMetricsOracle)),

@@ -15,14 +15,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # NO timestamp/tz/unit normalization here: the driver's compare is
+    # tz- and unit-strict, and round 1 proved a local tz_localize(None)
+    # masks real driver failures (12 queries). Local red must equal
+    # driver red — compared queries should never emit raw timestamps.
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamps to naive UTC micros
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            try:
-                df[c] = df[c].dt.tz_localize(None)
-            except (TypeError, AttributeError):
-                pass
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
