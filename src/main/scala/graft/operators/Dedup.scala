@@ -30,15 +30,33 @@ object Dedup extends QueryModule {
 
   private val jaccardThreshold = 0.4
 
-  /** Distinct 3-token shingles per doc, hashed to longs, as flat POSTING
-    * rows (doc_id, lang, g). Built with posexplode + window `lead` —
-    * entirely codegen'd relational ops; the HOF-transform formulation of
-    * the same shingling measured ~6x slower (interpreted lambdas).
-    * Docs with <3 tokens contribute their first token as the one shingle
-    * (matching the oracle's CASE).
+  /** Document-frequency cap on shingles: a shingle occurring in more than
+    * this many documents is dropped from the postings. Natural corpora have
+    * power-law shingle DF — one boilerplate shingle in k docs emits k²
+    * candidate rows in the inverted-index self-join, the classic skew
+    * killer at 100 TB. Dropping DF > cap shingles only loses pairs whose
+    * ENTIRE overlap is such stop-shingles (standard near-dup practice).
+    * The fixture corpus maxes out at DF=25 (sf0.1), so 100 changes no
+    * fixture result; the oracle applies the identical filter either way.
     */
-  private def postings(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  val shingleDfCap = 100
+
+  /** Distinct 3-token shingles per doc, hashed to longs, as flat POSTING
+    * rows (doc_id, lang, g), DF-capped. Built with posexplode + window
+    * `lead` — entirely codegen'd relational ops; the HOF-transform
+    * formulation of the same shingling measured ~6x slower (interpreted
+    * lambdas). Docs with <3 tokens contribute their first token as the one
+    * shingle (matching the oracle's CASE).
+    *
+    * The DF cap runs as a count-over-g window, NOT an aggregate+join:
+    * one shuffle, and it leaves the output hash-partitioned by `g` behind
+    * a canonical Exchange — so every consumer in a composed plan (both
+    * self-join sides, the per-doc sizes, contamination's bench/corpus
+    * split, MinHash signatures) hits Spark's ReuseExchange rule and the
+    * corpus is shingled ONCE per query, not once per consumer.
+    */
+  def postingsOf(docs: DataFrame, dfCap: Int = shingleDfCap): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), col("lang"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -49,9 +67,15 @@ object Dedup extends QueryModule {
         when(col("t2").isNotNull, xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))))
           .when(col("pos") === 0 && col("t1").isNull, xxhash64(col("tok"))))
       .filter(col("g").isNotNull)
-    grams.select(col("doc_id"), col("lang"), col("g")).distinct()
+    val raw = grams.select(col("doc_id"), col("lang"), col("g")).distinct()
+    val byShingle = Window.partitionBy("g")
+    raw.withColumn("__df", count(lit(1)).over(byShingle))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
   }
 
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    postingsOf(Tables.documents(s, dir))
 
   private val shingledSql: String =
     """SELECT doc_id, lang,
@@ -59,6 +83,15 @@ object Dedup extends QueryModule {
       |  list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' ')))
       | ELSE list_distinct([array_to_string(t, ' ')]) END AS s
       |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
+  /** Exploded + DF-capped postings, mirroring [[postingsOf]] exactly
+    * (string shingles stand in for the xxhash64 longs — only equality is
+    * ever used, and 64-bit collisions are ~1e-15).
+    */
+  private val postingsSql: String =
+    s"""SELECT doc_id, lang, g FROM (
+       | SELECT doc_id, lang, unnest(s) AS g FROM ($shingledSql))
+       |QUALIFY count(*) OVER (PARTITION BY g) <= $shingleDfCap""".stripMargin
 
   /** Exact dedup by content (hash groupBy). The fixture corpus has no
     * duplicates, so a replicated slice (every 5th doc re-keyed) is unioned
@@ -83,23 +116,32 @@ object Dedup extends QueryModule {
       |      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
       |GROUP BY text ORDER BY doc_id""".stripMargin
 
-  /** Exact pairwise Jaccard via the inverted index, with NO per-pair array
-    * work: J(A,B) >= t > 0 requires a shared shingle, so explode postings,
-    * self-join on the shingle, and |A∩B| is simply the per-pair match
-    * COUNT (shingle sets are distinct). Everything is codegen'd joins and
-    * hash aggregates — no interpreted array_intersect, no array shuffles.
-    * Sizes ride in via a broadcast of the doc-count-sized side.
+  /** Exact pairwise Jaccard via the inverted index in ONE postings pass:
+    * J(A,B) >= t > 0 requires a shared shingle, so group postings by
+    * shingle, emit the (bounded, thanks to [[shingleDfCap]]) doc-pair
+    * combinations per shingle, and |A∩B| is the per-pair row COUNT
+    * (shingle sets are distinct). Per-doc set sizes ride along on each
+    * posting via a doc_id window, so no separate sizes pass and no
+    * self-join — the corpus is shingled exactly once per query (the old
+    * self-join + broadcast-sizes formulation re-shingled it 3×).
+    * The groupBy(g) lands on the DF-cap window's existing hash
+    * partitioning — no extra exchange; collect_list is capped at
+    * [[shingleDfCap]] entries so no group can blow up an executor.
     */
   private def pairJaccard(posts: DataFrame, byLang: Boolean): DataFrame = {
-    val cond = col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id")
-    val inter = posts.as("x")
-      .join(posts.as("y"), if (byLang) col("x.lang") === col("y.lang") && cond else cond)
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+    val wDoc = Window.partitionBy("doc_id")
+    val grouped = posts
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .groupBy("g")
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("lang"))).as("ds"))
+    val langOk = if (byLang) col("a.lang") === col("b.lang") else lit(true)
+    grouped
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") && langOk)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
   }
 
@@ -116,14 +158,18 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
 
   val dedupNgramJaccardOracle: String =
-    s"""WITH sh AS ($shingledSql)
-       |SELECT doc_a, doc_b, floor(jaccard * 1e4 + 0.5) / 1e4 AS jaccard FROM (
-       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.s, b.s))::DOUBLE
-       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-       | FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       | WHERE least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= $jaccardThreshold)
-       |WHERE jaccard >= $jaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH posts AS ($postingsSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+       |inter AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       | FROM posts a JOIN posts b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
+       | SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i) AS j
+       | FROM inter
+       | JOIN sizes sa ON sa.doc_id = inter.doc_a
+       | JOIN sizes sb ON sb.doc_id = inter.doc_b)
+       |WHERE j >= $jaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash signatures: 32 per-seed re-hashes (`xxhash64(h, i)` — cheap
     * on longs, and ANSI-safe where a*h+b wraparound multiplication throws
@@ -226,8 +272,7 @@ object Dedup extends QueryModule {
   }
 
   val contaminationOracle: String =
-    s"""WITH posts AS (
-       | SELECT doc_id, unnest(s) AS g FROM ($shingledSql)),
+    s"""WITH posts AS ($postingsSql),
        |bench AS (SELECT doc_id AS bench_id, g FROM posts WHERE doc_id < 5),
        |corpus AS (SELECT doc_id, g FROM posts WHERE doc_id >= 5)
        |SELECT doc_id, bench_id, count(*) AS shared_shingles

@@ -32,6 +32,24 @@ class DedupSimilaritySpec extends SparkSpec {
       s"simhash found only $found of ${near.size} high-jaccard pairs")
   }
 
+  test("shingle DF cap kills the quadratic hot-shingle candidate explosion") {
+    import spark.implicits._
+    // 60 docs all sharing one boilerplate 3-gram, plus unique tails: without
+    // a DF cap the shared shingle alone emits 60*59/2 = 1770 candidate pairs
+    val docs = (0 until 60)
+      .map(i => (i.toLong, "en", s"shared boiler plate u$i v$i w$i"))
+      .toDF("doc_id", "lang", "text")
+    val uncapped = Dedup.postingsOf(docs, dfCap = Int.MaxValue)
+    val capped = Dedup.postingsOf(docs, dfCap = 10)
+    def candidatePairs(p: org.apache.spark.sql.DataFrame): Long =
+      p.as("x").join(p.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id")).count()
+    assert(candidatePairs(uncapped) === 1770L)
+    assert(candidatePairs(capped) === 0L)
+    // only the boilerplate shingle is dropped — unique content survives
+    assert(capped.count() === 60L * 3)
+  }
+
   test("exact dedup collapses replicated docs to one survivor with min key") {
     val rows = Dedup.dedupExact(spark, sfDir).collect()
     assert(rows.forall(_.getLong(0) < 100000L), "survivor must be the original key")
@@ -40,7 +58,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(copies.count(_ === 2L) > 0)
   }
 
-  test("LSH top-k returns a subset of exact scores and beats random probing") {
+  test("LSH top-k: recall >= 12/15 at <= 20% rerank (probe) rate") {
     val brute = Similarity.simTopkBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val bruteAll = brute.keySet
@@ -50,9 +68,15 @@ class DedupSimilaritySpec extends SparkSpec {
       val key = (r.getLong(0), r.getLong(1))
       brute.get(key).foreach(exact => assert(r.getDouble(2) === exact))
     }
-    // recall floor: at least 1 of the exact top-3 across the 5 queries
     val hits = lsh.count(r => bruteAll.contains((r.getLong(0), r.getLong(1))))
-    assert(hits >= 1, s"LSH recall collapsed: $hits overlapping pairs")
+    assert(hits >= 12, s"LSH recall@3 too low: $hits/15")
+    // probe rate = pairs whose exact cosine is computed / all pairs
+    val nQueries = 5L
+    val nCands = 495L
+    val reranked = Similarity.simLshCandidates(spark, sfDir).count()
+    val rate = reranked.toDouble / (nQueries * nCands)
+    assert(rate <= 0.20, f"rerank rate $rate%.3f exceeds 20%%")
+    info(f"LSH recall@3: $hits/15 at ${rate * 100}%.1f%% rerank rate")
   }
 
   test("IVF top-k returns exact scores for its hits and nontrivial recall") {
