@@ -30,12 +30,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for the driver's line scraper, plus a file fallback: BENCH_r01
-    // came back "parsed": null (sbt log decoration mangled the line), so
-    // also drop the raw JSON where the driver / a human can always find it.
+    // stdout for the driver's line scraper — raw, because build.sbt sets
+    // `run / outputStrategy := StdoutOutput` (the default LoggedOutput
+    // prefixed every line with "[info] ", which is why BENCH_r01/r02 came
+    // back "parsed": null). Plus file fallbacks a human/driver can always
+    // find: CWD and an absolute path under the repo (the CWD copy lands
+    // elsewhere if sbt is launched from another directory — ADVICE r2).
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    val outPaths = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
+      "/root/repo/bench_out.json").distinct
+    outPaths.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -299,8 +299,22 @@ object Similarity extends QueryModule {
 object SimilarityIndex {
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
 
+  /** Cheap content fingerprint of the embeddings fixture: canonical path +
+    * per-file (name, size, mtime). Keys the memo so a regenerated fixture
+    * under the same path — or the same data via a differently-spelled
+    * path — retrains instead of serving stale centroids (ADVICE r2).
+    */
+  private def fingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val canonical = root.getCanonicalPath
+    val files: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName) else Seq(root)
+    canonical + "|" +
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+  }
+
   def centroids(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
-    cache.getOrElseUpdate((dir, k), train(s, dir, k))
+    cache.getOrElseUpdate((fingerprint(dir), k), train(s, dir, k))
 
   private def train(s: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
     val sample = Tables.embeddings(s, dir)

@@ -89,8 +89,10 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
     // nprobe=4 of k=16 cells probes ~25% of candidates; top-1 neighbors
-    // concentrate in the nearest cells, so recall must beat that share
-    assert(hits >= 5, s"IVF recall too low: $hits of ${brute.size}")
+    // concentrate in the nearest cells, so recall must clearly beat that
+    // share. The persistent deterministic index measures 9/15 — gate at 8
+    // (VERDICT r2 #8 raised this from the loose ≥5).
+    assert(hits >= 8, s"IVF recall too low: $hits of ${brute.size}")
     info(s"IVF recall@3: $hits/${brute.size}")
   }
 }
