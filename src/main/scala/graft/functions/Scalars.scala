@@ -61,4 +61,15 @@ object Scalars {
     * `total if total > 0 else None`, src/ingest.py:339-341).
     */
   def nullIfNonPositive(c: Column): Column = when(c > 0, c)
+
+  /** Pipeline run identifier `pipeline_<yyyyMMdd_HHmmss>_<hex8>`
+    * (reference: src/aggregations.py:51-52 —
+    * `pipeline_{now:%Y%m%d_%H%M%S}_{uuid4().hex[:8]}`). `uuid()`'s first
+    * 8 chars are hex, so no hyphen stripping is needed. Non-deterministic
+    * by construction — NEVER emitted in oracle-compared output (pinned by
+    * ScalarsSpec's format regex instead).
+    */
+  def runLabel(ts: Column): Column =
+    concat(lit("pipeline_"), date_format(ts, "yyyyMMdd_HHmmss"),
+      lit("_"), substring(uuid(), 1, 8))
 }

@@ -103,10 +103,56 @@ object Extras extends QueryModule {
       |       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** DECIMAL(10,2) fidelity rendition of the Q2 mass domain (the reference
+    * stores masses as DECIMAL(10,2) and rates DECIMAL(5,2),
+    * sql/init.sql:9,30,34-35): per-row cast to `DecimalType(10,2)`, grouped
+    * exact decimal SUM (Spark widens to DECIMAL(20,2) — no float drift),
+    * decimal MIN/MAX.
+    *
+    * Output convention: the compared decimal columns are emitted as their
+    * canonical STRING rendition plus a double twin — NOT raw DecimalType.
+    * The driver's compare is dtype-strict and the two sides are
+    * unbridgeable at the dtype level: Spark's decimal parquet surfaces in
+    * pandas as `object` (decimal.Decimal) while DuckDB's DECIMAL fetches
+    * as float64. A scale-2 decimal renders identically in both engines
+    * ("1234.50", trailing zero kept), so the string carries full decimal
+    * fidelity through the hash compare. The double→decimal cast is
+    * preceded by the binary-exact half-up round (Scalars.roundTo) so both
+    * engines quantize the same binary value to the same 2dp decimal.
+    */
+  def a16DecimalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        roundTo(col("l_extendedprice"), 2).cast("decimal(10,2)").as("mass"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("mass")).as("total_dec"),
+        min(col("mass")).as("min_dec"),
+        max(col("mass")).as("max_dec"))
+      .select(col("l_returnflag"), col("n_items"),
+        col("total_dec").cast("string").as("total_mass_str"),
+        col("min_dec").cast("string").as("min_mass_str"),
+        col("max_dec").cast("string").as("max_mass_str"),
+        col("total_dec").cast("double").as("total_mass_dbl"))
+      .orderBy("l_returnflag")
+
+  val a16DecimalOracle: String =
+    """WITH d AS (SELECT l_returnflag,
+      |  CAST(floor(l_extendedprice * 1e2 + 0.5) / 1e2 AS DECIMAL(10,2)) AS mass
+      | FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_items,
+      | CAST(sum(mass) AS VARCHAR) AS total_mass_str,
+      | CAST(min(mass) AS VARCHAR) AS min_mass_str,
+      | CAST(max(mass) AS VARCHAR) AS max_mass_str,
+      | CAST(sum(mass) AS DOUBLE) AS total_mass_dbl
+      |FROM d GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("p1_projection", p1Projection, Some(p1Oracle)),
     RegisteredQuery("sql_q4", sqlQ4, Some(sqlQ4Text)),
     RegisteredQuery("a11_agg_of_agg", a11AggOfAgg, Some(a11Oracle)),
     RegisteredQuery("scalar_roundtrip", scalarRoundtrip, Some(scalarRoundtripOracle)),
+    RegisteredQuery("a16_decimal_agg", a16DecimalAgg, Some(a16DecimalOracle)),
   )
 }

@@ -72,10 +72,16 @@ object IncrementalPipeline {
         .limit(1).collect()
         .headOption.map(_.getTimestamp(0)).getOrElse(new Timestamp(0L))
 
+    /** State rows carry the reference's run identifier
+      * (`pipeline_<ts>_<hex8>`, src/aggregations.py:51-52) — observability
+      * metadata only; readers key on the timestamps.
+      */
     def appendState(lastFetched: Timestamp, runId: Long): Unit = {
       import spark.implicits._
       Seq((lastFetched, new Timestamp(runId)))
         .toDF("last_fetched_ts", "updated_at")
+        .withColumn("run_label",
+          graft.functions.Scalars.runLabel(org.apache.spark.sql.functions.col("updated_at")))
         .write.mode(SaveMode.Append).parquet(stateDir)
     }
 

@@ -1,9 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.Scalars.roundTo
 import graft.operators.{MergeOps, QueryModule, RegisteredQuery}
 
 /** Oracle-checkable rendition of one E1 pipeline run (the observability
@@ -54,7 +56,97 @@ object PipelineOps extends QueryModule {
        |   (SELECT event_id FROM existing UNION ALL SELECT event_id FROM valid)) AS total_after,
        | (SELECT epoch_us(max(ts)) FROM valid) AS batch_watermark_us""".stripMargin
 
+  /** The reference's FULL multi-batch run — append-only snapshot series
+    * (S8), change-detection early exit (J3), and null-normalization (P9) —
+    * as ONE pure dataflow the driver can hash-compare (VERDICT r2 #4).
+    * The events feed is split at its median event time into two
+    * micro-batches (batch 1 = initial load, batch 2 = incremental); a
+    * third, empty batch past max(ts) models the no-new-data probe. One
+    * output row per batch — the rows ARE the append-only snapshot table —
+    * with:
+    *   - `snapshot_type` initial/incremental/no_new_data
+    *     (src/ingest.py:108-118 status values);
+    *   - `events_added_in_batch` / `dropped_events` — P2 validation split;
+    *   - `early_exit` — the J3 change-detection verdict for the batch;
+    *   - `watermark_us` — high-water mark CARRIED FORWARD through the
+    *     empty batch (`newWm = batchMax if not null else wm`,
+    *     src/ingest.py:389-409) via last(ignoreNulls) over the series;
+    *   - `batch_value` — P9/P10 zero-or-null → NULL normalization
+    *     (`total if total > 0 else None`, src/ingest.py:339-341).
+    * The median cut is computed IN the plan (broadcast one-row bounds, no
+    * collect), in integer micros — floating-point-free batch assignment on
+    * both engines.
+    */
+  def pipelineBatches(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val bounds = ev.agg(min(col("ts_us")).as("tmin"), max(col("ts_us")).as("tmax"))
+    val valid = col("event_id").isNotNull && col("ts_us").isNotNull &&
+      (col("value").isNull || col("value") >= 0)
+    val cut = col("tmin") + floor((col("tmax") - col("tmin")) / lit(2.0))
+    val per = ev.crossJoin(broadcast(bounds))
+      .withColumn("batch_id", when(col("ts_us") < cut, lit(1L)).otherwise(lit(2L)))
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("events_found"),
+        count(when(valid, 1)).as("events_added_in_batch"),
+        max(when(valid, col("ts_us"))).as("wm_us"),
+        sum(when(valid, col("value"))).as("bval"))
+    val emptyProbe = bounds.select(lit(3L).as("batch_id"), lit(0L).as("events_found"),
+      lit(0L).as("events_added_in_batch"), lit(null).cast("long").as("wm_us"),
+      lit(null).cast("double").as("bval"))
+    val w = Window.orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.unionByName(emptyProbe)
+      .select(
+        col("batch_id"),
+        when(col("batch_id") === 1, lit("initial"))
+          .when(col("events_found") > 0, lit("incremental"))
+          .otherwise(lit("no_new_data")).as("snapshot_type"),
+        col("events_found"),
+        col("events_added_in_batch"),
+        (col("events_found") - col("events_added_in_batch")).as("dropped_events"),
+        sum(col("events_added_in_batch")).over(w).as("total_after"),
+        last(col("wm_us"), ignoreNulls = true).over(w).as("watermark_us"),
+        when(col("bval") > 0, roundTo(col("bval"), 2)).as("batch_value"),
+        (col("events_found") === 0 && col("batch_id") > 1).as("early_exit"))
+      .orderBy("batch_id")
+  }
+
+  private val validSql =
+    "event_id IS NOT NULL AND ts_us IS NOT NULL AND (value IS NULL OR value >= 0)"
+
+  val pipelineBatchesOracle: String =
+    s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
+       |bounds AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM ev),
+       |tagged AS (
+       | SELECT ev.*, CASE WHEN ts_us < tmin + CAST(floor((tmax - tmin) / 2) AS BIGINT)
+       |   THEN 1 ELSE 2 END AS batch_id
+       | FROM ev, bounds),
+       |per AS (
+       | SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       |  count(*) AS events_found,
+       |  count(CASE WHEN $validSql THEN 1 END) AS events_added_in_batch,
+       |  max(CASE WHEN $validSql THEN ts_us END) AS wm_us,
+       |  sum(CASE WHEN $validSql THEN value END) AS bval
+       | FROM tagged GROUP BY batch_id
+       | UNION ALL SELECT 3, 0, 0, NULL, NULL)
+       |SELECT batch_id,
+       | CASE WHEN batch_id = 1 THEN 'initial'
+       |      WHEN events_found > 0 THEN 'incremental'
+       |      ELSE 'no_new_data' END AS snapshot_type,
+       | events_found, events_added_in_batch,
+       | events_found - events_added_in_batch AS dropped_events,
+       | CAST(sum(events_added_in_batch) OVER w AS BIGINT) AS total_after,
+       | last_value(wm_us IGNORE NULLS) OVER w AS watermark_us,
+       | CASE WHEN bval > 0 THEN floor(bval * 1e2 + 0.5) / 1e2 END AS batch_value,
+       | (events_found = 0 AND batch_id > 1) AS early_exit
+       |FROM per
+       |WINDOW w AS (ORDER BY batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY batch_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("pipeline_metrics", pipelineMetrics, Some(pipelineMetricsOracle)),
+    RegisteredQuery("pipeline_batches", pipelineBatches, Some(pipelineBatchesOracle)),
   )
 }

@@ -61,4 +61,15 @@ class ScalarsSpec extends SparkSpec {
     assert(rs(2).getDouble(0) === 1.0)
     assert(rs(3).getDouble(1) === -0.005041)
   }
+
+  test("runLabel matches the reference's pipeline_<ts>_<hex8> format (§2.10)") {
+    val labels = Seq(Timestamp.valueOf("2024-03-05 17:04:09"), Timestamp.valueOf("2024-03-05 17:04:09"))
+      .toDF("ts").select(runLabel(col("ts")).as("run_id")).collect().map(_.getString(0))
+    labels.foreach { l =>
+      assert(l.matches("pipeline_\\d{8}_\\d{6}_[0-9a-f]{8}"), s"bad run label: $l")
+      assert(l.startsWith("pipeline_20240305_170409_"))
+    }
+    // uuid suffix makes concurrent runs with the same wall clock distinct
+    assert(labels.distinct.length === 2)
+  }
 }
