@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -186,11 +186,69 @@ object TextOps extends QueryModule {
       | SELECT doc_id, run_id, count(*) AS rl FROM rid GROUP BY 1, 2)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** PII patterns in the Java-regex ∩ RE2 dialect subset (no lookaround,
+    * `\b`/class repetition work identically in Spark and DuckDB), so the
+    * scrubber and its oracle share the literal pattern text.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe    = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9]{7,15}"
+
+  /** Email → IP → phone redaction with typed placeholders (ordering
+    * matters: emails contain dots that the IP pattern must never see).
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** PII scrubbing (C4/Dolma-style training-data hygiene): per-doc counts
+    * of email/IPv4/phone matches plus the md5 of the redacted text. The
+    * synthetic corpus carries no PII, so the query first APPENDS
+    * deterministic doc_id-derived PII to every document — identically in
+    * the oracle — making the scrub observable end-to-end (a no-op scrubber
+    * fails the hash). Pure per-row regex expression trees: no UDFs, no
+    * shuffle, embarrassingly parallel at any scale.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com via 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" or +1555"), lpad(col("doc_id").cast("string"), 7, "0")).as("text2"))
+      .select(col("doc_id"),
+        regexp_count(col("text2"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text2"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(col("text2"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(scrubPii(col("text2"))).as("scrubbed_fp"))
+      .orderBy("doc_id")
+
+  val textPiiScrubOracle: String =
+    s"""WITH aug AS (
+       | SELECT doc_id,
+       |  text || ' contact doc' || doc_id || '@example.com via 10.' ||
+       |  (doc_id % 256) || '.0.' || (doc_id % 100) || ' or +1555' ||
+       |  lpad(doc_id::VARCHAR, 7, '0') AS text2
+       | FROM documents)
+       |SELECT doc_id,
+       | len(regexp_extract_all(text2, '$emailRe')) AS n_emails,
+       | len(regexp_extract_all(text2, '$ipRe')) AS n_ips,
+       | len(regexp_extract_all(text2, '$phoneRe')) AS n_phones,
+       | md5(regexp_replace(regexp_replace(regexp_replace(text2,
+       |   '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+       |   '$phoneRe', '<PHONE>', 'g')) AS scrubbed_fp
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_repetition", textRepetition, Some(textRepetitionOracle)),
     RegisteredQuery("text_stats", textStats, Some(textStatsOracle)),
     RegisteredQuery("text_lang_id", textLangId, Some(textLangIdOracle)),
     RegisteredQuery("text_token_count", textTokenCount, Some(textTokenCountOracle)),
     RegisteredQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle)),
+    RegisteredQuery("text_pii_scrub", textPiiScrub, Some(textPiiScrubOracle)),
   )
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** PII scrubber semantics on known inputs (the registered query's oracle
+  * checks corpus-level parity; this pins the per-pattern behavior).
+  */
+class TextPiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPii redacts emails, IPv4s and phone numbers with typed placeholders") {
+    val out = Seq(
+      "mail a.b+c@ex-ample.org now",
+      "host 192.168.0.1 and 10.0.0.255",
+      "call +15550001234 today",
+      "v1.2.3 is not an IP and neither is 1.2.3.4.5 a clean one",
+      "no pii here").toDF("text")
+      .select(TextOps.scrubPii(col("text")).as("s")).collect().map(_.getString(0))
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "host <IP> and <IP>")
+    assert(out(2) === "call <PHONE> today")
+    // 1.2.3.4.5: the \b-anchored IP pattern matches its first 4 octets —
+    // documented greedy-prefix behavior, still redacts the digits
+    assert(out(3).contains("v1.2.3 is not an IP"))
+    assert(out(4) === "no pii here")
+  }
+
+  test("emails are scrubbed before the IP pass (dots inside emails never leak as IPs)") {
+    val out = Seq("ping 1.2.3.4@example.com ok").toDF("text")
+      .select(TextOps.scrubPii(col("text")).as("s")).collect().head.getString(0)
+    assert(out === "ping <EMAIL> ok")
+  }
+}
