@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document distinct 3-gram shingle hashes as ONE per-row kernel —
+  * `array<long>` of `xxhash64(seed 42)` values, exactly the longs the
+  * relational formulation (posexplode → lead window → concat_ws → xxhash64
+  * → distinct) produces, but with ZERO shuffles: no window exchange, no
+  * distinct exchange. Shingling becomes an embarrassingly parallel
+  * projection — at 100 TB the postings build is a map-only stage.
+  *
+  * Byte-identity argument: tokens are split on the single space character,
+  * so between consecutive tokens there is exactly one 0x20 byte — the raw
+  * byte slice from the start of token i to the end of token i+2 IS the
+  * `concat_ws(" ", tok_i, tok_i+1, tok_i+2)` string (empty tokens from
+  * repeated spaces included), and UTF-8 continuation bytes can never be
+  * 0x20, so byte-level splitting is multi-byte safe. Docs with <3 tokens
+  * hash their whole text as the one shingle (the oracle's CASE).
+  * Per-doc dedup is sort+unique over the (doc-length-bounded) local array.
+  *
+  * The generated code is one call into [[ShingleHashes.compute]] — a tiny
+  * method, so whole-stage codegen stays intact and JIT-compiled (see
+  * [[HyperplaneSignature]] for why giant generated methods go interpreted).
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val seed = 42L // Spark's xxhash64 default seed
+
+  def compute(text: UTF8String): UnsafeArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // token start offsets (a token starts at 0 and after every space)
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < 3)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, n, seed)))
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val hashes = new Array[Long](nTokens - 2)
+    var s = 0
+    while (s < nTokens - 2) {
+      val from = starts(s)
+      val len = ends(s + 2) - from
+      hashes(s) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, seed)
+      s += 1
+    }
+    // per-doc distinct: sort + unique in place (doc-length-bounded)
+    java.util.Arrays.sort(hashes)
+    var w = 1
+    var r = 1
+    while (r < hashes.length) {
+      if (hashes(r) != hashes(w - 1)) { hashes(w) = hashes(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == hashes.length) hashes else java.util.Arrays.copyOf(hashes, w))
+  }
+}
+
+object TextKernels {
+  val shingleHashesName = "graft_shingle_hashes"
+
+  /** Idempotent per-session registration; afterwards
+    * `expr("graft_shingle_hashes(text)")` resolves like a built-in.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      shingleHashesName, exprs => ShingleHashes(exprs(0)), "built-in")
+}

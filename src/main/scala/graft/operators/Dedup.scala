@@ -41,28 +41,22 @@ object Dedup extends QueryModule {
     */
   val shingleDfCap = 100
 
-  /** Distinct n-token shingles per doc, hashed to longs, as flat UNCAPPED
-    * posting rows (doc_id, lang, g). Built with posexplode + window
-    * `lead` — entirely codegen'd relational ops; the HOF-transform
-    * formulation of the same shingling measured ~6x slower (interpreted
-    * lambdas). Docs with <3 tokens contribute their whole text as the one
-    * shingle (matching the oracle's CASE for both the 1- and 2-token
+  /** Distinct 3-token shingles per doc, hashed to longs, as flat UNCAPPED
+    * posting rows (doc_id, lang, g). Shingling + hashing + per-doc dedup
+    * run as ONE per-row kernel ([[graft.functions.ShingleHashes]]) +
+    * explode — a map-only stage with ZERO shuffles. The relational
+    * formulation (posexplode → lead window → concat_ws+xxhash64 →
+    * distinct) computes the identical longs but pays a window exchange and
+    * a distinct exchange per pass — measured ~3x slower, and the dominant
+    * cost of every dedup-family query since postings are built once per
+    * consumer branch. Docs with <3 tokens contribute their whole text as
+    * the one shingle (matching the oracle's CASE for the 1- and 2-token
     * forms).
     */
   def rawPostingsOf(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .withColumn("g",
-        when(col("t2").isNotNull, xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))))
-          .when(col("pos") === 0 && col("t1").isNotNull, xxhash64(concat_ws(" ", col("tok"), col("t1"))))
-          .when(col("pos") === 0, xxhash64(col("tok"))))
-      .filter(col("g").isNotNull)
-    grams.select(col("doc_id"), col("lang"), col("g")).distinct()
+    graft.functions.TextKernels.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("lang"),
+      explode(expr(s"${graft.functions.TextKernels.shingleHashesName}(text)")).as("g"))
   }
 
   /** [[rawPostingsOf]] with the DF cap applied. The cap runs as an
