@@ -86,13 +86,72 @@ object ShingleHashes {
   }
 }
 
+/** Frequency-weighted 64-bit SimHash of a document as ONE per-row kernel:
+  * every space-split token occurrence (empty tokens included — exactly the
+  * `explode(split(text, ' '))` row set) votes `xxhash64(token, seed 42)`'s
+  * bits +1/-1 into 64 counters; bit b of the result is set when its vote
+  * sum >= 0. Bit-identical to the relational formulation (explode → 64
+  * conditional sums → when-chain pack) but with no explode and no
+  * aggregate exchange — a map-only projection, like [[ShingleHashes]].
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SimHash64.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val seed = 42L
+
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, seed)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 object TextKernels {
   val shingleHashesName = "graft_shingle_hashes"
+  val simhashName = "graft_simhash"
 
   /** Idempotent per-session registration; afterwards
-    * `expr("graft_shingle_hashes(text)")` resolves like a built-in.
+    * `expr("graft_shingle_hashes(text)")` / `expr("graft_simhash(text)")`
+    * resolve like built-ins.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       shingleHashesName, exprs => ShingleHashes(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      simhashName, exprs => SimHash64(exprs(0)), "built-in")
+  }
 }

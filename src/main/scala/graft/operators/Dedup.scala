@@ -233,27 +233,21 @@ object Dedup extends QueryModule {
   /** SimHash: 64-bit signature from per-token xxhash64 majority vote,
     * frequency-weighted (every occurrence votes — canonical simhash, which
     * keeps vote margins wide so near-identical docs land within a few
-    * bits). The votes run as a codegen'd explode → hash-aggregate (64
-    * conditional sums), not per-row lambda loops. Candidate pairs via
-    * 4×16-bit band equality — by pigeonhole EXHAUSTIVE for hamming
-    * distance <= 3 (4 bands can't all differ), the emitted threshold.
-    * Rows-only check (hash-specific); ScalaTest cross-checks against the
-    * Jaccard near-dup pairs.
+    * bits). The whole vote runs as ONE per-row kernel
+    * ([[graft.functions.SimHash64]]) — a map-only projection; the previous
+    * explode → 64-conditional-sum aggregate computed identical bits but
+    * paid an exchange of every token row (equivalence pinned by
+    * ShingleKernelSpec). Candidate pairs via 4×16-bit band equality — by
+    * pigeonhole EXHAUSTIVE for hamming distance <= 3 (4 bands can't all
+    * differ), the emitted threshold. Rows-only check (hash-specific);
+    * ScalaTest cross-checks against the Jaccard near-dup pairs.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val hammingMax = 3
-    val votes = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .groupBy("doc_id")
-      .agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
-        (1 until 64).map(bit =>
-          sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$bit")): _*)
-    val simhashCol = (0 until 64)
-      .map(bit => when(col(s"v$bit") >= 0, lit(1L << bit)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val docs = votes.select(col("doc_id"), simhashCol.as("simhash"))
+    graft.functions.TextKernels.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"${graft.functions.TextKernels.simhashName}(text)").as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band_id, shiftright(simhash, b*16) & 65535 AS band_val))"))

@@ -43,6 +43,37 @@ class ShingleKernelSpec extends SparkSpec {
     assert(kernel.nonEmpty)
   }
 
+  /** The pre-kernel SimHash vote, kept as the reference semantics. */
+  private def relationalSimhash(docs: DataFrame): DataFrame = {
+    val votes = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(bit =>
+          sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$bit")): _*)
+    val simhashCol = (0 until 64)
+      .map(bit => when(col(s"v$bit") >= 0, lit(1L << bit)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhashCol.as("simhash"))
+  }
+
+  test("SimHash64 kernel == relational vote aggregate (fixture + edge cases)") {
+    graft.functions.TextKernels.register(spark)
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val edge = Seq((100001L, "en", "dup dup  dup"), (100002L, "en", ""), (100003L, "en", "one"))
+      .toDF("doc_id", "lang", "text")
+    val docs = fixture.select("doc_id", "lang", "text").unionByName(edge)
+    val kernel = docs
+      .select(col("doc_id"), expr("graft_simhash(text)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = relationalSimhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === rel)
+    assert(kernel.size === rel.size && kernel.nonEmpty)
+  }
+
   test("kernel postings == relational postings on edge-case docs") {
     val docs = Seq(
       (1L, "en", "one"),                          // 1 token → whole text
