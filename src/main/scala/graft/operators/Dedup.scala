@@ -296,11 +296,80 @@ object Dedup extends QueryModule {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round a node takes the minimum of its own and its neighbors' labels;
+    * converges in diameter(G) rounds (early-exit on a changed-count
+    * probe, hard cap 30). Each round materializes the (small, dup-graph-
+    * sized — NOT corpus-sized) labels via localCheckpoint: iterative graph
+    * algorithms must cut lineage per round or round k re-executes rounds
+    * 1..k-1 (and the pair-generation upstream) inside one plan. At
+    * production scale the same loop runs with a reliable checkpoint dir;
+    * the per-round shuffle is keyed on doc id — never quadratic.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    val edges = fwd.unionByName(fwd.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("x").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("root"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val prop = labels.join(edges, labels("doc_id") === edges("x"))
+        .select(edges("y").as("doc_id"), col("root"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min(col("root")).as("root"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("doc_id"), col("root").as("prev")), "doc_id")
+        .filter(col("root") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTER collapse — the step between pairwise dedup and an
+    * actual cleaned corpus: pairs only say "A~B"; choosing survivors needs
+    * the transitive closure (A~B, B~C ⇒ {A,B,C} is one cluster even when
+    * A≁C). Components over the exact-Jaccard pair graph, cluster root =
+    * min doc_id (the keep-oldest convention of [[dedupExact]]), one row
+    * per clustered doc with its survivor flag. The oracle computes true
+    * components via a recursive transitive-closure CTE — safe at fixture
+    * scale only; the Spark side's label propagation is the shape that
+    * scales.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairJaccard(postings(s, dir), byLang = true)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("root").as("cluster_root"),
+        (col("doc_id") === col("root")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($dedupNgramJaccardOracle)),
+       |edges AS (
+       |  SELECT doc_a AS x, doc_b AS y FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+       |SELECT doc_id, cluster_root, doc_id = cluster_root AS is_survivor FROM (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_root FROM reach GROUP BY x)
+       |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("contamination_check", contaminationCheck, Some(contaminationOracle)),
     RegisteredQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     RegisteredQuery("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     RegisteredQuery("dedup_minhash_lsh", dedupMinhashLsh, None),
     RegisteredQuery("dedup_simhash", dedupSimhash, None),
+    RegisteredQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
   )
 }

@@ -58,6 +58,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(copies.count(_ === 2L) > 0)
   }
 
+  test("connected components: paths, triangles and isolated pairs collapse to min-root clusters") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup_clusters marks exactly one survivor (the min doc) per cluster") {
+    val rows = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.count(_._3) === 1, s"cluster $root has != 1 survivor")
+      assert(members.map(_._1).min === root, s"cluster root $root is not the min doc")
+    }
+    // every brute-force dup pair lands in one cluster
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    Dedup.dedupNgramJaccard(spark, sfDir).collect().foreach { r =>
+      assert(byDoc(r.getLong(0)) === byDoc(r.getLong(1)), "pair split across clusters")
+    }
+  }
+
   test("LSH top-k: recall >= 12/15 at <= 20% rerank (probe) rate") {
     val brute = Similarity.simTopkBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
