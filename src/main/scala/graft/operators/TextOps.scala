@@ -243,8 +243,45 @@ object TextOps extends QueryModule {
        |   '$phoneRe', '<PHONE>', 'g')) AS scrubbed_fp
        |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * packs (the "sample packing" step of LLM data prep). Offset-based
+    * packing: docs are laid out in deterministic (doc_id) order within a
+    * language and a doc's pack is its start-offset `div` budget — a pure
+    * window formulation (true greedy reset-on-overflow packing is
+    * inherently sequential; offset packing is the standard distributable
+    * approximation, off by at most one straddling doc per boundary).
+    * The window partitions by lang (language-pure packs) — a keyed
+    * shuffle, never a global single-partition sort; at 100 TB the
+    * partition key would be (lang, shard).
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("tokens_before"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).as("pack_seq"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesOracle: String =
+    """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      | FROM d)
+      |SELECT doc_id, lang, n_tokens, cum - n_tokens AS tokens_before,
+      | CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_seq
+      |FROM c ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_repetition", textRepetition, Some(textRepetitionOracle)),
+    RegisteredQuery("pack_sequences", packSequences, Some(packSequencesOracle)),
     RegisteredQuery("text_stats", textStats, Some(textStatsOracle)),
     RegisteredQuery("text_lang_id", textLangId, Some(textLangIdOracle)),
     RegisteredQuery("text_token_count", textTokenCount, Some(textTokenCountOracle)),

@@ -32,4 +32,21 @@ class TextPiiSpec extends SparkSpec {
       .select(TextOps.scrubPii(col("text")).as("s")).collect().head.getString(0)
     assert(out === "ping <EMAIL> ok")
   }
+
+  test("pack_sequences: packs are language-pure, ordered, and bounded by budget + one straddler") {
+    val budget = 2048
+    val rows = TextOps.packSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._5)).foreach { case ((lang, pack), docs) =>
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      assert(total <= budget + maxDoc, s"pack ($lang, $pack) holds $total tokens")
+    }
+    // pack_seq is non-decreasing in doc_id order within a language
+    rows.groupBy(_._2).values.foreach { docs =>
+      val seqs = docs.sortBy(_._1).map(_._5)
+      assert(seqs.zip(seqs.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
