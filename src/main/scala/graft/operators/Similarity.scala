@@ -278,9 +278,36 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Cluster collapse over the embedding near-dup graph — the same
+    * connected-components step as [[Dedup.dedupClusters]], applied to the
+    * cosine-similarity modality (semantic dedup keeps one representative
+    * per embedding cluster, not per pair).
+    */
+  def embNearDupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        embNearDupPairs(s, dir).select(col("vec_a"), col("vec_b")), "vec_a", "vec_b")
+      .select(col("doc_id").as("vec_id"), col("root").as("cluster_root"),
+        (col("doc_id") === col("root")).as("is_survivor"))
+      .orderBy("vec_id")
+
+  val embNearDupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT vec_a, vec_b FROM ($embNearDupOracle)),
+       |edges AS (
+       |  SELECT vec_a AS x, vec_b AS y FROM pairs
+       |  UNION SELECT vec_b, vec_a FROM pairs),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+       |SELECT vec_id, cluster_root, vec_id = cluster_root AS is_survivor FROM (
+       |  SELECT x AS vec_id, least(x, min(y)) AS cluster_root FROM reach GROUP BY x)
+       |ORDER BY vec_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
     RegisteredQuery("emb_neardup_pairs", embNearDupPairs, Some(embNearDupOracle)),
+    RegisteredQuery("emb_neardup_clusters", embNearDupClusters, Some(embNearDupClustersOracle)),
     RegisteredQuery("sim_lsh_topk", simLshTopk, None),
     RegisteredQuery("sim_ivf_topk", simIvfTopk, None),
   )
