@@ -322,8 +322,12 @@ object Dedup extends QueryModule {
       val next = labels.unionByName(prop)
         .groupBy("doc_id").agg(min(col("root")).as("root"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("doc_id"), col("root").as("prev")), "doc_id")
-        .filter(col("root") =!= col("prev")).count()
+      // rounds — each a fixed-overhead distributed job over the
+      // (dup-graph-sized, NOT corpus-sized) labels — are what bound wall
+      // clock, so the convergence probe only runs every second round
+      if (iter % 2 == 1 || iter >= 28)
+        changed = next.join(labels.select(col("doc_id"), col("root").as("prev")), "doc_id")
+          .filter(col("root") =!= col("prev")).count()
       labels = next
       iter += 1
     }
