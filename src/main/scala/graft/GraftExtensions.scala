@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, ShingleHashes, SimHash64}
 
 /** Session extensions — the idiomatic public-API injection point for the
   * engine's custom Catalyst expressions (set
   * `spark.sql.extensions=graft.GraftExtensions`; Sessions.tune does).
-  * `VectorFunctions.register` remains as a runtime fallback for sessions
-  * built without the config.
+  * `VectorFunctions.register` / `TextKernels.register` remain as runtime
+  * fallbacks for sessions built without the config. (HyperplaneSignature
+  * is not injectable by name — it binds a plane matrix at construction —
+  * so its registration stays query-local.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
   }
 }
