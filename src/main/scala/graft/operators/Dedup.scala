@@ -317,9 +317,21 @@ object Dedup extends QueryModule {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
-      val prop = labels.join(edges, labels("doc_id") === edges("x"))
+      // two propagation hops per round (labels → neighbors → neighbors),
+      // all inside one job: rounds — each a fixed-overhead distributed job
+      // over the dup-graph-sized labels — bound wall clock, and the second
+      // hop costs only one more keyed join of the (tiny) edge list before
+      // the min-aggregate
+      val hop1 = labels.join(edges, labels("doc_id") === edges("x"))
         .select(edges("y").as("doc_id"), col("root"))
-      val next = labels.unionByName(prop)
+      val l1 = labels.unionByName(hop1)
+      // fresh aliased projection of the edge list — the raw `edges` attrs
+      // already appear inside l1 via hop1, and reusing them would be an
+      // ambiguous self-join
+      val edgesB = edges.select(col("x").as("xb"), col("y").as("yb"))
+      val hop2 = l1.join(edgesB, l1("doc_id") === edgesB("xb"))
+        .select(col("yb").as("doc_id"), col("root"))
+      val next = l1.unionByName(hop2)
         .groupBy("doc_id").agg(min(col("root")).as("root"))
         .localCheckpoint(true)
       // rounds — each a fixed-overhead distributed job over the
