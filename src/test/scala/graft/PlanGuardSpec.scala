@@ -23,6 +23,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"), "cartesian product in MinHash LSH plan")
   }
 
+  test("raw postings are a MAP-ONLY stage (shingle kernel, no exchange)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val phys = Dedup.rawPostingsOf(docs).queryExecution.executedPlan.toString
+    assert(phys.toLowerCase.contains("shinglehashes"),
+      "postings no longer use the ShingleHashes kernel")
+    assert(!phys.contains("Exchange"),
+      "postings regressed to a shuffling formulation (window/distinct)")
+  }
+
   test("dedup_ngram_jaccard (the exact baseline) is the one allowed corpus-wide pass") {
     val (opt, _) = plans(Dedup.dedupNgramJaccard(spark, sfDir))
     assert(opt.toLowerCase.contains("collect_list"),
