@@ -33,13 +33,14 @@ object Bench {
     // stdout for the driver's line scraper — raw, because build.sbt sets
     // `run / outputStrategy := StdoutOutput` (the default LoggedOutput
     // prefixed every line with "[info] ", which is why BENCH_r01/r02 came
-    // back "parsed": null). Plus file fallbacks a human/driver can always
-    // find: CWD and an absolute path under the repo (the CWD copy lands
-    // elsewhere if sbt is launched from another directory — ADVICE r2).
+    // back "parsed": null). Plus a file fallback a human/driver can always
+    // find: SPARK_GRAFT_BENCH_OUT override, else <launch dir>/bench_out.json
+    // (user.dir = the sbt project root under `sbt run` — repo-rooted
+    // without a baked-in absolute path, ADVICE r3).
     println(line)
     val outPaths = Seq(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
-      "/root/repo/bench_out.json").distinct
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        java.nio.file.Paths.get(sys.props("user.dir"), "bench_out.json").toString)).distinct
     outPaths.foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }

@@ -146,12 +146,22 @@ object TextKernels {
 
   /** Idempotent per-session registration; afterwards
     * `expr("graft_shingle_hashes(text)")` / `expr("graft_simhash(text)")`
-    * resolve like built-ins.
+    * resolve like built-ins. Guarded so query builders calling this on
+    * every construction don't re-replace the functions (each replace
+    * logged a "replaced a previously registered function" warning and
+    * mutated the registry from otherwise-pure builders — ADVICE r3);
+    * sessions created through [[graft.GraftExtensions]] already have both
+    * and never hit the replace path.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      shingleHashesName, exprs => ShingleHashes(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      simhashName, exprs => SimHash64(exprs(0)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(shingleHashesName)))
+      reg.createOrReplaceTempFunction(
+        shingleHashesName, exprs => ShingleHashes(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(simhashName)))
+      reg.createOrReplaceTempFunction(
+        simhashName, exprs => SimHash64(exprs(0)), "built-in")
   }
 }

@@ -343,6 +343,12 @@ object Dedup extends QueryModule {
       labels = next
       iter += 1
     }
+    // surfacing non-convergence beats silently returning partial roots: a
+    // component with diameter beyond ~60 hops (unreachable at fixture
+    // scale, possible on adversarial chain-shaped dup graphs at 100 TB)
+    // must fail loudly, not emit wrong clusters (ADVICE r3)
+    require(changed == 0,
+      s"connectedComponents did not converge within $iter rounds ($changed labels still moving)")
     labels
   }
 

@@ -327,16 +327,23 @@ object SimilarityIndex {
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
 
   /** Cheap content fingerprint of the embeddings fixture: canonical path +
-    * per-file (name, size, mtime). Keys the memo so a regenerated fixture
-    * under the same path — or the same data via a differently-spelled
-    * path — retrains instead of serving stale centroids (ADVICE r2).
+    * file count + per-file (name, size, mtime). Keys the memo so a
+    * regenerated fixture under the same path — or the same data via a
+    * differently-spelled path — retrains instead of serving stale
+    * centroids (ADVICE r2). listFiles() can return null if the directory
+    * vanishes or loses read permission between checks — treated as empty
+    * rather than NPE (ADVICE r3). A same-second same-size regeneration
+    * can still alias (mtime granularity); acceptable for a test-fixture
+    * memo, and the file-count + byte-size terms narrow the window.
     */
   private def fingerprint(dir: String): String = {
     val root = new java.io.File(s"$dir/embeddings.parquet")
     val canonical = root.getCanonicalPath
     val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName) else Seq(root)
-    canonical + "|" +
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty).sortBy(_.getName)
+      else Seq(root)
+    canonical + "|n=" + files.size + "|" +
       files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
   }
 

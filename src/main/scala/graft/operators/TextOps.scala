@@ -187,11 +187,17 @@ object TextOps extends QueryModule {
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** PII patterns in the Java-regex ∩ RE2 dialect subset (no lookaround,
-    * `\b`/class repetition work identically in Spark and DuckDB), so the
-    * scrubber and its oracle share the literal pattern text.
+    * `\b`/class repetition/alternation work identically in Spark and
+    * DuckDB — both engines use leftmost-first alternation), so the
+    * scrubber and its oracle share the literal pattern text. IPv4 octets
+    * are bounded to 0–255 (ADVICE r3), so 999.999.999.999 is no longer
+    * redacted; a 5-octet run like 1.2.3.4.5 still matches its first four
+    * octets (documented greedy-prefix behavior — \b can't veto a
+    * trailing dot).
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipRe    = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val octetRe = "(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
+  val ipRe    = s"\\b$octetRe(\\.$octetRe){3}\\b"
   val phoneRe = "\\+[0-9]{7,15}"
 
   /** Email → IP → phone redaction with typed placeholders (ordering

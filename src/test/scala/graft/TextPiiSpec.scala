@@ -27,6 +27,19 @@ class TextPiiSpec extends SparkSpec {
     assert(out(4) === "no pii here")
   }
 
+  test("IP octets are bounded to 0-255: invalid dotted quads stay unredacted") {
+    val out = Seq(
+      "bad 999.999.999.999 quad",
+      "bad 256.1.1.1 quad",
+      "edge 255.255.255.255 ok",
+      "edge 0.0.0.0 ok").toDF("text")
+      .select(TextOps.scrubPii(col("text")).as("s")).collect().map(_.getString(0))
+    assert(out(0) === "bad 999.999.999.999 quad")
+    assert(out(1) === "bad 256.1.1.1 quad")
+    assert(out(2) === "edge <IP> ok")
+    assert(out(3) === "edge <IP> ok")
+  }
+
   test("emails are scrubbed before the IP pass (dots inside emails never leak as IPs)") {
     val out = Seq("ping 1.2.3.4@example.com ok").toDF("text")
       .select(TextOps.scrubPii(col("text")).as("s")).collect().head.getString(0)
