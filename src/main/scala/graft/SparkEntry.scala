@@ -21,6 +21,7 @@ object SparkEntry {
     WindowsAndStats,
     AsofOps,
     SamplingOps,
+    OrderingOps,
     CorpusOps,
     ProfilingOps,
     graft.pipeline.PipelineOps,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+
+/** Data-ordering operators for training-data prep: deterministic
+  * train/val/test split assignment, per-source quota rebalancing, and a
+  * distributed global shuffle. Like [[SamplingOps]], all "randomness" is
+  * `md5(key)` rank — stable across engines, runs, and cluster layouts, so
+  * every operator here is fully oracle-checkable, and re-running the
+  * pipeline on a grown corpus keeps previously-assigned docs in the same
+  * split/order bucket (only genuinely new keys land in new places).
+  *
+  * Reference provenance: the reference selects and orders its ingest
+  * batches deterministically (sorted, bounded fetches —
+  * `src/api.py:80-174`) and derives reproducible batch metadata
+  * (`src/aggregations.py:417-465`); these operators are the corpus-scale
+  * rendition of that determinism for LLM training data.
+  */
+object OrderingOps extends QueryModule {
+
+  /** Hex→long on the first `n` chars of an md5, identically computable in
+    * DuckDB as `CAST('0x' || substr(md5(x), 1, n) AS INTEGER)`.
+    */
+  private def md5Bucket(c: org.apache.spark.sql.Column, n: Int) =
+    conv(substring(md5(c.cast("string")), 1, n), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Train/val/test split assignment
+  // ---------------------------------------------------------------------
+
+  /** Deterministic 80/10/10 split by hashed key: bucket = first 4 hex
+    * chars of md5(doc_id) (uniform on 0..65535), thresholds at 0.8 and
+    * 0.9 of the range. Map-only — no shuffle, no RNG state, no seed
+    * plumbing; at 100 TB this is a projection fused into the scan, and
+    * membership is reproducible per-key forever (docs never migrate
+    * between splits as the corpus grows — the property hash-splits are
+    * chosen for over `rand()`).
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5Bucket(col("doc_id"), 4).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 52429, "train")
+          .when(col("bucket") < 58982, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  val splitAssignOracle: String =
+    """SELECT doc_id, lang,
+      | CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS BIGINT) AS bucket,
+      | CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
+      |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 58982 THEN 'val'
+      |      ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Per-source quota rebalancing
+  // ---------------------------------------------------------------------
+
+  /** Cap each source at `quota` docs (keep the md5-rank winners) and
+    * report the per-source balance sheet: total, kept, dropped, and the
+    * char mass actually retained. One shuffle on the stratum key (the
+    * window and the aggregate share the `source` partitioning, so the
+    * exchange is reused); at 100 TB the dominant source — the whole
+    * reason to rebalance — caps out at quota rows per partition.
+    */
+  def quotaRebalance(s: SparkSession, dir: String, quota: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= quota, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > quota, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") <= quota, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  val quotaRebalanceOracle: String =
+    """WITH ranked AS (
+      | SELECT source, n_chars,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      | FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN rk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(sum(CASE WHEN rk > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      | CAST(sum(CASE WHEN rk <= 30 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Distributed global shuffle
+  // ---------------------------------------------------------------------
+
+  /** Deterministic global training order WITHOUT a single-partition sort.
+    * A naive `row_number() OVER (ORDER BY hash)` funnels the whole corpus
+    * through one partition — the classic global-rank scale-killer.
+    * Instead: the first 2 hex chars of the shuffle key split the corpus
+    * into 256 blocks (map-only); ranks are computed per-block in
+    * parallel; block offsets (a 256-row cumulative sum) are broadcast
+    * back. Because the block id is a PREFIX of the sort key,
+    * concatenating blocks in id order IS the md5-global order, which the
+    * oracle checks against a true global row_number. At 100 TB the block
+    * count rises with the cluster (65536 via 4 chars) and the offset
+    * table stays broadcast-sized.
+    */
+  def shuffleBlocks(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("block", conv(substring(col("skey"), 1, 2), 16, 10).cast("long"))
+    val posInBlock = keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("block")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+    val offsets = keyed.groupBy(col("block")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("block")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("offset"))
+    posInBlock
+      .join(broadcast(offsets), "block")
+      .select(col("doc_id"), col("block"), (col("offset") + col("pos")).as("global_pos"))
+      .orderBy("global_pos")
+  }
+
+  val shuffleBlocksOracle: String =
+    """WITH keyed AS (
+      | SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(CAST('0x' || substr(skey, 1, 2) AS INTEGER) AS BIGINT) AS block,
+      | CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS global_pos
+      |FROM keyed ORDER BY global_pos""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("split_assign", splitAssign, Some(splitAssignOracle)),
+    RegisteredQuery("quota_rebalance", (s, d) => quotaRebalance(s, d), Some(quotaRebalanceOracle)),
+    RegisteredQuery("shuffle_blocks", shuffleBlocks, Some(shuffleBlocksOracle)),
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.OrderingOps
+
+/** Data-ordering operator semantics (the registered queries' oracles check
+  * corpus-level parity with DuckDB; this pins the invariants).
+  */
+class OrderingSpec extends SparkSpec {
+
+  test("split_assign: every doc gets exactly one split, fractions near 80/10/10, stable across runs") {
+    val out = OrderingOps.splitAssign(spark, sfDir).cache()
+    try {
+      val n = out.count()
+      val byCounts = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byCounts.keySet.subsetOf(Set("train", "val", "test")))
+      assert(byCounts.values.sum === n)
+      // hash split on a 50-doc fixture is noisy; just require the ordering
+      // train > val+test and a non-degenerate train share
+      assert(byCounts.getOrElse("train", 0L) > n / 2)
+      // determinism: a second build produces the identical assignment
+      val again = OrderingOps.splitAssign(spark, sfDir)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("split_assign buckets match an independent md5 computation") {
+    val row = OrderingOps.splitAssign(spark, sfDir)
+      .filter(col("doc_id") === 0L).collect().head
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("0".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
+    assert(row.getAs[Long]("bucket") === java.lang.Long.parseLong(hex, 16))
+  }
+
+  test("quota_rebalance: kept+dropped = total, kept <= quota, kept_chars <= total chars") {
+    val quota = 5
+    val out = OrderingOps.quotaRebalance(spark, sfDir, quota).collect()
+    assert(out.nonEmpty)
+    val totals = graft.engine.Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val (src, nDocs, nKept, nDropped, keptChars) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nKept + nDropped === nDocs)
+      assert(nKept <= quota)
+      assert(nKept === math.min(nDocs, quota))
+      val (expN, expChars) = totals(src)
+      assert(nDocs === expN)
+      assert(keptChars <= expChars)
+      if (nDropped > 0) assert(keptChars < expChars)
+    }
+  }
+
+  test("shuffle_blocks: global_pos is a dense permutation and equals the true md5-global rank") {
+    val out = OrderingOps.shuffleBlocks(spark, sfDir).collect()
+    val n = out.length
+    assert(out.map(_.getAs[Long]("global_pos")).toSeq === (1L to n.toLong))
+    // block id must be the prefix of the sort key: positions within one
+    // block are contiguous in the global order
+    val byBlock = out.groupBy(_.getAs[Long]("block"))
+    byBlock.values.foreach { rows =>
+      val ps = rows.map(_.getAs[Long]("global_pos")).sorted
+      assert(ps.last - ps.head === ps.length - 1, "block positions not contiguous")
+    }
+    // blocks appear in id order along the global order
+    val firstPosPerBlock = byBlock.toSeq
+      .map { case (b, rows) => (b, rows.map(_.getAs[Long]("global_pos")).min) }
+      .sortBy(_._2).map(_._1)
+    assert(firstPosPerBlock === firstPosPerBlock.sorted)
+  }
+}
