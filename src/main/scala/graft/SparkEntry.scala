@@ -22,6 +22,7 @@ object SparkEntry {
     AsofOps,
     SamplingOps,
     OrderingOps,
+    LexiconOps,
     CorpusOps,
     ProfilingOps,
     graft.pipeline.PipelineOps,

@@ -143,6 +143,7 @@ object SimHash64 {
 object TextKernels {
   val shingleHashesName = "graft_shingle_hashes"
   val simhashName = "graft_simhash"
+  val nfcName = "graft_nfc"
 
   /** Idempotent per-session registration; afterwards
     * `expr("graft_shingle_hashes(text)")` / `expr("graft_simhash(text)")`
@@ -163,5 +164,9 @@ object TextKernels {
         org.apache.spark.sql.catalyst.FunctionIdentifier(simhashName)))
       reg.createOrReplaceTempFunction(
         simhashName, exprs => SimHash64(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(nfcName)))
+      reg.createOrReplaceTempFunction(
+        nfcName, exprs => NfcNormalize(exprs(0)), "built-in")
   }
 }

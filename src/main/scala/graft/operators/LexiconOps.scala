@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+import graft.functions.Scalars._
+import graft.functions.TextKernels
+
+/** Lexical / vocabulary operators for training-data prep: unicode
+  * normalization, URL→domain extraction, corpus vocabulary building and
+  * TF-IDF term scoring. Normalization and URL extraction are narrow
+  * per-row expression trees (map-only at any scale); vocabulary and
+  * TF-IDF are explode→aggregate pipelines whose shuffles are keyed on the
+  * term — the classic word-count topology that partial (map-side)
+  * aggregation keeps linear at 100 TB.
+  *
+  * The synthetic corpus is pure-ASCII word soup with no URLs, so (as with
+  * [[TextOps.textPiiScrub]]) the normalize/URL queries first APPEND
+  * deterministic doc_id-derived content — identically in the oracle — so
+  * the transforms are observable end-to-end (a no-op normalizer or
+  * extractor fails the hash).
+  */
+object LexiconOps extends QueryModule {
+
+  /** Shared token pattern with [[TextOps.textTokenCount]] (Java ∩ RE2). */
+  private val tokenRe = "[a-z]+|[0-9]+"
+
+  /** ASCII-safe whitespace class (Java's `\s` includes \x0B, RE2's does
+    * not — the explicit class keeps both engines identical).
+    */
+  private val wsRe = "[ \\t\\n\\r]+"
+
+  // ---------------------------------------------------------------------
+  // Unicode normalization
+  // ---------------------------------------------------------------------
+
+  /** NFC + lowercase + whitespace collapse + trim — the canonicalization
+    * pass run before any dedup/fingerprint at corpus scale (bitwise-
+    * different encodings of the same text must collide). NFC itself is
+    * the codegen'd [[graft.functions.NfcNormalize]] kernel (Spark has no
+    * built-in normalizer; a UDF would break whole-stage codegen); the
+    * oracle twin is DuckDB's utf8proc-backed `nfc_normalize`. The
+    * appended suffix carries a combining acute (e + U+0301 → é under
+    * NFC), ß, mixed case, tabs/newlines and double spaces so every
+    * normalization step is exercised. Unicode case edge cases outside
+    * the Java∩utf8proc agreement zone (e.g. İ) are deliberately not
+    * appended.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    TextKernels.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          // decomposed: e + U+0301 combining acute (NFC recomposes to e-acute),
+          // mirroring the oracle's  'e' || chr(769); U+00DF is the sharp s
+          lit("  Cafe\u0301\tMIXED  Stra\u00dfe\ndoc "),
+          col("doc_id").cast("string")).as("t2"))
+      .select(col("doc_id"), col("t2"),
+        trim(regexp_replace(lower(expr("graft_nfc(t2)")), wsRe, " ")).as("norm"))
+      .select(col("doc_id"),
+        length(col("t2")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        md5(col("norm")).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeOracle: String =
+    """WITH aug AS (
+      | SELECT doc_id,
+      |  text || '  Caf' || 'e' || chr(769) || chr(9) || 'MIXED  Stra' ||
+      |  chr(223) || 'e' || chr(10) || 'doc ' || doc_id AS t2
+      | FROM documents),
+      |norm AS (
+      | SELECT doc_id, t2,
+      |  trim(regexp_replace(lower(nfc_normalize(t2)), '[ \t\n\r]+', ' ', 'g')) AS norm
+      | FROM aug)
+      |SELECT doc_id, length(t2) AS n_chars_raw, length(norm) AS n_chars_norm,
+      | md5(norm) AS norm_fp
+      |FROM norm ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // URL / domain extraction
+  // ---------------------------------------------------------------------
+
+  private val urlDomainRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Domain frequency table — the provenance census a crawl pipeline runs
+    * before per-domain filtering/quotas. Extract-all the domain capture
+    * group per row (map-only), explode, one keyed aggregate.
+    */
+  def textUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+          lit(".example.org down")).as("t2"))
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(t2, '$urlDomainRe', 1)")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("domain")
+
+  val textUrlsOracle: String =
+    s"""WITH aug AS (
+       | SELECT doc_id,
+       |  text || ' see https://site' || (doc_id % 20) || '.example.com/p/' ||
+       |  doc_id || ' and http://cdn' || (doc_id % 5) || '.example.org down' AS t2
+       | FROM documents),
+       |hits AS (
+       | SELECT doc_id, unnest(regexp_extract_all(t2, '$urlDomainRe', 1)) AS domain
+       | FROM aug)
+       |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+       |FROM hits GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Vocabulary building
+  // ---------------------------------------------------------------------
+
+  /** Corpus vocabulary: top-50 tokens by occurrence count (ties broken on
+    * the token) with document frequency — the tokenizer-training /
+    * stopword-discovery primitive. Explode → keyed aggregate (partial agg
+    * does the heavy lifting map-side) → global top-k, which Spark executes
+    * as TakeOrderedAndProject: a per-partition heap, never a global sort.
+    */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(50)
+
+  val vocabTopkOracle: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_extract_all(text, '$tokenRe')) AS token
+       | FROM documents)
+       |SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+       |FROM toks GROUP BY token
+       |ORDER BY n_occ DESC, token LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TF-IDF term scoring
+  // ---------------------------------------------------------------------
+
+  /** Per-document top-3 TF-IDF terms — keyword extraction over the whole
+    * corpus in three keyed aggregates: term counts per doc, document
+    * frequency per term (broadcast back — vocabulary is executor-memory
+    * sized even at 100 TB corpus scale), and a per-doc top-k window. The
+    * window orders on the ROUNDED score (6 dp, binary-exact floor formula)
+    * + term so rank ties resolve identically in both engines.
+    */
+  def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        roundTo((col("cnt").cast("double") / col("dl")) *
+          log(col("n").cast("double") / col("df")), 6).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfToptermsOracle: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, len(regexp_extract_all(text, '$tokenRe')) AS dl,
+       |  unnest(regexp_extract_all(text, '$tokenRe')) AS term
+       | FROM documents),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       | SELECT doc_id, term,
+       |  floor((cnt::DOUBLE / dl) * ln(n::DOUBLE / df) * 1e6 + 0.5) / 1e6 AS score
+       | FROM tf JOIN df USING (term), n),
+       |ranked AS (
+       | SELECT doc_id, term, score,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS BIGINT) AS rk
+       | FROM scored)
+       |SELECT doc_id, term, score, rk FROM ranked
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
+    RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
+    RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LexiconOps
+
+/** Lexicon operator semantics; the registered queries' oracles check
+  * corpus-level parity, this pins per-value behavior of the NFC kernel and
+  * the aggregate invariants.
+  */
+class LexiconSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_nfc recomposes combining sequences and is identity on ASCII") {
+    val out = Seq(
+      "Café",        // e + combining acute -> precomposed
+      "plain ascii stays", // NFC no-op fast path
+      "Å")           // A + combining ring -> Å
+      .toDF("t")
+      .select(expr("graft_nfc(t)").as("n")).collect().map(_.getString(0))
+    assert(out(0) === "Caf\u00e9")
+    assert(out(1) === "plain ascii stays")
+    assert(out(2) === "\u00c5")
+  }
+
+  test("graft_nfc runs inside whole-stage codegen (no interpreted fallback)") {
+    // a local Seq would be constant-folded away by ConvertToLocalRelation;
+    // the parquet scan exercises the real generated projection
+    val plan = graft.engine.Tables.documents(spark, sfDir)
+      .select(expr("graft_nfc(text)").as("n"))
+      .queryExecution.executedPlan.toString
+    // the leading `*(n)` is how toString marks a WholeStageCodegen span
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("nfcnormalize"), plan)
+  }
+
+  test("text_normalize: normalized fingerprint is stable and whitespace is collapsed") {
+    val rows = LexiconOps.textNormalize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // normalization can only shrink the char count (NFC composes, the
+      // \s+ collapse removes, trim removes)
+      assert(r.getAs[Long]("n_chars_norm") < r.getAs[Long]("n_chars_raw"))
+    }
+  }
+
+  test("text_urls: every synthetic domain shows up; per-doc URLs count twice") {
+    val rows = LexiconOps.textUrls(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keys.forall(d => d.endsWith(".example.com") || d.endsWith(".example.org")))
+    // each doc contributes exactly one https site + one http cdn URL
+    assert(rows.values.map(_._1).sum === 2L * graft.engine.Tables.documents(spark, sfDir).count())
+    // n_docs never exceeds n_urls
+    rows.values.foreach { case (urls, docs) => assert(docs <= urls) }
+  }
+
+  test("vocab_topk is ordered by count desc then token, at most 50 rows") {
+    val rows = LexiconOps.vocabTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length <= 50 && rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((t1, n1), (t2, n2)) =>
+        assert(n1 > n2 || (n1 === n2 && t1 < t2))
+      case _ =>
+    }
+  }
+
+  test("tfidf_topterms: <=3 terms per doc, ranks dense from 1, scores non-increasing") {
+    val rows = LexiconOps.tfidfTopterms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { docRows =>
+      val sorted = docRows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length.toLong))
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3)
+        case _ =>
+      }
+    }
+    // a corpus-universal term scores 0 (idf = ln(1)); every positive score
+    // must come from a term missing somewhere
+    val n = graft.engine.Tables.documents(spark, sfDir).count()
+    rows.filter(_._3 > 0).foreach { case (_, term, _, _) => assert(term.nonEmpty) }
+    assert(n > 0)
+  }
+}
