@@ -1,11 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.pipeline.IncrementalPipeline
+
+/** A closed (emitted) session — schema matches the batch
+  * [[graft.operators.WindowsAndStats.sessionize]] output row.
+  */
+final case class SessionOut(
+    user_id: Long, session_id: Long, n_events: Long,
+    session_start_us: Long, session_end_us: Long)
+
+/** Per-user open-session state carried across micro-batches. */
+final case class OpenSession(sid: Long, startUs: Long, endUs: Long, n: Long)
 
 /** The CDC pipeline as Structured Streaming (SURVEY.md §2.9): the
   * reference's run-to-completion micro-batch loop maps to
@@ -54,5 +64,68 @@ object StreamingPipeline {
       .start()
     q.awaitTermination()
     batches
+  }
+
+  /** Streaming sessionization — the batch gap-sessionizer
+    * ([[graft.operators.WindowsAndStats.sessionize]]) as a custom stateful
+    * operator: `flatMapGroupsWithState` in Append mode with an event-time
+    * timeout. A session closes (and emits) either inline, when a same-user
+    * event arrives more than `gapMinutes` after the open session's end, or
+    * via timeout, when the watermark passes end + gap. Session ids are
+    * 1-based per user in event-time order, so emitted rows are
+    * byte-comparable with the batch operator's.
+    *
+    * State is one `OpenSession` per active user — bounded by active-user
+    * cardinality, not corpus size — and the watermark reaps it; this is
+    * the canonical shape for unbounded-stream sessionization at scale.
+    * Assumes per-user in-order arrival across micro-batches (guaranteed
+    * here by time-split input files; a production deployment relies on the
+    * watermark delay for modest disorder and would buffer within it).
+    *
+    * `events` columns: user_id LONG, ts TIMESTAMP (µs precision); the
+    * caller applies `withWatermark` BEFORE this so the timeout clock is
+    * defined. µs values ride alongside as longs — GroupState timeouts are
+    * ms-granular but session arithmetic stays exact.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      // the watermarked ts column must survive into the stateful operator's
+      // input or the event-time timeout has no clock; µs long rides along
+      .select(col("user_id").cast("long"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.sid, s.n, s.startUs, s.endUs))
+          } else {
+            val ts = rows.map(_._3).toArray
+            java.util.Arrays.sort(ts)
+            var out = List.empty[SessionOut]
+            var (sid, start, end, n) = state.getOption
+              .map(s => (s.sid, s.startUs, s.endUs, s.n))
+              .getOrElse((0L, -1L, -1L, 0L))
+            ts.foreach { t =>
+              if (start < 0) { sid += 1; start = t; end = t; n = 1 }
+              else if (t - end > gapUs) {
+                out ::= SessionOut(user, sid, n, start, end)
+                sid += 1; start = t; end = t; n = 1
+              } else { end = math.max(end, t); n += 1 }
+            }
+            state.update(OpenSession(sid, start, end, n))
+            // timeout once the watermark passes end + gap (ms-granular,
+            // rounded up; clamped above the current watermark as required)
+            val timeoutMs = math.max(
+              (end + gapUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(timeoutMs)
+            out.reverse.iterator
+          }
+      }
   }
 }

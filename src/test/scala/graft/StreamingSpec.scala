@@ -120,6 +120,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the batch sessions once closed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+    val inDir = tmpDir("graft-sess-in")
+    val ckpt = tmpDir("graft-sess-ckpt")
+
+    // three time-split files (per-user in-order delivery) ...
+    val cut1 = to_timestamp(lit("2024-01-10 00:00:00"))
+    val cut2 = to_timestamp(lit("2024-01-20 00:00:00"))
+    ev.filter(col("ts") < cut1).write.mode(SaveMode.Overwrite).parquet(s"$inDir/f1")
+    ev.filter(col("ts") >= cut1 && col("ts") < cut2)
+      .write.mode(SaveMode.Overwrite).parquet(s"$inDir/f2")
+    ev.filter(col("ts") >= cut2).write.mode(SaveMode.Overwrite).parquet(s"$inDir/f3")
+    // ... plus two far-future sentinel batches: watermark is computed from
+    // the PREVIOUS batch's max event time, so sentinel#1 advances it past
+    // the real data and sentinel#2's batch fires the timeouts
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    def sentinel(user: Long, plusHours: Int, path: String): Unit =
+      spark.range(1).select(lit(user).as("user_id"),
+        (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("ts"))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    sentinel(-1L, 24, s"$inDir/s1")
+    sentinel(-2L, 48, s"$inDir/s2")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingPipeline.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sess_stream").outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sess_stream")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us")
+    val batch = graft.operators.WindowsAndStats.sessionize(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"), col("session_id"),
+        col("n_events"), col("session_start_us"), col("session_end_us"))
+    // every real-user session closed via inline gap or watermark timeout,
+    // and each emitted row is byte-identical with the batch operator's
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dropDuplicates dedups re-delivered batches across triggers (§2.9 late/dup data)") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("value"))
