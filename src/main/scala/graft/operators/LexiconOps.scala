@@ -164,8 +164,11 @@ object LexiconOps extends QueryModule {
         explode(col("toks")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val df = toks.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency derives from the ALREADY-AGGREGATED tf table —
+    // each (doc, term) appears exactly once there, so count == distinct
+    // doc count, and the corpus is tokenized+exploded once, not twice
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     val scored = tf
       .join(broadcast(df), "term")
