@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.engine.Tables
+import graft.functions.Scalars.roundTo
 
 /** Data-ordering operators for training-data prep: deterministic
   * train/val/test split assignment, per-source quota rebalancing, and a
@@ -140,9 +141,75 @@ object OrderingOps extends QueryModule {
       | CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS global_pos
       |FROM keyed ORDER BY global_pos""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Temperature-based source mixing
+  // ---------------------------------------------------------------------
+
+  /** Data mixing with temperature α = 0.5: source s gets weight
+    * n_s^α / Σ n_t^α — the standard trick (multilingual/multi-corpus LLM
+    * training) that up-samples small sources relative to proportional
+    * sampling without letting any source dominate. Per-source targets are
+    * the binary-exact rounding of `totalTarget · w`, and the selected docs
+    * are the per-source md5-rank winners, so the whole mix is reproducible
+    * and engine-checkable. Two keyed shuffles (per-source count, rank
+    * window) + a broadcast 1-row denominator; the per-source weight table
+    * is metadata-sized at any corpus scale.
+    *
+    * Double-parity note: sqrt is correctly rounded in IEEE 754 (identical
+    * bits in both engines); the denominator sums ~10 source terms whose
+    * order may differ between engines — a ≤ few-ulp wobble that 6 dp
+    * rounding absorbs (same argument as TF-IDF's ln).
+    */
+  def mixSample(s: SparkSession, dir: String, totalTarget: Int = 200): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val denom = counts.agg(sum(sqrt(col("n_docs"))).as("denom"))
+    val targets = counts.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"),
+        roundTo(sqrt(col("n_docs")) / col("denom"), 6).as("weight"),
+        floor(lit(totalTarget.toDouble) * (sqrt(col("n_docs")) / col("denom")) + lit(0.5))
+          .cast("long").as("n_target"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val selChars = docs
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(targets.select(col("source"), col("n_target").as("t"))), "source")
+      .filter(col("rk") <= col("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("sel_chars"))
+    targets.join(selChars, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight"), col("n_target"),
+        coalesce(col("sel_chars"), lit(0L)).as("sel_chars"))
+      .orderBy("source")
+  }
+
+  val mixSampleOracle: String =
+    """WITH counts AS (
+      | SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |denom AS (SELECT sum(sqrt(n_docs)) AS denom FROM counts),
+      |targets AS (
+      | SELECT source, n_docs,
+      |  floor(sqrt(n_docs) / denom * 1e6 + 0.5) / 1e6 AS weight,
+      |  CAST(floor(200.0 * (sqrt(n_docs) / denom) + 0.5) AS BIGINT) AS n_target
+      | FROM counts, denom),
+      |ranked AS (
+      | SELECT doc_id, source, n_chars,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      | FROM documents),
+      |sel AS (
+      | SELECT r.source, CAST(sum(r.n_chars) AS BIGINT) AS sel_chars
+      | FROM ranked r JOIN targets t USING (source)
+      | WHERE r.rk <= t.n_target GROUP BY r.source)
+      |SELECT t.source, t.n_docs, t.weight, t.n_target,
+      | coalesce(s.sel_chars, 0) AS sel_chars
+      |FROM targets t LEFT JOIN sel s USING (source)
+      |ORDER BY t.source""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("split_assign", splitAssign, Some(splitAssignOracle)),
     RegisteredQuery("quota_rebalance", (s, d) => quotaRebalance(s, d), Some(quotaRebalanceOracle)),
     RegisteredQuery("shuffle_blocks", shuffleBlocks, Some(shuffleBlocksOracle)),
+    RegisteredQuery("mix_sample", (s, d) => mixSample(s, d), Some(mixSampleOracle)),
   )
 }

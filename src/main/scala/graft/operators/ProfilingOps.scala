@@ -96,8 +96,36 @@ object ProfilingOps extends QueryModule {
       | FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
       |GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** Document-length histogram: fixed 50-char buckets capped at bucket 9
+    * (the long tail collapses into the last bin), with each bin's share of
+    * the corpus — the length-distribution profile consulted before
+    * truncation/packing decisions in training-data prep. One keyed
+    * aggregate over ≤10 groups; the total rides in via a broadcast 1-row
+    * aggregate so the share division happens on the tiny grouped table.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(least(floor(col("n_chars") / 50.0), lit(9.0)).cast("long").as("bucket"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    docs.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_docs"),
+        roundTo(col("n_docs").cast("double") / col("total"), 4).as("share"))
+      .orderBy("bucket")
+  }
+
+  val lengthHistogramOracle: String =
+    """WITH b AS (
+      | SELECT CAST(least(floor(n_chars / 50.0), 9.0) AS BIGINT) AS bucket
+      | FROM documents),
+      |t AS (SELECT count(*) AS total FROM b)
+      |SELECT bucket, count(*) AS n_docs,
+      | floor(count(*)::DOUBLE / total * 1e4 + 0.5) / 1e4 AS share
+      |FROM b, t GROUP BY bucket, total ORDER BY bucket""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("table_diff", tableDiff, Some(tableDiffOracle)),
+    RegisteredQuery("length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
   )
 }

@@ -54,6 +54,38 @@ class OrderingSpec extends SparkSpec {
     }
   }
 
+  test("mix_sample: weights sum to ~1, targets track sqrt weighting, selection is bounded") {
+    val rows = OrderingOps.mixSample(spark, sfDir, totalTarget = 40).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_._3).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    // temperature 0.5 up-samples small sources: the selected FRACTION of a
+    // small source must be >= that of a strictly larger source
+    val frac = rows.map(r => r._2 -> r._4.toDouble.min(r._2.toDouble))
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(small, large) if small._2 < large._2 =>
+        val fs = math.min(small._4, small._2).toDouble / small._2
+        val fl = math.min(large._4, large._2).toDouble / large._2
+        assert(fs >= fl - 1e-9, s"small source $small under-sampled vs $large")
+      case _ =>
+    }
+    // sel_chars only counts docs that exist
+    rows.foreach { case (_, n, _, target, selChars) =>
+      if (target >= n) assert(selChars > 0 || n == 0)
+    }
+    assert(frac.nonEmpty)
+  }
+
+  test("length_histogram: buckets cover all docs, shares sum to ~1, last bucket capped at 9") {
+    val rows = graft.operators.ProfilingOps.lengthHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum === total)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-2)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+  }
+
   test("shuffle_blocks: global_pos is a dense permutation and equals the true md5-global rank") {
     val out = OrderingOps.shuffleBlocks(spark, sfDir).collect()
     val n = out.length
