@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children(0))))
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
   }
 }

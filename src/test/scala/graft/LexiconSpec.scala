@@ -34,6 +34,13 @@ class LexiconSpec extends SparkSpec {
     assert(plan.contains("nfcnormalize"), plan)
   }
 
+  test("CollapseNfc optimizer rule: nested graft_nfc applications fold to one") {
+    val plan = graft.engine.Tables.documents(spark, sfDir)
+      .select(expr("graft_nfc(graft_nfc(text))").as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert("nfcnormalize".r.findAllIn(plan.toLowerCase).size === 1, plan)
+  }
+
   test("text_normalize: normalized fingerprint is stable and whitespace is collapsed") {
     val rows = LexiconOps.textNormalize(spark, sfDir).collect()
     assert(rows.nonEmpty)
