@@ -47,8 +47,11 @@ object Multimodal extends QueryModule {
 
   /** Binary ingest + batched decode: binary payload column → typed Dataset
     * → mapPartitions in fixed-size batches (the vectorized-decode shape) →
-    * metadata DataFrame. Rows-only check (the stub is not SQL semantics);
-    * ScalaTest pins exact values.
+    * metadata DataFrame. The codec is a STUB, but a deterministic one
+    * derived from raw bytes — so the whole plumbing path (binary cast,
+    * typed Encoder, batching, partition-local transform) is oracle-checked
+    * against a byte-level SQL mirror; swapping in a real codec would move
+    * the query back to rows-only + golden files.
     */
   def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -78,11 +81,25 @@ object Multimodal extends QueryModule {
       | CAST(floor(strlen(text) / 256.0) + 1 AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  val mmDecodeStubOracle: String =
+    """WITH sums AS (
+      | SELECT doc_id, sum(ascii(ch)) AS bsum
+      | FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+      | GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | CAST(strlen(d.text) AS BIGINT) AS byte_len,
+      | CAST((ascii(substring(d.text, 1, 1)) % 64) + 16 AS INTEGER) AS width,
+      | CAST((ascii(substring(d.text, CAST(strlen(d.text) AS INTEGER), 1)) % 64) + 16 AS INTEGER) AS height,
+      | CAST(CAST(strlen(d.text) AS BIGINT) // 64 + 1 AS INTEGER) AS n_frames,
+      | floor(s.bsum::DOUBLE / strlen(d.text) * 100 + 0.5) / 100 AS mean_byte
+      |FROM documents d JOIN sums s USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Frame sampling over the payload: every `stride`-th 64-byte "frame"
     * of each payload becomes a row (the video-frame-sample shape: explode
     * with a computed index list, then a per-frame feature from the bytes).
-    * Deterministic fake feature (the codec stays a STUB); the Spark-side
-    * explode/partitioning is the real contract. Rows-only.
+    * Deterministic fake feature (the codec stays a STUB) — byte-derived,
+    * so oracle-checked like [[mmDecodeStub]]; the Spark-side
+    * explode/partitioning is the real contract.
     */
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     val frameBytes = 64
@@ -101,9 +118,19 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "frame_idx")
   }
 
+  val mmFrameSampleOracle: String =
+    """WITH f AS (
+      | SELECT doc_id, text,
+      |  unnest(list_filter(range(0, CAST(strlen(text) - 1 AS BIGINT) // 64 + 1),
+      |    fr -> fr % 4 = 0)) AS frame_idx
+      | FROM documents)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      | CAST(ascii(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 1)) AS BIGINT) AS frame_feature
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("mm_binary_stats", mmBinaryStats, Some(mmBinaryStatsOracle)),
-    RegisteredQuery("mm_decode_stub", mmDecodeStub, None),
-    RegisteredQuery("mm_frame_sample", mmFrameSample, None),
+    RegisteredQuery("mm_decode_stub", mmDecodeStub, Some(mmDecodeStubOracle)),
+    RegisteredQuery("mm_frame_sample", mmFrameSample, Some(mmFrameSampleOracle)),
   )
 }
