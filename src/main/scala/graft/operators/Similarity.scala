@@ -304,12 +304,57 @@ object Similarity extends QueryModule {
        |  SELECT x AS vec_id, least(x, min(y)) AS cluster_root FROM reach GROUP BY x)
        |ORDER BY vec_id""".stripMargin
 
+  /** Symmetric int8 scalar quantization audit — the compression step of a
+    * production embedding store (4× smaller vectors, SIMD-friendly int8
+    * dot products) with per-vector error accounting: scale = max|x|/127,
+    * q = clamp(round-half-up(x/scale)), reconstruction MSE and max
+    * absolute error. Every step is binary-exact double arithmetic
+    * (`floor(x+0.5)` rounding, IEEE division), so the whole audit is
+    * oracle-checked. Map-only at any scale. Built-in HOF lambdas are
+    * interpreted, not codegen'd — fine for this linear per-row pass; if
+    * quantization ever sits inside an O(n²) loop, the [[DotProduct]]-style
+    * kernel is the drop-in replacement.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        greatest(
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"),
+          lit(1e-30)).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        expr("""transform(embedding, x -> CAST(x AS DOUBLE) -
+                greatest(-127.0D, least(127.0D, floor(CAST(x AS DOUBLE) / scale + 0.5D))) * scale)""")
+          .as("errs"))
+      .select(col("vec_id"), col("n_dims"),
+        roundTo(col("scale"), 6).as("scale"),
+        roundTo(expr("aggregate(errs, 0.0D, (a, e) -> a + e * e)") / col("n_dims"), 10).as("mse"),
+        roundTo(expr("array_max(transform(errs, e -> abs(e)))"), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+
+  val embQuantizeOracle: String =
+    """WITH q AS (
+      | SELECT vec_id, embedding,
+      |  greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+      | FROM embeddings),
+      |e AS (
+      | SELECT vec_id, scale, len(embedding) AS n_dims,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE) -
+      |    greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5))) * scale) AS errs
+      | FROM q)
+      |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+      | floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+      | floor(list_sum(list_transform(errs, e -> e * e)) / n_dims * 1e10 + 0.5) / 1e10 AS mse,
+      | floor(list_max(list_transform(errs, e -> abs(e))) * 1e6 + 0.5) / 1e6 AS max_abs_err
+      |FROM e ORDER BY vec_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
     RegisteredQuery("emb_neardup_pairs", embNearDupPairs, Some(embNearDupOracle)),
     RegisteredQuery("emb_neardup_clusters", embNearDupClusters, Some(embNearDupClustersOracle)),
     RegisteredQuery("sim_lsh_topk", simLshTopk, None),
     RegisteredQuery("sim_ivf_topk", simIvfTopk, None),
+    RegisteredQuery("emb_quantize", embQuantize, Some(embQuantizeOracle)),
   )
 }
 

@@ -7,6 +7,22 @@ import graft.operators.{Dedup, Similarity}
 /** LSH paths vs their exact baselines on sf0.001 (500 docs / 500 vectors). */
 class DedupSimilaritySpec extends SparkSpec {
 
+  test("emb_quantize: per-element error bounded by scale/2, mse by its square") {
+    val rows = graft.operators.Similarity.embQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, mse, maxErr) =
+        (r.getAs[Double]("scale"), r.getAs[Double]("mse"), r.getAs[Double]("max_abs_err"))
+      assert(scale > 0)
+      // max|x| = 127*scale by construction, so rounding never clamps and
+      // the reconstruction error is at most half a quantization step
+      // (tolerance: both columns are independently rounded to 6 dp)
+      assert(maxErr <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: $maxErr > ${scale / 2}")
+      assert(mse <= scale * scale / 4 + 1e-6)
+      assert(mse >= 0)
+    }
+  }
+
   test("MinHash LSH finds every lang-blocked brute-force pair, with equal jaccard") {
     val brute = Dedup.dedupNgramJaccard(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
