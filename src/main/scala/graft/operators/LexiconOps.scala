@@ -205,10 +205,66 @@ object LexiconOps extends QueryModule {
        |SELECT doc_id, term, score, rk FROM ranked
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Char-trigram LM quality scoring
+  // ---------------------------------------------------------------------
+
+  /** Language-model quality scoring (the CCNet/Dolma perplexity-filter
+    * shape, reduced to a char-trigram model): train trigram conditional
+    * probabilities P(c|ab) = cnt(abc) / Σ_c cnt(ab·) on the corpus itself,
+    * then score every document by its average log-prob and perplexity —
+    * low-ppl ≈ fluent under the corpus distribution, high-ppl ≈ outlier
+    * text, the standard keep/drop signal. Dataflow: one explode over char
+    * positions, one keyed aggregate for the model (vocabulary-sized →
+    * broadcast back, like TF-IDF's df), one per-doc aggregate. At 100 TB
+    * the model table is still |Σ|³-bounded and the scoring pass is
+    * map-only after the broadcasts. Well-defined without smoothing
+    * because the model scores its own training corpus (every trigram has
+    * count ≥ 1).
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g"))
+    val model = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val prefix = model.groupBy(substring(col("g"), 1, 2).as("pf"))
+      .agg(sum(col("cnt")).as("pcnt"))
+    tri
+      .join(broadcast(model), "g")
+      .join(broadcast(prefix), substring(col("g"), 1, 2) === col("pf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(log(col("cnt").cast("double") / col("pcnt"))).as("logp_sum"))
+      .select(col("doc_id"), col("n_trigrams"),
+        roundTo(col("logp_sum") / col("n_trigrams"), 6).as("avg_logp"),
+        roundTo(exp(-(col("logp_sum") / col("n_trigrams"))), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreOracle: String =
+    """WITH tri AS (
+      | SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+      |   i -> substring(text, CAST(i AS INTEGER), 3))) AS g
+      | FROM documents WHERE length(text) >= 3),
+      |model AS (SELECT g, count(*) AS cnt FROM tri GROUP BY g),
+      |pfx AS (SELECT substring(g, 1, 2) AS pf, CAST(sum(cnt) AS BIGINT) AS pcnt
+      |        FROM model GROUP BY 1),
+      |scored AS (
+      | SELECT t.doc_id, ln(m.cnt::DOUBLE / p.pcnt) AS logp
+      | FROM tri t JOIN model m USING (g)
+      | JOIN pfx p ON substring(t.g, 1, 2) = p.pf)
+      |SELECT doc_id, count(*) AS n_trigrams,
+      | floor(sum(logp) / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp,
+      | floor(exp(-(sum(logp) / count(*))) * 1e4 + 0.5) / 1e4 AS ppl
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
+    RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
   )
 }

@@ -72,6 +72,23 @@ class LexiconSpec extends SparkSpec {
     }
   }
 
+  test("lm_score: probabilities are proper (avg_logp <= 0, ppl >= 1, ppl = exp(-avg_logp))") {
+    val rows = graft.operators.LexiconOps.lmScore(spark, sfDir).collect()
+    val total = graft.engine.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 3).count()
+    assert(rows.length === total)
+    rows.foreach { r =>
+      val (n, logp, ppl) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0)
+      assert(logp <= 0.0, s"conditional log-prob must be <= 0, got $logp")
+      assert(ppl >= 1.0)
+      // columns are independently rounded (6dp / 4dp)
+      assert(math.abs(ppl - math.exp(-logp)) < 1e-3, s"ppl $ppl vs exp(${-logp})")
+    }
+    // the corpus is one vocabulary: scores should cluster, not degenerate
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("tfidf_topterms: <=3 terms per doc, ranks dense from 1, scores non-increasing") {
     val rows = LexiconOps.tfidfTopterms(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
