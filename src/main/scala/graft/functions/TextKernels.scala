@@ -140,10 +140,85 @@ object SimHash64 {
   }
 }
 
+/** All overlapping character trigrams of a document (with duplicates, in
+  * order) as ONE per-row kernel — the rows `explode(transform(sequence(1,
+  * length(text) - 2), i -> substring(text, i, 3)))` produces, but in one
+  * O(n) pass: the HOF formulation is interpreted (no codegen) AND each
+  * codepoint-indexed `substring` rescans the string from the start, going
+  * quadratic per document (measured 3× the whole lm_score query). ASCII
+  * fast path slices bytes directly; otherwise codepoint starts are
+  * indexed once and windows are substring'd surrogate-aware, matching
+  * Spark's codepoint `substring` semantics. Docs with <3 codepoints
+  * return an empty array (the SQL guard `length >= 3` keeps parity).
+  */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType,
+    containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharTrigrams.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.CharTrigrams.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (bytes(i) < 0) ascii = false; i += 1 }
+    val out: Array[Any] =
+      if (ascii) {
+        if (n < 3) Array.empty
+        else {
+          val arr = new Array[Any](n - 2)
+          var k = 0
+          while (k < n - 2) {
+            arr(k) = UTF8String.fromBytes(bytes, k, 3)
+            k += 1
+          }
+          arr
+        }
+      } else {
+        val str = text.toString
+        val cps = str.codePointCount(0, str.length)
+        if (cps < 3) Array.empty
+        else {
+          // one pass to index every codepoint start (UTF-16 offsets)
+          val starts = new Array[Int](cps + 1)
+          var off = 0
+          var c = 0
+          while (c < cps) {
+            starts(c) = off
+            off += Character.charCount(str.codePointAt(off))
+            c += 1
+          }
+          starts(cps) = str.length
+          val arr = new Array[Any](cps - 2)
+          var k = 0
+          while (k < cps - 2) {
+            arr(k) = UTF8String.fromString(str.substring(starts(k), starts(k + 3)))
+            k += 1
+          }
+          arr
+        }
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextKernels {
   val shingleHashesName = "graft_shingle_hashes"
   val simhashName = "graft_simhash"
   val nfcName = "graft_nfc"
+  val charTrigramsName = "graft_char_trigrams"
 
   /** Idempotent per-session registration; afterwards
     * `expr("graft_shingle_hashes(text)")` / `expr("graft_simhash(text)")`
@@ -168,5 +243,9 @@ object TextKernels {
         org.apache.spark.sql.catalyst.FunctionIdentifier(nfcName)))
       reg.createOrReplaceTempFunction(
         nfcName, exprs => NfcNormalize(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(charTrigramsName)))
+      reg.createOrReplaceTempFunction(
+        charTrigramsName, exprs => CharTrigrams(exprs(0)), "built-in")
   }
 }

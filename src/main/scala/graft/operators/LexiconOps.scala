@@ -223,11 +223,14 @@ object LexiconOps extends QueryModule {
     * count ≥ 1).
     */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
+    TextKernels.register(s)
     val tri = Tables.documents(s, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("g"))
+        // one O(n) per-row kernel; the HOF spelling (transform(sequence) +
+        // positional substring) is interpreted and quadratic per doc —
+        // measured 3x this whole query (see CharTrigrams scaladoc)
+        explode(expr("graft_char_trigrams(text)")).as("g"))
     val model = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
     val prefix = model.groupBy(substring(col("g"), 1, 2).as("pf"))
       .agg(sum(col("cnt")).as("pcnt"))

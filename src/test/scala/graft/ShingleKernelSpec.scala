@@ -14,6 +14,25 @@ import graft.operators.Dedup
 class ShingleKernelSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CharTrigrams kernel equals the HOF transform(sequence, substring) formulation") {
+    val docs = Seq(
+      "abcdef",                   // plain ASCII
+      "ab",                       // below trigram length -> empty
+      "abc",                      // exactly one trigram
+      "café au lait",        // 2-byte UTF-8 char inside
+      "x😀yz w",        // supplementary (surrogate pair) codepoint
+      "á́bcd")         // combining runs
+      .toDF("text")
+    val kernel = docs.select(expr("graft_char_trigrams(text)").as("g"))
+      .collect().map(_.getSeq[String](0))
+    val hof = docs.select(
+      expr("CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) ELSE array() END").as("g"))
+      .collect().map(_.getSeq[String](0))
+    kernel.zip(hof).zipWithIndex.foreach { case ((k, h), i) =>
+      assert(k === h, s"doc $i")
+    }
+  }
+
   /** The pre-kernel formulation, kept as the reference semantics. */
   private def relationalPostings(docs: DataFrame): DataFrame = {
     val toks = docs
