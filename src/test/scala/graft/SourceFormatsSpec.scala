@@ -33,6 +33,21 @@ class SourceFormatsSpec extends SparkSpec {
     assert(math.abs(sumBack - sumOrig) < 1e-6)
   }
 
+  test("ORC round trip preserves rows, schema, and pushdown") {
+    val out = tmpDir("graft-orc-src")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode(SaveMode.Overwrite).orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      ev.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("event_id") > 100).select("event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]"), plan)
+  }
+
   test("CSV ingest drops malformed rows and counts them (DROPMALFORMED-with-metrics)") {
     val dir = tmpDir("graft-csv-src")
     val f = new java.io.PrintWriter(s"$dir/events.csv")
