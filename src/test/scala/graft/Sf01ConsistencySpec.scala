@@ -34,4 +34,37 @@ class Sf01ConsistencySpec extends SparkSpec {
       }
     }
   }
+
+  test("sf0.1: split fractions approach 80/10/10 at 5000 docs") {
+    val n = graft.engine.Tables.documents(spark, bigDir).count().toDouble
+    val frac = graft.operators.OrderingOps.splitAssign(spark, bigDir)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.02, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.02, frac.toString)
+  }
+
+  test("sf0.1: shuffle_blocks stays a dense permutation across many blocks") {
+    val out = graft.operators.OrderingOps.shuffleBlocks(spark, bigDir)
+    val n = out.count()
+    val stats = out.agg(min("global_pos"), max("global_pos"),
+      countDistinct("global_pos"), countDistinct("block")).collect().head
+    assert(stats.getLong(0) === 1L && stats.getLong(1) === n)
+    assert(stats.getLong(2) === n)
+    // 5000 keys over 256 hash-prefix blocks: essentially all blocks hit
+    assert(stats.getLong(3) > 200, s"only ${stats.getLong(3)} blocks used")
+  }
+
+  test("sf0.1: emb cluster collapse converges and every pair lands in one cluster") {
+    val pairs = Similarity.embNearDupPairs(spark, bigDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val roots = Similarity.embNearDupClusters(spark, bigDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(roots(a) === roots(b), s"pair ($a,$b) split across clusters")
+    }
+    roots.foreach { case (_, r) => assert(roots(r) === r, "root must be its own root") }
+  }
 }
