@@ -49,4 +49,22 @@ class PlanGuardSpec extends SparkSpec {
       "signature pass regressed to nested-literal element_at indexing")
     assert(!phys.contains("CartesianProduct"), "cartesian product in LSH top-k plan")
   }
+
+  test("window top-k queries keep Spark's native WindowGroupLimit heap pushdown") {
+    // rank-filter-over-window is planned with per-partition heaps
+    // (InferWindowGroupLimit, Spark 3.5+) — pin it so a formulation change
+    // doesn't silently fall back to full per-partition sorts. (This is why
+    // the engine does NOT ship a custom top-k-per-key strategy: the
+    // built-in already plans the bounded-heap shape.)
+    val phys = graft.operators.Relational.w1LatestPerUserWindow(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"), phys)
+  }
+
+  test("lm_score: trigram extraction stays the O(n) CharTrigrams kernel") {
+    val phys = graft.operators.LexiconOps.lmScore(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(phys.toLowerCase.contains("chartrigrams"),
+      "lm_score regressed to the interpreted quadratic HOF trigram pass")
+  }
 }
