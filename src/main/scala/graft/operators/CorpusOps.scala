@@ -18,7 +18,10 @@ object CorpusOps extends QueryModule {
     if (i < 0) sql else sql.substring(0, i).trim
   }
 
-  def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The cleaned corpus WITHOUT presentation ordering — the composable
+    * form [[corpusFilter]] and [[corpusToTraining]] both build on.
+    */
+  private[operators] def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
     val stats = TextOps.textStats(s, dir)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
     val rep = TextOps.textRepetition(s, dir)
@@ -35,8 +38,10 @@ object CorpusOps extends QueryModule {
         col("max_run_len") <= 3 && col("is_cont").isNull && col("is_dup").isNull)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"), col("max_run_len"))
-      .orderBy("doc_id")
   }
+
+  def corpusFilter(s: SparkSession, dir: String): DataFrame =
+    cleanedDocs(s, dir).orderBy("doc_id")
 
   val corpusFilterOracle: String =
     s"""WITH stats AS (${stripOrderBy(TextOps.textStatsOracle)}),
@@ -50,7 +55,59 @@ object CorpusOps extends QueryModule {
        | AND s.doc_id NOT IN (SELECT doc_id FROM dups)
        |ORDER BY s.doc_id""".stripMargin
 
+  /** The FULL training-data chain as one declarative plan: clean (quality
+    * + repetition + contamination + near-dup) → hash-split train/val/test
+    * → deterministic md5 shuffle order within each split → offset-based
+    * packing into 2048-token training packs. This is the query a user
+    * actually ships to turn a raw crawl into training input; every stage
+    * reuses an oracle-checked operator's exact dataflow, and the oracle
+    * here is the same CTE composition. Shuffle inventory: the cleaning
+    * joins (keyed on doc_id), then ONE exchange on the split label shared
+    * by the rank + running-sum windows.
+    */
+  def corpusToTraining(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val cleaned = cleanedDocs(s, dir)
+      .withColumn("split", graft.operators.OrderingOps.splitExpr(col("doc_id")))
+    val w = Window.partitionBy(col("split"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    cleaned
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) / lit(budget.toDouble))
+          .cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"),
+        col("rk"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val corpusToTrainingOracle: String =
+    s"""WITH stats AS (${stripOrderBy(TextOps.textStatsOracle)}),
+       |rep AS (${stripOrderBy(TextOps.textRepetitionOracle)}),
+       |cont AS (SELECT DISTINCT doc_id FROM (${stripOrderBy(Dedup.contaminationOracle)})),
+       |dups AS (SELECT DISTINCT doc_b AS doc_id FROM (${stripOrderBy(Dedup.dedupNgramJaccardOracle)})),
+       |cleaned AS (
+       | SELECT s.doc_id, s.lang, s.n_tokens,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
+       |       WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 58982 THEN 'val'
+       |       ELSE 'test' END AS split
+       | FROM stats s JOIN rep r USING (doc_id)
+       | WHERE s.quality_score >= 0.55 AND s.n_tokens >= 20 AND r.max_run_len <= 3
+       |  AND s.doc_id NOT IN (SELECT doc_id FROM cont)
+       |  AND s.doc_id NOT IN (SELECT doc_id FROM dups))
+       |SELECT doc_id, lang, n_tokens, split,
+       | CAST(row_number() OVER win AS BIGINT) AS rk,
+       | CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY split
+       |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS pack_id
+       |FROM cleaned
+       |WINDOW win AS (PARTITION BY split ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
+    RegisteredQuery("corpus_to_training", corpusToTraining, Some(corpusToTrainingOracle)),
   )
 }

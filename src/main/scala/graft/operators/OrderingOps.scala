@@ -29,6 +29,14 @@ object OrderingOps extends QueryModule {
   private def md5Bucket(c: org.apache.spark.sql.Column, n: Int) =
     conv(substring(md5(c.cast("string")), 1, n), 16, 10).cast("long")
 
+  /** The 80/10/10 split label as a reusable column expression (see
+    * [[splitAssign]] for the semantics and determinism rationale).
+    */
+  def splitExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = md5Bucket(c, 4)
+    when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+  }
+
   // ---------------------------------------------------------------------
   // Train/val/test split assignment
   // ---------------------------------------------------------------------
@@ -45,10 +53,7 @@ object OrderingOps extends QueryModule {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         md5Bucket(col("doc_id"), 4).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 52429, "train")
-          .when(col("bucket") < 58982, "val")
-          .otherwise("test"))
+      .withColumn("split", splitExpr(col("doc_id")))
       .orderBy("doc_id")
 
   val splitAssignOracle: String =

@@ -103,4 +103,22 @@ class OrderingSpec extends SparkSpec {
       .sortBy(_._2).map(_._1)
     assert(firstPosPerBlock === firstPosPerBlock.sorted)
   }
+
+  test("corpus_to_training: splits partition the cleaned corpus; packs respect the budget") {
+    val budget = 2048
+    val rows = graft.operators.CorpusOps.corpusToTraining(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val cleaned = graft.operators.CorpusOps.corpusFilter(spark, sfDir).count()
+    assert(rows.length.toLong === cleaned)
+    rows.groupBy(r => (r._2, r._5)).foreach { case ((split, pack), docs) =>
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      assert(total <= budget + maxDoc, s"pack ($split, $pack) holds $total tokens")
+    }
+    // ranks are dense 1..n within each split
+    rows.groupBy(_._2).values.foreach { docs =>
+      assert(docs.map(_._4).sorted.toSeq === (1L to docs.length.toLong))
+    }
+  }
 }
