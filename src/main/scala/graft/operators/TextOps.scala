@@ -22,7 +22,15 @@ object TextOps extends QueryModule {
     * arithmetic replicated verbatim in the oracle.
     */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    textStatsOf(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** [[textStats]] as a DataFrame→DataFrame transform — a pure narrow
+    * projection with NO presentation sort, so it runs unchanged over
+    * `readStream` sources (the streaming corpus-cleaning path; see
+    * StreamingSpec — sorting is the one thing streaming forbids here).
+    */
+  def textStatsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"), col("text"))
       .select(
         col("doc_id"), col("lang"),
@@ -39,7 +47,6 @@ object TextOps extends QueryModule {
           lit(0.5) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
           lit(0.3) * col("raw_uniq") +
           lit(0.2) * (lit(1.0) - col("raw_stop")), 3).as("quality_score"))
-      .orderBy("doc_id")
 
   val textStatsOracle: String =
     s"""SELECT doc_id, lang, n_tokens,

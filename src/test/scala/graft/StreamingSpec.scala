@@ -167,6 +167,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("corpus cleaning (quality stats + filter) runs unchanged over readStream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sfDir)
+    val batch = graft.operators.TextOps.textStatsOf(docs)
+      .filter(col("quality_score") >= 0.55 && col("n_tokens") >= 20)
+
+    // the file stream source requires a DIRECTORY; stage the fixture file
+    val inDir = tmpDir("graft-clean-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir)
+    val q = graft.operators.TextOps.textStatsOf(stream)
+      .filter(col("quality_score") >= 0.55 && col("n_tokens") >= 20)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-clean-ckpt"))
+      .format("memory").queryName("clean_stream").outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("clean_stream")
+    // narrow per-row operators need no adaptation for streaming: same
+    // rows, same values, straight from the same projection
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dropDuplicates dedups re-delivered batches across triggers (§2.9 late/dup data)") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("value"))
