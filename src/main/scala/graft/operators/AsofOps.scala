@@ -23,8 +23,8 @@ object AsofOps extends QueryModule {
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, leftTs: String, rightTs: String,
                rightTieBreak: String): DataFrame = {
-    val lStruct = struct(left.columns.map(col): _*)
-    val rStruct = struct(right.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
 

@@ -238,7 +238,7 @@ object Similarity extends QueryModule {
     val k = 16
     val nprobe = 4
     val cents = SimilarityIndex.centroids(s, dir, k)
-    val centCols = (0 until k).map(c => array(cents(c).map(lit): _*).as(s"__cent$c"))
+    val centCols = (0 until k).map(c => array(cents(c).toIndexedSeq.map(lit): _*).as(s"__cent$c"))
     val cellOf = array_max(array((0 until k).map { c =>
       struct(expr(VectorFunctions.dotExpr("raw", s"__cent$c")).as("d"), lit(c).as("c"))
     }: _*)).getField("c")
