@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_char_trigrams"),
       new ExpressionInfo(classOf[CharTrigrams].getName, "graft_char_trigrams"),
       (children: Seq[Expression]) => CharTrigrams(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier(graft.functions.PairCombinations.name),
+      new ExpressionInfo(classOf[graft.functions.PairCombinations].getName,
+        graft.functions.PairCombinations.name),
+      (children: Seq[Expression]) => graft.functions.PairCombinations(children(0))))
     ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
   }
 }

@@ -247,5 +247,9 @@ object TextKernels {
         org.apache.spark.sql.catalyst.FunctionIdentifier(charTrigramsName)))
       reg.createOrReplaceTempFunction(
         charTrigramsName, exprs => CharTrigrams(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(PairCombinations.name)))
+      reg.createOrReplaceTempFunction(
+        PairCombinations.name, exprs => PairCombinations(exprs(0)), "built-in")
   }
 }

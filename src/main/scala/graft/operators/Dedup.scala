@@ -136,6 +136,7 @@ object Dedup extends QueryModule {
     * [[shingleDfCap]] entries so no group can blow up an executor.
     */
   private def pairJaccard(posts: DataFrame, byLang: Boolean): DataFrame = {
+    graft.functions.TextKernels.register(posts.sparkSession)
     val wDoc = Window.partitionBy("doc_id")
     val grouped = posts
       .withColumn("n", count(lit(1)).over(wDoc))
@@ -143,9 +144,12 @@ object Dedup extends QueryModule {
       .agg(collect_list(struct(col("doc_id"), col("n"), col("lang"))).as("ds"))
     val langOk = if (byLang) col("a.lang") === col("b.lang") else lit(true)
     grouped
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id") && langOk)
+      // graft_pairs emits the k(k-1)/2 doc-ordered combinations per
+      // shingle group directly — the double-explode spelling generated k²
+      // rows and discarded half through the a<b filter, doubling the
+      // widest intermediate of the whole dedup family
+      .selectExpr(s"${graft.functions.PairCombinations.name}(ds) AS (a, b)")
+      .filter(langOk)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
