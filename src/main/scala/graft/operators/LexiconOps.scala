@@ -164,14 +164,15 @@ object LexiconOps extends QueryModule {
         explode(col("toks")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    // document frequency derives from the ALREADY-AGGREGATED tf table —
-    // each (doc, term) appears exactly once there, so count == distinct
-    // doc count, and the corpus is tokenized+exploded once, not twice
-    val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    // document frequency as a WINDOW over the already-aggregated tf table
+    // — each (doc, term) appears exactly once there, so the per-term row
+    // count IS the distinct doc count. Referencing tf from a separate
+    // aggregate + self-join planned the tokenize+explode subtree twice;
+    // the window costs one keyed exchange of the (much smaller) tf table
+    // and the corpus is tokenized exactly once.
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         roundTo((col("cnt").cast("double") / col("dl")) *
