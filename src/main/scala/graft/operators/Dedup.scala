@@ -182,6 +182,64 @@ object Dedup extends QueryModule {
        | JOIN sizes sb ON sb.doc_id = inter.doc_b)
        |WHERE j >= $jaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental (CDC-shaped) near-dup check: an INCOMING batch screened
+    * against the EXISTING corpus — the dedup a production ingest actually
+    * runs per batch, asymmetric where [[dedupNgramJaccard]] is whole-corpus.
+    * The fixture has no second batch, so every 25th doc is replayed
+    * re-keyed (+100000) as the incoming batch — re-crawled duplicates,
+    * identically in the oracle. The inverted-index join is one-sided
+    * (incoming postings × existing postings on shingle+lang), so cost
+    * scales with the BATCH, not the corpus pair count; per-doc set sizes
+    * ride on a window over the shared capped postings. At 100 TB the
+    * existing side's postings are a maintained index, not recomputed.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val incoming = base.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val posts = postingsOf(base.unionByName(incoming))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val pNew = posts.filter(col("doc_id") >= 100000L)
+      .select(col("doc_id").as("new_id"), col("g"), col("lang"), col("n").as("nn"))
+    val pOld = posts.filter(col("doc_id") < 100000L)
+      .select(col("doc_id").as("old_id"), col("g"), col("lang").as("ol"), col("n").as("no"))
+    pNew.join(pOld, pNew("g") === pOld("g") && pNew("lang") === pOld("ol"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("inter"), first(col("nn")).as("na"), first(col("no")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("new_id"), col("old_id"), roundTo(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH docs2 AS (
+       | SELECT doc_id, text, lang FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 25 = 0),
+       |shingled AS (
+       | SELECT doc_id, lang,
+       |  CASE WHEN len(t) >= 3 THEN
+       |   list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' ')))
+       |  ELSE list_distinct([array_to_string(t, ' ')]) END AS s
+       | FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM docs2)),
+       |posts AS (
+       | SELECT doc_id, lang, g FROM (SELECT doc_id, lang, unnest(s) AS g FROM shingled)
+       | QUALIFY count(*) OVER (PARTITION BY g) <= $shingleDfCap),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+       |inter AS (
+       | SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+       | FROM posts a JOIN posts b ON a.g = b.g AND a.lang = b.lang
+       | WHERE a.doc_id >= 100000 AND b.doc_id < 100000
+       | GROUP BY 1, 2)
+       |SELECT new_id, old_id, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
+       | SELECT new_id, old_id, i::DOUBLE / (sa.n + sb.n - i) AS j
+       | FROM inter
+       | JOIN sizes sa ON sa.doc_id = inter.new_id
+       | JOIN sizes sb ON sb.doc_id = inter.old_id)
+       |WHERE j >= $jaccardThreshold ORDER BY new_id, old_id""".stripMargin
+
   /** MinHash signatures: 32 per-seed re-hashes (`xxhash64(h, i)` — cheap
     * on longs, and ANSI-safe where a*h+b wraparound multiplication throws
     * ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode) over the
@@ -433,5 +491,6 @@ object Dedup extends QueryModule {
     RegisteredQuery("dedup_minhash_lsh", dedupMinhashLsh, None),
     RegisteredQuery("dedup_simhash", dedupSimhash, None),
     RegisteredQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    RegisteredQuery("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
   )
 }

@@ -23,6 +23,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: every replayed doc rematches its source at jaccard 1.0") {
+    val rows = Dedup.dedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val replayed = graft.engine.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 25 === 0)
+      .collect().map(_.getLong(0))
+    assert(replayed.nonEmpty)
+    replayed.foreach { id =>
+      assert(rows.get((id + 100000L, id)).contains(1.0),
+        s"incoming copy of $id did not rematch its source exactly")
+    }
+    // asymmetry: matches always point new -> old
+    rows.keys.foreach { case (n, o) => assert(n >= 100000L && o < 100000L) }
+  }
+
   test("MinHash LSH finds every lang-blocked brute-force pair, with equal jaccard") {
     val brute = Dedup.dedupNgramJaccard(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
