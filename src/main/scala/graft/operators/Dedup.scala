@@ -182,6 +182,47 @@ object Dedup extends QueryModule {
        | JOIN sizes sb ON sb.doc_id = inter.doc_b)
        |WHERE j >= $jaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** [[contaminationCheck]] with a Bloom-filter PRE-SCREEN — identical
+    * results (Bloom filters have no false negatives; false positives die
+    * in the exact join), so it shares the exact-path oracle, but the
+    * corpus postings are first filtered by a codegen'd bitset test
+    * ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
+    * the expression Spark's own runtime row-group filters use). The
+    * sketch is built driver-side over the PROBE set's shingle hashes —
+    * probe/benchmark sets are index-metadata-sized by definition (same
+    * argument as the IVF centroid training) — and ships to executors as
+    * a literal closed over by the registered function. At 100 TB this is
+    * the shape that survives a probe set too large to broadcast-join
+    * cheaply: ~all corpus postings drop at the scan, and only the
+    * sketch-surviving sliver reaches the exact join.
+    */
+  def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val minShared = 2
+    val posts = rawPostingsOf(Tables.documents(s, dir))
+    val bench = posts.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val bloom = bench.stat.bloomFilter("g", 4096L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bench_bloom",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        exprs(0)),
+      "built-in")
+    posts.filter(col("doc_id") >= 5)
+      .filter(expr("graft_bench_bloom(g)"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Incremental (CDC-shaped) near-dup check: an INCOMING batch screened
     * against the EXISTING corpus — the dedup a production ingest actually
     * runs per batch, asymmetric where [[dedupNgramJaccard]] is whole-corpus.
@@ -492,5 +533,7 @@ object Dedup extends QueryModule {
     RegisteredQuery("dedup_simhash", dedupSimhash, None),
     RegisteredQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     RegisteredQuery("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
+    // same oracle as the exact path: the sketch only pre-screens
+    RegisteredQuery("contamination_bloom", contaminationBloom, Some(contaminationOracle)),
   )
 }

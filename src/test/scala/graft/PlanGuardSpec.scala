@@ -67,4 +67,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(phys.toLowerCase.contains("chartrigrams"),
       "lm_score regressed to the interpreted quadratic HOF trigram pass")
   }
+
+  test("contamination_bloom: the sketch pre-screen sits in the plan, results equal the exact path") {
+    val df = Dedup.contaminationBloom(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.toLowerCase.contains("might_contain") || phys.contains("BloomFilterMightContain"),
+      "bloom pre-screen disappeared from the plan")
+    val exact = Dedup.contaminationCheck(spark, sfDir)
+    assert(df.exceptAll(exact).isEmpty && exact.exceptAll(df).isEmpty,
+      "bloom variant diverged from the exact path")
+  }
 }
