@@ -206,6 +206,31 @@ object LexiconOps extends QueryModule {
        |SELECT doc_id, term, score, rk FROM ranked
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Sketch tier of [[vocabTopk]]: a count-min sketch over the token
+    * stream — ONE mergeable aggregate with fixed-size state, the 100 TB
+    * path when the vocabulary itself is too hot/large to hash-aggregate
+    * comfortably (CMS state is eps/confidence-bounded regardless of
+    * cardinality). The sketch is collected (it is kilobytes — control
+    * plane, like the IVF centroids) and probed driver-side for a fixed
+    * token list; estimates are deterministic (fixed seed) but
+    * sketch-specific, so the check is rows-only + the one-sided-error
+    * spec (CMS never undercounts).
+    */
+  def vocabCms(s: SparkSession, dir: String): DataFrame = {
+    val probes = Seq("the", "a", "and", "of", "to", "in",
+      "data", "query", "table", "row", "key", "value", "spark", "zzz_absent")
+    val bytes = Tables.documents(s, dir)
+      .select(explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
+      .select(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("cms"))
+      .collect().head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    import s.implicits._
+    probes.map(t => (t, cms.estimateCount(t)))
+      .toDF("token", "est_count")
+      .orderBy("token")
+  }
+
   // ---------------------------------------------------------------------
   // Char-trigram LM quality scoring
   // ---------------------------------------------------------------------
@@ -270,5 +295,6 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
     RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
+    RegisteredQuery("vocab_cms", vocabCms, None),
   )
 }

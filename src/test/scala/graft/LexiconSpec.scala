@@ -72,6 +72,23 @@ class LexiconSpec extends SparkSpec {
     }
   }
 
+  test("vocab_cms: one-sided error (never undercounts), tight on the fixture, zero for absent token") {
+    val est = graft.operators.LexiconOps.vocabCms(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = exact.values.sum
+    est.foreach { case (t, e) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(e >= truth, s"CMS undercounted $t: $e < $truth")
+      assert(e <= truth + math.max(1L, (3 * 0.0001 * totalTokens).toLong),
+        s"CMS estimate for $t too loose: $e vs $truth")
+    }
+    assert(est("zzz_absent") <= math.max(1L, (3 * 0.0001 * totalTokens).toLong))
+  }
+
   test("lm_score: probabilities are proper (avg_logp <= 0, ppl >= 1, ppl = exp(-avg_logp))") {
     val rows = graft.operators.LexiconOps.lmScore(spark, sfDir).collect()
     val total = graft.engine.Tables.documents(spark, sfDir)
