@@ -51,6 +51,19 @@ class JdbcStoreSpec extends SparkSpec {
     assert(bumped === 0, "updates must win on re-delivered keys")
   }
 
+  test("upsert is idempotent: replaying the same batch adds zero new keys and changes nothing") {
+    val store = newStore("idem")
+    val batch = events.filter(col("event_id") < 200).localCheckpoint(true)
+    assert(store.upsert("events_i", batch, "event_id", "ts") === 200)
+    val first = store.readTable("events_i").localCheckpoint(true)
+    // the reference's CDC loop re-delivers batches on retry; the sink must
+    // converge, not duplicate (database.py ON CONFLICT semantics)
+    assert(store.upsert("events_i", batch, "event_id", "ts") === 0)
+    val second = store.readTable("events_i")
+    assert(second.count() === 200)
+    assert(second.exceptAll(first).isEmpty && first.exceptAll(second).isEmpty)
+  }
+
   test("watermark store appends and returns the max (reference ingestion_state)") {
     val store = newStore("wm")
     assert(store.latestWatermark("state").isEmpty)

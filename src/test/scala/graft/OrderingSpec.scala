@@ -62,7 +62,6 @@ class OrderingSpec extends SparkSpec {
     assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
     // temperature 0.5 up-samples small sources: the selected FRACTION of a
     // small source must be >= that of a strictly larger source
-    val frac = rows.map(r => r._2 -> r._4.toDouble.min(r._2.toDouble))
     rows.sortBy(_._2).sliding(2).foreach {
       case Array(small, large) if small._2 < large._2 =>
         val fs = math.min(small._4, small._2).toDouble / small._2
@@ -74,7 +73,6 @@ class OrderingSpec extends SparkSpec {
     rows.foreach { case (_, n, _, target, selChars) =>
       if (target >= n) assert(selChars > 0 || n == 0)
     }
-    assert(frac.nonEmpty)
   }
 
   test("length_histogram: buckets cover all docs, shares sum to ~1, last bucket capped at 9") {
