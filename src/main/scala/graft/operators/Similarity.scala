@@ -304,6 +304,77 @@ object Similarity extends QueryModule {
        |  SELECT x AS vec_id, least(x, min(y)) AS cluster_root FROM reach GROUP BY x)
        |ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization ANN — the third leg of the ANN triad (hyperplane
+    * LSH, IVF, PQ) and the FAISS-default memory-bound shape: vectors live
+    * as 4-byte PQ codes (16× smaller than the floats), candidate scoring
+    * is asymmetric-distance computation (ADC) — per query a 128-entry
+    * lookup table of sub-space dot products, per candidate 8 table fetches
+    * + adds on the packed code — and only the ADC top-`overfetch` get the
+    * exact rerank. Encoding is the ONE compact [[graft.functions.PqEncode]]
+    * kernel; the ADC expression is 8 codegen'd element_at/shift terms.
+    * Rows-only (codebook-specific); the recall spec gates it against brute
+    * force and the sf0.1 agreement test pins exact scores on shared pairs.
+    * At 100 TB: codes + codebook are the resident index (the floats stay
+    * in cold storage for rerank), queries broadcast, ADC is map-only.
+    */
+  def simPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val kSub = 16
+    val overfetch = 128
+    val flat = SimilarityIndex.pqCodebook(s, dir, m, kSub)
+    val subDim = flat.length / (m * kSub)
+    VectorFunctions.registerPqEncode(s, flat.toIndexedSeq, m, kSub)
+
+    val enc = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr(s"${VectorFunctions.pqEncodeName}(embedding)").as("codes"))
+
+    // per-query ADC tables, driver-built from the (probe-sized) query set:
+    // tab[s*kSub + c] = dot(q_s, codeword(s, c))
+    import s.implicits._
+    val qTabs = normalized(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("e")).collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        val tab = new Array[Double](m * kSub)
+        for (sp <- 0 until m; c <- 0 until kSub) {
+          var d = 0.0
+          var j = 0
+          while (j < subDim) {
+            d += q(sp * subDim + j) * flat((sp * kSub + c) * subDim + j)
+            j += 1
+          }
+          tab(sp * kSub + c) = d
+        }
+        (r.getLong(0), tab.toSeq)
+      }.toSeq.toDF("query_id", "qtab")
+
+    val adc = (0 until m).map { sp =>
+      element_at(col("qtab"),
+        shiftright(col("codes"), sp * 4).bitwiseAND(lit(15L)).cast("int") + lit(sp * kSub + 1))
+    }.reduce(_ + _)
+
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))
+    val short = enc.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("codes"))
+      .crossJoin(broadcast(qTabs))
+      .withColumn("adc", adc)
+      .withColumn("pr", row_number().over(wAdc))
+      .filter(col("pr") <= overfetch)
+      .select(col("query_id"), col("cand_id"))
+
+    val q = normalized(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val c = normalized(s, dir).filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+    short.join(broadcast(q), "query_id").join(c, "cand_id")
+      .select(col("query_id"), col("cand_id"), roundTo(dot("qe", "ce"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 scalar quantization audit — the compression step of a
     * production embedding store (4× smaller vectors, SIMD-friendly int8
     * dot products) with per-vector error accounting: scale = max|x|/127,
@@ -354,6 +425,7 @@ object Similarity extends QueryModule {
     RegisteredQuery("emb_neardup_clusters", embNearDupClusters, Some(embNearDupClustersOracle)),
     RegisteredQuery("sim_lsh_topk", simLshTopk, None),
     RegisteredQuery("sim_ivf_topk", simIvfTopk, None),
+    RegisteredQuery("sim_pq_topk", simPqTopk, None),
     RegisteredQuery("emb_quantize", embQuantize, Some(embQuantizeOracle)),
   )
 }
@@ -429,5 +501,61 @@ object SimilarityIndex {
       cents = Array.tabulate(k)(c => if (cnt(c) == 0) cents(c) else unit(sums(c)))
     }
     cents
+  }
+
+  private val pqCache = scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Double]]
+
+  /** PQ codebooks: `m` sub-spaces × `kSub` codewords, trained by plain L2
+    * k-means per sub-space on the same bounded deterministic sample as the
+    * IVF centroids (unit-normalized first — PQ approximates the unit
+    * vectors whose dot IS the cosine). Returned flat, row-major
+    * [(s*kSub + c)*subDim + j], the layout [[graft.functions.PqEncode]]
+    * reads. Training touches m×kSub×subDim doubles — index metadata.
+    */
+  def pqCodebook(s: SparkSession, dir: String, m: Int, kSub: Int): Array[Double] =
+    pqCache.getOrElseUpdate((fingerprint(dir), m, kSub), trainPq(s, dir, m, kSub))
+
+  private def trainPq(s: SparkSession, dir: String, m: Int, kSub: Int): Array[Double] = {
+    val sample = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .orderBy("vec_id").limit(2048)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, s"no embeddings under $dir")
+    val xs = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val dim = xs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val subDim = dim / m
+    val flat = new Array[Double](m * kSub * subDim)
+    for (sp <- 0 until m) {
+      val sub = xs.map(v => java.util.Arrays.copyOfRange(v, sp * subDim, (sp + 1) * subDim))
+      // deterministic spread init, 10 Lloyd iterations, mean update
+      var cents = Array.tabulate(kSub)(i => sub(((i.toLong * sub.length) / kSub).toInt).clone())
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(kSub)(new Array[Double](subDim))
+        val cnt = new Array[Int](kSub)
+        sub.foreach { v =>
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < kSub) {
+            var d = 0.0; var j = 0
+            while (j < subDim) { val df = v(j) - cents(c)(j); d += df * df; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          cnt(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(kSub)(c =>
+          if (cnt(c) == 0) cents(c) else sums(c).map(_ / cnt(c)))
+      }
+      for (c <- 0 until kSub; j <- 0 until subDim)
+        flat((sp * kSub + c) * subDim + j) = cents(c)(j)
+    }
+    flat
   }
 }

@@ -136,6 +136,23 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"LSH recall@3: $hits/15 at ${rate * 100}%.1f%% rerank rate")
   }
 
+  test("PQ top-k: recall >= 12/15 at a bounded overfetch, exact scores on hits") {
+    val brute = Similarity.simTopkBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.simPqTopk(spark, sfDir).collect()
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // reranked scores are EXACT dot products — identical where both agree
+      brute.get(key).foreach(exact => assert(r.getDouble(2) === exact))
+    }
+    val hits = pq.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= 12, s"PQ recall@3 too low: $hits/15")
+    // the rerank budget is the fixed overfetch (128 of 495 candidates
+    // here; 128 of ~2000 at sf0.1 — the ratio shrinks with corpus size
+    // while LSH/IVF probe rates stay proportional)
+    info(s"PQ recall@3: $hits/15 at overfetch 128")
+  }
+
   test("IVF top-k returns exact scores for its hits and nontrivial recall") {
     val brute = Similarity.simTopkBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
