@@ -26,10 +26,15 @@ object Bench {
       // failed queries report negative time so they can't pass as fast
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the line short: BENCH_r04 came back
+    // "parsed": null because ~76 full-precision doubles pushed the line past
+    // the driver's stdout-tail window and it was truncated mid-JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's line scraper — raw, because build.sbt sets
     // `run / outputStrategy := StdoutOutput` (the default LoggedOutput
     // prefixed every line with "[info] ", which is why BENCH_r01/r02 came
