@@ -42,5 +42,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PairCombinations.name),
       (children: Seq[Expression]) => graft.functions.PairCombinations(children(0))))
     ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

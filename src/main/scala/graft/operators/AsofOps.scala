@@ -47,6 +47,39 @@ object AsofOps extends QueryModule {
       .select(col("__lv").as("left"), col("__m").as("matched"))
   }
 
+  /** Native-plan twin of [[asofJoin]] (preference (c) of the ladder):
+    * builds a [[graft.plans.AsofJoin]] logical node and lets the injected
+    * [[graft.plans.AsofJoinStrategy]] plan it into the one-pass merge
+    * [[graft.plans.AsofJoinExec]]. Output schema matches [[asofJoin]]:
+    * every left column, then every right column nullable (flat, not
+    * struct-nested — the physical operator doesn't need the struct
+    * carrier the window composition did).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+                     key: String, leftTs: String, rightTs: String,
+                     rightTieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+    // the strategy is injected by GraftExtensions; this runtime fallback
+    // covers sessions built without the extensions config (driver smoke)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy) &&
+        !spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    }
+    // re-alias the right side so its attribute ids are fresh even when
+    // both inputs scan the same table (self-as-of) — sidesteps any
+    // reliance on analyzer dedup for a custom node
+    val r2 = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val lp = org.apache.spark.sql.graftbridge.DatasetBridge.analyzed(left)
+    val rp = org.apache.spark.sql.graftbridge.DatasetBridge.analyzed(r2)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"no column $n"))
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      graft.plans.AsofJoin(lp, rp,
+        Seq(attr(lp, key)), Seq(attr(rp, key)),
+        attr(lp, leftTs), attr(rp, rightTs), attr(rp, rightTieBreak)))
+  }
+
   /** Registered exercise: each purchase matched to the user's latest
     * preceding click.
     */
@@ -66,6 +99,25 @@ object AsofOps extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Same exercise through the native plan node — identical oracle, so
+    * the custom `LogicalPlan`/`SparkStrategy`/`SparkPlan` path is gated
+    * by the full rows+schema+hash check, not just a spec.
+    */
+  def asofClicksNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoinNative(purchases, clicks, "user_id", "ts", "ts", "event_id")
+      .toDF("event_id", "user_id", "ts", "r_event_id", "r_user_id", "r_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("r_ts")).as("last_click_ts_us"),
+        col("r_event_id").as("last_click_id"))
+      .orderBy("event_id")
+  }
+
   val asofOracle: String =
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
       | epoch_us(c.ts) AS last_click_ts_us,
@@ -77,5 +129,6 @@ object AsofOps extends QueryModule {
 
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("asof_join", asofClicks, Some(asofOracle)),
+    RegisteredQuery("asof_join_native", asofClicksNative, Some(asofOracle)),
   )
 }

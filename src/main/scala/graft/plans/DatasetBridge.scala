@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** `Dataset.ofRows` is `private[sql]`, so turning a hand-built
+  * [[LogicalPlan]] (graft's [[graft.plans.AsofJoin]]) into a DataFrame
+  * needs one forwarder inside the `org.apache.spark.sql` package tree —
+  * the standard pattern every open-source Spark plan extension uses
+  * (Sedona, Delta, Qbeast all ship exactly this shim). Nothing else in
+  * the repo lives outside the `graft` namespace, and nothing here
+  * touches non-public behavior beyond the access widening.
+  */
+object DatasetBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed plan backing a DataFrame, for building composite
+    * logical nodes whose expressions must reference resolved child
+    * attributes.
+    */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
