@@ -20,6 +20,7 @@ object SparkEntry {
     Extras,
     WindowsAndStats,
     AsofOps,
+    RangeOps,
     SamplingOps,
     OrderingOps,
     LexiconOps,
