@@ -198,8 +198,109 @@ object WindowsAndStats extends QueryModule {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** W4: rolling time-series window — per-user 7-row moving average over
+    * event time, the smoothing pass a metrics/feature pipeline runs before
+    * thresholding. ONE shuffle on the partition key; the frame is
+    * row-bounded so WindowExec streams it with O(frame) state (no
+    * unbounded buffering, unlike range frames over skewed keys).
+    * (event_id tie-breaks equal timestamps — frame contents must be
+    * deterministic for the oracle compare.)
+    */
+  def w4MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("ma7", roundTo(avg(col("value")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id")).rowsBetween(-6, Window.currentRow)), 4))
+      .orderBy("event_id")
+  }
+
+  val w4Oracle: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+      | floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4 AS ma7
+      |FROM events WHERE value IS NOT NULL ORDER BY event_id""".stripMargin
+
+  /** W5: exponentially-weighted moving average — the sequential per-key
+    * fold window functions can't express (each output depends on the
+    * full prefix). Shape: ONE shuffle groups each key's values into an
+    * ordered array, then a single fold per key (`functions.aggregate`,
+    * seeded with the first element exactly like DuckDB's `list_reduce`,
+    * same multiply-add order → bit-identical doubles). The HOF fold is
+    * interpreted, but it runs once per KEY over a bounded per-key
+    * sequence — nothing like the per-row HOF hot paths the similarity
+    * family bans; at 100 TB keys partition freely and per-key state is
+    * the sequence itself. alpha = 0.3.
+    */
+  def w5Ewma(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_values"),
+        roundTo(aggregate(
+          slice(col("seq"), lit(2), size(col("seq")) - 1),
+          element_at(col("seq"), 1).getField("value"),
+          (acc, x) => lit(0.3) * x.getField("value") + lit(0.7) * acc), 4).as("ewma"))
+      .orderBy("user_id")
+
+  val w5Oracle: String =
+    """WITH v AS (
+      | SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      | FROM events WHERE value IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_values,
+      | floor(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) * 1e4 + 0.5) / 1e4 AS ewma
+      |FROM v ORDER BY user_id""".stripMargin
+
+  /** Quantile binning (feature discretization): per-group exact quartile
+    * edges, each row assigned its bin — the numeric-feature bucketing
+    * pass of a training pipeline. Edges are rounded (4dp, binary-exact)
+    * BEFORE comparison on both sides, so bin boundaries are identical
+    * across engines (a13 proves 4dp-rounded percentile parity); the
+    * edge table is group-cardinality-sized → broadcast back, same
+    * topology as TF-IDF's df. Output stays aggregated (bin histogram +
+    * mean), so the compare is compact at any SF.
+    */
+  def featureBins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val edges = ev.groupBy(col("event_type")).agg(
+      roundTo(expr("percentile(value, 0.25)"), 4).as("p25"),
+      roundTo(expr("percentile(value, 0.5)"), 4).as("p50"),
+      roundTo(expr("percentile(value, 0.75)"), 4).as("p75"))
+    ev.join(broadcast(edges), "event_type")
+      .withColumn("bin",
+        when(col("value") <= col("p25"), 0L)
+          .when(col("value") <= col("p50"), 1L)
+          .when(col("value") <= col("p75"), 2L)
+          .otherwise(3L))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), roundTo(avg(col("value")), 2).as("avg_value"))
+      .orderBy("event_type", "bin")
+  }
+
+  val featureBinsOracle: String =
+    """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |q AS (
+      | SELECT event_type,
+      |  floor(quantile_cont(value, 0.25) * 1e4 + 0.5) / 1e4 AS p25,
+      |  floor(quantile_cont(value, 0.5)  * 1e4 + 0.5) / 1e4 AS p50,
+      |  floor(quantile_cont(value, 0.75) * 1e4 + 0.5) / 1e4 AS p75
+      | FROM e GROUP BY 1)
+      |SELECT e.event_type,
+      | CAST(CASE WHEN value <= p25 THEN 0 WHEN value <= p50 THEN 1
+      |      WHEN value <= p75 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+      | count(*) AS n, floor(avg(value) * 1e2 + 0.5) / 1e2 AS avg_value
+      |FROM e JOIN q USING (event_type)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("a6_frac_delay", a6FracDelay, Some(a6Oracle)),
+    RegisteredQuery("w4_moving_avg", w4MovingAvg, Some(w4Oracle)),
+    RegisteredQuery("w5_ewma", w5Ewma, Some(w5Oracle)),
+    RegisteredQuery("feature_bins", featureBins, Some(featureBinsOracle)),
     RegisteredQuery("a14_cube", a14Cube, Some(a14CubeOracle)),
     RegisteredQuery("a15_moments", a15Moments, Some(a15Oracle)),
     RegisteredQuery("w3_tumbling_window", w3TumblingWindow, Some(w3Oracle)),
