@@ -21,6 +21,7 @@ object SparkEntry {
     WindowsAndStats,
     AsofOps,
     RangeOps,
+    LayoutOps,
     SamplingOps,
     OrderingOps,
     LexiconOps,

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Data-layout operators — the write-side half of scan pruning. Parquet
+  * row-group/file skipping works off per-file min/max footer stats, so WHAT
+  * ORDER data lands on disk in decides how selective a 100 TB scan can be.
+  * A single-column sort prunes one predicate dimension; Z-ordering
+  * (interleaving the bits of several dimensions' ranks) keeps EVERY
+  * dimension's values locally clustered, so conjunctive predicates on any
+  * subset of the dimensions skip most files — the layout pass behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`, run here as a plain Spark
+  * range-repartition + write.
+  *
+  * The z-key math is pure integer arithmetic (rank-normalize to 16 bits by
+  * integer division, interleave by shift/or) — bit-identical across
+  * engines, so the key itself is oracle-checked exactly; the layout effect
+  * is proven empirically by `ZorderLayoutSpec` (per-file spans of BOTH
+  * dimensions shrink vs a one-dimensional sort).
+  */
+object LayoutOps extends QueryModule {
+
+  /** Bits per dimension (two dimensions → 32-bit z-key in a long). */
+  private val B = 16
+
+  /** Interleave the low `B` bits of nx into even positions and ny into
+    * odd positions: z = Σ bit_i(nx)·4^i + 2·Σ bit_i(ny)·4^i. Plain
+    * shift/and/or expression tree — whole-stage-codegen'd, no UDF.
+    */
+  def zInterleave(nx: Column, ny: Column): Column =
+    (0 until B).map { i =>
+      (shiftleft(shiftright(nx, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ny, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Registered exercise: z-key every order over (customer, order-day) —
+    * the two dimensions ad-hoc order analytics actually filter on. Output
+    * is the key itself (exact-checked); the write-side effect is spec'd.
+    * All arithmetic is `div` INTEGER division — `unix_micros` exceeds
+    * 2^53, so a double division would already be lossy — which also
+    * makes the rank-normalize floor-divide bit-identical across engines.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).selectExpr(
+      "o_orderkey", "o_custkey",
+      // epoch days: integer domain for the date dimension
+      "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000 AS day")
+    val mm = o.agg(
+      min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+      min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val top = (1L << B) - 1
+    o.crossJoin(broadcast(mm))
+      .selectExpr(
+        "o_orderkey",
+        s"CASE WHEN cmax = cmin THEN 0L ELSE ((o_custkey - cmin) * ${top}L) div (cmax - cmin) END AS nx",
+        s"CASE WHEN dmax = dmin THEN 0L ELSE ((day - dmin) * ${top}L) div (dmax - dmin) END AS ny")
+      .select(col("o_orderkey"), zInterleave(col("nx"), col("ny")).as("zkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val zorderOracle: String = {
+    val terms = (0 until B).map { i =>
+      s"(((nx >> $i) & 1) << ${2 * i}) | (((ny >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH o AS (
+       | SELECT o_orderkey, o_custkey,
+       |  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+       | FROM orders),
+       |mm AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+       |              min(day) AS dmin, max(day) AS dmax FROM o),
+       |n AS (
+       | SELECT o_orderkey,
+       |  CASE WHEN cmax = cmin THEN 0
+       |       ELSE (o_custkey - cmin) * ${(1L << B) - 1} // (cmax - cmin) END AS nx,
+       |  CASE WHEN dmax = dmin THEN 0
+       |       ELSE (day - dmin) * ${(1L << B) - 1} // (dmax - dmin) END AS ny
+       | FROM o, mm)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey
+       |FROM n ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** Write-side pass: range-repartition on the z-key and write — each
+    * output file covers a compact z-range, i.e. a small rectangle in
+    * (dim1, dim2) space, so min/max footer stats prune on either
+    * dimension. `nFiles` maps to the target file size at scale.
+    */
+  def writeZClustered(df: DataFrame, zkey: Column, nFiles: Int, path: String): Unit =
+    df.withColumn("__z", zkey)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("zorder_key", zorderKey, Some(zorderOracle)),
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LayoutOps
+
+/** The z-order layout must actually buy multi-dimensional pruning: after
+  * range-partitioning files by z-key, each file's min/max span in BOTH
+  * dimensions should be a small fraction of the domain — whereas a
+  * one-dimensional date sort leaves the customer dimension unclustered
+  * (every file spans ~the whole customer domain). Footer-stats pruning is
+  * proportional to span, so tighter per-file spans = more skipped files
+  * for conjunctive predicates.
+  */
+class ZorderLayoutSpec extends SparkSpec {
+
+  test("zInterleave: bit-exact on known values, monotone locality") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L), (1L, 1L))
+      .toDF("nx", "ny")
+      .select(LayoutOps.zInterleave(col("nx"), col("ny")).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    // x fills even bits (0x55555555), y odd bits (0xAAAAAAAA)
+    assert(got == Seq(0L, 0x55555555L, 0xAAAAAAAAL, 0xFFFFFFFFL, 3L))
+  }
+
+  test("z-clustered files have tight per-file spans in BOTH dimensions; date sort does not") {
+    val o = graft.engine.Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_custkey",
+        "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000 AS day")
+    val mm = o.agg(min("o_custkey"), max("o_custkey"), min("day"), max("day")).collect().head
+    val (cSpan, dSpan) =
+      (mm.getLong(1) - mm.getLong(0) + 1, mm.getLong(3) - mm.getLong(2) + 1)
+    val top = 65535L
+    val z = LayoutOps.zInterleave(
+      expr(s"((o_custkey - ${mm.getLong(0)}) * $top) div ${cSpan - 1}"),
+      expr(s"((day - ${mm.getLong(2)}) * $top) div ${dSpan - 1}"))
+
+    def avgSpans(path: String): (Double, Double) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("o_custkey") - min("o_custkey")).as("cs"),
+          (max("day") - min("day")).as("ds"))
+        .collect()
+      (byFile.map(_.getLong(1)).sum.toDouble / byFile.length / cSpan,
+        byFile.map(_.getLong(2)).sum.toDouble / byFile.length / dSpan)
+    }
+
+    val nFiles = 16
+    val zPath = tmpDir("graft-zorder")
+    LayoutOps.writeZClustered(o, z, nFiles, zPath)
+    val datePath = tmpDir("graft-datesort")
+    o.repartitionByRange(nFiles, col("day")).sortWithinPartitions("day")
+      .write.mode("overwrite").parquet(datePath)
+
+    val (zc, zd) = avgSpans(zPath)
+    val (sc0, sd0) = avgSpans(datePath)
+    // z-order: both dimensions clustered — each file covers a fraction of each domain
+    assert(zc < 0.5 && zd < 0.5, f"z-order spans not tight: cust=$zc%.2f day=$zd%.2f")
+    // date sort: day clusters but customer stays unclustered (near-full span)
+    assert(sd0 < zd + 0.1, "date sort should cluster the day dimension at least as well")
+    assert(sc0 > 0.9, f"expected near-full customer span under date sort, got $sc0%.2f")
+    assert(zc < sc0 / 2, "z-order should at least halve the customer span vs date sort")
+  }
+}
