@@ -64,6 +64,42 @@ object RangeOps extends QueryModule {
       .agg(count(lit(1)).as("n_inflight"))
       .orderBy("d")
 
+  /** Sweep-line tier of the SAME query — when only interval COUNTS are
+    * needed (not the matched pairs), the candidate-pair join is beatable:
+    * each interval emits +1 at `ship` and -1 at `recv + 1 day`, the
+    * deltas aggregate per boundary date, and a running prefix sum turns
+    * boundaries into inflight counts; each probe date then reads the
+    * running sum at the latest boundary at-or-before it — which falls out
+    * of ONE window pass over the unioned (boundary, probe) stream,
+    * boundaries sorting before probes at equal timestamps (inclusive
+    * ship). Cost: one map over the intervals, one aggregate keyed on
+    * ~|distinct days| boundaries, one window over boundaries+probes.
+    * The bucketed join materializes every (day, interval) match — ~9M
+    * rows at sf0.1, growing with data × span — where the sweep's window
+    * stream is bounded by DISTINCT DAYS, which time itself keeps small
+    * at any corpus size (the unpartitioned window is deliberate and
+    * safe for exactly that reason). Probes with zero inflight drop
+    * (inner-join parity).
+    */
+  def rangeCountSweep(s: SparkSession, dir: String): DataFrame = {
+    val iv = intervals(s, dir)
+    val deltas = iv.select(col("ship").as("t"), lit(1L).as("net"))
+      .unionAll(iv.select(expr("timestampadd(DAY, 1, recv)").as("t"), lit(-1L).as("net")))
+      .groupBy(col("t")).agg(sum(col("net")).as("net"))
+    val probes = orderDates(s, dir)
+      .select(col("d").as("t"), lit(0L).as("net"), lit(1).as("is_probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t"), col("is_probe"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    deltas.select(col("t"), col("net"), lit(0).as("is_probe"))
+      .unionAll(probes)
+      .withColumn("inflight", sum(col("net")).over(w))
+      .filter(col("is_probe") === 1 && col("inflight") > 0)
+      .select(col("t").as("d"), col("inflight").as("n_inflight"))
+      .orderBy("d")
+  }
+
   val rangeJoinOracle: String =
     """WITH iv AS (
       | SELECT l_shipdate AS ship,
@@ -76,5 +112,6 @@ object RangeOps extends QueryModule {
 
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("range_join_inflight", rangeJoinInflight, Some(rangeJoinOracle)),
+    RegisteredQuery("range_count_sweep", rangeCountSweep, Some(rangeJoinOracle)),
   )
 }

@@ -36,6 +36,18 @@ class RangeJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(hash.nonEmpty, "expected an equi join on the month bucket")
   }
 
+  test("sweep-line count == bucketed join count, with NO join in the plan") {
+    val sweep = RangeOps.rangeCountSweep(spark, sfDir)
+    val got = sweep.collect()
+    val want = RangeOps.rangeJoinInflight(spark, sfDir).collect()
+    assert(got.length == want.length && got.length > 0)
+    assert(got.sameElements(want))
+    val joins = collectWithSubqueries(sweep.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, "sweep-line must not contain any join")
+  }
+
   test("the naive twin really is a nested-loop plan (guard that the rewrite matters)") {
     val plan = RangeOps.rangeJoinInflightNaive(spark, sfDir).queryExecution.executedPlan
     val bnl = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
