@@ -22,6 +22,7 @@ object SparkEntry {
     AsofOps,
     RangeOps,
     LayoutOps,
+    ApiSourceOps,
     SamplingOps,
     OrderingOps,
     LexiconOps,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle gate for the DSv2 paginated-API connector
+  * ([[graft.sources.LaunchApiSource]]): the synthetic generator is
+  * deterministic, so DuckDB reproduces the exact table from `range()` —
+  * the connector's planning, pushdown and row materialization are then
+  * held to the same rows+schema+hash standard as every file-backed
+  * operator. The scan itself takes the S3 shape (watermark predicate →
+  * pushed to the source, which skips whole pages at plan time).
+  */
+object ApiSourceOps extends QueryModule {
+
+  def apiSourceScan(s: SparkSession, dir: String): DataFrame = {
+    // watermark at synthetic row 200: pages fully below it are never planned
+    val wm = new java.sql.Timestamp(graft.sources.LaunchApiSource.dateAt(200) / 1000)
+    s.read.format("graft.sources.LaunchApiSource")
+      .option("rows", 1000).option("pageSize", 100).load()
+      .filter(col("date_utc") >= lit(wm))
+      .select(col("launch_id"), col("mission_name"),
+        unix_micros(col("date_utc")).as("date_us"),
+        col("success").cast("long").as("success"), col("payload_mass_kg"))
+      .orderBy("launch_id")
+  }
+
+  val apiSourceOracle: String =
+    """SELECT printf('launch_%08d', i) AS launch_id,
+      | 'Mission ' || CAST(i % 97 AS VARCHAR) AS mission_name,
+      | 1420070400000000 + i * 21600000000 AS date_us,
+      | CAST(CASE WHEN i % 11 = 0 THEN NULL ELSE i % 5 != 0 END AS BIGINT) AS success,
+      | CASE WHEN i % 7 = 0 THEN NULL ELSE (i % 22801) * CAST(0.7 AS DOUBLE) END AS payload_mass_kg
+      |FROM range(0, 1000) t(i)
+      |WHERE i >= 200
+      |ORDER BY launch_id""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("api_source_scan", apiSourceScan, Some(apiSourceOracle)),
+  )
+}

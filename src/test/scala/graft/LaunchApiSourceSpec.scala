@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LaunchApiSource
+
+/** The DSv2 paginated-API source: schema, determinism, plan-time page
+  * skipping under a pushed watermark, and column pruning. rowsGenerated
+  * is the observable for "the filter reached the source" — local-mode
+  * single JVM, so the counter sees executor-side reads.
+  */
+class LaunchApiSourceSpec extends SparkSpec {
+
+  private def api(rows: Long = 1000, pageSize: Int = 100) =
+    spark.read.format("graft.sources.LaunchApiSource")
+      .option("rows", rows).option("pageSize", pageSize).load()
+
+  test("full scan: schema, row count, deterministic content") {
+    val df = api()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("launch_id", "mission_name", "date_utc", "success", "payload_mass_kg"))
+    assert(df.count() == 1000)
+    val first = df.orderBy("launch_id").first()
+    assert(first.getString(0) == "launch_00000000")
+    assert(df.orderBy("launch_id").first() == first) // rerun = same row
+  }
+
+  test("watermark pushdown skips whole pages at plan time") {
+    // watermark at row 700 of 1000 -> pages 0-6 fully below, skipped
+    val wm = new java.sql.Timestamp(LaunchApiSource.dateAt(700) / 1000)
+    LaunchApiSource.rowsGenerated.set(0)
+    val df = api().filter(col("date_utc") >= lit(wm))
+    assert(df.count() == 300)
+    val generated = LaunchApiSource.rowsGenerated.get()
+    assert(generated == 300, s"expected only qualifying rows materialized, got $generated")
+    assert(df.rdd.getNumPartitions == 3, "fully-filtered pages must not become partitions")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("minDateUs=Some"), s"pushed watermark missing from scan:\n$scanDesc")
+  }
+
+  test("strict > excludes the boundary row; unsupported filters stay post-scan") {
+    val wm = new java.sql.Timestamp(LaunchApiSource.dateAt(999) / 1000)
+    assert(api().filter(col("date_utc") > lit(wm)).count() == 0)
+    assert(api().filter(col("date_utc") >= lit(wm)).count() == 1)
+    // success filter is NOT pushed; rows still materialize then filter
+    LaunchApiSource.rowsGenerated.set(0)
+    assert(api(rows = 110).filter(col("success") === true).count() > 0)
+    assert(LaunchApiSource.rowsGenerated.get() == 110, "non-pushed filter must not prune the scan")
+  }
+
+  test("column pruning reaches the reader") {
+    val df = api().select(countDistinct(col("mission_name")).as("n"))
+    assert(df.collect().head.getLong(0) == 97)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=mission_name"), s"reader not pruned:\n$scan")
+  }
+
+  test("watermark + aggregation end-to-end (the S3 incremental-scan shape)") {
+    val wm = new java.sql.Timestamp(LaunchApiSource.dateAt(500) / 1000)
+    val agg = api().filter(col("date_utc") >= lit(wm))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("success") === true, 1).otherwise(0)).as("succ"))
+      .collect().head
+    assert(agg.getLong(0) == 500)
+    assert(agg.getLong(1) > 300) // ~4/5 of non-null-success rows succeed
+  }
+}
