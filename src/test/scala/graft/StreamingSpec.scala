@@ -80,6 +80,47 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.size < batchWindows.size, "watermark should hold back the tail window")
   }
 
+  test("stream-stream interval join (watermarked both sides) matches the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+
+    val pDir = tmpDir("graft-ssj-p"); val cDir = tmpDir("graft-ssj-c")
+    val ckpt = tmpDir("graft-ssj-ckpt")
+    purchases.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$pDir/f1")
+    clicks.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$cDir/f1")
+
+    // clicks within the 6 hours before each purchase, same user — the
+    // attribution-window join; the time-range condition bounds both
+    // sides' state so watermarks can evict it
+    val cond = "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 6 HOURS AND p_ts"
+    val batch = purchases.join(clicks, expr(cond))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sp = spark.readStream.schema(purchases.schema).parquet(s"$pDir/*")
+      .withWatermark("p_ts", "1 hour")
+    val sc = spark.readStream.schema(clicks.schema).parquet(s"$cDir/*")
+      .withWatermark("c_ts", "1 hour")
+    val q = sp.join(sc, expr(cond))
+      .select(col("p_id"), col("c_id"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ssj").outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "expected attribution pairs in the fixture")
+    assert(streamed == batch, s"stream-stream join diverged: " +
+      s"${(streamed -- batch).size} extra, ${(batch -- streamed).size} missing")
+  }
+
   test("mapGroupsWithState running per-user counts converge to batch counts") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
