@@ -104,8 +104,11 @@ case class AsofJoinExec(
     rightKeys.map(SortOrder(_, Ascending)) ++
       Seq(SortOrder(rightTs, Ascending), SortOrder(rightTie, Ascending)))
 
-  // one output row per left row, in left order — left's partitioning survives
+  // one output row per left row, in left order — left's partitioning and
+  // (key, ts) sort order survive, so downstream keyed ops can skip both
+  // the exchange and the sort
   override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
