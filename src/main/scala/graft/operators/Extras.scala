@@ -148,8 +148,38 @@ object Extras extends QueryModule {
       | CAST(sum(mass) AS DOUBLE) AS total_mass_dbl
       |FROM d GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** A4/A10 at 100 TB: incremental distinct via MERGEABLE sketches. The
+    * reference recomputes `COUNT(DISTINCT launchpad_id)` from the full
+    * table every batch (`/root/reference/src/aggregations.py:290-291` —
+    * "for accuracy"); at scale the answer is a Datasketches HLL per batch,
+    * merged at snapshot time: per-batch cost is one pass over the BATCH,
+    * the union is sketch-sized, and the estimate never rescans history.
+    * Here: two event batches split at the pipeline's watermark → one
+    * sketch each → `hll_union_agg` → estimate, with the exact distinct
+    * alongside. Rows-only (sketch internals are engine-specific);
+    * `HllUnionSpec` gates estimate-vs-exact error and the
+    * union==whole-table-sketch identity.
+    */
+  def a4HllUnion(s: SparkSession, dir: String): DataFrame = {
+    // mid-January: events span Jan 2024 at every SF, so both batches are
+    // non-empty (same watermark family as Relational.j2Cutoff)
+    val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val sketches = ev
+      .withColumn("batch", when(col("ts") < cutoff, 0).otherwise(1))
+      .groupBy(col("batch"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("batch_exact"))
+    sketches.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+      count(lit(1)).cast("long").as("n_batches"),
+      sum(col("batch_exact")).as("sum_batch_exact"))
+      .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_union"))))
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("p1_projection", p1Projection, Some(p1Oracle)),
+    RegisteredQuery("a4_hll_union", a4HllUnion, None),
     RegisteredQuery("sql_q4", sqlQ4, Some(sqlQ4Text)),
     RegisteredQuery("a11_agg_of_agg", a11AggOfAgg, Some(a11Oracle)),
     RegisteredQuery("scalar_roundtrip", scalarRoundtrip, Some(scalarRoundtripOracle)),
