@@ -56,6 +56,20 @@ class Sf01ConsistencySpec extends SparkSpec {
     assert(stats.getLong(3) > 200, s"only ${stats.getLong(3)} blocks used")
   }
 
+  test("sf0.1: native as-of join == window composition (100k events)") {
+    val a = graft.operators.AsofOps.asofClicks(spark, bigDir).collect()
+    val b = graft.operators.AsofOps.asofClicksNative(spark, bigDir).collect()
+    assert(a.length == b.length && a.length > 1000)
+    assert(a.sameElements(b))
+  }
+
+  test("sf0.1: range-join tiers agree (pair join == sweep-line)") {
+    val pair = graft.operators.RangeOps.rangeJoinInflight(spark, bigDir).collect()
+    val sweep = graft.operators.RangeOps.rangeCountSweep(spark, bigDir).collect()
+    assert(pair.length == sweep.length && pair.length > 1000)
+    assert(pair.sameElements(sweep))
+  }
+
   test("sf0.1: emb cluster collapse converges and every pair lands in one cluster") {
     val pairs = Similarity.embNearDupPairs(spark, bigDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
