@@ -60,11 +60,15 @@ object AsofOps extends QueryModule {
                      rightTieBreak: String): DataFrame = {
     val spark = left.sparkSession
     // the strategy is injected by GraftExtensions; this runtime fallback
-    // covers sessions built without the extensions config (driver smoke)
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy) &&
-        !spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    // covers sessions built without the extensions config (same pattern
+    // as TextKernels.register). Synchronized check-then-append so two
+    // threads composing native as-of joins can't double-register.
+    AsofOps.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy) &&
+          !spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+      }
     }
     // re-alias the right side so its attribute ids are fresh even when
     // both inputs scan the same table (self-as-of) — sidesteps any

@@ -16,15 +16,18 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * — registered through `SparkSessionExtensions.injectPlannerStrategy`
   * ([[graft.GraftExtensions]]).
   *
-  * Semantics (same contract as the compositional
-  * [[graft.operators.AsofOps.asofJoin]], which stays as the independent
-  * twin the spec cross-checks): for each left row, the single right row
-  * sharing the equi-key with the greatest `rightTs <= leftTs`, ties on
-  * `rightTs` broken by the greatest `rightTie`; unmatched left rows keep
-  * nulls (left outer). NULL keys and NULL timestamps never match — SQL
+  * Semantics: for each left row, the single right row sharing the
+  * equi-key with the greatest `rightTs <= leftTs`, ties on `rightTs`
+  * broken by the greatest `rightTie`; unmatched left rows keep nulls
+  * (left outer). NULL keys and NULL timestamps never match — SQL
   * comparison semantics, as DuckDB's native `ASOF LEFT JOIN` oracle
   * (reference analytics tier, the era-style point-in-time lookups under
-  * `/root/reference/sql/analytics/`) implements them.
+  * `/root/reference/sql/analytics/`) implements them. The compositional
+  * [[graft.operators.AsofOps.asofJoin]] stays as the independent twin the
+  * specs cross-check on NULL-free keys/timestamps; on rows WITH NULLs the
+  * twins deliberately diverge (its window `partitionBy` groups NULL keys
+  * together, so it would match them) — this operator is the
+  * SQL-semantics one.
   *
   * Physical shape — why this beats the window composition at scale: the
   * composition unions both sides and runs `last_value` over a
@@ -50,6 +53,14 @@ case class AsofJoin(
     rightTie: Expression) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length, "as-of key arity mismatch")
+  // no analyzer coercion pass runs for a custom node: mismatched types
+  // would silently compare garbage bytes in the merge, so fail loudly here
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of key type mismatch: ${l.dataType} vs ${r.dataType}")
+  }
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp type mismatch: ${leftTs.dataType} vs ${rightTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -130,6 +141,9 @@ case class AsofJoinExec(
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      // consumers (executeCollect, sorts, shuffles) cast to UnsafeRow —
+      // same result projection SortMergeJoinExec applies to its output
+      val resultProj = UnsafeProjection.create(output, output)
       // latest right row whose key equals matchKey (copies: the
       // projections reuse their buffers across rows)
       var matchRow: InternalRow = null
@@ -158,7 +172,7 @@ case class AsofJoinExec(
               keyOrd.compare(matchKey, lk) == 0) matchRow
           else nullRight
         numOutputRows += 1
-        joined(l, m)
+        resultProj(joined(l, m))
       }
     }
   }

@@ -71,6 +71,8 @@ private[sources] class LaunchApiTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val rows = options.getLong("rows", 1000L)
   private val pageSize = options.getInt("pagesize", 100)
+  require(rows >= 0, s"launch_api: rows must be >= 0, got $rows")
+  require(pageSize >= 1, s"launch_api: pageSize must be >= 1, got $pageSize")
 
   override def name(): String = s"launch_api(rows=$rows, pageSize=$pageSize)"
   override def schema(): StructType = LaunchApiSource.schema
