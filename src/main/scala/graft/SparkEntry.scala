@@ -19,6 +19,8 @@ object SparkEntry {
     Multimodal,
     Extras,
     WindowsAndStats,
+    ReshapeOps,
+    SkewOps,
     AsofOps,
     RangeOps,
     LayoutOps,

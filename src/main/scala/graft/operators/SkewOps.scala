@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Scalars._
+
+/** Skew-mitigation operators: salted join and two-phase (salted) aggregation.
+  *
+  * The 100 TB story: a handful of hot keys (the one mega-customer, the empty
+  * string, the null-ish sentinel) can put an entire shuffle partition on one
+  * executor while the other 999 idle. The mitigation ladder is:
+  *  1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+  *     [[graft.engine.Sessions]]) — handles sort-merge-join skew at runtime
+  *     with no code change ([[graft.SkewJoinAqeSpec]] proves it engages);
+  *  2. salting, when AQE can't help: a skewed AGGREGATION (partial state is
+  *     per-partition, but one final-agg key still lands on one task), or a
+  *     skewed shuffled hash join, or a build side AQE won't split.
+  *
+  * Both renditions here produce EXACTLY the plain operator's result (the
+  * oracle is the unsalted SQL), so salting is a drop-in plan rewrite, not a
+  * semantic change.
+  *
+  * Salt discipline: the salt must be a DETERMINISTIC function of row
+  * identity (here `xxhash64` of the row key, not `rand()`): re-runs and
+  * retried tasks salt identically, so the operators stay idempotent and
+  * spec-able. In production the replication factor tracks the observed hot
+  * keys (salt only those; broadcast the hot-key list); these renditions
+  * salt uniformly, the worst case for overhead, and still plan as two
+  * codegen'd hash aggregates / one shuffled join.
+  */
+object SkewOps extends QueryModule {
+
+  val saltFactor = 8
+
+  /** J4: salted large×large join — lineitem⨝orders on the order key with
+    * the fact side salted `xxhash64(orderkey, linenumber) % 8` and the
+    * dimension side replicated ×8 (explode over the salt domain), joined on
+    * (key, salt). A hot order key's rows now spread across 8 shuffle
+    * partitions instead of 1. Broadcast is disabled for the replicated side
+    * so the shuffled-join shape under test is the one that actually plans
+    * (at real scale orders wouldn't broadcast anyway).
+    */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val salts = (0 until saltFactor).map(lit(_))
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltFactor)).as("salt"))
+    val dim = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array(salts: _*)))
+      .hint("shuffle_hash") // pin the non-broadcast shape the pattern targets
+    fact.join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        roundTo(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val saltedJoinOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      | floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** A17: two-phase salted aggregation — partial aggregate on
+    * (key, salt), final aggregate on key. Count and sum re-aggregate
+    * losslessly (sum-of-counts, sum-of-sums), so the result is the plain
+    * groupBy's. At scale this is the fix when ONE group key dominates the
+    * final aggregate (map-side partials already spread the pre-shuffle
+    * work, but every partial for the hot key still meets on one reducer —
+    * the salt splits that reducer ×8, and the second aggregate only sees
+    * 8 rows per key).
+    */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        pmod(xxhash64(col("event_id")), lit(saltFactor)).as("salt"))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"), roundTo(sum(col("pv")), 2).as("total_value"))
+      .orderBy("user_id")
+
+  val saltedAggOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS total_value
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("j4_salted_join", saltedJoin, Some(saltedJoinOracle)),
+    RegisteredQuery("a17_salted_agg", saltedAgg, Some(saltedAggOracle)),
+  )
+}

@@ -296,8 +296,83 @@ object WindowsAndStats extends QueryModule {
       |FROM e JOIN q USING (event_type)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** W6: the ranking-function suite — row_number / rank / dense_rank /
+    * percent_rank / cume_dist / ntile(4) per market segment. Two window
+    * orderings on purpose: the unique (balance, key) order drives the
+    * total-order functions (row_number/ntile/percent_rank/cume_dist stay
+    * deterministic), while rank/dense_rank rank over a COARSE key
+    * (thousand-dollar balance bucket) so real ties exercise the
+    * rank-vs-dense-rank gap — tie values are order-independent, so the
+    * output is still deterministic.
+    *
+    * Scale: one shuffle on the partition key, one sort per partition —
+    * both windows share the (segment, balance, key) sort order, so
+    * Catalyst plans a single WindowExec pair with no extra exchange.
+    */
+  def w6RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val byBal  = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val byBucket = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(floor(col("c_acctbal") / 1000).desc)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        row_number().over(byBal).cast("long").as("rn"),
+        ntile(4).over(byBal).cast("long").as("quartile"),
+        roundTo(percent_rank().over(byBal), 6).as("pct_rank"),
+        roundTo(cume_dist().over(byBal), 6).as("cume"),
+        rank().over(byBucket).cast("long").as("bucket_rank"),
+        dense_rank().over(byBucket).cast("long").as("bucket_dense_rank"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val w6Oracle: String =
+    """SELECT c_mktsegment, c_custkey,
+      | row_number() OVER wb AS rn,
+      | ntile(4) OVER wb AS quartile,
+      | floor(percent_rank() OVER wb * 1e6 + 0.5) / 1e6 AS pct_rank,
+      | floor(cume_dist() OVER wb * 1e6 + 0.5) / 1e6 AS cume,
+      | rank() OVER wk AS bucket_rank,
+      | dense_rank() OVER wk AS bucket_dense_rank
+      |FROM customer
+      |WINDOW wb AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+      |       wk AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** T6: top-k per group — the 3 priciest orders per market segment.
+    * Declared as row_number ≤ k over a window; Spark 3.5+ rewrites this to
+    * WindowGroupLimit, which keeps a size-k heap BEFORE the shuffle on each
+    * map task, so the exchange moves O(k × partitions) rows instead of the
+    * whole fact table — the global-top-k story (T1,
+    * TakeOrderedAndProject) generalized per-group.
+    */
+  def t6TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), roundTo(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val t6Oracle: String =
+    """SELECT c_mktsegment, rn, o_orderkey,
+      | floor(o_totalprice * 1e2 + 0.5) / 1e2 AS o_totalprice
+      |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("a6_frac_delay", a6FracDelay, Some(a6Oracle)),
+    RegisteredQuery("w6_rank_suite", w6RankSuite, Some(w6Oracle)),
+    RegisteredQuery("t6_topk_per_group", t6TopkPerGroup, Some(t6Oracle)),
     RegisteredQuery("w4_moving_avg", w4MovingAvg, Some(w4Oracle)),
     RegisteredQuery("w5_ewma", w5Ewma, Some(w5Oracle)),
     RegisteredQuery("feature_bins", featureBins, Some(featureBinsOracle)),
