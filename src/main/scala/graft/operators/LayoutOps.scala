@@ -94,7 +94,57 @@ object LayoutOps extends QueryModule {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Compaction target in "bytes" (the fixture's char counts stand in for
+    * file sizes; at scale this is ~128 MB). */
+  val compactionTarget = 20000L
+
+  /** Small-file compaction planner — the OTHER chronic layout problem at
+    * 100 TB: streaming/incremental ingest leaves millions of KB-sized
+    * files, and open-file overhead (footer reads, task scheduling) comes
+    * to dominate scans. The planner assigns input files to target-sized
+    * output groups by a prefix-sum bin-pack: files in stable (doc_id)
+    * order, each bin closed once the RUNNING total crosses the target —
+    * `bin = bytes_before div target`. One unpartitioned window prefix sum
+    * is deliberate and safe: the input is file METADATA (one row per
+    * file, millions of rows at 100 TB), not data — same bounded-domain
+    * argument as [[RangeOps.rangeCountSweep]]'s boundary stream; with a
+    * partitioned table, partition the window by the table partition and
+    * the plan parallelizes per partition.
+    *
+    * Deterministic (no sizes-descending heuristics that tie-break on
+    * arrival order), so re-planning after a failed compaction run yields
+    * the identical assignment — compaction stays idempotent. The fixture's
+    * `documents` rows model the file listing; `n_chars` the file size.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("bytes"))
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div $compactionTarget"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
+
+  val compactionOracle: String =
+    s"""WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+       |c AS (SELECT doc_id, bytes,
+       |  CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+       | FROM f)
+       |SELECT before // $compactionTarget AS bin, count(*) AS n_files,
+       | CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("zorder_key", zorderKey, Some(zorderOracle)),
+    RegisteredQuery("compaction_plan", compactionPlan, Some(compactionOracle)),
   )
 }

@@ -258,4 +258,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() === ev.count())
     assert(spark.table("dedup_stream").select("event_id").distinct().count() === ev.count())
   }
+
+  test("dropDuplicatesWithinWatermark: bounded-state streaming dedup drops re-deliveries") {
+    import org.apache.spark.sql.streaming.Trigger
+    // The scale-critical variant of the previous test: plain streaming
+    // dropDuplicates keeps EVERY key's state forever (unbounded at 100 TB);
+    // dropDuplicatesWithinWatermark evicts state older than the watermark,
+    // guaranteeing dedup only for re-deliveries within the delay — the
+    // right contract for at-least-once sources, whose duplicates arrive
+    // close together. Fixture events span ~1 month, so a 45-day delay
+    // keeps all state live and the result must equal the exact dedup.
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("ts"), col("user_id"))
+    val inDir = tmpDir("graft-dupwm-in")
+    val ckpt = tmpDir("graft-dupwm-ckpt")
+    ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$inDir/f1")
+    ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$inDir/f2")
+
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .withWatermark("ts", "45 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("dedup_wm_stream").outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    assert(spark.table("dedup_wm_stream").count() === ev.count())
+    assert(spark.table("dedup_wm_stream").select("event_id").distinct().count() === ev.count())
+  }
 }
