@@ -16,13 +16,28 @@ import graft.engine.Tables
   */
 object AsofOps extends QueryModule {
 
-  /** For each left row: the latest right row with `right.ts <= left.ts`
-    * (inclusive) sharing `key`. Right columns come back nested as a
-    * `matched` struct (null when no prior right row exists).
+  /** For each left row: the nearest right row sharing `key` — the latest
+    * with `right.ts <= left.ts` (`direction = "backward"`, the default) or
+    * the earliest with `right.ts >= left.ts` (`"forward"`), both inclusive.
+    * Right columns come back nested as a `matched` struct (null when no
+    * qualifying right row exists).
+    *
+    * `toleranceMicros` bounds the match distance (pandas `merge_asof`
+    * tolerance): a nearest match farther than the bound nulls out. The
+    * tolerance check is a post-projection on the already-matched row, so
+    * it adds no shuffle or state — the plan stays ONE exchange on the key
+    * and one window pass regardless. Timestamp columns must be
+    * TimestampType when a tolerance is given.
+    *
+    * Forward is the same merge as backward run in reverse time order:
+    * the window iterates descending, so the "last right row seen" is
+    * exactly the earliest right row at-or-after the left row.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, leftTs: String, rightTs: String,
-               rightTieBreak: String): DataFrame = {
+               rightTieBreak: String,
+               direction: String = "backward",
+               toleranceMicros: Option[Long] = None): DataFrame = {
     val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     val lType = StructType(left.schema.fields)
@@ -37,14 +52,25 @@ object AsofOps extends QueryModule {
       col(rightTieBreak).cast("long").as("__rid"),
       lit(null).cast(lType).as("__lv"), rStruct.as("__rv"))
 
-    // right rows sort before left rows at equal ts (inclusive <=);
+    // right rows sort before left rows at equal ts (inclusive match);
     // __rid makes duplicate right timestamps deterministic
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__rid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val w = (direction match {
+      case "backward" =>
+        Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__rid"))
+      case "forward" =>
+        Window.partitionBy("__k").orderBy(col("__ts").desc, col("__tag"), col("__rid").desc)
+      case other => sys.error(s"asofJoin direction must be backward|forward, got $other")
+    }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(col("__lv").as("left"), col("__m").as("matched"))
+    val bounded = toleranceMicros match {
+      case None => matched
+      case Some(t) => matched.withColumn("__m",
+        when(abs(unix_micros(col("__ts")) - unix_micros(col("__m").getField(rightTs))) <= t,
+          col("__m")))
+    }
+    bounded.select(col("__lv").as("left"), col("__m").as("matched"))
   }
 
   /** Native-plan twin of [[asofJoin]] (preference (c) of the ladder):
@@ -131,8 +157,42 @@ object AsofOps extends QueryModule {
       | ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Forward + tolerance exercise: each click matched to the user's NEXT
+    * purchase, but only within 7 days — the attribution-window join shape
+    * (click → conversion within the window, else unattributed). The
+    * composed tier carries the full pandas-merge_asof surface
+    * (direction × tolerance); the native plan node covers the hot
+    * backward default.
+    */
+  def asofNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoin(clicks, purchases, "user_id", "ts", "ts", "event_id",
+        direction = "forward", toleranceMicros = Some(7L * 86400L * 1000000L))
+      .select(
+        col("left.event_id").as("event_id"),
+        col("left.user_id").as("user_id"),
+        unix_micros(col("left.ts")).as("ts_us"),
+        unix_micros(col("matched.ts")).as("next_purchase_ts_us"),
+        col("matched.event_id").as("next_purchase_id"))
+      .orderBy("event_id")
+  }
+
+  val asofFwdOracle: String =
+    """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+      | CASE WHEN p.ts - c.ts <= INTERVAL 7 DAY THEN epoch_us(p.ts) END AS next_purchase_ts_us,
+      | CASE WHEN p.ts - c.ts <= INTERVAL 7 DAY THEN p.event_id END AS next_purchase_id
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      | ON c.user_id = p.user_id AND p.ts >= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("asof_join", asofClicks, Some(asofOracle)),
     RegisteredQuery("asof_join_native", asofClicksNative, Some(asofOracle)),
+    RegisteredQuery("asof_fwd_tolerance", asofNextPurchase, Some(asofFwdOracle)),
   )
 }

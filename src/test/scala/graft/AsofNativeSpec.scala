@@ -88,4 +88,42 @@ class AsofNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
     assert(got == Seq((1L, 50L, 1L), (1L, 100L, 2L), (2L, 100L, 4L)))
   }
+
+  test("forward direction: earliest right row at-or-after each left row, inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, 50L), (1L, 100L), (2L, 10L))
+      .toDF("k", "tsl").withColumn("ts", timestamp_micros(col("tsl"))).drop("tsl")
+    val right = Seq((1L, 40L, 3L), (1L, 100L, 1L), (1L, 120L, 2L), (2L, 5L, 4L))
+      .toDF("k", "tsl", "id").withColumn("ts", timestamp_micros(col("tsl"))).drop("tsl")
+    val got = AsofOps.asofJoin(left, right, "k", "ts", "ts", "id", direction = "forward")
+      .select(col("left.k"), unix_micros(col("left.ts")).as("ts"), col("matched.id"))
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    // (1,50)→earliest ≥50 is 100/id1; (1,100)→inclusive 100/id1; (2,10)→no right ≥10
+    assert(got == Seq((1L, 50L, Some(1L)), (1L, 100L, Some(1L)), (2L, 10L, None)))
+  }
+
+  test("tolerance nulls out nearest matches farther than the bound") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (2L, 100L))
+      .toDF("k", "tsl").withColumn("ts", timestamp_micros(col("tsl"))).drop("tsl")
+    val right = Seq((1L, 95L, 1L), (2L, 85L, 2L))
+      .toDF("k", "tsl", "id").withColumn("ts", timestamp_micros(col("tsl"))).drop("tsl")
+    val got = AsofOps.asofJoin(left, right, "k", "ts", "ts", "id",
+        direction = "backward", toleranceMicros = Some(10L))
+      .select(col("left.k"), col("matched.id"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq
+    // key 1: gap 5 ≤ 10 keeps the match; key 2: gap 15 > 10 nulls it out
+    assert(got == Seq((1L, Some(1L)), (2L, None)))
+  }
+
+  test("tolerance check stays a post-projection: still one exchange, no extra join") {
+    val df = AsofOps.asofNextPurchase(spark, sfDir)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(phys).length <= 1,
+      "tolerance/forward variant grew an extra shuffle")
+    assert(!phys.contains("Join"), "tolerance regressed to a join-based formulation")
+  }
 }
