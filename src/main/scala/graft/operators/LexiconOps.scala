@@ -289,10 +289,54 @@ object LexiconOps extends QueryModule {
       | floor(exp(-(sum(logp) / count(*))) * 1e4 + 0.5) / 1e4 AS ppl
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-coverage audit: train a top-100 vocabulary on the corpus,
+    * then measure each source's out-of-vocabulary rate — the pre-training
+    * check that a tokenizer's merges actually cover every data source
+    * (a high-OOV source trains badly and skews loss). One tokenize pass
+    * feeds both sides: the vocabulary is a 100-row broadcast (vocabulary
+    * size is executor-memory bounded at ANY corpus scale), the OOV tag a
+    * broadcast left join, the rest one keyed aggregate. Vocabulary
+    * selection tie-breaks on (count desc, token) in both engines.
+    */
+  def vocabOovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(100)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        roundTo(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  val vocabOovOracle: String =
+    s"""WITH toks AS (
+       | SELECT source, unnest(regexp_extract_all(text, '$tokenRe')) AS token
+       | FROM documents),
+       |vocab AS (
+       | SELECT token FROM (
+       |  SELECT token, count(*) AS n_occ FROM toks GROUP BY 1
+       |  ORDER BY n_occ DESC, token LIMIT 100)),
+       |tagged AS (
+       | SELECT t.source, CASE WHEN v.token IS NULL THEN 1 END AS oov
+       | FROM toks t LEFT JOIN vocab v USING (token))
+       |SELECT source, count(*) AS n_tokens, count(oov) AS n_oov,
+       | floor(CAST(count(oov) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+       |FROM tagged GROUP BY 1 ORDER BY source""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
     RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
     RegisteredQuery("vocab_cms", vocabCms, None),

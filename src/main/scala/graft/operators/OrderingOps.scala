@@ -211,10 +211,41 @@ object OrderingOps extends QueryModule {
       |FROM targets t LEFT JOIN sel s USING (source)
       |ORDER BY t.source""".stripMargin
 
+  /** T7: diversified top-k — the global best 20 documents by length with
+    * at most 2 per source, the diversity cap retrieval/curation needs so
+    * one prolific domain can't fill the whole selection. Two bounded
+    * stages, no global sort: a per-source row_number (WindowGroupLimit
+    * keeps per-partition heaps of size 2) then a global
+    * TakeOrderedAndProject over the ≤ 2·|sources| survivors.
+    */
+  def diversifiedTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= 2)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("source"),
+        col("n_chars"), col("rank_in_source").cast("long").as("rank_in_source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+  }
+
+  val diversifiedTopkOracle: String =
+    """SELECT doc_id, source, n_chars, rank_in_source
+      |FROM (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) AS rank_in_source
+      | FROM documents)
+      |WHERE rank_in_source <= 2
+      |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("split_assign", splitAssign, Some(splitAssignOracle)),
     RegisteredQuery("quota_rebalance", (s, d) => quotaRebalance(s, d), Some(quotaRebalanceOracle)),
     RegisteredQuery("shuffle_blocks", shuffleBlocks, Some(shuffleBlocksOracle)),
     RegisteredQuery("mix_sample", (s, d) => mixSample(s, d), Some(mixSampleOracle)),
+    RegisteredQuery("t7_diversified_topk", diversifiedTopk, Some(diversifiedTopkOracle)),
   )
 }

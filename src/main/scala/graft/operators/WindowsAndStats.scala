@@ -369,10 +369,80 @@ object WindowsAndStats extends QueryModule {
       | FROM orders JOIN customer ON o_custkey = c_custkey)
       |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** A18: winsorization — per-group outlier clipping at the exact p05/p95
+    * quantiles, the standard robust-stats prep before training on noisy
+    * numeric features. Same two-phase shape as [[featureBins]]: one
+    * grouped quantile pass (group count is small; edges broadcast back)
+    * then one map-side clip + re-aggregate. Edges are rounded 4 dp with
+    * the binary-exact formula on BOTH engines so the clip thresholds are
+    * bit-identical.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val edges = ev.groupBy(col("event_type"))
+      .agg(
+        roundTo(expr("percentile(value, 0.05)"), 4).as("lo"),
+        roundTo(expr("percentile(value, 0.95)"), 4).as("hi"))
+    ev.join(broadcast(edges), "event_type")
+      .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("lo"), 1)).as("n_clipped_lo"),
+        count(when(col("value") > col("hi"), 1)).as("n_clipped_hi"),
+        roundTo(avg(col("value")), 2).as("avg_raw"),
+        roundTo(avg(col("clipped")), 2).as("avg_winsorized"))
+      .orderBy("event_type")
+  }
+
+  val winsorizeOracle: String =
+    """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |q AS (SELECT event_type,
+      |  floor(quantile_cont(value, 0.05) * 1e4 + 0.5) / 1e4 AS lo,
+      |  floor(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS hi
+      | FROM e GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      | count(CASE WHEN value < lo THEN 1 END) AS n_clipped_lo,
+      | count(CASE WHEN value > hi THEN 1 END) AS n_clipped_hi,
+      | floor(avg(value) * 1e2 + 0.5) / 1e2 AS avg_raw,
+      | floor(avg(least(greatest(value, lo), hi)) * 1e2 + 0.5) / 1e2 AS avg_winsorized
+      |FROM e JOIN q USING (event_type)
+      |GROUP BY 1 ORDER BY e.event_type""".stripMargin
+
+  /** W7: sliding (hopping) event-time windows — 6-hour windows every
+    * 3 hours, so each event lands in exactly span/hop = 2 windows.
+    * Spark's `window()` generator explodes the row into its windows and
+    * the aggregate is an ordinary hash agg on the window start — fan-out
+    * is the bounded span/hop factor, never a cross join. The oracle
+    * derives each event's window starts arithmetically (floor to the hop
+    * grid, back-shift k hops) — both engines align windows to the epoch.
+    */
+  def w7SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"), roundTo(avg(col("value")), 2).as("avg_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("n_events"), col("avg_value"))
+      .orderBy("win_start_us")
+
+  val w7Oracle: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+      |hops AS (SELECT unnest([0, 1]) AS k),
+      |w AS (SELECT (us // 10800000000) * 10800000000 - k * 10800000000 AS win_start_us,
+      |             value
+      |      FROM ev, hops)
+      |SELECT win_start_us, count(*) AS n_events,
+      | floor(avg(value) * 1e2 + 0.5) / 1e2 AS avg_value
+      |FROM w GROUP BY 1 ORDER BY win_start_us""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("a6_frac_delay", a6FracDelay, Some(a6Oracle)),
     RegisteredQuery("w6_rank_suite", w6RankSuite, Some(w6Oracle)),
     RegisteredQuery("t6_topk_per_group", t6TopkPerGroup, Some(t6Oracle)),
+    RegisteredQuery("winsorize", winsorize, Some(winsorizeOracle)),
+    RegisteredQuery("w7_sliding_window", w7SlidingWindow, Some(w7Oracle)),
     RegisteredQuery("w4_moving_avg", w4MovingAvg, Some(w4Oracle)),
     RegisteredQuery("w5_ewma", w5Ewma, Some(w5Oracle)),
     RegisteredQuery("feature_bins", featureBins, Some(featureBinsOracle)),
