@@ -299,19 +299,26 @@ object LexiconOps extends QueryModule {
     * selection tie-breaks on (count desc, token) in both engines.
     */
   def vocabOovRate(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // aggregate (source, token) FIRST: the corpus is tokenized exactly once
+    // and every later stage works on the aggregate (≤ |sources|·|vocab'|
+    // rows), the same derive-from-the-aggregate discipline as
+    // [[tfidfTopterms]] — referencing the raw token stream twice would
+    // plan two tokenize branches (subtree dedup is not free)
+    val st = Tables.documents(s, dir)
       .select(col("source"),
         explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
-    val vocab = toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val vocab = st.groupBy(col("token"))
+      .agg(sum(col("n")).as("n_occ"))
       .orderBy(col("n_occ").desc, col("token"))
       .limit(100)
       .select(col("token"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("token"), "left")
+    st.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(lit(0L))).as("n_oov"))
       .withColumn("oov_rate",
         roundTo(col("n_oov").cast("double") / col("n_tokens"), 6))
       .orderBy("source")

@@ -53,4 +53,18 @@ class DataPrepOpsSpec extends SparkSpec {
     val rate = overall.map(_._1).sum.toDouble / overall.map(_._2).sum
     assert(rate < 0.9, s"top-100 vocab covers almost nothing (oov=$rate) — tokenization broken?")
   }
+
+  test("oov rate tokenizes the corpus ONCE at runtime (vocab branch reuses the exchange)") {
+    // the static plan duplicates the tokenize subtree under both the vocab
+    // and the tagging branch; AQE's ReuseExchange must collapse them so the
+    // regex pass over the text runs once — the property that matters when
+    // the text is 100 TB
+    val df = LexiconOps.vocabOovRate(spark, sfDir)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("ReusedExchange".r.findAllIn(phys).nonEmpty,
+      "vocab branch no longer reuses the (source, token) exchange")
+    assert("Generate".r.findAllIn(phys).length === 1,
+      "corpus is tokenized more than once in the final plan")
+  }
 }

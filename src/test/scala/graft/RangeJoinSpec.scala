@@ -33,7 +33,7 @@ class RangeJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }
-    assert(hash.nonEmpty, "expected an equi join on the month bucket")
+    assert(hash.nonEmpty, "expected an equi join on the week bucket")
   }
 
   test("sweep-line count == bucketed join count, with NO join in the plan") {
