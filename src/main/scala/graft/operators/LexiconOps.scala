@@ -339,10 +339,34 @@ object LexiconOps extends QueryModule {
        | floor(CAST(count(oov) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
        |FROM tagged GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Heavy-hitter tokens via the Misra–Gries typed Aggregator
+    * ([[graft.functions.MisraGries]]) — k=20 counters of state per task at
+    * ANY vocabulary size, mergeable partials, underestimates bounded by
+    * n/(k+1). Rows-only by nature (which non-heavy tokens survive in the
+    * summary depends on partition merge order); `MisraGriesSpec` proves
+    * the guarantees that ARE deterministic: every true heavy hitter
+    * present, every estimate within the bound.
+    */
+  def vocabHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
+      .as[String]
+    val summary = toks
+      .select(graft.functions.MisraGries.aggregator(20).toColumn.name("hh"))
+    summary
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.est_count").as("est_count"))
+      .crossJoin(broadcast(toks.toDF("token").agg(count(lit(1)).as("n_tokens"))))
+      .withColumn("max_underestimate", expr("n_tokens div 21"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    RegisteredQuery("vocab_mg_heavy", vocabHeavyHitters, None),
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
     RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
