@@ -40,22 +40,29 @@ object MisraGries {
       m.collect { case (t, c) if c > kth => t -> (c - kth) }
     }
 
+  /** One observed token (the streaming-state entry point — the same
+    * update `mapGroupsWithState` applies per element). */
+  def add(b: Summary, token: String, k: Int): Summary =
+    b.get(token) match {
+      case Some(c)            => b.updated(token, c + 1L)
+      case None if b.size < k => b.updated(token, 1L)
+      case None               => // decrement-all step, drop zeros
+        b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+    }
+
+  /** Combine two partial summaries (mergeable-summaries rule). */
+  def combine(a: Summary, b: Summary, k: Int): Summary =
+    shrink(b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }, k)
+
   def aggregator(k: Int): Aggregator[String, Summary, Seq[HeavyHitter]] =
     new Aggregator[String, Summary, Seq[HeavyHitter]] {
       override def zero: Summary = Map.empty
 
-      override def reduce(b: Summary, token: String): Summary =
-        b.get(token) match {
-          case Some(c)              => b.updated(token, c + 1L)
-          case None if b.size < k   => b.updated(token, 1L)
-          case None                 => // decrement-all step, drop zeros
-            b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
-        }
+      override def reduce(b: Summary, token: String): Summary = add(b, token, k)
 
-      override def merge(a: Summary, b: Summary): Summary =
-        shrink(b.foldLeft(a) { case (m, (t, c)) =>
-          m.updated(t, m.getOrElse(t, 0L) + c)
-        }, k)
+      override def merge(a: Summary, b: Summary): Summary = combine(a, b, k)
 
       override def finish(b: Summary): Seq[HeavyHitter] =
         b.toSeq.sortBy { case (t, c) => (-c, t) }

@@ -419,7 +419,39 @@ object Similarity extends QueryModule {
       | floor(list_max(list_transform(errs, e -> abs(e))) * 1e6 + 0.5) / 1e6 AS max_abs_err
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension embedding statistics — the feature-scaling pass
+    * (mean/std per coordinate for standardization, min/max for clipping
+    * audits) and the drift check between embedding-model versions. One
+    * posexplode (fan-out = dim, bounded and known) into one keyed
+    * aggregate on the dimension index — 64 groups regardless of corpus
+    * size, so the final stage is trivial at any scale; partial aggregation
+    * does the work map-side.
+    */
+  def embDimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "val")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        roundTo(avg(col("val")), 6).as("mean_val"),
+        roundTo(stddev_samp(col("val")), 6).as("std_val"),
+        roundTo(min(col("val")), 6).as("min_val"),
+        roundTo(max(col("val")), 6).as("max_val"))
+      .orderBy("dim")
+
+  val embDimStatsOracle: String =
+    """WITH x AS (
+      | SELECT vec_id, i - 1 AS dim, embedding[i] AS val
+      | FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+      |SELECT dim, count(*) AS n,
+      | floor(avg(val) * 1e6 + 0.5) / 1e6 AS mean_val,
+      | floor(stddev_samp(val) * 1e6 + 0.5) / 1e6 AS std_val,
+      | floor(min(val) * 1e6 + 0.5) / 1e6 AS min_val,
+      | floor(max(val) * 1e6 + 0.5) / 1e6 AS max_val
+      |FROM x GROUP BY 1 ORDER BY dim""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("emb_dim_stats", embDimStats, Some(embDimStatsOracle)),
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
     RegisteredQuery("emb_neardup_pairs", embNearDupPairs, Some(embNearDupOracle)),
     RegisteredQuery("emb_neardup_clusters", embNearDupClusters, Some(embNearDupClustersOracle)),
