@@ -81,4 +81,17 @@ class Sf01ConsistencySpec extends SparkSpec {
     }
     roots.foreach { case (_, r) => assert(roots(r) === r, "root must be its own root") }
   }
+
+  test("sf0.1: salted join == plain join over 600k lineitems") {
+    val salted = graft.operators.SkewOps.saltedJoin(spark, bigDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val o = graft.engine.Tables.orders(spark, bigDir)
+    val li = graft.engine.Tables.lineitem(spark, bigDir)
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Scalars.roundTo(sum("l_extendedprice"), 2).as("tp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === plain)
+  }
 }
