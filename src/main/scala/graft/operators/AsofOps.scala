@@ -32,6 +32,14 @@ object AsofOps extends QueryModule {
     * Forward is the same merge as backward run in reverse time order:
     * the window iterates descending, so the "last right row seen" is
     * exactly the earliest right row at-or-after the left row.
+    *
+    * Tie contract on DUPLICATE right timestamps for a key: backward keeps
+    * the row with the LARGEST `rightTieBreak` (latest-wins, matching the
+    * merge family's convention), forward the SMALLEST (first-wins in
+    * forward reading order). Both are deterministic; note DuckDB's ASOF
+    * JOIN makes no tie promise at all, so oracle-compared exercises must
+    * use a right side with unique (key, ts) — true of the fixtures, and
+    * the safe production spelling is deduplicating the right side first.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, leftTs: String, rightTs: String,

@@ -347,18 +347,24 @@ object LexiconOps extends QueryModule {
     * the guarantees that ARE deterministic: every true heavy hitter
     * present, every estimate within the bound.
     */
+  /** Summary width of the registered heavy-hitter query (bound = n/(k+1)). */
+  val mgK = 20
+
   def vocabHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .select(explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
       .as[String]
-    val summary = toks
-      .select(graft.functions.MisraGries.aggregator(20).toColumn.name("hh"))
-    summary
-      .select(explode(col("hh")).as("h"))
-      .select(col("h.token").as("token"), col("h.est_count").as("est_count"))
-      .crossJoin(broadcast(toks.toDF("token").agg(count(lit(1)).as("n_tokens"))))
-      .withColumn("max_underestimate", expr("n_tokens div 21"))
+    // ONE typed aggregate computes the summary AND the stream length —
+    // a separate count() branch would re-run the tokenize pass (the
+    // two-branch trap vocabOovRate's scaladoc warns about)
+    toks
+      .select(graft.functions.MisraGries.aggregator(mgK).toColumn.name("hh"),
+        count(lit(1)).as("n").as[Long])
+      .toDF("hh", "n_tokens")
+      .select(explode(col("hh")).as("h"), col("n_tokens"))
+      .select(col("h.token").as("token"), col("h.est_count").as("est_count"),
+        col("n_tokens"), expr(s"n_tokens div ${mgK + 1}").as("max_underestimate"))
       .orderBy(col("est_count").desc, col("token"))
   }
 

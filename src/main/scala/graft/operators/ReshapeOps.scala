@@ -35,6 +35,13 @@ object ReshapeOps extends QueryModule {
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)).as("n"), roundTo(sum(col("l_quantity")), 2).as("qty"))
+      // Spark's pivot fills an EMPTY cell with NULL even for count, while
+      // the oracle's `count(*) FILTER` yields 0 — coalesce the count cells
+      // so a fixture where some (flag, status) combo is absent still
+      // hash-matches (sum cells stay NULL on both sides, as SQL sums do)
+      .select(col("l_returnflag"),
+        coalesce(col("F_n"), lit(0L)).as("F_n"), col("F_qty"),
+        coalesce(col("O_n"), lit(0L)).as("O_n"), col("O_qty"))
       .orderBy("l_returnflag")
 
   val pivotOracle: String =
