@@ -38,16 +38,26 @@ object Bench {
     * can pin the worst-case stdout length against the live registry.
     */
   def renderLines(results: Seq[(String, Double)], sfDir: String): (String, String) = {
-    val total = results.map(_._2).sum
+    // failed queries carry the -1.0 sentinel: keep them OUT of the headline
+    // total (one failure must not read as "1s faster") and surface them
+    // explicitly in both lines (ADVICE r6).
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     def entry(kv: (String, Double)) = "\"" + kv._1 + "\":" + fmt(kv._2)
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def line(qs: Seq[(String, Double)], extra: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
-        s""""queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"sf":"$sfDir"}"""
+        s""""queries":${qs.map(entry).mkString("{", ",", "}")}$failedField$extra,"sf":"$sfDir"}"""
     val full = line(results, "")
     val byName = results.toMap
+    // failed entries jump the priority queue so a failure is always visible
+    // on the stdout line even under the budget cut
     val ordered =
-      priorityNames.flatMap(n => byName.get(n).map(n -> _)) ++
-        results.filterNot(kv => priorityNames.contains(kv._1))
+      (failed ++ priorityNames.filterNot(failed.contains))
+        .flatMap(n => byName.get(n).map(n -> _)) ++
+        results.filterNot(kv => failed.contains(kv._1) || priorityNames.contains(kv._1))
     // fill greedily in priority order until the budget is hit
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = line(Nil, s""","omitted":${results.size}""").length

@@ -305,9 +305,11 @@ object WindowsAndStats extends QueryModule {
     * rank-vs-dense-rank gap — tie values are order-independent, so the
     * output is still deterministic.
     *
-    * Scale: one shuffle on the partition key, one sort per partition —
-    * both windows share the (segment, balance, key) sort order, so
-    * Catalyst plans a single WindowExec pair with no extra exchange.
+    * Scale: no extra exchange — both windows partition on the segment key,
+    * so one shuffle feeds the whole suite; the coarse bucket window adds a
+    * partition-local re-sort (its floor(.../1000) desc order is not
+    * satisfied by the (balance desc, key) sort), which is cheap and
+    * shuffle-free.
     */
   def w6RankSuite(s: SparkSession, dir: String): DataFrame = {
     val byBal  = Window.partitionBy(col("c_mktsegment"))

@@ -10,7 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  private val worstCase = SparkEntry.queries.keys.toSeq.map(_ -> 999.999)
+  // 5-digit sentinel: covers timings up to 99999.999s so a pathologically
+  // slow run (4+ digit seconds) can't widen entries past the pinned case
+  private val worstCase = SparkEntry.queries.keys.toSeq.map(_ -> 99999.999)
 
   test("compact stdout line fits the driver tail window at worst-case widths") {
     val (compact, _) = Bench.renderLines(worstCase, "/root/testdata/sf0.1")
@@ -18,6 +20,17 @@ class BenchLineSpec extends AnyFunSuite {
       s"stdout bench line is ${compact.length} chars; budget ${Bench.stdoutBudget}")
     assert(compact.startsWith("{\"metric\":\"total\""))
     assert(compact.endsWith("}"))
+  }
+
+  test("failed queries are excluded from the total and surfaced in both lines") {
+    val results = Seq("ok_a" -> 1.5, "bad_b" -> -1.0, "ok_c" -> 2.5)
+    val (compact, full) = Bench.renderLines(results, "/tmp/sf")
+    Seq(compact, full).foreach { l =>
+      assert(l.contains("\"value\":4.000"), s"total should skip the sentinel: $l")
+      assert(l.contains("\"failed\":[\"bad_b\"]"), s"missing failed field: $l")
+    }
+    // the failed entry jumps the priority queue on the compact line
+    assert(compact.indexOf("\"bad_b\":") >= 0)
   }
 
   test("full line (bench_out.json) carries every registered query") {

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.functions._
 
 import graft.operators.{LexiconOps, OrderingOps, WindowsAndStats}
@@ -7,7 +8,7 @@ import graft.operators.{LexiconOps, OrderingOps, WindowsAndStats}
 /** Round-6 data-prep operators: winsorize, sliding windows, diversified
   * top-k, OOV-rate — semantic invariants beyond the exact oracle.
   */
-class DataPrepOpsSpec extends SparkSpec {
+class DataPrepOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("winsorize: clipping tightens the mean toward the center, counts bound 5% tails") {
     WindowsAndStats.winsorize(spark, sfDir).collect().foreach { r =>
@@ -60,11 +61,18 @@ class DataPrepOpsSpec extends SparkSpec {
     // regex pass over the text runs once — the property that matters when
     // the text is 100 TB
     val df = LexiconOps.vocabOovRate(spark, sfDir)
-    df.collect()
-    val phys = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert("ReusedExchange".r.findAllIn(phys).nonEmpty,
-      "vocab branch no longer reuses the (source, token) exchange")
-    assert("Generate".r.findAllIn(phys).length === 1,
-      "corpus is tokenized more than once in the final plan")
+    df.collect() // materialize so AQE finalizes the plan (ADVICE r6: match
+    // tree nodes on the final plan, not toString regexes that double-count
+    // the "Initial Plan" section)
+    val plan = df.queryExecution.executedPlan
+    val reused = collectWithSubqueries(plan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty, "vocab branch no longer reuses the (source, token) exchange")
+    val generates = collectWithSubqueries(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.length === 1,
+      s"corpus is tokenized ${generates.length} times in the final plan (want 1)")
   }
 }
