@@ -20,7 +20,9 @@ object Bench {
     "j4_salted_join", "a17_salted_agg", "pivot_status_matrix", "unpivot_metrics",
     "a14_grouping_sets", "w6_rank_suite", "t6_topk_per_group", "t7_diversified_topk",
     "asof_fwd_tolerance", "w7_sliding_window", "winsorize", "compaction_plan",
-    "vocab_oov_rate", "vocab_mg_heavy", "emb_dim_stats")
+    "vocab_oov_rate", "vocab_mg_heavy", "emb_dim_stats",
+    // round-7 additions
+    "chunk_overlap", "dedup_segments", "boilerplate_ngrams")
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that

@@ -28,6 +28,7 @@ object SparkEntry {
     SamplingOps,
     OrderingOps,
     LexiconOps,
+    ChunkOps,
     CorpusOps,
     ProfilingOps,
     graft.pipeline.PipelineOps,

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Document chunking and span-level dedup — the context-window prep stage
+  * of an LLM training pipeline (reference's transform stage feeds fixed
+  * analytics; a training pipeline additionally re-shapes documents into
+  * model-sized pieces and strips corpus-frequent spans, cf. CCNet-style
+  * line dedup re-expressed over token streams).
+  *
+  * All three operators share one topology: `split` the text once per row,
+  * `explode` an index grid, `slice` the token array per span. The split
+  * runs exactly once per document because the array is materialized as an
+  * attribute BELOW the Generate (explode) node — CollapseProject cannot
+  * inline an expression across a Generate, so the per-span projections
+  * reference the array by attribute instead of recomputing it (the same
+  * guarantee [[LexiconOps.vocabOovRate]]'s plan spec pins). `slice` on an
+  * array attribute is positional and codegen'd — no interpreted lambdas
+  * in the hot path (SURVEY §7.5: HOF lambdas stay off hot paths).
+  *
+  * Scale: chunking is map-only (explode multiplies rows ~n/stride, no
+  * shuffle); segment dedup shuffles once keyed on the segment hash —
+  * uniform by construction (hashes) so no skew; boilerplate detection is
+  * the word-count topology (explode → keyed aggregate) where map-side
+  * partial aggregation absorbs the n-gram fan-out before the exchange.
+  */
+object ChunkOps extends QueryModule {
+
+  /** Chunk span/stride in tokens: 32-token windows every 24 tokens (8-token
+    * overlap) — the sliding-window shape used to pack documents into
+    * fixed-length training contexts without losing cross-boundary spans.
+    */
+  private val span = 32
+  private val stride = 24
+
+  /** Non-overlapping segment length for span-level dedup. */
+  private val segLen = 16
+
+  /** Boilerplate n-gram width and document-frequency threshold. */
+  private val gramN = 3
+  private val dfMin = 5
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+
+  // ---------------------------------------------------------------------
+  // Overlapping chunking
+  // ---------------------------------------------------------------------
+
+  /** Overlapping token-window chunking: one output row per (doc, chunk),
+    * with the chunk's token offsets and a content fingerprint. The chunk
+    * grid is `ceil((n - span) / stride) + 1` windows so the last window
+    * always reaches the end of the document (it may be short — `n_tok`
+    * carries the true width).
+    */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(
+          s"sequence(0, greatest(0, cast(ceil((n - $span) / $stride.0) as int)))"))
+          .as("ci"))
+      .select(
+        col("doc_id"),
+        col("ci").cast("long").as("chunk_id"),
+        (col("ci") * stride).cast("long").as("start_tok"),
+        least(lit(span), col("n") - col("ci") * stride).cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("ci") * stride + 1, lit(span)), " ").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        length(col("chunk")).cast("long").as("n_chars"),
+        md5(col("chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkOverlapOracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (
+       | SELECT doc_id, toks, len(toks) AS n,
+       |  unnest(generate_series(0,
+       |    greatest(0, CAST(ceil((len(toks) - $span) / $stride.0) AS BIGINT)))) AS ci
+       | FROM t)
+       |SELECT doc_id, ci AS chunk_id, ci * $stride AS start_tok,
+       | least($span, n - ci * $stride) AS n_tok,
+       | length(array_to_string(toks[ci*$stride+1 : ci*$stride+$span], ' ')) AS n_chars,
+       | md5(array_to_string(toks[ci*$stride+1 : ci*$stride+$span], ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Segment-level dedup (the line-dedup analog for token streams)
+  // ---------------------------------------------------------------------
+
+  /** Span-level dedup: cut each document into fixed [[segLen]]-token
+    * segments, keep only the corpus-wide FIRST occurrence of each distinct
+    * segment (ordered by doc_id, then position), and report per-document
+    * retention. This is CCNet-style line dedup for a corpus whose
+    * documents are token streams: near-duplicate documents lose their
+    * repeated spans while unique text survives.
+    *
+    * First-occurrence is one `row_number` window keyed on the segment
+    * hash — a single hash-partitioned shuffle whose groups are tiny
+    * (duplicate cardinality per segment), then a per-doc re-aggregate.
+    */
+  def dedupSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, cast(ceil(n / $segLen.0) as int) - 1)")).as("si"))
+      .select(col("doc_id"), col("si"),
+        array_join(slice(col("toks"), col("si") * segLen + 1, lit(segLen)), " ").as("seg"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("si"))
+    segs
+      .select(col("doc_id"), col("si"), length(col("seg")).as("seg_chars"),
+        md5(col("seg")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, col("seg_chars").cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSegmentsOracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       | SELECT doc_id, toks,
+       |  unnest(generate_series(0, CAST(ceil(len(toks) / $segLen.0) AS BIGINT) - 1)) AS si
+       | FROM t),
+       |segs AS (
+       | SELECT doc_id, si,
+       |  length(array_to_string(toks[si*$segLen+1 : si*$segLen+$segLen], ' ')) AS seg_chars,
+       |  md5(array_to_string(toks[si*$segLen+1 : si*$segLen+$segLen], ' ')) AS h
+       | FROM s),
+       |k AS (
+       | SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, si) AS rn
+       | FROM segs)
+       |SELECT doc_id, count(*) AS n_segs,
+       | CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+       | CAST(coalesce(sum(seg_chars) FILTER (rn = 1), 0) AS BIGINT) AS kept_chars
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus-frequent n-gram (boilerplate) detection
+  // ---------------------------------------------------------------------
+
+  /** Boilerplate census: [[gramN]]-gram spans occurring in at least
+    * [[dfMin]] distinct documents, ranked by document frequency — the
+    * template/navigation-chrome detector a crawl pipeline runs before
+    * span removal. Explode every gram start, slice, then one keyed
+    * aggregate; partial aggregation collapses the per-partition gram
+    * fan-out map-side, so the exchange carries only distinct grams.
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, greatest(0, n - ${gramN - 1}))")).as("i"))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), col("i"), lit(gramN)), " ").as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= dfMin)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(20)
+
+  val boilerplateNgramsOracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       | SELECT doc_id, toks,
+       |  unnest(generate_series(1, greatest(0, len(toks) - ${gramN - 1}))) AS i
+       | FROM t),
+       |grams AS (
+       | SELECT doc_id, array_to_string(toks[i : i+${gramN - 1}], ' ') AS gram FROM g)
+       |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+       |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= $dfMin
+       |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),
+    RegisteredQuery("dedup_segments", dedupSegments, Some(dedupSegmentsOracle)),
+    RegisteredQuery("boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsOracle)),
+  )
+}

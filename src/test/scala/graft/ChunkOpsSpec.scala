@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ChunkOps
+
+/** Semantic invariants for the chunking / span-dedup family, beyond the
+  * exact DuckDB oracle (which pins values): coverage, overlap arithmetic,
+  * and that segment dedup actually fires on the corpus's near-duplicates.
+  */
+class ChunkOpsSpec extends SparkSpec {
+
+  test("chunk_overlap: chunks tile every document with the right overlap") {
+    val chunks = ChunkOps.chunkOverlap(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // starts sit on the stride grid and begin at 0
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") === i.toLong)
+        assert(r.getAs[Long]("start_tok") === i.toLong * 24)
+      }
+      // the last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tok") === docs(doc),
+        s"doc $doc: final chunk stops short of the last token")
+      // every non-final chunk is full-width
+      sorted.init.foreach(r => assert(r.getAs[Long]("n_tok") === 32L))
+    }
+  }
+
+  test("dedup_segments: kept count is the corpus-distinct segment count and dedup fires") {
+    val rows = ChunkOps.dedupSegments(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs"))
+      assert(r.getAs[Long]("n_kept") >= 0L)
+    }
+    // sum of kept == distinct segments in the corpus (first-occurrence is a
+    // bijection onto distinct hashes)
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    val distinctSegs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("toks"), size(col("toks")).as("n"))
+      .select(col("toks"), explode(expr("sequence(0, cast(ceil(n / 16.0) as int) - 1)")).as("si"))
+      .select(md5(array_join(slice(col("toks"), col("si") * 16 + 1, lit(16)), " ")).as("h"))
+      .distinct().count()
+    assert(totalKept === distinctSegs)
+    // the fixtures contain engineered near-duplicates: dedup must actually
+    // drop spans somewhere, or the operator is vacuous on this corpus
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_segs")),
+      "no document lost a segment — dedup never fired")
+  }
+
+  test("boilerplate_ngrams: df threshold holds and grams really occur in that many docs") {
+    val grams = ChunkOps.boilerplateNgrams(spark, sfDir).collect()
+    assert(grams.nonEmpty, "no boilerplate found — threshold too high for the corpus")
+    grams.foreach(r => assert(r.getAs[Long]("n_docs") >= 5L))
+    // cross-check one gram's document frequency by direct containment scan
+    val top = grams.head
+    val gram = top.getAs[String]("gram")
+    val nDocs = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("text").contains(gram)).count()
+    // containment is an upper bound only in pathological substring cases;
+    // for space-joined grams over single-space text it is exact
+    assert(nDocs === top.getAs[Long]("n_docs"),
+      s"gram '$gram': census says ${top.getAs[Long]("n_docs")}, scan says $nDocs")
+  }
+}
