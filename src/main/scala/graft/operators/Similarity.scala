@@ -450,6 +450,86 @@ object Similarity extends QueryModule {
       | floor(max(val) * 1e6 + 0.5) / 1e6 AS max_val
       |FROM x GROUP BY 1 ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // All-pairs kNN join (IVF-cell blocked)
+  // ---------------------------------------------------------------------
+
+  private val knnCells = 32
+  private val knnAssign = 3
+  private val knnK = 3
+
+  /** Candidate pair set for the blocked kNN self-join: each vector is
+    * multi-assigned to its [[knnAssign]] nearest of [[knnCells]] k-means
+    * cells (computed as one map-only `array_sort` over the per-cell
+    * codegen'd dot products — no window, no shuffle for the assignment),
+    * and a pair is a candidate iff the two assignment sets intersect.
+    * Split out so the recall spec can measure the blocking rate directly.
+    */
+  def knnJoinCandidates(s: SparkSession, dir: String): DataFrame = {
+    val assigned = knnAssigned(s, dir)
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** (vec_id, e, cell) with [[knnAssign]] rows per vector. The top-cells
+    * expression is `slice(reverse(array_sort(array(struct(dot, cell)...))))`
+    * — struct ordering sorts on the dot first, cell id breaks exact ties,
+    * everything stays inside whole-stage codegen (the same flat-literal
+    * centroid pattern as [[simIvfTopk]]; an equivalent `row_number` window
+    * over an exploded (vector × cell) table would shuffle n×k rows).
+    */
+  private def knnAssigned(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val cents = SimilarityIndex.centroids(s, dir, knnCells)
+    val centCols = (0 until knnCells).map(c =>
+      array(cents(c).toIndexedSeq.map(lit): _*).as(s"__cent$c"))
+    val cellStructs = array((0 until knnCells).map { c =>
+      struct(expr(VectorFunctions.dotExpr("raw", s"__cent$c")).as("d"), lit(c).as("c"))
+    }: _*)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("raw"))
+      .select(Seq(col("vec_id"), col("raw")) ++ centCols: _*)
+      .select(col("vec_id"),
+        slice(reverse(array_sort(cellStructs)), 1, knnAssign).as("top_cells"))
+      .select(col("vec_id"), explode(col("top_cells")).as("tc"))
+      .select(col("vec_id"), col("tc").getField("c").as("cell"))
+      .join(normalized(s, dir), "vec_id")
+  }
+
+  /** All-pairs kNN join — the scale path for neighborhood construction
+    * over the WHOLE corpus (semantic-dedup graphs, diversity sampling,
+    * retrieval eval), where [[embNearDupPairs]]' O(n²) cross join is the
+    * baseline that stops being runnable. Blocking: IVF multi-assignment
+    * (each vector probes its 3 nearest of 32 cells), exact cosine reranks
+    * only pairs sharing a cell, then a per-vector top-[[knnK]] window.
+    *
+    * Topology at 100 TB: the cell join is a keyed shuffle on the cell id
+    * (balanced by k-means, AQE splits stragglers), the pair dedup and the
+    * top-k window shuffle only candidate pairs (~25% of n² here, and
+    * falling as cells grow finer with k ∝ √n). Directional: each vector
+    * ranks its own candidates, so (a,b) and (b,a) both appear — the graph
+    * consumers expect out-edges. Rows-only (centroid-specific); the spec
+    * gates recall vs the brute-force top-k and pins exact cosines.
+    */
+  def knnJoinIvf(s: SparkSession, dir: String): DataFrame = {
+    val assigned = knnAssigned(s, dir)
+    val a = assigned.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("cell"))
+    val w = Window.partitionBy(col("vec_a")).orderBy(col("cos_sim").desc, col("vec_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), roundTo(dot("ea", "eb"), 6).as("cos_sim"))
+      // a pair sharing several cells scores identically in each — collapse
+      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= knnK)
+      .orderBy("vec_a", "rank")
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_dim_stats", embDimStats, Some(embDimStatsOracle)),
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
@@ -458,6 +538,7 @@ object Similarity extends QueryModule {
     RegisteredQuery("sim_lsh_topk", simLshTopk, None),
     RegisteredQuery("sim_ivf_topk", simIvfTopk, None),
     RegisteredQuery("sim_pq_topk", simPqTopk, None),
+    RegisteredQuery("knn_join_ivf", knnJoinIvf, None),
     RegisteredQuery("emb_quantize", embQuantize, Some(embQuantizeOracle)),
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Gates for the IVF-blocked all-pairs kNN join: the blocking must prune
+  * (otherwise it IS the brute-force cross join), the surviving scores must
+  * be EXACT (blocking changes which pairs are scored, never the score),
+  * and recall of the true top-3 must clear a measured floor. The floor is
+  * data-dependent: this corpus's typical top-3 neighbor sits near cosine
+  * 0.33 (near-orthogonal), which is the hard regime for any ANN blocker —
+  * the gate pins the measured 0.6+ so a regression in assignment or
+  * blocking shows up, without pretending sub-0.4-cosine neighbors are
+  * reliably findable.
+  */
+class KnnJoinSpec extends SparkSpec {
+
+  private def bruteTop3(): Map[Long, Seq[(Long, Double)]] = {
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val en = e.map { case (k, v) => k -> unit(v) }
+    en.map { case (i, vi) =>
+      val sims = en.collect { case (j, vj) if j != i =>
+        j -> vi.zip(vj).map { case (a, b) => a * b }.sum
+      }.toSeq
+      // mirror the query's tie-break: rounded score desc, then neighbor id
+      val rounded = sims.map { case (j, s) => (j, math.floor(s * 1e6 + 0.5) / 1e6) }
+      i -> rounded.sortBy { case (j, s) => (-s, j) }.take(3)
+    }
+  }
+
+  test("knn_join_ivf: exact scores, k rows per vector, measured recall floor") {
+    val knn = Similarity.knnJoinIvf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos_sim"), r.getAs[Long]("rank")))
+    val brute = bruteTop3()
+    val n = brute.size
+
+    // every vector reports at least one neighbor, never more than k
+    val byVec = knn.groupBy(_._1)
+    assert(byVec.size === n, s"${n - byVec.size} vectors produced no neighbors")
+    byVec.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._4).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+
+    // scores are exact: each reported cosine equals the brute-force cosine
+    val bruteAll = brute // top-3 only covers top pairs; recompute per pair
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unit(v: Array[Double]) = { val m = math.sqrt(v.map(x => x * x).sum); v.map(_ / m) }
+    val en = e.map { case (k, v) => k -> unit(v) }
+    knn.foreach { case (a, b, s, _) =>
+      val exact = en(a).zip(en(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(math.floor(exact * 1e6 + 0.5) / 1e6 - s) < 1e-9,
+        s"pair ($a,$b): reported $s, exact $exact")
+    }
+
+    // recall of the true top-3 neighbor sets
+    val found = knn.map(t => (t._1, t._2)).toSet
+    val hits = brute.toSeq.map { case (i, nbrs) => nbrs.count(p => found((i, p._1))) }.sum
+    val recall = hits.toDouble / (3 * n)
+    assert(recall >= 0.55, f"kNN recall $recall%.3f below floor 0.55")
+    assert(bruteAll.nonEmpty)
+  }
+
+  test("knn_join_ivf blocking prunes: candidate pairs well under the cross join") {
+    val nVec = graft.engine.Tables.embeddings(spark, sfDir).count()
+    val cand = Similarity.knnJoinCandidates(spark, sfDir).count()
+    val allPairs = nVec * (nVec - 1) / 2
+    val rate = cand.toDouble / allPairs
+    assert(rate <= 0.35, f"blocking passes $rate%.3f of all pairs — not pruning")
+    assert(cand > 0)
+  }
+}
