@@ -22,7 +22,8 @@ object Bench {
     "asof_fwd_tolerance", "w7_sliding_window", "winsorize", "compaction_plan",
     "vocab_oov_rate", "vocab_mg_heavy", "emb_dim_stats",
     // round-7 additions
-    "chunk_overlap", "dedup_segments", "boilerplate_ngrams", "knn_join_ivf")
+    "chunk_overlap", "dedup_segments", "boilerplate_ngrams", "knn_join_ivf",
+    "corpus_repack")
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that

@@ -182,9 +182,90 @@ object ChunkOps extends QueryModule {
        |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= $dfMin
        |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Repack capstone: dedup spans, reassemble, re-chunk — one plan
+  // ---------------------------------------------------------------------
+
+  /** The round's composition capstone: segment-level dedup, reassembly of
+    * each document from its surviving spans (in original order), and
+    * re-chunking of the cleaned text into training windows — one Catalyst
+    * plan, no intermediate materialization. This is the "dedup then repack
+    * contexts" step between a crawl and a tokenizer: span dedup shrinks
+    * documents, so chunk grids must be recomputed over the CLEANED text,
+    * not sliced out of the originals.
+    *
+    * Shape: the segment pass is [[dedupSegments]]'s hash-keyed window; the
+    * reassembly is one per-doc aggregate (`sort_array(collect_list(struct
+    * (si, seg)))` — ordered concat without a second window); the re-chunk
+    * is [[chunkOverlap]]'s map-only explode+slice. The only lambda
+    * (`transform` projecting seg out of the sorted structs) runs once per
+    * DOCUMENT over an already-aggregated array — off the per-token hot
+    * path. Documents whose every span was seen before (exact duplicates)
+    * have no surviving segments and vanish from the output, which is the
+    * intended dedup semantics.
+    */
+  def corpusRepack(s: SparkSession, dir: String): DataFrame = {
+    val segs = tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, cast(ceil(n / $segLen.0) as int) - 1)")).as("si"))
+      .select(col("doc_id"), col("si"),
+        array_join(slice(col("toks"), col("si") * segLen + 1, lit(segLen)), " ").as("seg"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("si"))
+    val cleaned = segs
+      .withColumn("h", md5(col("seg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(si, seg))), x -> x.seg)"), " ")
+        .as("txt"))
+    cleaned
+      .select(col("doc_id"), split(col("txt"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(
+          s"sequence(0, greatest(0, cast(ceil((n - $span) / $stride.0) as int)))"))
+          .as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+        least(lit(span), col("n") - col("ci") * stride).cast("long").as("n_tok"),
+        md5(array_join(slice(col("toks"), col("ci") * stride + 1, lit(span)), " "))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val corpusRepackOracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       | SELECT doc_id, toks,
+       |  unnest(generate_series(0, CAST(ceil(len(toks) / $segLen.0) AS BIGINT) - 1)) AS si
+       | FROM t),
+       |segs AS (
+       | SELECT doc_id, si,
+       |  array_to_string(toks[si*$segLen+1 : si*$segLen+$segLen], ' ') AS seg
+       | FROM s),
+       |k AS (
+       | SELECT doc_id, si, seg,
+       |  row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, si) AS rn
+       | FROM segs),
+       |cleaned AS (
+       | SELECT doc_id, string_agg(seg, ' ' ORDER BY si) AS txt
+       | FROM k WHERE rn = 1 GROUP BY doc_id),
+       |ct AS (
+       | SELECT doc_id, string_split(txt, ' ') AS toks FROM cleaned),
+       |c AS (
+       | SELECT doc_id, toks, len(toks) AS n,
+       |  unnest(generate_series(0,
+       |    greatest(0, CAST(ceil((len(toks) - $span) / $stride.0) AS BIGINT)))) AS ci
+       | FROM ct)
+       |SELECT doc_id, ci AS chunk_id, least($span, n - ci * $stride) AS n_tok,
+       | md5(array_to_string(toks[ci*$stride+1 : ci*$stride+$span], ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),
     RegisteredQuery("dedup_segments", dedupSegments, Some(dedupSegmentsOracle)),
     RegisteredQuery("boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsOracle)),
+    RegisteredQuery("corpus_repack", corpusRepack, Some(corpusRepackOracle)),
   )
 }

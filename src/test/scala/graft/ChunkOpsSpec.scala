@@ -54,6 +54,31 @@ class ChunkOpsSpec extends SparkSpec {
       "no document lost a segment — dedup never fired")
   }
 
+  test("corpus_repack: chunks re-tile the CLEANED token counts from dedup_segments") {
+    val repack = ChunkOps.corpusRepack(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val kept = ChunkOps.dedupSegments(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs losing everything vanish; everyone else re-chunks their kept spans
+    kept.foreach { case (doc, nk) =>
+      assert(repack.contains(doc) === (nk > 0L), s"doc $doc: kept=$nk presence mismatch")
+    }
+    repack.foreach { case (doc, cs) =>
+      val last = cs.maxBy(_.getAs[Long]("chunk_id"))
+      val cleanedTok = last.getAs[Long]("chunk_id") * 24 + last.getAs[Long]("n_tok")
+      // every kept segment is 16 tokens except (at most) the doc's original
+      // tail segment, so the cleaned length the chunk grid tiles must land
+      // in [16*(kept-1)+1, 16*kept] — and never exceed the original doc
+      val nk = kept(doc)
+      assert(cleanedTok > 16 * (nk - 1) && cleanedTok <= 16 * nk,
+        s"doc $doc: cleaned token count $cleanedTok inconsistent with $nk kept segments")
+      assert(cleanedTok <= docs(doc), s"doc $doc: repack grew the document")
+    }
+  }
+
   test("boilerplate_ngrams: df threshold holds and grams really occur in that many docs") {
     val grams = ChunkOps.boilerplateNgrams(spark, sfDir).collect()
     assert(grams.nonEmpty, "no boilerplate found — threshold too high for the corpus")
