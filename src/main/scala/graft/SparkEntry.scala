@@ -28,6 +28,7 @@ object SparkEntry {
     SamplingOps,
     OrderingOps,
     LexiconOps,
+    EventLifecycleOps,
     ChunkOps,
     CorpusOps,
     ProfilingOps,

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Scalars._
+
+/** Event-lifecycle analytics: ordered funnels, cohort retention, type-2
+  * slowly-changing-dimension intervals and time-series gap-filling — the
+  * warehouse staples a pipeline like the reference's (event ingest →
+  * incremental aggregates, `/root/reference/src/aggregations.py`) grows
+  * into once analysts ask "did the user come back?" rather than "how many
+  * rows arrived?".
+  *
+  * All four operators share one scale discipline: the event stream is
+  * shuffled AT MOST ONCE, keyed on `user_id`, and every later stage works
+  * on either that partitioning (chained `WindowExec`s over the same key
+  * reuse the single exchange) or on an aggregate that is orders of
+  * magnitude smaller than the stream (cohort/week matrices, per-user
+  * spans). Nothing here materializes per-user state proportional to
+  * history length except the explicit per-day grid, whose size is the
+  * OUTPUT size.
+  */
+object EventLifecycleOps extends QueryModule {
+
+  /** Microseconds per day — grid buckets are pure integer arithmetic on
+    * `unix_micros` so Spark and the oracle agree bit-exactly (no
+    * engine-specific calendar or timezone semantics involved).
+    */
+  private val usPerDay = 86400000000L
+
+  // ---------------------------------------------------------------------
+  // Ordered funnel
+  // ---------------------------------------------------------------------
+
+  /** Strictly-ordered three-step funnel (view → click → purchase): a user
+    * converts step k only with an event AFTER their step-(k-1) time.
+    * Per-user step times are three chained conditional-min windows over
+    * the same `user_id` partitioning — Catalyst plans one exchange feeding
+    * three consecutive `WindowExec`s (each step's predicate references the
+    * previous window column, which a self-join formulation would compute
+    * by re-scanning the stream twice per step). The final shape is a
+    * 3-row census: users reaching each step + conversion vs step 1.
+    */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+    val counts = staged.agg(
+      count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+      count(col("t3")).as("n3"))
+    counts
+      .select(explode(array(
+        struct(lit("1_view").as("step"), col("n1").as("n_users")),
+        struct(lit("2_click").as("step"), col("n2").as("n_users")),
+        struct(lit("3_purchase").as("step"), col("n3").as("n_users")))).as("r"),
+        col("n1"))
+      .select(col("r.step").as("step"), col("r.n_users").as("n_users"),
+        roundTo(col("r.n_users").cast("double") / col("n1"), 6).as("conv_rate"))
+      .orderBy("step")
+  }
+
+  val funnelStepsOracle: String =
+    """WITH u1 AS (
+      | SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+      | FROM events GROUP BY 1),
+      |u2 AS (
+      | SELECT e.user_id, min(e.ts) AS t2
+      | FROM events e JOIN u1 USING (user_id)
+      | WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+      |u3 AS (
+      | SELECT e.user_id, min(e.ts) AS t3
+      | FROM events e JOIN u2 USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+      |c AS (
+      | SELECT (SELECT count(t1) FROM u1) AS n1,
+      |        (SELECT count(*) FROM u2) AS n2,
+      |        (SELECT count(*) FROM u3) AS n3)
+      |SELECT step, n_users,
+      | floor(n_users::DOUBLE / n1 * 1e6 + 0.5) / 1e6 AS conv_rate
+      |FROM (
+      | SELECT '1_view' AS step, n1 AS n_users, n1 FROM c
+      | UNION ALL SELECT '2_click', n2, n1 FROM c
+      | UNION ALL SELECT '3_purchase', n3, n1 FROM c)
+      |ORDER BY step""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cohort retention
+  // ---------------------------------------------------------------------
+
+  /** Daily cohort-retention matrix over the CONVERSION event: users
+    * grouped by first-purchase day, tracked by distinct-purchasing count
+    * at each later day offset (the D1/D7/D30 product-analytics shape; the
+    * all-events variant is degenerate on a dense fixture — every user is
+    * active every bucket). Day buckets are epoch-day indices (integer
+    * division of `unix_micros`) — no calendar semantics to disagree on.
+    *
+    * Dataflow: the event-type filter lands in the parquet scan's
+    * PushedFilters, then one keyed aggregate for first-purchase, one
+    * distinct over (user, day) — both shuffled on `user_id` — then a join
+    * whose BOTH sides are per-user aggregates (tiny vs the stream) and a
+    * final aggregate over the cohort×offset matrix, which is bounded by
+    * days² regardless of corpus size. The denominator (cohort size) is a
+    * window max over that matrix — offset 0 always exists because the
+    * first purchase itself is activity.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val pd = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $usPerDay").as("day"))
+    val cohort = pd.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = pd.distinct()
+    val matrix = active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val w = Window.partitionBy(col("cohort_day"))
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active"))).over(w))
+      .select(col("cohort_day"), col("day_offset"),
+        col("n_active"),
+        roundTo(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention_rate"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val cohortRetentionOracle: String =
+    s"""WITH pd AS (
+       | SELECT user_id, epoch_us(ts) // $usPerDay AS day
+       | FROM events WHERE event_type = 'purchase'),
+       |cohort AS (SELECT user_id, min(day) AS cohort_day FROM pd GROUP BY 1),
+       |active AS (SELECT DISTINCT user_id, day FROM pd),
+       |m AS (
+       | SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       |  count(DISTINCT a.user_id) AS n_active
+       | FROM active a JOIN cohort c USING (user_id) GROUP BY 1, 2)
+       |SELECT cohort_day, day_offset, n_active,
+       | floor(n_active::DOUBLE /
+       |   max(CASE WHEN day_offset = 0 THEN n_active END)
+       |     OVER (PARTITION BY cohort_day) * 1e6 + 0.5) / 1e6 AS retention_rate
+       |FROM m ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SCD Type-2 intervals
+  // ---------------------------------------------------------------------
+
+  /** `valid_to` sentinel for the open (current) interval: 9999-12-31T00:00Z
+    * in microseconds. A NULL-free output keeps the hash compare trivial and
+    * matches how warehouse SCD2 tables are actually stored (range scans on
+    * `valid_to` need a comparable value, not NULL).
+    */
+  private val openEndUs = 253402214400000000L
+
+  /** Type-2 slowly-changing-dimension build: treat each user's event-type
+    * sequence as attribute updates and emit one row per STATE RUN —
+    * version number, state, [valid_from, valid_to) interval, is_current —
+    * the standard dimension-history shape (the reference's upsert DAL,
+    * `/root/reference/src/database.py:133-202`, is the type-1 overwrite
+    * twin of this). Consecutive equal states collapse; `valid_to` is the
+    * next change's `valid_from`, open intervals get [[openEndUs]].
+    *
+    * One exchange on `user_id`: the change filter is a `lag` window, the
+    * version/interval columns a `row_number` + `lead` over the SAME
+    * partitioning and ordering (the filter preserves both, so no second
+    * shuffle; ordering ties broken by `event_id` for determinism).
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_next", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        coalesce(col("valid_to_next"), lit(openEndUs)).as("valid_to_us"),
+        when(col("valid_to_next").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2IntervalsOracle: String =
+    s"""WITH chg AS (
+       | SELECT user_id, event_id, ts, event_type
+       | FROM (
+       |  SELECT user_id, event_id, ts, event_type,
+       |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |     AS prev_type
+       |  FROM events)
+       | WHERE prev_type IS NULL OR prev_type <> event_type),
+       |v AS (
+       | SELECT user_id, event_type, ts,
+       |  CAST(row_number() OVER w AS BIGINT) AS version,
+       |  lead(epoch_us(ts)) OVER w AS valid_to_next
+       | FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, version, event_type AS state,
+       | epoch_us(ts) AS valid_from_us,
+       | coalesce(valid_to_next, $openEndUs) AS valid_to_us,
+       | CASE WHEN valid_to_next IS NULL THEN 1 ELSE 0 END::BIGINT AS is_current
+       |FROM v ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Time-series gap-fill / resample
+  // ---------------------------------------------------------------------
+
+  /** Per-user daily resample with forward-fill: aggregate the stream to
+    * (user, day) once, build each user's complete day grid between their
+    * first and last active day, and carry the last observed daily value
+    * across gaps — the regularization step before any fixed-step
+    * time-series model. The grid `explode` is output-proportional (one row
+    * per emitted day) and the forward-fill is a `last(ignoreNulls)` running
+    * window over the `user_id` partitioning the daily aggregate already
+    * has. Day buckets are epoch-day integers, as in [[cohortRetention]].
+    */
+  def tsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $usPerDay").as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        roundTo(sum(col("value")), 2).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ff_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val tsGapfillOracle: String =
+    s"""WITH daily AS (
+       | SELECT user_id, epoch_us(ts) // $usPerDay AS day,
+       |  count(*) AS n_events,
+       |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS day_value
+       | FROM events GROUP BY 1, 2),
+       |span AS (
+       | SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+       |grid AS (
+       | SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span)
+       |SELECT g.user_id, g.day,
+       | coalesce(d.n_events, 0) AS n_events,
+       | CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END::BIGINT AS is_gap,
+       | last_value(d.day_value IGNORE NULLS) OVER (
+       |   PARTITION BY g.user_id ORDER BY g.day
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+       |FROM grid g LEFT JOIN daily d USING (user_id, day)
+       |ORDER BY g.user_id, g.day""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
+    RegisteredQuery("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
+    RegisteredQuery("scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
+    RegisteredQuery("ts_gapfill", tsGapfill, Some(tsGapfillOracle)),
+  )
+}
