@@ -467,13 +467,22 @@ object Similarity extends QueryModule {
     */
   def knnJoinCandidates(s: SparkSession, dir: String): DataFrame = {
     val assigned = knnAssigned(s, dir)
-    val a = assigned.select(col("vec_id").as("vec_a"), col("cell"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("cell"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cells").as("ca"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cells").as("cb"), col("cell"))
     a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
+      .filter(col("vec_a") < col("vec_b") && emitOnce)
       .select(col("vec_a"), col("vec_b"))
-      .distinct()
   }
+
+  /** A pair sharing several cells meets once PER shared cell in the cell
+    * join; emitting it only from the smallest shared cell id makes the
+    * join output exactly-once per pair — a cheap codegen'd filter instead
+    * of a distinct/max re-aggregation, which shuffled the whole candidate
+    * pair set a second time (and computed the duplicate pairs' dot
+    * products only to throw them away).
+    */
+  private def emitOnce: Column =
+    col("cell") === array_min(array_intersect(col("ca"), col("cb")))
 
   /** (vec_id, e, cell) with [[knnAssign]] rows per vector. The top-cells
     * expression is `slice(reverse(array_sort(array(struct(dot, cell)...))))`
@@ -495,8 +504,12 @@ object Similarity extends QueryModule {
       .select(Seq(col("vec_id"), col("raw")) ++ centCols: _*)
       .select(col("vec_id"),
         slice(reverse(array_sort(cellStructs)), 1, knnAssign).as("top_cells"))
-      .select(col("vec_id"), explode(col("top_cells")).as("tc"))
-      .select(col("vec_id"), col("tc").getField("c").as("cell"))
+      // the assignment-set column rides along so the pair join can emit
+      // exactly-once ([[emitOnce]]); the transform lambda runs once per
+      // VECTOR over a 3-element array — off the per-pair hot path
+      .select(col("vec_id"),
+        expr("transform(top_cells, x -> x.c)").as("cells"))
+      .select(col("vec_id"), col("cells"), explode(col("cells")).as("cell"))
       .join(normalized(s, dir), "vec_id")
   }
 
@@ -517,14 +530,18 @@ object Similarity extends QueryModule {
     */
   def knnJoinIvf(s: SparkSession, dir: String): DataFrame = {
     val assigned = knnAssigned(s, dir)
-    val a = assigned.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("cell"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("cell"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("cells").as("ca"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("cells").as("cb"), col("cell"))
     val w = Window.partitionBy(col("vec_a")).orderBy(col("cos_sim").desc, col("vec_b"))
     a.join(b, Seq("cell"))
-      .filter(col("vec_a") =!= col("vec_b"))
+      // [[emitOnce]] collapses multi-cell duplicates AT THE JOIN — each
+      // pair's dot product is computed exactly once and the candidate set
+      // flows straight into the top-k window (one shuffle, WindowGroupLimit
+      // heaps) with no dedup re-aggregation in between
+      .filter(col("vec_a") =!= col("vec_b") && emitOnce)
       .select(col("vec_a"), col("vec_b"), roundTo(dot("ea", "eb"), 6).as("cos_sim"))
-      // a pair sharing several cells scores identically in each — collapse
-      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= knnK)
       .orderBy("vec_a", "rank")
