@@ -33,6 +33,7 @@ object SparkEntry {
     CorpusOps,
     ProfilingOps,
     graft.pipeline.PipelineOps,
+    graft.streaming.StreamingOps,
   )
 
   lazy val registry: Seq[RegisteredQuery] = modules.flatMap(_.queries)

@@ -339,6 +339,44 @@ object LexiconOps extends QueryModule {
        | floor(CAST(count(oov) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
        |FROM tagged GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Adjacent-token-pair census — the first BPE merge step (count every
+    * neighboring pair, the max count is the merge a tokenizer trainer
+    * would apply). Same word-count topology as [[vocabTopk]]: explode the
+    * position grid, build the pair with positional `element_at` (codegen'd
+    * — no interpreted zip lambda on the per-token hot path), one keyed
+    * aggregate with map-side partials, global top-k as
+    * TakeOrderedAndProject. At 100 TB pair cardinality ≲ vocab², but the
+    * partial aggregation bounds the exchange by DISTINCT pairs per task.
+    */
+  def bpePairStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 2) // sequence(1, n-1) would run DESCENDING for n<2
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, n - 1)")).as("i"))
+      .select(col("doc_id"),
+        concat(element_at(col("toks"), col("i")), lit(" "),
+          element_at(col("toks"), col("i") + 1)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(50)
+
+  val bpePairStatsOracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS toks
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       | FROM t WHERE len(toks) >= 2)
+       |SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n_occ,
+       | count(DISTINCT doc_id) AS n_docs
+       |FROM g GROUP BY pair
+       |ORDER BY n_occ DESC, pair LIMIT 50""".stripMargin
+
   /** Heavy-hitter tokens via the Misra–Gries typed Aggregator
     * ([[graft.functions.MisraGries]]) — k=20 counters of state per task at
     * ANY vocabulary size, mergeable partials, underestimates bounded by
@@ -372,6 +410,7 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    RegisteredQuery("bpe_pair_stats", bpePairStats, Some(bpePairStatsOracle)),
     RegisteredQuery("vocab_mg_heavy", vocabHeavyHitters, None),
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),

@@ -94,4 +94,21 @@ class Sf01ConsistencySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(salted === plain)
   }
+
+  test("sf0.1: lifecycle invariants hold over the full event stream") {
+    // funnel monotone at 10x the unit-suite data
+    val f = graft.operators.EventLifecycleOps.funnelSteps(spark, bigDir)
+      .orderBy("step").collect().map(_.getLong(1))
+    assert(f(0) >= f(1) && f(1) >= f(2), s"funnel not monotone: ${f.toSeq}")
+    // SCD2 intervals stay contiguous and single-current per user
+    val scd = graft.operators.EventLifecycleOps.scd2Intervals(spark, bigDir)
+      .orderBy("user_id", "version").collect()
+    scd.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.count(_.getLong(5) == 1L) == 1, s"user $u current != 1")
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) == b.getLong(3), s"user $u gap")
+        case _           => ()
+      }
+    }
+  }
 }

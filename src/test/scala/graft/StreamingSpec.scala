@@ -288,4 +288,14 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_wm_stream").count() === ev.count())
     assert(spark.table("dedup_wm_stream").select("event_id").distinct().count() === ev.count())
   }
+
+  test("registered streaming query equals its batch twin row-for-row") {
+    // stream_tumbling_window shares w3's oracle; pin the equality directly
+    // too, so a drift in either side fails without a DuckDB round-trip
+    val streamed = graft.streaming.StreamingOps
+      .streamTumblingWindow(spark, sfDir).collect().toSeq
+    val batch = graft.operators.WindowsAndStats
+      .w3TumblingWindow(spark, sfDir).collect().toSeq
+    assert(streamed === batch)
+  }
 }
