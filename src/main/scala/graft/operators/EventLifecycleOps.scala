@@ -267,10 +267,63 @@ object EventLifecycleOps extends QueryModule {
        |FROM grid g LEFT JOIN daily d USING (user_id, day)
        |ORDER BY g.user_id, g.day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Rolling active users (DAU / WAU / MAU)
+  // ---------------------------------------------------------------------
+
+  /** Trailing-window active-user counts per day — DAU, 7-day and 28-day
+    * distinct actives, the engagement triple every event warehouse serves.
+    * Windowed COUNT(DISTINCT) has no streaming-friendly window form, so
+    * this uses the bucketize-explode shape (the [[RangeOps]] contract on
+    * the time axis): each (user, active-day) PAIR — already an aggregate,
+    * orders of magnitude smaller than the event stream — fans out to the
+    * 28 trailing-window end-days it contributes to, and one aggregate per
+    * end-day counts distinct users under each horizon (`countDistinct`
+    * absorbs multi-day activity; the conditional variants null out rows
+    * beyond their horizon). Fan-out is a FIXED 28× of the user-day
+    * aggregate, never of the raw stream; the three distinct aggregates
+    * expand 3× before the exchange, bounded the same way.
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $usPerDay").as("d"))
+      .distinct()
+    val maxDay = ud.agg(max(col("d")).as("d1"))
+    ud
+      .select(col("user_id"), col("d"),
+        explode(expr("sequence(0, 27)")).as("o"))
+      .select(col("user_id"), (col("d") + col("o")).as("day"), col("o"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("d1"))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("o") === 0, col("user_id"))).as("n_dau"),
+        countDistinct(when(col("o") <= 6, col("user_id"))).as("n_wau"),
+        countDistinct(col("user_id")).as("n_mau"))
+      .orderBy("day")
+  }
+
+  val rollingActiveUsersOracle: String =
+    s"""WITH ud AS (
+       | SELECT DISTINCT user_id, epoch_us(ts) // $usPerDay AS d FROM events),
+       |mx AS (SELECT max(d) AS d1 FROM ud),
+       |x AS (
+       | SELECT user_id, d + o AS day, o
+       | FROM ud, unnest(generate_series(0, 27)) AS t(o))
+       |SELECT day,
+       | count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS n_dau,
+       | count(DISTINCT CASE WHEN o <= 6 THEN user_id END) AS n_wau,
+       | count(DISTINCT user_id) AS n_mau
+       |FROM x, mx WHERE day <= d1
+       |GROUP BY day ORDER BY day""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     RegisteredQuery("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     RegisteredQuery("scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
     RegisteredQuery("ts_gapfill", tsGapfill, Some(tsGapfillOracle)),
+    RegisteredQuery("rolling_active_users", rollingActiveUsers,
+      Some(rollingActiveUsersOracle)),
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -123,9 +123,71 @@ object ProfilingOps extends QueryModule {
       | floor(count(*)::DOUBLE / total * 1e4 + 0.5) / 1e4 AS share
       |FROM b, t GROUP BY bucket, total ORDER BY bucket""".stripMargin
 
+  /** Data-quality rule report: a rule catalog evaluated in ONE pass over
+    * `orders` — per rule: rows checked, violations, violation rate (the
+    * expectation-suite shape of dbt tests / Great Expectations, reduced
+    * to dataflow). Every rule is a map-side flag summed in a single
+    * aggregate; the per-rule rows come from exploding a 5-element literal
+    * array over the 1-row aggregate, so the table is scanned exactly once
+    * no matter how many rules the catalog holds.
+    *
+    * Rules 2–4 have NATURAL violations in the fixture (price cap below
+    * the true max, a date horizon inside the data range, 'P' status
+    * outside the allowed set); rule 1's nulls are deterministically
+    * simulated (every 97th key), the [[LexiconOps.textNormalize]]
+    * convention for a too-clean fixture; rule 5 genuinely passes — a
+    * report where every rule fires is as unrepresentative as one where
+    * none does.
+    */
+  def dqRuleReport(s: SparkSession, dir: String): DataFrame = {
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n"),
+      viol(col("o_orderkey") % 97 === 0).as("v1"),
+      viol(!(col("o_totalprice") > 0 && col("o_totalprice") <= 450000)).as("v2"),
+      viol(!(col("o_orderdate") < to_timestamp(lit("2001-01-01")))).as("v3"),
+      viol(!col("o_orderstatus").isin("O", "F")).as("v4"),
+      viol(!col("o_orderpriority").rlike("^[1-5]-")).as("v5"))
+    agg
+      .select(col("n"), explode(array(
+        struct(lit("1_custkey_present").as("rule"), col("v1").as("v")),
+        struct(lit("2_price_range").as("rule"), col("v2").as("v")),
+        struct(lit("3_date_horizon").as("rule"), col("v3").as("v")),
+        struct(lit("4_status_known").as("rule"), col("v4").as("v")),
+        struct(lit("5_priority_format").as("rule"), col("v5").as("v")))).as("r"))
+      .select(col("r.rule").as("rule"), col("n").as("n_checked"),
+        col("r.v").as("n_violations"),
+        roundTo(col("r.v").cast("double") / col("n"), 6).as("violation_rate"))
+      .orderBy("rule")
+  }
+
+  val dqRuleReportOracle: String =
+    """WITH f AS (
+      | SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(sum(CASE WHEN NOT (o_totalprice > 0 AND o_totalprice <= 450000)
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(sum(CASE WHEN NOT (o_orderdate < TIMESTAMP '2001-01-01')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |  CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS v5
+      | FROM orders)
+      |SELECT rule, n AS n_checked, v AS n_violations,
+      | floor(v::DOUBLE / n * 1e6 + 0.5) / 1e6 AS violation_rate
+      |FROM (
+      | SELECT '1_custkey_present' AS rule, n, v1 AS v FROM f
+      | UNION ALL SELECT '2_price_range', n, v2 FROM f
+      | UNION ALL SELECT '3_date_horizon', n, v3 FROM f
+      | UNION ALL SELECT '4_status_known', n, v4 FROM f
+      | UNION ALL SELECT '5_priority_format', n, v5 FROM f)
+      |ORDER BY rule""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("table_diff", tableDiff, Some(tableDiffOracle)),
     RegisteredQuery("length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
+    RegisteredQuery("dq_rule_report", dqRuleReport, Some(dqRuleReportOracle)),
   )
 }

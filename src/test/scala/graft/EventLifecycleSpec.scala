@@ -99,6 +99,24 @@ class EventLifecycleSpec extends SparkSpec
     assert(out.exists(_.getLong(3) == 1L), "fixture has no gap days — invariant vacuous")
   }
 
+  test("rolling_active_users: DAU <= WAU <= MAU, contiguous day axis, exact DAU") {
+    val rows = EventLifecycleOps.rollingActiveUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, mau) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dau <= wau && wau <= mau, s"day ${r.getLong(0)}: $dau/$wau/$mau not monotone")
+    }
+    val days = rows.map(_.getLong(0))
+    assert(days.max - days.min + 1 == days.length, "day axis has holes")
+    // DAU cross-check against a direct per-day distinct
+    val direct = graft.engine.Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == direct(r.getLong(0)),
+      s"DAU mismatch on day ${r.getLong(0)}"))
+  }
+
   test("lifecycle stream queries shuffle the event stream exactly once (user_id key)") {
     // funnel: three chained conditional-min windows + scd2: lag->filter->
     // row_number/lead all share one user_id exchange; a formulation change
