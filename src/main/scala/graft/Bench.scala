@@ -23,7 +23,13 @@ object Bench {
     "vocab_oov_rate", "vocab_mg_heavy", "emb_dim_stats",
     // round-7 additions
     "chunk_overlap", "dedup_segments", "boilerplate_ngrams", "knn_join_ivf",
-    "corpus_repack")
+    "corpus_repack",
+    // round-7 second wave: lifecycle family + the oracle-checked streaming
+    // run (ts_gapfill deliberately non-priority — the 7 below are the most
+    // worst-case chars that still fit BenchLineSpec's budget pin)
+    "funnel_steps", "scd2_intervals", "rolling_active_users",
+    "stream_tumbling_window", "dq_rule_report", "bpe_pair_stats",
+    "cohort_retention")
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that
