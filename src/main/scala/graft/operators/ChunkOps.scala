@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,37 @@ object ChunkOps extends QueryModule {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
 
+  /** (doc_id, si, seg): every [[segLen]]-token segment of every document —
+    * the shared front end of [[dedupSegments]] and [[corpusRepack]] (one
+    * definition so the capstone provably composes the same segmentation).
+    */
+  private def segmented(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, cast(ceil(n / $segLen.0) as int) - 1)")).as("si"))
+      .select(col("doc_id"), col("si"),
+        array_join(slice(col("toks"), col("si") * segLen + 1, lit(segLen)), " ").as("seg"))
+
+  /** First-occurrence order for segment dedup: one window keyed on the
+    * segment hash, earliest (doc, position) wins.
+    */
+  private def segFirstWindow =
+    Window.partitionBy(col("h")).orderBy(col("doc_id"), col("si"))
+
+  /** Chunk-grid fan-out over a (doc_id, toks, n) frame: one row per
+    * [[span]]/[[stride]] window, with the grid index `ci` — shared by
+    * [[chunkOverlap]] and [[corpusRepack]]'s re-chunk stage.
+    */
+  private def chunkExploded(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("toks"), col("n"),
+      explode(expr(
+        s"sequence(0, greatest(0, cast(ceil((n - $span) / $stride.0) as int)))"))
+        .as("ci"))
+
+  /** The `ci`-th chunk's text (positional slice, codegen'd). */
+  private def chunkText: Column =
+    array_join(slice(col("toks"), col("ci") * stride + 1, lit(span)), " ")
+
   // ---------------------------------------------------------------------
   // Overlapping chunking
   // ---------------------------------------------------------------------
@@ -60,17 +91,13 @@ object ChunkOps extends QueryModule {
     * carries the true width).
     */
   def chunkOverlap(s: SparkSession, dir: String): DataFrame =
-    tokenized(s, dir)
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(expr(
-          s"sequence(0, greatest(0, cast(ceil((n - $span) / $stride.0) as int)))"))
-          .as("ci"))
+    chunkExploded(tokenized(s, dir))
       .select(
         col("doc_id"),
         col("ci").cast("long").as("chunk_id"),
         (col("ci") * stride).cast("long").as("start_tok"),
         least(lit(span), col("n") - col("ci") * stride).cast("long").as("n_tok"),
-        array_join(slice(col("toks"), col("ci") * stride + 1, lit(span)), " ").as("chunk"))
+        chunkText.as("chunk"))
       .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
         length(col("chunk")).cast("long").as("n_chars"),
         md5(col("chunk")).as("chunk_fp"))
@@ -106,16 +133,10 @@ object ChunkOps extends QueryModule {
     * (duplicate cardinality per segment), then a per-doc re-aggregate.
     */
   def dedupSegments(s: SparkSession, dir: String): DataFrame = {
-    val segs = tokenized(s, dir)
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, cast(ceil(n / $segLen.0) as int) - 1)")).as("si"))
-      .select(col("doc_id"), col("si"),
-        array_join(slice(col("toks"), col("si") * segLen + 1, lit(segLen)), " ").as("seg"))
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("si"))
-    segs
+    segmented(s, dir)
       .select(col("doc_id"), col("si"), length(col("seg")).as("seg_chars"),
         md5(col("seg")).as("h"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(segFirstWindow))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segs"),
@@ -158,8 +179,14 @@ object ChunkOps extends QueryModule {
     */
   def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
+      // docs shorter than one gram emit nothing: without the guard,
+      // sequence(1, 0) runs DESCENDING ([1, 0]) and slice(toks, 0, ...)
+      // throws — the same pitfall [[LexiconOps.bpePairStats]] guards;
+      // DuckDB's generate_series(1, 0) is empty, so the filter also keeps
+      // the engines aligned on short documents
+      .filter(col("n") >= gramN)
       .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(1, greatest(0, n - ${gramN - 1}))")).as("i"))
+        explode(expr(s"sequence(1, n - ${gramN - 1})")).as("i"))
       .select(col("doc_id"),
         array_join(slice(col("toks"), col("i"), lit(gramN)), " ").as("gram"))
       .groupBy(col("gram"))
@@ -205,31 +232,20 @@ object ChunkOps extends QueryModule {
     * intended dedup semantics.
     */
   def corpusRepack(s: SparkSession, dir: String): DataFrame = {
-    val segs = tokenized(s, dir)
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, cast(ceil(n / $segLen.0) as int) - 1)")).as("si"))
-      .select(col("doc_id"), col("si"),
-        array_join(slice(col("toks"), col("si") * segLen + 1, lit(segLen)), " ").as("seg"))
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("si"))
-    val cleaned = segs
+    val cleaned = segmented(s, dir)
       .withColumn("h", md5(col("seg")))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(segFirstWindow))
       .filter(col("rn") === 1)
       .groupBy(col("doc_id"))
       .agg(array_join(expr(
         "transform(array_sort(collect_list(struct(si, seg))), x -> x.seg)"), " ")
         .as("txt"))
-    cleaned
-      .select(col("doc_id"), split(col("txt"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(expr(
-          s"sequence(0, greatest(0, cast(ceil((n - $span) / $stride.0) as int)))"))
-          .as("ci"))
+    chunkExploded(cleaned
+        .select(col("doc_id"), split(col("txt"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n")))
       .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
         least(lit(span), col("n") - col("ci") * stride).cast("long").as("n_tok"),
-        md5(array_join(slice(col("toks"), col("ci") * stride + 1, lit(span)), " "))
-          .as("chunk_fp"))
+        md5(chunkText).as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
   }
 

@@ -14,14 +14,17 @@ import graft.functions.Scalars._
   * into once analysts ask "did the user come back?" rather than "how many
   * rows arrived?".
   *
-  * All four operators share one scale discipline: the event stream is
-  * shuffled AT MOST ONCE, keyed on `user_id`, and every later stage works
-  * on either that partitioning (chained `WindowExec`s over the same key
-  * reuse the single exchange) or on an aggregate that is orders of
-  * magnitude smaller than the stream (cohort/week matrices, per-user
-  * spans). Nothing here materializes per-user state proportional to
-  * history length except the explicit per-day grid, whose size is the
-  * OUTPUT size.
+  * The funnel/cohort/SCD2/gap-fill operators share one scale discipline:
+  * the event stream is shuffled AT MOST ONCE, keyed on `user_id`, and
+  * every later stage works on either that partitioning (chained
+  * `WindowExec`s over the same key reuse the single exchange) or on an
+  * aggregate that is orders of magnitude smaller than the stream
+  * (cohort/week matrices, per-user spans). Nothing here materializes
+  * per-user state proportional to history length except the explicit
+  * per-day grid, whose size is the OUTPUT size. The fifth operator,
+  * [[rollingActiveUsers]], is the deliberate exception: it trades the
+  * single exchange for a FIXED 28× fan-out of the (already tiny)
+  * user-day aggregate — see its scaladoc.
   */
 object EventLifecycleOps extends QueryModule {
 

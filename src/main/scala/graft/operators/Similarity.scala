@@ -466,6 +466,8 @@ object Similarity extends QueryModule {
     * Split out so the recall spec can measure the blocking rate directly.
     */
   def knnJoinCandidates(s: SparkSession, dir: String): DataFrame = {
+    // assignment only — the blocking-rate path never reranks, so it must
+    // not pay the normalized-vector join knnJoinIvf needs
     val assigned = knnAssigned(s, dir)
     val a = assigned.select(col("vec_id").as("vec_a"), col("cells").as("ca"), col("cell"))
     val b = assigned.select(col("vec_id").as("vec_b"), col("cells").as("cb"), col("cell"))
@@ -484,12 +486,15 @@ object Similarity extends QueryModule {
   private def emitOnce: Column =
     col("cell") === array_min(array_intersect(col("ca"), col("cb")))
 
-  /** (vec_id, e, cell) with [[knnAssign]] rows per vector. The top-cells
-    * expression is `slice(reverse(array_sort(array(struct(dot, cell)...))))`
-    * — struct ordering sorts on the dot first, cell id breaks exact ties,
+  /** (vec_id, cells, cell) with [[knnAssign]] rows per vector — the
+    * assignment alone, no vector payload. The top-cells expression is
+    * `slice(reverse(array_sort(array(struct(dot, cell)...))))` — struct
+    * ordering sorts on the dot first, cell id breaks exact ties,
     * everything stays inside whole-stage codegen (the same flat-literal
     * centroid pattern as [[simIvfTopk]]; an equivalent `row_number` window
     * over an exploded (vector × cell) table would shuffle n×k rows).
+    * [[knnJoinIvf]] joins the normalized vectors back for its rerank;
+    * [[knnJoinCandidates]] deliberately skips that join.
     */
   private def knnAssigned(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
@@ -510,7 +515,6 @@ object Similarity extends QueryModule {
       .select(col("vec_id"),
         expr("transform(top_cells, x -> x.c)").as("cells"))
       .select(col("vec_id"), col("cells"), explode(col("cells")).as("cell"))
-      .join(normalized(s, dir), "vec_id")
   }
 
   /** All-pairs kNN join — the scale path for neighborhood construction
@@ -529,7 +533,7 @@ object Similarity extends QueryModule {
     * gates recall vs the brute-force top-k and pins exact cosines.
     */
   def knnJoinIvf(s: SparkSession, dir: String): DataFrame = {
-    val assigned = knnAssigned(s, dir)
+    val assigned = knnAssigned(s, dir).join(normalized(s, dir), "vec_id")
     val a = assigned.select(col("vec_id").as("vec_a"), col("e").as("ea"),
       col("cells").as("ca"), col("cell"))
     val b = assigned.select(col("vec_id").as("vec_b"), col("e").as("eb"),

@@ -50,6 +50,7 @@ object StreamingOps extends QueryModule {
       case _        => raw
     }
     val name = s"graft_stream_w3_${sinkSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-w3-ckpt")
     val q = ev
       .groupBy(window(col("ts"), "6 hours"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
@@ -57,18 +58,27 @@ object StreamingOps extends QueryModule {
       .outputMode("complete")
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-stream-w3-ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val shaped = s.table(name)
       .select(
         unix_micros(col("window.start")).as("w_start_us"),
         unix_micros(col("window.end")).as("w_end_us"),
         col("n_events"),
         roundTo(col("sum_value"), 2).as("sum_value"))
       .orderBy("w_start_us")
+    // detach from the sink so the temp view and checkpoint can be dropped
+    // NOW (warm bench loops would otherwise accumulate one resident
+    // Complete-mode result table + one /tmp checkpoint per invocation);
+    // the window count is time-bounded, so the local copy is small
+    val result = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+    s.catalog.dropTempView(name)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    result
   }
 
   /** Same oracle as the batch twin — the streaming run must land on the

@@ -10,7 +10,8 @@ import graft.operators.Similarity
   * and recall of the true top-3 must clear a measured floor. The floor is
   * data-dependent: this corpus's typical top-3 neighbor sits near cosine
   * 0.33 (near-orthogonal), which is the hard regime for any ANN blocker —
-  * the gate pins the measured 0.6+ so a regression in assignment or
+  * the measured recall sits around 0.6 and the gate asserts a 0.55 floor
+  * (headroom for centroid-sample jitter) so a regression in assignment or
   * blocking shows up, without pretending sub-0.4-cosine neighbors are
   * reliably findable.
   */
