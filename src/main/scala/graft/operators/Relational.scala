@@ -135,6 +135,76 @@ object Relational extends QueryModule {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY total_orders DESC, c_mktsegment""".stripMargin
 
+  /** Q5-shape rendition (beyond the reference; the TPC-H "local supplier
+    * volume" star topology): revenue per (region, order year) through the
+    * full five-table chain lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region. Join-strategy ladder on display: the fact-to-fact
+    * lineitem⋈orders edge stays a shuffled join (at 100 TB both sides are
+    * fact-scale — bucket by orderkey to make it exchange-free), while
+    * customer/nation/region are broadcast (dimension-scale at ANY corpus
+    * size for nation/region; customer broadcast is the fixture-scale
+    * shortcut a real deployment would revisit). Catalyst prunes every
+    * table to its join keys + the two aggregate inputs.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        roundTo(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("r_name", "order_year")
+  }
+
+  val q5Oracle: String =
+    """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      | count(*) AS n_items,
+      | floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2 AS revenue
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY r_name, order_year""".stripMargin
+
+  /** Q6-shape rendition (TPC-H "forecasting revenue change"): pure
+    * scan-filter-aggregate with every predicate eligible for parquet
+    * pushdown — the zero-join showcase that at 100 TB reads only the
+    * row groups whose footer min/max overlap the date/discount/quantity
+    * bands, and only the four referenced columns.
+    */
+  def q6RevenueBand(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      // LocalDateTime literals stay TIMESTAMP_NTZ like the stored column —
+      // a TimestampType literal would insert a cast over the column and
+      // keep the predicate out of PushedFilters
+      .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+        col("l_shipdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_items"),
+        roundTo(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue_delta"))
+
+  val q6Oracle: String =
+    """SELECT count(*) AS n_items,
+      | floor(sum(l_extendedprice * l_discount) * 1e2 + 0.5) / 1e2 AS revenue_delta
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** S2: latest-row point lookup (fetch_latest_launch, src/api.py:17-46) —
     * `ORDER BY ts DESC LIMIT 1` plans as TakeOrderedAndProject.
     * Timestamps are emitted as epoch-micros BIGINT (`unix_micros`): the
@@ -390,6 +460,8 @@ object Relational extends QueryModule {
     RegisteredQuery("q2_top_mass", q2TopMass, Some(q2Oracle)),
     RegisteredQuery("q3_ship_delay", q3ShipDelay, Some(q3Oracle)),
     RegisteredQuery("q4_segment_util", q4SegmentUtil, Some(q4Oracle)),
+    RegisteredQuery("q5_region_revenue", q5RegionRevenue, Some(q5Oracle)),
+    RegisteredQuery("q6_revenue_band", q6RevenueBand, Some(q6Oracle)),
     RegisteredQuery("s2_latest_event", s2LatestEvent, Some(s2Oracle)),
     RegisteredQuery("s3_watermark_scan", s3WatermarkScan, Some(s3Oracle)),
     RegisteredQuery("p2_validate_count", p2ValidateCount, Some(p2Oracle)),
