@@ -61,24 +61,29 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val shaped = s.table(name)
-      .select(
-        unix_micros(col("window.start")).as("w_start_us"),
-        unix_micros(col("window.end")).as("w_end_us"),
-        col("n_events"),
-        roundTo(col("sum_value"), 2).as("sum_value"))
-      .orderBy("w_start_us")
     // detach from the sink so the temp view and checkpoint can be dropped
-    // NOW (warm bench loops would otherwise accumulate one resident
-    // Complete-mode result table + one /tmp checkpoint per invocation);
-    // the window count is time-bounded, so the local copy is small
-    val result = s.createDataFrame(shaped.collectAsList(), shaped.schema)
-    s.catalog.dropTempView(name)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    result
+    // even when the run FAILS (warm bench loops would otherwise accumulate
+    // one resident Complete-mode result table + one /tmp checkpoint per
+    // invocation); the window count is time-bounded, so the local copy is
+    // small
+    try {
+      q.awaitTermination()
+      val shaped = s.table(name)
+        .select(
+          unix_micros(col("window.start")).as("w_start_us"),
+          unix_micros(col("window.end")).as("w_end_us"),
+          col("n_events"),
+          roundTo(col("sum_value"), 2).as("sum_value"))
+        .orderBy("w_start_us")
+      s.createDataFrame(shaped.collectAsList(), shaped.schema)
+    } finally {
+      scala.util.Try(s.catalog.dropTempView(name))
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   /** Same oracle as the batch twin — the streaming run must land on the

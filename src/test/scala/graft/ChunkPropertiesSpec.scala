@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SaveMode
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 
 import graft.operators.ChunkOps
 
@@ -17,10 +17,6 @@ class ChunkPropertiesSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
-    assert(res.passed, res.status.toString)
-  }
 
   // mirrors ChunkOps' constants (private there by design — these specs
   // break if the operator constants change, which is the point: the
@@ -52,7 +48,7 @@ class ChunkPropertiesSpec extends SparkSpec {
   private def toks(t: String): Vector[String] = t.split(" ", -1).toVector
 
   test("chunk_overlap matches a brute-force window walk (incl. sub-span docs)") {
-    check(Prop.forAll(docGen) { docs =>
+    checkProp(minTests = 6, p = Prop.forAll(docGen) { docs =>
       val dir = stage(docs)
       val got = ChunkOps.chunkOverlap(spark, dir)
         .orderBy("doc_id", "chunk_id").collect()
@@ -71,7 +67,7 @@ class ChunkPropertiesSpec extends SparkSpec {
   }
 
   test("dedup_segments matches brute-force corpus-order first-occurrence") {
-    check(Prop.forAll(docGen) { docs =>
+    checkProp(minTests = 6, p = Prop.forAll(docGen) { docs =>
       val dir = stage(docs)
       val got = ChunkOps.dedupSegments(spark, dir)
         .orderBy("doc_id").collect()
@@ -93,7 +89,7 @@ class ChunkPropertiesSpec extends SparkSpec {
   }
 
   test("boilerplate_ngrams matches a brute-force census; short docs contribute nothing") {
-    check(Prop.forAll(docGen) { docs =>
+    checkProp(minTests = 6, p = Prop.forAll(docGen) { docs =>
       val dir = stage(docs)
       val got = ChunkOps.boilerplateNgrams(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -111,7 +107,7 @@ class ChunkPropertiesSpec extends SparkSpec {
   }
 
   test("corpus_repack: exact duplicate docs vanish; chunk grids cover the cleaned text") {
-    check(Prop.forAll(docGen) { docs =>
+    checkProp(minTests = 6, p = Prop.forAll(docGen) { docs =>
       // force at least one exact duplicate pair of a non-empty doc
       val withDup = docs ++ docs.find(_._2.nonEmpty).map { case (_, t) =>
         (docs.map(_._1).max + 1, t)

@@ -32,9 +32,11 @@ class ClusterTuningSpec extends AnyFunSuite {
     assert(o("spark.sql.files.maxPartitionBytes").toLong == 256L << 20)
     assert(o("spark.sql.adaptive.advisoryPartitionSizeInBytes").toLong == 128L << 20)
     assert(o("spark.executor.instances") == "1000")
-    // partitions x advisory size covers the input: no partition needs to
-    // exceed the advisory target even with zero AQE coalescing
-    assert(o("spark.sql.shuffle.partitions").toLong * (200L << 20) >= 100e12.toLong)
+    // the coalescing target must sit below the scan split size — AQE can
+    // only merge partitions upward toward maxPartitionBytes, never split
+    // a too-big scan task downward
+    assert(o("spark.sql.adaptive.advisoryPartitionSizeInBytes").toLong <
+      o("spark.sql.files.maxPartitionBytes").toLong)
   }
 
   test("small-cluster shape: core rule dominates; semantics configs ride along") {

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.SaveMode
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 
 import graft.operators.EventLifecycleOps
 
@@ -18,10 +18,6 @@ class LifecyclePropertiesSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
-    assert(res.passed, res.status.toString)
-  }
 
   private val usPerDay = 86400000000L
   private val base = 1700000000000L // ms
@@ -32,8 +28,9 @@ class LifecyclePropertiesSpec extends SparkSpec {
     n <- Gen.choose(30, 70)
     rows <- Gen.listOfN(n, for {
       u <- Gen.choose(0L, 5L)
-      // coarse 6h grain makes equal timestamps actually occur
-      slot <- Gen.choose(0L, 80L)
+      // coarse 6h grain makes equal timestamps actually occur; the ~50-day
+      // span lets a user's quiet stretch exceed the 28-day MAU horizon
+      slot <- Gen.choose(0L, 200L)
       t <- Gen.oneOf("view", "click", "purchase", "error", "signup")
       v <- Gen.choose(0, 10000)
     } yield (u, base + slot * 6L * 3600 * 1000, t, v / 100.0))
@@ -50,7 +47,7 @@ class LifecyclePropertiesSpec extends SparkSpec {
   private def round2(x: Double): Double = math.floor(x * 100 + 0.5) / 100
 
   test("funnel_steps matches a brute-force per-user walk") {
-    check(Prop.forAll(evGen) { evs =>
+    checkProp(minTests = 6, p = Prop.forAll(evGen) { evs =>
       val dir = stage(evs)
       val got = EventLifecycleOps.funnelSteps(spark, dir)
         .orderBy("step").collect().map(_.getLong(1)).toSeq
@@ -70,7 +67,7 @@ class LifecyclePropertiesSpec extends SparkSpec {
   }
 
   test("scd2_intervals matches a brute-force run-length collapse") {
-    check(Prop.forAll(evGen) { evs =>
+    checkProp(minTests = 6, p = Prop.forAll(evGen) { evs =>
       val dir = stage(evs)
       val got = EventLifecycleOps.scd2Intervals(spark, dir)
         .orderBy("user_id", "version").collect()
@@ -88,7 +85,7 @@ class LifecyclePropertiesSpec extends SparkSpec {
   }
 
   test("ts_gapfill matches a brute-force daily resample with forward-fill") {
-    check(Prop.forAll(evGen) { evs =>
+    checkProp(minTests = 6, p = Prop.forAll(evGen) { evs =>
       val dir = stage(evs)
       val got = EventLifecycleOps.tsGapfill(spark, dir)
         .orderBy("user_id", "day").collect()
@@ -110,7 +107,7 @@ class LifecyclePropertiesSpec extends SparkSpec {
   }
 
   test("rolling_active_users matches brute-force trailing-window distinct counts") {
-    check(Prop.forAll(evGen) { evs =>
+    checkProp(minTests = 6, p = Prop.forAll(evGen) { evs =>
       val dir = stage(evs)
       val got = EventLifecycleOps.rollingActiveUsers(spark, dir)
         .orderBy("day").collect()
@@ -119,13 +116,18 @@ class LifecyclePropertiesSpec extends SparkSpec {
       val (d0, d1) = (act.map(_._2).min, act.map(_._2).max)
       def distinctIn(d: Long, k: Long): Long =
         act.collect { case (u, ad) if ad <= d && ad > d - k => u }.size.toLong
-      val expect = (d0 to d1).map(d => (d, distinctIn(d, 1), distinctIn(d, 7), distinctIn(d, 28)))
+      // days where NO user was active in the trailing 28 days produce no
+      // row at all (nothing fans out to them) — mirror that, don't expect
+      // zero-rows (a >27-day corpus-wide quiet gap is row-free)
+      val expect = (d0 to d1)
+        .map(d => (d, distinctIn(d, 1), distinctIn(d, 7), distinctIn(d, 28)))
+        .filter(_._4 > 0)
       got.toSeq == expect
     })
   }
 
   test("cohort_retention matches a brute-force purchase-cohort matrix") {
-    check(Prop.forAll(evGen) { evs =>
+    checkProp(minTests = 6, p = Prop.forAll(evGen) { evs =>
       val dir = stage(evs)
       val got = EventLifecycleOps.cohortRetention(spark, dir)
         .orderBy("cohort_day", "day_offset").collect()

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 
 import graft.operators.MergeOps
 
@@ -13,10 +13,6 @@ import graft.operators.MergeOps
   */
 class MergePropertiesSpec extends SparkSpec {
 
-  private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
-    assert(res.passed, res.status.toString)
-  }
 
   import spark.implicits._
 
@@ -35,7 +31,7 @@ class MergePropertiesSpec extends SparkSpec {
     d.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
 
   test("merging the same batch twice equals merging once (idempotence)") {
-    check(Prop.forAll(batchGen, batchGen) { (base, batch) =>
+    checkProp(minTests = 10, p = Prop.forAll(batchGen, batchGen) { (base, batch) =>
       val once = MergeOps.mergeByKey(df(base), df(batch), "event_id", "ts")
       val twice = MergeOps.mergeByKey(once, df(batch), "event_id", "ts")
       canon(twice) == canon(once)
@@ -43,7 +39,7 @@ class MergePropertiesSpec extends SparkSpec {
   }
 
   test("merged key set is the union of key sets; per-key version is the max") {
-    check(Prop.forAll(batchGen, batchGen) { (base, batch) =>
+    checkProp(minTests = 10, p = Prop.forAll(batchGen, batchGen) { (base, batch) =>
       val merged = MergeOps.mergeByKey(df(base), df(batch), "event_id", "ts")
       val all = base ++ batch
       val expectKeys = all.map(_._1).toSet
@@ -54,7 +50,7 @@ class MergePropertiesSpec extends SparkSpec {
   }
 
   test("new-key count is |batch keys \\ base keys| regardless of duplication") {
-    check(Prop.forAll(batchGen, batchGen) { (base, batch) =>
+    checkProp(minTests = 10, p = Prop.forAll(batchGen, batchGen) { (base, batch) =>
       val n = MergeOps.newKeyCount(df(base), df(batch), "event_id")
         .collect().head.getLong(0)
       n == (batch.map(_._1).toSet -- base.map(_._1).toSet).size.toLong

@@ -12,6 +12,16 @@ trait SparkSpec extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Shared ScalaCheck runner for the property suites (Spark-backed
+    * properties are expensive — a handful of cases each staging a tmp
+    * parquet dir is the right budget, not the 100-case default).
+    */
+  def checkProp(p: org.scalacheck.Prop, minTests: Int = 10): Unit = {
+    import org.scalacheck.{Test => SCTest}
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
 }
 
 object SparkSpec {
