@@ -321,6 +321,74 @@ object EventLifecycleOps extends QueryModule {
        |FROM x, mx WHERE day <= d1
        |GROUP BY day ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Daily percentile bands + anomaly days
+  // ---------------------------------------------------------------------
+
+  /** Daily metric bands: per epoch-day count, exact p50/p95 and max of the
+    * event value — the latency/size-band monitoring query every ops
+    * dashboard serves. One keyed aggregate; the exact percentiles are the
+    * oracle-checked baseline (at 100 TB the `approx_percentile` sketch is
+    * the default, as with [[graft.operators.WindowsAndStats]] A13's two
+    * tiers). 4dp rounding: percentile interpolation between 2-decimal
+    * values can land exactly on a half at 2dp.
+    */
+  def valueBandsDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(expr(s"unix_micros(ts) div $usPerDay").as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        roundTo(expr("percentile(value, 0.5)"), 4).as("p50_value"),
+        roundTo(expr("percentile(value, 0.95)"), 4).as("p95_value"),
+        roundTo(max(col("value")), 2).as("max_value"))
+      .orderBy("day")
+
+  val valueBandsDailyOracle: String =
+    s"""SELECT epoch_us(ts) // $usPerDay AS day, count(*) AS n_events,
+       | floor(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS p50_value,
+       | floor(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS p95_value,
+       | floor(max(value) * 1e2 + 0.5) / 1e2 AS max_value
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Anomalous-volume days: flag days whose total value deviates more
+    * than 2 sample standard deviations from the series mean — the
+    * monitoring alarm over the daily aggregate. The z-score statistics
+    * are an unpartitioned window over the DAILY series (days-bounded at
+    * any corpus scale — the same tiny-aggregate argument as
+    * [[cohortRetention]]'s matrix), never over the raw stream; the
+    * stream itself is touched by exactly one keyed aggregate.
+    */
+  def tsAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr(s"unix_micros(ts) div $usPerDay").as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg(sum(col("value")).as("day_total"))
+    val w = Window.partitionBy()
+    daily
+      .withColumn("mu", avg(col("day_total")).over(w))
+      .withColumn("sigma", stddev_samp(col("day_total")).over(w))
+      .withColumn("z", (col("day_total") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("day"), roundTo(col("day_total"), 2).as("day_total"),
+        roundTo(col("z"), 4).as("z_score"),
+        when(col("z") > 0, lit("high")).otherwise(lit("low")).as("direction"))
+      .orderBy("day")
+  }
+
+  val tsAnomalyDaysOracle: String =
+    s"""WITH daily AS (
+       | SELECT epoch_us(ts) // $usPerDay AS day, sum(value) AS day_total
+       | FROM events GROUP BY 1),
+       |scored AS (
+       | SELECT day, day_total,
+       |  (day_total - avg(day_total) OVER ()) / stddev_samp(day_total) OVER () AS z
+       | FROM daily)
+       |SELECT day, floor(day_total * 1e2 + 0.5) / 1e2 AS day_total,
+       | floor(z * 1e4 + 0.5) / 1e4 AS z_score,
+       | CASE WHEN z > 0 THEN 'high' ELSE 'low' END AS direction
+       |FROM scored WHERE abs(z) > 2.0 ORDER BY day""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     RegisteredQuery("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
@@ -328,5 +396,7 @@ object EventLifecycleOps extends QueryModule {
     RegisteredQuery("ts_gapfill", tsGapfill, Some(tsGapfillOracle)),
     RegisteredQuery("rolling_active_users", rollingActiveUsers,
       Some(rollingActiveUsersOracle)),
+    RegisteredQuery("value_bands_daily", valueBandsDaily, Some(valueBandsDailyOracle)),
+    RegisteredQuery("ts_anomaly_days", tsAnomalyDays, Some(tsAnomalyDaysOracle)),
   )
 }
