@@ -9,19 +9,32 @@ import org.apache.spark.sql.SparkSession
   *  - shuffle partitions sized to the machine, not the 200 default;
   *  - nanosAsLong so the ns-precision `events.ts` parquet is readable
   *    (converted to TimestampType in [[Tables.events]]).
+  *
+  * The derived config maps ([[tuneConf]], [[clusterConf]]) are pure
+  * functions of the sizing inputs so the arithmetic is directly testable —
+  * `ClusterTuningSpec` pins the maps without reflecting on Builder
+  * internals (ADVICE r7).
   */
 object Sessions {
+
+  /** The semantics + AQE configs every entry point shares. */
+  def tuneConf(shufflePartitions: String): Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.shuffle.partitions" -> shufflePartitions,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // write int64 micros, not INT96: the oracle compare reads our output
+    // and DuckDB's result side-by-side and INT96 decodes as nanos
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    "spark.ui.enabled" -> "false")
+
+  private def applyConf(b: SparkSession.Builder, conf: Map[String, String]): SparkSession.Builder =
+    conf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def tune(b: SparkSession.Builder, cores: String): SparkSession.Builder =
-    b.config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // write int64 micros, not INT96: the oracle compare reads our output
-      // and DuckDB's result side-by-side and INT96 decodes as nanos
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
+    applyConf(b, tuneConf(cores))
 
   def local(appName: String, cores: Int = 4): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cores]").appName(appName), cores.toString)
@@ -49,26 +62,33 @@ object Sessions {
     *    overrides — dimension broadcasts in this library are explicit
     *    `broadcast()` hints, not threshold-dependent.
     *
-    * The returned builder carries the same semantics configs as [[tune]]
+    * The returned map carries the same semantics configs as [[tuneConf]]
     * (UTC, AQE, nanos flag, micros parquet) so cluster runs and the local
     * harness agree bit-for-bit.
     */
+  def clusterConf(
+      executors: Int,
+      coresPerExecutor: Int = 4,
+      executorMemGb: Int = 8,
+      inputTb: Double = 0.0): Map[String, String] = {
+    val totalCores = executors * coresPerExecutor
+    val byCores = 2L * totalCores
+    val byVolume = math.ceil(inputTb * 1e12 / (200L << 20).toDouble).toLong
+    val shufflePartitions = math.max(byCores, byVolume)
+    tuneConf(totalCores.toString) ++ Map(
+      "spark.executor.instances" -> executors.toString,
+      "spark.executor.cores" -> coresPerExecutor.toString,
+      "spark.executor.memory" -> s"${executorMemGb}g",
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (128L << 20).toString)
+  }
+
   def forCluster(
       b: SparkSession.Builder,
       executors: Int,
       coresPerExecutor: Int = 4,
       executorMemGb: Int = 8,
-      inputTb: Double = 0.0): SparkSession.Builder = {
-    val totalCores = executors * coresPerExecutor
-    val byCores = 2L * totalCores
-    val byVolume = math.ceil(inputTb * 1e12 / (200L << 20).toDouble).toLong
-    val shufflePartitions = math.max(byCores, byVolume)
-    tune(b, totalCores.toString)
-      .config("spark.executor.instances", executors.toString)
-      .config("spark.executor.cores", coresPerExecutor.toString)
-      .config("spark.executor.memory", s"${executorMemGb}g")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (128L << 20).toString)
-  }
+      inputTb: Double = 0.0): SparkSession.Builder =
+    applyConf(b, clusterConf(executors, coresPerExecutor, executorMemGb, inputTb))
 }

@@ -34,6 +34,20 @@ object EventLifecycleOps extends QueryModule {
     */
   private val usPerDay = 86400000000L
 
+  /** Epoch-day bucket as exact integer FLOOR division, spelled the same
+    * way on both engines: `pmod`/the `%+d)%d` adjustment is non-negative,
+    * so the adjusted numerator is exactly divisible and truncating integer
+    * division equals floor — day buckets stay correct for pre-epoch
+    * timestamps too. (Measured r8: Spark's bare `div` and DuckDB's integer
+    * `//` BOTH truncate toward zero — `-5 // 3 = -1` in DuckDB 1.0 — so
+    * the engines never diverged as ADVICE r7 presumed; the floor form is
+    * used anyway because a day bucket should floor, not truncate.)
+    */
+  private val epochDaySpark: String =
+    s"(unix_micros(ts) - pmod(unix_micros(ts), $usPerDay)) div $usPerDay"
+  private val epochDayDuck: String =
+    s"(epoch_us(ts) - ((epoch_us(ts) % $usPerDay) + $usPerDay) % $usPerDay) // $usPerDay"
+
   // ---------------------------------------------------------------------
   // Ordered funnel
   // ---------------------------------------------------------------------
@@ -72,7 +86,11 @@ object EventLifecycleOps extends QueryModule {
         struct(lit("3_purchase").as("step"), col("n3").as("n_users")))).as("r"),
         col("n1"))
       .select(col("r.step").as("step"), col("r.n_users").as("n_users"),
-        roundTo(col("r.n_users").cast("double") / col("n1"), 6).as("conv_rate"))
+        // nullif guard: a corpus with zero step-1 events must yield NULL on
+        // BOTH engines (unguarded, DuckDB errors on integer /0 while Spark
+        // yields NULL — the oracle gate itself would disagree; ADVICE r7)
+        roundTo(col("r.n_users").cast("double") / nullif(col("n1"), lit(0)), 6)
+          .as("conv_rate"))
       .orderBy("step")
   }
 
@@ -93,7 +111,7 @@ object EventLifecycleOps extends QueryModule {
       |        (SELECT count(*) FROM u2) AS n2,
       |        (SELECT count(*) FROM u3) AS n3)
       |SELECT step, n_users,
-      | floor(n_users::DOUBLE / n1 * 1e6 + 0.5) / 1e6 AS conv_rate
+      | floor(n_users::DOUBLE / nullif(n1, 0) * 1e6 + 0.5) / 1e6 AS conv_rate
       |FROM (
       | SELECT '1_view' AS step, n1 AS n_users, n1 FROM c
       | UNION ALL SELECT '2_click', n2, n1 FROM c
@@ -124,7 +142,7 @@ object EventLifecycleOps extends QueryModule {
     val pd = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
-        expr(s"unix_micros(ts) div $usPerDay").as("day"))
+        expr(epochDaySpark).as("day"))
     val cohort = pd.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     val active = pd.distinct()
     val matrix = active.join(cohort, "user_id")
@@ -143,7 +161,7 @@ object EventLifecycleOps extends QueryModule {
 
   val cohortRetentionOracle: String =
     s"""WITH pd AS (
-       | SELECT user_id, epoch_us(ts) // $usPerDay AS day
+       | SELECT user_id, $epochDayDuck AS day
        | FROM events WHERE event_type = 'purchase'),
        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM pd GROUP BY 1),
        |active AS (SELECT DISTINCT user_id, day FROM pd),
@@ -234,7 +252,7 @@ object EventLifecycleOps extends QueryModule {
   def tsGapfill(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .select(col("user_id"),
-        expr(s"unix_micros(ts) div $usPerDay").as("day"), col("value"))
+        expr(epochDaySpark).as("day"), col("value"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"),
         roundTo(sum(col("value")), 2).as("day_value"))
@@ -253,7 +271,7 @@ object EventLifecycleOps extends QueryModule {
 
   val tsGapfillOracle: String =
     s"""WITH daily AS (
-       | SELECT user_id, epoch_us(ts) // $usPerDay AS day,
+       | SELECT user_id, $epochDayDuck AS day,
        |  count(*) AS n_events,
        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS day_value
        | FROM events GROUP BY 1, 2),
@@ -286,30 +304,42 @@ object EventLifecycleOps extends QueryModule {
     * beyond their horizon). Fan-out is a FIXED 28× of the user-day
     * aggregate, never of the raw stream; the three distinct aggregates
     * expand 3× before the exchange, bounded the same way.
+    *
+    * The stream really is scanned (and distinct-shuffled) exactly ONCE:
+    * the day cap — trailing windows past the last active day are partial
+    * and must not be emitted — is applied AFTER the daily aggregate, as a
+    * max-over-the-daily-series window (days-bounded at any corpus scale,
+    * the same tiny-aggregate argument as [[tsAnomalyDays]]). The previous
+    * formulation derived the cap from a second aggregate over the user-day
+    * set, which re-scanned and re-shuffled the stream (ADVICE r7). The
+    * last active day is exactly the last day with `n_dau > 0` (its own
+    * o=0 row), so the cap needs no extra input; the ≤27 partial rows
+    * beyond it are aggregated and then dropped — noise next to the grid.
     */
   def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(s, dir)
       .select(col("user_id"),
-        expr(s"unix_micros(ts) div $usPerDay").as("d"))
+        expr(epochDaySpark).as("d"))
       .distinct()
-    val maxDay = ud.agg(max(col("d")).as("d1"))
+    val w = Window.partitionBy()
     ud
       .select(col("user_id"), col("d"),
         explode(expr("sequence(0, 27)")).as("o"))
       .select(col("user_id"), (col("d") + col("o")).as("day"), col("o"))
-      .crossJoin(broadcast(maxDay))
-      .filter(col("day") <= col("d1"))
       .groupBy(col("day"))
       .agg(
         countDistinct(when(col("o") === 0, col("user_id"))).as("n_dau"),
         countDistinct(when(col("o") <= 6, col("user_id"))).as("n_wau"),
         countDistinct(col("user_id")).as("n_mau"))
+      .withColumn("d1", max(when(col("n_dau") > 0, col("day"))).over(w))
+      .filter(col("day") <= col("d1"))
+      .drop("d1")
       .orderBy("day")
   }
 
   val rollingActiveUsersOracle: String =
     s"""WITH ud AS (
-       | SELECT DISTINCT user_id, epoch_us(ts) // $usPerDay AS d FROM events),
+       | SELECT DISTINCT user_id, $epochDayDuck AS d FROM events),
        |mx AS (SELECT max(d) AS d1 FROM ud),
        |x AS (
        | SELECT user_id, d + o AS day, o
@@ -335,7 +365,7 @@ object EventLifecycleOps extends QueryModule {
     */
   def valueBandsDaily(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .select(expr(s"unix_micros(ts) div $usPerDay").as("day"), col("value"))
+      .select(expr(epochDaySpark).as("day"), col("value"))
       .groupBy(col("day"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -345,7 +375,7 @@ object EventLifecycleOps extends QueryModule {
       .orderBy("day")
 
   val valueBandsDailyOracle: String =
-    s"""SELECT epoch_us(ts) // $usPerDay AS day, count(*) AS n_events,
+    s"""SELECT $epochDayDuck AS day, count(*) AS n_events,
        | floor(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS p50_value,
        | floor(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS p95_value,
        | floor(max(value) * 1e2 + 0.5) / 1e2 AS max_value
@@ -361,7 +391,7 @@ object EventLifecycleOps extends QueryModule {
     */
   def tsAnomalyDays(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
-      .select(expr(s"unix_micros(ts) div $usPerDay").as("day"), col("value"))
+      .select(expr(epochDaySpark).as("day"), col("value"))
       .groupBy(col("day"))
       .agg(sum(col("value")).as("day_total"))
     val w = Window.partitionBy()
@@ -378,7 +408,7 @@ object EventLifecycleOps extends QueryModule {
 
   val tsAnomalyDaysOracle: String =
     s"""WITH daily AS (
-       | SELECT epoch_us(ts) // $usPerDay AS day, sum(value) AS day_total
+       | SELECT $epochDayDuck AS day, sum(value) AS day_total
        | FROM events GROUP BY 1),
        |scored AS (
        | SELECT day, day_total,

@@ -140,11 +140,14 @@ object Relational extends QueryModule {
     * full five-table chain lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
     * region. Join-strategy ladder on display: the fact-to-fact
     * lineitem⋈orders edge stays a shuffled join (at 100 TB both sides are
-    * fact-scale — bucket by orderkey to make it exchange-free), while
-    * customer/nation/region are broadcast (dimension-scale at ANY corpus
-    * size for nation/region; customer broadcast is the fixture-scale
-    * shortcut a real deployment would revisit). Catalyst prunes every
-    * table to its join keys + the two aggregate inputs.
+    * fact-scale — bucket by orderkey to make it exchange-free);
+    * nation/region carry explicit `broadcast()` hints (dimension-scale at
+    * ANY corpus size); customer is deliberately UN-hinted — it grows with
+    * the corpus, so the strategy is left to the planner (size estimate +
+    * AQE pick broadcast at fixture scale and a shuffled join once customer
+    * outgrows the threshold). `PlanGuardSpec` pins exactly-two hints so a
+    * refactor can't quietly re-force the customer broadcast. Catalyst
+    * prunes every table to its join keys + the two aggregate inputs.
     */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -155,7 +158,7 @@ object Relational extends QueryModule {
     val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
     val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("order_year"))

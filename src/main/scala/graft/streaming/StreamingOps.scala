@@ -41,10 +41,18 @@ object StreamingOps extends QueryModule {
   def streamTumblingWindow(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
-    // the file stream source wants a DIRECTORY to list; select the one
-    // fixture file out of it with a glob filter
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // the file stream source wants a DIRECTORY to list. A Spark-written
+    // `events.parquet` is itself a directory (part-*.parquet leaves) and is
+    // streamed directly; only the single-file fixture layout needs the
+    // parent-dir + glob-filter dance (pathGlobFilter matches LEAF file
+    // names, so it would silently match nothing against the directory
+    // layout — ADVICE r7; the non-empty require below backstops both).
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        s.readStream.schema(rawSchema).parquet(path)
+      else
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
     val ev = rawSchema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
@@ -75,7 +83,11 @@ object StreamingOps extends QueryModule {
           col("n_events"),
           roundTo(col("sum_value"), 2).as("sum_value"))
         .orderBy("w_start_us")
-      s.createDataFrame(shaped.collectAsList(), shaped.schema)
+      val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+      // a source that listed zero files completes "successfully" with an
+      // empty sink — fail loudly instead of returning a vacuous result
+      require(!out.isEmpty, s"streaming source matched no input under $path")
+      out
     } finally {
       scala.util.Try(s.catalog.dropTempView(name))
       import scala.jdk.CollectionConverters._

@@ -1,32 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Sessions
 
-/** Pins the cluster-sizing arithmetic in [[Sessions.forCluster]] — the
-  * numbers SCALE.md's 100 TB claims are computed from. Builder-level
-  * checks only (no cluster to start): the configs must land in the
-  * builder's option map with the derived values.
+/** Pins the cluster-sizing arithmetic in [[Sessions.clusterConf]] — the
+  * numbers SCALE.md's 100 TB claims are computed from. The derived config
+  * map is a pure function of the sizing inputs (no session to start, no
+  * reflection on Builder internals — ADVICE r7), and [[Sessions.forCluster]]
+  * applies exactly this map.
   */
 class ClusterTuningSpec extends AnyFunSuite {
 
-  // builder options are private and starting a session per case is too
-  // heavy — read the known `options` map reflectively
-  private def opts(b: SparkSession.Builder): Map[String, String] = {
-    val field = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
-      .takeWhile(_ != null)
-      .flatMap(_.getDeclaredFields.find(_.getName.endsWith("options")))
-      .next()
-    field.setAccessible(true)
-    field.get(b).asInstanceOf[scala.collection.mutable.Map[String, String]].toMap
-  }
-
   test("1000-executor / 100 TB shape: volume floor dominates the core rule") {
-    val b = Sessions.forCluster(SparkSession.builder(),
+    val o = Sessions.clusterConf(
       executors = 1000, coresPerExecutor = 4, executorMemGb = 8, inputTb = 100.0)
-    val o = opts(b)
     // 2 x 4000 cores = 8000; 100 TB / 200 MB = ~476838 partitions -> volume wins
     assert(o("spark.sql.shuffle.partitions").toLong >= 476000L)
     assert(o("spark.sql.files.maxPartitionBytes").toLong == 256L << 20)
@@ -40,17 +28,15 @@ class ClusterTuningSpec extends AnyFunSuite {
   }
 
   test("small-cluster shape: core rule dominates; semantics configs ride along") {
-    val b = Sessions.forCluster(SparkSession.builder(),
-      executors = 10, coresPerExecutor = 4, inputTb = 0.1)
-    val o = opts(b)
+    val o = Sessions.clusterConf(executors = 10, coresPerExecutor = 4, inputTb = 0.1)
     // 2 x 40 = 80 cores-rule vs 0.1 TB / 200 MiB = ceil(476.8) = 477 ->
     // volume still wins here; drop volume to see the core rule
     assert(o("spark.sql.shuffle.partitions").toLong == 477L)
-    val b2 = Sessions.forCluster(SparkSession.builder(), executors = 10)
-    assert(opts(b2)("spark.sql.shuffle.partitions").toLong == 80L)
-    // the bit-for-bit semantics flags from tune() must be present
-    assert(opts(b2)("spark.sql.session.timeZone") == "UTC")
-    assert(opts(b2)("spark.sql.legacy.parquet.nanosAsLong") == "true")
-    assert(opts(b2)("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS")
+    val o2 = Sessions.clusterConf(executors = 10)
+    assert(o2("spark.sql.shuffle.partitions").toLong == 80L)
+    // the bit-for-bit semantics flags from tuneConf must be present
+    assert(o2("spark.sql.session.timeZone") == "UTC")
+    assert(o2("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(o2("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS")
   }
 }

@@ -68,6 +68,17 @@ class PlanGuardSpec extends SparkSpec {
       "lm_score regressed to the interpreted quadratic HOF trigram pass")
   }
 
+  test("q5: nation/region stay hint-broadcast, customer join is left to the planner") {
+    val df = graft.operators.Relational.q5RegionRevenue(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // exactly the two dimension hints survive into the optimized joins —
+    // a third would mean the fixture-scale customer broadcast was re-forced
+    // (at 100 TB customer is corpus-sized; its strategy belongs to the
+    // planner/AQE, not a hardcoded hint)
+    val hints = "strategy=broadcast".r.findAllIn(opt).length
+    assert(hints == 2, s"expected 2 broadcast hints (nation, region), got $hints:\n$opt")
+  }
+
   test("contamination_bloom: the sketch pre-screen sits in the plan, results equal the exact path") {
     val df = Dedup.contaminationBloom(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString
