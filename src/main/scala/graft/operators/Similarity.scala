@@ -551,6 +551,122 @@ object Similarity extends QueryModule {
       .orderBy("vec_a", "rank")
   }
 
+  /** Blocked semantic-dedup cluster collapse — the 100 TB path for
+    * [[embNearDupClusters]], which (as the declared oracle baseline)
+    * derives its edge set from the O(n²) crossJoin of
+    * [[embNearDupPairs]]. The edge set here is EXACT by construction, not
+    * recall-gambled: candidates come from [[nearDupCandidatesBlocked]]'s
+    * triangle-inequality cell-pair bound, so blocked clusters equal the
+    * brute clusters on ANY input (the `KnnJoinSpec` agreement gate is a
+    * regression pin, not a lucky-fixture measurement). IVF multi-probe
+    * was measured first and rejected: at this fixture's 0.4 threshold —
+    * barely above its noise ceiling (max off-diagonal cosine ~0.51) —
+    * the kNN join's 3/32 assignment recovers only 47/66 edges, and 100%
+    * needs 8/32 probes admitting ~92% of all pairs with no guarantee.
+    *
+    * Rows-only under the driver (edge blocking is centroid-specific);
+    * the surviving edges feed the same RDD connected-components collapse
+    * as the text path.
+    */
+  def embNearDupClustersBlocked(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(embNearDupEdgesBlocked(s, dir), "vec_a", "vec_b")
+      .select(col("doc_id").as("vec_id"), col("root").as("cluster_root"),
+        (col("doc_id") === col("root")).as("is_survivor"))
+      .orderBy("vec_id")
+
+  /** The blocked edge generator behind [[embNearDupClustersBlocked]], split
+    * out so the plan gate can pin ITS shape (the cluster query's own plan
+    * is an opaque `LogicalRDD` — connected components is an eager RDD
+    * loop, so the join topology lives in this DataFrame).
+    */
+  def embNearDupEdgesBlocked(s: SparkSession, dir: String): DataFrame = {
+    val thresh = 0.4
+    nearDupCandidatesBlocked(
+        normalized(s, dir), SimilarityIndex.centroids(s, dir, knnCells), thresh)
+      .filter(roundTo(dot("ea", "eb"), 6) >= thresh)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Candidate pairs for an exact cosine-threshold self-join, blocked by
+    * the spherical triangle inequality: assign each vector to its nearest
+    * centroid, track each cell's max residual angle R_c, and admit a cell
+    * pair (ci, cj) only if
+    *
+    *   angle(cent_i, cent_j) <= acos(thresh') + R_ci + R_cj
+    *
+    * — for any qualifying pair, angle(a,b) <= acos(thresh') and
+    * angle(c_a, c_b) <= r_a + angle(a,b) + r_b, so every edge is admitted
+    * for ANY centroid set (trained, random, or adversarial): recall is
+    * 100% by math, no probe-count tuning. thresh' carries a 5e-7 slack so
+    * the caller's ROUNDED-cosine filter (6dp half-up) can't out-reach the
+    * bound.
+    *
+    * Scale shape: both corpus sides shuffle ONCE, keyed on the cell id;
+    * the admitted-pair table (≤ k² rows of index metadata) and the k-row
+    * radius table are broadcast. Candidate volume is Σ admitted |ci|·|cj|
+    * — proportional to how clustered the data is: tight near-dup clusters
+    * (the real semantic-dedup regime, cos ≥ 0.7) admit few cell pairs,
+    * while THIS fixture's threshold-at-the-noise-floor admits all of them
+    * (an exact blocker provably cannot prune a threshold below the data's
+    * separation; the plan stays keyed and AQE-splittable even then,
+    * unlike the baseline's CartesianProduct). `KnnJoinSpec` pins both
+    * regimes: exactness on the fixture, pruning on a clustered corpus.
+    *
+    * Output columns: (vec_a, vec_b, ea, eb), each unordered pair exactly
+    * once (vec_a < vec_b) — the caller applies the exact-cosine filter.
+    * `emb` must carry (vec_id LONG, e: unit-norm array<double>).
+    */
+  def nearDupCandidatesBlocked(
+      emb: DataFrame, cents: Array[Array[Double]], thresh: Double): DataFrame = {
+    val s = emb.sparkSession
+    VectorFunctions.register(s)
+    val k = cents.length
+    import s.implicits._
+
+    // driver-side centroid-pair angles: k² doubles — index metadata, like
+    // the centroid training itself (both directions + diagonal, so each
+    // vector pair is emitted from exactly one ORDERED cell pair below)
+    def ang(u: Array[Double], v: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < u.length) { d += u(i) * v(i); i += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, d)))
+    }
+    val cellPairs = (for (i <- 0 until k; j <- 0 until k)
+      yield (i, j, ang(cents(i), cents(j)))).toDF("ci", "cj", "cang")
+
+    // nearest-cell assignment + residual angle, one map-only pass (the
+    // argmax is the same flat-literal centroid pattern as simIvfTopk)
+    val centCols = (0 until k).map(c =>
+      array(cents(c).toIndexedSeq.map(lit): _*).as(s"__cent$c"))
+    val cellStructs = array((0 until k).map { c =>
+      struct(expr(VectorFunctions.dotExpr("e", s"__cent$c")).as("d"), lit(c).as("c"))
+    }: _*)
+    val assigned = emb
+      .select(Seq(col("vec_id"), col("e")) ++ centCols: _*)
+      .withColumn("__best", array_max(cellStructs))
+      .select(col("vec_id"), col("e"),
+        col("__best").getField("c").as("cell"),
+        acos(greatest(lit(-1.0), least(lit(1.0), col("__best").getField("d"))))
+          .as("resid"))
+
+    val radii = assigned.groupBy(col("cell")).agg(max(col("resid")).as("r"))
+    val admitted = cellPairs
+      .join(broadcast(radii.select(col("cell").as("ci"), col("r").as("ra"))), "ci")
+      .join(broadcast(radii.select(col("cell").as("cj"), col("r").as("rb"))), "cj")
+      .filter(col("cang") <=
+        acos(lit(thresh) - lit(5e-7)) + col("ra") + col("rb") + lit(1e-9))
+      .select(col("ci"), col("cj"))
+
+    val a = assigned.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("cell").as("ci"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("cell").as("cj"))
+    a.join(broadcast(admitted), Seq("ci"))
+      .join(b, Seq("cj"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_dim_stats", embDimStats, Some(embDimStatsOracle)),
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
@@ -560,6 +676,7 @@ object Similarity extends QueryModule {
     RegisteredQuery("sim_ivf_topk", simIvfTopk, None),
     RegisteredQuery("sim_pq_topk", simPqTopk, None),
     RegisteredQuery("knn_join_ivf", knnJoinIvf, None),
+    RegisteredQuery("emb_neardup_clusters_blocked", embNearDupClustersBlocked, None),
     RegisteredQuery("emb_quantize", embQuantize, Some(embQuantizeOracle)),
   )
 }

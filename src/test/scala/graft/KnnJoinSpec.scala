@@ -71,6 +71,64 @@ class KnnJoinSpec extends SparkSpec {
     assert(bruteAll.nonEmpty)
   }
 
+  test("emb_neardup_clusters_blocked == brute clusters (exact edges at the 0.4 threshold)") {
+    // the triangle-inequality bound guarantees every threshold edge is a
+    // candidate, so the blocked cluster collapse must reproduce the brute
+    // crossJoin clusters EXACTLY, not approximately — this is the
+    // agreement gate that lets the blocked query replace the baseline at
+    // scale (multi-probe IVF was measured and rejected here: 3/32 probes
+    // recover only 47/66 fixture edges at this noise-floor threshold)
+    val brute = Similarity.embNearDupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    val blocked = Similarity.embNearDupClustersBlocked(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    assert(brute.nonEmpty, "fixture produced no near-dup clusters — gate is vacuous")
+    assert(blocked === brute)
+  }
+
+  test("blocked near-dup edge generator plans a keyed cell join, no cartesian product") {
+    val phys = Similarity.embNearDupEdgesBlocked(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      "blocked edge generator regressed to an all-pairs plan")
+  }
+
+  test("triangle-bound blocking: exact for arbitrary centroids, prunes a clustered corpus") {
+    import spark.implicits._
+    val dim = 16; val nClusters = 10; val perCluster = 20
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    // orthogonal cluster directions; members = direction + bounded noise
+    val dirs = Array.tabulate(nClusters) { c =>
+      val v = new Array[Double](dim); v(c) = 1.0; v
+    }
+    val vecs = for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val v = dirs(c).map(_ + (rnd.nextDouble() - 0.5) * 0.2)
+      ((c * perCluster + i).toLong, unit(v).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+    val cand = Similarity.nearDupCandidatesBlocked(emb, dirs.map(unit), 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // exactness: every rounded-cosine >= 0.9 edge is among the candidates
+    val en = vecs.map { case (id, e) => id -> e.toArray }.toMap
+    val all = for (a <- en.keys.toSeq.sorted; b <- en.keys.toSeq.sorted if a < b) yield (a, b)
+    val edges = all.filter { case (a, b) =>
+      val d = en(a).zip(en(b)).map { case (x, y) => x * y }.sum
+      math.floor(d * 1e6 + 0.5) / 1e6 >= 0.9
+    }
+    assert(edges.nonEmpty, "clustered corpus produced no edges — gate is vacuous")
+    val candSet = cand.toSet
+    edges.foreach(e => assert(candSet(e), s"edge $e missed by the triangle bound"))
+
+    // pruning: tight clusters must keep candidates well under all-pairs
+    // (this is the regime the fixture can't exercise — its threshold sits
+    // at the noise floor, where no exact blocker can prune)
+    val frac = cand.length.toDouble / all.size
+    assert(frac <= 0.2, f"clustered corpus admitted $frac%.3f of all pairs")
+  }
+
   test("knn_join_ivf blocking prunes: candidate pairs well under the cross join") {
     val nVec = graft.engine.Tables.embeddings(spark, sfDir).count()
     val cand = Similarity.knnJoinCandidates(spark, sfDir).count()
