@@ -42,20 +42,29 @@ object MergeOps extends QueryModule {
       .join(existing.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .agg(count(lit(1)).as("new_keys"))
 
-  /** Registered S7 exercise: synthesize an incoming batch from `events`
-    * (updates = every 7th key, 1h newer and doubled value; inserts = every
-    * 11th key re-keyed into fresh ids), merge, and emit a deterministic
-    * digest: merged row count, new-key count, value checksum.
+  /** The synthetic incoming batch both merge exercises share (updates =
+    * every 7th key, 1h newer and doubled value; inserts = every 11th key
+    * re-keyed into fresh ids). Split out so the STREAMING rendition
+    * ([[graft.streaming.StreamingOps.streamMergeUpsert]]) merges the
+    * byte-identical set and can sit behind the same oracle.
     */
-  def s7MergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+  def s7Incoming(base: DataFrame): DataFrame = {
     val updates = base.filter(col("event_id") % 7 === 0)
       .select(col("event_id"),
         (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
         (col("value") * 2).as("value"))
     val inserts = base.filter(col("event_id") % 11 === 0)
       .select((col("event_id") + 1000000L).as("event_id"), col("ts"), col("value"))
-    val incoming = updates.unionByName(inserts)
+    updates.unionByName(inserts)
+  }
+
+  /** Registered S7 exercise: synthesize an incoming batch from `events`,
+    * merge, and emit a deterministic digest: merged row count, new-key
+    * count, value checksum.
+    */
+  def s7MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+    val incoming = s7Incoming(base)
     val merged = mergeByKey(base, incoming, "event_id", "ts")
     merged.agg(
         count(lit(1)).as("n_rows"),

@@ -109,8 +109,89 @@ object StreamingOps extends QueryModule {
       |FROM (SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS b, value FROM events)
       |GROUP BY b ORDER BY w_start_us""".stripMargin
 
+  /** Stage a DataFrame as loose parquet files inside the stream-source
+    * input directory: write to a scratch dir, then move the part files in
+    * under `name-<i>.parquet` (the file stream source lists leaf files of
+    * ONE directory — a nested Spark output dir would be invisible to it).
+    */
+  private def stage(df: DataFrame, inDir: java.nio.file.Path, name: String): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
+    try {
+      df.write.mode("overwrite").parquet(scratch.toString)
+      val parts = Option(scratch.toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      require(parts.nonEmpty, s"staging $name wrote no parquet parts")
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath, inDir.resolve(s"$name-$i.parquet"))
+      }
+    } finally deleteRecursively(scratch)
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** The reference's CDC upsert loop (§2.9 core semantic,
+    * `/root/reference/src/database.py:133-202`) run AS STREAMING under the
+    * driver oracle: two file-source micro-batch rounds through
+    * [[StreamingPipeline.runAvailableNow]]'s `foreachBatch` merge — first
+    * the base events table, then the same synthetic update/insert batch as
+    * the batch twin ([[graft.operators.MergeOps.s7MergeUpsert]]) — with the
+    * SECOND round resuming from the first's checkpoint, so offset recovery
+    * (re-listed files must not re-merge) is on the gated path too. The
+    * digest (merged rows, value checksum, genuinely-new keys, all derived
+    * from the streamed store's versioned snapshots) sits behind the SAME
+    * DuckDB oracle as the batch merge: the driver, not just ScalaTest,
+    * proves the streaming and batch merges identical.
+    *
+    * Scale: the merge shuffles once per micro-batch on the key
+    * (`mergeByKey`); file staging is fixture plumbing, not dataflow.
+    */
+  def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-merge")
+    val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
+    try {
+      val base = graft.engine.Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+      val store = new graft.pipeline.IncrementalPipeline.Store(s, root.resolve("store").toString)
+      val ckpt = root.resolve("ckpt").toString
+
+      stage(base, inDir, "b0")
+      val ran1 = StreamingPipeline.runAvailableNow(s, base.schema, inDir.toString, store, ckpt)
+      require(ran1 >= 1, "initial streaming round processed no micro-batch")
+      val v0 = store.latestVersion.getOrElse(
+        sys.error("initial streaming round wrote no store version"))
+
+      stage(graft.operators.MergeOps.s7Incoming(base), inDir, "b1")
+      val ran2 = StreamingPipeline.runAvailableNow(s, base.schema, inDir.toString, store, ckpt)
+      require(ran2 >= 1, "incremental streaming round processed no micro-batch " +
+        "(checkpoint resume saw no new files)")
+
+      val merged = store.launches.getOrElse(sys.error("store lost its merged table"))
+      val baseStored = s.read.parquet(s"${store.launchesRoot}/v=$v0")
+      val digest = merged.agg(
+          count(lit(1)).as("n_rows"),
+          roundTo(sum(col("value")), 2).as("sum_value"))
+        // new keys derived from the streamed snapshots themselves: keys in
+        // the final version absent from the initial one == genuine inserts
+        .crossJoin(graft.operators.MergeOps.newKeyCount(baseStored, merged, "event_id"))
+      // materialize before the temp store is deleted
+      s.createDataFrame(digest.collectAsList(), digest.schema)
+    } finally deleteRecursively(root)
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("stream_tumbling_window", streamTumblingWindow,
       Some(streamTumblingOracle)),
+    RegisteredQuery("stream_merge_upsert", streamMergeUpsert,
+      Some(graft.operators.MergeOps.s7Oracle)),
   )
 }

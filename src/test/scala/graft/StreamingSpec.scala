@@ -298,4 +298,12 @@ class StreamingSpec extends SparkSpec {
       .w3TumblingWindow(spark, sfDir).collect().toSeq
     assert(streamed === batch)
   }
+
+  test("stream_merge_upsert: the checkpointed foreachBatch merge equals the batch merge digest") {
+    val streamed = graft.streaming.StreamingOps.streamMergeUpsert(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.MergeOps.s7MergeUpsert(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
 }
