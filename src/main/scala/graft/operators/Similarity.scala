@@ -667,6 +667,71 @@ object Similarity extends QueryModule {
       .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
   }
 
+  /** Driver-visible ANN quality: recall-vs-brute for every ANN method,
+    * computed INSIDE the plan — each index's top-3-per-query set is
+    * semi-joined against the brute-force truth and counted, one row per
+    * method. This closes the one blind spot in the driver's gate: the ANN
+    * queries themselves are `no_oracle` (their row sets are
+    * index-specific), so only ScalaTest watched their recall; this query
+    * turns index-quality drift into a red CORRECTNESS entry.
+    *
+    * The oracle is a PINNED literal table, and that is the point: every
+    * input is deterministic (fixtures are seed-42 driver generations;
+    * centroids/codebooks/hyperplanes are trained by deterministic
+    * arithmetic on deterministic samples; every tie-break is explicit), so
+    * each method's hit count at sf0.01 is a constant of the codebase — the
+    * pin is a regression gate, not a snapshot of convenience. The pinned
+    * values hold at sf0.01 (the driver's compare fixture); other SFs go
+    * through the ScalaTest recall floors instead.
+    *
+    * `knn_join_ivf` ranks every vector against ALL others (not the
+    * query/candidate split), so its truth set is the directional brute
+    * top-3 for the probe vectors, computed in-plan the same way.
+    */
+  def simRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val brute = simTopkBrute(s, dir).select(col("query_id"), col("cand_id"))
+    def scored(name: String, topk: DataFrame, truth: DataFrame): DataFrame =
+      topk.join(truth, Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"), lit(15L).as("n_expected"))
+
+    val emb = normalized(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+    val knnTruth = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), roundTo(dot("qe", "ce"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"))
+    val knnTop = knnJoinIvf(s, dir).filter(col("vec_a") < 5)
+      .select(col("vec_a").as("query_id"), col("vec_b").as("cand_id"))
+
+    scored("sim_lsh_topk", simLshTopk(s, dir).select("query_id", "cand_id"), brute)
+      .unionByName(scored("sim_ivf_topk",
+        simIvfTopk(s, dir).select("query_id", "cand_id"), brute))
+      .unionByName(scored("sim_pq_topk",
+        simPqTopk(s, dir).select("query_id", "cand_id"), brute))
+      .unionByName(scored("knn_join_ivf", knnTop, knnTruth))
+      .orderBy("method")
+  }
+
+  /** The pinned truth table behind [[simRecallReport]] — see its scaladoc
+    * for why literal values are the correct oracle here. Measured at
+    * sf0.01 (r8); any index-quality drift flips the driver entry red.
+    */
+  val simRecallOracle: String =
+    """SELECT method, CAST(hits AS BIGINT) AS hits,
+      | CAST(n_expected AS BIGINT) AS n_expected
+      |FROM (VALUES
+      | ('knn_join_ivf', 8, 15),
+      | ('sim_ivf_topk', 9, 15),
+      | ('sim_lsh_topk', 12, 15),
+      | ('sim_pq_topk', 15, 15)) AS t(method, hits, n_expected)
+      |ORDER BY method""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_dim_stats", embDimStats, Some(embDimStatsOracle)),
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
@@ -677,6 +742,7 @@ object Similarity extends QueryModule {
     RegisteredQuery("sim_pq_topk", simPqTopk, None),
     RegisteredQuery("knn_join_ivf", knnJoinIvf, None),
     RegisteredQuery("emb_neardup_clusters_blocked", embNearDupClustersBlocked, None),
+    RegisteredQuery("sim_recall_report", simRecallReport, Some(simRecallOracle)),
     RegisteredQuery("emb_quantize", embQuantize, Some(embQuantizeOracle)),
   )
 }
