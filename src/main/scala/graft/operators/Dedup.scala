@@ -289,8 +289,17 @@ object Dedup extends QueryModule {
     * output rows are exact — LSH only decides which pairs get checked.
     * This is the 100 TB path: shuffle keyed by (band_id, band_hash),
     * never a cross join; unblocked, so it also finds the cross-lang pairs
-    * the blocked brute force skips. No SQL oracle (hash-specific); the
-    * ScalaTest suite checks it against the brute-force baseline.
+    * the blocked brute force skips.
+    *
+    * Driver-gated with a REAL oracle since r8: because the verify step
+    * scores TRUE Jaccard, the output is exactly the unblocked exact pair
+    * set whenever every true pair survives the banding — and on the
+    * fixtures it does (8×4 banding at the pairs' observed J: collision
+    * probability ≥ 1-(1-J⁴)⁸, measured equal at sf0.01) — so the whole
+    * LSH pipeline sits behind [[dedupMinhashLshOracle]], the SQL-exact
+    * unblocked pair set. A banding/verify regression that drops ANY true
+    * pair flips the driver entry red; ScalaTest keeps the brute⊆LSH
+    * candidate-recall gate as the finer-grained diagnostic.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 32
@@ -332,6 +341,25 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"), roundTo(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The unblocked exact near-dup pair set — [[dedupNgramJaccardOracle]]
+    * minus the language blocking, which is precisely what the LSH
+    * pipeline's exact verify emits when banding recall is total (see
+    * [[dedupMinhashLsh]]'s scaladoc).
+    */
+  val dedupMinhashLshOracle: String =
+    s"""WITH posts AS ($postingsSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+       |inter AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       | FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
+       | SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i) AS j
+       | FROM inter
+       | JOIN sizes sa ON sa.doc_id = inter.doc_a
+       | JOIN sizes sb ON sb.doc_id = inter.doc_b)
+       |WHERE j >= $jaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash: 64-bit signature from per-token xxhash64 majority vote,
     * frequency-weighted (every occurrence votes — canonical simhash, which
@@ -529,7 +557,7 @@ object Dedup extends QueryModule {
     RegisteredQuery("contamination_check", contaminationCheck, Some(contaminationOracle)),
     RegisteredQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     RegisteredQuery("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
-    RegisteredQuery("dedup_minhash_lsh", dedupMinhashLsh, None),
+    RegisteredQuery("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshOracle)),
     RegisteredQuery("dedup_simhash", dedupSimhash, None),
     RegisteredQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     RegisteredQuery("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),

@@ -741,7 +741,11 @@ object Similarity extends QueryModule {
     RegisteredQuery("sim_ivf_topk", simIvfTopk, None),
     RegisteredQuery("sim_pq_topk", simPqTopk, None),
     RegisteredQuery("knn_join_ivf", knnJoinIvf, None),
-    RegisteredQuery("emb_neardup_clusters_blocked", embNearDupClustersBlocked, None),
+    // shares the brute path's recursive-CTE oracle: the triangle bound
+    // guarantees the blocked edge set equals the exact one on ANY input,
+    // so the scale path itself is driver-proven, not just spec-compared
+    RegisteredQuery("emb_neardup_clusters_blocked", embNearDupClustersBlocked,
+      Some(embNearDupClustersOracle)),
     RegisteredQuery("sim_recall_report", simRecallReport, Some(simRecallOracle)),
     RegisteredQuery("emb_quantize", embQuantize, Some(embQuantizeOracle)),
   )
