@@ -114,7 +114,8 @@ object StreamingOps extends QueryModule {
     * under `name-<i>.parquet` (the file stream source lists leaf files of
     * ONE directory — a nested Spark output dir would be invisible to it).
     */
-  private def stage(df: DataFrame, inDir: java.nio.file.Path, name: String): Unit = {
+  private def stage(df: DataFrame, inDir: java.nio.file.Path, name: String,
+      mtimeMs: Long = -1L): Unit = {
     val scratch = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
     try {
       df.write.mode("overwrite").parquet(scratch.toString)
@@ -124,7 +125,14 @@ object StreamingOps extends QueryModule {
         .sortBy(_.getName)
       require(parts.nonEmpty, s"staging $name wrote no parquet parts")
       parts.zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.move(f.toPath, inDir.resolve(s"$name-$i.parquet"))
+        val target = inDir.resolve(s"$name-$i.parquet")
+        java.nio.file.Files.move(f.toPath, target)
+        // callers that need a deterministic source-listing order pin the
+        // mtime explicitly (FileStreamSource batches by file timestamp;
+        // same-millisecond staging would leave the order to chance)
+        if (mtimeMs >= 0)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeMs + i))
       }
     } finally deleteRecursively(scratch)
   }
@@ -188,10 +196,74 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(root)
   }
 
+  /** The custom stateful operator (§2.9's hardest piece —
+    * `flatMapGroupsWithState` sessionization with event-time timeouts,
+    * [[StreamingPipeline.sessionizeStream]]) run under the driver oracle:
+    * the events stream is staged as three time-split micro-batch files
+    * (one file per window, pinned mtimes, `maxFilesPerTrigger=1` — so
+    * per-user arrival order across batches follows event time, the
+    * operator's documented delivery contract) plus two far-future
+    * sentinel users. The sentinels exist because the watermark derives
+    * from the PREVIOUS batch's max event time: sentinel #1 advances it
+    * past every real session's end + gap, and sentinel #2's batch fires
+    * the event-time timeouts that flush still-open sessions. Sentinel
+    * rows are filtered from the output; what remains must be
+    * byte-identical with the batch gap-sessionizer, so this query shares
+    * `sessionize`'s DuckDB oracle — the stateful-operator path itself is
+    * driver-proven, not just ScalaTest-compared.
+    *
+    * Scale: state is one open session per active user (watermark-reaped);
+    * the sentinel trick is harness plumbing for run-to-completion — a
+    * production stream's watermark advances on its own.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
+    try {
+      val ev = graft.engine.Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val cut1 = to_timestamp(lit("2024-01-10 00:00:00"))
+      val cut2 = to_timestamp(lit("2024-01-20 00:00:00"))
+      val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+      def sentinel(user: Long, plusHours: Int) =
+        s.range(1).select(lit(user).as("user_id"),
+          (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("ts"))
+      val t0 = 1700000000000L // fixed, strictly increasing listing order
+      stage(ev.filter(col("ts") < cut1).coalesce(1), inDir, "f1", t0)
+      stage(ev.filter(col("ts") >= cut1 && col("ts") < cut2).coalesce(1), inDir, "f2", t0 + 1000)
+      stage(ev.filter(col("ts") >= cut2).coalesce(1), inDir, "f3", t0 + 2000)
+      stage(sentinel(-1L, 24), inDir, "s4", t0 + 3000)
+      stage(sentinel(-2L, 48), inDir, "s5", t0 + 4000)
+
+      val name = s"graft_stream_sess_${sinkSeq.incrementAndGet()}"
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .withWatermark("ts", "1 hour")
+      val q = StreamingPipeline.sessionizeStream(stream, gapMinutes = 30)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        q.awaitTermination()
+        val shaped = s.table(name)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("session_start_us"), col("session_end_us"))
+          .orderBy("user_id", "session_id")
+        val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+        require(!out.isEmpty, "streaming sessionizer emitted no sessions")
+        out
+      } finally scala.util.Try(s.catalog.dropTempView(name))
+    } finally deleteRecursively(root)
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("stream_tumbling_window", streamTumblingWindow,
       Some(streamTumblingOracle)),
     RegisteredQuery("stream_merge_upsert", streamMergeUpsert,
       Some(graft.operators.MergeOps.s7Oracle)),
+    RegisteredQuery("stream_sessionize", streamSessionize,
+      Some(graft.operators.WindowsAndStats.sessionizeOracle)),
   )
 }
