@@ -106,8 +106,54 @@ object CorpusOps extends QueryModule {
        |WINDOW win AS (PARTITION BY split ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** SEMANTIC dedup applied to the corpus — the embedding-space sibling of
+    * [[corpusFilter]]'s lexical near-dup drop, and the end-to-end consumer
+    * of the blocked cluster path: collapse each cosine-0.4 embedding
+    * cluster ([[Similarity.embNearDupClustersBlocked]], exact by the
+    * triangle bound) to its min-id survivor, keep every unclustered doc,
+    * and emit the kept corpus with each survivor's collapse count (the
+    * dedup-ratio accounting a cleaning run reports). doc_id ↔ vec_id is
+    * 1:1 in the fixtures.
+    *
+    * Shuffle inventory: the cluster table is dup-graph-sized; its
+    * survivorship join is keyed on doc_id and the size join on the
+    * cluster root — both AQE-sized, no broadcast hint (at 100 TB the
+    * clustered set can be a large corpus fraction). The oracle composes
+    * the brute recursive-CTE clusters — legitimate BECAUSE blocked ==
+    * brute is guaranteed, not sampled.
+    */
+  def corpusSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Similarity.embNearDupClustersBlocked(s, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_root"), col("is_survivor"))
+    val sizes = clusters.groupBy("cluster_root").agg(count(lit(1)).as("n_collapsed"))
+    TextOps.textStats(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_root").isNull || col("is_survivor"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"))
+      .join(sizes, Seq("cluster_root"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cluster_root"),
+        coalesce(col("n_collapsed"), lit(1L)).as("n_collapsed"))
+      .orderBy("doc_id")
+  }
+
+  val corpusSemanticDedupOracle: String =
+    s"""WITH stats AS (SELECT doc_id, lang, n_tokens FROM (${stripOrderBy(TextOps.textStatsOracle)})),
+       |clusters AS (SELECT vec_id, cluster_root FROM (${stripOrderBy(Similarity.embNearDupClustersOracle)})),
+       |sizes AS (SELECT cluster_root, count(*) AS n_collapsed FROM clusters GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.n_tokens,
+       | coalesce(c.cluster_root, s.doc_id) AS cluster_root,
+       | coalesce(z.n_collapsed, 1) AS n_collapsed
+       |FROM stats s
+       |LEFT JOIN clusters c ON c.vec_id = s.doc_id
+       |LEFT JOIN sizes z ON z.cluster_root = c.cluster_root
+       |WHERE c.vec_id IS NULL OR c.cluster_root = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
     RegisteredQuery("corpus_to_training", corpusToTraining, Some(corpusToTrainingOracle)),
+    RegisteredQuery("corpus_semantic_dedup", corpusSemanticDedup, Some(corpusSemanticDedupOracle)),
   )
 }
