@@ -112,8 +112,12 @@ object CorpusOps extends QueryModule {
     * cluster ([[Similarity.embNearDupClustersBlocked]], exact by the
     * triangle bound) to its min-id survivor, keep every unclustered doc,
     * and emit the kept corpus with each survivor's collapse count (the
-    * dedup-ratio accounting a cleaning run reports). doc_id ↔ vec_id is
-    * 1:1 in the fixtures.
+    * dedup-ratio accounting a cleaning run reports). `vec_id` IS a
+    * `doc_id` — the fixtures embed a corpus prefix (all 500 docs at
+    * sf≤0.01, the first 2000 of 5000 at sf0.1) — and docs without an
+    * embedding pass through unclustered, so Σ n_collapsed over the kept
+    * set always equals the corpus size (pinned at sf0.1 by
+    * `Sf01ConsistencySpec`).
     *
     * Shuffle inventory: the cluster table is dup-graph-sized; its
     * survivorship join is keyed on doc_id and the size join on the

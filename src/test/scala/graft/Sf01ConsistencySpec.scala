@@ -82,6 +82,25 @@ class Sf01ConsistencySpec extends SparkSpec {
     roots.foreach { case (_, r) => assert(roots(r) === r, "root must be its own root") }
   }
 
+  test("sf0.1: blocked cluster collapse == brute (triangle bound at 2000 vectors)") {
+    val brute = Similarity.embNearDupClusters(spark, bigDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    val blocked = Similarity.embNearDupClustersBlocked(spark, bigDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    assert(brute.nonEmpty)
+    assert(blocked === brute)
+  }
+
+  test("sf0.1: semantic-dedup collapse counts partition the whole corpus") {
+    // every doc lands in exactly one survivor's n_collapsed (clustered
+    // docs via their cluster, embedding-less docs as singletons), so the
+    // kept set's counts must sum to the corpus size
+    val kept = graft.operators.CorpusOps.corpusSemanticDedup(spark, bigDir).collect()
+    val total = graft.engine.Tables.documents(spark, bigDir).count()
+    assert(kept.map(_.getLong(4)).sum === total)
+    assert(kept.length < total, "expected at least one collapsed cluster")
+  }
+
   test("sf0.1: salted join == plain join over 600k lineitems") {
     val salted = graft.operators.SkewOps.saltedJoin(spark, bigDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
