@@ -58,12 +58,13 @@ object MergeOps extends QueryModule {
     updates.unionByName(inserts)
   }
 
-  /** Registered S7 exercise: synthesize an incoming batch from `events`,
-    * merge, and emit a deterministic digest: merged row count, new-key
-    * count, value checksum.
+  /** The S7 digest for a given base feed: merge the synthetic incoming
+    * batch and emit merged row count, value checksum, new-key count.
+    * Parameterized on `base` so the streaming twin (which runs the
+    * VALIDATED pipeline feed) can compare against the digest of exactly
+    * the rows it merged.
     */
-  def s7MergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+  def s7DigestOf(base: DataFrame): DataFrame = {
     val incoming = s7Incoming(base)
     val merged = mergeByKey(base, incoming, "event_id", "ts")
     merged.agg(
@@ -71,6 +72,12 @@ object MergeOps extends QueryModule {
         roundTo(sum(col("value")), 2).as("sum_value"))
       .crossJoin(newKeyCount(base, incoming, "event_id"))
   }
+
+  /** Registered S7 exercise: synthesize an incoming batch from `events`,
+    * merge, and emit a deterministic digest.
+    */
+  def s7MergeUpsert(s: SparkSession, dir: String): DataFrame =
+    s7DigestOf(Tables.events(s, dir).select(col("event_id"), col("ts"), col("value")))
 
   val s7Oracle: String =
     """WITH base AS (SELECT event_id, ts, value FROM events),

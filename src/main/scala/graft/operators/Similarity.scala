@@ -599,11 +599,23 @@ object Similarity extends QueryModule {
     * for ANY centroid set (trained, random, or adversarial): recall is
     * 100% by math, no probe-count tuning. thresh' carries a 5e-7 slack so
     * the caller's ROUNDED-cosine filter (6dp half-up) can't out-reach the
-    * bound.
+    * bound, and the admission inequality a further 1e-6 rad of slack —
+    * acos is ill-conditioned near ±1 (error ~1e-8 for near-colinear
+    * vectors, review r8), so the float margin must dominate the worst
+    * angle error on all three terms, not sit below it at 1e-9.
     *
-    * Scale shape: both corpus sides shuffle ONCE, keyed on the cell id;
-    * the admitted-pair table (≤ k² rows of index metadata) and the k-row
-    * radius table are broadcast. Candidate volume is Σ admitted |ci|·|cj|
+    * Scale shape: the assignment (argmax over k codegen'd dot products)
+    * runs ONCE — `repartition(cell)` + eager `localCheckpoint` right
+    * after it, the in-query analog of the production move (write the
+    * assignment index partitioned by cell, then join against it). This
+    * is measured, not assumed: without the materialization Spark plans
+    * FOUR independent scan+argmax subtrees (radius side twice, both join
+    * sides; inferred null-filters make them canonically distinct, so
+    * `ReusedExchange` never applies — review r8), and the checkpointed
+    * partitioning lands the b-side on its join key so only the
+    * fanned-out a-side re-exchanges. The admitted-pair table (≤ k² rows
+    * of index metadata) and the k-row radius table are broadcast.
+    * Candidate volume is Σ admitted |ci|·|cj|
     * — proportional to how clustered the data is: tight near-dup clusters
     * (the real semantic-dedup regime, cos ≥ 0.7) admit few cell pairs,
     * while THIS fixture's threshold-at-the-noise-floor admits all of them
@@ -648,13 +660,15 @@ object Similarity extends QueryModule {
         col("__best").getField("c").as("cell"),
         acos(greatest(lit(-1.0), least(lit(1.0), col("__best").getField("d"))))
           .as("resid"))
+      .repartition(col("cell"))
+      .localCheckpoint()
 
     val radii = assigned.groupBy(col("cell")).agg(max(col("resid")).as("r"))
     val admitted = cellPairs
       .join(broadcast(radii.select(col("cell").as("ci"), col("r").as("ra"))), "ci")
       .join(broadcast(radii.select(col("cell").as("cj"), col("r").as("rb"))), "cj")
       .filter(col("cang") <=
-        acos(lit(thresh) - lit(5e-7)) + col("ra") + col("rb") + lit(1e-9))
+        acos(lit(thresh) - lit(5e-7)) + col("ra") + col("rb") + lit(1e-6))
       .select(col("ci"), col("cj"))
 
     val a = assigned.select(col("vec_id").as("vec_a"), col("e").as("ea"),

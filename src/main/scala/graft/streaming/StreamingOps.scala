@@ -156,9 +156,17 @@ object StreamingOps extends QueryModule {
     * SECOND round resuming from the first's checkpoint, so offset recovery
     * (re-listed files must not re-merge) is on the gated path too. The
     * digest (merged rows, value checksum, genuinely-new keys, all derived
-    * from the streamed store's versioned snapshots) sits behind the SAME
-    * DuckDB oracle as the batch merge: the driver, not just ScalaTest,
-    * proves the streaming and batch merges identical.
+    * from the streamed store's versioned snapshots) sits behind the batch
+    * merge's DuckDB oracle over the VALIDATED feed: the driver, not just
+    * ScalaTest, proves the streaming and batch merges identical.
+    *
+    * Validation symmetry (review r8): [[StreamingPipeline.runAvailableNow]]
+    * applies the pipeline's P2 `isValid` filter — that IS its contract
+    * (the reference's ingest validates before upserting) — so the staged
+    * feed here is pre-filtered with the SAME predicate and the oracle
+    * carries the matching WHERE. The fixtures contain zero invalid events
+    * today, making this equivalent to the raw s7 oracle, but a fixture
+    * regeneration with P2 dirty rows must not silently split the twins.
     *
     * Scale: the merge shuffles once per micro-batch on the key
     * (`mergeByKey`); file staging is fixture plumbing, not dataflow.
@@ -168,6 +176,7 @@ object StreamingOps extends QueryModule {
     val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
     try {
       val base = graft.engine.Tables.events(s, dir)
+        .filter(graft.pipeline.IncrementalPipeline.isValid)
         .select(col("event_id"), col("ts"), col("value"))
       val store = new graft.pipeline.IncrementalPipeline.Store(s, root.resolve("store").toString)
       val ckpt = root.resolve("ckpt").toString
@@ -195,6 +204,28 @@ object StreamingOps extends QueryModule {
       s.createDataFrame(digest.collectAsList(), digest.schema)
     } finally deleteRecursively(root)
   }
+
+  /** [[graft.operators.MergeOps.s7Oracle]] over the VALIDATED feed — the
+    * WHERE mirrors [[graft.pipeline.IncrementalPipeline.isValid]] exactly.
+    */
+  val streamMergeOracle: String =
+    """WITH base AS (
+      | SELECT event_id, ts, value FROM events
+      | WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      |   AND (value IS NULL OR value >= 0)),
+      |upd AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, value * 2 AS value
+      |        FROM base WHERE event_id % 7 = 0),
+      |ins AS (SELECT event_id + 1000000 AS event_id, ts, value
+      |        FROM base WHERE event_id % 11 = 0),
+      |incoming AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |merged AS (
+      | SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+      | FROM (SELECT * FROM base UNION ALL SELECT * FROM incoming))
+      |SELECT
+      | (SELECT count(*) FROM merged WHERE rn = 1) AS n_rows,
+      | (SELECT floor(sum(value) * 1e2 + 0.5) / 1e2 FROM merged WHERE rn = 1) AS sum_value,
+      | (SELECT count(*) FROM (SELECT DISTINCT event_id FROM incoming)
+      |   WHERE event_id NOT IN (SELECT event_id FROM base)) AS new_keys""".stripMargin
 
   /** The custom stateful operator (§2.9's hardest piece —
     * `flatMapGroupsWithState` sessionization with event-time timeouts,
@@ -262,7 +293,7 @@ object StreamingOps extends QueryModule {
     RegisteredQuery("stream_tumbling_window", streamTumblingWindow,
       Some(streamTumblingOracle)),
     RegisteredQuery("stream_merge_upsert", streamMergeUpsert,
-      Some(graft.operators.MergeOps.s7Oracle)),
+      Some(streamMergeOracle)),
     RegisteredQuery("stream_sessionize", streamSessionize,
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
   )

@@ -14,7 +14,11 @@ final case class SessionOut(
     user_id: Long, session_id: Long, n_events: Long,
     session_start_us: Long, session_end_us: Long)
 
-/** Per-user open-session state carried across micro-batches. */
+/** Per-user session state carried across micro-batches. `startUs < 0`
+  * marks a CLOSED marker: the last session was emitted (via timeout) but
+  * `sid` must survive so a later event continues the per-user ordinal
+  * numbering instead of restarting at 1.
+  */
 final case class OpenSession(sid: Long, startUs: Long, endUs: Long, n: Long)
 
 /** The CDC pipeline as Structured Streaming (SURVEY.md §2.9): the
@@ -75,9 +79,15 @@ object StreamingPipeline {
     * 1-based per user in event-time order, so emitted rows are
     * byte-comparable with the batch operator's.
     *
-    * State is one `OpenSession` per active user — bounded by active-user
-    * cardinality, not corpus size — and the watermark reaps it; this is
-    * the canonical shape for unbounded-stream sessionization at scale.
+    * State is one `OpenSession` record per user EVER seen — the ordinal
+    * session-id contract requires it: a timeout emits the open session
+    * but must keep a closed marker carrying the counter, or a user idle
+    * across a watermark gap would restart at session_id 1 and collide
+    * with their own history (found by review r8; fixtures never exercised
+    * an idle-across-batch user). Bounded by user cardinality, not event
+    * count — fine for user-grained keys; a deployment that needs
+    * watermark-REAPED state instead keys sessions by (user, start time)
+    * rather than ordinals and removes on timeout.
     * Assumes per-user in-order arrival across micro-batches (guaranteed
     * here by time-split input files; a production deployment relies on the
     * watermark delay for modest disorder and would buffer within it).
@@ -102,7 +112,10 @@ object StreamingPipeline {
          state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // emit, then KEEP a closed marker (startUs = -1) so the sid
+            // counter survives; no new timeout — the marker is inert until
+            // the user's next event resumes from it
+            state.update(OpenSession(s.sid, -1L, -1L, 0L))
             Iterator.single(SessionOut(user, s.sid, s.n, s.startUs, s.endUs))
           } else {
             val ts = rows.map(_._3).toArray

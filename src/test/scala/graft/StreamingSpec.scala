@@ -302,8 +302,52 @@ class StreamingSpec extends SparkSpec {
   test("stream_merge_upsert: the checkpointed foreachBatch merge equals the batch merge digest") {
     val streamed = graft.streaming.StreamingOps.streamMergeUpsert(spark, sfDir)
       .collect().map(_.toSeq).toSeq
-    val batch = graft.operators.MergeOps.s7MergeUpsert(spark, sfDir)
+    // the streamed pipeline merges the VALIDATED feed (its P2 contract),
+    // so the batch digest is taken over the same predicate — equivalent
+    // on today's all-valid fixtures, but not silently fixture-dependent
+    val batch = graft.operators.MergeOps.s7DigestOf(
+        graft.engine.Tables.events(spark, sfDir)
+          .filter(graft.pipeline.IncrementalPipeline.isValid)
+          .select(col("event_id"), col("ts"), col("value")))
       .collect().map(_.toSeq).toSeq
     assert(streamed === batch)
+  }
+
+  test("sessionizer keeps ordinal session ids across idle watermark gaps (r8 regression)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // user 1 is idle while other users advance the watermark past their
+    // open session's end + gap: the timeout must emit session 1 AND leave
+    // a closed marker carrying the counter, so the comeback event opens
+    // session 2 - the pre-fix code state.remove()d and restarted at 1
+    val inDir = tmpDir("graft-sess-gap-in")
+    val ckpt = tmpDir("graft-sess-gap-ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def put(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+    put("b1", Seq((1L, ts(0)), (1L, ts(5))))
+    put("b2", Seq((2L, ts(600))))            // watermark -> t0+9h after this
+    put("b3", Seq((2L, ts(610))))            // user-1 timeout fires in this batch
+    put("b4", Seq((1L, ts(1200))))           // comeback: must be session 2
+    put("b5", Seq((-1L, ts(2400))))          // sentinels flush the rest
+    put("b6", Seq((-2L, ts(4800))))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$inDir/b1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingPipeline.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sess_gap").outputMode("append")
+      .start()
+    q.awaitTermination()
+    val u1 = spark.table("sess_gap").filter(col("user_id") === 1L)
+      .orderBy("session_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(u1.toSeq === Seq((1L, 2L), (2L, 1L)),
+      s"expected sessions 1 (2 events) and 2 (1 event), got ${u1.toSeq}")
+    spark.catalog.dropTempView("sess_gap")
   }
 }
