@@ -155,9 +155,42 @@ object CorpusOps extends QueryModule {
        |WHERE c.vec_id IS NULL OR c.cluster_root = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  private def splitCaseSql(c: String): String =
+    s"""CASE WHEN CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
+       |      WHEN CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 4) AS INTEGER) < 58982 THEN 'val'
+       |      ELSE 'test' END""".stripMargin
+
+  /** Train/eval LEAKAGE audit — the check a training pipeline must run
+    * after splitting: near-duplicate pairs whose members land in
+    * DIFFERENT splits (a test doc with a train-side near-twin inflates
+    * eval). Composes the production dedup scale path
+    * ([[Dedup.dedupMinhashLsh]], unblocked — cross-language twins leak
+    * too) with the hash splitter ([[OrderingOps.splitExpr]]); both are
+    * already oracle-gated, and so is the composition. The split label is
+    * a map-only projection on each pair side — no join, no extra
+    * shuffle beyond the dedup's own.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupMinhashLsh(s, dir)
+      .withColumn("split_a", OrderingOps.splitExpr(col("doc_a")))
+      .withColumn("split_b", OrderingOps.splitExpr(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+
+  val splitLeakageOracle: String =
+    s"""WITH pairs AS (${stripOrderBy(Dedup.dedupMinhashLshOracle)}),
+       |lab AS (
+       | SELECT doc_a, doc_b, jaccard,
+       |  ${splitCaseSql("doc_a")} AS split_a,
+       |  ${splitCaseSql("doc_b")} AS split_b
+       | FROM pairs)
+       |SELECT doc_a, doc_b, jaccard, split_a, split_b FROM lab
+       |WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
     RegisteredQuery("corpus_to_training", corpusToTraining, Some(corpusToTrainingOracle)),
     RegisteredQuery("corpus_semantic_dedup", corpusSemanticDedup, Some(corpusSemanticDedupOracle)),
+    RegisteredQuery("split_leakage", splitLeakage, Some(splitLeakageOracle)),
   )
 }
