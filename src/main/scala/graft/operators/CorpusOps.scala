@@ -90,9 +90,7 @@ object CorpusOps extends QueryModule {
        |dups AS (SELECT DISTINCT doc_b AS doc_id FROM (${stripOrderBy(Dedup.dedupNgramJaccardOracle)})),
        |cleaned AS (
        | SELECT s.doc_id, s.lang, s.n_tokens,
-       |  CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
-       |       WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 58982 THEN 'val'
-       |       ELSE 'test' END AS split
+       |  ${splitCaseSql("s.doc_id")} AS split
        | FROM stats s JOIN rep r USING (doc_id)
        | WHERE s.quality_score >= 0.55 AND s.n_tokens >= 20 AND r.max_run_len <= 3
        |  AND s.doc_id NOT IN (SELECT doc_id FROM cont)

@@ -90,11 +90,7 @@ object StreamingOps extends QueryModule {
       out
     } finally {
       scala.util.Try(s.catalog.dropTempView(name))
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(ckpt)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteRecursively(ckpt)
     }
   }
 
@@ -243,7 +239,8 @@ object StreamingOps extends QueryModule {
     * `sessionize`'s DuckDB oracle — the stateful-operator path itself is
     * driver-proven, not just ScalaTest-compared.
     *
-    * Scale: state is one open session per active user (watermark-reaped);
+    * Scale: state is one small record per user ever seen (the ordinal
+    * session-id contract — see [[StreamingPipeline.sessionizeStream]]);
     * the sentinel trick is harness plumbing for run-to-completion — a
     * production stream's watermark advances on its own.
     */
