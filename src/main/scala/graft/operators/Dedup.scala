@@ -370,8 +370,12 @@ object Dedup extends QueryModule {
     * paid an exchange of every token row (equivalence pinned by
     * ShingleKernelSpec). Candidate pairs via 4×16-bit band equality — by
     * pigeonhole EXHAUSTIVE for hamming distance <= 3 (4 bands can't all
-    * differ), the emitted threshold. Rows-only check (hash-specific);
-    * ScalaTest cross-checks against the Jaccard near-dup pairs.
+    * differ), the emitted threshold — so the output is exactly the
+    * hamming-≤3 pair set of the signatures, a partition-independent pure
+    * function of the texts. Not SQL-computable (custom kernel), but
+    * deterministic, so the oracle PINS the sf0.01 pair set (the
+    * sim_recall_report pattern); kernel or banding drift flips the
+    * driver entry red. ScalaTest cross-checks against the Jaccard pairs.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val hammingMax = 3
@@ -394,6 +398,18 @@ object Dedup extends QueryModule {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The pinned sf0.01 hamming-≤3 pair set (see [[dedupSimhash]]'s
+    * determinism argument).
+    */
+  val dedupSimhashOracle: String =
+    """SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+      | CAST(hamming AS BIGINT) AS hamming
+      |FROM (VALUES (8,245,0),(31,383,2),(45,413,1),(58,293,1),(61,185,1),
+      | (70,447,3),(72,377,1),(76,102,2),(87,134,3),(107,387,3),(120,332,3),
+      | (152,178,3),(166,323,2),(251,426,3),(267,413,3),(285,301,3),
+      | (326,457,2),(393,420,1),(435,486,3),(458,462,3)) AS t(doc_a, doc_b, hamming)
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Benchmark-contamination check (training-data hygiene): documents
     * sharing at least `minShared` 3-gram shingles with any document of a
@@ -558,7 +574,7 @@ object Dedup extends QueryModule {
     RegisteredQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     RegisteredQuery("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     RegisteredQuery("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshOracle)),
-    RegisteredQuery("dedup_simhash", dedupSimhash, None),
+    RegisteredQuery("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     RegisteredQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     RegisteredQuery("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     // same oracle as the exact path: the sketch only pre-screens

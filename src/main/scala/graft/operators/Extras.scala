@@ -189,9 +189,27 @@ object Extras extends QueryModule {
       .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_union"))))
   }
 
+  /** Only the sketch estimate is pinned (sf0.01; the sim_recall_report
+    * pattern — see [[graft.operators.Relational.a4ApproxOracle]]'s
+    * determinism argument): Datasketches HLL is register-based, so
+    * per-batch sketches and their union are partition- and
+    * order-independent pure functions of the value sets — and at this
+    * cardinality (150 users) they sit in exact (list/set) mode, hence
+    * est_union == exact_union. The three exact columns are real SQL.
+    */
+  val a4HllUnionOracle: String =
+    """WITH b AS (
+      | SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 0 ELSE 1 END AS batch, user_id
+      | FROM events),
+      |agg AS (SELECT batch, count(DISTINCT user_id) AS be FROM b GROUP BY 1)
+      |SELECT CAST(150 AS BIGINT) AS est_union,
+      | (SELECT count(*) FROM agg) AS n_batches,
+      | (SELECT CAST(sum(be) AS BIGINT) FROM agg) AS sum_batch_exact,
+      | (SELECT count(DISTINCT user_id) FROM b) AS exact_union""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("p1_projection", p1Projection, Some(p1Oracle)),
-    RegisteredQuery("a4_hll_union", a4HllUnion, None),
+    RegisteredQuery("a4_hll_union", a4HllUnion, Some(a4HllUnionOracle)),
     RegisteredQuery("sql_q4", sqlQ4, Some(sqlQ4Text)),
     RegisteredQuery("a11_agg_of_agg", a11AggOfAgg, Some(a11Oracle)),
     RegisteredQuery("scalar_roundtrip", scalarRoundtrip, Some(scalarRoundtripOracle)),

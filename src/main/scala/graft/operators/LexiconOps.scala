@@ -212,9 +212,11 @@ object LexiconOps extends QueryModule {
     * comfortably (CMS state is eps/confidence-bounded regardless of
     * cardinality). The sketch is collected (it is kilobytes — control
     * plane, like the IVF centroids) and probed driver-side for a fixed
-    * token list; estimates are deterministic (fixed seed) but
-    * sketch-specific, so the check is rows-only + the one-sided-error
-    * spec (CMS never undercounts).
+    * token list. Estimates are sketch-specific but fully DETERMINISTIC
+    * and partition-independent (fixed seed 42; CMS merge is elementwise
+    * counter addition — commutative/associative), so the oracle PINS the
+    * sf0.01 estimates (the sim_recall_report pattern) on top of the
+    * one-sided-error spec (CMS never undercounts).
     */
   def vocabCms(s: SparkSession, dir: String): DataFrame = {
     val probes = Seq("the", "a", "and", "of", "to", "in",
@@ -406,6 +408,17 @@ object LexiconOps extends QueryModule {
       .orderBy(col("est_count").desc, col("token"))
   }
 
+  /** The pinned sf0.01 probe estimates (see [[vocabCms]]'s determinism
+    * argument).
+    */
+  val vocabCmsOracle: String =
+    """SELECT token, CAST(est_count AS BIGINT) AS est_count
+      |FROM (VALUES ('a', 880), ('and', 0), ('data', 908), ('in', 0),
+      | ('key', 896), ('of', 0), ('query', 871), ('row', 943),
+      | ('spark', 880), ('table', 908), ('the', 840), ('to', 0),
+      | ('value', 897), ('zzz_absent', 0)) AS t(token, est_count)
+      |ORDER BY token""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
@@ -415,6 +428,6 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
     RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
-    RegisteredQuery("vocab_cms", vocabCms, None),
+    RegisteredQuery("vocab_cms", vocabCms, Some(vocabCmsOracle)),
   )
 }

@@ -328,13 +328,25 @@ object Relational extends QueryModule {
 
   /** A4 scale path: HLL sketch distinct count — at 100 TB an exact
     * countDistinct shuffles every key; approx_count_distinct keeps the
-    * aggregation map-side and mergeable. Not SQL-oracle-comparable
-    * (different sketch impls) → rows-only check.
+    * aggregation map-side and mergeable. Not SQL-COMPUTABLE by DuckDB
+    * (different sketch impls), but fully DETERMINISTIC and
+    * partition-independent: HLL++ registers are a pure function of each
+    * value's hash and the merge is an elementwise register max —
+    * commutative, associative, idempotent — so the estimate does not
+    * depend on partition count or task order. The oracle therefore PINS
+    * the sf0.01 estimates (the sim_recall_report pattern): a sketch or
+    * hash change flips the driver entry red instead of hiding in a
+    * rows-only check.
     */
   def a4DistinctApprox(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).agg(
       approx_count_distinct(col("user_id")).as("approx_users"),
       approx_count_distinct(col("event_id")).as("approx_events"))
+
+  /** Pinned at sf0.01 (exact values: 150 users / 10000 events). */
+  val a4ApproxOracle: String =
+    """SELECT CAST(151 AS BIGINT) AS approx_users,
+      | CAST(9571 AS BIGINT) AS approx_events""".stripMargin
 
   /** A5/P5: conditional average over a nullable-by-convention metric
     * (_calculate_average_payload_mass, src/aggregations.py:383-397).
@@ -471,7 +483,7 @@ object Relational extends QueryModule {
     RegisteredQuery("j1_enrichment", j1Enrichment, Some(j1Oracle)),
     RegisteredQuery("j2_new_keys", j2NewKeys, Some(j2Oracle)),
     RegisteredQuery("a4_distinct_exact", a4DistinctExact, Some(a4Oracle)),
-    RegisteredQuery("a4_distinct_approx", a4DistinctApprox, None),
+    RegisteredQuery("a4_distinct_approx", a4DistinctApprox, Some(a4ApproxOracle)),
     RegisteredQuery("a5_cond_avg", a5CondAvg, Some(a5Oracle)),
     RegisteredQuery("agg_snapshot_full", aggSnapshotFull, Some(aggSnapshotOracle)),
     RegisteredQuery("w1_latest_per_user", w1LatestPerUser, Some(w1Oracle)),
