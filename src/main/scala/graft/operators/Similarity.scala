@@ -627,17 +627,34 @@ object Similarity extends QueryModule {
     * Output columns: (vec_a, vec_b, ea, eb), each unordered pair exactly
     * once (vec_a < vec_b) — the caller applies the exact-cosine filter.
     * `emb` must carry (vec_id LONG, e: unit-norm array<double>).
+    *
+    * The self-join is the `embA eq embB` case of
+    * [[nearDupCandidatesAcross]] (one shared assignment materialization)
+    * plus the `vec_a < vec_b` dedup; the two-sided form is the
+    * ingest-time screen (small batch × huge corpus — the regime where
+    * the cell-pair pruning pays even on loosely clustered data, because
+    * only the batch side fans out).
     */
   def nearDupCandidatesBlocked(
-      emb: DataFrame, cents: Array[Array[Double]], thresh: Double): DataFrame = {
-    val s = emb.sparkSession
+      emb: DataFrame, cents: Array[Array[Double]], thresh: Double): DataFrame =
+    nearDupCandidatesAcross(emb, emb, cents, thresh)
+      .filter(col("vec_a") < col("vec_b"))
+
+  /** Two-sided triangle-bound candidate generator: every (a ∈ embA,
+    * b ∈ embB) pair with cosine ≥ thresh is admitted (same guarantee and
+    * slack arithmetic as [[nearDupCandidatesBlocked]]'s scaladoc). Each
+    * ORDERED pair appears exactly once.
+    */
+  def nearDupCandidatesAcross(
+      embA: DataFrame, embB: DataFrame,
+      cents: Array[Array[Double]], thresh: Double): DataFrame = {
+    val s = embA.sparkSession
     VectorFunctions.register(s)
     val k = cents.length
     import s.implicits._
 
     // driver-side centroid-pair angles: k² doubles — index metadata, like
-    // the centroid training itself (both directions + diagonal, so each
-    // vector pair is emitted from exactly one ORDERED cell pair below)
+    // the centroid training itself
     def ang(u: Array[Double], v: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < u.length) { d += u(i) * v(i); i += 1 }
@@ -646,14 +663,76 @@ object Similarity extends QueryModule {
     val cellPairs = (for (i <- 0 until k; j <- 0 until k)
       yield (i, j, ang(cents(i), cents(j)))).toDF("ci", "cj", "cang")
 
-    // nearest-cell assignment + residual angle, one map-only pass (the
-    // argmax is the same flat-literal centroid pattern as simIvfTopk)
+    val aa = assignWithResiduals(embA, cents)
+    val ab = if (embB eq embA) aa else assignWithResiduals(embB, cents)
+
+    def radii(assigned: DataFrame, cellAs: String, rAs: String): DataFrame =
+      assigned.groupBy(col("cell")).agg(max(col("resid")).as("r"))
+        .select(col("cell").as(cellAs), col("r").as(rAs))
+    val admitted = cellPairs
+      .join(broadcast(radii(aa, "ci", "ra")), "ci")
+      .join(broadcast(radii(ab, "cj", "rb")), "cj")
+      .filter(col("cang") <=
+        acos(lit(thresh) - lit(5e-7)) + col("ra") + col("rb") + lit(1e-6))
+      .select(col("ci"), col("cj"))
+
+    val a = aa.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("cell").as("ci"))
+    val b = ab.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("cell").as("cj"))
+    a.join(broadcast(admitted), Seq("ci"))
+      .join(b, Seq("cj"))
+      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+  }
+
+  /** Ingest-time SEMANTIC near-dup screen — the embedding sibling of
+    * [[Dedup.dedupIncremental]]: an incoming batch (every 25th vector,
+    * re-keyed +100000 — the re-crawled-duplicate shape, identically in
+    * the oracle) screened against the existing corpus for cosine ≥ 0.4
+    * matches before admission. Candidates come from the two-sided
+    * triangle bound ([[nearDupCandidatesAcross]]) — exact by math, so
+    * this carries a REAL brute-force oracle, not a pin — and only the
+    * BATCH side fans out to admitted cells: per-batch cost scales with
+    * the batch (× admitted-cell volume), not the corpus pair count, and
+    * at 100 TB the corpus side's cell-keyed assignment is the maintained
+    * written index, not recomputed.
+    */
+  def embIncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = normalized(s, dir)
+    val incoming = corpus.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("e"))
+    nearDupCandidatesAcross(incoming, corpus,
+        SimilarityIndex.centroids(s, dir, knnCells), 0.4)
+      .select(col("vec_a").as("new_id"), col("vec_b").as("old_id"),
+        roundTo(dot("ea", "eb"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("new_id", "old_id")
+  }
+
+  val embIncrementalOracle: String = {
+    val cos = cosineSql("a.ea", "b.eb")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |a AS (SELECT vec_id + 100000 AS new_id, e AS ea FROM v WHERE vec_id % 25 = 0),
+       |b AS (SELECT vec_id AS old_id, e AS eb FROM v)
+       |SELECT new_id, old_id, cos_sim FROM (
+       | SELECT a.new_id, b.old_id, floor(($cos) * 1e6 + 0.5) / 1e6 AS cos_sim FROM a, b)
+       |WHERE cos_sim >= 0.4 ORDER BY new_id, old_id""".stripMargin
+  }
+
+  /** Nearest-cell assignment + residual angle, one map-only pass (the
+    * argmax is the same flat-literal centroid pattern as [[simIvfTopk]]),
+    * materialized once — see the [[nearDupCandidatesBlocked]] scaladoc's
+    * ReusedExchange note.
+    */
+  private def assignWithResiduals(
+      emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val k = cents.length
     val centCols = (0 until k).map(c =>
       array(cents(c).toIndexedSeq.map(lit): _*).as(s"__cent$c"))
     val cellStructs = array((0 until k).map { c =>
       struct(expr(VectorFunctions.dotExpr("e", s"__cent$c")).as("d"), lit(c).as("c"))
     }: _*)
-    val assigned = emb
+    emb
       .select(Seq(col("vec_id"), col("e")) ++ centCols: _*)
       .withColumn("__best", array_max(cellStructs))
       .select(col("vec_id"), col("e"),
@@ -662,23 +741,6 @@ object Similarity extends QueryModule {
           .as("resid"))
       .repartition(col("cell"))
       .localCheckpoint()
-
-    val radii = assigned.groupBy(col("cell")).agg(max(col("resid")).as("r"))
-    val admitted = cellPairs
-      .join(broadcast(radii.select(col("cell").as("ci"), col("r").as("ra"))), "ci")
-      .join(broadcast(radii.select(col("cell").as("cj"), col("r").as("rb"))), "cj")
-      .filter(col("cang") <=
-        acos(lit(thresh) - lit(5e-7)) + col("ra") + col("rb") + lit(1e-6))
-      .select(col("ci"), col("cj"))
-
-    val a = assigned.select(col("vec_id").as("vec_a"), col("e").as("ea"),
-      col("cell").as("ci"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("e").as("eb"),
-      col("cell").as("cj"))
-    a.join(broadcast(admitted), Seq("ci"))
-      .join(b, Seq("cj"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
   }
 
   /** Driver-visible ANN quality: recall-vs-brute for every ANN method,
@@ -761,6 +823,8 @@ object Similarity extends QueryModule {
     RegisteredQuery("emb_neardup_clusters_blocked", embNearDupClustersBlocked,
       Some(embNearDupClustersOracle)),
     RegisteredQuery("sim_recall_report", simRecallReport, Some(simRecallOracle)),
+    RegisteredQuery("emb_incremental_neardup", embIncrementalNeardup,
+      Some(embIncrementalOracle)),
     RegisteredQuery("emb_quantize", embQuantize, Some(embQuantizeOracle)),
   )
 }
