@@ -105,30 +105,58 @@ object StreamingOps extends QueryModule {
       |FROM (SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS b, value FROM events)
       |GROUP BY b ORDER BY w_start_us""".stripMargin
 
-  /** Stage a DataFrame as loose parquet files inside the stream-source
-    * input directory: write to a scratch dir, then move the part files in
-    * under `name-<i>.parquet` (the file stream source lists leaf files of
-    * ONE directory — a nested Spark output dir would be invisible to it).
+  /** Move the parquet part files of `src` into the stream-source input
+    * directory under `name-<i>.parquet` (the file stream source lists
+    * leaf files of ONE directory — a nested Spark output dir would be
+    * invisible to it). Callers that need a deterministic source-listing
+    * order pin the mtime explicitly (FileStreamSource batches by file
+    * timestamp; same-millisecond staging would leave the order to
+    * chance).
+    */
+  private def moveParts(src: java.io.File, inDir: java.nio.file.Path, name: String,
+      mtimeMs: Long): Unit = {
+    val parts = Option(src.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"staging $name found no parquet parts under $src")
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val target = inDir.resolve(s"$name-$i.parquet")
+      java.nio.file.Files.move(f.toPath, target)
+      if (mtimeMs >= 0)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs + i))
+    }
+  }
+
+  /** Stage a DataFrame as loose parquet files: write to a scratch dir,
+    * then [[moveParts]] them in.
     */
   private def stage(df: DataFrame, inDir: java.nio.file.Path, name: String,
       mtimeMs: Long = -1L): Unit = {
     val scratch = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
     try {
       df.write.mode("overwrite").parquet(scratch.toString)
-      val parts = Option(scratch.toFile.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      require(parts.nonEmpty, s"staging $name wrote no parquet parts")
-      parts.zipWithIndex.foreach { case (f, i) =>
-        val target = inDir.resolve(s"$name-$i.parquet")
-        java.nio.file.Files.move(f.toPath, target)
-        // callers that need a deterministic source-listing order pin the
-        // mtime explicitly (FileStreamSource batches by file timestamp;
-        // same-millisecond staging would leave the order to chance)
-        if (mtimeMs >= 0)
-          java.nio.file.Files.setLastModifiedTime(target,
-            java.nio.file.attribute.FileTime.fromMillis(mtimeMs + i))
+      moveParts(scratch.toFile, inDir, name, mtimeMs)
+    } finally deleteRecursively(scratch)
+  }
+
+  /** Stage SEVERAL label-split slices of one DataFrame in a single job:
+    * `partitionBy(labelCol)` over a `repartition(labelCol)`'d write — each
+    * label lands wholly in one task, so each label dir holds exactly one
+    * part file (the one-file-per-window contract the sessionizer's
+    * in-order delivery needs) and the source table is scanned ONCE
+    * instead of once per slice.
+    */
+  private def stageSplits(df: DataFrame, labelCol: String,
+      inDir: java.nio.file.Path, labelToMtime: Map[String, Long]): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-stage-splits")
+    try {
+      df.repartition(col(labelCol))
+        .write.partitionBy(labelCol).mode("overwrite").parquet(scratch.toString)
+      labelToMtime.foreach { case (label, mtime) =>
+        moveParts(new java.io.File(scratch.toFile, s"$labelCol=$label"),
+          inDir, label, mtime)
       }
     } finally deleteRecursively(scratch)
   }
@@ -256,9 +284,13 @@ object StreamingOps extends QueryModule {
         s.range(1).select(lit(user).as("user_id"),
           (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("ts"))
       val t0 = 1700000000000L // fixed, strictly increasing listing order
-      stage(ev.filter(col("ts") < cut1).coalesce(1), inDir, "f1", t0)
-      stage(ev.filter(col("ts") >= cut1 && col("ts") < cut2).coalesce(1), inDir, "f2", t0 + 1000)
-      stage(ev.filter(col("ts") >= cut2).coalesce(1), inDir, "f3", t0 + 2000)
+      // all three time-splits from ONE scan (labels ride as a partition
+      // column and never enter the staged schema); sentinels are 1-row
+      stageSplits(
+        ev.withColumn("__b",
+          when(col("ts") < cut1, "f1").when(col("ts") < cut2, "f2").otherwise("f3")),
+        "__b", inDir,
+        Map("f1" -> t0, "f2" -> (t0 + 1000), "f3" -> (t0 + 2000)))
       stage(sentinel(-1L, 24), inDir, "s4", t0 + 3000)
       stage(sentinel(-2L, 48), inDir, "s5", t0 + 4000)
 
