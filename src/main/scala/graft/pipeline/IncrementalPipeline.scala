@@ -27,10 +27,13 @@ import graft.operators.MergeOps
   *
   * Scale notes: the only wide operations are the merge (one shuffle on the
   * key) and the snapshot aggregate (map-side partial + tiny final). The
-  * early-exit probe is a MAX over the source's watermark column — with a
-  * parquet source that is answered from footer statistics, the moral
+  * early-exit probe is a MAX over the source's watermark column — answered
+  * from parquet footer statistics WHEN the caller passes a raw-column
+  * source (`Tables.eventsSince` exists for exactly that); over a
+  * derived/converted ts column (e.g. `Tables.events`' nanos→micros
+  * rewrite) it degrades to a narrow single-column scan — still the moral
   * equivalent of the reference's 1-API-call change detection (~0.5s
-  * no-new-data path, README.md:263-267).
+  * no-new-data path, README.md:263-267), just not footer-free.
   */
 object IncrementalPipeline {
 
@@ -47,11 +50,19 @@ object IncrementalPipeline {
     val stateDir     = s"$root/ingestion_state"
     val snapshotsDir = s"$root/snapshots"
 
-    private def exists(p: String): Boolean =
-      new java.io.File(p.stripPrefix("file:")).exists()
+    /** Local-path view of a possibly `file:`-prefixed root — EVERY
+      * java.io access must go through this: latestVersion previously used
+      * the raw string, so a `file:` URI root made every run look like an
+      * initial load (watermark still advanced via the Spark-read state
+      * dir) and silently clobbered history (review r8).
+      */
+    private def localFile(p: String): java.io.File =
+      new java.io.File(p.stripPrefix("file:"))
+
+    private def exists(p: String): Boolean = localFile(p).exists()
 
     def latestVersion: Option[Long] = {
-      val d = new java.io.File(launchesRoot)
+      val d = localFile(launchesRoot)
       if (!d.exists()) None
       else d.listFiles().filter(_.getName.startsWith("v="))
         .map(_.getName.stripPrefix("v=").toLong).sorted.lastOption
@@ -118,8 +129,16 @@ object IncrementalPipeline {
     val wm = store.watermark
     val isInitial = store.latestVersion.isEmpty
 
-    // Change detection / early exit: one MAX probe, answered from parquet
-    // footer stats (src/ingest.py:211-233 analog).
+    // Change detection / early exit: one MAX probe (src/ingest.py:211-233
+    // analog; footer-stat-answerable when the caller's source exposes the
+    // RAW parquet column — Tables.eventsSince exists for exactly that; a
+    // derived/converted ts column costs a narrow column scan instead).
+    // Strictness contract, mirroring the reference's newer-than check: a
+    // source max EQUAL to the watermark reads as no-new-data, i.e. rows
+    // at the boundary are assumed re-deliveries of the batch that SET the
+    // watermark. A writer adding a genuinely-new row at-or-before the
+    // current watermark violates the feed contract (the `>=` refetch
+    // below only shields boundary ties when newer data arrives with them).
     val sourceMax = source.agg(max(col("ts"))).collect().head.getTimestamp(0)
     if (!isInitial && (sourceMax == null || !sourceMax.after(wm)))
       return RunResult("no_new_data", 0, 0, 0,
@@ -128,9 +147,17 @@ object IncrementalPipeline {
     // Incremental fetch past the watermark: `>=` + idempotent merge (the
     // reference's server path, src/api.py:115 — SURVEY.md §7.4-4).
     val incoming = if (isInitial) source else source.filter(col("ts") >= lit(wm))
-    val newFound = incoming.count()
+    // batch metrics in ONE aggregate pass (found, valid, valid max) — the
+    // three separate actions re-scanned the source three times (review r8)
     val batch = incoming.filter(isValid)
-    val valid = batch.count()
+    val stats = incoming.agg(
+        count(lit(1)).as("found"),
+        count(when(isValid, 1)).as("valid"),
+        max(when(isValid, col("ts"))).as("bmax"))
+      .collect().head
+    val newFound = stats.getLong(0)
+    val valid = stats.getLong(1)
+    val batchMax = stats.getTimestamp(2)
 
     val (merged, inserted) = store.launches match {
       case Some(existing) =>
@@ -138,14 +165,20 @@ object IncrementalPipeline {
         val ins = MergeOps.newKeyCount(existing, batch, "event_id")
           .collect().head.getLong(0)
         (m, ins)
-      case None => (batch, valid)
+      case None =>
+        // the initial load must dedup by key exactly like every later
+        // merge (the reference's PK upsert always does) and report
+        // `inserted` as a KEY count, not a row count — an at-least-once
+        // feed re-delivering a key in batch 1 previously persisted both
+        // rows (review r8); limit(0) supplies the empty existing side
+        (MergeOps.mergeByKey(batch.limit(0), batch, "event_id", "ts"),
+          batch.select("event_id").distinct().count())
     }
     store.writeLaunches(merged, runId)
     val table = spark.read.parquet(s"${store.launchesRoot}/v=$runId")
     val total = table.count()
 
     // Watermark advance to batch max (src/ingest.py:389-409).
-    val batchMax = batch.agg(max(col("ts"))).collect().head.getTimestamp(0)
     val newWm = if (batchMax != null) batchMax else wm
     store.appendState(newWm, runId)
 

@@ -50,10 +50,15 @@ object PipelineOps extends QueryModule {
        | (SELECT count(*) FROM incoming) AS new_events_found,
        | (SELECT count(*) FROM valid) AS valid_events,
        | (SELECT count(*) FROM incoming) - (SELECT count(*) FROM valid) AS dropped_events,
-       | (SELECT count(*) FROM (SELECT DISTINCT event_id FROM valid)
-       |   WHERE event_id NOT IN (SELECT event_id FROM existing)) AS new_keys,
-       | (SELECT count(DISTINCT event_id) FROM
-       |   (SELECT event_id FROM existing UNION ALL SELECT event_id FROM valid)) AS total_after,
+       | -- NOT EXISTS, not NOT IN: a NULL key in existing would null-poison
+       | -- NOT IN to zero matches, while Spark's left_anti counts the real
+       | -- set; and DISTINCT+count(*) keeps the NULL-key group that
+       | -- mergeByKey's window also keeps, where count(DISTINCT) drops it
+       | -- (latent until fixtures carry P2-invalid rows — review r8)
+       | (SELECT count(*) FROM (SELECT DISTINCT event_id FROM valid) v
+       |   WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.event_id = v.event_id)) AS new_keys,
+       | (SELECT count(*) FROM (SELECT DISTINCT event_id FROM
+       |   (SELECT event_id FROM existing UNION ALL SELECT event_id FROM valid))) AS total_after,
        | (SELECT epoch_us(max(ts)) FROM valid) AS batch_watermark_us""".stripMargin
 
   /** The reference's FULL multi-batch run — append-only snapshot series
@@ -92,7 +97,9 @@ object PipelineOps extends QueryModule {
         count(when(valid, 1)).as("events_added_in_batch"),
         max(when(valid, col("ts_us"))).as("wm_us"),
         sum(when(valid, col("value"))).as("bval"))
-    val emptyProbe = bounds.select(lit(3L).as("batch_id"), lit(0L).as("events_found"),
+    // one literal row — NOT a select over `bounds`, which would execute
+    // the min/max aggregate a second time just to discard it (review r8)
+    val emptyProbe = s.range(1).select(lit(3L).as("batch_id"), lit(0L).as("events_found"),
       lit(0L).as("events_added_in_batch"), lit(null).cast("long").as("wm_us"),
       lit(null).cast("double").as("bval"))
     val w = Window.orderBy("batch_id")

@@ -45,20 +45,27 @@ final class JdbcStore(spark: SparkSession, url: String) {
     catch { case _: Exception => false }
 
   /** Idempotent keyed upsert; returns the count of genuinely-new keys
-    * (updates don't count — reference `database.py:164-190`).
+    * (updates don't count — reference `database.py:164-190`). BOTH
+    * branches dedup per key before writing — the reference's PK `ON
+    * CONFLICT` can never persist two rows for one key, so neither may
+    * the table-creating first batch (an at-least-once feed flushing a
+    * retry buffer previously seeded duplicates; review r8).
     */
   def upsert(table: String, incoming: DataFrame,
              keyCol: String, versionCol: String): Long = {
     if (!tableExists(table)) {
-      writeTable(incoming, table, SaveMode.ErrorIfExists)
+      writeTable(MergeOps.mergeByKey(incoming.limit(0), incoming, keyCol, versionCol),
+        table, SaveMode.ErrorIfExists)
       incoming.select(keyCol).distinct().count()
     } else {
-      val existing = readTable(table)
+      // pin ONE snapshot of the live table: the metric and the merge must
+      // observe the same state (two lazy reads = two server scans that a
+      // concurrent writer can interleave; review r8), and the overwrite
+      // below drops its own source
+      val existing = readTable(table).localCheckpoint(true)
       val newKeys = incoming.join(existing, Seq(keyCol), "left_anti")
         .select(keyCol).distinct().count()
-      // materialize the merge before the overwrite drops its own source
       val merged = MergeOps.mergeByKey(existing, incoming, keyCol, versionCol)
-        .localCheckpoint(true)
       writeTable(merged, table, SaveMode.Overwrite)
       newKeys
     }

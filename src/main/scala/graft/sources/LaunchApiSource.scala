@@ -134,7 +134,10 @@ private[sources] class LaunchApiScan(
     * row index — the sorted-pagination contract of the upstream API).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val nPages = ((rows + pageSize - 1) / pageSize).toInt
+    // toIntExact, not toInt: a row count past ~214G pages would WRAP
+    // negative and plan an empty scan that returns 0 rows with no error
+    // (review r8) — fail loudly instead
+    val nPages = java.lang.Math.toIntExact((rows + pageSize - 1) / pageSize)
     (0 until nPages).flatMap { p =>
       val start = p.toLong * pageSize
       val end = math.min(start + pageSize, rows) // exclusive

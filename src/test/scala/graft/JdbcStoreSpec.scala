@@ -89,4 +89,18 @@ class JdbcStoreSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("user_id"), plan)
     assert(scan.count() > 0)
   }
+
+  test("first-batch upsert dedups duplicate keys like every later merge (r8 regression)") {
+    import spark.implicits._
+    val store = newStore("dup0")
+    // an at-least-once retry buffer: key 1 delivered twice in batch ONE
+    val batch = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, 3.0))
+      .toDF("event_id", "ver", "value")
+    val inserted = store.upsert("t_dup0", batch, "event_id", "ver")
+    assert(inserted === 2L, "inserted must count KEYS, not rows")
+    val rows = store.readTable("t_dup0").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.size === 2, s"duplicate key persisted: ${rows.mkString(",")}")
+    assert(rows(1L) === ((20L, 2.0)), "last-write-wins must pick the newest version")
+  }
 }

@@ -88,4 +88,33 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"HLL $approx vs exact $exact")
   }
+
+  test("initial load dedups duplicate keys and file:-URI store roots resolve (r8 regressions)") {
+    import spark.implicits._
+    import graft.pipeline.IncrementalPipeline
+    // file:-prefixed root: latestVersion and watermark must agree on the
+    // same directory (the raw-string File() previously made every run an
+    // initial load, clobbering history)
+    val root = "file:" + tmpDir("graft-pipe-uri")
+    val store = new IncrementalPipeline.Store(spark, root)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // batch 1 re-delivers event 1 twice (newer version wins)
+    val b1 = Seq((1L, ts(0), 1.0, "view", 7L), (1L, ts(5), 2.0, "view", 7L),
+        (2L, ts(1), 3.0, "click", 8L))
+      .toDF("event_id", "ts", "value", "event_type", "user_id")
+    val r1 = IncrementalPipeline.run(store, b1, runId = 1L)
+    assert(r1.status === "initial_load")
+    assert(r1.inserted === 2L, "inserted must count KEYS on the initial load too")
+    assert(r1.totalAfter === 2L, "initial load must dedup per key")
+    val kept = store.launches.get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kept(1L) === 2.0, "last-write-wins on the initial batch")
+    // second run through the SAME file:-URI store must see the history
+    val b2 = Seq((3L, ts(10), 4.0, "purchase", 7L))
+      .toDF("event_id", "ts", "value", "event_type", "user_id")
+    val r2 = IncrementalPipeline.run(store, b2, runId = 2L)
+    assert(r2.status === "success", "file:-URI store lost its history")
+    assert(r2.totalAfter === 3L)
+  }
 }
