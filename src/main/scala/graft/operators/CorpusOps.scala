@@ -61,25 +61,54 @@ object CorpusOps extends QueryModule {
     * packing into 2048-token training packs. This is the query a user
     * actually ships to turn a raw crawl into training input; every stage
     * reuses an oracle-checked operator's exact dataflow, and the oracle
-    * here is the same CTE composition. Shuffle inventory: the cleaning
-    * joins (keyed on doc_id), then ONE exchange on the split label shared
-    * by the rank + running-sum windows.
+    * here is the same CTE composition.
+    *
+    * The rank + running-token-sum windows key on (split, BLOCK) — the
+    * [[OrderingOps.shuffleBlocks]] pattern, not `partitionBy(split)`
+    * alone: a 3-cardinality window key serializes ~90% of a 100 TB corpus
+    * (the `train` split) through ONE task (VERDICT r8). The block id is
+    * the first 2 hex chars of the md5 sort key, so block order is a
+    * PREFIX of the sort order: block-local ranks/sums plus a broadcast
+    * (split, block) cumulative-offset table reproduce the global window
+    * EXACTLY — the oracle below stays the plain global-window SQL, and the
+    * driver compare itself proves blocked == global. 3×256 offset rows is
+    * index metadata at any corpus size (4 hex chars at 100 TB).
+    *
+    * Shuffle inventory: the cleaning joins (keyed on doc_id), then ONE
+    * exchange on (split, block) shared by both windows; the offset table
+    * is a bounded aggregate over the same materialized input. The cleaned
+    * projection is materialized once (`localCheckpoint` — 5 narrow
+    * columns) because both the layout branch and the offset branch
+    * consume it; at 100 TB that materialization is the staged cleaned
+    * table a pipeline writes anyway (and inferred-filter re-planning
+    * defeats ReusedExchange here, same measurement as the blocked-dedup
+    * path).
     */
   def corpusToTraining(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 2048
-    val cleaned = cleanedDocs(s, dir)
+    val keyed = cleanedDocs(s, dir)
       .withColumn("split", graft.operators.OrderingOps.splitExpr(col("doc_id")))
-    val w = Window.partitionBy(col("split"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    cleaned
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("pack_id",
-        floor(coalesce(sum(col("n_tokens"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) / lit(budget.toDouble))
-          .cast("long"))
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .withColumn("blk", conv(substring(col("skey"), 1, 2), 16, 10).cast("long"))
+      .localCheckpoint()
+    val wb = Window.partitionBy(col("split"), col("blk"))
+      .orderBy(col("skey"), col("doc_id"))
+    val cumOff = Window.partitionBy(col("split")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("split"), col("blk"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+      .select(col("split"), col("blk"),
+        coalesce(sum(col("n")).over(cumOff), lit(0L)).as("rk_off"),
+        coalesce(sum(col("tok")).over(cumOff), lit(0L)).as("tok_off"))
+    keyed
+      .withColumn("lrk", row_number().over(wb).cast("long"))
+      .withColumn("ltok", coalesce(sum(col("n_tokens"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets), Seq("split", "blk"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"),
-        col("rk"), col("pack_id"))
+        (col("rk_off") + col("lrk")).as("rk"),
+        floor((col("tok_off") + col("ltok")) / lit(budget.toDouble)).cast("long").as("pack_id"))
       .orderBy("doc_id")
   }
 

@@ -263,22 +263,49 @@ object TextOps extends QueryModule {
     * window formulation (true greedy reset-on-overflow packing is
     * inherently sequential; offset packing is the standard distributable
     * approximation, off by at most one straddling doc per boundary).
-    * The window partitions by lang (language-pure packs) — a keyed
-    * shuffle, never a global single-partition sort; at 100 TB the
-    * partition key would be (lang, shard).
+    *
+    * The running sum keys on (lang, BLOCK), not `lang` alone — a
+    * ~5-cardinality window key serializes the dominant language through
+    * ONE task at 100 TB (VERDICT r8; same fix as
+    * [[graft.operators.CorpusOps.corpusToTraining]]). The sort key here
+    * is the numeric doc_id, so the block is a RANGE bucket
+    * `doc_id div width` with width sized off the max id (a 1-row probe on
+    * the pruned doc_id column — the in-query analog of a range
+    * partitioner sampling its bounds): block order is then a prefix of
+    * the doc_id order, block-local sums + broadcast per-(lang, block)
+    * cumulative offsets reproduce the global window exactly, and the
+    * oracle stays the plain global-window SQL — the driver compare itself
+    * proves blocked == global. The keyed projection is materialized once
+    * (`localCheckpoint`) so the offset branch doesn't re-tokenize the
+    * corpus; at 100 TB that is the tokenized staging table.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 2048
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val nBlocks = 256L
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val width = math.max(1L, maxId / nBlocks + 1)
+    val keyed = docs
+      .withColumn("blk", expr(s"doc_id div $width"))
+      .localCheckpoint()
+    val wb = Window.partitionBy(col("lang"), col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = keyed.groupBy(col("lang"), col("blk"))
+      .agg(sum(col("n_tokens")).as("tok"))
+      .select(col("lang"), col("blk"),
+        coalesce(sum(col("tok")).over(
+          Window.partitionBy(col("lang")).orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("tok_off"))
+    keyed
+      .withColumn("lcum", sum(col("n_tokens")).over(wb))
+      .join(broadcast(offsets), Seq("lang", "blk"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("cum") - col("n_tokens")).as("tokens_before"),
-        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).as("pack_seq"))
+        (col("tok_off") + col("lcum") - col("n_tokens")).as("tokens_before"),
+        floor((col("tok_off") + col("lcum") - col("n_tokens")) / lit(budget.toDouble)).as("pack_seq"))
       .orderBy("doc_id")
   }
 
