@@ -27,7 +27,8 @@ class Sf01ConsistencySpec extends SparkSpec {
   test("sf0.1: LSH and IVF top-k scores agree with brute force on shared pairs") {
     val brute = Similarity.simTopkBrute(spark, bigDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    Seq(Similarity.simLshTopk _, Similarity.simIvfTopk _, Similarity.simPqTopk _).foreach { variant =>
+    Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      Similarity.simLshTopk, Similarity.simIvfTopk(_, _), Similarity.simPqTopk).foreach { variant =>
       variant(spark, bigDir).collect().foreach { r =>
         brute.get((r.getLong(0), r.getLong(1)))
           .foreach(exact => assert(r.getDouble(2) === exact))
