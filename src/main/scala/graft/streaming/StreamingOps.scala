@@ -47,8 +47,12 @@ object StreamingOps extends QueryModule {
     // parent-dir + glob-filter dance (pathGlobFilter matches LEAF file
     // names, so it would silently match nothing against the directory
     // layout — ADVICE r7; the non-empty require below backstops both).
+    // file:-scheme dirs must resolve like the Store's paths do (shared
+    // localFile helper — ADVICE r8): the raw string always failed
+    // isDirectory, silently routing the directory layout into the glob
+    // branch (loud via the require below, but wrong-path)
     val raw =
-      if (new java.io.File(path).isDirectory)
+      if (graft.pipeline.IncrementalPipeline.localFile(path).isDirectory)
         s.readStream.schema(rawSchema).parquet(path)
       else
         s.readStream.schema(rawSchema)
@@ -104,6 +108,24 @@ object StreamingOps extends QueryModule {
       | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
       |FROM (SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS b, value FROM events)
       |GROUP BY b ORDER BY w_start_us""".stripMargin
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * a stateful streaming query materializes ONE state-store instance
+    * (plus its per-batch checkpoint delta files) per shuffle partition,
+    * so the session default of 32 pays 32 store lifecycles × every
+    * micro-batch for fixture-sized state — measured as the dominant cost
+    * of `stream_sessionize` (VERDICT r8 #5). 8 partitions is still a
+    * real exchange (parallel state, multiple tasks); at 100 TB the
+    * partition count is sized to the cluster exactly like any shuffle.
+    * The value is pinned into the query's checkpoint at start, so
+    * restoring the conf after `body` can't re-plan a running query.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
 
   /** Move the parquet part files of `src` into the stream-source input
     * directory under `name-<i>.parquet` (the file stream source lists
@@ -169,6 +191,84 @@ object StreamingOps extends QueryModule {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close()
     }
+  }
+
+  /** The production streaming-aggregate shape the Complete-mode twin
+    * can't exercise (VERDICT r8 missing #2): `withWatermark` +
+    * `outputMode("append")` over the same 6-hour tumbling windows, WITH
+    * REAL LATE DATA the watermark must drop. Staging (mtime-pinned,
+    * `maxFilesPerTrigger=1`):
+    *
+    *   f1, f2 — the events stream time-split at Jan 15 (cross-batch
+    *     window state: the straddling window accumulates from both);
+    *   s3 — a sentinel event 48 h past max(ts): advances the watermark
+    *     beyond every real window's end, and its OWN window never closes
+    *     (watermark stops 1 h short of it), so append never emits it —
+    *     no output filtering needed;
+    *   l4 — the LATE batch, staged last: a replay of every pre-Jan-3
+    *     event. By then the watermark sits 47 h past max(ts), so every
+    *     replayed row's window is long closed and the rows MUST drop;
+    *     its batch is also what emits the final real windows (append
+    *     emits on the batch after the watermark passes a window's end).
+    *
+    * The oracle is the batch tumbling aggregate over ALL events — which
+    * is only correct if every replayed late row was dropped (else those
+    * windows double-count) and the sentinel never surfaced: the
+    * append/late-data contract itself is what the driver compare proves.
+    *
+    * Scale: one keyed shuffle per micro-batch, state = open windows
+    * only (append mode evicts on watermark passage — bounded state, the
+    * 100 TB continuous-ingest shape, unlike Complete mode's full result
+    * retention).
+    */
+  def streamWindowedAppend(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-append")
+    val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
+    try {
+      val ev = graft.engine.Tables.events(s, dir).select(col("ts"), col("value"))
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val lateCut = to_timestamp(lit("2024-01-03 00:00:00"))
+      val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+      val late = ev.filter(col("ts") < lateCut)
+      require(late.limit(1).count() > 0,
+        "no pre-lateCut events — the late-drop gate would be vacuous")
+      val t0 = 1700000000000L
+      stageSplits(
+        ev.withColumn("__b", when(col("ts") < cut, "f1").otherwise("f2")),
+        "__b", inDir, Map("f1" -> t0, "f2" -> (t0 + 1000)))
+      stage(s.range(1).select((lit(maxTs) + expr("INTERVAL 48 HOURS")).as("ts"),
+        lit(0.0d).as("value")), inDir, "s3", t0 + 2000)
+      stage(late, inDir, "l4", t0 + 3000)
+
+      val name = s"graft_stream_wa_${sinkSeq.incrementAndGet()}"
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name)
+            .select(
+              unix_micros(col("window.start")).as("w_start_us"),
+              unix_micros(col("window.end")).as("w_end_us"),
+              col("n_events"),
+              roundTo(col("sum_value"), 2).as("sum_value"))
+            .orderBy("w_start_us")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "append-mode stream emitted no windows")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
   }
 
   /** The reference's CDC upsert loop (§2.9 core semantic,
@@ -254,7 +354,7 @@ object StreamingOps extends QueryModule {
   /** The custom stateful operator (§2.9's hardest piece —
     * `flatMapGroupsWithState` sessionization with event-time timeouts,
     * [[StreamingPipeline.sessionizeStream]]) run under the driver oracle:
-    * the events stream is staged as three time-split micro-batch files
+    * the events stream is staged as two time-split micro-batch files
     * (one file per window, pinned mtimes, `maxFilesPerTrigger=1` — so
     * per-user arrival order across batches follows event time, the
     * operator's documented delivery contract) plus two far-future
@@ -267,6 +367,15 @@ object StreamingOps extends QueryModule {
     * `sessionize`'s DuckDB oracle — the stateful-operator path itself is
     * driver-proven, not just ScalaTest-compared.
     *
+    * Harness cost (VERDICT r8 #5): each micro-batch pays checkpoint +
+    * one state-store lifecycle per shuffle partition, twice under
+    * min-of-2 — a fixed cost with no plan content. Two time-splits (not
+    * three) still exercise cross-batch session continuation, and the
+    * stateful exchange runs at 8 partitions ([[withShufflePartitions]])
+    * — 4 micro-batches × 8 stores instead of 5 × 32. The gates are
+    * unchanged: same full-stream oracle, and the idle-gap regression
+    * spec pins the across-batch timeout semantics separately.
+    *
     * Scale: state is one small record per user ever seen (the ordinal
     * session-id contract — see [[StreamingPipeline.sessionizeStream]]);
     * the sentinel trick is harness plumbing for run-to-completion — a
@@ -277,49 +386,53 @@ object StreamingOps extends QueryModule {
     val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
     try {
       val ev = graft.engine.Tables.events(s, dir).select(col("user_id"), col("ts"))
-      val cut1 = to_timestamp(lit("2024-01-10 00:00:00"))
-      val cut2 = to_timestamp(lit("2024-01-20 00:00:00"))
+      val cut1 = to_timestamp(lit("2024-01-15 00:00:00"))
       val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
       def sentinel(user: Long, plusHours: Int) =
         s.range(1).select(lit(user).as("user_id"),
           (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("ts"))
       val t0 = 1700000000000L // fixed, strictly increasing listing order
-      // all three time-splits from ONE scan (labels ride as a partition
+      // both time-splits from ONE scan (labels ride as a partition
       // column and never enter the staged schema); sentinels are 1-row
       stageSplits(
-        ev.withColumn("__b",
-          when(col("ts") < cut1, "f1").when(col("ts") < cut2, "f2").otherwise("f3")),
+        ev.withColumn("__b", when(col("ts") < cut1, "f1").otherwise("f2")),
         "__b", inDir,
-        Map("f1" -> t0, "f2" -> (t0 + 1000), "f3" -> (t0 + 2000)))
-      stage(sentinel(-1L, 24), inDir, "s4", t0 + 3000)
-      stage(sentinel(-2L, 48), inDir, "s5", t0 + 4000)
+        Map("f1" -> t0, "f2" -> (t0 + 1000)))
+      stage(sentinel(-1L, 24), inDir, "s4", t0 + 2000)
+      stage(sentinel(-2L, 48), inDir, "s5", t0 + 3000)
 
       val name = s"graft_stream_sess_${sinkSeq.incrementAndGet()}"
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-        .withWatermark("ts", "1 hour")
-      val q = StreamingPipeline.sessionizeStream(stream, gapMinutes = 30)
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .format("memory").queryName(name).outputMode("append")
-        .start()
-      try {
-        q.awaitTermination()
-        val shaped = s.table(name)
-          .filter(col("user_id") >= 0)
-          .select(col("user_id"), col("session_id"), col("n_events"),
-            col("session_start_us"), col("session_end_us"))
-          .orderBy("user_id", "session_id")
-        val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
-        require(!out.isEmpty, "streaming sessionizer emitted no sessions")
-        out
-      } finally scala.util.Try(s.catalog.dropTempView(name))
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withWatermark("ts", "1 hour")
+        val q = StreamingPipeline.sessionizeStream(stream, gapMinutes = 30)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("memory").queryName(name).outputMode("append")
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name)
+            .filter(col("user_id") >= 0)
+            .select(col("user_id"), col("session_id"), col("n_events"),
+              col("session_start_us"), col("session_end_us"))
+            .orderBy("user_id", "session_id")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "streaming sessionizer emitted no sessions")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
     } finally deleteRecursively(root)
   }
 
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("stream_tumbling_window", streamTumblingWindow,
+      Some(streamTumblingOracle)),
+    // same oracle as the Complete-mode twin: ALL events — green only if
+    // every late replay dropped and the sentinel never surfaced
+    RegisteredQuery("stream_windowed_append", streamWindowedAppend,
       Some(streamTumblingOracle)),
     RegisteredQuery("stream_merge_upsert", streamMergeUpsert,
       Some(streamMergeOracle)),

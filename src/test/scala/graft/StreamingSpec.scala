@@ -299,6 +299,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_windowed_append drops the late replay and equals the batch windows") {
+    // equality with the batch aggregate over ALL events is exactly the
+    // late-data contract: the staged replay re-delivers every pre-Jan-3
+    // event after the watermark passed, so any row NOT dropped
+    // double-counts its window and breaks this assertion (and the shared
+    // DuckDB oracle); the sentinel's window must never surface either
+    val streamed = graft.streaming.StreamingOps
+      .streamWindowedAppend(spark, sfDir).collect().toSeq
+    val batch = graft.operators.WindowsAndStats
+      .w3TumblingWindow(spark, sfDir).collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("stream_merge_upsert: the checkpointed foreachBatch merge equals the batch merge digest") {
     val streamed = graft.streaming.StreamingOps.streamMergeUpsert(spark, sfDir)
       .collect().map(_.toSeq).toSeq
@@ -324,15 +337,25 @@ class StreamingSpec extends SparkSpec {
     val ckpt = tmpDir("graft-sess-gap-ckpt")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
-    def put(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+    // mtimes pinned per batch: FileStreamSource orders by file timestamp,
+    // and sequential writes landing in the same millisecond would leave
+    // the b1..b6 delivery order to chance (ADVICE r8 — the hazard
+    // moveParts' scaladoc warns about)
+    val m0 = 1700000000000L
+    def put(name: String, mtimeMs: Long, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
       rows.toDF("user_id", "ts").coalesce(1)
         .write.mode("overwrite").parquet(s"$inDir/$name")
-    put("b1", Seq((1L, ts(0)), (1L, ts(5))))
-    put("b2", Seq((2L, ts(600))))            // watermark -> t0+9h after this
-    put("b3", Seq((2L, ts(610))))            // user-1 timeout fires in this batch
-    put("b4", Seq((1L, ts(1200))))           // comeback: must be session 2
-    put("b5", Seq((-1L, ts(2400))))          // sentinels flush the rest
-    put("b6", Seq((-2L, ts(4800))))
+      new java.io.File(s"$inDir/$name").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs)))
+    }
+    put("b1", m0, Seq((1L, ts(0)), (1L, ts(5))))
+    put("b2", m0 + 1000, Seq((2L, ts(600))))   // watermark -> t0+9h after this
+    put("b3", m0 + 2000, Seq((2L, ts(610))))   // user-1 timeout fires in this batch
+    put("b4", m0 + 3000, Seq((1L, ts(1200))))  // comeback: must be session 2
+    put("b5", m0 + 4000, Seq((-1L, ts(2400)))) // sentinels flush the rest
+    put("b6", m0 + 5000, Seq((-2L, ts(4800))))
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$inDir/b1").schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
