@@ -131,33 +131,39 @@ object WindowsAndStats extends QueryModule {
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   /** A13 scale path: GK-sketch percentiles (approx_percentile) —
-    * single-pass, mergeable, no global sort. Sketch-specific (not
-    * SQL-computable), but pinned (the sim_recall_report pattern): GK
-    * summary merges are formally order-sensitive, so this pin was
-    * EARNED by measurement rather than assumed — the r8 probe ran the
-    * query under local[2]/local[8]/local[32] sessions (different scan
-    * and shuffle parallelism) and every run returned identical values;
-    * at the default 1e4 accuracy on a 60k-row fixture the summaries
-    * retain enough to be merge-order-insensitive. approx_count_distinct
-    * is register-max HLL++ — partition-independent by construction.
+    * single-pass, mergeable, no global sort. GK summary merges are
+    * formally order-sensitive, so the r8 exact-value pin (measured
+    * merge-order-insensitive under local[2]/[8]/[32]) was still
+    * environment-sensitive in a way the HLL/CMS pins are not: a
+    * different scan layout in the driver harness could produce a false
+    * red (ADVICE r8). The gate is now the sketch's own CONTRACT instead
+    * of its bit pattern: each GK estimate must land within 1% relative
+    * of the exact interpolated percentile, computed in the same
+    * single-pass aggregate (GK's rank-error guarantee at the default 1e4
+    * accuracy is orders tighter, so 1% is a loose envelope that only
+    * drift or a broken merge can escape — a red means the sketch is
+    * WRONG, not re-partitioned). approx_count_distinct stays
+    * value-pinned: register-max HLL++ is partition-independent by
+    * construction.
     */
   def a13Approx(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("approx_pcts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ap"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ep"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .select(
-        col("approx_pcts").getItem(0).as("p50"),
-        col("approx_pcts").getItem(1).as("p90"),
-        col("approx_pcts").getItem(2).as("p99"),
+        (abs(col("ap").getItem(0) - col("ep").getItem(0)) / col("ep").getItem(0) <= 0.01).as("p50_ok"),
+        (abs(col("ap").getItem(1) - col("ep").getItem(1)) / col("ep").getItem(1) <= 0.01).as("p90_ok"),
+        (abs(col("ap").getItem(2) - col("ep").getItem(2)) / col("ep").getItem(2) <= 0.01).as("p99_ok"),
         col("approx_parts"))
 
-  /** The pinned sf0.01 sketch outputs (see [[a13Approx]]'s measured
-    * determinism argument).
+  /** TRUE × 3 is the tolerance envelope; the HLL estimate stays an exact
+    * pin (see [[a13Approx]]).
     */
   val a13ApproxOracle: String =
-    """SELECT CAST(53020.59 AS DOUBLE) AS p50, CAST(94700.81 AS DOUBLE) AS p90,
-      | CAST(103930.34 AS DOUBLE) AS p99, CAST(1947 AS BIGINT) AS approx_parts""".stripMargin
+    """SELECT TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+      | CAST(1947 AS BIGINT) AS approx_parts""".stripMargin
 
   /** A14: rollup (hierarchical grouping sets) — subtotals + grand total in
     * one pass, the OLAP shape the reference's flat GROUP BYs never reach.
