@@ -32,7 +32,9 @@ object Bench {
     "cohort_retention",
     // round-8 additions
     "emb_neardup_clusters_blocked", "stream_merge_upsert", "sim_recall_report",
-    "stream_sessionize", "corpus_semantic_dedup", "split_leakage")
+    "stream_sessionize", "corpus_semantic_dedup", "split_leakage",
+    // round-9 additions
+    "stream_windowed_append", "jdbc_merge_digest")
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that
