@@ -233,12 +233,16 @@ object StreamingOps extends QueryModule {
       require(late.limit(1).count() > 0,
         "no pre-lateCut events — the late-drop gate would be vacuous")
       val t0 = 1700000000000L
+      // the two time-splits AND the late replay land in one partitionBy
+      // write (the replay is a second scan subtree in the same job, not a
+      // second staging round-trip); only the 1-row sentinel is a separate
+      // write. mtimes order delivery f1, f2, s3, l4.
       stageSplits(
-        ev.withColumn("__b", when(col("ts") < cut, "f1").otherwise("f2")),
-        "__b", inDir, Map("f1" -> t0, "f2" -> (t0 + 1000)))
+        ev.withColumn("__b", when(col("ts") < cut, "f1").otherwise("f2"))
+          .unionByName(late.withColumn("__b", lit("l4"))),
+        "__b", inDir, Map("f1" -> t0, "f2" -> (t0 + 1000), "l4" -> (t0 + 3000)))
       stage(s.range(1).select((lit(maxTs) + expr("INTERVAL 48 HOURS")).as("ts"),
         lit(0.0d).as("value")), inDir, "s3", t0 + 2000)
-      stage(late, inDir, "l4", t0 + 3000)
 
       val name = s"graft_stream_wa_${sinkSeq.incrementAndGet()}"
       withShufflePartitions(s, 8) {
