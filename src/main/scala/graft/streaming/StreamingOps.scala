@@ -310,13 +310,17 @@ object StreamingOps extends QueryModule {
       val ckpt = root.resolve("ckpt").toString
 
       stage(base, inDir, "b0")
-      val ran1 = StreamingPipeline.runAvailableNow(s, base.schema, inDir.toString, store, ckpt)
+      val ran1 = withShufflePartitions(s, 8) {
+        StreamingPipeline.runAvailableNow(s, base.schema, inDir.toString, store, ckpt)
+      }
       require(ran1 >= 1, "initial streaming round processed no micro-batch")
       val v0 = store.latestVersion.getOrElse(
         sys.error("initial streaming round wrote no store version"))
 
       stage(graft.operators.MergeOps.s7Incoming(base), inDir, "b1")
-      val ran2 = StreamingPipeline.runAvailableNow(s, base.schema, inDir.toString, store, ckpt)
+      val ran2 = withShufflePartitions(s, 8) {
+        StreamingPipeline.runAvailableNow(s, base.schema, inDir.toString, store, ckpt)
+      }
       require(ran2 >= 1, "incremental streaming round processed no micro-batch " +
         "(checkpoint resume saw no new files)")
 

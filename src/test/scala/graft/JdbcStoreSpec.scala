@@ -51,6 +51,21 @@ class JdbcStoreSpec extends SparkSpec {
     assert(bumped === 0, "updates must win on re-delivered keys")
   }
 
+  test("jdbc_merge_digest equals the parquet-path s7 digest over the same feed") {
+    // the registered Derby-backed digest must be byte-identical with
+    // MergeOps' in-plan merge on the identical every-5th-key slice — a
+    // drift in either path (roundtrip fidelity, merge semantics, new-key
+    // accounting) fails here without a DuckDB round-trip
+    val jdbc = graft.operators.MergeOps.jdbcMergeDigest(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.MergeOps.s7DigestOf(
+        Tables.events(spark, sfDir)
+          .filter(col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("value")))
+      .collect().map(_.toSeq).toSeq
+    assert(jdbc === batch)
+  }
+
   test("upsert is idempotent: replaying the same batch adds zero new keys and changes nothing") {
     val store = newStore("idem")
     val batch = events.filter(col("event_id") < 200).localCheckpoint(true)
