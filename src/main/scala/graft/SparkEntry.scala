@@ -25,6 +25,7 @@ object SparkEntry {
     RangeOps,
     LayoutOps,
     ApiSourceOps,
+    graft.sources.FileFormatOps,
     SamplingOps,
     OrderingOps,
     LexiconOps,

@@ -275,6 +275,172 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming twin of exact dedup ([[graft.operators.Dedup]] S-family):
+    * `dropDuplicatesWithinWatermark` over the events stream — the bounded-
+    * state streaming dedup operator (state evicts once the watermark
+    * passes a key's event time + delay, unlike plain `dropDuplicates`'
+    * forever-state). Staging (mtime-pinned, `maxFilesPerTrigger=1`):
+    *
+    *   f1, f2 — the events stream time-split at Jan 15 (dedup state must
+    *     persist across micro-batches);
+    *   d3 — a byte-identical REPLAY of every pre-Jan-3 event, staged
+    *     last: each replayed row's key is already in state, so the whole
+    *     batch must be swallowed.
+    *
+    * Eviction arithmetic that makes this deterministic: the fixture spans
+    * Jan 1–30 and the delay is 35 days, so the watermark after ANY batch
+    * (max ts seen − 35 d ≈ Dec 26) stays below the minimum event time —
+    * no state is evicted and no replayed row is late-dropped before the
+    * dedup sees it. The oracle is the full distinct event set: green only
+    * if every first-seen row surfaced exactly once AND every replay
+    * dropped (a re-emit or a swallow-miss breaks the row count).
+    *
+    * Scale: state is one small record per key within the lateness
+    * horizon — the delay parameter IS the state bound, sized to the real
+    * dedup window at 100 TB (a 35-day horizon over a keyed store, not a
+    * full-corpus shuffle); the exchange is the same keyed shuffle per
+    * micro-batch as batch dedup's groupBy.
+    */
+  def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
+    try {
+      val ev = graft.engine.Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val dupCut = to_timestamp(lit("2024-01-03 00:00:00"))
+      val replay = ev.filter(col("ts") < dupCut)
+      require(replay.limit(1).count() > 0,
+        "no pre-dupCut events — the duplicate-drop gate would be vacuous")
+      val t0 = 1700000000000L
+      stageSplits(
+        ev.withColumn("__b", when(col("ts") < cut, "f1").otherwise("f2"))
+          .unionByName(replay.withColumn("__b", lit("d3"))),
+        "__b", inDir, Map("f1" -> t0, "f2" -> (t0 + 1000), "d3" -> (t0 + 2000)))
+
+      val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withWatermark("ts", "35 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              roundTo(col("value"), 2).as("value"))
+            .orderBy("event_id")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "streaming dedup emitted no rows")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
+  /** Full distinct event set — one output row per event_id, green only if
+    * the replayed batch was entirely swallowed (else rows_match breaks).
+    */
+  val streamDedupOracle: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us,
+      | floor(value * 1e2 + 0.5) / 1e2 AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Stream-stream INTERVAL JOIN — the last core Structured Streaming
+    * operator shape (§2.9): clicks and purchases as two independent
+    * streams, inner-joined per user with an event-time range (purchase
+    * within 4 h after the click). The purchase side is time-split across
+    * two micro-batches (`maxFilesPerTrigger=1`, pinned mtimes) while every
+    * click arrives in batch 1 — so the second purchase batch can ONLY
+    * match through the join's buffered click state, putting the
+    * cross-batch state path on the gated plan, not just the in-batch
+    * hash join.
+    *
+    * Determinism: inner stream-stream joins emit a pair in the batch
+    * where the later side arrives; with both watermarks at 35 days the
+    * global watermark (min across sources) never climbs past any event
+    * (fixture spans Jan 1–30), so no click/purchase state is evicted
+    * before the final batch and the emitted set is exactly the batch
+    * join — which IS the oracle.
+    *
+    * Scale: join state is bounded by the watermark delay × the range
+    * condition (Spark derives per-side eviction ts from `p.ts <= c.ts +
+    * 4h`): at 100 TB the delay is the real lateness bound, state is a
+    * keyed store per user within the horizon, and the exchange is one
+    * keyed shuffle per micro-batch per side — no full-history rescan.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ssjoin")
+    val clickDir = java.nio.file.Files.createDirectories(root.resolve("clicks"))
+    val purchDir = java.nio.file.Files.createDirectories(root.resolve("purchases"))
+    try {
+      val ev = graft.engine.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts"))
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val t0 = 1700000000000L
+      stage(clicks, clickDir, "c0", t0)
+      stageSplits(
+        purchases.withColumn("__b",
+          when(col("purchase_ts") < cut, "p1").otherwise("p2")),
+        "__b", purchDir, Map("p1" -> t0, "p2" -> (t0 + 1000)))
+
+      val name = s"graft_stream_ssj_${sinkSeq.incrementAndGet()}"
+      withShufflePartitions(s, 8) {
+        val cs = s.readStream.schema(clicks.schema).parquet(clickDir.toString)
+          .withWatermark("click_ts", "35 days")
+        val ps = s.readStream.schema(purchases.schema)
+          .option("maxFilesPerTrigger", 1).parquet(purchDir.toString)
+          .withWatermark("purchase_ts", "35 days")
+        val q = cs.join(ps,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"),
+            unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name).orderBy("click_id", "purchase_id")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "stream-stream join emitted no pairs")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
+  /** The batch interval join — the streaming result must be exactly this
+    * pair set (no drops, no duplicates, cross-batch matches included).
+    */
+  val streamIntervalJoinOracle: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      | epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      | ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** The reference's CDC upsert loop (§2.9 core semantic,
     * `/root/reference/src/database.py:133-202`) run AS STREAMING under the
     * driver oracle: two file-source micro-batch rounds through
@@ -358,6 +524,71 @@ object StreamingOps extends QueryModule {
       | (SELECT floor(sum(value) * 1e2 + 0.5) / 1e2 FROM merged WHERE rn = 1) AS sum_value,
       | (SELECT count(*) FROM (SELECT DISTINCT event_id FROM incoming)
       |   WHERE event_id NOT IN (SELECT event_id FROM base)) AS new_keys""".stripMargin
+
+  /** STREAM-STATIC enrichment — the most common production streaming
+    * topology (a fact stream joined to a slowly-changing dimension):
+    * orders streamed in two micro-batches, broadcast-joined to the STATIC
+    * customer table inside the stream, aggregated per market segment in
+    * Complete mode. The static side is planned per micro-batch (each
+    * trigger re-resolves the batch plan), which is exactly the production
+    * contract — a dimension refresh lands on the next trigger without a
+    * restart. Stateless join: no watermark, no join state, only the
+    * aggregate's keyed state (5 segments).
+    *
+    * Scale: dimension broadcast per batch (customer is dimension-scale by
+    * invariant — same defense as q4's hint); the fact stream never
+    * shuffles for the join, only for the tiny segment aggregate. At
+    * 100 TB this is THE shape for enrich-then-aggregate ingest; the
+    * alternative (stream-stream) would buffer the dimension pointlessly.
+    */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+    val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
+    try {
+      val orders = graft.engine.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = graft.engine.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val t0 = 1700000000000L
+      stageSplits(
+        orders.withColumn("__b",
+          when(pmod(col("o_orderkey"), lit(2)) === 0, "f1").otherwise("f2")),
+        "__b", inDir, Map("f1" -> t0, "f2" -> (t0 + 1000)))
+
+      val name = s"graft_stream_enrich_${sinkSeq.incrementAndGet()}"
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            roundTo(sum(col("o_totalprice")), 2).as("sum_price"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name).orderBy("c_mktsegment")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "stream-static enrichment emitted no rows")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
+  /** Batch enrichment join + aggregate — the streamed result's final
+    * Complete-mode state must be exactly this.
+    */
+  val streamStaticEnrichOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      | floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** The custom stateful operator (§2.9's hardest piece —
     * `flatMapGroupsWithState` sessionization with event-time timeouts,
@@ -444,6 +675,14 @@ object StreamingOps extends QueryModule {
       Some(streamTumblingOracle)),
     RegisteredQuery("stream_merge_upsert", streamMergeUpsert,
       Some(streamMergeOracle)),
+    // green only if every cross-batch replay was swallowed by dedup state
+    RegisteredQuery("stream_dedup_exact", streamDedupExact,
+      Some(streamDedupOracle)),
+    // green only if batch-2 purchases matched batch-1 buffered click state
+    RegisteredQuery("stream_interval_join", streamIntervalJoin,
+      Some(streamIntervalJoinOracle)),
+    RegisteredQuery("stream_static_enrich", streamStaticEnrich,
+      Some(streamStaticEnrichOracle)),
     RegisteredQuery("stream_sessionize", streamSessionize,
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
   )

@@ -73,4 +73,57 @@ class SourceFormatsSpec extends SparkSpec {
     assert(valid.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
     raw.unpersist()
   }
+
+  test("csv_roundtrip: quoting/null machinery is actually exercised, fidelity holds") {
+    val out = graft.sources.FileFormatOps.csvRoundTrip(spark, sfDir)
+    // non-vacuity: the derived label column embeds the CSV metacharacters,
+    // and the nullif column produced real NULLs that round-tripped
+    val labels = out.select("c_label").collect().map(_.getString(0))
+    assert(labels.forall(l => l.contains(",") && l.contains("\"")))
+    assert(out.filter(col("c_seg_null").isNull).count() > 0,
+      "no NULLs survived the round trip — the nullValue token gated nothing")
+    // fidelity: byte-identical with the pre-CSV frame
+    val direct = Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment"),
+      concat(col("c_name"), lit(", \""), col("c_mktsegment"), lit("\"")).as("c_label"),
+      when(col("c_mktsegment") === "BUILDING", lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("c_seg_null"))
+      .orderBy("c_custkey")
+    assert(out.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("orc_roundtrip: filtered read-back equals the direct frame, NULLs survive") {
+    val out = graft.sources.FileFormatOps.orcRoundTrip(spark, sfDir)
+    assert(out.filter(col("l_status_null").isNull).count() > 0,
+      "no NULLs survived the ORC round trip — vacuous")
+    val direct = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        when(col("l_linestatus") === "F", lit(null).cast("string"))
+          .otherwise(col("l_linestatus")).as("l_status_null"))
+      .orderBy("l_orderkey", "l_linenumber")
+    assert(out.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("json_roundtrip: absent-field NULLs restored, timestamps and doubles exact") {
+    val out = graft.sources.FileFormatOps.jsonRoundTrip(spark, sfDir)
+    assert(out.filter(col("o_pri_null").isNull).count() > 0,
+      "no NULLs restored from dropped JSON fields — vacuous")
+    val direct = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+      when(col("o_orderpriority") === "1-URGENT", lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("o_pri_null"))
+      .orderBy("o_orderkey")
+    assert(out.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("csv_corrupt_audit: exactly the clean fixture passes, exactly one corrupt row") {
+    val row = graft.sources.FileFormatOps.csvCorruptAudit(spark, sfDir).collect().head
+    assert(row.getLong(0) === Tables.customer(spark, sfDir).count())
+    assert(row.getLong(1) === 1L)
+  }
 }

@@ -312,6 +312,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_dedup_exact swallows the cross-batch replay and equals batch distinct") {
+    // the registered query replays every pre-Jan-3 event in a LATER
+    // micro-batch; equality with the batch distinct set is exactly the
+    // state-persistence contract (a re-emit breaks the count, a
+    // swallow-miss of a first-seen row breaks the set)
+    val streamed = graft.streaming.StreamingOps
+      .streamDedupExact(spark, sfDir).collect().toSeq
+    val batch = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        graft.functions.Scalars.roundTo(col("value"), 2).as("value"))
+      .orderBy("event_id").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("stream_interval_join matches batch-1 click state from batch-2 purchases") {
+    val streamed = graft.streaming.StreamingOps
+      .streamIntervalJoin(spark, sfDir).collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 4 HOURS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("cts")).as("click_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"))
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(batch.nonEmpty, "fixture produced no click->purchase pairs — vacuous")
+    assert(streamed === batch)
+  }
+
+  test("stream_static_enrich: per-batch broadcast join converges to the batch aggregate") {
+    val streamed = graft.streaming.StreamingOps
+      .streamStaticEnrich(spark, sfDir).collect().toSeq
+    val batch = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Scalars.roundTo(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stream_merge_upsert: the checkpointed foreachBatch merge equals the batch merge digest") {
     val streamed = graft.streaming.StreamingOps.streamMergeUpsert(spark, sfDir)
       .collect().map(_.toSeq).toSeq
