@@ -17,14 +17,15 @@ object Bench {
     "range_join_inflight", "asof_join_native", "tfidf_topterms", "lm_score",
     "shuffle_blocks",
     // round-6 additions the judge will want longitudinal numbers for
-    // (pivot/unpivot/winsorize/vocab_mg_heavy were priority r6–r8; demoted
-    // when the r9 streaming gates landed — they are stable sub-0.3s reshape
+    // (pivot/unpivot/winsorize/vocab_mg_heavy/a14_grouping_sets/
+    // w7_sliding_window were priority r6–r8; demoted when the r9
+    // streaming/format gates landed — they are stable sub-0.3s reshape
     // ops, and the budget pin below is a hard ceiling. They still run and
     // land in bench_out.json, and the greedy fill usually fits them at
     // real-world value widths.)
     "j4_salted_join", "a17_salted_agg",
-    "a14_grouping_sets", "w6_rank_suite", "t6_topk_per_group", "t7_diversified_topk",
-    "asof_fwd_tolerance", "w7_sliding_window", "compaction_plan",
+    "w6_rank_suite", "t6_topk_per_group", "t7_diversified_topk",
+    "asof_fwd_tolerance", "compaction_plan",
     "vocab_oov_rate", "emb_dim_stats",
     // round-7 additions
     "chunk_overlap", "dedup_segments", "boilerplate_ngrams", "knn_join_ivf",
@@ -40,7 +41,8 @@ object Bench {
     "stream_sessionize", "corpus_semantic_dedup", "split_leakage",
     // round-9 additions
     "stream_windowed_append", "jdbc_merge_digest",
-    "stream_dedup_exact", "stream_interval_join")
+    "stream_dedup_exact", "stream_interval_join", "stream_static_enrich",
+    "orc_roundtrip")
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that
