@@ -171,14 +171,23 @@ object StreamingOps extends QueryModule {
     * instead of once per slice.
     */
   private def stageSplits(df: DataFrame, labelCol: String,
-      inDir: java.nio.file.Path, labelToMtime: Map[String, Long]): Unit = {
+      inDir: java.nio.file.Path, labelToMtime: Map[String, Long]): Unit =
+    stageSplitsTo(df, labelCol,
+      labelToMtime.map { case (l, m) => l -> (inDir, m) })
+
+  /** [[stageSplits]] with a per-label DESTINATION — for queries that feed
+    * several stream-source directories (e.g. the two sides of a
+    * stream-stream join) from one scan of the fixture.
+    */
+  private def stageSplitsTo(df: DataFrame, labelCol: String,
+      labelTo: Map[String, (java.nio.file.Path, Long)]): Unit = {
     val scratch = java.nio.file.Files.createTempDirectory("graft-stage-splits")
     try {
       df.repartition(col(labelCol))
         .write.partitionBy(labelCol).mode("overwrite").parquet(scratch.toString)
-      labelToMtime.foreach { case (label, mtime) =>
+      labelTo.foreach { case (label, (dir, mtime)) =>
         moveParts(new java.io.File(scratch.toFile, s"$labelCol=$label"),
-          inDir, label, mtime)
+          dir, label, mtime)
       }
     } finally deleteRecursively(scratch)
   }
@@ -381,28 +390,30 @@ object StreamingOps extends QueryModule {
     val clickDir = java.nio.file.Files.createDirectories(root.resolve("clicks"))
     val purchDir = java.nio.file.Files.createDirectories(root.resolve("purchases"))
     try {
-      val ev = graft.engine.Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
-          col("ts").as("purchase_ts"))
       val cut = to_timestamp(lit("2024-01-15 00:00:00"))
       val t0 = 1700000000000L
-      stage(clicks, clickDir, "c0", t0)
-      stageSplits(
-        purchases.withColumn("__b",
-          when(col("purchase_ts") < cut, "p1").otherwise("p2")),
-        "__b", purchDir, Map("p1" -> t0, "p2" -> (t0 + 1000)))
+      // both sides staged from ONE filtered scan (the 27c2834 pattern):
+      // clicks → c0 in clickDir; purchases time-split → p1/p2 in purchDir
+      val base = graft.engine.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", "c0")
+            .when(col("ts") < cut, "p1").otherwise("p2").as("__b"))
+      stageSplitsTo(base, "__b", Map(
+        "c0" -> (clickDir, t0), "p1" -> (purchDir, t0),
+        "p2" -> (purchDir, t0 + 1000)))
+      val ioSchema = base.drop("__b").schema
 
       val name = s"graft_stream_ssj_${sinkSeq.incrementAndGet()}"
       withShufflePartitions(s, 8) {
-        val cs = s.readStream.schema(clicks.schema).parquet(clickDir.toString)
+        val cs = s.readStream.schema(ioSchema).parquet(clickDir.toString)
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
           .withWatermark("click_ts", "35 days")
-        val ps = s.readStream.schema(purchases.schema)
+        val ps = s.readStream.schema(ioSchema)
           .option("maxFilesPerTrigger", 1).parquet(purchDir.toString)
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
           .withWatermark("purchase_ts", "35 days")
         val q = cs.join(ps,
             col("user_id") === col("p_user_id") &&
