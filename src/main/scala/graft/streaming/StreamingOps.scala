@@ -318,13 +318,16 @@ object StreamingOps extends QueryModule {
         .select(col("event_id"), col("ts"), col("value"))
       val cut = to_timestamp(lit("2024-01-15 00:00:00"))
       val dupCut = to_timestamp(lit("2024-01-03 00:00:00"))
-      val replay = ev.filter(col("ts") < dupCut)
-      require(replay.limit(1).count() > 0,
-        "no pre-dupCut events — the duplicate-drop gate would be vacuous")
       val t0 = 1700000000000L
+      // one scan stages all three files: pre-dupCut rows explode to BOTH
+      // their first-seen batch and the d3 replay (no union re-scan, no
+      // separate vacuity count — an empty replay leaves no d3 label dir
+      // and moveParts' non-empty require fails loudly)
       stageSplits(
-        ev.withColumn("__b", when(col("ts") < cut, "f1").otherwise("f2"))
-          .unionByName(replay.withColumn("__b", lit("d3"))),
+        ev.select(col("*"), explode(
+          when(col("ts") < dupCut, array(lit("f1"), lit("d3")))
+            .when(col("ts") < cut, array(lit("f1")))
+            .otherwise(array(lit("f2")))).as("__b")),
         "__b", inDir, Map("f1" -> t0, "f2" -> (t0 + 1000), "d3" -> (t0 + 2000)))
 
       val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
