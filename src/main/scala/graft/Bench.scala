@@ -25,8 +25,9 @@ object Bench {
     // real-world value widths.)
     "j4_salted_join", "a17_salted_agg",
     "w6_rank_suite", "t6_topk_per_group", "t7_diversified_topk",
+    // vocab_oov_rate / emb_dim_stats demoted r9 second wave (same rule as
+    // the r6 reshape demotions above: stable sub-0.3s, budget is a hard pin)
     "asof_fwd_tolerance", "compaction_plan",
-    "vocab_oov_rate", "emb_dim_stats",
     // round-7 additions
     "chunk_overlap", "dedup_segments", "boilerplate_ngrams", "knn_join_ivf",
     "corpus_repack",
@@ -42,7 +43,7 @@ object Bench {
     // round-9 additions
     "stream_windowed_append", "jdbc_merge_digest",
     "stream_dedup_exact", "stream_interval_join", "stream_static_enrich",
-    "orc_roundtrip")
+    "orc_roundtrip", "emb_kmeans", "semdedup_prune")
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that

@@ -16,6 +16,7 @@ object SparkEntry {
     TextOps,
     Dedup,
     Similarity,
+    Clustering,
     Multimodal,
     Extras,
     WindowsAndStats,

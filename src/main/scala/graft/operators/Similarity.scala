@@ -41,7 +41,7 @@ object Similarity extends QueryModule {
     * one normalization per row into one per USE — an interpreted-HOF
     * blowup measured at 40x. 2k rows → the shuffle is free.
     */
-  private def normalized(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def normalized(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
@@ -947,7 +947,7 @@ object SimilarityIndex {
     * can still alias (mtime granularity); acceptable for a test-fixture
     * memo, and the file-count + byte-size terms narrow the window.
     */
-  private def fingerprint(dir: String): String = {
+  private[operators] def fingerprint(dir: String): String = {
     val root = new java.io.File(s"$dir/embeddings.parquet")
     val canonical = root.getCanonicalPath
     val files: Seq[java.io.File] =

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** The distributed k-means and the SemDeDup prune built on it are gated by
+  * pinned oracles at sf0.01; these specs check the SEMANTICS at sf0.001
+  * against independent driver-side recomputations, so a pin drift can be
+  * attributed (algorithm bug vs fixture change) rather than just detected.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private def normalizedQuantized(): Map[Long, Array[Double]] = {
+    val grid = (1L << 20).toDouble
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = if (n == 0) v else v.map(_ / n)
+        r.getLong(0) -> u.map(x => math.rint(x * grid) / grid)
+      }.toMap
+  }
+
+  private def bruteAssign(
+      vecs: Map[Long, Array[Double]],
+      cents: Array[Array[Double]]): Map[Long, Int] =
+    vecs.map { case (id, v) =>
+      // same tie-break as the plan's array_max over (dot, cluster) structs:
+      // larger dot wins, then larger cluster id
+      id -> cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => a * b }.sum, i)
+      }.max._2
+    }
+
+  test("every vector lands in exactly one cluster and the summary adds up") {
+    val rows = Clustering.embKmeans(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total, "sum(n_members) != corpus size")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0,
+        s"mean_cos out of range: $r")
+    }
+  }
+
+  test("Lloyd objective is monotone non-decreasing across iterations") {
+    val (_, hist) = Clustering.trained(spark, sfDir)
+    assert(hist.size >= 2)
+    hist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-12, s"objective regressed: $hist")
+    }
+  }
+
+  test("plan assignment equals the driver-side brute argmax") {
+    val (cents, _) = Clustering.trained(spark, sfDir)
+    val expected = bruteAssign(normalizedQuantized(), cents)
+    val got = Clustering.finalAssignment(spark, sfDir)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected)
+  }
+
+  test("semdedup prune equals the brute within-cluster smaller-id-neighbor rule") {
+    val (cents, _) = Clustering.trained(spark, sfDir)
+    val vecs = normalizedQuantized()
+    val assign = bruteAssign(vecs, cents)
+    val byCluster = assign.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+    val expectedPruned: Map[Int, Long] = byCluster.map { case (c, ids) =>
+      c -> ids.count { b =>
+        ids.exists { a =>
+          a < b && {
+            val d = vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+            math.floor(d * 1e6 + 0.5) / 1e6 >= 0.4 // roundTo's floor form
+          }
+        }
+      }.toLong
+    }.toMap
+    val got = Clustering.semdedupPrune(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (c, (n, pruned)) =>
+      assert(byCluster(c).size.toLong == n, s"cluster $c member count")
+      assert(expectedPruned(c) == pruned,
+        s"cluster $c pruned: got $pruned expected ${expectedPruned(c)}")
+      assert(pruned <= n)
+    }
+    assert(got.keySet == expectedPruned.keySet.filter(byCluster.contains))
+  }
+}
