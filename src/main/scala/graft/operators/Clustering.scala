@@ -182,7 +182,11 @@ object Clustering extends QueryModule {
     * (localCheckpoint — the ReusedExchange lesson from the blocked
     * near-dup work), shuffled once on the cluster key.
     */
-  def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+  /** The materialized assignment (one cluster-keyed exchange) and the
+    * pruned-id set under the within-cluster smaller-id-neighbor rule —
+    * shared by [[semdedupPrune]] and [[semdedupCoverage]].
+    */
+  private def assignmentAndPruned(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val asg = finalAssignment(s, dir)
       .select(col("vec_id"), col("e"), col("cluster"))
       .repartition(col("cluster"))
@@ -194,12 +198,42 @@ object Clustering extends QueryModule {
         roundTo(dot("ea", "eb"), 6) >= pruneThresh)
       .select(col("vec_b").as("vec_id"))
       .distinct()
+    (asg, pruned)
+  }
+
+  def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    val (asg, pruned) = assignmentAndPruned(s, dir)
     asg.join(pruned.withColumn("is_pruned", lit(true)), Seq("vec_id"), "left")
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_members"),
         coalesce(sum(when(col("is_pruned"), 1L)), lit(0L)).as("n_pruned"))
       .orderBy("cluster")
+  }
+
+  /** The prune's honesty gate, computed IN-PLAN like
+    * [[Similarity.simRecallReport]]: the same smaller-id-neighbor rule run
+    * globally (the declared O(n²) truth baseline) beside the within-cluster
+    * set, one row out. Within-cluster pruning is a strict subset of the
+    * global rule (a same-cluster qualifying pair qualifies globally), so
+    * `n_missed_cross_cluster` = exactly the near-dups the published
+    * SemDeDup trade-off gives up — pinned, so a clustering change that
+    * silently degrades coverage turns the driver entry red.
+    */
+  def semdedupCoverage(s: SparkSession, dir: String): DataFrame = {
+    val (asg, pruned) = assignmentAndPruned(s, dir)
+    val a = asg.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = asg.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    val prunedGlobal = a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b") &&
+        roundTo(dot("ea", "eb"), 6) >= pruneThresh)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    asg.select(count(lit(1)).as("n_vectors"))
+      .crossJoin(pruned.select(count(lit(1)).as("n_pruned_within")))
+      .crossJoin(prunedGlobal.select(count(lit(1)).as("n_pruned_global")))
+      .select(col("n_vectors"), col("n_pruned_within"), col("n_pruned_global"),
+        (col("n_pruned_global") - col("n_pruned_within")).as("n_missed_cross_cluster"))
   }
 
   /** Pinned at sf0.01 (seed-42 fixture; deterministic training — see the
@@ -224,8 +258,24 @@ object Clustering extends QueryModule {
       | (4, 63, 5), (5, 59, 0), (6, 62, 3), (7, 70, 1)
       |) t(cluster, n_members, n_pruned) ORDER BY cluster""".stripMargin
 
+  /** 25/53 at sf0.01: the fixture's qualifying pairs sit at the cosine
+    * noise floor (max off-diagonal ~0.51 on near-isotropic vectors), the
+    * regime where cluster assignment carries little signal — the same
+    * honestly-disclosed floor as the ANN recall pins
+    * ([[Similarity.ivfNprobe]]'s scaladoc). On a corpus whose duplicates
+    * are tight (cos ≥ 0.7) the same k-means puts them in one cell and the
+    * ratio approaches 1; the pin gates THIS fixture's trade-off from
+    * silently degrading.
+    */
+  val semdedupCoverageOracle: String =
+    """SELECT CAST(500 AS BIGINT) AS n_vectors,
+      | CAST(25 AS BIGINT) AS n_pruned_within,
+      | CAST(53 AS BIGINT) AS n_pruned_global,
+      | CAST(28 AS BIGINT) AS n_missed_cross_cluster""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_kmeans", embKmeans, Some(embKmeansOracle)),
     RegisteredQuery("semdedup_prune", semdedupPrune, Some(semdedupPruneOracle)),
+    RegisteredQuery("semdedup_coverage", semdedupCoverage, Some(semdedupCoverageOracle)),
   )
 }

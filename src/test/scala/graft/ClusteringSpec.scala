@@ -88,4 +88,22 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(got.keySet == expectedPruned.keySet.filter(byCluster.contains))
   }
+
+  test("coverage row: global brute matches, within-cluster is a subset") {
+    val vecs = normalizedQuantized()
+    val ids = vecs.keys.toSeq.sorted
+    val expectedGlobal = ids.count { b =>
+      ids.exists { a =>
+        a < b && {
+          val d = vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+          math.floor(d * 1e6 + 0.5) / 1e6 >= 0.4
+        }
+      }
+    }.toLong
+    val r = Clustering.semdedupCoverage(spark, sfDir).collect().head
+    assert(r.getLong(0) == ids.size.toLong)
+    assert(r.getLong(2) == expectedGlobal, "global brute prune count")
+    assert(r.getLong(1) <= r.getLong(2), "within-cluster prune must be a subset")
+    assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+  }
 }
