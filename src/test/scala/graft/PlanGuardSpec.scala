@@ -88,4 +88,31 @@ class PlanGuardSpec extends SparkSpec {
     assert(df.exceptAll(exact).isEmpty && exact.exceptAll(df).isEmpty,
       "bloom variant diverged from the exact path")
   }
+
+  test("semdedup_prune: cluster-keyed join over ONE materialized assignment, no cartesian") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val df = graft.operators.Clustering.semdedupPrune(spark, sfDir)
+    df.collect() // finalize the AQE physical plan so the scans are visible
+    val phys = df.queryExecution.executedPlan
+    assert(!phys.toString.contains("CartesianProduct"),
+      "within-cluster self-join regressed to a cartesian — the join must key on cluster")
+    // every ExistingRDD scan must read the SAME localCheckpoint RDD: a second
+    // distinct RDD means the assignment (argmax + cluster shuffle) ran twice
+    val rddIds = helper.collectWithSubqueries(phys) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd.id
+    }
+    assert(rddIds.nonEmpty && rddIds.distinct.size == 1,
+      s"expected one shared assignment checkpoint, got RDD ids $rddIds")
+  }
+
+  test("emb_kmeans summary: map-side partial aggregation, no cartesian") {
+    val df = graft.operators.Clustering.embKmeans(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"))
+    // partial + final HashAggregate around the cluster exchange — the same
+    // map-side-combine topology each Lloyd iteration relies on
+    assert("HashAggregate".r.findAllIn(phys).length >= 2,
+      s"expected partial+final aggregation:\n$phys")
+  }
 }
