@@ -131,4 +131,18 @@ class Sf01ConsistencySpec extends SparkSpec {
       }
     }
   }
+
+  test("sf0.1: k-means partitions all 2000 vectors; prune stays inside the global truth") {
+    val total = graft.engine.Tables.embeddings(spark, bigDir).count()
+    val km = graft.operators.Clustering.embKmeans(spark, bigDir).collect()
+    assert(km.map(_.getLong(1)).sum == total, "k-means summary must cover every vector")
+    val (_, hist) = graft.operators.Clustering.trained(spark, bigDir)
+    hist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-12, s"Lloyd objective regressed at sf0.1: $hist")
+    }
+    val cov = graft.operators.Clustering.semdedupCoverage(spark, bigDir).collect().head
+    assert(cov.getLong(0) == total)
+    assert(cov.getLong(1) <= cov.getLong(2),
+      "within-cluster prune exceeded the global rule — subset invariant broken")
+  }
 }
