@@ -35,7 +35,8 @@ object Bench {
     // run (ts_gapfill deliberately non-priority — the 7 below are the most
     // worst-case chars that still fit BenchLineSpec's budget pin)
     "funnel_steps", "scd2_intervals", "rolling_active_users",
-    "stream_tumbling_window", "dq_rule_report", "bpe_pair_stats",
+    // bpe_pair_stats's slot passed to the r9 merge-training superset op
+    "stream_tumbling_window", "dq_rule_report", "bpe_train_merges",
     "cohort_retention",
     // round-8 additions
     "emb_neardup_clusters_blocked", "stream_merge_upsert", "sim_recall_report",

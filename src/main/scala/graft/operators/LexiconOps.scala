@@ -419,11 +419,90 @@ object LexiconOps extends QueryModule {
       | ('value', 897), ('zzz_absent', 0)) AS t(token, est_count)
       |ORDER BY token""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // BPE merge training
+
+  /** Number of merge rounds the registered query trains (a real tokenizer
+    * trains ~30k; 8 keeps the gate fast while exercising every mechanism —
+    * including merged symbols forming pairs with their neighbors).
+    */
+  private[graft] val bpeMergeRounds = 8
+
+  /** Distributed BPE training (Sennrich et al. 2016): the character-merge
+    * loop that [[bpePairStats]]'s one-shot census is the first step of.
+    * The corpus is touched ONCE — the word-frequency census, the classic
+    * word-count shuffle. Every merge round after that runs over the
+    * VOCAB-sized (word, count, symbols) table: weighted pair counts via
+    * explode + map-side-combined sum, argmax to the driver (1 row), and a
+    * left-to-right fold (`aggregate` HOF) applying the merge — exactly how
+    * production BPE trainers work (frequency table, not corpus, in the
+    * loop), so corpus scale only affects the census pass. Each round
+    * re-materializes the table (`localCheckpoint`) so eight folds never
+    * stack into one interpreted mega-plan.
+    *
+    * Fully deterministic with NO quantization caveats: counts are exact
+    * integer sums and the argmax tie-break (count desc, pair asc) is
+    * total — the pinned oracle is layout-independent by arithmetic.
+    * Output: one row per merge round, the learned ranked merge table.
+    */
+  def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
+    var words = Tables.documents(s, dir)
+      .select(explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        expr("filter(split(word, ''), x -> x != '')").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (r <- 1 to bpeMergeRounds if !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), col("syms"),
+          explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+        .select(col("wc"),
+          concat_ws(" ", element_at(col("syms"), col("i")),
+            element_at(col("syms"), col("i") + 1)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r.toLong, pair, top.head.getLong(1)))
+        // greedy left-to-right merge: fold each symbol into the rebuilt
+        // array, fusing when the accumulator's tail is `a` and the next
+        // symbol is `b` (try_element_at: ANSI-safe on the empty prefix)
+        words = words.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             | (acc, x) -> IF(try_element_at(acc, -1) = '$a' AND x = '$b',
+             |   concat(slice(acc, 1, size(acc) - 1), array('$a$b')),
+             |   concat(acc, array(x))))""".stripMargin))
+          .localCheckpoint()
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("merge_rank", "pair", "n_occ").orderBy("merge_rank")
+  }
+
+  /** Pinned at sf0.01 (seed-42 fixture; exact integer arithmetic — see
+    * scaladoc). Merge 6 (`m er`) is the census-vs-training distinction
+    * made visible: "er" exists only because merge 1 created it.
+    */
+  val bpeTrainMergesOracle: String =
+    """SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair,
+      | CAST(n_occ AS BIGINT) AS n_occ
+      |FROM (VALUES
+      | (1, 'e r', 4568), (2, 'i n', 2760), (3, 'o w', 2747), (4, 'o r', 2696),
+      | (5, 's t', 2676), (6, 'm er', 1852), (7, 'a t', 1845), (8, 'l u', 1831)
+      |) t(merge_rank, pair, n_occ) ORDER BY merge_rank""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     RegisteredQuery("bpe_pair_stats", bpePairStats, Some(bpePairStatsOracle)),
+    RegisteredQuery("bpe_train_merges", bpeTrainMerges, Some(bpeTrainMergesOracle)),
     RegisteredQuery("vocab_mg_heavy", vocabHeavyHitters, None),
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),

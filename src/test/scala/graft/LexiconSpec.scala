@@ -125,4 +125,47 @@ class LexiconSpec extends SparkSpec {
     rows.filter(_._3 > 0).foreach { case (_, term, _, _) => assert(term.nonEmpty) }
     assert(n > 0)
   }
+
+  test("bpe_train_merges equals a driver-side brute BPE trainer, counts non-increasing") {
+    import org.apache.spark.sql.functions._
+    // independent recomputation: same tokenization, greedy left-to-right
+    // merges over a word-frequency map
+    val wordCounts = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var table: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.split("").filter(_.nonEmpty).toVector -> c }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    for (_ <- 1 to graft.operators.LexiconOps.bpeMergeRounds) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
+          case _         => ()
+        }
+      }
+      if (pairCounts.nonEmpty) {
+        val ((a, b), occ) = pairCounts.minBy { case ((x, y), c) => (-c, s"$x $y") }
+        expected += (s"$a $b" -> occ)
+        table = table.groupMapReduce { case (syms, _) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+            else out += x
+          }
+          out.toVector
+        } { case (_, c) => c }(_ + _)
+      }
+    }
+    val got = graft.operators.LexiconOps.bpeTrainMerges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq, "ranks must be dense")
+    assert(got.map { case (_, p, c) => (p, c) }.toSeq == expected.toSeq,
+      s"merge table diverged:\n got: ${got.toSeq}\n exp: ${expected.toSeq}")
+    got.map(_._3).sliding(2).foreach {
+      case Array(hi, lo) => assert(lo <= hi, "BPE top-pair counts must be non-increasing")
+      case _             => ()
+    }
+  }
 }
