@@ -446,6 +446,38 @@ object LexiconOps extends QueryModule {
     * Output: one row per merge round, the learned ranked merge table.
     */
   def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = trainedBpe(s, dir)
+    import s.implicits._
+    merges.toDF("merge_rank", "pair", "n_occ").orderBy("merge_rank")
+  }
+
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Long, String, Long)], DataFrame)]
+
+  /** Documents-fixture fingerprint, same scheme as
+    * [[SimilarityIndex.fingerprint]] (which keys on embeddings.parquet).
+    */
+  private def docsFingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/documents.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty).sortBy(_.getName)
+      else Seq(root)
+    root.getCanonicalPath + "|n=" + files.size + "|" +
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+  }
+
+  /** (merge table, final symbol table) — memoized per fixture so the
+    * trainer and the tokenize-stats query share one run. The cached
+    * DataFrame is a localCheckpoint: partition data, no lineage back to
+    * the fixture scan.
+    */
+  private[graft] def trainedBpe(
+      s: SparkSession, dir: String): (Seq[(Long, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate(docsFingerprint(dir), trainBpe(s, dir))
+
+  private def trainBpe(
+      s: SparkSession, dir: String): (Seq[(Long, String, Long)], DataFrame) = {
     var words = Tables.documents(s, dir)
       .select(explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
@@ -481,9 +513,37 @@ object LexiconOps extends QueryModule {
           .localCheckpoint()
       }
     }
-    import s.implicits._
-    merges.toSeq.toDF("merge_rank", "pair", "n_occ").orderBy("merge_rank")
+    (merges.toSeq, words)
   }
+
+  /** Corpus compression under the learned merges — the trained artifact
+    * APPLIED: total words and characters (SQL-exact in the oracle) against
+    * the post-merge symbol count and the chars-per-symbol ratio (pinned —
+    * they depend on the merge loop). One aggregate over the final symbol
+    * table joined to nothing; the corpus was already spent in the census.
+    */
+  def bpeTokenizeStats(s: SparkSession, dir: String): DataFrame = {
+    val (_, words) = trainedBpe(s, dir)
+    words.agg(
+      sum(col("wc")).as("n_words"),
+      sum(col("wc") * length(col("word"))).as("n_chars"),
+      sum(col("wc") * size(col("syms"))).as("n_symbols"))
+      .select(col("n_words"), col("n_chars"), col("n_symbols"),
+        roundTo(col("n_chars").cast("double") / col("n_symbols"), 4)
+          .as("chars_per_symbol"))
+  }
+
+  /** n_words/n_chars are REAL SQL over the same tokenization; the
+    * post-merge symbol count and ratio are pinned (sf0.01) — the
+    * [[Extras.a4HllUnionOracle]] mixed-oracle pattern.
+    */
+  val bpeTokenizeStatsOracle: String =
+    s"""WITH t AS (
+       | SELECT unnest(regexp_extract_all(text, '$tokenRe')) AS w FROM documents)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_words,
+       | (SELECT CAST(sum(len(w)) AS BIGINT) FROM t) AS n_chars,
+       | CAST(101534 AS BIGINT) AS n_symbols,
+       | CAST(1.2066 AS DOUBLE) AS chars_per_symbol""".stripMargin
 
   /** Pinned at sf0.01 (seed-42 fixture; exact integer arithmetic — see
     * scaladoc). Merge 6 (`m er`) is the census-vs-training distinction
@@ -503,6 +563,7 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     RegisteredQuery("bpe_pair_stats", bpePairStats, Some(bpePairStatsOracle)),
     RegisteredQuery("bpe_train_merges", bpeTrainMerges, Some(bpeTrainMergesOracle)),
+    RegisteredQuery("bpe_tokenize_stats", bpeTokenizeStats, Some(bpeTokenizeStatsOracle)),
     RegisteredQuery("vocab_mg_heavy", vocabHeavyHitters, None),
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),

@@ -167,5 +167,17 @@ class LexiconSpec extends SparkSpec {
       case Array(hi, lo) => assert(lo <= hi, "BPE top-pair counts must be non-increasing")
       case _             => ()
     }
+
+    // the applied side: tokenize-stats must agree with the brute final table
+    val stats = graft.operators.LexiconOps.bpeTokenizeStats(spark, sfDir).collect().head
+    val expWords = wordCounts.values.sum
+    val expChars = wordCounts.map { case (w, c) => w.length.toLong * c }.sum
+    val expSyms = table.map { case (syms, c) => syms.size.toLong * c }.sum
+    assert(stats.getLong(0) == expWords)
+    assert(stats.getLong(1) == expChars)
+    assert(stats.getLong(2) == expSyms, "post-merge symbol count diverged from brute")
+    assert(stats.getLong(2) <= stats.getLong(1), "merging can only shrink the symbol count")
+    // symbols always concatenate back to their word (merge preserves content)
+    table.keys.foreach(syms => assert(syms.mkString.nonEmpty))
   }
 }
