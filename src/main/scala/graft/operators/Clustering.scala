@@ -267,6 +267,56 @@ object Clustering extends QueryModule {
     * ratio approaches 1; the pin gates THIS fixture's trade-off from
     * silently degrading.
     */
+  /** Per-cluster sample quota for [[clusterBalancedSample]]. */
+  private val sampleQuota = 25
+
+  /** Cluster-balanced subsampling — the diversity-preserving "cluster then
+    * sample evenly" curation step (the companion of [[semdedupPrune]] in
+    * cluster-based curation pipelines): up to `sampleQuota` vectors per
+    * k-means cluster, chosen by md5 rank (the suite's deterministic
+    * no-RNG sampling convention, [[SamplingOps]]). One window over the
+    * cluster key — partition count = k, which scales with the corpus
+    * (~100k at 100 TB), never a single global sort. The per-cluster
+    * member digest (md5 of the comma-joined sorted sampled ids) pins the
+    * exact sample set, not just its size.
+    */
+  def clusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    finalAssignment(s, dir)
+      .select(col("vec_id"), col("cluster"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("rk") <= sampleQuota, 1L).otherwise(0L)).as("n_taken"),
+        // collect_list order is partition-dependent; the numeric sort +
+        // stringify makes the digest a pure function of the sampled SET
+        md5(expr(s"""concat_ws(',', transform(
+            array_sort(collect_list(IF(rk <= $sampleQuota, vec_id, NULL))),
+            x -> cast(x AS string)))""")).as("sample_digest"))
+      .orderBy("cluster")
+  }
+
+  /** Pinned at sf0.01 — the digests pin the exact per-cluster sample
+    * SETS, so a drift in clustering, ranking, or the digest spelling all
+    * turn the entry red.
+    */
+  val clusterBalancedSampleOracle: String =
+    """SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n_members AS BIGINT) AS n_members,
+      | CAST(n_taken AS BIGINT) AS n_taken, sample_digest
+      |FROM (VALUES
+      | (0, 56, 25, 'e8ab155787fca9ccc50e4e0caffdd24e'),
+      | (1, 61, 25, '9d2012dc508d8708c78a61872320177f'),
+      | (2, 63, 25, '875c2e8f9ff4e38aa9a6da31c4bea7d5'),
+      | (3, 66, 25, 'eebcc5009bb612fb27f359040dbc2e5e'),
+      | (4, 63, 25, '824492ea85896f6cc3ce3f0be327cacf'),
+      | (5, 59, 25, '4f35939a37b62101b620d2d5f5b1b34e'),
+      | (6, 62, 25, 'f7199c3001e80911e80ca8d83df41993'),
+      | (7, 70, 25, '21aa10273c5a6da5812b75fd07bd0dd1')
+      |) t(cluster, n_members, n_taken, sample_digest) ORDER BY cluster""".stripMargin
+
   val semdedupCoverageOracle: String =
     """SELECT CAST(500 AS BIGINT) AS n_vectors,
       | CAST(25 AS BIGINT) AS n_pruned_within,
@@ -277,5 +327,7 @@ object Clustering extends QueryModule {
     RegisteredQuery("emb_kmeans", embKmeans, Some(embKmeansOracle)),
     RegisteredQuery("semdedup_prune", semdedupPrune, Some(semdedupPruneOracle)),
     RegisteredQuery("semdedup_coverage", semdedupCoverage, Some(semdedupCoverageOracle)),
+    RegisteredQuery("cluster_balanced_sample", clusterBalancedSample,
+      Some(clusterBalancedSampleOracle)),
   )
 }

@@ -89,6 +89,24 @@ class ClusteringSpec extends SparkSpec {
     assert(got.keySet == expectedPruned.keySet.filter(byCluster.contains))
   }
 
+  test("cluster_balanced_sample: quota honored, digest equals brute md5-rank sample") {
+    val (cents, _) = Clustering.trained(spark, sfDir)
+    val assign = bruteAssign(normalizedQuantized(), cents)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = assign.groupBy(_._2).map { case (c, m) =>
+      val taken = m.keys.toSeq
+        .sortBy(id => (md5hex(id.toString), id)).take(25).sorted
+      c -> (m.size.toLong, taken.size.toLong, md5hex(taken.mkString(",")))
+    }
+    val got = Clustering.clusterBalancedSample(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected,
+      s"balanced sample diverged:\n got: $got\n exp: $expected")
+    got.values.foreach { case (n, taken, _) => assert(taken == math.min(25L, n)) }
+  }
+
   test("coverage row: global brute matches, within-cluster is a subset") {
     val vecs = normalizedQuantized()
     val ids = vecs.keys.toSeq.sorted
