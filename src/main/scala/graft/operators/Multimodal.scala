@@ -128,9 +128,96 @@ object Multimodal extends QueryModule {
       | CAST(ascii(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 1)) AS BIGINT) AS frame_feature
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Container-header sniffing WITHOUT decode — the step a media crawl
+    * runs on every object before deciding what to decode at all: check
+    * the magic bytes, branch on format, and pull the typed metadata from
+    * the header layout (PNG IHDR: big-endian width/height at bytes 17/21;
+    * canonical WAV fmt chunk: little-endian sample rate at byte 25,
+    * channel count at byte 23). Unlike [[decodeStub]] this is NOT a stub:
+    * the parser is real Spark `substring`/`hex`/`conv` arithmetic over the
+    * binary column, codegen'd, zero shuffle — only the payloads are
+    * fixture-synthesized (valid headers built in-plan from doc_id, text
+    * bytes as the body, exactly like the other mm queries derive their
+    * payloads).
+    *
+    * The oracle does NOT mirror the byte juggling — it computes the
+    * expected metadata straight from the doc_id arithmetic the synthesizer
+    * used. The Spark side must round-trip int → header bytes → parsed int:
+    * an endianness mistake, a one-off offset, or a broken magic branch all
+    * mismatch. `width`/`height` are NULL for WAV rows and `sample_rate`/
+    * `n_channels` NULL for PNG rows — the format branch is part of the
+    * contract.
+    */
+  def mmHeaderProbe(s: SparkSession, dir: String): DataFrame = {
+    // int → 4-byte big-endian binary, in-plan
+    def be4(c: String) = s"unhex(lpad(hex(($c)), 8, '0'))"
+    // little-endian = reversed BE byte order, built per byte
+    def le4(c: String) =
+      s"""concat(unhex(lpad(hex(($c) % 256), 2, '0')),
+         | unhex(lpad(hex(CAST(($c) / 256 AS BIGINT) % 256), 2, '0')),
+         | unhex(lpad(hex(CAST(($c) / 65536 AS BIGINT) % 256), 2, '0')),
+         | unhex(lpad(hex(CAST(($c) / 16777216 AS BIGINT) % 256), 2, '0')))""".stripMargin
+    def le2(c: String) =
+      s"concat(unhex(lpad(hex(($c) % 256), 2, '0')), unhex(lpad(hex(CAST(($c) / 256 AS BIGINT) % 256), 2, '0')))"
+    val synth = Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      "16 + doc_id % 640 AS w", "16 + (doc_id * 7) % 480 AS h",
+      "8000 + (doc_id % 8) * 4000 AS sr", "CAST(1 + doc_id % 2 AS INT) AS ch",
+      "cast(text AS binary) AS body")
+      .selectExpr("doc_id",
+        s"""IF(doc_id % 2 = 0,
+           | concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), cast('IHDR' AS binary),
+           |   ${be4("w")}, ${be4("h")}, body),
+           | concat(cast('RIFF' AS binary), ${le4("length(body) + 20")}, cast('WAVE' AS binary),
+           |   cast('fmt ' AS binary), ${le4("16")}, ${le2("1")}, ${le2("ch")},
+           |   ${le4("sr")}, body)) AS payload""".stripMargin)
+
+    parseHeaders(synth).orderBy("doc_id")
+  }
+
+  /** The header parser itself, reusable over ANY frame with a binary
+    * `payload` column — `MultimodalSpec` runs it over hand-written golden
+    * bytes (a real PNG IHDR, a real canonical WAV header) so the offsets
+    * and endianness are pinned against the file-format specs, not just
+    * against [[mmHeaderProbe]]'s own synthesizer.
+    */
+  private[graft] def parseHeaders(withPayload: DataFrame): DataFrame = {
+    def beInt(pos: Int) = s"CAST(conv(hex(substring(payload, $pos, 4)), 16, 10) AS BIGINT)"
+    def leByte(pos: Int) = s"CAST(conv(hex(substring(payload, $pos, 1)), 16, 10) AS BIGINT)"
+    def leInt(pos: Int) =
+      s"(${leByte(pos)} + 256 * ${leByte(pos + 1)} + 65536 * ${leByte(pos + 2)} + 16777216 * ${leByte(pos + 3)})"
+    def leShort(pos: Int) = s"(${leByte(pos)} + 256 * ${leByte(pos + 1)})"
+    withPayload.selectExpr(
+      "doc_id",
+      """CASE WHEN hex(substring(payload, 1, 8)) = '89504E470D0A1A0A' THEN 'png'
+        |     WHEN substring(payload, 1, 4) = cast('RIFF' AS binary)
+        |      AND substring(payload, 9, 4) = cast('WAVE' AS binary) THEN 'wav'
+        |     ELSE 'unknown' END AS format""".stripMargin,
+      s"IF(hex(substring(payload, 1, 8)) = '89504E470D0A1A0A', ${beInt(17)}, NULL) AS width",
+      s"IF(hex(substring(payload, 1, 8)) = '89504E470D0A1A0A', ${beInt(21)}, NULL) AS height",
+      s"IF(substring(payload, 1, 4) = cast('RIFF' AS binary), ${leInt(25)}, NULL) AS sample_rate",
+      s"IF(substring(payload, 1, 4) = cast('RIFF' AS binary), ${leShort(23)}, NULL) AS n_channels",
+      "CAST(length(payload) AS BIGINT) AS payload_len")
+  }
+
+  /** The oracle recomputes the metadata from the SYNTHESIS arithmetic —
+    * never touching the bytes — so the Spark parse must invert the header
+    * encoding exactly (see [[mmHeaderProbe]]).
+    */
+  val mmHeaderProbeOracle: String =
+    """SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+      | CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 640 AS BIGINT) END AS width,
+      | CASE WHEN doc_id % 2 = 0 THEN CAST(16 + (doc_id * 7) % 480 AS BIGINT) END AS height,
+      | CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate,
+      | CASE WHEN doc_id % 2 = 1 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS n_channels,
+      | CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 28 END + len(text) AS BIGINT) AS payload_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("mm_binary_stats", mmBinaryStats, Some(mmBinaryStatsOracle)),
     RegisteredQuery("mm_decode_stub", mmDecodeStub, Some(mmDecodeStubOracle)),
     RegisteredQuery("mm_frame_sample", mmFrameSample, Some(mmFrameSampleOracle)),
+    RegisteredQuery("mm_header_probe", mmHeaderProbe, Some(mmHeaderProbeOracle)),
   )
 }
