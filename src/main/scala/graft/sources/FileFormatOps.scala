@@ -201,10 +201,53 @@ object FileFormatOps extends QueryModule {
       |FROM lineitem WHERE l_quantity > 45
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Schema drift across ingest batches — the remaining format-boundary
+    * hazard after the round-trips: batch 1 lands WITHOUT `o_orderstatus`,
+    * batch 2 adds it, and the engine must read both under one merged
+    * schema with the missing column null-filled (`mergeSchema` merges the
+    * parquet footers; at 100 TB the same contract comes from the table
+    * catalog's schema evolution instead of per-read footer merging, with
+    * identical null-fill semantics). The per-status census (absent bucket
+    * included) hashes against the oracle's recomputation from the parity
+    * split — a reader that dropped v1 rows, misaligned columns by
+    * position, or defaulted instead of null-filling all mismatch.
+    */
+  def parquetSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-evo")
+    try {
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/b1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$root/b2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/b1", s"$root/b2")
+      val out = merged
+        .groupBy(coalesce(col("o_orderstatus"), lit("<absent>")).as("status"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          graft.functions.Scalars.roundTo(sum(col("o_totalprice")), 2)
+            .as("sum_price"))
+        .orderBy("status")
+      materialize(s, out)
+    } finally deleteRecursively(root)
+  }
+
+  val parquetSchemaEvolutionOracle: String =
+    """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END, '<absent>') AS status,
+      | count(*) AS n_rows,
+      | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("csv_roundtrip", csvRoundTrip, Some(csvRoundTripOracle)),
     RegisteredQuery("json_roundtrip", jsonRoundTrip, Some(jsonRoundTripOracle)),
     RegisteredQuery("csv_corrupt_audit", csvCorruptAudit, Some(csvCorruptAuditOracle)),
     RegisteredQuery("orc_roundtrip", orcRoundTrip, Some(orcRoundTripOracle)),
+    RegisteredQuery("parquet_schema_evolution", parquetSchemaEvolution,
+      Some(parquetSchemaEvolutionOracle)),
   )
 }
