@@ -89,11 +89,23 @@ object Clustering extends QueryModule {
   /** Trained centroids + per-iteration objective history (mean grid-snapped
     * cosine to the assigned centroid — non-decreasing by Lloyd's argument,
     * spec-checked). Memoized per fixture fingerprint like
-    * [[SimilarityIndex.centroids]] so `emb_kmeans` and `semdedup_prune`
-    * share one training run.
+    * [[SimilarityIndex.centroids]] so the CONSUMERS (`semdedup_prune`,
+    * `cluster_balanced_sample`, …) share one training run — the index-reuse
+    * convention of the ANN family. The TRAINER query itself
+    * ([[embKmeans]]) deliberately bypasses the memo via [[trainFresh]]:
+    * under Bench's min-of-2 a memo hit would report the training operator
+    * at the cost of a cache lookup, hiding exactly the per-iteration
+    * dataflow the bench line exists to track.
     */
   private[graft] def trained(s: SparkSession, dir: String): (Array[Array[Double]], Seq[Double]) =
     cache.getOrElseUpdate(SimilarityIndex.fingerprint(dir), train(s, dir))
+
+  /** Always trains; refreshes the memo so consumers still benefit. */
+  private def trainFresh(s: SparkSession, dir: String): (Array[Array[Double]], Seq[Double]) = {
+    val r = train(s, dir)
+    cache.put(SimilarityIndex.fingerprint(dir), r)
+    r
+  }
 
   private def train(s: SparkSession, dir: String): (Array[Array[Double]], Seq[Double]) = {
     VectorFunctions.register(s)
@@ -159,7 +171,7 @@ object Clustering extends QueryModule {
     * results ([[Similarity.simRecallReport]]).
     */
   def embKmeans(s: SparkSession, dir: String): DataFrame =
-    finalAssignment(s, dir)
+    assigned(quantized(s, dir), trainFresh(s, dir)._1)
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_members"),

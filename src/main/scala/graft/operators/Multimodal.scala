@@ -195,8 +195,13 @@ object Multimodal extends QueryModule {
         |     ELSE 'unknown' END AS format""".stripMargin,
       s"IF(hex(substring(payload, 1, 8)) = '89504E470D0A1A0A', ${beInt(17)}, NULL) AS width",
       s"IF(hex(substring(payload, 1, 8)) = '89504E470D0A1A0A', ${beInt(21)}, NULL) AS height",
-      s"IF(substring(payload, 1, 4) = cast('RIFF' AS binary), ${leInt(25)}, NULL) AS sample_rate",
-      s"IF(substring(payload, 1, 4) = cast('RIFF' AS binary), ${leShort(23)}, NULL) AS n_channels",
+      // RIFF alone is not WAV (AVI/WebP are RIFF too) — the metadata gate
+      // must match the format branch exactly, or a non-WAVE RIFF container
+      // would report format='unknown' WITH garbage audio fields
+      s"""IF(substring(payload, 1, 4) = cast('RIFF' AS binary)
+         | AND substring(payload, 9, 4) = cast('WAVE' AS binary), ${leInt(25)}, NULL) AS sample_rate""".stripMargin,
+      s"""IF(substring(payload, 1, 4) = cast('RIFF' AS binary)
+         | AND substring(payload, 9, 4) = cast('WAVE' AS binary), ${leShort(23)}, NULL) AS n_channels""".stripMargin,
       "CAST(length(payload) AS BIGINT) AS payload_len")
   }
 

@@ -49,8 +49,11 @@ class ClusteringSpec extends SparkSpec {
   test("Lloyd objective is monotone non-decreasing across iterations") {
     val (_, hist) = Clustering.trained(spark, sfDir)
     assert(hist.size >= 2)
+    // tolerance = the 2^-20 grid snap: the EXACT Lloyd objective is
+    // monotone, but each tracked term is snapped to the grid, so the
+    // history can regress by up to one snap quantum without a bug
     hist.sliding(2).foreach { case Seq(a, b) =>
-      assert(b >= a - 1e-12, s"objective regressed: $hist")
+      assert(b >= a - math.pow(2, -20), s"objective regressed: $hist")
     }
   }
 

@@ -48,6 +48,21 @@ class MultimodalSpec extends SparkSpec {
     assert(r.isNullAt(2) && r.isNullAt(3), "png fields must be NULL for wav")
   }
 
+  test("RIFF but not WAVE (an AVI): unknown format, audio fields stay NULL") {
+    val avi: Array[Byte] = (
+      "RIFF".getBytes("US-ASCII") ++
+        Array(0x24, 0x00, 0x00, 0x00).map(_.toByte) ++
+        "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++
+        Array(0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x02, 0x00,
+          0x44, 0xAC, 0x00, 0x00).map(_.toByte) // would parse as 2ch/44100 if leaked
+      )
+    val r = parse(Seq(4L -> avi))(4L)
+    assert(r.getString(1) == "unknown")
+    (2 to 5).foreach(i => assert(r.isNullAt(i),
+      s"col $i leaked metadata for a non-WAVE RIFF container"))
+  }
+
   test("neither magic: format falls through to unknown with NULL metadata") {
     val junk = "not a media file at all".getBytes("US-ASCII")
     val r = parse(Seq(3L -> junk))(3L)

@@ -138,7 +138,8 @@ class Sf01ConsistencySpec extends SparkSpec {
     assert(km.map(_.getLong(1)).sum == total, "k-means summary must cover every vector")
     val (_, hist) = graft.operators.Clustering.trained(spark, bigDir)
     hist.sliding(2).foreach { case Seq(a, b) =>
-      assert(b >= a - 1e-12, s"Lloyd objective regressed at sf0.1: $hist")
+      // 2^-20 = the objective's grid-snap quantum (see ClusteringSpec)
+      assert(b >= a - math.pow(2, -20), s"Lloyd objective regressed at sf0.1: $hist")
     }
     val cov = graft.operators.Clustering.semdedupCoverage(spark, bigDir).collect().head
     assert(cov.getLong(0) == total)
