@@ -143,8 +143,78 @@ object LayoutOps extends QueryModule {
        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** The partitioned-write layout, driver-gated end to end: orders →
+    * `repartition(partition column)` + `sortWithinPartitions` →
+    * `write.partitionBy` → read back and AUDIT what actually landed. The
+    * three layout disciplines a 100 TB table lives or dies by, checked in
+    * one row set per partition value:
+    *  - `n_files` = 1: the repartition-before-partitionBy rule — without
+    *    it every write task emits a file into every partition dir
+    *    (tasks × partitions small files, the disease `compaction_plan`
+    *    exists to cure after the fact);
+    *  - `files_sorted`: `sortWithinPartitions` must survive the write —
+    *    the footer min/max selectivity [[zorderKey]] is about;
+    *  - `n_rows`/`sum_price`: nothing lost or duplicated, and the
+    *    partition VALUES round-trip through directory names (the read
+    *    reconstructs `o_orderstatus` from `status=...` dirs, not file
+    *    contents).
+    * The within-file order check reads each file back in one split
+    * (fixture-sized files) and verifies the key is non-decreasing in
+    * physical row order via a per-file window over
+    * `monotonically_increasing_id` — valid because a ≤128 MB parquet file
+    * is one read partition and Spark preserves row order within a split.
+    */
+  def partitionedWriteAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-pw-audit")
+    try {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .repartition(col("o_orderstatus"))
+        .sortWithinPartitions("o_orderstatus", "o_orderkey")
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(root.toString)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__f")).orderBy(col("__ord"))
+      val back = s.read.parquet(root.toString)
+        .withColumn("__f", input_file_name())
+        .withColumn("__ord", monotonically_increasing_id())
+        .withColumn("__prev", lag(col("o_orderkey"), 1).over(w))
+      val out = back
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          graft.functions.Scalars.roundTo(sum(col("o_totalprice")), 2)
+            .as("sum_price"),
+          min(col("__prev").isNull || col("__prev") <= col("o_orderkey"))
+            .as("files_sorted"))
+        .orderBy("status")
+      val rows = s.createDataFrame(out.collectAsList(), out.schema)
+      rows
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** n_rows/sum_price are REAL SQL over orders; n_files=1 and
+    * files_sorted=true are the pinned layout contract.
+    */
+  val partitionedWriteAuditOracle: String =
+    """SELECT o_orderstatus AS status, CAST(1 AS BIGINT) AS n_files,
+      | count(*) AS n_rows,
+      | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price,
+      | true AS files_sorted
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("zorder_key", zorderKey, Some(zorderOracle)),
     RegisteredQuery("compaction_plan", compactionPlan, Some(compactionOracle)),
+    RegisteredQuery("partitioned_write_audit", partitionedWriteAudit,
+      Some(partitionedWriteAuditOracle)),
   )
 }

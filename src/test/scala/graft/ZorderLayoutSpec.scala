@@ -62,4 +62,29 @@ class ZorderLayoutSpec extends SparkSpec {
     assert(sc0 > 0.9, f"expected near-full customer span under date sort, got $sc0%.2f")
     assert(zc < sc0 / 2, "z-order should at least halve the customer span vs date sort")
   }
+
+  test("partitioned-write audit: clean layout passes; unrepartitioned write trips n_files") {
+    val orders = graft.engine.Tables.orders(spark, sfDir)
+    val audit = LayoutOps.partitionedWriteAudit(spark, sfDir).collect()
+    val nStatuses = orders.select("o_orderstatus").distinct().count()
+    assert(audit.length == nStatuses)
+    assert(audit.forall(_.getAs[Long]("n_files") == 1L), "expected one file per partition dir")
+    assert(audit.forall(_.getAs[Boolean]("files_sorted")), "sortWithinPartitions must survive the write")
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == orders.count())
+
+    // Negative control: the audit must MEASURE the layout, not assume it.
+    // Skip the repartition — round-robin tasks each hold every status, so
+    // every task sprays one file into every partition dir; the identical
+    // read-back has to see >1 file per status.
+    val bad = tmpDir("graft-pw-bad")
+    orders.repartition(4)
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(bad)
+    val filesPerStatus = spark.read.parquet(bad)
+      .withColumn("__f", input_file_name())
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("__f")).as("nf"))
+      .collect().map(_.getAs[Long]("nf"))
+    assert(filesPerStatus.exists(_ > 1L),
+      "unrepartitioned partitionBy should produce multi-file partition dirs")
+  }
 }
