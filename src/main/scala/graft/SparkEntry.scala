@@ -24,6 +24,7 @@ object SparkEntry {
     SkewOps,
     AsofOps,
     RangeOps,
+    FuzzyMatch,
     LayoutOps,
     ApiSourceOps,
     graft.sources.FileFormatOps,

@@ -146,6 +146,82 @@ object LexiconOps extends QueryModule {
        |ORDER BY n_occ DESC, token LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Collocation mining (PMI)
+  // ---------------------------------------------------------------------
+
+  /** Support floor for [[collocationPmi]] — PMI of a rare pair is noise. */
+  private val pmiMinCount = 20
+
+  /** Adjacent-bigram pointwise mutual information — collocation discovery
+    * (multi-word expressions, tokenizer-merge candidates). Bigram
+    * generation is MAP-ONLY: a `transform` over the token array's index
+    * range, no per-doc window shuffle — at 100 TB adjacency never leaves
+    * the row it came from. Then two word-count-shaped keyed aggregates
+    * (bigram counts, unigram counts), the vocabulary-sized unigram table
+    * broadcast back twice, and the two scalar totals broadcast as a 1-row
+    * cross join. PMI is computed as a sum of logs (never the ratio of
+    * count products, which overflows BIGINT at corpus scale), with the
+    * identical left-associated formula in the oracle so 6dp rounding
+    * absorbs libm ulp differences.
+    */
+  def collocationPmi(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$tokenRe', 0)").as("arr"))
+    val toks = d.select(explode(col("arr")).as("tok"))
+    val bg = d.filter(size(col("arr")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(arr) - 1),
+          |  i -> struct(element_at(arr, i) AS tok, element_at(arr, i + 1) AS nxt))"""
+          .stripMargin)).as("p"))
+      .select(col("p.tok").as("tok"), col("p.nxt").as("nxt"))
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("n_pair"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = toks.agg(count(lit(1)).as("n_u"))
+      .crossJoin(bg.agg(sum(col("n_pair")).as("n_b")))
+    bg.filter(col("n_pair") >= lit(pmiMinCount))
+      .join(broadcast(uni.select(col("tok").as("ua_tok"), col("c").as("c_a"))),
+        col("tok") === col("ua_tok"))
+      .join(broadcast(uni.select(col("tok").as("ub_tok"), col("c").as("c_b"))),
+        col("nxt") === col("ub_tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok").as("tok_a"), col("nxt").as("tok_b"), col("n_pair"),
+        roundTo(
+          log(col("n_pair").cast("double"))
+            + lit(2) * log(col("n_u").cast("double"))
+            - log(col("n_b").cast("double"))
+            - log(col("c_a").cast("double"))
+            - log(col("c_b").cast("double")), 6).as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
+  val collocationPmiOracle: String =
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS arr
+       |           FROM documents),
+       |t AS (SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+       |      FROM d),
+       |b AS (SELECT doc_id, tok,
+       |        lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |      FROM t),
+       |bg AS (SELECT tok, nxt, count(*) AS n_pair
+       |       FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |u AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM t) AS n_u,
+       |               CAST((SELECT sum(n_pair) FROM bg) AS BIGINT) AS n_b)
+       |SELECT bg.tok AS tok_a, bg.nxt AS tok_b, bg.n_pair,
+       | floor((ln(CAST(bg.n_pair AS DOUBLE))
+       |   + 2 * ln(CAST(n_u AS DOUBLE))
+       |   - ln(CAST(n_b AS DOUBLE))
+       |   - ln(CAST(ua.c AS DOUBLE))
+       |   - ln(CAST(ub.c AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pmi
+       |FROM bg
+       |JOIN u ua ON bg.tok = ua.tok
+       |JOIN u ub ON bg.nxt = ub.tok
+       |CROSS JOIN tot
+       |WHERE bg.n_pair >= $pmiMinCount
+       |ORDER BY tok_a, tok_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TF-IDF term scoring
   // ---------------------------------------------------------------------
 
@@ -571,6 +647,7 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("vocab_mg_heavy", vocabHeavyHitters, None),
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
+    RegisteredQuery("collocation_pmi", collocationPmi, Some(collocationPmiOracle)),
     RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
     RegisteredQuery("vocab_cms", vocabCms, Some(vocabCmsOracle)),
   )

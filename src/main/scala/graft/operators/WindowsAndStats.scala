@@ -204,6 +204,32 @@ object WindowsAndStats extends QueryModule {
       | floor(covar_samp(l_discount, l_tax) * 1e4 + 0.5) / 1e4 AS disc_tax_covar
       |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin
 
+  /** A18: per-group least-squares trend — the `regr_*` aggregate family
+    * (count/slope/intercept/R²) over price-vs-quantity, the "is this metric
+    * drifting" question every pipeline dashboard asks. Single-pass mergeable
+    * moment aggregates (sums of x, y, x², xy) — the same map-side-combine
+    * topology as [[a15Moments]], so one shuffle of group-cardinality partial
+    * states at any scale. 4dp/6dp rounding absorbs the engines' update-
+    * formula differences (~1e-12 relative at 600k rows).
+    */
+  def a18Regression(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n_pts"),
+        roundTo(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        roundTo(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        roundTo(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy("l_returnflag")
+
+  val a18Oracle: String =
+    """SELECT l_returnflag,
+      | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
+      | floor(regr_slope(l_extendedprice, l_quantity) * 1e4 + 0.5) / 1e4 AS slope,
+      | floor(regr_intercept(l_extendedprice, l_quantity) * 1e4 + 0.5) / 1e4 AS intercept,
+      | floor(regr_r2(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS r2
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   /** A14b: cube — all grouping-set combinations in one pass. */
   def a14Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -471,6 +497,7 @@ object WindowsAndStats extends QueryModule {
     RegisteredQuery("feature_bins", featureBins, Some(featureBinsOracle)),
     RegisteredQuery("a14_cube", a14Cube, Some(a14CubeOracle)),
     RegisteredQuery("a15_moments", a15Moments, Some(a15Oracle)),
+    RegisteredQuery("a18_regression", a18Regression, Some(a18Oracle)),
     RegisteredQuery("w3_tumbling_window", w3TumblingWindow, Some(w3Oracle)),
     RegisteredQuery("sessionize", sessionize, Some(sessionizeOracle)),
     RegisteredQuery("a13_percentiles", a13Percentiles, Some(a13Oracle)),

@@ -180,4 +180,30 @@ class LexiconSpec extends SparkSpec {
     // symbols always concatenate back to their word (merge preserves content)
     table.keys.foreach(syms => assert(syms.mkString.nonEmpty))
   }
+
+  test("collocation_pmi: map-only bigram path, PMI identity on a hand corpus") {
+    // plan property the oracle can't see: adjacency comes from the token
+    // array transform, never a per-doc window shuffle
+    val plan = graft.operators.LexiconOps.collocationPmi(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bigram generation must not plan a window")
+
+    // hand corpus: "x y" always adjacent, "z" independent filler.
+    // With every count and total known, PMI is checkable by arithmetic.
+    import spark.implicits._
+    val dir = tmpDir("graft-pmi")
+    val docs = (0 until 30).map(i => (i.toLong, ("x y " * 25).trim, "en", "s", 1))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.LexiconOps.collocationPmi(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // per doc: 25 x's, 25 y's, 49 bigrams of which 25 are (x,y), 24 (y,x)
+    val (nXy, pmiXy) = rows(("x", "y"))
+    assert(nXy == 30L * 25)
+    val nU = 30.0 * 50; val nB = 30.0 * 49
+    val expected = math.log(nXy) + 2 * math.log(nU) -
+      math.log(nB) - math.log(30.0 * 25) - math.log(30.0 * 25)
+    assert(math.abs(pmiXy - expected) < 1e-6)
+    assert(pmiXy > 0, "always-adjacent pair must have positive PMI")
+  }
 }
