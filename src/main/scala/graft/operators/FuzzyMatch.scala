@@ -64,23 +64,11 @@ object FuzzyMatch extends QueryModule {
       .withColumn("len", length(col("name")))
 
     // 1. occurrence-keyed grams for every bound-eligible string
-    val grams = names.filter(col("len") > lit(shortLen))
-      .select(col("name"), col("len"),
-        posexplode(expr(
-          s"transform(sequence(1, len - ${Q - 1}), i -> substring(name, i, $Q))"))
-          .as(Seq("pos", "g")))
-      .withColumn("occ",
-        row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
-      .select(col("name"), col("len"),
-        concat_ws("#", col("g"), col("occ")).as("gram"))
+    val grams = gramsOf(names)
 
     // 2. global rarity order → per-string (q·K+1)-gram prefix
     val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    val prefix = grams.join(gramDf, "gram")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("name").orderBy(col("df"), col("gram"))))
-      .filter(col("rk") <= prefixLen)
-      .select(col("gram"), col("name"), col("len"))
+    val prefix = prefixOf(grams, gramDf)
 
     // 3. posting-list self-join on prefix grams, length band
     val candLong = prefix.as("a").join(prefix.as("b"),
@@ -119,7 +107,92 @@ object FuzzyMatch extends QueryModule {
        |WHERE levenshtein(a.name, b.name) <= $K
        |ORDER BY name_a, name_b""".stripMargin
 
+  /** Occurrence-keyed grams of a `(name, len)` frame — shared by both
+    * sides of the asymmetric lookup so gram keys agree by construction.
+    */
+  private def gramsOf(df: DataFrame): DataFrame =
+    df.filter(col("len") > lit(shortLen))
+      .select(col("name"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, len - ${Q - 1}), i -> substring(name, i, $Q))"))
+          .as(Seq("pos", "g")))
+      .withColumn("occ",
+        row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
+      .select(col("name"), col("len"),
+        concat_ws("#", col("g"), col("occ")).as("gram"))
+
+  /** The (q·K+1)-gram prefix of each string under a SHARED global rarity
+    * order — asymmetric lookup needs both sides ordered by the same df
+    * table or the pigeonhole witness can land outside one side's prefix.
+    */
+  private def prefixOf(grams: DataFrame, sharedDf: DataFrame): DataFrame =
+    grams.join(sharedDf, "gram")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("name").orderBy(col("df"), col("gram"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("gram"), col("name"), col("len"))
+
+  /** Query-time fuzzy LOOKUP — the asymmetric topology: a small probe
+    * batch (typo'd keys: every distinct name with its first character
+    * dropped, a deterministic transform the oracle replays) against the
+    * full name corpus, every (probe, name) pair within distance ≤ [[K]].
+    * Unlike [[fuzzyMatchNames]]'s self-join, cost here scales with the
+    * PROBE side: corpus grams build once, the probe postings drive the
+    * join — the dedup-vs-lookup split mirrors `dedup_incremental` vs
+    * `contamination_check` in the shingle family. Residual paths cover
+    * the short strings on EITHER side (both alphabet-bounded broadcasts).
+    */
+  def fuzzyLookupProbes(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("len", length(col("name")))
+    val probes = names.select(expr("substring(name, 2)").as("name"))
+      .distinct()
+      .withColumn("len", length(col("name")))
+
+    val nameGrams  = gramsOf(names)
+    val probeGrams = gramsOf(probes)
+    // shared rarity order over the union so both prefixes agree
+    val sharedDf = nameGrams.select("gram").unionAll(probeGrams.select("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val namePrefix  = prefixOf(nameGrams, sharedDf)
+    val probePrefix = prefixOf(probeGrams, sharedDf)
+
+    val candLong = probePrefix.as("p").join(namePrefix.as("n"),
+        col("p.gram") === col("n.gram"))
+      .filter(abs(col("p.len") - col("n.len")) <= K)
+      .select(col("p.name").as("probe"), col("n.name").as("name"))
+      .distinct()
+
+    // residual: a short string on EITHER side voids the gram bound for
+    // the pair → short × length-band cross join, both sides bounded
+    def residual(shortSide: DataFrame, bandSide: DataFrame,
+        flip: Boolean): DataFrame = {
+      val j = shortSide.filter(col("len") <= shortLen).as("a")
+        .join(broadcast(bandSide.filter(col("len") <= bandLen).as("b")),
+          abs(col("a.len") - col("b.len")) <= K)
+      if (flip) j.select(col("b.name").as("probe"), col("a.name").as("name"))
+      else j.select(col("a.name").as("probe"), col("b.name").as("name"))
+    }
+    val candShort = residual(probes, names, flip = false)
+      .unionAll(residual(names, probes, flip = true))
+      .distinct()
+
+    candLong.unionByName(candShort)
+      .withColumn("dist", levenshtein(col("probe"), col("name"), K).cast("long"))
+      .filter(col("dist") >= 0)
+      .orderBy("probe", "name")
+  }
+
+  val fuzzyLookupOracle: String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+       |p AS (SELECT DISTINCT substr(name, 2) AS probe FROM n)
+       |SELECT p.probe, n.name, CAST(levenshtein(p.probe, n.name) AS BIGINT) AS dist
+       |FROM p JOIN n ON levenshtein(p.probe, n.name) <= $K
+       |ORDER BY probe, name""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("fuzzy_match_names", fuzzyMatchNames, Some(fuzzyMatchOracle)),
+    RegisteredQuery("fuzzy_lookup_probes", fuzzyLookupProbes, Some(fuzzyLookupOracle)),
   )
 }

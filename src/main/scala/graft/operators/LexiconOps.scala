@@ -146,6 +146,103 @@ object LexiconOps extends QueryModule {
        |ORDER BY n_occ DESC, token LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BM25 retrieval
+  // ---------------------------------------------------------------------
+
+  /** Probe queries for [[bm25Retrieval]] — deterministic literals over the
+    * corpus vocabulary, replayed verbatim in the oracle.
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark window agg",
+    2L -> "customer order join",
+    3L -> "hash join",
+    4L -> "stream batch merge",
+    5L -> "slow query filter")
+
+  /** BM25 top-10 retrieval — the lexical counterpart of the embedding
+    * ANN top-k family: score every document against a small probe-query
+    * batch (Robertson/Lucene BM25, k1=1.2 b=0.75) and keep the 10 best
+    * per query. The fact-scale work is ONE tf aggregate and ONE dl
+    * aggregate over the token stream; everything query-driven is
+    * broadcast (probe terms, per-term df, the 1-row corpus stats), so
+    * scoring touches only postings of probed terms — cost scales with
+    * the probe batch, not the corpus. Top-10 is a per-query
+    * WindowGroupLimit heap over rows that survive the postings join.
+    * Constants are written as the same decimal literals on both sides;
+    * the per-(query,doc) term-score sum is rounded 6dp BEFORE ranking so
+    * rank ties resolve identically (doc_id tiebreak).
+    */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+    val q = bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("tok"))
+    val tfq = tf.join(broadcast(q.select("tok").distinct()), "tok")
+    val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tfq
+      .join(broadcast(q), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("tfn", col("tf").cast("double") * lit(2.2) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          col("dl").cast("double") /
+            (col("n_toks").cast("double") / col("n_docs").cast("double")))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(roundTo(sum(col("idf") * col("tfn")), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25Oracle: String = {
+    val values = bm25Queries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_extract_all(text, '$tokenRe')) AS tok
+       | FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks
+       |          FROM dl),
+       |q AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |             unnest(string_split(qtext, ' ')) AS tok
+       |      FROM (VALUES $values) v(query_id, qtext)),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf
+       |        WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+       |scored AS (
+       | SELECT q.query_id, tf.doc_id,
+       |  floor(sum(
+       |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |             / (CAST(df AS DOUBLE) + 0.5))
+       |    * (CAST(tf AS DOUBLE) * 2.2
+       |       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |          * CAST(dl AS DOUBLE)
+       |          / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |  ) * 1e6 + 0.5) / 1e6 AS score
+       | FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
+       |      JOIN dfq USING (tok) CROSS JOIN stats
+       | GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY score DESC, doc_id) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, doc_id, score FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Collocation mining (PMI)
   // ---------------------------------------------------------------------
 
@@ -648,6 +745,7 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
     RegisteredQuery("collocation_pmi", collocationPmi, Some(collocationPmiOracle)),
+    RegisteredQuery("bm25_retrieval", bm25Retrieval, Some(bm25Oracle)),
     RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
     RegisteredQuery("vocab_cms", vocabCms, Some(vocabCmsOracle)),
   )

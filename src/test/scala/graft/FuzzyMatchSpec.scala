@@ -59,6 +59,30 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(runOn(names) == brute(names, FuzzyMatch.K))
   }
 
+  test("asymmetric lookup: every (probe, name) pair within K, including dist-0 hits") {
+    val names = graft.engine.Tables.part(spark, sfDir)
+      .select("p_name").distinct().collect().map(_.getString(0)).toSeq
+    val probes = names.map(_.drop(1)).distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      p <- probes; n <- names
+      d = lev(p, n) if d <= FuzzyMatch.K
+    } yield (p, n, d.toLong)).toSet
+    val got = FuzzyMatch.fuzzyLookupProbes(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // every probe is one deletion from its source name → dist 1 hit exists
+    assert(names.forall(n => got.contains((n.drop(1), n, 1L))))
+  }
+
   test("long path is a keyed join, not a cartesian product") {
     val plan = FuzzyMatch.fuzzyMatchNames(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -181,6 +181,22 @@ class LexiconSpec extends SparkSpec {
     table.keys.foreach(syms => assert(syms.mkString.nonEmpty))
   }
 
+  test("bm25_retrieval: dense ranks, non-increasing positive scores, term-hit docs only") {
+    val rows = graft.operators.LexiconOps.bm25Retrieval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (qid, qs) =>
+      val ranks = qs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"query $qid ranks not dense: $ranks")
+      val byRank = qs.sortBy(_._2).map(_._4)
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) => assert(lo <= hi, s"query $qid scores not sorted")
+        case _             => ()
+      }
+      assert(qs.forall(_._4 > 0), "BM25 of a matched doc must be positive")
+    }
+    assert(rows.map(_._1).distinct.length == 5, "all five probe queries retrieved")
+  }
+
   test("collocation_pmi: map-only bigram path, PMI identity on a hand corpus") {
     // plan property the oracle can't see: adjacency comes from the token
     // array transform, never a per-doc window shuffle
