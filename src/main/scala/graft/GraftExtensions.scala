@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharTrigrams, DotProduct, NfcNormalize, ShingleHashes, SimHash64}
+import graft.functions.{CharTrigrams, DeflateLen, DotProduct, NfcNormalize, ShingleHashes, SimHash64}
 
 /** Session extensions — the idiomatic public-API injection point for the
   * engine's custom Catalyst expressions (set
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_char_trigrams"),
       new ExpressionInfo(classOf[CharTrigrams].getName, "graft_char_trigrams"),
       (children: Seq[Expression]) => CharTrigrams(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children(0))))
     ext.injectFunction((
       new FunctionIdentifier(graft.functions.PairCombinations.name),
       new ExpressionInfo(classOf[graft.functions.PairCombinations].getName,

@@ -214,11 +214,60 @@ object CharTrigrams {
   }
 }
 
+/** Raw-DEFLATE compressed byte length of a document as ONE per-row kernel
+  * — the compression-ratio quality signal (Common Crawl-lineage heuristic:
+  * text that deflates far below ~1:3 is boilerplate/repetition; far above
+  * is high-entropy noise — both are low-quality tails worth filtering
+  * before training). Level 9, no zlib header, single `setInput` +
+  * `finish` pass; output length for a fixed input/level/strategy is a
+  * deterministic function of the bundled zlib, making per-corpus
+  * aggregates pinnable constants (the CMS/HLL pinned-oracle convention —
+  * no SQL engine exposes deflate). Map-only projection; the ~8 KB scratch
+  * buffer is reused across rows via a thread-local, and the Deflater is
+  * `reset` rather than re-allocated (native zlib streams are expensive to
+  * create per row).
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    DeflateLen.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.DeflateLen.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+  private final class Scratch {
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, /* nowrap = */ true)
+    val buf = new Array[Byte](8192)
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  def compute(text: UTF8String): Long = {
+    val s = scratch.get()
+    val d = s.deflater
+    d.reset()
+    d.setInput(text.getBytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(s.buf)
+    total
+  }
+}
+
 object TextKernels {
   val shingleHashesName = "graft_shingle_hashes"
   val simhashName = "graft_simhash"
   val nfcName = "graft_nfc"
   val charTrigramsName = "graft_char_trigrams"
+  val deflateLenName = "graft_deflate_len"
 
   /** Idempotent per-session registration; afterwards
     * `expr("graft_shingle_hashes(text)")` / `expr("graft_simhash(text)")`
@@ -251,5 +300,9 @@ object TextKernels {
         org.apache.spark.sql.catalyst.FunctionIdentifier(PairCombinations.name)))
       reg.createOrReplaceTempFunction(
         PairCombinations.name, exprs => PairCombinations(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(deflateLenName)))
+      reg.createOrReplaceTempFunction(
+        deflateLenName, exprs => DeflateLen(exprs(0)), "built-in")
   }
 }

@@ -184,10 +184,89 @@ object ProfilingOps extends QueryModule {
       | UNION ALL SELECT '5_priority_format', n, v5 FROM f)
       |ORDER BY rule""".stripMargin
 
+  /** Cross-table referential-integrity audit — the dbt-test/great-
+    * expectations layer [[dqRuleReport]]'s single-table rules don't
+    * reach: PK uniqueness (per table + lineitem's composite key) and FK
+    * orphan counts via anti-joins. Every check reads ONLY its key
+    * column(s) (parquet column pruning), so at 100 TB each row of the
+    * report moves one column through one keyed anti-join or one
+    * count-distinct aggregate — never a full-width scan. The
+    * orders→customer check runs against a deterministically THINNED
+    * dimension (every 101st customer dropped — simulated late dimension
+    * arrival, the [[dqRuleReport]] convention for a too-clean fixture)
+    * so the orphan path provably fires; the other checks genuinely pass.
+    * NULL semantics: anti-join counts a NULL FK as an orphan, mirrored
+    * by NOT EXISTS (not NOT IN) in the oracle.
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    def row(label: String, nBad: Column, from: DataFrame): DataFrame =
+      from.agg(nBad.cast("long").as("n_bad"))
+        .select(lit(label).as("check_name"), col("n_bad"))
+    def pkDup(df: DataFrame, key: String, label: String): DataFrame =
+      row(label, count(col(key)) - countDistinct(col(key)), df)
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+        label: String): DataFrame =
+      row(label, count(lit(1)),
+        fact.select(col(fk)).join(dim.select(col(pk)),
+          col(fk) === col(pk), "left_anti"))
+
+    val o = Tables.orders(s, dir);   val l  = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir); val p  = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir); val n = Tables.nation(s, dir)
+    val staleCustomers = c.filter(col("c_custkey") % 101 =!= 0)
+
+    pkDup(o, "o_orderkey", "pk_orders")
+      .unionByName(pkDup(c, "c_custkey", "pk_customer"))
+      .unionByName(pkDup(p, "p_partkey", "pk_part"))
+      .unionByName(pkDup(su, "s_suppkey", "pk_supplier"))
+      .unionByName(row("pk_lineitem_composite",
+        count(lit(1)) - countDistinct(
+          struct(col("l_orderkey"), col("l_linenumber"))), l))
+      .unionByName(orphans(l, "l_orderkey", o, "o_orderkey", "fk_lineitem_orders"))
+      .unionByName(orphans(l, "l_partkey", p, "p_partkey", "fk_lineitem_part"))
+      .unionByName(orphans(l, "l_suppkey", su, "s_suppkey", "fk_lineitem_supplier"))
+      .unionByName(orphans(o, "o_custkey", staleCustomers, "c_custkey",
+        "fk_orders_customer_stale"))
+      .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "fk_customer_nation"))
+      .orderBy("check_name")
+  }
+
+  val integrityAuditOracle: String =
+    """SELECT 'pk_orders' AS check_name,
+      | CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS n_bad
+      | FROM orders
+      |UNION ALL SELECT 'pk_customer',
+      | CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+      |UNION ALL SELECT 'pk_part',
+      | CAST(count(p_partkey) - count(DISTINCT p_partkey) AS BIGINT) FROM part
+      |UNION ALL SELECT 'pk_supplier',
+      | CAST(count(s_suppkey) - count(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+      |UNION ALL SELECT 'pk_lineitem_composite',
+      | CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      | FROM lineitem
+      |UNION ALL SELECT 'fk_lineitem_orders',
+      | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL SELECT 'fk_lineitem_part',
+      | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |UNION ALL SELECT 'fk_lineitem_supplier',
+      | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |UNION ALL SELECT 'fk_orders_customer_stale',
+      | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |   (SELECT 1 FROM customer c
+      |    WHERE c.c_custkey % 101 <> 0 AND c.c_custkey = o.o_custkey))
+      |UNION ALL SELECT 'fk_customer_nation',
+      | (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      |ORDER BY check_name""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("table_diff", tableDiff, Some(tableDiffOracle)),
     RegisteredQuery("length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
     RegisteredQuery("dq_rule_report", dqRuleReport, Some(dqRuleReportOracle)),
+    RegisteredQuery("integrity_audit", integrityAudit, Some(integrityAuditOracle)),
   )
 }

@@ -319,6 +319,57 @@ object TextOps extends QueryModule {
       | CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_seq
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Compression-ratio quality signal — per-source deflate statistics via
+    * the codegen'd [[graft.functions.DeflateLen]] kernel (Common
+    * Crawl-lineage heuristic: ratio far below the corpus norm =
+    * boilerplate/repetition, far above = high-entropy noise; both tails
+    * are filter candidates before training). Map-only projection + one
+    * keyed aggregate — the word-count topology at any corpus size. No SQL
+    * engine exposes deflate, so the oracle is the pinned-constant gate
+    * (the CMS/HLL convention): level-9 raw-deflate output lengths are a
+    * deterministic function of the text and the bundled zlib, making the
+    * per-source sums constants of the fixture. `TextPiiSpec`'s sibling
+    * `DeflateKernelSpec` pins single-string golden values and the
+    * ratio-orders-quality property.
+    */
+  def textCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextKernels.register(s)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("raw"),
+        expr(s"${graft.functions.TextKernels.deflateLenName}(text)").as("comp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw")).as("raw_bytes"),
+        sum(col("comp")).as("deflate_bytes"),
+        graft.functions.Scalars.roundTo(
+          sum(col("comp")).cast("double") / sum(col("raw")), 6).as("ratio"))
+      .orderBy("source")
+  }
+
+  /** Pinned-constant gate (sf0.01): deflate sums are deterministic
+    * byte-level functions of the fixture texts (seed-42 synthesis) and
+    * the bundled zlib — constants of the codebase, the CMS/HLL pinned-
+    * oracle convention. Only the exact INTEGER sums are pinned; the ratio
+    * is recomputed in SQL with the identical floor formula, so the pin
+    * carries no hand-rounded doubles.
+    */
+  val textCompressRatioOracle: String =
+    """SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      | CAST(raw_bytes AS BIGINT) AS raw_bytes,
+      | CAST(deflate_bytes AS BIGINT) AS deflate_bytes,
+      | floor(CAST(deflate_bytes AS DOUBLE) / raw_bytes * 1e6 + 0.5) / 1e6 AS ratio
+      |FROM (VALUES
+      | ('src0',25,7949,3764),('src1',25,8570,3930),('src10',25,7161,3480),
+      | ('src11',25,8387,3938),('src12',25,6927,3408),('src13',25,8462,3914),
+      | ('src14',25,7216,3474),('src15',25,7100,3407),('src16',25,7484,3510),
+      | ('src17',25,7477,3581),('src18',25,7556,3599),('src19',25,6306,3169),
+      | ('src2',25,7689,3647),('src3',25,7620,3635),('src4',25,7098,3453),
+      | ('src5',25,7254,3513),('src6',25,6964,3362),('src7',25,8201,3859),
+      | ('src8',25,6277,3155),('src9',25,7476,3551)
+      |) v(source, n_docs, raw_bytes, deflate_bytes)
+      |ORDER BY source""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_repetition", textRepetition, Some(textRepetitionOracle)),
     RegisteredQuery("pack_sequences", packSequences, Some(packSequencesOracle)),
@@ -327,5 +378,7 @@ object TextOps extends QueryModule {
     RegisteredQuery("text_token_count", textTokenCount, Some(textTokenCountOracle)),
     RegisteredQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle)),
     RegisteredQuery("text_pii_scrub", textPiiScrub, Some(textPiiScrubOracle)),
+    RegisteredQuery("text_compress_ratio", textCompressRatio,
+      Some(textCompressRatioOracle)),
   )
 }

@@ -36,4 +36,32 @@ class ProfilingSpec extends SparkSpec
     }
     assert(scans.length == 1, s"expected one scan, got ${scans.length}")
   }
+
+  test("integrity_audit: clean fixture passes; injected dup pk + orphan fk are caught") {
+    import org.apache.spark.sql.functions._
+    val clean = ProfilingOps.integrityAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.size == 10)
+    assert(clean("pk_orders") == 0L && clean("fk_lineitem_orders") == 0L)
+    assert(clean("fk_orders_customer_stale") > 0L,
+      "thinned dimension must orphan some orders")
+
+    // corrupt copy: one duplicated order + one order with unknown custkey
+    val dir = tmpDir("graft-integrity")
+    for (t <- Seq("customer", "part", "supplier", "nation", "lineitem"))
+      spark.read.parquet(s"$sfDir/$t.parquet").write.parquet(s"$dir/$t.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    o.unionAll(o.limit(1))
+      .unionAll(o.limit(1)
+        .withColumn("o_orderkey", lit(-999L))
+        .withColumn("o_custkey", lit(-777L)))
+      .write.parquet(s"$dir/orders.parquet")
+    val bad = ProfilingOps.integrityAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bad("pk_orders") == 1L, "duplicated order key must be counted once")
+    assert(bad("fk_orders_customer_stale") == clean("fk_orders_customer_stale") + 1,
+      "the unknown custkey must add exactly one orphan")
+    assert(bad("fk_lineitem_orders") == 0L,
+      "no lineitem points at the injected order key")
+  }
 }
