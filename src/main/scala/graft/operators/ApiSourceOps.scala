@@ -35,7 +35,32 @@ object ApiSourceOps extends QueryModule {
       |WHERE i >= 200
       |ORDER BY launch_id""".stripMargin
 
+  /** The connector's aggregate-pushdown path (`SupportsPushDownAggregates`):
+    * global count/min/max over the watermarked launch stream answered by
+    * the source in closed form — ZERO data rows materialized (the real
+    * API's server-side count endpoint). The DuckDB twin recomputes the
+    * same aggregates from `range()`; `LaunchApiSourceSpec` pins the
+    * zero-materialization observable and the no-aggregate-exec plan.
+    */
+  def apiSourceAgg(s: SparkSession, dir: String): DataFrame = {
+    val wm = new java.sql.Timestamp(graft.sources.LaunchApiSource.dateAt(200) / 1000)
+    s.read.format("graft.sources.LaunchApiSource")
+      .option("rows", 1000).option("pageSize", 100).load()
+      .filter(col("date_utc") >= lit(wm))
+      .agg(count(lit(1)).as("n_launches"),
+        unix_micros(min(col("date_utc"))).as("min_date_us"),
+        unix_micros(max(col("date_utc"))).as("max_date_us"))
+  }
+
+  val apiSourceAggOracle: String =
+    """SELECT count(*) AS n_launches,
+      | min(1420070400000000 + i * 21600000000) AS min_date_us,
+      | max(1420070400000000 + i * 21600000000) AS max_date_us
+      |FROM range(0, 1000) t(i)
+      |WHERE i >= 200""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("api_source_scan", apiSourceScan, Some(apiSourceOracle)),
+    RegisteredQuery("api_source_agg", apiSourceAgg, Some(apiSourceAggOracle)),
   )
 }

@@ -7,9 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => VMax, Min => VMin}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -84,11 +86,43 @@ private[sources] class LaunchApiTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class LaunchApiScanBuilder(rows: Long, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var minDateUs: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = LaunchApiSource.schema
+  private var pushedAgg: Option[Aggregation] = None
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`) — the server-side
+    * COUNT/stat endpoint of a real paginated API: global (no GROUP BY)
+    * `count(*)` / `min(date_utc)` / `max(date_utc)` are answered in CLOSED
+    * FORM from the sorted-pagination arithmetic + the already-pushed
+    * watermark, planning ONE one-row partition and materializing ZERO
+    * data rows (`rowsGenerated` stays flat — the spec's observable).
+    * Complete pushdown: Spark drops its own aggregate exec entirely.
+    * Anything else (avg, group-by, other columns) is declined and runs
+    * through the normal paged row scan.
+    */
+  private def isDateCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("date_utc"))
+      case _ => false
+    }
+
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: VMin => isDateCol(m.column)
+        case m: VMax => isDateCol(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (canPush(agg)) { pushedAgg = Some(agg); true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -117,7 +151,67 @@ private[sources] class LaunchApiScanBuilder(rows: Long, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new LaunchApiScan(rows, pageSize, minDateUs, required)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new LaunchApiAggScan(rows, minDateUs, agg)
+    case None      => new LaunchApiScan(rows, pageSize, minDateUs, required)
+  }
+}
+
+/** Closed-form aggregate scan: count/min/max over the (watermark-filtered)
+  * synthetic launch sequence computed from the generator arithmetic —
+  * one partition, one row, zero data rows materialized. Values are
+  * precomputed driver-side so the reader factory captures only plain
+  * boxed longs (nulls for empty-input min/max).
+  */
+private[sources] class LaunchApiAggScan(
+    rows: Long, minDateUs: Option[Long], agg: Aggregation)
+    extends Scan with Batch {
+
+  private val idx0: Long = minDateUs match {
+    case Some(lo) if lo > LaunchApiSource.t0 =>
+      (lo - LaunchApiSource.t0 + LaunchApiSource.stepUs - 1) / LaunchApiSource.stepUs
+    case _ => 0L
+  }
+  private val n: Long = math.max(0L, rows - idx0)
+
+  private val outputs: IndexedSeq[java.lang.Long] =
+    agg.aggregateExpressions.toIndexedSeq.map {
+      case _: CountStar => java.lang.Long.valueOf(n)
+      case _: VMin =>
+        if (n == 0) null else java.lang.Long.valueOf(LaunchApiSource.dateAt(idx0))
+      case _: VMax =>
+        if (n == 0) null else java.lang.Long.valueOf(LaunchApiSource.dateAt(rows - 1))
+      case other => throw new IllegalStateException(s"unsupported pushed agg $other")
+    }
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.toIndexedSeq.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i)            => StructField(s"agg_$i", TimestampType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LaunchApiAggScan(minDateUs=$minDateUs, " +
+      s"aggs=${agg.aggregateExpressions.mkString(", ")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LaunchAggPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LaunchApiAggReaderFactory(outputs)
+}
+
+private[sources] case object LaunchAggPartition extends InputPartition
+
+private[sources] class LaunchApiAggReaderFactory(outputs: IndexedSeq[java.lang.Long])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val first = !emitted; emitted = true; first }
+      override def get(): InternalRow = InternalRow.fromSeq(outputs)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class LaunchApiScan(

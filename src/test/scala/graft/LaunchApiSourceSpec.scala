@@ -30,7 +30,9 @@ class LaunchApiSourceSpec extends SparkSpec {
     val wm = new java.sql.Timestamp(LaunchApiSource.dateAt(700) / 1000)
     LaunchApiSource.rowsGenerated.set(0)
     val df = api().filter(col("date_utc") >= lit(wm))
-    assert(df.count() == 300)
+    // collect(), not count(): count() now rides the AGGREGATE pushdown and
+    // materializes zero rows — this test observes the row-scan filter path
+    assert(df.collect().length == 300)
     val generated = LaunchApiSource.rowsGenerated.get()
     assert(generated == 300, s"expected only qualifying rows materialized, got $generated")
     assert(df.rdd.getNumPartitions == 3, "fully-filtered pages must not become partitions")
@@ -63,5 +65,40 @@ class LaunchApiSourceSpec extends SparkSpec {
       .collect().head
     assert(agg.getLong(0) == 500)
     assert(agg.getLong(1) > 300) // ~4/5 of non-null-success rows succeed
+  }
+
+  test("aggregate pushdown: closed-form count/min/max, ZERO rows materialized") {
+    val wm = new java.sql.Timestamp(LaunchApiSource.dateAt(200) / 1000)
+    val q = api().filter(col("date_utc") >= lit(wm))
+      .agg(count(lit(1)).as("n"),
+        min(col("date_utc")).as("lo"), max(col("date_utc")).as("hi"))
+    // complete pushdown: Spark's own aggregate exec disappears entirely
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"expected no aggregate exec under complete pushdown:\n$plan")
+    LaunchApiSource.rowsGenerated.set(0)
+    val row = q.collect().head
+    assert(LaunchApiSource.rowsGenerated.get() == 0,
+      "pushed aggregate must materialize zero data rows")
+    assert(row.getLong(0) == 800)
+    assert(row.getTimestamp(1).getTime * 1000 == LaunchApiSource.dateAt(200))
+    assert(row.getTimestamp(2).getTime * 1000 == LaunchApiSource.dateAt(999))
+  }
+
+  test("unsupported aggregates decline pushdown and fall back to the row scan") {
+    val q = api().agg(avg(col("payload_mass_kg")).as("m"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate"), "avg must keep Spark-side aggregation")
+    LaunchApiSource.rowsGenerated.set(0)
+    assert(q.collect().head.getDouble(0) > 0)
+    assert(LaunchApiSource.rowsGenerated.get() == 1000,
+      "fallback must materialize every row")
+  }
+
+  test("group-by aggregates decline pushdown (values still correct)") {
+    val byMission = api(rows = 97 * 3, pageSize = 50)
+      .groupBy(col("mission_name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMission.size == 97 && byMission.values.forall(_ == 3L))
   }
 }
