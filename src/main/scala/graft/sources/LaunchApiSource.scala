@@ -12,6 +12,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,16 +78,21 @@ private[sources] class LaunchApiTable(options: CaseInsensitiveStringMap)
   require(rows >= 0, s"launch_api: rows must be >= 0, got $rows")
   require(pageSize >= 1, s"launch_api: pageSize must be >= 1, got $pageSize")
 
+  private val maxPerTrigger = options.getLong("maxrowspertrigger", 250L)
+  require(maxPerTrigger >= 1,
+    s"launch_api: maxRowsPerTrigger must be >= 1, got $maxPerTrigger")
+
   override def name(): String = s"launch_api(rows=$rows, pageSize=$pageSize)"
   override def schema(): StructType = LaunchApiSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new LaunchApiScanBuilder(rows, pageSize)
+    new LaunchApiScanBuilder(rows, pageSize, maxPerTrigger)
 }
 
-private[sources] class LaunchApiScanBuilder(rows: Long, pageSize: Int)
+private[sources] class LaunchApiScanBuilder(
+    rows: Long, pageSize: Int, maxPerTrigger: Long = 250L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -153,7 +160,7 @@ private[sources] class LaunchApiScanBuilder(rows: Long, pageSize: Int)
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new LaunchApiAggScan(rows, minDateUs, agg)
-    case None      => new LaunchApiScan(rows, pageSize, minDateUs, required)
+    case None => new LaunchApiScan(rows, pageSize, minDateUs, required, maxPerTrigger)
   }
 }
 
@@ -203,6 +210,69 @@ private[sources] class LaunchApiAggScan(
 
 private[sources] case object LaunchAggPartition extends InputPartition
 
+/** Streaming offset = next unread row index of the sorted launch sequence
+  * (the page cursor a real paginated API hands back).
+  */
+private[sources] case class RowOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** MicroBatchStream over the paginated API — the reference's ingest loop
+  * (`src/ingest.py:32-128`: poll → page through new launches → merge) as
+  * a FIRST-CLASS streaming source instead of a driver-side while-loop.
+  * Admission control caps each micro-batch at `maxRowsPerTrigger` rows
+  * (the page-budget per poll of a rate-limited upstream); offsets are
+  * plain row indexes, so restart-from-checkpoint replans from the
+  * committed cursor with no internal state ([[latestOffset]] is a pure
+  * function of the start offset — the restart-safety the stateful
+  * "remember what I returned last" formulation lacks). Each batch splits
+  * into page-sized input partitions — the same parallel unit as the
+  * batch scan.
+  */
+private[sources] class LaunchApiMicroBatch(
+    rows: Long, pageSize: Int, maxPerTrigger: Long,
+    minDateUs: Option[Long], required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = RowOffset(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this admission-controlled stream")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[RowOffset].n
+    RowOffset(math.min(s + maxPerTrigger, rows))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxPerTrigger)
+
+  /** The synthetic upstream is fixed-size, so "all available now" is just
+    * `rows`; nothing to snapshot.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def reportLatestOffset(): Offset = RowOffset(rows)
+
+  override def deserializeOffset(json: String): Offset =
+    RowOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RowOffset].n
+    val e = end.asInstanceOf[RowOffset].n
+    (s until e by pageSize.toLong)
+      .map(p => LaunchPage(p, math.min(p + pageSize, e))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LaunchApiReaderFactory(minDateUs, required)
+}
+
 private[sources] class LaunchApiAggReaderFactory(outputs: IndexedSeq[java.lang.Long])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -215,11 +285,14 @@ private[sources] class LaunchApiAggReaderFactory(outputs: IndexedSeq[java.lang.L
 }
 
 private[sources] class LaunchApiScan(
-    rows: Long, pageSize: Int, minDateUs: Option[Long], required: StructType)
+    rows: Long, pageSize: Int, minDateUs: Option[Long], required: StructType,
+    maxPerTrigger: Long = 250L)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LaunchApiMicroBatch(rows, pageSize, maxPerTrigger, minDateUs, required)
   override def description(): String =
     s"LaunchApiScan(minDateUs=$minDateUs, cols=${required.fieldNames.mkString(",")})"
 

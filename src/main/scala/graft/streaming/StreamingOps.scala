@@ -192,6 +192,55 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(scratch)
   }
 
+  /** Streaming ingest THROUGH the DSv2 API connector — the reference's
+    * poll-and-page loop run by the streaming engine itself
+    * ([[graft.sources.LaunchApiMicroBatch]]): 1000 synthetic launches
+    * admitted 250 rows per micro-batch (4 batches, `require`d below so a
+    * silently-single-batch run fails the gate), aggregated per mission in
+    * Complete mode. The DuckDB twin recomputes the same aggregate from
+    * `range()` — the whole offset/admission/partition-planning path must
+    * round-trip exactly or the hash diverges.
+    */
+  def streamApiIngest(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_api_${sinkSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-api-ckpt")
+    val q = s.readStream.format("graft.sources.LaunchApiSource")
+      .option("rows", 1000).option("pageSize", 100)
+      .option("maxRowsPerTrigger", 250)
+      .load()
+      .groupBy(col("mission_name"))
+      .agg(count(lit(1)).as("n_launches"),
+        roundTo(sum(col("payload_mass_kg")), 2).as("mass_sum"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 4,
+        s"admission control must split the ingest into >=4 batches, got $dataBatches")
+      val shaped = s.table(name).orderBy("mission_name")
+      val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+      require(out.count() == 97, s"expected 97 missions, got ${out.count()}")
+      out
+    } finally {
+      scala.util.Try(s.catalog.dropTempView(name))
+      deleteRecursively(ckpt)
+    }
+  }
+
+  val streamApiIngestOracle: String =
+    """SELECT 'Mission ' || CAST(i % 97 AS VARCHAR) AS mission_name,
+      | count(*) AS n_launches,
+      | floor(sum(CASE WHEN i % 7 = 0 THEN NULL
+      |   ELSE (i % 22801) * CAST(0.7 AS DOUBLE) END) * 1e2 + 0.5) / 1e2 AS mass_sum
+      |FROM range(0, 1000) t(i)
+      |GROUP BY 1 ORDER BY mission_name""".stripMargin
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
@@ -699,5 +748,7 @@ object StreamingOps extends QueryModule {
       Some(streamStaticEnrichOracle)),
     RegisteredQuery("stream_sessionize", streamSessionize,
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
+    RegisteredQuery("stream_api_ingest", streamApiIngest,
+      Some(streamApiIngestOracle)),
   )
 }

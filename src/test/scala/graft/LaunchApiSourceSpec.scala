@@ -95,6 +95,35 @@ class LaunchApiSourceSpec extends SparkSpec {
       "fallback must materialize every row")
   }
 
+  test("streaming: admission-controlled batches resume exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = tmpDir("graft-api-stream-out")
+    val ckpt = tmpDir("graft-api-stream-ckpt")
+    def run(rows: Long) = {
+      val q = spark.readStream.format("graft.sources.LaunchApiSource")
+        .option("rows", rows).option("pageSize", 100)
+        .option("maxRowsPerTrigger", 300)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q
+    }
+    // first poll: upstream has 300 launches
+    run(300)
+    assert(spark.read.parquet(out).count() == 300)
+    // upstream grew to 1000; same checkpoint → resume from offset 300.
+    // 700 remaining rows / 300 per trigger = 3 data batches (admission
+    // control must survive the restart too)
+    val q2 = run(1000)
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 3,
+      q2.recentProgress.map(_.numInputRows).mkString(","))
+    val ids = spark.read.parquet(out).select("launch_id").collect().map(_.getString(0))
+    assert(ids.length == 1000, "exactly-once: no loss, no replay")
+    assert(ids.distinct.length == 1000, "exactly-once: no duplicates")
+  }
+
   test("group-by aggregates decline pushdown (values still correct)") {
     val byMission = api(rows = 97 * 3, pageSize = 50)
       .groupBy(col("mission_name")).agg(count(lit(1)).as("n"))
