@@ -278,9 +278,112 @@ object ChunkOps extends QueryModule {
        | md5(array_to_string(toks[ci*$stride+1 : ci*$stride+$span], ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Sliding-window width/stride for alignment-free exact-substring dedup.
+    * Stride MUST be 1 for the exactness guarantee: with S>1 the two
+    * documents' window grids both start at their own text start, so a
+    * shared run whose offsets differ by a non-multiple of S is sampled at
+    * different intra-run positions and never hash-collides (worked
+    * counterexample: offsets 5 and 12 under S=10 — x≡5 and x≡8 (mod 10)
+    * has no solution). S=1 makes every token a window start, so any
+    * ≥[[winW]]-token run shared across documents is caught at ANY offset
+    * pair.
+    */
+  private val winW = 30
+  private val winS = 1
+
+  /** Alignment-FREE exact-substring span dedup (the Lee et al.
+    * "Deduplicating Training Data" ExactSubstr signal): every [[winW]]-
+    * token window (stride [[winS]] = 1) is fingerprinted; windows whose
+    * hash occurs in ≥2 DISTINCT documents are duplicate evidence;
+    * overlapping flagged windows merge into maximal spans
+    * (gaps-and-islands) and each doc reports its duplicated-token mass.
+    * [[dedupSegments]] only catches duplicates that land on the same
+    * segment GRID — a copied paragraph at a different offset slips
+    * through; this catches any ≥[[winW]]-token shared run at any offset.
+    * Intra-doc repetition deliberately does not flag (distinct-doc
+    * census — [[graft.operators.TextOps]]' repetition op owns that
+    * signal).
+    *
+    * Scale shape: one window per token position — the same per-position
+    * fan-out as [[boilerplateNgrams]]' gram explode, map-only via the
+    * index transform; the hash census is one word-count-shaped keyed
+    * aggregate (map-side partials collapse each partition's windows);
+    * the island merge windows over (doc, si) — per-doc bounded. At
+    * 100 TB the md5-of-slice fingerprint is the part to upgrade (a
+    * rolling Rabin-Karp kernel makes the window pass O(1) per position
+    * instead of O(W)); the dataflow shape stays exactly this.
+    */
+  def spanExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val wins = tokenized(s, dir)
+      .filter(col("n") >= winW)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, cast(floor((n - $winW) / $winS.0) as int)), i -> i * $winS)"))
+          .as("si"),
+        col("toks"))
+      .select(col("doc_id"), col("si"),
+        md5(expr(s"array_join(slice(toks, si + 1, $winW), ' ')")).as("h"))
+    val shared = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val flagged = wins.join(shared, "h")
+      .select(col("doc_id"), col("si"), (col("si") + winW).as("e"))
+    val prevMax = Window.partitionBy("doc_id").orderBy("si")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runSum = Window.partitionBy("doc_id").orderBy("si")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = flagged
+      .withColumn("pme", max(col("e")).over(prevMax))
+      .withColumn("is_new",
+        when(col("pme").isNull || col("si") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(runSum))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("si")).as("a"), max(col("e")).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("b") - col("a")).cast("long").as("dup_tokens"))
+    wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val spanExactDedupOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id,
+       |  unnest(generate_series(0,
+       |    CAST(floor((len(toks) - $winW) / $winS.0) AS BIGINT))) * $winS AS si,
+       |  toks
+       | FROM t WHERE len(toks) >= $winW),
+       |hw AS (SELECT doc_id, CAST(si AS INT) AS si,
+       |  md5(array_to_string(toks[si+1 : si+$winW], ' ')) AS h FROM w),
+       |sh AS (SELECT h FROM (
+       |  SELECT h, count(DISTINCT doc_id) AS nd FROM hw GROUP BY 1) WHERE nd >= 2),
+       |f AS (SELECT doc_id, si, si + $winW AS e FROM hw
+       |      WHERE h IN (SELECT h FROM sh)),
+       |m AS (SELECT doc_id, si, e,
+       |  max(e) OVER (PARTITION BY doc_id ORDER BY si
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM f),
+       |ii AS (SELECT doc_id, si, e,
+       |  sum(CASE WHEN pme IS NULL OR si > pme THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY si
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+       |isl AS (SELECT doc_id, island, min(si) AS a, max(e) AS b
+       |        FROM ii GROUP BY 1, 2),
+       |x AS (SELECT doc_id, count(*) AS n_islands,
+       |      CAST(sum(b - a) AS BIGINT) AS dup_tokens FROM isl GROUP BY 1),
+       |c AS (SELECT doc_id, count(*) AS n_windows FROM hw GROUP BY 1)
+       |SELECT c.doc_id, c.n_windows,
+       | CAST(coalesce(x.n_islands, 0) AS BIGINT) AS n_islands,
+       | CAST(coalesce(x.dup_tokens, 0) AS BIGINT) AS dup_tokens
+       |FROM c LEFT JOIN x USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),
     RegisteredQuery("dedup_segments", dedupSegments, Some(dedupSegmentsOracle)),
+    RegisteredQuery("span_exact_dedup", spanExactDedup, Some(spanExactDedupOracle)),
     RegisteredQuery("boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsOracle)),
     RegisteredQuery("corpus_repack", corpusRepack, Some(corpusRepackOracle)),
   )

@@ -93,4 +93,37 @@ class ChunkOpsSpec extends SparkSpec {
     assert(nDocs === top.getAs[Long]("n_docs"),
       s"gram '$gram': census says ${top.getAs[Long]("n_docs")}, scan says $nDocs")
   }
+
+  test("span_exact_dedup catches an off-grid copied run that the aligned segmenter misses") {
+    import spark.implicits._
+    // a 40-token run R planted at offset 5 in doc 0 and offset 12 in doc 1:
+    // offsets differ by 7, so no 16-token GRID segment of doc 0's R copy
+    // aligns with doc 1's — dedup_segments sees nothing; the sliding
+    // window must see everything
+    val run = (0 until 40).map(i => s"r$i")
+    val doc0 = ((0 until 5).map(i => s"a$i") ++ run ++ (5 until 10).map(i => s"a$i"))
+    val doc1 = ((0 until 12).map(i => s"b$i") ++ run ++ (12 until 16).map(i => s"b$i"))
+    val doc2 = (0 until 50).map(i => s"c$i")
+    val dir = tmpDir("graft-span-dedup")
+    Seq((0L, doc0.mkString(" "), "en", "s", 1),
+        (1L, doc1.mkString(" "), "en", "s", 1),
+        (2L, doc2.mkString(" "), "en", "s", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ChunkOps.spanExactDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // doc 0: R occupies tokens [5, 45); flagged window starts are
+    // 5..15 (every 30-window inside R), island = [5, 45) → 40 tokens
+    assert(rows(0L) == ((1L, 40L)), s"doc0: ${rows(0L)}")
+    // doc 1: R at [12, 52) → same 40-token island
+    assert(rows(1L) == ((1L, 40L)), s"doc1: ${rows(1L)}")
+    assert(rows(2L) == ((0L, 0L)), "unique doc must not flag")
+
+    // the aligned segmenter (16-token grid) indeed reports zero cross-doc
+    // duplicate segments on the same corpus — the gap this operator closes
+    val seg = ChunkOps.dedupSegments(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    assert(seg.values.sum == 0L,
+      s"grid segmenter unexpectedly caught the off-grid run: $seg")
+  }
 }
