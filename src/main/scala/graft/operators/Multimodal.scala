@@ -219,10 +219,95 @@ object Multimodal extends QueryModule {
       | CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 28 END + len(text) AS BIGINT) AS payload_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Interleaved-sequence packing budget, per-image patch-token cost
+    * (a 24×24 vision-encoder grid), and docs per packing block.
+    */
+  private val packBudget = 2048L
+  private val patchTokens = 576L
+  private val packBlockDocs = 128L
+
+  /** Typed row for the packing fold. */
+  final case class PackDoc(
+      doc_id: Long, text_tokens: Long, n_images: Long,
+      img_tokens: Long, w: Long, blk: Long)
+
+  /** Interleaved image-text sequence packing — the vision-LLM training
+    * packer: each document contributes its text tokens plus
+    * [[patchTokens]] placeholder tokens per attached image (image count
+    * derived `doc_id % 3` — the fixtures carry no media, same convention
+    * as the decode stub), and documents pack FIRST-FIT into
+    * [[packBudget]]-token sequences with both docs and images ATOMIC —
+    * unlike `pack_sequences`' offset semantics, a hard budget means no
+    * item ever straddles a pack (an oversized single doc gets a pack of
+    * its own). Greedy close-when-full is inherently sequential, so it
+    * runs as a typed `flatMapGroups` fold over [[packBlockDocs]]-doc
+    * RANGE blocks: each block packs independently (≤1 partial pack of
+    * waste per block buys full parallelism — the accepted sample-packing
+    * trade at corpus scale), one shuffle on the block key, block state =
+    * two longs. The oracle replays the EXACT fold as a DuckDB recursive
+    * CTE — per-pack totals must match row for row.
+    */
+  def mmInterleavePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("text_tokens"),
+        (col("doc_id") % 3).cast("long").as("n_images"))
+      .withColumn("img_tokens", col("n_images") * patchTokens)
+      .withColumn("w", col("text_tokens") + col("img_tokens"))
+      .withColumn("blk", expr(s"doc_id div $packBlockDocs"))
+      .as[PackDoc]
+    val packed = docs.groupByKey(_.blk).flatMapGroups { (blk, it) =>
+      val sorted = it.toSeq.sortBy(_.doc_id)
+      var pack = 0L
+      var fill = 0L
+      sorted.map { d =>
+        if (fill > 0 && fill + d.w > packBudget) { pack += 1; fill = d.w }
+        else fill += d.w
+        (blk, pack, d.text_tokens, d.img_tokens, d.n_images)
+      }
+    }.toDF("blk", "pack", "text_tokens", "img_tokens", "n_img")
+    packed.groupBy(col("blk"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(col("img_tokens")).as("image_tokens"),
+        sum(col("text_tokens") + col("img_tokens")).as("total_tokens"),
+        sum(col("n_img")).as("n_images"))
+      .orderBy("blk", "pack")
+  }
+
+  val mmInterleavePackOracle: String =
+    s"""WITH RECURSIVE d AS (
+       | SELECT doc_id, doc_id // $packBlockDocs AS blk,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens,
+       |  CAST(doc_id % 3 AS BIGINT) AS n_images,
+       |  CAST((doc_id % 3) * $patchTokens AS BIGINT) AS img_tokens,
+       |  CAST(len(string_split(text, ' ')) + (doc_id % 3) * $patchTokens
+       |    AS BIGINT) AS w,
+       |  row_number() OVER (PARTITION BY doc_id // $packBlockDocs
+       |                     ORDER BY doc_id) AS rn
+       | FROM documents),
+       |r AS (
+       | SELECT blk, rn, text_tokens, n_images, img_tokens, w,
+       |   CAST(0 AS BIGINT) AS pack, w AS fill
+       | FROM d WHERE rn = 1
+       | UNION ALL
+       | SELECT d.blk, d.rn, d.text_tokens, d.n_images, d.img_tokens, d.w,
+       |   CASE WHEN r.fill + d.w > $packBudget THEN r.pack + 1 ELSE r.pack END,
+       |   CASE WHEN r.fill + d.w > $packBudget THEN d.w ELSE r.fill + d.w END
+       | FROM r JOIN d ON d.blk = r.blk AND d.rn = r.rn + 1)
+       |SELECT blk, pack, count(*) AS n_docs,
+       | CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+       | CAST(sum(img_tokens) AS BIGINT) AS image_tokens,
+       | CAST(sum(text_tokens + img_tokens) AS BIGINT) AS total_tokens,
+       | CAST(sum(n_images) AS BIGINT) AS n_images
+       |FROM r GROUP BY 1, 2 ORDER BY blk, pack""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("mm_binary_stats", mmBinaryStats, Some(mmBinaryStatsOracle)),
     RegisteredQuery("mm_decode_stub", mmDecodeStub, Some(mmDecodeStubOracle)),
     RegisteredQuery("mm_frame_sample", mmFrameSample, Some(mmFrameSampleOracle)),
     RegisteredQuery("mm_header_probe", mmHeaderProbe, Some(mmHeaderProbeOracle)),
+    RegisteredQuery("mm_interleave_pack", mmInterleavePack, Some(mmInterleavePackOracle)),
   )
 }

@@ -82,4 +82,24 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("mm_interleave_pack: hard budget, every doc packed once, dense pack ids") {
+    val rows = Multimodal.mmInterleavePack(spark, sfDir).collect()
+    val nDocs = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "atomicity: every doc lands in exactly one pack")
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_tokens")
+      assert(total <= 2048L || r.getAs[Long]("n_docs") == 1L,
+        s"pack over budget with multiple docs: $r")
+      assert(total ==
+        r.getAs[Long]("text_tokens") + r.getAs[Long]("image_tokens"))
+      assert(r.getAs[Long]("image_tokens") == 576L * r.getAs[Long]("n_images"))
+    }
+    rows.groupBy(_.getAs[Long]("blk")).foreach { case (blk, ps) =>
+      val ids = ps.map(_.getAs[Long]("pack")).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong), s"block $blk packs not dense: $ids")
+    }
+    assert(rows.length > nDocs / 10, "packing should produce many packs (images are heavy)")
+  }
 }
