@@ -211,10 +211,43 @@ object LayoutOps extends QueryModule {
       | true AS files_sorted
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** Footer-stats aggregation — whole-table min/max/count answered from
+    * parquet FOOTER metadata instead of row scans (`PushedAggregation` in
+    * the V2 scan): at 100 TB this turns a full-column pass into reading
+    * one stats struct per file. Needs the parquet V2 read path +
+    * `parquet.aggregatePushdown`, both scoped to THIS query and restored
+    * in `finally` (the result is materialized inside the window — same
+    * discipline as [[partitionedWriteAudit]]'s temp dir). Values are
+    * plain SQL (the pushdown is an optimization, not a semantic), so the
+    * oracle is exact; the plan property is pinned in `ZorderLayoutSpec`.
+    */
+  def footerMinmax(s: SparkSession, dir: String): DataFrame = {
+    val confs = Map(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val out = s.read.parquet(s"$dir/orders.parquet")
+        .agg(min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          count(lit(1)).as("n_rows"))
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  val footerMinmaxOracle: String =
+    """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      | count(*) AS n_rows
+      |FROM orders""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("zorder_key", zorderKey, Some(zorderOracle)),
     RegisteredQuery("compaction_plan", compactionPlan, Some(compactionOracle)),
     RegisteredQuery("partitioned_write_audit", partitionedWriteAudit,
       Some(partitionedWriteAuditOracle)),
+    RegisteredQuery("footer_minmax", footerMinmax, Some(footerMinmaxOracle)),
   )
 }

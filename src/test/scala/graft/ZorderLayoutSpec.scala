@@ -63,6 +63,31 @@ class ZorderLayoutSpec extends SparkSpec {
     assert(zc < sc0 / 2, "z-order should at least halve the customer span vs date sort")
   }
 
+  test("footer_minmax: aggregate is answered from parquet footer stats (PushedAggregation)") {
+    val confs = Map(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]"),
+        s"footer-stats pushdown missing:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    // and the registered query's values equal the row-scan computation
+    val viaFooter = LayoutOps.footerMinmax(spark, sfDir).collect().head
+    val plain = graft.engine.Tables.orders(spark, sfDir)
+      .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1)))
+      .collect().head
+    assert(viaFooter.getLong(0) == plain.getLong(0)
+      && viaFooter.getLong(1) == plain.getLong(1)
+      && viaFooter.getLong(2) == plain.getLong(2))
+  }
+
   test("partitioned-write audit: clean layout passes; unrepartitioned write trips n_files") {
     val orders = graft.engine.Tables.orders(spark, sfDir)
     val audit = LayoutOps.partitionedWriteAudit(spark, sfDir).collect()
