@@ -12,6 +12,7 @@ import graft.operators._
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational,
+    SetOps,
     MergeOps,
     TextOps,
     Dedup,

@@ -504,6 +504,119 @@ object StreamingOps extends QueryModule {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** LEFT OUTER stream-stream interval join — the missing output mode of
+    * the streaming join matrix. Inner emission is incremental (same as
+    * [[streamIntervalJoin]]); the null-matched rows for clicks that never
+    * saw a purchase can only be emitted on STATE EVICTION, when the global
+    * watermark proves no future purchase can still match. That makes this
+    * the one query where watermark arithmetic, not just state matching, is
+    * on the gated path: get eviction wrong and the result silently
+    * degenerates to the inner join (rows missing) or double-emits.
+    *
+    * Global-watermark discipline: Spark takes the MIN over all sources'
+    * watermarks. A far-future sentinel on the purchase side alone would
+    * advance nothing — the click side's watermark would pin the minimum
+    * forever once its file is exhausted. So BOTH sides get a sentinel
+    * (negative user_id, matching nothing): clicks c1 at 2024-06-01 and
+    * purchases p3 at 2024-06-02 push both source watermarks past every
+    * real click's match horizon (click_ts + 4h + 1h delay), and a second
+    * purchase sentinel p4 provides the trailing DATA batch in which the
+    * eviction pass actually runs (outer results materialize in the batch
+    * AFTER the watermark advances — with AvailableNow there is no later
+    * trigger to rely on). The click sentinel itself never flushes (the
+    * final global watermark sits 1h before it) and is filtered anyway.
+    *
+    * Batch order under maxFilesPerTrigger=1 per source (mtime-pinned):
+    * B1 c0+p1 → inner matches; B2 c1+p2 → cross-batch matches; B3 p3 →
+    * watermark jumps; B4 p4 → every remaining unmatched real click evicts
+    * with NULL purchase columns. The oracle is the plain batch LEFT JOIN:
+    * every real row is on time and the final watermark passes everything,
+    * so streaming must reproduce it exactly — no drops, no stuck state.
+    *
+    * Scale: left-outer state is the same keyed store as the inner join
+    * plus an eviction timer per row; watermark delay bounds state size by
+    * (join window + delay) × arrival rate, independent of stream length.
+    */
+  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-loj")
+    val clickDir = java.nio.file.Files.createDirectories(root.resolve("clicks"))
+    val purchDir = java.nio.file.Files.createDirectories(root.resolve("purchases"))
+    try {
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val t0 = 1700000000000L
+      val base = graft.engine.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", "c0")
+            .when(col("ts") < cut, "p1").otherwise("p2").as("__b"))
+      stageSplitsTo(base, "__b", Map(
+        "c0" -> (clickDir, t0), "p1" -> (purchDir, t0),
+        "p2" -> (purchDir, t0 + 1000)))
+      val ioSchema = base.drop("__b").schema
+
+      def sentinel(uid: Long, day: String): DataFrame =
+        s.range(1).select(
+          lit(uid).as("event_id"), lit(uid).as("user_id"),
+          to_timestamp(lit(s"2024-06-$day 00:00:00")).as("ts"))
+      stage(sentinel(-1L, "01"), clickDir, "c1", t0 + 1000)
+      stage(sentinel(-2L, "02"), purchDir, "p3", t0 + 2000)
+      stage(sentinel(-3L, "03"), purchDir, "p4", t0 + 3000)
+
+      val name = s"graft_stream_loj_${sinkSeq.incrementAndGet()}"
+      withShufflePartitions(s, 8) {
+        val cs = s.readStream.schema(ioSchema)
+          .option("maxFilesPerTrigger", 1).parquet(clickDir.toString)
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val ps = s.readStream.schema(ioSchema)
+          .option("maxFilesPerTrigger", 1).parquet(purchDir.toString)
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val q = cs.join(ps,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"),
+            "leftOuter")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"),
+            unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name)
+            .filter(col("user_id") >= 0)
+            .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(out.where(col("purchase_id").isNull).count() > 0,
+            "left-outer stream join evicted no unmatched clicks — watermark never flushed state")
+          require(out.where(col("purchase_id").isNotNull).count() > 0,
+            "left-outer stream join matched no pairs")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
+  /** The batch LEFT JOIN — nulls order with the same coalesce(-1) key the
+    * streaming side sorts by, so the row order is engine-independent.
+    */
+  val streamLeftOuterOracle: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      | epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      | ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+      |ORDER BY click_id, coalesce(purchase_id, -1)""".stripMargin
+
   /** The reference's CDC upsert loop (§2.9 core semantic,
     * `/root/reference/src/database.py:133-202`) run AS STREAMING under the
     * driver oracle: two file-source micro-batch rounds through
@@ -744,6 +857,10 @@ object StreamingOps extends QueryModule {
     // green only if batch-2 purchases matched batch-1 buffered click state
     RegisteredQuery("stream_interval_join", streamIntervalJoin,
       Some(streamIntervalJoinOracle)),
+    // green only if watermark-driven state EVICTION emitted exactly the
+    // unmatched clicks (the outer half) on top of the buffered matches
+    RegisteredQuery("stream_left_outer_join", streamLeftOuterJoin,
+      Some(streamLeftOuterOracle)),
     RegisteredQuery("stream_static_enrich", streamStaticEnrich,
       Some(streamStaticEnrichOracle)),
     RegisteredQuery("stream_sessionize", streamSessionize,
