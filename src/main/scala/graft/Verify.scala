@@ -25,9 +25,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // dump-layer representation fix, not a semantics change: the
+        // session reads fixture timestamps as LTZ (UTC), which parquet
+        // writes tz-aware (isAdjustedToUTC=true) — but DuckDB's oracle
+        // emits naive timestamps, and the driver's compare is tz-strict.
+        // Under a UTC session LTZ→NTZ is the identity on the stored
+        // micros, so cast every emitted timestamp column to NTZ at the
+        // dump boundary; both sides then read back naive and equal.
+        val ntz = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+        }.foldLeft(df)((d, c) => d.withColumn(c,
+          org.apache.spark.sql.functions.col(c).cast(
+            org.apache.spark.sql.types.TimestampNTZType)))
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

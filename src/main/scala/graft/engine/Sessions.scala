@@ -25,6 +25,14 @@ object Sessions {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // fixtures store timestamp[us] with isAdjustedToUTC=false; Spark 4
+    // would infer TIMESTAMP_NTZ, which (a) rejects unix_micros and (b)
+    // makes LTZ watermark literals cast the COLUMN, killing parquet
+    // predicate pushdown. Reading them as session-UTC TimestampType keeps
+    // the raw stored micros as the instant (identical values to NTZ under
+    // a UTC session) and preserves pushdown — and matches how DuckDB's
+    // oracle sees the same files (naive micros).
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     // write int64 micros, not INT96: the oracle compare reads our output
     // and DuckDB's result side-by-side and INT96 decodes as nanos
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",

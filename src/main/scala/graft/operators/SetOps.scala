@@ -11,7 +11,8 @@ import graft.engine.Tables
   * decorrelation, NOT IN's three-valued-logic null trap, and a running
   * DISTINCT count without per-row set state. The reference delegates these
   * to Postgres/Trino semantics (its queries are ANSI SQL over views —
-  * /root/reference/sql/queries/*.sql); an engine replacing that stack must
+  * the per-query .sql files under /root/reference/sql/queries/); an
+  * engine replacing that stack must
   * reproduce the same ANSI behavior, so each is pinned against the DuckDB
   * oracle rather than assumed.
   *
@@ -155,10 +156,10 @@ object SetOps extends QueryModule {
     * window, then takes a cumulative SUM of the flag over the user's
     * timeline — two windows, O(1) state per row.
     *
-    * Scale: both windows partition by user_id (the second by the same key
-    * — one exchange total, the sort is reused), user cardinality grows
-    * with the data, and no operator holds state proportional to the
-    * distinct-value count. The same trick is how the 100 TB "new users
+    * Scale: two hash exchanges — (user_id, event_type) for the
+    * first-seen flag, then user_id for the cumulative sum — both
+    * key-parallel with cardinality that grows with the data, and no
+    * operator holds state proportional to the distinct-value count. The same trick is how the 100 TB "new users
     * per day" and "first-seen dedup" curves are computed. Ties on ts are
     * broken by event_id so the running value is total-order deterministic.
     */
@@ -186,8 +187,9 @@ object SetOps extends QueryModule {
       |         THEN 1 ELSE 0 END AS first_seen
       |  FROM events)
       |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-      |  sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                        ROWS UNBOUNDED PRECEDING) AS distinct_types_so_far
+      |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS distinct_types_so_far
       |FROM flagged
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
