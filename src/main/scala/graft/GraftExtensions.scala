@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PairCombinations.name),
       (children: Seq[Expression]) => graft.functions.PairCombinations(children(0))))
     ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRunningDistinct)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -237,6 +237,83 @@ object EventLifecycleOps extends QueryModule {
        |FROM v ORDER BY user_id, version""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Point-in-time join against the SCD2 dimension
+  // ---------------------------------------------------------------------
+
+  /** Point-in-time (PIT) enrichment: each click event joined to the SCD2
+    * state row valid AT its timestamp — the "what did the dimension say
+    * when the fact happened" join that makes or breaks training-data
+    * temporal correctness (joining facts to the CURRENT dimension row
+    * leaks the future into features). Intervals are built from the
+    * user's non-click events (the [[scd2Intervals]] topology); clicks
+    * before any state carry 'none'.
+    *
+    * Scale: the textbook spelling is an inequality join
+    * (`from <= ts < to`), which plans as a nested loop at any scale.
+    * Half-open SCD2 intervals make PIT a BACKWARD AS-OF on interval
+    * starts — per user, the last interval whose `valid_from <= ts` is
+    * exactly the containing one (its `valid_to` is the next change or
+    * the open end, both `> ts`; zero-length [t,t) versions lose the
+    * at-t tie to the later version by construction). So the plan is the
+    * union + running last_value carry: ONE exchange on user_id, O(1)
+    * window state, no range join anywhere — while the DuckDB oracle runs
+    * the literal inequality-join spelling, proving the equivalence.
+    * Dimension rows order before same-timestamp facts (tag 0 < 1), so a
+    * click at the exact change instant sees the NEW state, matching the
+    * half-open semantics.
+    */
+  def scd2PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = base.filter(col("event_type") =!= "click")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(wd).cast("long"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("version"), col("event_type").as("state"),
+        lit(0).as("tag"), lit(null).cast("long").as("click_id"))
+    val facts = base.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("state"),
+        lit(1).as("tag"), col("event_id").as("click_id"))
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("tag"),
+        coalesce(col("version"), lit(Long.MaxValue)),
+        coalesce(col("click_id"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("state_at_click", last(col("state"), ignoreNulls = true).over(carry))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("click_id"), col("t_us").as("ts_us"),
+        coalesce(col("state_at_click"), lit("none")).as("state_at_click"))
+      .orderBy("user_id", "click_id")
+  }
+
+  val scd2PitJoinOracle: String =
+    s"""WITH chg AS (
+       | SELECT user_id, event_id, ts, event_type
+       | FROM (
+       |  SELECT user_id, event_id, ts, event_type,
+       |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |     AS prev_type
+       |  FROM events WHERE event_type <> 'click')
+       | WHERE prev_type IS NULL OR prev_type <> event_type),
+       |v AS (
+       | SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us,
+       |  coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id), $openEndUs) AS valid_to_us
+       | FROM chg)
+       |SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS ts_us,
+       | coalesce(i.state, 'none') AS state_at_click
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |LEFT JOIN v i ON i.user_id = c.user_id
+       | AND i.valid_from_us <= epoch_us(c.ts)
+       | AND epoch_us(c.ts) < i.valid_to_us
+       |ORDER BY c.user_id, click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Time-series gap-fill / resample
   // ---------------------------------------------------------------------
 
@@ -423,6 +500,7 @@ object EventLifecycleOps extends QueryModule {
     RegisteredQuery("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     RegisteredQuery("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     RegisteredQuery("scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
+    RegisteredQuery("scd2_pit_join", scd2PitJoin, Some(scd2PitJoinOracle)),
     RegisteredQuery("ts_gapfill", tsGapfill, Some(tsGapfillOracle)),
     RegisteredQuery("rolling_active_users", rollingActiveUsers,
       Some(rollingActiveUsersOracle)),

@@ -262,8 +262,59 @@ object ProfilingOps extends QueryModule {
       |   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
       |ORDER BY check_name""".stripMargin
 
+  /** k-anonymity audit over quasi-identifiers — the re-identification
+    * risk check a pipeline runs before releasing person-linked training
+    * data. Rows are grouped into equivalence classes by their
+    * quasi-identifier tuple (here `(c_mktsegment, c_nationkey)` — the
+    * attributes an adversary could cross-reference); the table's
+    * k-anonymity is the SMALLEST class size, and every row in a class
+    * below threshold k is individually re-identifiable to within that
+    * class. One-row digest: k itself, class counts, and the at-risk row
+    * counts/shares at k=5 and k=10 (the thresholds regulators and
+    * data-release checklists most commonly cite).
+    *
+    * Scale: class sizes are one keyed aggregate with map-side partials
+    * (the word-count topology — quasi-identifier cardinality, not row
+    * count, reaches the reduce side); the digest is a 1-row reduce over
+    * the class table. At 100 TB the same two-stage plan runs per release
+    * candidate; the class table doubles as the worklist for suppression
+    * or generalization of the violating classes.
+    */
+  def kanonAudit(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min(col("class_size")).as("k_anonymity"),
+      sum(col("class_size")).as("n_rows"),
+      sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+        .as("rows_below_k5"),
+      sum(when(col("class_size") < 10, col("class_size")).otherwise(0L))
+        .as("rows_below_k10"))
+      .select(col("n_classes"), col("k_anonymity"), col("n_rows"),
+        col("rows_below_k5"), col("rows_below_k10"),
+        roundTo(col("rows_below_k10").cast("double") / col("n_rows"), 4)
+          .as("at_risk_share_k10"))
+  }
+
+  val kanonOracle: String =
+    """WITH classes AS (
+      | SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+      | FROM customer GROUP BY 1, 2)
+      |SELECT count(*) AS n_classes, min(class_size) AS k_anonymity,
+      | CAST(sum(class_size) AS BIGINT) AS n_rows,
+      | CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+      |   AS rows_below_k5,
+      | CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) AS BIGINT)
+      |   AS rows_below_k10,
+      | floor(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)::DOUBLE
+      |   / sum(class_size) * 1e4 + 0.5) / 1e4 AS at_risk_share_k10
+      |FROM classes""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
+    RegisteredQuery("kanon_audit", kanonAudit, Some(kanonOracle)),
     RegisteredQuery("table_diff", tableDiff, Some(tableDiffOracle)),
     RegisteredQuery("length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
     RegisteredQuery("dq_rule_report", dqRuleReport, Some(dqRuleReportOracle)),

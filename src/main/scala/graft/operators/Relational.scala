@@ -188,9 +188,13 @@ object Relational extends QueryModule {
     */
   def q6RevenueBand(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      // LocalDateTime literals stay TIMESTAMP_NTZ like the stored column —
-      // a TimestampType literal would insert a cast over the column and
-      // keep the predicate out of PushedFilters
+      // timestamp-flavor coercion is ASYMMETRIC: an NTZ literal against
+      // the (session-UTC LTZ) column casts the LITERAL — constant-folded,
+      // predicate still reaches PushedFilters (pinned in PLANS.md) — while
+      // an LTZ literal against an NTZ column would cast the COLUMN and
+      // keep the band out of the scan. LocalDateTime literals are safe
+      // under both fixture flavors; see Sessions.tuneConf on why the
+      // session pins inferTimestampNTZ=false.
       .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
         col("l_shipdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)) &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&

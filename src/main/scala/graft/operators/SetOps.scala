@@ -193,10 +193,31 @@ object SetOps extends QueryModule {
       |FROM flagged
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** The NAIVE running-distinct spelling — `size(collect_set() OVER ...)`,
+    * what an analyst actually types. Registered to drive
+    * [[graft.plans.RewriteRunningDistinct]] end-to-end through the driver
+    * gate: the optimizer must transform this into the first-seen-flag plan
+    * (no set-valued window state) AND the result must still hash-match the
+    * same DuckDB oracle as the hand-written [[runningDistinct]].
+    */
+  def runningDistinctNaive(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        size(collect_set(col("event_type")).over(byUser)).cast("long")
+          .as("distinct_types_so_far"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("bag_intersect_except", bagIntersectExcept, Some(bagOracle)),
     RegisteredQuery("correlated_above_avg", correlatedAboveAvg, Some(correlatedSql)),
     RegisteredQuery("not_in_null_trap", notInNullTrap, Some(notInSql)),
     RegisteredQuery("w8_running_distinct", runningDistinct, Some(runningDistinctOracle)),
+    RegisteredQuery("w8_running_distinct_naive", runningDistinctNaive, Some(runningDistinctOracle)),
   )
 }

@@ -139,4 +139,38 @@ class EventLifecycleSpec extends SparkSpec
       assert(collectWithSubqueries(plan) { case w: WindowExec => w }.nonEmpty)
     }
   }
+
+  test("scd2_pit_join: as-of carry equals the literal inequality join, no Join node in plan") {
+    val df = EventLifecycleOps.scd2PitJoin(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    // the whole point: point-in-time enrichment WITHOUT an inequality
+    // join — no join operator of any kind, no nested loop, no cartesian
+    assert(!phys.contains("Join"), "PIT join regressed to a join plan:\n" + phys)
+    val got = df.collect().toSeq
+    // ground truth: the literal interval-containment join
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.engine.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = base.filter(col("event_type") =!= "click")
+      .withColumn("prev", lag(col("event_type"), 1).over(wd))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us",
+        coalesce(lead(unix_micros(col("ts")), 1).over(wd), lit(253402214400000000L)))
+      .select(col("user_id").as("du"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val want = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .join(dim, col("user_id") === col("du") &&
+        col("valid_from_us") <= col("ts_us") && col("ts_us") < col("valid_to_us"),
+        "left")
+      .select(col("user_id"), col("click_id"), col("ts_us"),
+        coalesce(col("state"), lit("none")).as("state_at_click"))
+      .orderBy("user_id", "click_id").collect().toSeq
+    assert(want.nonEmpty && got === want)
+    assert(got.exists(_.getString(3) != "none"), "no click ever found a state — vacuous")
+  }
 }

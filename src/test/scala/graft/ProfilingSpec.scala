@@ -64,4 +64,18 @@ class ProfilingSpec extends SparkSpec
     assert(bad("fk_lineitem_orders") == 0L,
       "no lineitem points at the injected order key")
   }
+
+  test("kanon_audit: digest invariants against the raw class table") {
+    val r = ProfilingOps.kanonAudit(spark, sfDir).collect().head
+    val (nClasses, k, nRows, below5, below10) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+    assert(nRows == customers.count(), "class sizes must partition the table")
+    assert(k >= 1 && below5 <= below10 && below10 <= nRows)
+    import org.apache.spark.sql.functions._
+    val minClass = customers.groupBy("c_mktsegment", "c_nationkey").count()
+      .agg(min("count")).collect().head.getLong(0)
+    assert(k == minClass, "k-anonymity must be the smallest equivalence class")
+    assert(nClasses <= 5L * 25L, "class count bounded by quasi-identifier domain")
+  }
 }

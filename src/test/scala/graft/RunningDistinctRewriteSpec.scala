@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.SetOps
+
+/** Pins for [[graft.plans.RewriteRunningDistinct]]: the naive
+  * `size(collect_set() OVER running-rows)` spelling must be re-planned as
+  * the first-seen-flag + cumulative-sum topology (O(1) window state), be
+  * value-identical to the hand-written plan, honor collect_set's
+  * drop-NULLs semantics, and leave every non-rewritable shape untouched.
+  */
+class RunningDistinctRewriteSpec extends SparkSpec {
+
+  private def runningW = Window.partitionBy(col("u")).orderBy(col("o"))
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  private def nullFixture = {
+    import spark.implicits._
+    Seq((1L, 1L, "a"), (1L, 2L, null), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, null), (2L, 2L, "z")).toDF("u", "o", "x")
+  }
+
+  test("naive running size(collect_set) is re-planned: no set-valued state, row_number + sum") {
+    val naive = SetOps.runningDistinctNaive(spark, sfDir)
+    val opt = naive.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!opt.contains("collect_set"),
+      "rewrite did not fire — the window still materializes the distinct set per row")
+    assert(opt.contains("row_number"),
+      "rewritten plan lost the first-seen row_number stage")
+    assert(naive.collect().toSeq === SetOps.runningDistinct(spark, sfDir).collect().toSeq,
+      "rewritten plan disagrees with the hand-written first-seen-flag plan")
+  }
+
+  test("NULLs are dropped exactly like collect_set drops them") {
+    val got = nullFixture
+      .select(col("u"), col("o"), size(collect_set(col("x")).over(runningW)).as("d"))
+      .orderBy("u", "o").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(got === Seq((1L, 1), (1L, 1), (1L, 1), (1L, 2), (2L, 0), (2L, 1)),
+      "null x must not count; pre-first-value rows must read 0")
+  }
+
+  test("whole-partition collect_set (no running frame) is NOT rewritten") {
+    val whole = Window.partitionBy(col("u"))
+    val df = nullFixture.select(col("o"), size(collect_set(col("x")).over(whole)).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("collect_set"),
+      "a genuine whole-frame distinct-set request must keep its set semantics")
+  }
+
+  test("selecting the array itself keeps the set AND its values") {
+    val df = nullFixture.select(col("o"),
+      collect_set(col("x")).over(runningW).as("s"),
+      size(collect_set(col("x")).over(runningW)).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("collect_set"),
+      "the array projection still needs the real collect_set")
+    val rows = df.orderBy("o").collect()
+    rows.foreach { r =>
+      val set = r.getSeq[String](1)
+      assert(set.distinct.size == set.size, "array column lost set semantics")
+      assert(r.getInt(2) == set.size, "size column disagrees with its own array")
+    }
+  }
+
+  test("driver-shape parity: naive and explicit spellings share one oracle") {
+    assert(SparkEntry.oracleSql("w8_running_distinct_naive") ===
+      SparkEntry.oracleSql("w8_running_distinct"))
+  }
+}
