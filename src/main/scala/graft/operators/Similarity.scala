@@ -903,9 +903,76 @@ object Similarity extends QueryModule {
       | ('sim_pq_topk', 15, 15)) AS t(method, hits, n_expected)
       |ORDER BY method""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Hard-negative mining (contrastive training data prep)
+  // ---------------------------------------------------------------------
+
+  /** Supervised hard-negative mining: for each anchor in the mining batch
+    * (vec_id < 20), the top-5 most-similar vectors carrying a DIFFERENT
+    * label — the negatives a contrastive loss learns the most from —
+    * excluding the cos >= 0.95 band (a different-label vector that close
+    * is far more likely a labeling error or an unflagged duplicate than a
+    * legitimate hard negative; shipping it poisons the loss with false
+    * negatives). Self-pairs drop automatically: the anchor shares its own
+    * label. Rank on the 6dp-rounded score (both engines) like
+    * [[simTopkBrute]] so float noise can't flip cross-engine ordering.
+    *
+    * Scale: the anchor BATCH broadcasts (mining runs batch-at-a-time, so
+    * the corpus-sized side never shuffles — scoring is one codegen'd dot
+    * per pair fused into the corpus scan) and top-5 plans as
+    * WindowGroupLimit per-partition heaps. At corpus scale the cross
+    * score is replaced by the IVF/LSH candidate generators already in
+    * this module with an over-fetch factor (label filtering AFTER
+    * retrieval shrinks the candidate set, so over-fetch covers the
+    * same-label candidates that get filtered) — same shape, same
+    * exclusion band, sub-linear candidate volume.
+    */
+  def hardNegativeMine(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val labeled = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("raw"))
+      .withColumn("nrm", sqrt(dot("raw", "raw")))
+      .select(col("vec_id"), col("label"), expr("transform(raw, x -> x / nrm)").as("e"))
+      .repartition(col("vec_id"))
+    val anchors = labeled.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("e").as("ae"))
+    val cands = labeled
+      .select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("e").as("ce"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id"))
+    cands.crossJoin(broadcast(anchors))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), roundTo(dot("ae", "ce"), 6).as("cos_sim"))
+      .filter(col("cos_sim") < 0.95)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("anchor_id", "rank")
+  }
+
+  val hardNegativeOracle: String = {
+    val cos = cosineSql("a.ae", "c.ce")
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, e AS ae
+       |      FROM v WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS neg_id, label AS neg_label, e AS ce FROM v),
+       |scored AS (
+       | SELECT anchor_id, anchor_label, neg_id, neg_label,
+       |  floor(($cos) * 1e6 + 0.5) / 1e6 AS cos_sim
+       | FROM c, a WHERE neg_label <> anchor_label)
+       |SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rank FROM (
+       | SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+       |   ORDER BY cos_sim DESC, neg_id) AS BIGINT) AS rank
+       | FROM scored WHERE cos_sim < 0.95)
+       |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_dim_stats", embDimStats, Some(embDimStatsOracle)),
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
+    RegisteredQuery("hard_negative_mine", hardNegativeMine, Some(hardNegativeOracle)),
     RegisteredQuery("emb_neardup_pairs", embNearDupPairs, Some(embNearDupOracle)),
     RegisteredQuery("emb_neardup_clusters", embNearDupClusters, Some(embNearDupClustersOracle)),
     RegisteredQuery("sim_lsh_topk", simLshTopk, Some(simLshTopkOracle)),

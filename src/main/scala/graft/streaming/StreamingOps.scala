@@ -537,7 +537,25 @@ object StreamingOps extends QueryModule {
     * plus an eviction timer per row; watermark delay bounds state size by
     * (join window + delay) × arrival rate, independent of stream length.
     */
-  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streamOuterJoinCore(s, dir, "leftOuter")
+
+  /** FULL OUTER twin of [[streamLeftOuterJoin]] — completes the
+    * stream-stream join matrix (inner / left outer / full outer). Same
+    * staging, same watermark arithmetic; additionally the UNMATCHED
+    * PURCHASES must evict with NULL click columns once the CLICK-side
+    * watermark proves no click in [p_ts − 4h, p_ts] can still arrive —
+    * i.e. both directions' eviction conditions are now on the gated path
+    * (the click sentinel advances the click watermark past every real
+    * purchase, so the trailing p4 batch flushes both state stores). The
+    * oracle is the batch FULL JOIN; a drop on either side or a
+    * double-emit breaks the hash.
+    */
+  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streamOuterJoinCore(s, dir, "fullOuter")
+
+  private def streamOuterJoinCore(
+      s: SparkSession, dir: String, joinType: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-loj")
     val clickDir = java.nio.file.Files.createDirectories(root.resolve("clicks"))
     val purchDir = java.nio.file.Files.createDirectories(root.resolve("purchases"))
@@ -578,8 +596,11 @@ object StreamingOps extends QueryModule {
             col("user_id") === col("p_user_id") &&
               col("purchase_ts") >= col("click_ts") &&
               col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"),
-            "leftOuter")
-          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            joinType)
+          // coalesce is the identity for leftOuter (click side never null)
+          // and fills the unmatched-purchase rows for fullOuter
+          .select(col("click_id"), col("purchase_id"),
+            coalesce(col("user_id"), col("p_user_id")).as("user_id"),
             unix_micros(col("click_ts")).as("click_ts_us"),
             unix_micros(col("purchase_ts")).as("purchase_ts_us"))
           .writeStream
@@ -593,12 +614,16 @@ object StreamingOps extends QueryModule {
           q.awaitTermination()
           val shaped = s.table(name)
             .filter(col("user_id") >= 0)
-            .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+            .orderBy(coalesce(col("click_id"), lit(-1L)),
+              coalesce(col("purchase_id"), lit(-1L)))
           val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
           require(out.where(col("purchase_id").isNull).count() > 0,
-            "left-outer stream join evicted no unmatched clicks — watermark never flushed state")
+            "outer stream join evicted no unmatched clicks — watermark never flushed state")
           require(out.where(col("purchase_id").isNotNull).count() > 0,
-            "left-outer stream join matched no pairs")
+            "outer stream join matched no pairs")
+          if (joinType == "fullOuter")
+            require(out.where(col("click_id").isNull).count() > 0,
+              "full-outer stream join evicted no unmatched purchases")
           out
         } finally scala.util.Try(s.catalog.dropTempView(name))
       }
@@ -616,6 +641,18 @@ object StreamingOps extends QueryModule {
       | ON c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
       |ORDER BY click_id, coalesce(purchase_id, -1)""".stripMargin
+
+  /** The batch FULL JOIN twin, sentinel-free by construction (sentinels
+    * carry negative user_ids and are filtered before the compare). */
+  val streamFullOuterOracle: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      | coalesce(c.user_id, p.user_id) AS user_id,
+      | epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      | ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+      |ORDER BY coalesce(click_id, -1), coalesce(purchase_id, -1)""".stripMargin
 
   /** The reference's CDC upsert loop (§2.9 core semantic,
     * `/root/reference/src/database.py:133-202`) run AS STREAMING under the
@@ -861,6 +898,10 @@ object StreamingOps extends QueryModule {
     // unmatched clicks (the outer half) on top of the buffered matches
     RegisteredQuery("stream_left_outer_join", streamLeftOuterJoin,
       Some(streamLeftOuterOracle)),
+    // both directions' eviction on the gated path: unmatched clicks AND
+    // unmatched purchases must flush exactly once
+    RegisteredQuery("stream_full_outer_join", streamFullOuterJoin,
+      Some(streamFullOuterOracle)),
     RegisteredQuery("stream_static_enrich", streamStaticEnrich,
       Some(streamStaticEnrichOracle)),
     RegisteredQuery("stream_sessionize", streamSessionize,

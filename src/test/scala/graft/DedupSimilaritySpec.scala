@@ -169,4 +169,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 8, s"IVF recall too low: $hits of ${brute.size}")
     info(s"IVF recall@3: $hits/${brute.size}")
   }
+
+  test("hard_negative_mine: cross-label only, broadcast plan, agrees with brute recompute") {
+    val df = graft.operators.Similarity.hardNegativeMine(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin") || phys.contains("BroadcastExchange"),
+      "anchor batch must broadcast — the corpus side may never shuffle for scoring")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per-anchor contracts: labels differ, ranks dense from 1, score
+    // non-increasing with rank, every score below the dup-exclusion band
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(4) >= b.getDouble(4); case _ => true })
+      sorted.foreach { r =>
+        assert(r.getInt(1) != r.getInt(3), "same-label pair leaked into negatives")
+        assert(r.getDouble(4) < 0.95, "dup-exclusion band violated")
+      }
+    }
+    // brute recompute for one anchor: top negative must match
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val (aid, albl, araw) = emb.find(_._1 == 0L).get
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val want = emb.filter(_._2 != albl)
+      .map { case (id, _, v) => (id, math.floor(cos(araw, v) * 1e6 + 0.5) / 1e6) }
+      .filter(_._2 < 0.95)
+      .sortBy { case (id, c) => (-c, id) }.head
+    val got = rows.filter(r => r.getLong(0) == aid && r.getLong(5) == 1L).head
+    assert((got.getLong(2), got.getDouble(4)) == want,
+      s"anchor 0 top negative disagrees with brute: got ${(got.getLong(2), got.getDouble(4))} want $want")
+  }
 }

@@ -66,4 +66,38 @@ class RunningDistinctRewriteSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("w8_running_distinct_naive") ===
       SparkEntry.oracleSql("w8_running_distinct"))
   }
+
+  test("property: rewrite equals a brute-force reference on adversarial inputs") {
+    // randomized groups, duplicate order keys broken by a unique id, ~25%
+    // null values — checked against plain Scala (not another Spark plan)
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val rows: Gen[List[(Long, Long, Long, Option[String])]] = for {
+      n <- Gen.choose(20, 60)
+      rs <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 4L)
+        o <- Gen.choose(0L, 9L) // coarse → real duplicate order keys
+        x <- Gen.frequency(3 -> Gen.oneOf("a", "b", "c", "d").map(Some(_)),
+          1 -> Gen.const(None))
+      } yield (u, o, x))
+    } yield rs.zipWithIndex.map { case ((u, o, x), i) => (u, o, i.toLong, x) }
+    checkProp(minTests = 8, p = Prop.forAll(rows) { rs =>
+      val df = rs.toDF("u", "o", "id", "x")
+      val w = Window.partitionBy(col("u")).orderBy(col("o"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.select(col("u"), col("id"),
+          size(collect_set(col("x")).over(w)).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // brute force: walk each group in (o, id) order with a growing set
+      val want = rs.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(t => (t._2, t._3))
+        var seen = Set.empty[String]
+        sorted.map { case (u, _, id, x) =>
+          x.foreach(v => seen += v)
+          (u, id) -> seen.size
+        }
+      }
+      got == want
+    })
+  }
 }

@@ -326,6 +326,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_full_outer_join equals the batch FULL JOIN — both eviction directions") {
+    val streamed = graft.streaming.StreamingOps
+      .streamFullOuterJoin(spark, sfDir).collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 4 HOURS"),
+        "full_outer")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("pu")).as("user_id"),
+        unix_micros(col("cts")).as("click_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"))
+      .orderBy(coalesce(col("click_id"), lit(-1L)),
+        coalesce(col("purchase_id"), lit(-1L))).collect().toSeq
+    assert(batch.exists(_.isNullAt(0)) && batch.exists(_.isNullAt(1)),
+      "fixture exercises neither eviction direction — vacuous")
+    assert(streamed === batch)
+  }
+
   test("stream_interval_join matches batch-1 click state from batch-2 purchases") {
     val streamed = graft.streaming.StreamingOps
       .streamIntervalJoin(spark, sfDir).collect().toSeq
