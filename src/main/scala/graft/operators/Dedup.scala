@@ -569,6 +569,65 @@ object Dedup extends QueryModule {
        |  SELECT x AS doc_id, least(x, min(y)) AS cluster_root FROM reach GROUP BY x)
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted survivor selection: inside each near-dup cluster,
+    * keep the HIGHEST-quality member (composite [[TextOps.textStatsOf]]
+    * score; ties → lowest doc_id) instead of [[dedupClusters]]'s
+    * min-id convention. This is what production dedup actually ships —
+    * near-dup groups routinely mix a clean original with truncated or
+    * boilerplate-padded copies, and min-id keeps whichever crawled
+    * first, not whichever is best.
+    *
+    * Scale: the cluster table is dup-graph-sized (not corpus-sized), the
+    * quality join is doc_id-keyed, and the survivor window partitions by
+    * cluster root — per-cluster work bounded by cluster population, the
+    * same cost class as the component computation that produced it.
+    */
+  def dedupQualitySurvivor(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairJaccard(postings(s, dir), byLang = true)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("root").as("cluster_root"))
+    val quality = graft.operators.TextOps.textStatsOf(Tables.documents(s, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_root"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_root"), col("quality_score"),
+        col("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  val dedupQualitySurvivorOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($dedupNgramJaccardOracle)),
+       |edges AS (
+       |  SELECT doc_a AS x, doc_b AS y FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+       |clusters AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_root FROM reach GROUP BY x),
+       |q AS (
+       | SELECT doc_id,
+       |  floor((0.5::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
+       |    + 0.3::DOUBLE * raw_uniq
+       |    + 0.2::DOUBLE * (1.0::DOUBLE - raw_stop)) * 1e3 + 0.5) / 1e3
+       |    AS quality_score
+       | FROM (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |   len(list_filter(t, x -> x IN (${graft.operators.TextOps.stopList})))::DOUBLE / len(t) AS raw_stop,
+       |   len(list_distinct(t))::DOUBLE / len(t) AS raw_uniq
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
+       |SELECT c.doc_id, c.cluster_root, q.quality_score,
+       | row_number() OVER (PARTITION BY c.cluster_root
+       |   ORDER BY q.quality_score DESC, c.doc_id) = 1 AS is_survivor
+       |FROM clusters c JOIN q ON q.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("contamination_check", contaminationCheck, Some(contaminationOracle)),
     RegisteredQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
@@ -576,6 +635,8 @@ object Dedup extends QueryModule {
     RegisteredQuery("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshOracle)),
     RegisteredQuery("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     RegisteredQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    RegisteredQuery("dedup_quality_survivor", dedupQualitySurvivor,
+      Some(dedupQualitySurvivorOracle)),
     RegisteredQuery("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     // same oracle as the exact path: the sketch only pre-screens
     RegisteredQuery("contamination_bloom", contaminationBloom, Some(contaminationOracle)),

@@ -313,6 +313,39 @@ object EventLifecycleOps extends QueryModule {
        | AND epoch_us(c.ts) < i.valid_to_us
        |ORDER BY c.user_id, click_id""".stripMargin
 
+  /** [[scd2PitJoin]] through the native [[graft.plans.AsofJoinExec]] —
+    * the same PIT semantics as one custom-operator call instead of the
+    * union-carry composition, sharing the SAME DuckDB inequality-join
+    * oracle. This is the reuse claim for the custom node: backward as-of
+    * with inclusive boundary and greatest-tie-break-wins IS point-in-time
+    * lookup against half-open SCD2 intervals (a same-instant click sees
+    * the newest version at that instant, zero-length [t,t) versions lose
+    * the tie by construction).
+    *
+    * Scale: two co-partitioned exchanges + per-side sorts (SMJ topology,
+    * AQE-managed) instead of the carry's union+window — each side sorts
+    * its own stream, preferable when the fact stream dwarfs the dimension.
+    */
+  def scd2PitJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = base.filter(col("event_type") =!= "click")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(wd).cast("long"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("version"), col("event_type").as("state"))
+    val facts = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("t_us"))
+    AsofOps.asofJoinNative(facts, dim, "user_id", "t_us", "t_us", "version")
+      .toDF("user_id", "click_id", "ts_us", "d_user_id", "d_t_us", "version", "state")
+      .select(col("user_id"), col("click_id"), col("ts_us"),
+        coalesce(col("state"), lit("none")).as("state_at_click"))
+      .orderBy("user_id", "click_id")
+  }
+
   // ---------------------------------------------------------------------
   // Time-series gap-fill / resample
   // ---------------------------------------------------------------------
@@ -501,6 +534,9 @@ object EventLifecycleOps extends QueryModule {
     RegisteredQuery("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     RegisteredQuery("scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
     RegisteredQuery("scd2_pit_join", scd2PitJoin, Some(scd2PitJoinOracle)),
+    // same oracle as the union-carry spelling: the custom as-of node IS
+    // point-in-time lookup, proven independently by the driver
+    RegisteredQuery("scd2_pit_join_native", scd2PitJoinNative, Some(scd2PitJoinOracle)),
     RegisteredQuery("ts_gapfill", tsGapfill, Some(tsGapfillOracle)),
     RegisteredQuery("rolling_active_users", rollingActiveUsers,
       Some(rollingActiveUsersOracle)),

@@ -303,8 +303,119 @@ object Multimodal extends QueryModule {
        | CAST(sum(n_images) AS BIGINT) AS n_images
        |FROM r GROUP BY 1, 2 ORDER BY blk, pack""".stripMargin
 
+  /** Perceptual near-dup over media payloads — the image-dedup pass every
+    * multimodal training pipeline runs (re-encoded/resized copies of one
+    * image evade byte-exact dedup but collide under a perceptual hash).
+    *
+    * The "thumbnail" is the declared fake-decode step: an 8×8 grid of
+    * payload bytes sampled at stride len/64 (a real deployment decodes +
+    * downscales; the hash/banding/join below are untouched by that swap).
+    * Average-hash: bit i set iff pixel_i >= the thumbnail mean, kept as
+    * FOUR 16-bit band values (no 64-bit packing — band values stay small
+    * and are the LSH join keys directly). Candidates via band equality —
+    * by pigeonhole, exhaustive for hamming <= 3 across 4 bands — then
+    * exact hamming verify, the SimHash topology on pixels instead of
+    * token votes. An exact-replica slice (every 7th doc) is unioned in so
+    * hamming-0 pairs provably exist at every SF.
+    *
+    * The oracle is REAL (not pinned): the corpus is ASCII, so DuckDB's
+    * char codes equal the payload bytes and the whole pipeline — strided
+    * sampling, mean, band packing, brute-force hamming — is mirrored in
+    * SQL over ALL pairs; equality with the banded Spark plan proves the
+    * pigeonhole recall argument on real data.
+    *
+    * Scale: map-only hashing (one pass over payloads), one exchange on
+    * (band_id, band_val), verify cost ∝ colliding pairs. Same cost class
+    * as [[graft.operators.Dedup.dedupSimhash]].
+    */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val hashedBase = docs
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 63), i -> ascii(substring(text, CAST(floor(i * length(text) / 64.0) AS INT) + 1, 1)))")
+        .as("px"))
+      // materialization barrier IMMEDIATELY after the sampling transform
+      // (the `normalized` pattern, SCALE.md deliberate-decision #3): the
+      // 64-substring px expression is interpreted HOF work, and without
+      // an exchange CollapseProject inlines it into the mean aggregate
+      // AND all 64 band comparisons (each of which also inlines the
+      // mean, which re-inlines px) — ~128 recomputations per row,
+      // measured 251 s at sf0.1; with px materialized the hash pass is
+      // seconds. The barrier must sit between px and its consumers — a
+      // barrier after `bands` still lets the internal inlining happen
+      // (measured 125 s).
+      .repartition(col("doc_id"))
+      // double accumulator on purpose: an int accumulator promotes the
+      // mean compare to DECIMAL(17,6) (int/64.0 → decimal division),
+      // which runs interpreted per band bit; the double mean matches
+      // DuckDB's list_sum()/64.0 exactly (same IEEE ops, ≤64×255 sums
+      // are exact in both)
+      .withColumn("mean_px", expr("aggregate(px, 0D, (a, x) -> a + x) / 64.0"))
+      .withColumn("bands", expr(
+        """transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0,
+          |  (acc, j) -> acc + IF(element_at(px, b*16 + j + 1) >= mean_px,
+          |                       shiftleft(1, j), 0)))""".stripMargin))
+      .select(col("doc_id"), col("bands"))
+    // replica slice appended AFTER hashing: identical payloads hash
+    // identically, so the replicas reuse the originals' bands (hash the
+    // corpus once, not 1+1/7 times). This also sidesteps a Spark
+    // optimizer edge (UnionBase.rewriteConstraints key-not-found when
+    // the HOF projection is pushed through a pre-hash union).
+    val hashed = hashedBase.unionByName(
+      hashedBase.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("bands")))
+    val banded = hashed.select(col("doc_id"), col("bands"),
+      // posexplode_OUTER on purpose — identical output (bands is always
+      // 4 elements) but the non-outer generator lets
+      // InferFiltersFromConstraints synthesize `size(bands) > 0` and
+      // push the ENTIRE inlined hash expression below the barrier into
+      // the scan, re-evaluated per row in interpreted decimal math
+      // (measured: 122 s for this count alone; outer: ~2 s)
+      posexplode_outer(col("bands")).as(Seq("band_id", "band_val")))
+    def ham(i: Int) = bit_count(
+      col("x.bands").getItem(i).bitwiseXOR(col("y.bands").getItem(i)))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (ham(0) + ham(1) + ham(2) + ham(3)).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val mmPhashOracle: String =
+    """WITH base AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+      |px AS (
+      | SELECT doc_id,
+      |  list_transform(range(0, 64),
+      |    i -> ascii(substr(text, CAST(floor(i * length(text) / 64.0) AS INT) + 1, 1))) AS px
+      | FROM base),
+      |h AS (SELECT doc_id, px, list_sum(px) / 64.0 AS m FROM px),
+      |bands AS (
+      | SELECT doc_id,
+      |  list_transform(range(0, 4),
+      |    b -> list_sum(list_transform(range(0, 16),
+      |      j -> CASE WHEN px[b*16 + j + 1] >= m THEN (1 << j) ELSE 0 END))) AS bs
+      | FROM h)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(bit_count(xor(a.bs[1], b.bs[1])) + bit_count(xor(a.bs[2], b.bs[2]))
+      |  + bit_count(xor(a.bs[3], b.bs[3])) + bit_count(xor(a.bs[4], b.bs[4])) AS BIGINT)
+      |  AS hamming
+      |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.bs[1], b.bs[1])) + bit_count(xor(a.bs[2], b.bs[2]))
+      |  + bit_count(xor(a.bs[3], b.bs[3])) + bit_count(xor(a.bs[4], b.bs[4])) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("mm_binary_stats", mmBinaryStats, Some(mmBinaryStatsOracle)),
+    // the brute-force SQL oracle vs the banded plan IS the pigeonhole
+    // recall proof on real data
+    RegisteredQuery("mm_phash_neardup", mmPhashNeardup, Some(mmPhashOracle)),
     RegisteredQuery("mm_decode_stub", mmDecodeStub, Some(mmDecodeStubOracle)),
     RegisteredQuery("mm_frame_sample", mmFrameSample, Some(mmFrameSampleOracle)),
     RegisteredQuery("mm_header_probe", mmHeaderProbe, Some(mmHeaderProbeOracle)),

@@ -14,8 +14,8 @@ import graft.functions.Scalars._
   */
 object TextOps extends QueryModule {
 
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
-  private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private[operators] val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Per-document statistics + composite quality score (length, lexical
     * diversity, stopword load). The score formula is plain double

@@ -170,6 +170,23 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"IVF recall@3: $hits/${brute.size}")
   }
 
+  test("dedup_quality_survivor: one survivor per cluster, argmax quality, differs from min-id") {
+    val rows = graft.operators.Dedup.dedupQualitySurvivor(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty, "no near-dup clusters at sf0.001 — vacuous")
+    rows.groupBy(_._2).foreach { case (root, members) =>
+      val survivors = members.filter(_._4)
+      assert(survivors.length == 1, s"cluster $root has ${survivors.length} survivors")
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(survivors.head._1 == best._1,
+        s"cluster $root survivor ${survivors.head._1} is not the quality argmax ${best._1}")
+    }
+    // the rule must actually differ from dedup_clusters' min-id convention
+    // somewhere, or the operator is a re-skin
+    assert(rows.exists(r => r._4 && r._1 != r._2),
+      "every survivor is the min-id root — quality weighting is vacuous on this fixture")
+  }
+
   test("hard_negative_mine: cross-label only, broadcast plan, agrees with brute recompute") {
     val df = graft.operators.Similarity.hardNegativeMine(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString

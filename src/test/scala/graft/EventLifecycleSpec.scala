@@ -140,6 +140,15 @@ class EventLifecycleSpec extends SparkSpec
     }
   }
 
+  test("scd2_pit_join_native: plans through AsofJoinExec, equals the carry spelling") {
+    val native = EventLifecycleOps.scd2PitJoinNative(spark, sfDir)
+    assert(native.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "native PIT lost the custom as-of operator")
+    assert(native.collect().toSeq ===
+      EventLifecycleOps.scd2PitJoin(spark, sfDir).collect().toSeq,
+      "native as-of PIT disagrees with the union-carry spelling")
+  }
+
   test("scd2_pit_join: as-of carry equals the literal inequality join, no Join node in plan") {
     val df = EventLifecycleOps.scd2PitJoin(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString

@@ -102,4 +102,19 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(rows.length > nDocs / 10, "packing should produce many packs (images are heavy)")
   }
+
+  test("mm_phash_neardup: replica pairs at hamming 0, banded plan, no cartesian") {
+    val df = graft.operators.Multimodal.mmPhashNeardup(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      "perceptual dedup regressed to an all-pairs plan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._3 <= 3))
+    // every injected exact replica must pair with its original at hamming 0
+    val nReplicas = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+    val zeroPairs = rows.filter(r => r._3 == 0L && r._2 == r._1 + 200000L)
+    assert(zeroPairs.length == nReplicas,
+      s"expected $nReplicas replica identity pairs, saw ${zeroPairs.length}")
+  }
 }
