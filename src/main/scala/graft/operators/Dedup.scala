@@ -613,10 +613,7 @@ object Dedup extends QueryModule {
        |  SELECT x AS doc_id, least(x, min(y)) AS cluster_root FROM reach GROUP BY x),
        |q AS (
        | SELECT doc_id,
-       |  floor((0.5::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
-       |    + 0.3::DOUBLE * raw_uniq
-       |    + 0.2::DOUBLE * (1.0::DOUBLE - raw_stop)) * 1e3 + 0.5) / 1e3
-       |    AS quality_score
+       |  ${graft.operators.TextOps.qualityScoreSql} AS quality_score
        | FROM (
        |  SELECT doc_id, len(t) AS n_tokens,
        |   len(list_filter(t, x -> x IN (${graft.operators.TextOps.stopList})))::DOUBLE / len(t) AS raw_stop,

@@ -262,7 +262,14 @@ object EventLifecycleOps extends QueryModule {
     * click at the exact change instant sees the NEW state, matching the
     * half-open semantics.
     */
-  def scd2PitJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Shared derivation for both PIT spellings: the SCD2 change-row
+    * dimension (user_id, t_us, version, state) built from non-click
+    * events, and the click facts (user_id, click_id, t_us). One
+    * definition so the two registered queries — which the driver proves
+    * equal through a shared oracle — can never silently diverge on the
+    * change-detection predicate or tie-break.
+    */
+  private def pitDimAndFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
     val wd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -271,13 +278,23 @@ object EventLifecycleOps extends QueryModule {
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("version", row_number().over(wd).cast("long"))
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
-        col("version"), col("event_type").as("state"),
-        lit(0).as("tag"), lit(null).cast("long").as("click_id"))
+        col("version"), col("event_type").as("state"))
     val facts = base.filter(col("event_type") === "click")
-      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("t_us"))
+    (dim, facts)
+  }
+
+  def scd2PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val (dimBase, factsBase) = pitDimAndFacts(s, dir)
+    val dim = dimBase
+      .select(col("user_id"), col("t_us"), col("version"), col("state"),
+        lit(0).as("tag"), lit(null).cast("long").as("click_id"))
+    val facts = factsBase
+      .select(col("user_id"), col("t_us"),
         lit(null).cast("long").as("version"),
         lit(null).cast("string").as("state"),
-        lit(1).as("tag"), col("event_id").as("click_id"))
+        lit(1).as("tag"), col("click_id"))
     val carry = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us"), col("tag"),
         coalesce(col("version"), lit(Long.MaxValue)),
@@ -327,18 +344,8 @@ object EventLifecycleOps extends QueryModule {
     * its own stream, preferable when the fact stream dwarfs the dimension.
     */
   def scd2PitJoinNative(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-    val wd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val dim = base.filter(col("event_type") =!= "click")
-      .withColumn("prev_type", lag(col("event_type"), 1).over(wd))
-      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      .withColumn("version", row_number().over(wd).cast("long"))
-      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
-        col("version"), col("event_type").as("state"))
-    val facts = base.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        unix_micros(col("ts")).as("t_us"))
+    val (dim, factsBase) = pitDimAndFacts(s, dir)
+    val facts = factsBase.select(col("user_id"), col("click_id"), col("t_us"))
     AsofOps.asofJoinNative(facts, dim, "user_id", "t_us", "t_us", "version")
       .toDF("user_id", "click_id", "ts_us", "d_user_id", "d_t_us", "version", "state")
       .select(col("user_id"), col("click_id"), col("ts_us"),

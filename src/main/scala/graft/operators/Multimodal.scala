@@ -328,6 +328,14 @@ object Multimodal extends QueryModule {
     * (band_id, band_val), verify cost ∝ colliding pairs. Same cost class
     * as [[graft.operators.Dedup.dedupSimhash]].
     */
+  /** Replica-id offset for [[mmPhashNeardup]]'s injected exact copies —
+    * 1e12 so a synthetic id can never collide with a real doc_id at any
+    * plausible corpus size (a +200k offset would alias real documents
+    * past 200k docs, corrupting pair semantics and the spec's
+    * replica-pair invariant).
+    */
+  private val replicaOffset = 1000000000000L
+
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val hashedBase = docs
@@ -363,7 +371,7 @@ object Multimodal extends QueryModule {
     // the HOF projection is pushed through a pre-hash union).
     val hashed = hashedBase.unionByName(
       hashedBase.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"), col("bands")))
+        .select((col("doc_id") + replicaOffset).as("doc_id"), col("bands")))
     val banded = hashed.select(col("doc_id"), col("bands"),
       // posexplode_OUTER on purpose — identical output (bands is always
       // 4 elements) but the non-outer generator lets
@@ -389,7 +397,7 @@ object Multimodal extends QueryModule {
     """WITH base AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL
-      | SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+      | SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 7 = 0),
       |px AS (
       | SELECT doc_id,
       |  list_transform(range(0, 64),

@@ -41,12 +41,14 @@ object Similarity extends QueryModule {
     * one normalization per row into one per USE — an interpreted-HOF
     * blowup measured at 40x. 2k rows → the shuffle is free.
     */
-  private[operators] def normalized(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def normalized(
+      s: SparkSession, dir: String, keepCols: Seq[String] = Nil): DataFrame = {
     VectorFunctions.register(s)
+    val keep = keepCols.map(col)
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
+      .select(col("vec_id") +: keep :+ asDouble(col("embedding")).as("raw"): _*)
       .withColumn("nrm", sqrt(dot("raw", "raw")))
-      .select(col("vec_id"), expr("transform(raw, x -> x / nrm)").as("e"))
+      .select(col("vec_id") +: keep :+ expr("transform(raw, x -> x / nrm)").as("e"): _*)
       .repartition(col("vec_id"))
   }
 
@@ -928,12 +930,7 @@ object Similarity extends QueryModule {
     * exclusion band, sub-linear candidate volume.
     */
   def hardNegativeMine(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(s)
-    val labeled = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("raw"))
-      .withColumn("nrm", sqrt(dot("raw", "raw")))
-      .select(col("vec_id"), col("label"), expr("transform(raw, x -> x / nrm)").as("e"))
-      .repartition(col("vec_id"))
+    val labeled = normalized(s, dir, keepCols = Seq("label"))
     val anchors = labeled.filter(col("vec_id") < 20)
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
         col("e").as("ae"))

@@ -48,13 +48,22 @@ object TextOps extends QueryModule {
           lit(0.3) * col("raw_uniq") +
           lit(0.2) * (lit(1.0) - col("raw_stop")), 3).as("quality_score"))
 
+  /** The composite quality-score formula as a DuckDB SQL fragment over a
+    * relation exposing (n_tokens, raw_uniq, raw_stop) — ONE definition
+    * shared by every oracle that scores documents ([[textStatsOracle]],
+    * `Dedup.dedupQualitySurvivorOracle`), so the formula can't silently
+    * diverge between them. Mirrors [[textStatsOf]]'s arithmetic verbatim.
+    */
+  private[operators] val qualityScoreSql: String =
+    """floor((0.5::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
+      |   + 0.3::DOUBLE * raw_uniq + 0.2::DOUBLE * (1.0::DOUBLE - raw_stop)) * 1e3 + 0.5) / 1e3""".stripMargin
+
   val textStatsOracle: String =
     s"""SELECT doc_id, lang, n_tokens,
        | floor(raw_tok_len * 1e2 + 0.5) / 1e2 AS avg_token_len,
        | floor(raw_stop * 1e3 + 0.5) / 1e3 AS stopword_ratio,
        | floor(raw_uniq * 1e3 + 0.5) / 1e3 AS uniq_ratio,
-       | floor((0.5::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
-       |   + 0.3::DOUBLE * raw_uniq + 0.2::DOUBLE * (1.0::DOUBLE - raw_stop)) * 1e3 + 0.5) / 1e3 AS quality_score
+       | $qualityScoreSql AS quality_score
        |FROM (
        | SELECT doc_id, lang, len(t) AS n_tokens,
        |  length(replace(text, ' ', ''))::DOUBLE / len(t) AS raw_tok_len,

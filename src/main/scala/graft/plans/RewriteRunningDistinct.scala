@@ -34,15 +34,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *                                                      (p, x ORDER BY o)]
   *                                                 child
   * }}}
-  * Equivalence: with a per-partition total order (the only setting in
-  * which ANY running window is deterministic), the set at row i contains
-  * exactly the non-null x values whose first occurrence is at or before
-  * i, so |set| equals the count of first-occurrence flags — including
-  * collect_set's drop-NULLs semantics (the flag is 0 on null x) and
-  * size's IntegerType (the Long sum is cast back). Fires only on the
-  * running ROWS frame with a non-empty ORDER BY and no aggregate FILTER
-  * clause; whole-frame/unordered collect_set (a genuine set request) is
-  * untouched, as is any other use of the array besides `size`.
+  * Equivalence: under a total per-partition order the set at row i
+  * contains exactly the non-null x values whose first occurrence is at
+  * or before i, so |set| equals the count of first-occurrence flags —
+  * including collect_set's drop-NULLs semantics (the flag is 0 on null
+  * x) and size's IntegerType (the Long sum is cast back). When the
+  * user's ORDER BY has ties the rewrite stays in-contract by appending
+  * ONE materialized tiebreak id to both windows' orderings (see the
+  * inline comment): the result is then some valid tie-resolution of the
+  * naive spelling — which is itself tie-order-dependent — and never the
+  * out-of-range 0 that two independently-sorted windows could produce.
+  * Fires only on the running ROWS frame with a non-empty ORDER BY and no
+  * aggregate FILTER clause; whole-frame/unordered collect_set (a genuine
+  * set request) is untouched, as is any other use of the array besides
+  * `size`.
   *
   * Scale: the naive plan's window state is the distinct set per key —
   * unbounded, data-dependent, spilled per row; the rewritten plan adds
@@ -91,7 +96,19 @@ object RewriteRunningDistinct extends Rule[LogicalPlan] {
       val keep = wexprs.filterNot(e => sizeOnly.exists(_.exprId == e.exprId))
       if (sizeOnly.isEmpty) p
       else {
-        var bottom: LogicalPlan = child
+        // The two windows sort INDEPENDENTLY, so under ORDER BY ties they
+        // could resolve differently — the flagged first-seen row might
+        // sort AFTER the current row in the sum window, yielding 0 for a
+        // row whose own value the original set always contains. One
+        // materialized tiebreak id appended to BOTH orderings makes a
+        // single total comparator drive the whole rewrite: restricted to
+        // any (p, x) subset it is the same relation, so the first-seen
+        // row always sorts at-or-before every row it covers and the
+        // result is a valid tie-resolution of the naive spelling (which
+        // is itself tie-order-dependent), never out of range.
+        val rid = Alias(MonotonicallyIncreasingID(), "__graft_rid")()
+        var bottom: LogicalPlan = Project(child.output :+ rid, child)
+        val ridOrder = SortOrder(rid.toAttribute, Ascending)
         val replacements = sizeOnly.map { a =>
           val (x, spec) = a.child match {
             case WindowExpression(AggregateExpression(cs: CollectSet, _, _, _, _), s) =>
@@ -99,9 +116,11 @@ object RewriteRunningDistinct extends Rule[LogicalPlan] {
           }
           val rn = Alias(
             WindowExpression(RowNumber(),
-              WindowSpecDefinition(spec.partitionSpec :+ x, spec.orderSpec, runningFrame)),
+              WindowSpecDefinition(spec.partitionSpec :+ x,
+                spec.orderSpec :+ ridOrder, runningFrame)),
             "__graft_rn")()
-          val win1 = Window(Seq(rn), spec.partitionSpec :+ x, spec.orderSpec, bottom, None)
+          val win1 = Window(Seq(rn), spec.partitionSpec :+ x,
+            spec.orderSpec :+ ridOrder, bottom, None)
           val flag = Alias(
             If(IsNull(x), Literal(0L),
               If(EqualTo(rn.toAttribute, Literal(1)), Literal(1L), Literal(0L))),
@@ -111,9 +130,11 @@ object RewriteRunningDistinct extends Rule[LogicalPlan] {
             WindowExpression(
               AggregateExpression(Sum(flag.toAttribute), Complete, isDistinct = false,
                 None, NamedExpression.newExprId),
-              WindowSpecDefinition(spec.partitionSpec, spec.orderSpec, runningFrame)),
+              WindowSpecDefinition(spec.partitionSpec,
+                spec.orderSpec :+ ridOrder, runningFrame)),
             a.name)()
-          bottom = Window(Seq(run), spec.partitionSpec, spec.orderSpec, proj, None)
+          bottom = Window(Seq(run), spec.partitionSpec,
+            spec.orderSpec :+ ridOrder, proj, None)
           a.exprId -> run.toAttribute
         }.toMap
         val rewrittenKeep =

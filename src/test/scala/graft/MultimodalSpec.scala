@@ -113,7 +113,7 @@ class MultimodalSpec extends SparkSpec {
     // every injected exact replica must pair with its original at hamming 0
     val nReplicas = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
-    val zeroPairs = rows.filter(r => r._3 == 0L && r._2 == r._1 + 200000L)
+    val zeroPairs = rows.filter(r => r._3 == 0L && r._2 == r._1 + 1000000000000L)
     assert(zeroPairs.length == nReplicas,
       s"expected $nReplicas replica identity pairs, saw ${zeroPairs.length}")
   }

@@ -67,6 +67,38 @@ class RunningDistinctRewriteSpec extends SparkSpec {
       SparkEntry.oracleSql("w8_running_distinct"))
   }
 
+  test("property: TIED order keys stay in-contract (>=1 for own value, exact end state)") {
+    // the original spelling is tie-order-dependent, but ALWAYS includes
+    // the current row's own value (>=1 for non-null x) and always ends a
+    // partition at the exact distinct count — the r9 review found the
+    // unpatched rewrite could emit 0 under ties (two independently-sorted
+    // windows); the shared tiebreak id must make these invariants hold
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val rows: Gen[List[(Long, Long, Long, Option[String])]] = for {
+      n <- Gen.choose(20, 50)
+      rs <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 2L)
+        o <- Gen.choose(0L, 3L) // VERY coarse → heavy ties
+        x <- Gen.frequency(4 -> Gen.oneOf("a", "b").map(Some(_)),
+          1 -> Gen.const(None))
+      } yield (u, o, x))
+    } yield rs.zipWithIndex.map { case ((u, o, x), i) => (u, o, i.toLong, x) }
+    checkProp(minTests = 8, p = Prop.forAll(rows) { rs =>
+      val df = rs.toDF("u", "o", "id", "x")
+      val w = Window.partitionBy(col("u")).orderBy(col("o")) // ties NOT broken
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.select(col("u"), col("x"),
+          size(collect_set(col("x")).over(w)).as("d")).collect()
+      val okMin = got.forall(r => r.isNullAt(1) || r.getInt(2) >= 1)
+      val endOk = got.groupBy(_.getLong(0)).forall { case (u, g) =>
+        val want = rs.filter(_._1 == u).flatMap(_._4).distinct.size
+        g.map(_.getInt(2)).max == want
+      }
+      okMin && endOk
+    })
+  }
+
   test("property: rewrite equals a brute-force reference on adversarial inputs") {
     // randomized groups, duplicate order keys broken by a unique id, ~25%
     // null values — checked against plain Scala (not another Spark plan)
