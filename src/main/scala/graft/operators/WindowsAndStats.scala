@@ -269,6 +269,45 @@ object WindowsAndStats extends QueryModule {
       |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4 AS ma7
       |FROM events WHERE value IS NOT NULL ORDER BY event_id""".stripMargin
 
+  /** W9: time-RANGE frame — the trailing SIX HOURS of a user's activity
+    * at each event, not the trailing six ROWS ([[w4MovingAvg]]'s frame).
+    * Over irregular event streams the two disagree everywhere: a burst
+    * packs many rows into one range window, a quiet stretch shrinks it
+    * to the current row. RANGE frames are also the one running-window
+    * spelling that is DETERMINISTIC under order-key ties — peers (equal
+    * timestamps) are all in-frame regardless of sort position, so unlike
+    * every ROWS query in this module no tie-break column is needed for
+    * the oracle compare.
+    *
+    * Scale: one exchange on user_id like w4, but the frame is
+    * time-bounded, so WindowExec's buffer is (rate × 6h) rows — bounded
+    * by arrival rate, not corpus size; a skewed user's burst widens the
+    * buffer where a ROWS frame stays O(7), the documented trade for
+    * time-correct semantics. Both engines run the identical numeric
+    * range over epoch micros.
+    */
+  def w9RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val sixHoursUs = 6L * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-sixHoursUs, 0)
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_6h", count(lit(1)).over(w).cast("long"))
+      .withColumn("avg_6h", roundTo(avg(col("value")).over(w), 4))
+      .orderBy("event_id")
+  }
+
+  val w9Oracle: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+      | CAST(count(*) OVER w AS BIGINT) AS n_6h,
+      | floor(avg(value) OVER w * 1e4 + 0.5) / 1e4 AS avg_6h
+      |FROM events WHERE value IS NOT NULL
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** W5: exponentially-weighted moving average — the sequential per-key
     * fold window functions can't express (each output depends on the
     * full prefix). Shape: ONE shuffle groups each key's values into an
@@ -493,6 +532,7 @@ object WindowsAndStats extends QueryModule {
     RegisteredQuery("winsorize", winsorize, Some(winsorizeOracle)),
     RegisteredQuery("w7_sliding_window", w7SlidingWindow, Some(w7Oracle)),
     RegisteredQuery("w4_moving_avg", w4MovingAvg, Some(w4Oracle)),
+    RegisteredQuery("w9_range_frame", w9RangeFrame, Some(w9Oracle)),
     RegisteredQuery("w5_ewma", w5Ewma, Some(w5Oracle)),
     RegisteredQuery("feature_bins", featureBins, Some(featureBinsOracle)),
     RegisteredQuery("a14_cube", a14Cube, Some(a14CubeOracle)),

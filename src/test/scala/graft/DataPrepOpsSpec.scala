@@ -75,4 +75,25 @@ class DataPrepOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(generates.length === 1,
       s"corpus is tokenized ${generates.length} times in the final plan (want 1)")
   }
+
+  test("w9_range_frame: time-range semantics differ from rows, self always in-frame") {
+    val rows = graft.operators.WindowsAndStats.w9RangeFrame(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the current row is always its own peer: count >= 1 everywhere
+    assert(rows.forall(_.getLong(4) >= 1L), "range frame lost the current row")
+    // the 6h window must actually vary with event density — if every
+    // count were identical the time-range semantics would be vacuously
+    // indistinguishable from a constant rows frame on this fixture
+    assert(rows.map(_.getLong(4)).distinct.length > 1,
+      "constant frame population — fixture can't distinguish RANGE from ROWS")
+    // brute recompute for one user: count of that user's events within
+    // [ts-6h, ts] must match exactly
+    val u = rows.head.getLong(1)
+    val mine = rows.filter(_.getLong(1) == u).map(r => (r.getLong(2), r.getLong(4)))
+    val ts = mine.map(_._1).sorted
+    mine.foreach { case (t, n) =>
+      val want = ts.count(x => x >= t - 6L * 3600 * 1000000 && x <= t)
+      assert(n == want, s"user $u at $t: frame count $n != brute $want")
+    }
+  }
 }
