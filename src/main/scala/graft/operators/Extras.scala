@@ -207,11 +207,45 @@ object Extras extends QueryModule {
       | (SELECT CAST(sum(be) AS BIGINT) FROM agg) AS sum_batch_exact,
       | (SELECT count(DISTINCT user_id) FROM b) AS exact_union""".stripMargin
 
+  /** A20: ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP) —
+    * the denormalized-export / report shape (one row per group with the
+    * members concatenated in a declared order). The WITHIN GROUP order
+    * is the whole contract: an unordered listagg is nondeterministic
+    * under ANY parallelism, so the ordered form is the only one a
+    * distributed engine can honestly oracle-check. Both engines run
+    * their native ordered aggregate (Spark `listagg ... WITHIN GROUP`,
+    * DuckDB `string_agg(... ORDER BY ...)`).
+    *
+    * Scale: one exchange on the group key; per-group state is the
+    * member list itself — like collect_list, output-row-proportional,
+    * so groups must be domain-bounded (regions, categories), never
+    * user-grained. That bound is the operator's documented contract,
+    * not an implementation detail.
+    */
+  def a20Listagg(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(
+      """SELECT r_name,
+        | listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        | CAST(count(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  val a20Oracle: String =
+    """SELECT r_name,
+      | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      | count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("p1_projection", p1Projection, Some(p1Oracle)),
     RegisteredQuery("a4_hll_union", a4HllUnion, Some(a4HllUnionOracle)),
     RegisteredQuery("sql_q4", sqlQ4, Some(sqlQ4Text)),
     RegisteredQuery("a11_agg_of_agg", a11AggOfAgg, Some(a11Oracle)),
+    RegisteredQuery("a20_listagg", a20Listagg, Some(a20Oracle)),
     RegisteredQuery("scalar_roundtrip", scalarRoundtrip, Some(scalarRoundtripOracle)),
     RegisteredQuery("a16_decimal_agg", a16DecimalAgg, Some(a16DecimalOracle)),
   )
