@@ -37,6 +37,11 @@ class ClusterTuningSpec extends AnyFunSuite {
     // the bit-for-bit semantics flags from tuneConf must be present
     assert(o2("spark.sql.session.timeZone") == "UTC")
     assert(o2("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // r9 fixture regeneration: timestamp[us] isAdjustedToUTC=false must
+    // read as session-UTC TimestampType, not NTZ — dropping this flag
+    // breaks unix_micros on every event query AND silently kills
+    // watermark-literal pushdown (the column side gets the cast)
+    assert(o2("spark.sql.parquet.inferTimestampNTZ.enabled") == "false")
     assert(o2("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS")
   }
 }
