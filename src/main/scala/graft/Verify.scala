@@ -34,11 +34,24 @@ object Verify {
         // Under a UTC session LTZ→NTZ is the identity on the stored
         // micros, so cast every emitted timestamp column to NTZ at the
         // dump boundary; both sides then read back naive and equal.
-        val ntz = df.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
-        }.foldLeft(df)((d, c) => d.withColumn(c,
-          org.apache.spark.sql.functions.col(c).cast(
-            org.apache.spark.sql.types.TimestampNTZType)))
+        // The rewrite recurses through struct/array/map types so a
+        // timestamp nested inside a container column is converted too,
+        // not silently written tz-aware to fail the driver's compare.
+        import org.apache.spark.sql.types._
+        def toNtz(dt: DataType): DataType = dt match {
+          case TimestampType => TimestampNTZType
+          case s: StructType =>
+            StructType(s.fields.map(f => f.copy(dataType = toNtz(f.dataType))))
+          case a: ArrayType  => a.copy(elementType = toNtz(a.elementType))
+          case m: MapType    =>
+            m.copy(keyType = toNtz(m.keyType), valueType = toNtz(m.valueType))
+          case other => other
+        }
+        val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
+          val t = toNtz(f.dataType)
+          if (t == f.dataType) d
+          else d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast(t))
+        }
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

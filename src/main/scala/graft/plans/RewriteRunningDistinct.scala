@@ -64,9 +64,16 @@ object RewriteRunningDistinct extends Rule[LogicalPlan] {
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
 
   private def isRunningCollectSet(e: Expression): Boolean = e match {
-    case WindowExpression(
+    // the whole-expression determinism check (not just the collect_set
+    // child) guards the partition keys and order keys too: the rewrite
+    // re-evaluates x independently in the row_number spec, the first-seen
+    // flag, and the surviving projections, so a nondeterministic input
+    // (rand() etc.) could disagree across those evaluations and silently
+    // change results vs the naive spelling, which evaluates x once per row
+    case we @ WindowExpression(
         AggregateExpression(_: CollectSet, _, _, None, _),
-        WindowSpecDefinition(_, orderSpec, `runningFrame`)) => orderSpec.nonEmpty
+        WindowSpecDefinition(_, orderSpec, `runningFrame`)) =>
+      orderSpec.nonEmpty && we.deterministic
     case _ => false
   }
 
@@ -120,7 +127,7 @@ object RewriteRunningDistinct extends Rule[LogicalPlan] {
                 spec.orderSpec :+ ridOrder, runningFrame)),
             "__graft_rn")()
           val win1 = Window(Seq(rn), spec.partitionSpec :+ x,
-            spec.orderSpec :+ ridOrder, bottom, None)
+            spec.orderSpec :+ ridOrder, bottom, hint)
           val flag = Alias(
             If(IsNull(x), Literal(0L),
               If(EqualTo(rn.toAttribute, Literal(1)), Literal(1L), Literal(0L))),
@@ -134,14 +141,18 @@ object RewriteRunningDistinct extends Rule[LogicalPlan] {
                 spec.orderSpec :+ ridOrder, runningFrame)),
             a.name)()
           bottom = Window(Seq(run), spec.partitionSpec,
-            spec.orderSpec :+ ridOrder, proj, None)
+            spec.orderSpec :+ ridOrder, proj, hint)
           a.exprId -> run.toAttribute
         }.toMap
         val rewrittenKeep =
           if (keep.isEmpty) bottom else Window(keep, part, order, bottom, hint)
         val newList = plist.map(_.transform {
           case Size(ar: AttributeReference, _) if replacements.contains(ar.exprId) =>
-            Cast(replacements(ar.exprId), IntegerType)
+            // coalesce restores the original Size attribute's non-nullable
+            // metadata: the running SUM is nullable by type even though a
+            // >=1-row frame never yields null, and the alias keeps its
+            // exprId, so downstream nullability must match the producer
+            Cast(Coalesce(Seq(replacements(ar.exprId), Literal(0L))), IntegerType)
         }.asInstanceOf[NamedExpression])
         Project(newList, rewrittenKeep)
       }

@@ -48,6 +48,31 @@ class RunningDistinctRewriteSpec extends SparkSpec {
       "a genuine whole-frame distinct-set request must keep its set semantics")
   }
 
+  test("nondeterministic collect_set input stays single-evaluation sound") {
+    // the rule guards on WindowExpression.deterministic so a
+    // nondeterministic x never gets re-evaluated across the row_number
+    // spec, the flag, and the projections. Through the DataFrame API the
+    // guard is unreachable belt-and-suspenders: the analyzer's
+    // PullOutNondeterministic materializes rand() in a project BELOW the
+    // window first, so the rule sees a deterministic attribute and the
+    // rewrite references the once-computed value. This pin asserts that
+    // end-to-end soundness: concat(x, rand) values are a.s. distinct, so
+    // the running distinct count must equal the running non-null count.
+    val df = nullFixture.select(col("u"), col("o"),
+      size(collect_set(concat(col("x"), rand(42).cast("string"))).over(runningW)).as("d"))
+    val got = df.orderBy("u", "o").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 1), (1L, 1), (1L, 2), (1L, 3), (2L, 0), (2L, 1)),
+      "nondeterministic input must behave as if evaluated exactly once per row")
+  }
+
+  test("rewritten size attribute stays non-nullable like the original") {
+    val df = nullFixture.select(col("o"),
+      size(collect_set(col("x")).over(runningW)).as("d"))
+    val attr = df.queryExecution.optimizedPlan.output.find(_.name == "d").get
+    assert(!attr.nullable,
+      "size(collect_set) was non-nullable; the rewrite must not loosen it")
+  }
+
   test("selecting the array itself keeps the set AND its values") {
     val df = nullFixture.select(col("o"),
       collect_set(col("x")).over(runningW).as("s"),
