@@ -99,4 +99,61 @@ object Sessions {
       executorMemGb: Int = 8,
       inputTb: Double = 0.0): SparkSession.Builder =
     applyConf(b, clusterConf(executors, coresPerExecutor, executorMemGb, inputTb))
+
+  /** State-store sizing for the stateful streaming family — SCALE.md's
+    * per-query state-bound arguments as testable arithmetic, the way
+    * [[clusterConf]] already is for batch shuffles (VERDICT r9 #6).
+    *
+    * `keysInHorizon` is the watermark-bounded live key count of the
+    * stateful operator — the quantity each streaming query's scaladoc
+    * argues: windows-in-horizon × group keys for windowed aggregates,
+    * un-evicted buffered rows per side for stream-stream interval joins,
+    * active sessions for session windows, distinct live keys for
+    * update-mode running aggregates (unbounded key spaces add state TTL
+    * to make it finite). `bytesPerKey` is the UnsafeRow record width
+    * (key + aggregation buffer / buffered row).
+    *
+    * The arithmetic:
+    *  - total state = keys × bytesPerKey. One state-store instance lives
+    *    per shuffle partition, so partitions are floored at one per 64 MB
+    *    of state: the default HDFS-backed provider keeps each store's
+    *    working map ON-HEAP (plus [[minBatchesToRetain]] snapshot deltas),
+    *    and 64 MB keeps a store a small slice of the ~2 GB heap/core that
+    *    the same executor's shuffles and aggregations also need. The
+    *    2×cores wave floor from [[clusterConf]] still applies.
+    *  - when the per-EXECUTOR state share (total state spread over the
+    *    fleet's stores) would cross 25% of executor heap, the map flips to
+    *    the RocksDB provider with changelog checkpointing: state moves
+    *    off-heap (heap holds only block-cache/iterator working set) and
+    *    per-batch checkpointing ships the delta log instead of full
+    *    snapshots — the production shape for 100 TB-scale joins whose
+    *    horizon state is tens of GB per executor.
+    *  - `minBatchesToRetain` 2 bounds checkpoint version growth without
+    *    giving up one-batch failure replay.
+    */
+  def streamingStateConf(
+      executors: Int,
+      coresPerExecutor: Int = 4,
+      executorMemGb: Int = 8,
+      keysInHorizon: Long = 0L,
+      bytesPerKey: Int = 64): Map[String, String] = {
+    val totalCores = executors.toLong * coresPerExecutor
+    val stateBytes = keysInHorizon * bytesPerKey.toLong
+    val byCores = 2L * totalCores
+    val byState = math.ceil(stateBytes.toDouble / (64L << 20).toDouble).toLong
+    val partitions = math.max(byCores, byState)
+    val heavy =
+      stateBytes.toDouble / executors > 0.25 * executorMemGb * (1L << 30).toDouble
+    val base = Map(
+      "spark.sql.shuffle.partitions" -> partitions.toString,
+      "spark.sql.streaming.minBatchesToRetain" -> "2",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        (if (heavy)
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
+    if (heavy)
+      base + ("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    else base
+  }
 }

@@ -563,6 +563,69 @@ object LexiconOps extends QueryModule {
   /** Summary width of the registered heavy-hitter query (bound = n/(k+1)). */
   val mgK = 20
 
+  /** Driver gate for the Misra–Gries summary (r9 verdict item 1a): the raw
+    * summary is merge-order-dependent (WHICH non-heavy tokens survive
+    * varies with partition merge order) so its rows can never be pinned —
+    * but the sketch's CONTRACT is order-insensitive and that is what this
+    * digest checks, the same tolerance-boolean move as
+    * [[WindowsAndStats.a13Approx]]:
+    *
+    *  - every token with true frequency > n/(k+1) is present
+    *    (`heavy_missing` = 0 — the MG coverage guarantee);
+    *  - every reported estimate lies in [true − ⌊n/(k+1)⌋, true]
+    *    (`ests_out_of_bound` = 0; `est*(k+1) > n ⇒ est ≥ true − n/(k+1)`
+    *    with the floor absorbed by integer est/true);
+    *  - no phantom tokens (summary entry absent from the corpus) and at
+    *    most k counters survive.
+    *
+    * `n_heavy` is COMPUTED by the DuckDB oracle from its own GROUP BY (one
+    * aggregate away, exactly as the verdict noted), so the heavy-set size
+    * is cross-engine-checked, not a VALUES snapshot. The integer products
+    * (`true_count * (k+1) > n`) sidestep the float-division boundary both
+    * engines would otherwise have to agree on. Two corpus passes (true
+    * counts + sketch) are inherent to a verification gate — production
+    * runs only the sketch pass; the gate exists to prove that pass honest.
+    */
+  def vocabMgGuarantee(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
+    val tc = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+    val summary = toks.as[String]
+      .select(graft.functions.MisraGries.aggregator(mgK).toColumn.name("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("s_token"), col("h.est_count").as("est_count"))
+    val tot = tc.agg(sum(col("true_count")).cast("long").as("n_tokens"))
+    val isHeavy = col("true_count") * (mgK + 1) > col("n_tokens")
+    val inSummary = col("s_token").isNotNull
+    val bound = expr(s"n_tokens div ${mgK + 1}")
+    tc.join(summary, col("token") === col("s_token"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(when(isHeavy, 1L).otherwise(0L)).cast("long").as("n_heavy"),
+        sum(when(isHeavy && !inSummary, 1L).otherwise(0L)).cast("long")
+          .as("heavy_missing"),
+        sum(when(inSummary && col("token").isNotNull &&
+            (col("est_count") > col("true_count") ||
+             col("est_count") < col("true_count") - bound), 1L)
+          .otherwise(0L)).cast("long").as("ests_out_of_bound"),
+        sum(when(inSummary && col("token").isNull, 1L).otherwise(0L)).cast("long")
+          .as("phantom_tokens"),
+        (sum(when(inSummary, 1L).otherwise(0L)) <= mgK).as("summary_size_ok"))
+  }
+
+  val vocabMgGuaranteeOracle: String =
+    s"""WITH toks AS (
+       | SELECT unnest(regexp_extract_all(text, '$tokenRe')) AS token FROM documents),
+       |tc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc)
+       |SELECT CAST((SELECT count(*) FROM tc, tot WHERE c * ${mgK + 1} > n) AS BIGINT)
+       |  AS n_heavy,
+       | CAST(0 AS BIGINT) AS heavy_missing,
+       | CAST(0 AS BIGINT) AS ests_out_of_bound,
+       | CAST(0 AS BIGINT) AS phantom_tokens,
+       | TRUE AS summary_size_ok""".stripMargin
+
   def vocabHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
@@ -741,7 +804,7 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("bpe_pair_stats", bpePairStats, Some(bpePairStatsOracle)),
     RegisteredQuery("bpe_train_merges", bpeTrainMerges, Some(bpeTrainMergesOracle)),
     RegisteredQuery("bpe_tokenize_stats", bpeTokenizeStats, Some(bpeTokenizeStatsOracle)),
-    RegisteredQuery("vocab_mg_heavy", vocabHeavyHitters, None),
+    RegisteredQuery("vocab_mg_heavy", vocabMgGuarantee, Some(vocabMgGuaranteeOracle)),
     RegisteredQuery("vocab_oov_rate", vocabOovRate, Some(vocabOovOracle)),
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
     RegisteredQuery("collocation_pmi", collocationPmi, Some(collocationPmiOracle)),

@@ -738,6 +738,93 @@ object StreamingOps extends QueryModule {
       | (SELECT count(*) FROM (SELECT DISTINCT event_id FROM incoming)
       |   WHERE event_id NOT IN (SELECT event_id FROM base)) AS new_keys""".stripMargin
 
+  /** UPDATE-output-mode running per-key aggregate — the one output mode
+    * the r9 matrix never exercised (6 append + 3 complete sinks), and
+    * semantically the reference's incremental aggregation loop
+    * (`/root/reference/src/aggregations.py:24-94`): each arriving batch
+    * revises only the keys it touched, and the sink receives exactly the
+    * CHANGED per-key rows, not the whole state (Complete) or only
+    * finalized keys (Append). Three deterministically-split micro-batches
+    * (event_id % 3, one staged file each, maxFilesPerTrigger=1 —
+    * `require`d ≥3 so a silently-single-batch run fails) stream a per-user
+    * count/sum; the memory sink then holds one row per (user, batch that
+    * touched it).
+    *
+    * The digest over the sink is ORDER-INSENSITIVE, so it is deterministic
+    * regardless of micro-batch interleaving: per user, `n_updates` must
+    * equal the number of distinct batches the user appears in (update mode
+    * emits a key iff its state changed), the running count is strictly
+    * increasing across a key's emissions so `max(n)` is the final count
+    * and `max_by(sum, n)` the final sum — both equal to the batch
+    * aggregate the DuckDB oracle computes directly from `events`. The
+    * emission-count check is the UPDATE-specific teeth: a Complete-mode
+    * sink would emit every key every batch (n_updates too high), an
+    * Append-style dedup would emit once (too low).
+    *
+    * Scale: per-key state is two counters (count + sum) — O(distinct
+    * users), the smallest stateful-streaming footprint; no watermark
+    * because nothing is evicted (production adds state TTL for unbounded
+    * key spaces). One keyed shuffle per micro-batch with map-side
+    * partials, same as the batch twin.
+    */
+  def streamUpdateCounts(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-upd")
+    val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
+    try {
+      val ev = graft.engine.Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("b", (col("event_id") % 3).cast("string"))
+      val t0 = System.currentTimeMillis()
+      stageSplits(ev, "b", inDir,
+        Map("0" -> t0, "1" -> (t0 + 60000L), "2" -> (t0 + 120000L)))
+      val name = s"graft_stream_upd_${sinkSeq.incrementAndGet()}"
+      val ckpt = root.resolve("ckpt")
+      val srcSchema = ev.drop("b").schema
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3,
+            s"update-mode run must process >=3 micro-batches, got $dataBatches")
+          val shaped = s.table(name)
+            .groupBy(col("user_id"))
+            .agg(
+              count(lit(1)).cast("long").as("n_updates"),
+              max(col("n")).as("final_n"),
+              roundTo(max_by(col("sum_v"), col("n")), 2).as("final_sum"))
+            .orderBy("user_id")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, s"update-mode source matched no input under $inDir")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
+  /** Final state from the raw table; `n_updates` from the same event_id%3
+    * split rule the staging applies.
+    */
+  val streamUpdateOracle: String =
+    """SELECT user_id,
+      | CAST(count(DISTINCT event_id % 3) AS BIGINT) AS n_updates,
+      | count(*) AS final_n,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS final_sum
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** STREAM-STATIC enrichment — the most common production streaming
     * topology (a fact stream joined to a slowly-changing dimension):
     * orders streamed in two micro-batches, broadcast-joined to the STATIC
@@ -908,5 +995,8 @@ object StreamingOps extends QueryModule {
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
     RegisteredQuery("stream_api_ingest", streamApiIngest,
       Some(streamApiIngestOracle)),
+    // completes the output-mode matrix: update alongside append/complete
+    RegisteredQuery("stream_update_counts", streamUpdateCounts,
+      Some(streamUpdateOracle)),
   )
 }

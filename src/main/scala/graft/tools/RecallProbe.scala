@@ -28,6 +28,15 @@ object RecallProbe {
         println(f"[probe] sim_ivf_topk nprobe=$np%2d of 16: hits=$hits/15")
       }
 
+      for (nt <- Seq(8, 10, 12, 16)) {
+        val cand = Similarity.simLshCandidates(s, dir, nt).count()
+        val hits = Similarity.simLshTopk(s, dir, nt)
+          .select("query_id", "cand_id")
+          .join(brute, Seq("query_id", "cand_id"), "left_semi").count()
+        println(f"[probe] sim_lsh_topk tables=$nt%2d x20bit: hits=$hits/15 " +
+          f"rerankPairs=$cand")
+      }
+
       // directional all-pairs truth: brute top-3 per vector (probe set only
       // for the report metric, all vectors for the global recall)
       val emb = graft.engine.Tables.embeddings(s, dir)

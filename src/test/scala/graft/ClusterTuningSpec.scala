@@ -44,4 +44,34 @@ class ClusterTuningSpec extends AnyFunSuite {
     assert(o2("spark.sql.parquet.inferTimestampNTZ.enabled") == "false")
     assert(o2("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS")
   }
+
+  test("streaming state sizing: light state keeps the on-heap provider and core floor") {
+    // stream_update_counts-shaped: 10M live user keys x 64 B counters =
+    // 640 MB total state on a 10-executor cluster -> 64 MB/executor, far
+    // under the 25% heap bar; core rule (2 x 40 = 80) beats the state
+    // floor (640 MB / 64 MB = 10)
+    val o = Sessions.streamingStateConf(
+      executors = 10, keysInHorizon = 10L * 1000 * 1000, bytesPerKey = 64)
+    assert(o("spark.sql.shuffle.partitions").toLong == 80L)
+    assert(o("spark.sql.streaming.stateStore.providerClass").endsWith(
+      "HDFSBackedStateStoreProvider"))
+    assert(o("spark.sql.streaming.minBatchesToRetain") == "2")
+    assert(!o.contains(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"))
+  }
+
+  test("streaming state sizing: horizon-heavy join state flips to RocksDB and the state floor") {
+    // stream_interval_join-shaped at 100 TB ingest: ~40B buffered rows in
+    // the 4h watermark horizon x 200 B each = 8 TB of join state on 1000
+    // executors -> 8 GB/executor = 100% of an 8 GB heap; the on-heap
+    // provider is not survivable, RocksDB + changelog checkpointing is
+    val o = Sessions.streamingStateConf(
+      executors = 1000, keysInHorizon = 40L * 1000 * 1000 * 1000, bytesPerKey = 200)
+    // state floor: 8 TB / 64 MB = ~122k stores, beats 2 x 4000 cores
+    assert(o("spark.sql.shuffle.partitions").toLong >= 119000L)
+    assert(o("spark.sql.streaming.stateStore.providerClass").endsWith(
+      "RocksDBStateStoreProvider"))
+    assert(o(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") == "true")
+  }
 }

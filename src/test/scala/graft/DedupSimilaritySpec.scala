@@ -115,7 +115,7 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH top-k: recall >= 12/15 at <= 20% rerank (probe) rate") {
+  test("LSH top-k: recall >= 13/15 at <= 28% rerank (probe) rate") {
     val brute = Similarity.simTopkBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val bruteAll = brute.keySet
@@ -126,13 +126,16 @@ class DedupSimilaritySpec extends SparkSpec {
       brute.get(key).foreach(exact => assert(r.getDouble(2) === exact))
     }
     val hits = lsh.count(r => bruteAll.contains((r.getLong(0), r.getLong(1))))
-    assert(hits >= 12, s"LSH recall@3 too low: $hits/15")
+    assert(hits >= 13, s"LSH recall@3 too low: $hits/15")
     // probe rate = pairs whose exact cosine is computed / all pairs
     val nQueries = 5L
     val nCands = 495L
     val reranked = Similarity.simLshCandidates(spark, sfDir).count()
     val rate = reranked.toDouble / (nQueries * nCands)
-    assert(rate <= 0.20, f"rerank rate $rate%.3f exceeds 20%%")
+    // 12 tables rerank ~25% on this noise-floor fixture (the r10 measured
+    // knee for >=13/15 recall); the ceiling pins that the rerank volume
+    // does not silently grow past the measured cost of that recall
+    assert(rate <= 0.28, f"rerank rate $rate%.3f exceeds 28%%")
     info(f"LSH recall@3: $hits/15 at ${rate * 100}%.1f%% rerank rate")
   }
 
@@ -162,11 +165,11 @@ class DedupSimilaritySpec extends SparkSpec {
       brute.get(key).foreach(exact => assert(r.getDouble(2) === exact))
     }
     val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
-    // nprobe=4 of k=16 cells probes ~25% of candidates; top-1 neighbors
-    // concentrate in the nearest cells, so recall must clearly beat that
-    // share. The persistent deterministic index measures 9/15 — gate at 8
-    // (VERDICT r2 #8 raised this from the loose ≥5).
-    assert(hits >= 8, s"IVF recall too low: $hits of ${brute.size}")
+    // nprobe=10 of k=16 cells (the r10 measured knee) measures 13/15 on
+    // the deterministic index — gate at 12 with one hit of headroom for
+    // centroid-sample jitter across SFs (the exact sf0.01 value is pinned
+    // by the driver's sim_recall_report oracle).
+    assert(hits >= 12, s"IVF recall too low: $hits of ${brute.size}")
     info(s"IVF recall@3: $hits/${brute.size}")
   }
 

@@ -10,14 +10,15 @@ import graft.operators.Similarity
   * and recall of the true top-3 must clear a measured floor. The floor is
   * data-dependent: this corpus's typical top-3 neighbor sits near cosine
   * 0.33 (near-orthogonal), which is the hard regime for any ANN blocker.
-  * At the r9 assignment default (5 of 32 — chosen from `RecallProbe`'s
-  * measured curve) global recall is 0.925 at sf0.001/sf0.01; the gate
-  * asserts a 0.85 floor (headroom for centroid-sample jitter) so a
-  * regression in assignment or blocking shows up. The candidate-rate
-  * ceiling is likewise the measured 0.584 + headroom: on noise-floor
-  * data high recall is BOUGHT with candidate volume (the r8 8/15-recall
-  * default pruned to 0.26), and the regime where the blocker prunes hard
-  * is pinned separately by the clustered-corpus test below.
+  * At the r10 assignment default (6 of 32 — the measured knee from
+  * `RecallProbe`, lifted off r9's 5 per the r9 verdict) global recall is
+  * 0.966 at sf0.01; the gate asserts a 0.90 floor (headroom for
+  * centroid-sample jitter) so a regression in assignment or blocking
+  * shows up. The candidate-rate ceiling is likewise the measured 0.723 +
+  * headroom: on noise-floor data high recall is BOUGHT with candidate
+  * volume (the r8 8/15-recall default pruned to 0.26), and the regime
+  * where the blocker prunes hard is pinned separately by the
+  * clustered-corpus test below.
   */
 class KnnJoinSpec extends SparkSpec {
 
@@ -71,7 +72,7 @@ class KnnJoinSpec extends SparkSpec {
     val found = knn.map(t => (t._1, t._2)).toSet
     val hits = brute.toSeq.map { case (i, nbrs) => nbrs.count(p => found((i, p._1))) }.sum
     val recall = hits.toDouble / (3 * n)
-    assert(recall >= 0.85, f"kNN recall $recall%.3f below floor 0.85")
+    assert(recall >= 0.90, f"kNN recall $recall%.3f below floor 0.90")
     assert(bruteAll.nonEmpty)
   }
 
@@ -138,7 +139,7 @@ class KnnJoinSpec extends SparkSpec {
     val cand = Similarity.knnJoinCandidates(spark, sfDir).count()
     val allPairs = nVec * (nVec - 1) / 2
     val rate = cand.toDouble / allPairs
-    assert(rate <= 0.65, f"blocking passes $rate%.3f of all pairs — not pruning")
+    assert(rate <= 0.78, f"blocking passes $rate%.3f of all pairs — not pruning")
     assert(cand > 0)
   }
 }
