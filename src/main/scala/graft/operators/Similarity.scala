@@ -1070,14 +1070,14 @@ object SimilarityIndex {
     * can still alias (mtime granularity); acceptable for a test-fixture
     * memo, and the file-count + byte-size terms narrow the window.
     */
-  private[operators] def fingerprint(dir: String): String =
+  private[graft] def fingerprint(dir: String): String =
     fingerprint(dir, "embeddings.parquet")
 
   /** Generalized form — [[graft.operators.LexiconOps]] keys its BPE memo
     * on documents.parquet with the same scheme (and the same
     * mtime-granularity aliasing caveat above).
     */
-  private[operators] def fingerprint(dir: String, table: String): String = {
+  private[graft] def fingerprint(dir: String, table: String): String = {
     val root = new java.io.File(s"$dir/$table")
     val canonical = root.getCanonicalPath
     val files: Seq[java.io.File] =
