@@ -29,10 +29,27 @@ object RecallProbe {
       }
 
       for (nt <- Seq(8, 10, 12, 16)) {
-        val cand = Similarity.simLshCandidates(s, dir, nt).count()
-        val hits = Similarity.simLshTopk(s, dir, nt)
-          .select("query_id", "cand_id")
+        // count the candidate set from the SAME cached DataFrame the topk
+        // rerank consumes — rebuilding it ran the signature + band join
+        // twice per table count (review r10)
+        val cands = Similarity.simLshCandidates(s, dir, nt).cache()
+        val cand = cands.count()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
+        val emb = graft.engine.Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+          .withColumn("nrm", sqrt(expr(graft.functions.VectorFunctions.dotExpr("raw", "raw"))))
+          .select(col("vec_id"), expr("transform(raw, x -> x / nrm)").as("e"))
+        val hits = cands
+          .join(emb.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+          .join(emb.select(col("vec_id").as("cand_id"), col("e").as("ce")), "cand_id")
+          .select(col("query_id"), col("cand_id"),
+            (floor(expr(graft.functions.VectorFunctions.dotExpr("qe", "ce")) * 1e6 + 0.5) / 1e6)
+              .as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
           .join(brute, Seq("query_id", "cand_id"), "left_semi").count()
+        cands.unpersist()
         println(f"[probe] sim_lsh_topk tables=$nt%2d x20bit: hits=$hits/15 " +
           f"rerankPairs=$cand")
       }
