@@ -445,4 +445,53 @@ class StreamingSpec extends SparkSpec {
       s"expected sessions 1 (2 events) and 2 (1 event), got ${u1.toSeq}")
     spark.catalog.dropTempView("sess_gap")
   }
+
+  test("streamingStateConf's RocksDB provider RUNS the stateful path, same results") {
+    // the heavy-state regime's provider flip must be executable, not just
+    // map-pinned arithmetic: run a real update-mode aggregate under the
+    // RocksDB provider (rocksdbjni ships with Spark) and require (a) the
+    // state operator reports rocksdb metrics — proof it engaged, no
+    // silent fallback — and (b) the final state equals the batch aggregate
+    val conf = graft.engine.Sessions.streamingStateConf(
+      executors = 1000, keysInHorizon = 40L * 1000 * 1000 * 1000, bytesPerKey = 200)
+    val provider = conf("spark.sql.streaming.stateStore.providerClass")
+    assert(provider.endsWith("RocksDBStateStoreProvider"))
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("value"))
+    val inDir = tmpDir("graft-rocksdb-in")
+    val ckpt = tmpDir("graft-rocksdb-ckpt")
+    ev.write.mode(SaveMode.Overwrite).parquet(s"$inDir/f1")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$inDir/*")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .writeStream
+        .outputMode("update")
+        .format("memory").queryName("rocksdb_upd")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        val stateMetrics = q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+          .flatMap(_.customMetrics.keySet.asScala)
+        assert(stateMetrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"state operator reported no rocksdb metrics — provider fell back: $stateMetrics")
+        val got = spark.table("rocksdb_upd")
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, "RocksDB-backed state diverged from the batch aggregate")
+      } finally scala.util.Try(spark.catalog.dropTempView("rocksdb_upd"))
+    } finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 }
