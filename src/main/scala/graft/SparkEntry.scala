@@ -33,6 +33,7 @@ object SparkEntry {
     OrderingOps,
     LexiconOps,
     EventLifecycleOps,
+    GraphOps,
     ChunkOps,
     CorpusOps,
     ProfilingOps,

@@ -243,11 +243,66 @@ object LayoutOps extends QueryModule {
       | count(*) AS n_rows
       |FROM orders""".stripMargin
 
+  /** Rendezvous (highest-random-weight) sharding audit: assign every doc
+    * to a shard by arg-max of md5(doc_id:shard) over the shard set, under
+    * 8 shards and again under 10, and report how many keys move — against
+    * the mod-hash baseline. Rendezvous is how a 100 TB corpus store keeps
+    * re-sharding incremental: growing 8→10 shards relocates only the keys
+    * won by the NEW shards (expected 2/10), and `rw_moved_to_new` pins
+    * that minimal-disruption guarantee in data (every mover lands on
+    * shard 8 or 9), while `doc_id % n` relocates 80% (only ids equal mod
+    * lcm(8,10) stay). The per-key arg-max is a constant-width array
+    * expression fused into the scan — no explode, no shuffle; the only
+    * exchanges are the 1-row digest and the 8-row occupancy census.
+    */
+  def shardRendezvous(s: SparkSession, dir: String): DataFrame = {
+    val nNew = 10
+    val hashes = array((0 until nNew).map { i =>
+      struct(md5(concat(col("doc_id").cast("string"), lit(":" + i))).as("h"),
+        lit(i.toLong).as("shard"))
+    }: _*)
+    val assigns = Tables.documents(s, dir)
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"),
+        array_max(slice(col("hs"), 1, 8)).getField("shard").as("s8"),
+        array_max(col("hs")).getField("shard").as("s10"),
+        (col("doc_id") % 8).as("m8"), (col("doc_id") % 10).as("m10"))
+    val digest = assigns.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("s8") =!= col("s10"), 1L).otherwise(0L)).cast("long").as("rw_moved"),
+      sum(when(col("s8") =!= col("s10") && col("s10") >= 8, 1L).otherwise(0L))
+        .cast("long").as("rw_moved_to_new"),
+      sum(when(col("m8") =!= col("m10"), 1L).otherwise(0L)).cast("long").as("mod_moved"))
+    val occ = assigns.groupBy(col("s8")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("rw_max_occ8"), min(col("c")).as("rw_min_occ8"))
+    digest.crossJoin(occ)
+  }
+
+  val shardRendezvousOracle: String =
+    """WITH a AS (
+      | SELECT doc_id,
+      |  arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)))
+      |    FILTER (WHERE s < 8) AS s8,
+      |  arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS s10,
+      |  doc_id % 8 AS m8, doc_id % 10 AS m10
+      | FROM documents CROSS JOIN range(0, 10) t(s) GROUP BY doc_id),
+      |digest AS (
+      | SELECT count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS BIGINT) AS rw_moved,
+      |  CAST(sum(CASE WHEN s8 <> s10 AND s10 >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS rw_moved_to_new,
+      |  CAST(sum(CASE WHEN m8 <> m10 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+      | FROM a),
+      |occ AS (
+      | SELECT max(c) AS rw_max_occ8, min(c) AS rw_min_occ8
+      | FROM (SELECT count(*) AS c FROM a GROUP BY s8))
+      |SELECT * FROM digest CROSS JOIN occ""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("zorder_key", zorderKey, Some(zorderOracle)),
     RegisteredQuery("compaction_plan", compactionPlan, Some(compactionOracle)),
     RegisteredQuery("partitioned_write_audit", partitionedWriteAudit,
       Some(partitionedWriteAuditOracle)),
     RegisteredQuery("footer_minmax", footerMinmax, Some(footerMinmaxOracle)),
+    RegisteredQuery("shard_rendezvous", shardRendezvous, Some(shardRendezvousOracle)),
   )
 }

@@ -1027,8 +1027,91 @@ object Similarity extends QueryModule {
        |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
   }
 
+  /** Matryoshka-style prefix-dimension retrieval evaluation: how much of
+    * the full-64-dim cosine top-10 survives when queries and candidates
+    * are truncated to their first 8/16/32 dimensions (and re-normalized
+    * over the prefix). This is the standard quality gate before shipping
+    * truncated embeddings to cut ANN index cost (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning" — public method). Norms are
+    * precomputed once per side (not per pair); the prefix dot exploits
+    * [[graft.functions.DotProduct]]'s min-length semantics, so only the
+    * query side is sliced. The four rankings share one partition key →
+    * one exchange, four in-partition sorts. Ranks order on the ROUNDED
+    * score (6 dp, both engines) so float noise cannot flip cross-engine
+    * ordering.
+    */
+  def simMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val dims = Seq(8, 16, 32)
+    def dotS(a: String, b: String): Column = expr(VectorFunctions.dotExpr(a, b))
+    def norms(v: String, pre: String): Seq[Column] =
+      (dims.map(d =>
+        sqrt(dotS(s"slice($v, 1, $d)", s"slice($v, 1, $d)")).as(s"$pre$d")) :+
+        sqrt(dotS(v, v)).as(s"${pre}f"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id") +: col("v").as("qe") +: norms("v", "qn"): _*)
+      .repartition(col("query_id"))
+    val c = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id") +: col("v").as("ce") +: norms("v", "cn"): _*)
+      .repartition(col("cand_id"))
+    val prefixScores = dims.map(d =>
+      roundTo(dotS(s"slice(qe, 1, $d)", "ce") / (col(s"qn$d") * col(s"cn$d")), 6).as(s"s$d"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id") +: col("cand_id") +:
+        roundTo(dotS("qe", "ce") / (col("qnf") * col("cnf")), 6).as("sf") +: prefixScores: _*)
+    def rk(sc: String): Column = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col(sc).desc, col("cand_id")))
+    val ranked = dims.foldLeft(scored.withColumn("rf", rk("sf"))) {
+      case (df, d) => df.withColumn(s"r$d", rk(s"s$d"))
+    }
+    val overlaps = ranked.groupBy(col("query_id")).agg(
+      sum(when(col("rf") <= 10 && col("r8") <= 10, 1L).otherwise(0L)).cast("long").as("o8"),
+      sum(when(col("rf") <= 10 && col("r16") <= 10, 1L).otherwise(0L)).cast("long").as("o16"),
+      sum(when(col("rf") <= 10 && col("r32") <= 10, 1L).otherwise(0L)).cast("long").as("o32"))
+    overlaps
+      .select(col("query_id"),
+        expr("stack(3, CAST(8 AS BIGINT), o8, CAST(16 AS BIGINT), o16, CAST(32 AS BIGINT), o32) AS (prefix_dim, overlap10)"))
+      .select("query_id", "prefix_dim", "overlap10")
+      .orderBy("query_id", "prefix_dim")
+  }
+
+  val simMatryoshkaOracle: String = {
+    def dp(x: String, y: String, d: Int): String =
+      s"list_sum(list_transform(range(1, ${d + 1}), i -> $x[i] * $y[i]))"
+    def cosD(d: Int): String =
+      s"floor((${dp("qe", "ce", d)} / (sqrt(${dp("qe", "qe", d)}) * sqrt(${dp("ce", "ce", d)}))) * 1e6 + 0.5) / 1e6"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 5),
+       |scored AS (
+       | SELECT query_id, cand_id, ${cosD(dim)} AS sf,
+       |  ${cosD(8)} AS s8, ${cosD(16)} AS s16, ${cosD(32)} AS s32
+       | FROM q, c),
+       |ranked AS (
+       | SELECT *,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sf DESC, cand_id) AS rf,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s8 DESC, cand_id) AS r8,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s16 DESC, cand_id) AS r16,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s32 DESC, cand_id) AS r32
+       | FROM scored),
+       |agg AS (
+       | SELECT query_id,
+       |  CAST(sum(CASE WHEN rf <= 10 AND r8 <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS o8,
+       |  CAST(sum(CASE WHEN rf <= 10 AND r16 <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS o16,
+       |  CAST(sum(CASE WHEN rf <= 10 AND r32 <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS o32
+       | FROM ranked GROUP BY query_id)
+       |SELECT query_id, CAST(8 AS BIGINT) AS prefix_dim, o8 AS overlap10 FROM agg
+       |UNION ALL
+       |SELECT query_id, CAST(16 AS BIGINT), o16 FROM agg
+       |UNION ALL
+       |SELECT query_id, CAST(32 AS BIGINT), o32 FROM agg
+       |ORDER BY query_id, prefix_dim""".stripMargin
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_dim_stats", embDimStats, Some(embDimStatsOracle)),
+    RegisteredQuery("sim_matryoshka", simMatryoshka, Some(simMatryoshkaOracle)),
     RegisteredQuery("sim_topk_brute", simTopkBrute, Some(simTopkOracle)),
     RegisteredQuery("hard_negative_mine", hardNegativeMine, Some(hardNegativeOracle)),
     RegisteredQuery("emb_neardup_pairs", embNearDupPairs, Some(embNearDupOracle)),
