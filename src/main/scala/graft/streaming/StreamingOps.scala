@@ -872,6 +872,111 @@ object StreamingOps extends QueryModule {
       |FROM events WHERE user_id IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Running per-user top-3 values via `transformWithState` — the
+    * arbitrary-state API ([[TwsTopKProcessor]]) the suite's state matrix
+    * didn't yet exercise (mapGroupsWithState, flatMapGroupsWithState,
+    * dropDuplicatesWithinWatermark, built-in update/complete/append
+    * aggregates all are). Same three deterministic event_id%3 micro-batches
+    * as [[streamUpdateCounts]] (shared staged layout); the processor is
+    * REQUIRED to run under the RocksDB state-store provider
+    * (transformWithState rejects the HDFS-backed one — the conf flip is
+    * part of the gated path, a second executable proof of the
+    * heavy-state provider beyond `StreamingSpec`).
+    *
+    * Digest determinism: per user the emitted `n_seen` is strictly
+    * increasing, so `max(n_seen)` is the final count and
+    * `max_by(v_i, n_seen)` the final top-3 — equal to the batch
+    * `row_number()` top-3 the DuckDB oracle computes directly; emission
+    * count = batches that touched the user (the update-granularity
+    * teeth). State is O(k) per key at any stream length; one keyed
+    * exchange per micro-batch.
+    */
+  def streamTwsTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // IDENTICAL staging expression to [[streamUpdateCounts]] on purpose:
+    // the two queries share one memoized "upd" layout (StagedLayouts keys
+    // by name, so the builders must agree). `value` is non-null in the
+    // fixtures; were that to change, the ANSI as[TwsIn] decode fails loudly.
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("b", (col("event_id") % 3).cast("string"))
+    val inDir = StagedLayouts.dir("upd", dir) { in =>
+      val t0 = 1700000000000L
+      stageSplits(ev, "b", in,
+        Map("0" -> t0, "1" -> (t0 + 60000L), "2" -> (t0 + 120000L)))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-tws")
+    try {
+      val name = s"graft_stream_tws_${sinkSeq.incrementAndGet()}"
+      val srcSchema = ev.drop("b").schema
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[TwsIn]
+          .groupByKey(_.user_id)
+          .transformWithState(new TwsTopKProcessor(3),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3,
+            s"transformWithState run must process >=3 micro-batches, got $dataBatches")
+          import scala.jdk.CollectionConverters._
+          val stateMetrics = q.recentProgress.toSeq
+            .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+            .flatMap(_.customMetrics.keySet.asScala)
+          require(stateMetrics.exists(_.toLowerCase.contains("rocksdb")),
+            s"no rocksdb state metrics — provider fell back: $stateMetrics")
+          val shaped = s.table(name)
+            .groupBy(col("user_id"))
+            .agg(
+              count(lit(1)).cast("long").as("n_updates"),
+              max(col("n_seen")).as("final_n"),
+              roundTo(max_by(col("v1"), col("n_seen")), 6).as("v1"),
+              roundTo(max_by(col("v2"), col("n_seen")), 6).as("v2"),
+              roundTo(max_by(col("v3"), col("n_seen")), 6).as("v3"))
+            .orderBy("user_id")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, s"transformWithState source matched no input under $inDir")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      } finally oldProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+    } finally deleteRecursively(root)
+  }
+
+  /** Batch top-3-per-user twin: the processor's (value desc, event id asc)
+    * survivor order as `row_number()`, pivoted to columns.
+    */
+  val streamTwsTopkOracle: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, value FROM events
+      | WHERE user_id IS NOT NULL),
+      |r AS (
+      | SELECT user_id, event_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      | FROM e)
+      |SELECT user_id,
+      | CAST(count(DISTINCT event_id % 3) AS BIGINT) AS n_updates,
+      | count(*) AS final_n,
+      | floor(max(CASE WHEN rk = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS v1,
+      | floor(max(CASE WHEN rk = 2 THEN value END) * 1e6 + 0.5) / 1e6 AS v2,
+      | floor(max(CASE WHEN rk = 3 THEN value END) * 1e6 + 0.5) / 1e6 AS v3
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** STREAM-STATIC enrichment — the most common production streaming
     * topology (a fact stream joined to a slowly-changing dimension):
     * orders streamed in two micro-batches, broadcast-joined to the STATIC
@@ -1046,5 +1151,9 @@ object StreamingOps extends QueryModule {
     // completes the output-mode matrix: update alongside append/complete
     RegisteredQuery("stream_update_counts", streamUpdateCounts,
       Some(streamUpdateOracle)),
+    // the arbitrary-state API (StatefulProcessor) on the gated path,
+    // RocksDB provider required by construction
+    RegisteredQuery("stream_tws_topk", streamTwsTopk,
+      Some(streamTwsTopkOracle)),
   )
 }

@@ -446,6 +446,39 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("sess_gap")
   }
 
+  test("stream_tws_topk: transformWithState top-3 equals the batch window top-3") {
+    val got = graft.streaming.StreamingOps.streamTwsTopk(spark, sfDir)
+    // batch truth: row_number over (value desc, event_id) per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val truth = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rk") === 1, col("value"))).as("v1"),
+        max(when(col("rk") === 2, col("value"))).as("v2"),
+        max(when(col("rk") === 3, col("value"))).as("v3"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    val gotMap = got.collect().map { r =>
+      r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))
+    }.toMap
+    assert(gotMap.keySet == truth.keySet)
+    gotMap.foreach { case (u, (a, b, c)) =>
+      val (ta, tb, tc) = truth(u)
+      def d(x: Option[Any], y: Option[Any]): Boolean = (x, y) match {
+        case (Some(p: Double), Some(q: Double)) => math.abs(p - q) < 1e-6
+        case (None, None) => true
+        case _ => false
+      }
+      assert(d(a, ta) && d(b, tb) && d(c, tc), s"user $u: got ($a,$b,$c) want ($ta,$tb,$tc)")
+    }
+    // update-mode granularity: each user emitted once per touching batch
+    val nUpd = got.select("n_updates").collect().map(_.getLong(0))
+    assert(nUpd.forall(n => n >= 1 && n <= 3))
+  }
+
   test("streamingStateConf's RocksDB provider RUNS the stateful path, same results") {
     // the heavy-state regime's provider flip must be executable, not just
     // map-pinned arithmetic: run a real update-mode aggregate under the
