@@ -68,8 +68,10 @@ object GraphOps extends QueryModule {
         .join(broadcast(ranks), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("p") * col("r")).as("inflow"))
+      // contrib is |V|-bounded (≤ one row per node) — broadcast it so the
+      // base-term outer join never plans sort-merge exchanges
       ranks = nations
-        .join(contrib, nations("id") === contrib("dst"), "left")
+        .join(broadcast(contrib), nations("id") === contrib("dst"), "left")
         .select(col("id"), (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
     }
     ranks

@@ -115,4 +115,16 @@ class PlanGuardSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(phys).length >= 2,
       s"expected partial+final aggregation:\n$phys")
   }
+
+  test("graph_pagerank: every per-iteration join broadcasts, zero sort-merge joins") {
+    val df = graft.operators.GraphOps.pageRank(spark, sfDir)
+    df.collect() // finalize AQE
+    val phys = df.queryExecution.executedPlan.toString
+    // ranks and contrib are both |V|-bounded: an SMJ means an iteration
+    // regressed to shuffling the edge table against a 25-row side
+    assert(!phys.contains("SortMergeJoin"),
+      "pagerank iteration planned a sort-merge join — broadcast hint lost")
+    assert(!phys.contains("CartesianProduct"))
+    assert(phys.contains("BroadcastHashJoin"), "expected broadcast rank joins")
+  }
 }
