@@ -536,8 +536,48 @@ object EventLifecycleOps extends QueryModule {
        | CASE WHEN z > 0 THEN 'high' ELSE 'low' END AS direction
        |FROM scored WHERE abs(z) > 2.0 ORDER BY day""".stripMargin
 
+  /** First-order Markov transition census over each user's event stream:
+    * for every (from → to) event-type pair, how often does it occur, and
+    * what share of the outgoing transitions from `from` does it carry?
+    * The session-flow / behavioral-model primitive (and, on token
+    * streams, exactly the bigram LM estimation step [[LexiconOps.lmScore]]
+    * applies).
+    *
+    * Ordering inside a user's stream is (ts, event_id) — the event_id
+    * tiebreak makes `lead` deterministic under same-timestamp bursts on
+    * both engines. Scale: one shuffle keyed by user (the per-user window
+    * sort is bounded by a user's history, never global), then a keyed
+    * census whose cardinality is |event types|² — the row-probability
+    * window runs on that tiny table.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_next",
+        roundTo(col("n_trans") / sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsOracle: String =
+    """WITH tr AS (
+      | SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      | FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n_trans
+      |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      | floor((n_trans / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT))
+      |   * 1e6 + 0.5) / 1e6 AS p_next
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
+    RegisteredQuery("event_transitions", eventTransitions, Some(eventTransitionsOracle)),
     RegisteredQuery("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     RegisteredQuery("scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
     RegisteredQuery("scd2_pit_join", scd2PitJoin, Some(scd2PitJoinOracle)),

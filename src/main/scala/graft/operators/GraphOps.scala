@@ -106,7 +106,149 @@ object GraphOps extends QueryModule {
        |FROM r$iters ORDER BY nationkey""".stripMargin
   }
 
+  /** Triangle counting on the part co-purchase graph (parts are adjacent
+    * iff some order contains both) — the clustering-coefficient /
+    * community-density signal a crawl-graph curation pass computes next
+    * to PageRank. Top-20 parts by triangle membership.
+    *
+    * Degree-ordered compact-forward (edge-iterator), not the naive
+    * three-way edge self-join:
+    *  1. orient every undirected edge from its lower-TOTAL-DEGREE
+    *     endpoint to the higher (key tiebreak) — out-degrees are then
+    *     O(√m) regardless of skew, so hub nodes never enumerate their
+    *     full neighborhood squared;
+    *  2. build the out-adjacency list per node (|V| rows, each ≤ O(√m)
+    *     long) and, per oriented edge (u,v), intersect N⁺(u) ∩ N⁺(v).
+    *     Each hit w closes the triangle u→v, u→w, v→w, and every
+    *     triangle is found exactly once (at its unique in-degree-0
+    *     vertex pair under the acyclic orientation). Work is
+    *     Σ_{(u,v)∈E} (d⁺(u)+d⁺(v)) = O(m^1.5), but — unlike the wedge
+    *     join spelled as oriented ⋈ oriented — the O(m^1.5) candidate
+    *     wedge stream is never materialized or shuffled: it collapses
+    *     inside the per-row array_intersect.
+    *
+    * Scale: edge generation is a per-order self-join — fan-out bounded
+    * by order size (≤ 7 lineitems in TPC-H-shaped data), so it is a
+    * keyed join, not a cross product. The adjacency table is |V| rows ×
+    * O(√m) entries (~7 MB at sf0.1) and broadcasts; when |E| outgrows a
+    * broadcast at crawl scale, the two adjacency attachments revert to
+    * keyed shuffles of the edge list (by u, then by v) against the
+    * key-partitioned adjacency table — still no wedge materialization.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      .cache()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // deg is |V|-bounded and the closing probe is |E|-bounded (16 B/edge —
+    // ~15 MB at sf0.1, above the 10 MB auto-broadcast bar, far below
+    // executor memory). Broadcast both: the wedge stream (O(m^1.5) rows,
+    // the big side by an order of magnitude) then never shuffles or sorts.
+    // At crawl scale where |E| outgrows a broadcast, the closing join
+    // reverts to a keyed shuffle on (u, v) — the wedge stream is hash-
+    // partitioned straight out of the wedge join, no extra pass.
+    val withDeg = e
+      .join(broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")), "a")
+      .join(broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("src"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("dst"))
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val tris = oriented
+      .join(broadcast(adj.select(col("src").as("au"), col("nbrs").as("nu"))),
+        col("src") === col("au"))
+      .join(broadcast(adj.select(col("src").as("av"), col("nbrs").as("nv"))),
+        col("dst") === col("av"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    tris.select(explode(array(col("src"), col("dst"), col("w"))).as("partkey"))
+      .groupBy("partkey").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy(col("tri_cnt").desc, col("partkey"))
+      .limit(20)
+  }
+
+  /** Oracle enumerates each triangle once by key order (a<b<c) — simpler
+    * to state in SQL, identical triangle set; only the Spark side needs
+    * the degree orientation's skew bound.
+    */
+  val trianglesOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM e e1
+      |      JOIN e e2 ON e2.a = e1.b
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |m AS (SELECT x AS partkey FROM t
+      |      UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |SELECT partkey, count(*) AS tri_cnt FROM m
+      |GROUP BY partkey ORDER BY tri_cnt DESC, partkey LIMIT 20""".stripMargin
+
+  /** Market-basket association strength over the same co-purchase pairs
+    * [[triangles]] builds its graph from: top-20 part pairs by joint
+    * order count, with support, confidence and lift. The co-occurrence
+    * strength signal (PMI's set-valued cousin — see
+    * [[LexiconOps.collocationPmi]] for the token rendition) that decides
+    * which near-dup cluster exemplars or interleaved modalities belong
+    * together.
+    *
+    * Determinism: ranked by the exact integer joint count (ties on the
+    * key pair), never by the derived floats; support/confidence/lift are
+    * display columns rounded at 6 dp. Scale: pair census is the bounded
+    * per-order self-join + keyed aggregate; the top-20 is a
+    * TakeOrderedAndProject; per-part counts attach to the 20 survivors
+    * via broadcast; the order total is a 1-row broadcast scalar.
+    */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val top = pairs.orderBy(col("n_ab").desc, col("a"), col("b")).limit(20)
+    val pcnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
+    broadcast(top)
+      .join(pcnt.select(col("pk").as("a"), col("n_p").as("n_a")), "a")
+      .join(pcnt.select(col("pk").as("b"), col("n_p").as("n_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        roundTo(col("n_ab") / col("n_orders"), 6).as("support"),
+        roundTo(col("n_ab") / col("n_a"), 6).as("confidence"),
+        roundTo((col("n_ab") * col("n_orders")) / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+  }
+
+  val basketLiftOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+      |          FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+      |top AS (SELECT a, b, n_ab FROM pairs ORDER BY n_ab DESC, a, b LIMIT 20),
+      |pc AS (SELECT pk, count(*) AS n_p FROM li GROUP BY pk),
+      |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+      |SELECT t.a AS part_a, t.b AS part_b, t.n_ab,
+      | pa.n_p AS n_a, pb.n_p AS n_b,
+      | floor((t.n_ab / n_orders) * 1e6 + 0.5) / 1e6 AS support,
+      | floor((t.n_ab / pa.n_p) * 1e6 + 0.5) / 1e6 AS confidence,
+      | floor(((t.n_ab * n_orders) / (pa.n_p * pb.n_p)) * 1e6 + 0.5) / 1e6 AS lift
+      |FROM top t
+      |JOIN pc pa ON pa.pk = t.a
+      |JOIN pc pb ON pb.pk = t.b, tot
+      |ORDER BY t.n_ab DESC, part_a, part_b""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("graph_pagerank", pageRank, Some(pageRankOracle)),
+    RegisteredQuery("graph_triangles", triangles, Some(trianglesOracle)),
+    RegisteredQuery("basket_lift", basketLift, Some(basketLiftOracle)),
   )
 }

@@ -797,8 +797,90 @@ object LexiconOps extends QueryModule {
       | (5, 's t', 2676), (6, 'm er', 1852), (7, 'a t', 1845), (8, 'l u', 1831)
       |) t(merge_rank, pair, n_occ) ORDER BY merge_rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Split distribution drift
+  // ---------------------------------------------------------------------
+
+  /** Token-distribution drift between the train and val splits: the
+    * top-20 tokens by rate divergence, with per-million rates and each
+    * token's Jensen-Shannon divergence contribution (in micro-bits).
+    * The split-health gate a training pipeline runs after assignment —
+    * a hash split SHOULD give near-zero drift; a top list dominated by
+    * a few tokens means a correlated key (one source, one template)
+    * leaked into the split function.
+    *
+    * Determinism across engines: the ranking key is NOT the computed
+    * double (near-ties in floats could order differently under a
+    * different summation order) but the exact integer cross-product
+    * |n_train·T_val − n_val·T_train| — the sign-free comparison of the
+    * two rates over a common denominator, computed in 64-bit integers
+    * on both sides. The doubles (rates, JS terms) are display columns,
+    * rounded at 3 dp where cross-engine log2 ulp noise (~1e-10 of the
+    * value) cannot reach.
+    *
+    * Scale: explode → keyed word-count aggregate (map-side partials),
+    * one 1-row totals broadcast, top-k as TakeOrderedAndProject. No
+    * all-pairs anything; the JS sum per token is arithmetic on the
+    * joined row.
+    */
+  def splitDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(OrderingOps.splitExpr(col("doc_id")).as("split"),
+        explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
+      .where(col("split").isin("train", "val"))
+    val counts = toks.groupBy("token").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val tot = counts.agg(sum("n_train").as("tt"), sum("n_val").as("tv"))
+    val sc = counts.crossJoin(broadcast(tot)) // 1-row totals, broadcast-scalar
+    val p = col("n_train") / col("tt")
+    val q = col("n_val") / col("tv")
+    val m = (p + q) / lit(2.0)
+    val termT = when(col("n_train") > 0, p * log2(p / m)).otherwise(lit(0.0))
+    val termV = when(col("n_val") > 0, q * log2(q / m)).otherwise(lit(0.0))
+    sc.select(col("token"), col("n_train"), col("n_val"),
+        abs(col("n_train") * col("tv") - col("n_val") * col("tt")).as("drift_x"),
+        roundTo(col("n_train") * lit(1e6) / col("tt"), 3).as("ppm_train"),
+        roundTo(col("n_val") * lit(1e6) / col("tv"), 3).as("ppm_val"),
+        roundTo((lit(0.5) * termT + lit(0.5) * termV) * lit(1e6), 3).as("js_ubits"))
+      .orderBy(col("drift_x").desc, col("token"))
+      .limit(20)
+  }
+
+  val splitDriftOracle: String =
+    s"""WITH toks AS (
+       | SELECT CASE WHEN b < 52429 THEN 'train' ELSE 'val' END AS split, token
+       | FROM (
+       |  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |           AS INTEGER) AS BIGINT) AS b,
+       |         unnest(regexp_extract_all(text, '$tokenRe')) AS token
+       |  FROM documents)
+       | WHERE b < 58982),
+       |counts AS (
+       | SELECT token,
+       |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+       | FROM toks GROUP BY token),
+       |tot AS (SELECT CAST(sum(n_train) AS BIGINT) AS tt,
+       |               CAST(sum(n_val) AS BIGINT) AS tv FROM counts),
+       |sc AS (
+       | SELECT token, n_train, n_val, tt, tv,
+       |  n_train / tt AS p, n_val / tv AS q
+       | FROM counts, tot)
+       |SELECT token, n_train, n_val,
+       | abs(n_train * tv - n_val * tt) AS drift_x,
+       | floor((n_train * 1e6 / tt) * 1e3 + 0.5) / 1e3 AS ppm_train,
+       | floor((n_val * 1e6 / tv) * 1e3 + 0.5) / 1e3 AS ppm_val,
+       | floor(((5e-1 * (CASE WHEN n_train > 0
+       |                      THEN p * log2(p / ((p + q) / 2e0)) ELSE 0e0 END)
+       |       + 5e-1 * (CASE WHEN n_val > 0
+       |                      THEN q * log2(q / ((p + q) / 2e0)) ELSE 0e0 END))
+       |       * 1e6) * 1e3 + 0.5) / 1e3 AS js_ubits
+       |FROM sc ORDER BY drift_x DESC, token LIMIT 20""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
+    RegisteredQuery("split_drift", splitDrift, Some(splitDriftOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     RegisteredQuery("bpe_pair_stats", bpePairStats, Some(bpePairStatsOracle)),

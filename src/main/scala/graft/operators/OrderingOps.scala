@@ -241,8 +241,68 @@ object OrderingOps extends QueryModule {
       |WHERE rank_in_source <= 2
       |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Pareto frontier (2-D skyline)
+  // ---------------------------------------------------------------------
+
+  /** 2-D Pareto frontier (skyline) over parts: the set of
+    * (retailprice, size) points not dominated by any other point, where
+    * q dominates p iff q is no more expensive AND no smaller, strictly
+    * better in at least one. The multi-objective selection primitive —
+    * "cheapest part at every size tier" — that shows up in corpus
+    * curation as "highest quality at every length band".
+    *
+    * Two-stage sort+window skyline, not the NOT-EXISTS self-join:
+    *  1. local prune — within each input partition, sort candidates by
+    *     (price asc, size desc) and drop every point whose size does not
+    *     exceed the running max of the points before it. Dropping is
+    *     sound for ANY partitioning: the running-max witness is itself a
+    *     dominating point in the same partition, and domination is
+    *     global. This runs map-side (window partitioned by
+    *     `spark_partition_id()`), no shuffle, and bounds the survivors
+    *     per partition by the sensitive-axis cardinality (≤ |distinct
+    *     sizes|, 50 here).
+    *  2. global pass — the same window over the ≤ (partitions × 50)
+    *     survivors. The single-partition sort that makes a naive global
+    *     window a scale-killer is safe here because stage 1 already
+    *     shrank the input to a frontier-candidate set, independent of
+    *     table size (the standard distributed-skyline layout).
+    *
+    * Frontier points have unique prices (two frontier points sharing a
+    * price would dominate one another), so ORDER BY price is total.
+    * Output is distinct value pairs with the number of parts at each.
+    */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(s, dir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    def prune(df: DataFrame, partCols: Seq[String]): DataFrame = {
+      val w = (if (partCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partCols.map(col): _*))
+        .orderBy(col("price").asc, col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("rmax", max(col("size")).over(w))
+        .where(col("rmax").isNull || col("size") > col("rmax"))
+        .drop("rmax")
+    }
+    val local = prune(pts.withColumn("pid", spark_partition_id()), Seq("pid")).drop("pid")
+    prune(local, Seq.empty).orderBy("price")
+  }
+
+  val paretoFrontierOracle: String =
+    """WITH pts AS (
+      | SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+      | FROM part GROUP BY 1, 2)
+      |SELECT price, size, n_parts FROM pts p
+      |WHERE NOT EXISTS (
+      | SELECT 1 FROM pts q
+      | WHERE q.price <= p.price AND q.size >= p.size
+      |   AND (q.price < p.price OR q.size > p.size))
+      |ORDER BY price""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("split_assign", splitAssign, Some(splitAssignOracle)),
+    RegisteredQuery("pareto_frontier", paretoFrontier, Some(paretoFrontierOracle)),
     RegisteredQuery("quota_rebalance", (s, d) => quotaRebalance(s, d), Some(quotaRebalanceOracle)),
     RegisteredQuery("shuffle_blocks", shuffleBlocks, Some(shuffleBlocksOracle)),
     RegisteredQuery("mix_sample", (s, d) => mixSample(s, d), Some(mixSampleOracle)),

@@ -298,6 +298,54 @@ object ProfilingOps extends QueryModule {
           .as("at_risk_share_k10"))
   }
 
+  /** l-diversity audit over the same quasi-identifier classes as
+    * [[kanonAudit]]: within each (mktsegment, nationkey) equivalence
+    * class, how many DISTINCT values of the sensitive attribute (account
+    * balance, bucketed to thousands) appear? k-anonymity alone does not
+    * stop attribute disclosure — a class of 50 rows that all share one
+    * balance band reveals the band for every member. l-diversity is the
+    * smallest per-class distinct-sensitive-value count; classes below
+    * l=3 are the release blockers. Digest mirrors the k-anonymity shape:
+    * one row, min-l, violating class/row counts, at-risk share.
+    *
+    * Scale: identical topology to [[kanonAudit]] — one keyed aggregate
+    * (class cardinality, not row count, reaches the reduce side; the
+    * distinct-count is a per-class partial too since rows for a class
+    * co-locate after the shuffle) plus a 1-row digest reduce. The class
+    * table is the suppression worklist at 100 TB exactly as for k-anon.
+    */
+  def ldiversityAudit(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(floor(col("c_acctbal") / 1000.0)).as("l_distinct"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min(col("l_distinct")).as("l_diversity"),
+      sum(col("class_size")).as("n_rows"),
+      sum(when(col("l_distinct") < 3, lit(1L)).otherwise(0L)).as("classes_below_l3"),
+      sum(when(col("l_distinct") < 3, col("class_size")).otherwise(0L)).as("rows_below_l3"))
+      .select(col("n_classes"), col("l_diversity"), col("n_rows"),
+        col("classes_below_l3"), col("rows_below_l3"),
+        roundTo(col("rows_below_l3").cast("double") / col("n_rows"), 4)
+          .as("at_risk_share_l3"))
+  }
+
+  val ldiversityOracle: String =
+    """WITH classes AS (
+      | SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+      |  count(DISTINCT floor(c_acctbal / 1000.0)) AS l_distinct
+      | FROM customer GROUP BY 1, 2)
+      |SELECT count(*) AS n_classes, min(l_distinct) AS l_diversity,
+      | CAST(sum(class_size) AS BIGINT) AS n_rows,
+      | CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS classes_below_l3,
+      | CAST(sum(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END) AS BIGINT)
+      |   AS rows_below_l3,
+      | floor(sum(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)::DOUBLE
+      |   / sum(class_size) * 1e4 + 0.5) / 1e4 AS at_risk_share_l3
+      |FROM classes""".stripMargin
+
   val kanonOracle: String =
     """WITH classes AS (
       | SELECT c_mktsegment, c_nationkey, count(*) AS class_size
@@ -315,6 +363,7 @@ object ProfilingOps extends QueryModule {
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("kanon_audit", kanonAudit, Some(kanonOracle)),
+    RegisteredQuery("ldiversity_audit", ldiversityAudit, Some(ldiversityOracle)),
     RegisteredQuery("table_diff", tableDiff, Some(tableDiffOracle)),
     RegisteredQuery("length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
     RegisteredQuery("dq_rule_report", dqRuleReport, Some(dqRuleReportOracle)),

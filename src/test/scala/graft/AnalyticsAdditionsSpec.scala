@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{EventLifecycleOps, GraphOps, LexiconOps, OrderingOps, ProfilingOps}
+
+/** Operator-level invariants for the round-10 analytics additions:
+  * Pareto frontier, triangle counting, l-diversity, split drift. Each is
+  * pinned against a from-first-principles driver recomputation on the
+  * sf0.001 fixture (cross-engine parity is the driver oracle's job).
+  */
+class AnalyticsAdditionsSpec extends SparkSpec {
+
+  test("pareto_frontier: exactly the non-dominated distinct pairs, sorted staircase") {
+    val pts = Tables.part(spark, sfDir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+    val expected = pts.filter { case (p, sz, _) =>
+      !pts.exists { case (qp, qs, _) =>
+        qp <= p && qs >= sz && (qp < p || qs > sz)
+      }
+    }.map { case (p, sz, n) => (p, sz, n) }.sortBy(_._1)
+    val got = OrderingOps.paretoFrontier(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    // staircase shape: along increasing price the frontier trades up in
+    // size — both axes strictly increasing (equal price or equal size
+    // between two frontier points would mean one dominates the other)
+    assert(got.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+    assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+  }
+
+  test("pareto_frontier is invariant to the input partitioning (local prune is sound)") {
+    val base = OrderingOps.paretoFrontier(spark, sfDir).collect().toSeq
+    // different physical layout -> same frontier
+    val repart = Tables.part(spark, sfDir).repartition(17)
+    val dir2 = tmpDir("pareto")
+    // paretoFrontier reads only `part` from the dir
+    repart.write.mode("overwrite").parquet(s"$dir2/part.parquet")
+    val again = OrderingOps.paretoFrontier(spark, dir2).collect().toSeq
+    assert(again == base)
+  }
+
+  test("graph_triangles matches a brute-force adjacency-set recomputation") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val parts = grp.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val triCnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) {
+      triCnt(a) += 1; triCnt(b) += 1; triCnt(c) += 1
+    }
+    val expected = triCnt.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+    val got = GraphOps.triangles(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("basket_lift: joint counts and association ratios match a driver recomputation") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val pCnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCnt.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+      .map { case ((a, b), n) => (a, b, n, pCnt(a), pCnt(b)) }
+    val got = GraphOps.basketLift(spark, sfDir).cache()
+    try {
+      val rows = got.select("part_a", "part_b", "n_ab", "n_a", "n_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(rows == expected)
+      // lift identity spot-check on the head row
+      val h = got.head()
+      val lift = h.getAs[Long]("n_ab").toDouble * nOrders /
+        (h.getAs[Long]("n_a").toDouble * h.getAs[Long]("n_b"))
+      assert(math.abs(h.getAs[Double]("lift") - lift) < 1e-5)
+    } finally got.unpersist()
+  }
+
+  test("event_transitions: rows sum to the per-from totals and probabilities sum to ~1") {
+    val out = EventLifecycleOps.eventTransitions(spark, sfDir).cache()
+    try {
+      // per-from probability mass is 1 up to 6dp rounding of each term
+      val sums = out.groupBy("from_type")
+        .agg(sum("p_next").as("mass"), count(lit(1)).as("k"))
+        .collect()
+      sums.foreach { r =>
+        val slack = r.getAs[Long]("k") * 5e-7 + 1e-9
+        assert(math.abs(r.getAs[Double]("mass") - 1.0) <= slack, r.toString)
+      }
+      // total transitions = total events minus one per user with >=1 event
+      val ev = Tables.events(spark, sfDir)
+      val nEvents = ev.count()
+      val nUsers = ev.select("user_id").distinct().count()
+      val nTrans = out.agg(sum("n_trans")).head.getLong(0)
+      assert(nTrans == nEvents - nUsers)
+    } finally out.unpersist()
+  }
+
+  test("ldiversity_audit digest matches a driver recomputation") {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), math.floor(r.getDouble(2) / 1000.0)))
+    val classes = rows.groupBy(_._1).toSeq.map { case (_, vs) =>
+      (vs.length.toLong, vs.map(_._2).distinct.length.toLong)
+    }
+    val r = ProfilingOps.ldiversityAudit(spark, sfDir).head()
+    assert(r.getAs[Long]("n_classes") == classes.length.toLong)
+    assert(r.getAs[Long]("l_diversity") == classes.map(_._2).min)
+    assert(r.getAs[Long]("n_rows") == classes.map(_._1).sum)
+    assert(r.getAs[Long]("classes_below_l3") == classes.count(_._2 < 3).toLong)
+    assert(r.getAs[Long]("rows_below_l3") == classes.filter(_._2 < 3).map(_._1).sum)
+  }
+
+  test("split_drift: exact integer ranking key matches a driver token census; JS terms sane") {
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString, 16)
+    val tokRe = "[a-z]+|[0-9]+".r
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (id, text) =>
+      val b = bucket(id)
+      val split = if (b < 52429) "train" else if (b < 58982) "val" else "test"
+      if (split != "test")
+        tokRe.findAllIn(text).foreach(t => counts((split, t)) += 1)
+    }
+    val tt = counts.collect { case (("train", _), n) => n }.sum
+    val tv = counts.collect { case (("val", _), n) => n }.sum
+    val tokens = counts.keys.map(_._2).toSeq.distinct
+    val expected = tokens.map { t =>
+      val nt = counts(("train", t)); val nv = counts(("val", t))
+      (t, nt, nv, math.abs(nt * tv - nv * tt))
+    }.sortBy { case (t, _, _, d) => (-d, t) }.take(20)
+    val got = LexiconOps.splitDrift(spark, sfDir).cache()
+    try {
+      val gotRows = got.select("token", "n_train", "n_val", "drift_x")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(gotRows == expected)
+      // per-token JS contributions are nonnegative (log-sum inequality)
+      assert(got.where(col("js_ubits") < -0.0005).isEmpty,
+        "per-token JS divergence contribution must be >= 0")
+    } finally got.unpersist()
+  }
+}
