@@ -252,21 +252,22 @@ object OrderingOps extends QueryModule {
     * "cheapest part at every size tier" — that shows up in corpus
     * curation as "highest quality at every length band".
     *
-    * Two-stage sort+window skyline, not the NOT-EXISTS self-join:
-    *  1. local prune — within each input partition, sort candidates by
-    *     (price asc, size desc) and drop every point whose size does not
-    *     exceed the running max of the points before it. Dropping is
-    *     sound for ANY partitioning: the running-max witness is itself a
-    *     dominating point in the same partition, and domination is
-    *     global. This runs map-side (window partitioned by
-    *     `spark_partition_id()`), no shuffle, and bounds the survivors
-    *     per partition by the sensitive-axis cardinality (≤ |distinct
-    *     sizes|, 50 here).
-    *  2. global pass — the same window over the ≤ (partitions × 50)
-    *     survivors. The single-partition sort that makes a naive global
-    *     window a scale-killer is safe here because stage 1 already
-    *     shrank the input to a frontier-candidate set, independent of
-    *     table size (the standard distributed-skyline layout).
+    * Two-stage prune+window skyline, not the NOT-EXISTS self-join:
+    *  1. candidate prune — a frontier point must carry the MINIMUM price
+    *     at its size (any same-size cheaper point dominates it), so
+    *     `groupBy(size).min(price)` is an exact frontier superset, one
+    *     keyed aggregate with map-side partials whose output is bounded
+    *     by the sensitive-axis cardinality (≤ |distinct sizes|, 50
+    *     here) regardless of table size. The candidate set joins back
+    *     (broadcast — it is axis-bounded) to recover the per-point
+    *     part count.
+    *  2. staircase pass — sort candidates by (price asc, size desc) and
+    *     drop every point whose size does not exceed the running max of
+    *     the points before it (the preceding witness is no more
+    *     expensive and no smaller — a dominator). The single-partition
+    *     window that makes a naive global window a scale-killer is safe
+    *     here because stage 1 bounded its input by the axis
+    *     cardinality, independent of table size.
     *
     * Frontier points have unique prices (two frontier points sharing a
     * price would dominate one another), so ORDER BY price is total.
@@ -276,17 +277,15 @@ object OrderingOps extends QueryModule {
     val pts = Tables.part(s, dir)
       .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
       .agg(count(lit(1)).as("n_parts"))
-    def prune(df: DataFrame, partCols: Seq[String]): DataFrame = {
-      val w = (if (partCols.isEmpty) Window.partitionBy()
-               else Window.partitionBy(partCols.map(col): _*))
-        .orderBy(col("price").asc, col("size").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      df.withColumn("rmax", max(col("size")).over(w))
-        .where(col("rmax").isNull || col("size") > col("rmax"))
-        .drop("rmax")
-    }
-    val local = prune(pts.withColumn("pid", spark_partition_id()), Seq("pid")).drop("pid")
-    prune(local, Seq.empty).orderBy("price")
+    val minp = pts.groupBy(col("size")).agg(min(col("price")).as("price"))
+    val cand = pts.join(broadcast(minp), Seq("size", "price"))
+    val w = Window
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("rmax", max(col("size")).over(w))
+      .where(col("rmax").isNull || col("size") > col("rmax"))
+      .select(col("price"), col("size"), col("n_parts"))
+      .orderBy("price")
   }
 
   val paretoFrontierOracle: String =

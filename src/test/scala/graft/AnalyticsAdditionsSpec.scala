@@ -66,6 +66,37 @@ class AnalyticsAdditionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("plan guards: compact-forward triangles broadcast the adjacency attach; no cartesian anywhere") {
+    val triPhys = GraphOps.triangles(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!triPhys.contains("CartesianProduct"), "cartesian product in triangle plan")
+    // both adjacency attachments and both degree attachments must be
+    // broadcast joins — a sort-merge here means the edge stream is being
+    // shuffled per attach, the regression the compact-forward layout exists
+    // to prevent
+    assert("BroadcastHashJoin".r.findAllIn(triPhys).size >= 4,
+      s"expected >=4 broadcast joins (2 degree + 2 adjacency attaches) in:\n$triPhys")
+    assert(!triPhys.contains("SortMergeJoin"),
+      "adjacency/degree attach regressed to a sort-merge join")
+    val liftPhys = GraphOps.basketLift(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!liftPhys.contains("CartesianProduct") || liftPhys.contains("BroadcastNestedLoopJoin"),
+      "non-broadcast cartesian in basket_lift plan")
+    assert(liftPhys.contains("TakeOrderedAndProject"),
+      "basket_lift top-20 must be a TakeOrderedAndProject, not a global sort")
+  }
+
+  test("plan guard: pareto candidate prune is a keyed aggregate + broadcast; one bounded global window") {
+    val phys = OrderingOps.paretoFrontier(spark, sfDir).queryExecution.executedPlan.toString
+    // the min-price-per-size candidate set must attach via broadcast (it
+    // is axis-bounded), and the only single-partition exchange is the
+    // staircase window over that bounded candidate set
+    assert(phys.contains("BroadcastHashJoin"),
+      s"candidate join regressed from broadcast in:\n$phys")
+    assert("Exchange SinglePartition".r.findAllIn(phys).size == 1,
+      s"expected exactly one bounded single-partition window stage in:\n$phys")
+    assert(phys.contains("partial_min") || phys.contains("partial_count"),
+      "stage-1 prune lost its map-side partial aggregation")
+  }
+
   test("basket_lift: joint counts and association ratios match a driver recomputation") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -110,6 +141,44 @@ class AnalyticsAdditionsSpec extends SparkSpec {
       val nTrans = out.agg(sum("n_trans")).head.getLong(0)
       assert(nTrans == nEvents - nUsers)
     } finally out.unpersist()
+  }
+
+  test("graph_kcore matches a brute-force peel and reaches the fixpoint") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    // pick k near the sf0.001 mean degree so the core is a strict,
+    // non-empty subgraph reached through real peeling cascades (probed:
+    // k=65 -> 188/200 nodes after 3 rounds; k=80 is the sf0.01 driver pin)
+    val k = 65
+    var alive = edges.flatMap(e => Seq(e._1, e._2))
+    var changed = true
+    var roundsUsed = 0
+    while (changed) {
+      val deg = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      edges.foreach { case (a, b) =>
+        if (alive(a) && alive(b)) { deg(a) += 1; deg(b) += 1 }
+      }
+      val next = alive.filter(v => deg(v) >= k)
+      changed = next != alive
+      if (changed) roundsUsed += 1
+      alive = next
+    }
+    assert(alive.nonEmpty, s"k=$k peeled the sf0.001 graph to empty — lower the spec k")
+    assert(alive.size < li.map(_._2).distinct.length, "core must be a strict subgraph")
+    assert(roundsUsed <= 8, s"sf0.001 took $roundsUsed rounds; the fixed-8 gate would not converge")
+    val degIn = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      if (alive(a) && alive(b)) { degIn(a) += 1; degIn(b) += 1 }
+    }
+    val expected = degIn.toSeq.sortBy { case (v, d) => (-d, v) }.take(20)
+    val got = GraphOps.kCore(spark, sfDir, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
   }
 
   test("ldiversity_audit digest matches a driver recomputation") {
