@@ -878,9 +878,73 @@ object LexiconOps extends QueryModule {
        |       * 1e6) * 1e3 + 0.5) / 1e3 AS js_ubits
        |FROM sc ORDER BY drift_x DESC, token LIMIT 20""".stripMargin
 
+  /** Contiguous phrase retrieval over POSITIONAL POSTINGS — the
+    * inverted-index topology where a phrase match is an adjacency join
+    * on (doc, position), never a regex re-scan of reassembled text. The
+    * probe phrases are the corpus's own top-5 bigrams (self-contained
+    * and deterministic); per phrase, the top-3 documents by occurrence
+    * count. BM25 ([[bm25Retrieval]]) is the bag-of-words scorer; this
+    * is its positional complement (exact-phrase constraint), the other
+    * half of a lexical retrieval engine.
+    *
+    * Scale: postings fan out map-side (posexplode); the adjacency
+    * self-join is keyed on (doc, pos) — at 100 TB the postings table is
+    * the maintained index, written partitioned by token, and a phrase
+    * probe touches only its terms' postings (the [[fuzzyLookupProbes]]
+    * asymmetry); the census top-5 is a TakeOrderedAndProject; the
+    * per-phrase top-3 plans as WindowGroupLimit heaps. The bigram
+    * stream is materialized once (cache) for census + retrieval.
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val post = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr(s"regexp_extract_all(text, '$tokenRe', 0)"))
+          .as(Seq("pos", "tok")))
+    val big = post.as("p1").join(post.as("p2"),
+        col("p1.doc_id") === col("p2.doc_id") && col("p2.pos") === col("p1.pos") + 1)
+      .select(col("p1.doc_id").as("doc_id"),
+        concat(col("p1.tok"), lit(" "), col("p2.tok")).as("phrase"))
+      .cache()
+    val top5 = big.groupBy("phrase").agg(count(lit(1)).as("n_tot"))
+      .orderBy(col("n_tot").desc, col("phrase")).limit(5)
+    big.join(broadcast(top5.select("phrase")), "phrase")
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("phrase").orderBy(col("n_occ").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("phrase"), col("rank"), col("doc_id"), col("n_occ"))
+      .orderBy("phrase", "rank")
+  }
+
+  /** The oracle spells the SAME semantics through the array form
+    * (generate_series over token lists) — equivalent by construction,
+    * and only the Spark side needs the postings-join shape that works
+    * from an index without document reassembly.
+    */
+  val phraseSearchOracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, regexp_extract_all(text, '$tokenRe') AS toks
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       | FROM t WHERE len(toks) >= 2),
+       |big AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS phrase FROM g),
+       |top5 AS (SELECT phrase, count(*) AS n_tot FROM big
+       |         GROUP BY phrase ORDER BY n_tot DESC, phrase LIMIT 5),
+       |m AS (SELECT b.phrase, b.doc_id, count(*) AS n_occ
+       |      FROM big b JOIN top5 USING (phrase) GROUP BY 1, 2),
+       |r AS (SELECT phrase, doc_id, n_occ,
+       |       row_number() OVER (PARTITION BY phrase ORDER BY n_occ DESC, doc_id) AS rank
+       |      FROM m)
+       |SELECT phrase, rank, doc_id, n_occ FROM r WHERE rank <= 3
+       |ORDER BY phrase, rank""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("split_drift", splitDrift, Some(splitDriftOracle)),
+    RegisteredQuery("phrase_search", phraseSearch, Some(phraseSearchOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     RegisteredQuery("bpe_pair_stats", bpePairStats, Some(bpePairStatsOracle)),

@@ -229,9 +229,82 @@ object MergeOps extends QueryModule {
        |FROM ($a10OracleTsBody)
        |ORDER BY snapshot_day_us""".stripMargin
 
+  /** CDC changelog apply WITH DELETES — the upsert family (S7) completed
+    * to the full insert/update/delete/re-insert contract a change-data
+    * feed carries. A deterministic changelog is derived from orders
+    * (I@seq1 for every key; U@seq2 for keys ≡1,2 mod 7; D@seq2 tombstone
+    * for keys ≡0 mod 7; a RE-INSERT I@seq3 for keys ≡0 mod 14 — the
+    * resurrection case that breaks naive "ignore everything after a
+    * delete" implementations), then applied: last-writer-wins per key in
+    * sequence order, tombstones filtered AFTER the argmax (a key whose
+    * final op is D must vanish even though earlier versions exist; a
+    * resurrected key must survive even though a tombstone exists). One
+    * digest row; the price total is summed in integer CENTS because a
+    * 6-figure float sum's cross-engine addition-order noise can reach
+    * the rounding decimals.
+    *
+    * Scale: one keyed window (seq argmax) over the changelog — the
+    * standard CDC-compaction shape; per-key state is O(1) and at 100 TB
+    * this runs per ingest partition then merges with the base table via
+    * [[mergeByKey]]'s topology. Sequence numbers are unique per key by
+    * construction, so the argmax needs no tie-break column.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val ins = base.select(col("k"), lit("I").as("op"), lit(1L).as("seq"), col("price"))
+    val upd = base.filter(pmod(col("k"), lit(7)).isin(1, 2))
+      .select(col("k"), lit("U").as("op"), lit(2L).as("seq"),
+        (col("price") * lit(1.1)).as("price"))
+    val del = base.filter(pmod(col("k"), lit(7)) === 0)
+      .select(col("k"), lit("D").as("op"), lit(2L).as("seq"),
+        lit(null).cast("double").as("price"))
+    val res = base.filter(pmod(col("k"), lit(14)) === 0)
+      .select(col("k"), lit("I").as("op"), lit(3L).as("seq"),
+        (col("price") * lit(0.5)).as("price"))
+    val log = ins.unionAll(upd).unionAll(del).unionAll(res)
+    val last = log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    last.agg(
+      sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+      sum(when(col("op") === "I" && col("seq") === 3, 1L).otherwise(0L))
+        .as("n_resurrected"),
+      sum(when(col("op") =!= "D",
+        floor(col("price") * lit(100.0) + lit(0.5)).cast("long")).otherwise(0L))
+        .as("sum_price_cents"))
+  }
+
+  val cdcApplyOracle: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+      |log AS (
+      | SELECT k, 'I' AS op, 1 AS seq, price FROM base
+      | UNION ALL SELECT k, 'U', 2, price * CAST(1.1 AS DOUBLE) FROM base WHERE k % 7 IN (1, 2)
+      | UNION ALL SELECT k, 'D', 2, NULL FROM base WHERE k % 7 = 0
+      | UNION ALL SELECT k, 'I', 3, price * CAST(0.5 AS DOUBLE) FROM base WHERE k % 14 = 0),
+      |last AS (
+      | SELECT * FROM (
+      |  SELECT k, op, seq, price,
+      |   row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM log) WHERE rn = 1)
+      |SELECT
+      | CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      | CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+      | CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      | CAST(sum(CASE WHEN op = 'I' AND seq = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_resurrected,
+      | CAST(sum(CASE WHEN op <> 'D'
+      |   THEN CAST(floor(price * 1e2 + 5e-1) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |   AS sum_price_cents
+      |FROM last""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
+    RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{EventLifecycleOps, GraphOps, LexiconOps, OrderingOps, ProfilingOps}
+import graft.operators.{EventLifecycleOps, GraphOps, LexiconOps, MergeOps, OrderingOps, ProfilingOps}
 
 /** Operator-level invariants for the round-10 analytics additions:
   * Pareto frontier, triangle counting, l-diversity, split drift. Each is
@@ -153,7 +153,9 @@ class AnalyticsAdditionsSpec extends SparkSpec {
     }.toSet
     // pick k near the sf0.001 mean degree so the core is a strict,
     // non-empty subgraph reached through real peeling cascades (probed:
-    // k=65 -> 188/200 nodes after 3 rounds; k=80 is the sf0.01 driver pin)
+    // k=65 -> 188/200 nodes after 3 rounds; the registered query derives
+    // k = ceil(0.65 x mean degree) instead — this override exercises a
+    // deeper cascade than the relative pin's 1 round at this scale)
     val k = 65
     var alive = edges.flatMap(e => Seq(e._1, e._2))
     var changed = true
@@ -176,7 +178,7 @@ class AnalyticsAdditionsSpec extends SparkSpec {
       if (alive(a) && alive(b)) { degIn(a) += 1; degIn(b) += 1 }
     }
     val expected = degIn.toSeq.sortBy { case (v, d) => (-d, v) }.take(20)
-    val got = GraphOps.kCore(spark, sfDir, k = k)
+    val got = GraphOps.kCore(spark, sfDir, kOverride = Some(k.toLong))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected)
   }
@@ -194,6 +196,47 @@ class AnalyticsAdditionsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") == classes.map(_._1).sum)
     assert(r.getAs[Long]("classes_below_l3") == classes.count(_._2 < 3).toLong)
     assert(r.getAs[Long]("rows_below_l3") == classes.filter(_._2 < 3).map(_._1).sum)
+  }
+
+  test("phrase_search matches a driver recomputation of the positional bigram index") {
+    val tokRe = "[a-z]+|[0-9]+".r
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = docs.flatMap { case (id, text) =>
+      val toks = tokRe.findAllIn(text).toArray
+      toks.sliding(2).filter(_.length == 2).map(w => (id, s"${w(0)} ${w(1)}"))
+    }
+    val top5 = bigrams.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(5).map(_._1).toSet
+    val expected = bigrams.filter(b => top5(b._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((id, p), n) => (p, id, n) }
+      .groupBy(_._1).toSeq.flatMap { case (p, rows) =>
+        rows.sortBy { case (_, id, n) => (-n, id) }.take(3).zipWithIndex
+          .map { case ((ph, id, n), i) => (ph, (i + 1).toLong, id, n) }
+      }.sortBy { case (p, r, _, _) => (p, r) }
+    val got = LexiconOps.phraseSearch(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("cdc_apply: tombstones drop, resurrections survive, totals match a driver recomputation") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    var nLive = 0L; var nDel = 0L; var nUpd = 0L; var nRes = 0L; var cents = 0L
+    orders.foreach { case (k, p) =>
+      // replay the derived changelog per key: I@1 always; U@2 or D@2; I@3 resurrect
+      if (k % 14 == 0) { nRes += 1; nLive += 1; cents += math.floor(p * 0.5 * 100.0 + 0.5).toLong }
+      else if (k % 7 == 0) nDel += 1
+      else if (k % 7 == 1 || k % 7 == 2) { nUpd += 1; nLive += 1; cents += math.floor(p * 1.1 * 100.0 + 0.5).toLong }
+      else { nLive += 1; cents += math.floor(p * 100.0 + 0.5).toLong }
+    }
+    val r = MergeOps.cdcApply(spark, sfDir).head()
+    assert(r.getAs[Long]("n_live") == nLive)
+    assert(r.getAs[Long]("n_deleted") == nDel)
+    assert(r.getAs[Long]("n_updated") == nUpd)
+    assert(r.getAs[Long]("n_resurrected") == nRes)
+    assert(r.getAs[Long]("sum_price_cents") == cents)
   }
 
   test("split_drift: exact integer ranking key matches a driver token census; JS terms sane") {
