@@ -299,9 +299,75 @@ object OrderingOps extends QueryModule {
       |   AND (q.price < p.price OR q.size > p.size))
       |ORDER BY price""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the train and val
+    * splits on document length: D = max_x |F_train(x) − F_val(x)|, with
+    * the length at which the gap peaks. The NUMERIC drift gate beside
+    * [[LexiconOps.splitDrift]]'s token-level one — a hash split should
+    * give D near zero; a large D means the split function correlates
+    * with document length (e.g. keyed on something length-biased).
+    *
+    * Cross-engine determinism: each x's CDF gap is computed from exact
+    * integer cumulative counts by identical double divisions, so the
+    * per-x doubles are BIT-identical on both engines and the argmax
+    * ordering (gap desc, x asc) cannot diverge; only the reported
+    * statistic is rounded.
+    *
+    * Scale: one keyed census on the value, then the CDF window runs
+    * over the DISTINCT-VALUE grid — bounded by the value domain (a
+    * length histogram), not the corpus, the same bounded-domain
+    * argument as `range_count_sweep`; totals are a 1-row broadcast.
+    */
+  def splitKs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(splitExpr(col("doc_id")).as("split"), col("n_chars"))
+      .where(col("split").isin("train", "val"))
+    val c = d.groupBy("n_chars").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"))
+    val tot = c.agg(sum("ct").as("tt"), sum("cv").as("tv"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.withColumn("cum_t", sum(col("ct")).over(w))
+      .withColumn("cum_v", sum(col("cv")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n_chars"),
+        abs(col("cum_t") / col("tt") - col("cum_v") / col("tv")).as("gap"),
+        col("tt"), col("tv"))
+      .orderBy(col("gap").desc, col("n_chars"))
+      .limit(1)
+      .select(roundTo(col("gap"), 6).as("ks_stat"),
+        col("n_chars").as("at_value"),
+        col("tt").as("n_train"), col("tv").as("n_val"))
+  }
+
+  val splitKsOracle: String =
+    """WITH d AS (
+      | SELECT CASE WHEN b < 52429 THEN 'train' ELSE 'val' END AS split, n_chars
+      | FROM (
+      |  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      |           AS INTEGER) AS BIGINT) AS b, n_chars
+      |  FROM documents)
+      | WHERE b < 58982),
+      |c AS (
+      | SELECT n_chars,
+      |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cv
+      | FROM d GROUP BY n_chars),
+      |t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cv) AS BIGINT) AS tv FROM c),
+      |k AS (
+      | SELECT n_chars,
+      |  abs(CAST(SUM(ct) OVER (ORDER BY n_chars) AS BIGINT) / tt
+      |    - CAST(SUM(cv) OVER (ORDER BY n_chars) AS BIGINT) / tv) AS gap,
+      |  tt, tv
+      | FROM c, t)
+      |SELECT floor(gap * 1e6 + 0.5) / 1e6 AS ks_stat, n_chars AS at_value,
+      | tt AS n_train, tv AS n_val
+      |FROM k ORDER BY gap DESC, n_chars LIMIT 1""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("split_assign", splitAssign, Some(splitAssignOracle)),
     RegisteredQuery("pareto_frontier", paretoFrontier, Some(paretoFrontierOracle)),
+    RegisteredQuery("split_ks", splitKs, Some(splitKsOracle)),
     RegisteredQuery("quota_rebalance", (s, d) => quotaRebalance(s, d), Some(quotaRebalanceOracle)),
     RegisteredQuery("shuffle_blocks", shuffleBlocks, Some(shuffleBlocksOracle)),
     RegisteredQuery("mix_sample", (s, d) => mixSample(s, d), Some(mixSampleOracle)),

@@ -239,6 +239,33 @@ class AnalyticsAdditionsSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_price_cents") == cents)
   }
 
+  test("split_ks matches a driver recomputation of the two-sample KS statistic") {
+    def bucket2(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString, 16)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (id, nc) =>
+        val b = bucket2(id)
+        if (b < 52429) Some(("train", nc))
+        else if (b < 58982) Some(("val", nc)) else None
+      }
+    val tt = docs.count(_._1 == "train").toDouble
+    val tv = docs.count(_._1 == "val").toDouble
+    val values = docs.map(_._2).distinct.sorted
+    val best = values.map { x =>
+      val ft = docs.count(d => d._1 == "train" && d._2 <= x) / tt
+      val fv = docs.count(d => d._1 == "val" && d._2 <= x) / tv
+      (math.abs(ft - fv), x)
+    }.sortBy { case (g, x) => (-g, x) }.head
+    val r = OrderingOps.splitKs(spark, sfDir).head()
+    assert(r.getAs[Long]("at_value") == best._2)
+    assert(math.abs(r.getAs[Double]("ks_stat") - best._1) < 1e-6 + 1e-9)
+    assert(r.getAs[Long]("n_train") == tt.toLong && r.getAs[Long]("n_val") == tv.toLong)
+  }
+
   test("split_drift: exact integer ranking key matches a driver token census; JS terms sane") {
     def bucket(id: Long): Long =
       java.lang.Long.parseLong(
