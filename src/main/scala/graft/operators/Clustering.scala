@@ -335,8 +335,147 @@ object Clustering extends QueryModule {
       | CAST(53 AS BIGINT) AS n_pruned_global,
       | CAST(28 AS BIGINT) AS n_missed_cross_cluster""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PCA for embedding whitening
+  // ---------------------------------------------------------------------
+
+  /** PCA over the embedding corpus — the decorrelation/whitening step
+    * (and the analysis behind Matryoshka-style truncation: how much
+    * variance do the leading directions actually carry?). Top-8
+    * principal components of the centered covariance with eigenvalue,
+    * explained-variance ratio, and the dimension each component loads
+    * on most heavily.
+    *
+    * Dataflow: the covariance needs only Σx and Σxxᵀ — ONE posexplode
+    * pass for the 64 coordinate sums and ONE flattened outer-product
+    * pass for the 64² pair sums, both keyed aggregates with map-side
+    * partials; 64 + 4096 cells reach the driver (metadata-scale, the
+    * k-means centroid-update contract), where the 64×64 eigenproblem is
+    * solved by cyclic Jacobi — a 64×64 matrix is driver arithmetic at
+    * ANY corpus size; only the moment sums are distributed.
+    *
+    * DETERMINISM (why the pinned oracle is legitimate): inputs are the
+    * [[quantized]] 2^-20-grid unit vectors, so every product x_i·x_j is
+    * EXACT on the 2^-40 grid (the factors are ≤2^20 integers scaled;
+    * their product fits a double exactly), and sums of n such terms
+    * stay exact while n·2^40 < 2^53 (n < 8192 — true at every fixture
+    * scale; at larger n re-snap products to a coarser grid, same
+    * argument). Exact integer-grid sums are order-insensitive under ANY
+    * partitioning; centering, Jacobi, and the output rounding are then
+    * deterministic driver arithmetic on bit-identical inputs. Component
+    * SIGN is not pinned (eigenvectors are sign-ambiguous): the loading
+    * column reports argmax |v_i|, which is sign-free.
+    */
+  def embPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, dir)
+    val dimSums = q.select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val n = dimSums.head._3
+    val d = dimSums.length
+    val mu = Array.ofDim[Double](d)
+    dimSums.foreach { case (i, sx, _) => mu(i) = sx / n }
+    val pairSums = q
+      .select(posexplode(
+        expr("flatten(transform(e, x -> transform(e, y -> x * y)))"))
+        .as(Seq("p", "v")))
+      .groupBy("p").agg(sum(col("v")).as("sv"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val cov = Array.ofDim[Double](d, d)
+    pairSums.foreach { case (p, sv) =>
+      val i = p / d; val j = p % d
+      cov(i)(j) = sv / n - mu(i) * mu(j)
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val trace = eigVals.sum
+    val order = eigVals.zipWithIndex.sortBy { case (ev, i) => (-ev, i) }.take(8)
+    val rows = order.zipWithIndex.map { case ((ev, ci), rank) =>
+      val loadings = eigVecs.map(row => math.abs(row(ci)))
+      val topDim = loadings.zipWithIndex.maxBy { case (l, i) => (l, -i) }._2
+      ((rank + 1).toLong, roundD(ev, 6), roundD(ev / trace, 6), topDim.toLong)
+    }
+    rows.toSeq.toDF("rank", "eigenvalue", "var_ratio", "top_dim")
+      .orderBy("rank")
+  }
+
+  /** Pinned at sf0.01 — legitimate as an oracle because the whole
+    * pipeline is bit-deterministic under any partitioning (exact
+    * 2^-40-grid moment sums + deterministic driver Jacobi; see
+    * [[embPca]]'s scaladoc and the PINS inventory in SCALE.md). The
+    * near-uniform spectrum (~1/64 each) is what isotropic synthetic
+    * embeddings SHOULD give — a strongly peaked one would mean the
+    * generator had a dominant direction.
+    */
+  val embPcaOracle: String =
+    """SELECT CAST(rank AS BIGINT) AS rank,
+      | CAST(eigenvalue AS DOUBLE) AS eigenvalue,
+      | CAST(var_ratio AS DOUBLE) AS var_ratio,
+      | CAST(top_dim AS BIGINT) AS top_dim
+      |FROM (VALUES
+      | (1, 0.027513, 0.027579, 9),
+      | (2, 0.027167, 0.027232, 17),
+      | (3, 0.026618, 0.026682, 61),
+      | (4, 0.025589, 0.025651, 47),
+      | (5, 0.025365, 0.025426, 11),
+      | (6, 0.025076, 0.025136, 13),
+      | (7, 0.023944, 0.024002, 2),
+      | (8, 0.023166, 0.023222, 58)
+      |) t(rank, eigenvalue, var_ratio, top_dim) ORDER BY rank""".stripMargin
+
+  private def roundD(x: Double, dp: Int): Double = {
+    val p = math.pow(10, dp)
+    math.floor(x * p + 0.5) / p
+  }
+
+  /** Cyclic Jacobi eigendecomposition for the small symmetric covariance:
+    * fixed sweep order (row-major upper triangle), rotations applied until
+    * every off-diagonal magnitude falls below 1e-12 or 30 sweeps — a
+    * deterministic pure function of the input matrix. Returns
+    * (eigenvalues, column-eigenvector matrix).
+    */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 30 && off > 1e-12) {
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        val apq = a(p)(q)
+        if (math.abs(apq) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t =
+            if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until n) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until n) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      off = (for (i <- 0 until n; j <- i + 1 until n) yield a(i)(j) * a(i)(j)).sum
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_kmeans", embKmeans, Some(embKmeansOracle)),
+    RegisteredQuery("emb_pca", embPca, Some(embPcaOracle)),
     RegisteredQuery("semdedup_prune", semdedupPrune, Some(semdedupPruneOracle)),
     RegisteredQuery("semdedup_coverage", semdedupCoverage, Some(semdedupCoverageOracle)),
     RegisteredQuery("cluster_balanced_sample", clusterBalancedSample,

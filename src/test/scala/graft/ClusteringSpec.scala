@@ -127,4 +127,41 @@ class ClusteringSpec extends SparkSpec {
     assert(r.getLong(1) <= r.getLong(2), "within-cluster prune must be a subset")
     assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
   }
+
+  test("emb_pca: top eigenvalue matches driver power iteration; spectrum is sane; deterministic") {
+    val vecs = normalizedQuantized().values.toArray
+    val n = vecs.length
+    val d = vecs.head.length
+    val mu = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j))
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    // deterministic power iteration for the dominant eigenvalue
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to 500) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nw)
+    }
+    val lambda1 = (0 until d).map(i =>
+      v(i) * (0 until d).map(j => cov(i)(j) * v(j)).sum).sum
+    val rows = Clustering.embPca(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val evs = rows.map(_.getAs[Double]("eigenvalue"))
+    assert(math.abs(evs(0) - lambda1) <= math.max(1e-4 * lambda1, 1e-6),
+      s"top eigenvalue ${evs(0)} vs power-iteration $lambda1")
+    assert(evs.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "eigenvalues must be non-increasing")
+    assert(evs.forall(_ >= -1e-9), "covariance eigenvalues must be ~PSD")
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("var_ratio")
+      val ev = r.getAs[Double]("eigenvalue")
+      assert(math.abs(ratio * trace - ev) <= trace * 1e-6 + 1e-6,
+        s"var_ratio inconsistent with eigenvalue at $r")
+      val td = r.getAs[Long]("top_dim")
+      assert(td >= 0 && td < d)
+    }
+    val again = Clustering.embPca(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "emb_pca must be deterministic")
+  }
 }
