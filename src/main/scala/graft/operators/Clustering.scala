@@ -399,6 +399,92 @@ object Clustering extends QueryModule {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------------
+  // k-center coreset selection
+  // ---------------------------------------------------------------------
+
+  /** Greedy k-center coreset (farthest-point traversal): pick the point
+    * farthest (in cosine distance) from everything chosen so far, k
+    * times — the classic 2-approximation to the k-center cover, and the
+    * diversity-maximizing prototype selector a curation pipeline uses
+    * to build a small "spanning" subsample (the opposite trade to
+    * [[clusterBalancedSample]]'s per-cluster evenness). Output: the
+    * selection order, each pick's id, and the cover radius at the
+    * moment of its selection — the non-increasing radius sequence is
+    * the algorithm's own quality certificate.
+    *
+    * Dataflow per round: ONE map-only pass updating each row's running
+    * min-distance against the newest center (a broadcast literal — the
+    * [[assigned]] flat-literal pattern), then a TakeOrdered(1) argmax;
+    * the per-row state is one double, localCheckpoint-ed per round so
+    * the k-round lineage stays flat. k driver probes of one row each.
+    * The same shape holds at 100 TB: k passes, each map-only plus a
+    * per-partition heap.
+    *
+    * Determinism (why the pin is sound): distances are 1 − dot on the
+    * 2^-20-grid vectors — dots are exact 2^-40-grid multiples computed
+    * by a row-local fixed-order kernel, `least` compares exact values,
+    * and both argmaxes carry the total (dist desc, vec_id asc)
+    * tie-break. Seed = smallest vec_id (not a random init).
+    */
+  def coresetKcenter(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import s.implicits._
+    var pts = quantized(s, dir).localCheckpoint()
+    val seedRow = pts.orderBy("vec_id").limit(1)
+      .collect().head
+    var center = seedRow.getSeq[Double](1).toArray
+    var centerId = seedRow.getLong(0)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])]()
+    picks += ((1L, centerId, None)) // the seed precedes any cover radius
+    for (rank <- 2 to k) {
+      val centCol = array(center.toIndexedSeq.map(lit): _*)
+      pts = quantizedStep(pts, centCol).localCheckpoint()
+      val far = pts.orderBy(col("mind").desc, col("vec_id")).limit(1).collect().head
+      centerId = far.getLong(0)
+      center = far.getSeq[Double](1).toArray
+      picks += ((rank.toLong, centerId, Some(roundD(far.getAs[Double]("mind"), 6))))
+    }
+    picks.toSeq.toDF("rank", "vec_id", "radius").orderBy("rank")
+  }
+
+  /** Pinned at sf0.01 (see the PINS inventory): exact-grid distances,
+    * row-local kernel dots, total tie-breaks, deterministic seed —
+    * bit-stable under any partitioning. The non-increasing radius column
+    * is the greedy 2-approximation's own certificate.
+    */
+  val coresetOracle: String =
+    """SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+      | CAST(radius AS DOUBLE) AS radius
+      |FROM (VALUES
+      | (1, 0, NULL),
+      | (2, 188, 1.337096),
+      | (3, 291, 1.167423),
+      | (4, 152, 1.090723),
+      | (5, 366, 1.039572),
+      | (6, 49, 1.013149),
+      | (7, 11, 1.000945),
+      | (8, 132, 0.977852),
+      | (9, 80, 0.972989),
+      | (10, 14, 0.968492),
+      | (11, 355, 0.936771),
+      | (12, 296, 0.928133),
+      | (13, 134, 0.918981),
+      | (14, 308, 0.915853),
+      | (15, 149, 0.914761),
+      | (16, 459, 0.913606)
+      |) t(rank, vec_id, radius) ORDER BY rank""".stripMargin
+
+  /** One farthest-point round: fold the newest center into each row's
+    * running min cosine distance (map-only; `mind` starts at +inf).
+    */
+  private def quantizedStep(pts: DataFrame, centCol: Column): DataFrame = {
+    val withC = pts.withColumn("__c", centCol)
+    val d = lit(1.0) - expr(VectorFunctions.dotExpr("e", "__c"))
+    val mind =
+      if (pts.columns.contains("mind")) least(col("mind"), d) else d
+    withC.select(col("vec_id"), col("e"), mind.as("mind"))
+  }
+
   /** Pinned at sf0.01 — legitimate as an oracle because the whole
     * pipeline is bit-deterministic under any partitioning (exact
     * 2^-40-grid moment sums + deterministic driver Jacobi; see
@@ -476,6 +562,7 @@ object Clustering extends QueryModule {
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("emb_kmeans", embKmeans, Some(embKmeansOracle)),
     RegisteredQuery("emb_pca", embPca, Some(embPcaOracle)),
+    RegisteredQuery("coreset_kcenter", (s, d) => coresetKcenter(s, d), Some(coresetOracle)),
     RegisteredQuery("semdedup_prune", semdedupPrune, Some(semdedupPruneOracle)),
     RegisteredQuery("semdedup_coverage", semdedupCoverage, Some(semdedupCoverageOracle)),
     RegisteredQuery("cluster_balanced_sample", clusterBalancedSample,

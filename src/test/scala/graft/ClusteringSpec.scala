@@ -164,4 +164,32 @@ class ClusteringSpec extends SparkSpec {
     val again = Clustering.embPca(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "emb_pca must be deterministic")
   }
+
+  test("coreset_kcenter equals the brute greedy farthest-point traversal") {
+    val vecs = normalizedQuantized()
+    val k = 16
+    var chosen = List(vecs.keys.min)
+    val mind = scala.collection.mutable.Map.empty[Long, Double]
+    vecs.keys.foreach { id =>
+      mind(id) = 1.0 - vecs(chosen.head).zip(vecs(id)).map { case (a, b) => a * b }.sum
+    }
+    var expected = List((1L, chosen.head, Option.empty[Double]))
+    for (rank <- 2 to k) {
+      val far = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      expected ::= ((rank.toLong, far._1,
+        Some(math.floor(far._2 * 1e6 + 0.5) / 1e6)))
+      val c = vecs(far._1)
+      vecs.keys.foreach { id =>
+        val d = 1.0 - c.zip(vecs(id)).map { case (a, b) => a * b }.sum
+        if (d < mind(id)) mind(id) = d
+      }
+    }
+    val got = Clustering.coresetKcenter(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    assert(got == expected.reverse)
+    // radii certificate: non-increasing
+    val radii = got.flatMap(_._3)
+    assert(radii.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
