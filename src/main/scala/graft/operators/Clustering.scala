@@ -368,7 +368,10 @@ object Clustering extends QueryModule {
     */
   def embPca(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val q = quantized(s, dir)
+    // materialize the normalize+snap pipeline ONCE — the two moment
+    // aggregates below are independent actions and would otherwise each
+    // re-run the full scan + interpreted snap pass (review finding r10)
+    val q = quantized(s, dir).localCheckpoint()
     val dimSums = q.select(posexplode(col("e")).as(Seq("i", "x")))
       .groupBy("i").agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
@@ -440,6 +443,11 @@ object Clustering extends QueryModule {
       val centCol = array(center.toIndexedSeq.map(lit): _*)
       pts = quantizedStep(pts, centCol).localCheckpoint()
       val far = pts.orderBy(col("mind").desc, col("vec_id")).limit(1).collect().head
+      // a zero farthest distance means every remaining point coincides
+      // with a chosen center (k ran past the corpus's diversity) — fail
+      // loudly instead of silently emitting duplicate prototypes
+      require(far.getAs[Double]("mind") > 0.0,
+        s"coreset_kcenter: no positive-distance point left at rank $rank (k=$k too large)")
       centerId = far.getLong(0)
       center = far.getSeq[Double](1).toArray
       picks += ((rank.toLong, centerId, Some(roundD(far.getAs[Double]("mind"), 6))))

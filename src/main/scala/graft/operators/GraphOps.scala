@@ -162,9 +162,15 @@ object GraphOps extends QueryModule {
     * Keyed by applicationId so a checkpointed RDD never leaks across
     * Spark contexts.
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir",
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    // evict entries from other (stopped) contexts — unlike the driver-array
+    // memos elsewhere, these hold checkpointed DataFrames, which would pin
+    // a dead session's object graph for the JVM lifetime
+    edgeCache.keys.filterNot(_.startsWith(s"$appId|")).foreach(edgeCache.remove)
+    edgeCache.getOrElseUpdate(s"$appId|$dir",
       coPairs(liDistinct(s, dir)).distinct().localCheckpoint())
+  }
 
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val e = coEdges(s, dir)

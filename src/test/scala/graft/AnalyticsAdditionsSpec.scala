@@ -12,6 +12,31 @@ import graft.operators.{EventLifecycleOps, GraphOps, LexiconOps, MergeOps, Order
   */
 class AnalyticsAdditionsSpec extends SparkSpec {
 
+  /** Collected distinct (order, part) incidences — shared base for the
+    * co-purchase recomputations below.
+    */
+  private def liIncidences(): Array[(Long, Long)] =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Within-order a<b part pairs, one element per co-occurrence (mirror
+    * of GraphOps.coPairs; shared by the triangle/basket/k-core tests so
+    * a convention change there fails all three consistently).
+    */
+  private def coPurchasePairs(li: Array[(Long, Long)]): Iterable[(Long, Long)] =
+    li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }
+
+  /** First-4-hex-chars md5 bucket — mirror of OrderingOps.md5Bucket(_, 4). */
+  private def md5Bucket4(id: Long): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString, 16)
+
   test("pareto_frontier: exactly the non-dominated distinct pairs, sorted staircase") {
     val pts = Tables.part(spark, sfDir)
       .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
@@ -44,14 +69,7 @@ class AnalyticsAdditionsSpec extends SparkSpec {
   }
 
   test("graph_triangles matches a brute-force adjacency-set recomputation") {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val edges = li.groupBy(_._1).values.flatMap { grp =>
-      val parts = grp.map(_._2).distinct.sorted
-      for (i <- parts.indices; j <- (i + 1) until parts.length)
-        yield (parts(i), parts(j))
-    }.toSet
+    val edges = coPurchasePairs(liIncidences()).toSet
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
     edges.foreach { case (a, b) =>
       adj(a) = adj(a) + b; adj(b) = adj(b) + a
@@ -98,15 +116,11 @@ class AnalyticsAdditionsSpec extends SparkSpec {
   }
 
   test("basket_lift: joint counts and association ratios match a driver recomputation") {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val li = liIncidences()
     val nOrders = li.map(_._1).distinct.length.toLong
     val pCnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    val pairCnt = li.groupBy(_._1).values.flatMap { grp =>
-      val ps = grp.map(_._2).distinct.sorted
-      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
-    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCnt = coPurchasePairs(li)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val expected = pairCnt.toSeq
       .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
       .map { case ((a, b), n) => (a, b, n, pCnt(a), pCnt(b)) }
@@ -144,13 +158,8 @@ class AnalyticsAdditionsSpec extends SparkSpec {
   }
 
   test("graph_kcore matches a brute-force peel and reaches the fixpoint") {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val edges = li.groupBy(_._1).values.flatMap { grp =>
-      val ps = grp.map(_._2).distinct.sorted
-      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
-    }.toSet
+    val li = liIncidences()
+    val edges = coPurchasePairs(li).toSet
     // pick k near the sf0.001 mean degree so the core is a strict,
     // non-empty subgraph reached through real peeling cascades (probed:
     // k=65 -> 188/200 nodes after 3 rounds; the registered query derives
@@ -240,15 +249,10 @@ class AnalyticsAdditionsSpec extends SparkSpec {
   }
 
   test("split_ks matches a driver recomputation of the two-sample KS statistic") {
-    def bucket2(id: Long): Long =
-      java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(id.toString.getBytes("UTF-8"))
-          .take(2).map("%02x".format(_)).mkString, 16)
     val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .flatMap { case (id, nc) =>
-        val b = bucket2(id)
+        val b = md5Bucket4(id)
         if (b < 52429) Some(("train", nc))
         else if (b < 58982) Some(("val", nc)) else None
       }
@@ -267,17 +271,12 @@ class AnalyticsAdditionsSpec extends SparkSpec {
   }
 
   test("split_drift: exact integer ranking key matches a driver token census; JS terms sane") {
-    def bucket(id: Long): Long =
-      java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(id.toString.getBytes("UTF-8"))
-          .take(2).map("%02x".format(_)).mkString, 16)
     val tokRe = "[a-z]+|[0-9]+".r
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
     docs.foreach { case (id, text) =>
-      val b = bucket(id)
+      val b = md5Bucket4(id)
       val split = if (b < 52429) "train" else if (b < 58982) "val" else "test"
       if (split != "test")
         tokRe.findAllIn(text).foreach(t => counts((split, t)) += 1)
