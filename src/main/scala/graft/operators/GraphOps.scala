@@ -152,25 +152,33 @@ object GraphOps extends QueryModule {
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
 
-  private val edgeCache =
+  private val pairCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** The DISTINCT co-purchase edge set, materialized once per (session,
-    * fixture) and shared by [[triangles]] and [[kCore]] — the maintained
-    * edge table a production graph pass reads instead of re-deriving
-    * (the [[graft.operators.SimilarityIndex]] memoization precedent).
-    * Keyed by applicationId so a checkpointed RDD never leaks across
-    * Spark contexts.
+  /** The COUNTED co-purchase pair census (a, b, n_ab), materialized once
+    * per (session, fixture) — the maintained artifact all three graph
+    * queries project from ([[basketLift]] reads the counts; [[triangles]]
+    * and [[kCore]] read its key set as the distinct edge list) instead of
+    * re-deriving the lineitem self-join each (the
+    * [[graft.operators.SimilarityIndex]] memoization precedent). Keyed by
+    * applicationId so a checkpointed RDD never leaks across Spark
+    * contexts.
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+  private def coPairCounts(s: SparkSession, dir: String): DataFrame = {
     val appId = s.sparkContext.applicationId
     // evict entries from other (stopped) contexts — unlike the driver-array
     // memos elsewhere, these hold checkpointed DataFrames, which would pin
     // a dead session's object graph for the JVM lifetime
-    edgeCache.keys.filterNot(_.startsWith(s"$appId|")).foreach(edgeCache.remove)
-    edgeCache.getOrElseUpdate(s"$appId|$dir",
-      coPairs(liDistinct(s, dir)).distinct().localCheckpoint())
+    pairCache.keys.filterNot(_.startsWith(s"$appId|")).foreach(pairCache.remove)
+    pairCache.getOrElseUpdate(s"$appId|$dir",
+      coPairs(liDistinct(s, dir))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint())
   }
+
+  /** The distinct co-purchase edge set — the census's key projection. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    coPairCounts(s, dir).select(col("a"), col("b"))
 
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val e = coEdges(s, dir)
@@ -240,9 +248,7 @@ object GraphOps extends QueryModule {
     */
   def basketLift(s: SparkSession, dir: String): DataFrame = {
     val li = liDistinct(s, dir)
-    val pairs = coPairs(li)
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
+    val pairs = coPairCounts(s, dir)
     val top = pairs.orderBy(col("n_ab").desc, col("a"), col("b")).limit(20)
     val pcnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
     val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
