@@ -146,4 +146,46 @@ class Sf01ConsistencySpec extends SparkSpec {
     assert(cov.getLong(1) <= cov.getLong(2),
       "within-cluster prune exceeded the global rule — subset invariant broken")
   }
+
+  test("sf0.1: the analytics wave holds its invariants at 20k-node / 5000-doc scale") {
+    import graft.operators.{GraphOps, OrderingOps}
+    // triangles: 20 distinct parts, counts positive and non-increasing
+    val tri = GraphOps.triangles(spark, bigDir).collect()
+    assert(tri.length == 20 && tri.map(_.getLong(0)).distinct.length == 20)
+    assert(tri.forall(_.getLong(1) > 0))
+    assert(tri.map(_.getLong(1)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // k-core: the relative threshold keeps a strict, non-empty core
+    val core = GraphOps.kCore(spark, bigDir).collect()
+    assert(core.length == 20 && core.forall(_.getLong(1) > 0))
+    // pareto: the staircase invariant (both axes strictly increasing)
+    val pf = OrderingOps.paretoFrontier(spark, bigDir).collect()
+    assert(pf.nonEmpty)
+    assert(pf.map(_.getDouble(0)).sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+    assert(pf.map(_.getInt(1)).sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+    // split health: a hash split must show near-zero drift at 4500 docs
+    // (two-sample KS 95% band for ~4000/500 is ~0.066; 0.1 = red-flag bar)
+    val ks = OrderingOps.splitKs(spark, bigDir).head()
+    assert(ks.getAs[Double]("ks_stat") < 0.1,
+      s"hash split drifted: KS=${ks.getAs[Double]("ks_stat")}")
+    // phrase search: ranks dense 1..<=3 within each of the 5 phrases
+    val ph = graft.operators.LexiconOps.phraseSearch(spark, bigDir).collect()
+    val byPhrase = ph.groupBy(_.getString(0))
+    assert(byPhrase.size == 5)
+    byPhrase.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(
+        Array.tabulate(rows.length)(i => (i + 1).toLong)))
+    }
+    // coreset: 16 distinct picks, radii non-increasing and positive
+    val cs = graft.operators.Clustering.coresetKcenter(spark, bigDir).collect()
+    assert(cs.map(_.getLong(1)).distinct.length == 16)
+    val radii = cs.flatMap(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(radii.forall(_ > 0))
+    assert(radii.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // pca: ratios in (0,1), eigenvalues non-increasing, 8 ranks
+    val pca = graft.operators.Clustering.embPca(spark, bigDir).collect()
+    assert(pca.length == 8)
+    val evs = pca.map(_.getAs[Double]("eigenvalue"))
+    assert(evs.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(pca.map(_.getAs[Double]("var_ratio")).forall(r => r > 0 && r < 1))
+  }
 }
