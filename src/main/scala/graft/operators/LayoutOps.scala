@@ -297,9 +297,78 @@ object LayoutOps extends QueryModule {
       | FROM (SELECT count(*) AS c FROM a GROUP BY s8))
       |SELECT * FROM digest CROSS JOIN occ""".stripMargin
 
+  /** The compaction plan APPLIED and audited — the missing middle of the
+    * plan → rewrite → verify loop ([[compactionPlan]] only plans;
+    * [[partitionedWriteAudit]] audits a different discipline). The
+    * planned bin assignment is recomputed (idempotence is the plan's
+    * contract), the rows are physically rewritten one-file-per-bin
+    * (repartition on the bin key before partitionBy — the small-files
+    * rule), and the AUDIT reads back what landed: per bin, the physical
+    * file count via `input_file_name()` (the oracle states the contract
+    * constant 1; Spark must OBSERVE it), row count, byte sum, and an
+    * id-sum integrity probe proving no row was lost or duplicated in the
+    * rewrite.
+    *
+    * Scale: the rewrite is one keyed repartition (bin count =
+    * total_bytes / target, corpus-proportional parallelism); the audit
+    * is one keyed aggregate over projected metadata columns. Same
+    * temp-dir materialization discipline as [[partitionedWriteAudit]].
+    */
+  def compactionApply(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val planned = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("bytes"))
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div $compactionTarget"))
+      .drop("before")
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-apply")
+    try {
+      planned.repartition(col("bin"))
+        .write.mode("overwrite").partitionBy("bin")
+        .parquet(root.toString)
+      val out = s.read.parquet(root.toString)
+        .withColumn("__f", input_file_name())
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(
+          countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_docs"),
+          sum(col("bytes")).as("bin_bytes"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .withColumn("single_file", col("n_files") === 1)
+        .orderBy("bin")
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** n_docs/bin_bytes/sum_doc_id are REAL SQL over the same bin
+    * derivation; n_files=1 / single_file=true are the pinned physical
+    * contract the Spark side must observe from the written layout.
+    */
+  val compactionApplyOracle: String =
+    s"""WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+       |c AS (SELECT doc_id, bytes,
+       |  CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+       | FROM f)
+       |SELECT before // $compactionTarget AS bin,
+       | CAST(1 AS BIGINT) AS n_files,
+       | count(*) AS n_docs,
+       | CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       | CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       | true AS single_file
+       |FROM c GROUP BY bin ORDER BY bin""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("zorder_key", zorderKey, Some(zorderOracle)),
     RegisteredQuery("compaction_plan", compactionPlan, Some(compactionOracle)),
+    RegisteredQuery("compaction_apply", compactionApply, Some(compactionApplyOracle)),
     RegisteredQuery("partitioned_write_audit", partitionedWriteAudit,
       Some(partitionedWriteAuditOracle)),
     RegisteredQuery("footer_minmax", footerMinmax, Some(footerMinmaxOracle)),

@@ -45,4 +45,22 @@ class CompactionPlanSpec extends SparkSpec {
     val again = LayoutOps.compactionPlan(spark, sfDir).collect()
     assert(plan.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("applying the plan lands exactly one file per bin with the planned membership") {
+    val applied = LayoutOps.compactionApply(spark, sfDir).collect()
+    // physical contract observed from the written layout
+    applied.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 1L, s"bin ${r.getAs[Long]("bin")} split across files")
+      assert(r.getAs[Boolean]("single_file"))
+    }
+    // membership agrees with the plan bin-for-bin (no rows moved, lost, or duplicated)
+    val planned = plan.map(r => r.getAs[Long]("bin") ->
+      (r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes"))).toMap
+    assert(applied.length == planned.size)
+    applied.foreach { r =>
+      val (nDocs, bytes) = planned(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("bin_bytes") == bytes)
+    }
+  }
 }
