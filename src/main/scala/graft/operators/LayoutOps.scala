@@ -116,13 +116,31 @@ object LayoutOps extends QueryModule {
     * the identical assignment — compaction stays idempotent. The fixture's
     * `documents` rows model the file listing; `n_chars` the file size.
     */
-  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, bytes, bin) frame both [[compactionPlan]] and
+    * [[compactionApply]] derive from — ONE definition so the apply step
+    * provably executes the same assignment the planner emitted. The
+    * oracle twin is [[compactionBinSql]].
+    */
+  private def binnedFiles(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("bytes"))
       .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
       .withColumn("bin", expr(s"before div $compactionTarget"))
+      .drop("before")
+  }
+
+  /** Shared oracle CTE prefix yielding c(doc_id, bytes, before). */
+  private val compactionBinSql: String =
+    s"""WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+       |c AS (SELECT doc_id, bytes,
+       |  CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+       | FROM f)""".stripMargin
+
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    binnedFiles(s, dir)
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n_files"),
@@ -133,11 +151,7 @@ object LayoutOps extends QueryModule {
   }
 
   val compactionOracle: String =
-    s"""WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
-       |c AS (SELECT doc_id, bytes,
-       |  CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
-       | FROM f)
+    s"""$compactionBinSql
        |SELECT before // $compactionTarget AS bin, count(*) AS n_files,
        | CAST(sum(bytes) AS BIGINT) AS bin_bytes,
        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -164,9 +178,25 @@ object LayoutOps extends QueryModule {
     * `monotonically_increasing_id` — valid because a ≤128 MB parquet file
     * is one read partition and Spark preserves row order within a split.
     */
-  def partitionedWriteAudit(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-pw-audit")
-    try {
+  /** Run `body` against a fresh temp dir, always deleting the tree after
+    * (callers MUST materialize their result inside `body` — both users
+    * return a `createDataFrame(collectAsList)` snapshot).
+    */
+  private def withTempDir(prefix: String)(
+      body: java.nio.file.Path => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    try body(root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  def partitionedWriteAudit(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-pw-audit") { root =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
@@ -190,16 +220,8 @@ object LayoutOps extends QueryModule {
           min(col("__prev").isNull || col("__prev") <= col("o_orderkey"))
             .as("files_sorted"))
         .orderBy("status")
-      val rows = s.createDataFrame(out.collectAsList(), out.schema)
-      rows
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      s.createDataFrame(out.collectAsList(), out.schema)
     }
-  }
 
   /** n_rows/sum_price are REAL SQL over orders; n_files=1 and
     * files_sorted=true are the pinned layout contract.
@@ -314,17 +336,9 @@ object LayoutOps extends QueryModule {
     * is one keyed aggregate over projected metadata columns. Same
     * temp-dir materialization discipline as [[partitionedWriteAudit]].
     */
-  def compactionApply(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val planned = Tables.documents(s, dir)
-      .select(col("doc_id"), col("n_chars").cast("long").as("bytes"))
-      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
-      .withColumn("bin", expr(s"before div $compactionTarget"))
-      .drop("before")
-    val root = java.nio.file.Files.createTempDirectory("graft-compact-apply")
-    try {
-      planned.repartition(col("bin"))
+  def compactionApply(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-compact-apply") { root =>
+      binnedFiles(s, dir).repartition(col("bin"))
         .write.mode("overwrite").partitionBy("bin")
         .parquet(root.toString)
       val out = s.read.parquet(root.toString)
@@ -338,25 +352,14 @@ object LayoutOps extends QueryModule {
         .withColumn("single_file", col("n_files") === 1)
         .orderBy("bin")
       s.createDataFrame(out.collectAsList(), out.schema)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
     }
-  }
 
   /** n_docs/bin_bytes/sum_doc_id are REAL SQL over the same bin
     * derivation; n_files=1 / single_file=true are the pinned physical
     * contract the Spark side must observe from the written layout.
     */
   val compactionApplyOracle: String =
-    s"""WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
-       |c AS (SELECT doc_id, bytes,
-       |  CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
-       | FROM f)
+    s"""$compactionBinSql
        |SELECT before // $compactionTarget AS bin,
        | CAST(1 AS BIGINT) AS n_files,
        | count(*) AS n_docs,
