@@ -941,10 +941,49 @@ object LexiconOps extends QueryModule {
        |SELECT phrase, rank, doc_id, n_occ FROM r WHERE rank <= 3
        |ORDER BY phrase, rank""".stripMargin
 
+  /** Zipf-law fit over the full token frequency census: OLS slope and R²
+    * of ln(freq) against ln(rank). Natural corpora sit near slope −1
+    * with high R²; a synthetic/templated corpus (like this fixture's
+    * word soup) flattens, and a corpus poisoned by boilerplate
+    * steepens — the one-row distributional health check a tokenizer
+    * pipeline runs beside [[vocabTopk]]'s head inspection.
+    *
+    * Scale: the word-count census (map-side partials), then ranking via
+    * ONE window over the VOCABULARY (bounded by type count, not corpus
+    * size — the [[vocabOovRate]] argument), then `regr_*` moment
+    * aggregates whose states merge losslessly ([[a18_regression]]'s
+    * topology). The 4 dp rounding sits ~8 orders above the moment sums'
+    * addition-order noise — the same envelope a18 ships under.
+    */
+  def vocabZipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    ranked.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("n")).as("n_tokens"),
+      roundTo(expr("regr_slope(ln(n), ln(rank))"), 4).as("zipf_slope"),
+      roundTo(expr("regr_r2(ln(n), ln(rank))"), 4).as("zipf_r2"))
+  }
+
+  val vocabZipfOracle: String =
+    s"""WITH toks AS (
+       | SELECT unnest(regexp_extract_all(text, '$tokenRe')) AS token
+       | FROM documents),
+       |f AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+       |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM f)
+       |SELECT count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+       | floor(regr_slope(ln(n), ln(rank)) * 1e4 + 0.5) / 1e4 AS zipf_slope,
+       | floor(regr_r2(ln(n), ln(rank)) * 1e4 + 0.5) / 1e4 AS zipf_r2
+       |FROM r""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("text_normalize", textNormalize, Some(textNormalizeOracle)),
     RegisteredQuery("split_drift", splitDrift, Some(splitDriftOracle)),
     RegisteredQuery("phrase_search", phraseSearch, Some(phraseSearchOracle)),
+    RegisteredQuery("vocab_zipf", vocabZipf, Some(vocabZipfOracle)),
     RegisteredQuery("text_urls", textUrls, Some(textUrlsOracle)),
     RegisteredQuery("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     RegisteredQuery("bpe_pair_stats", bpePairStats, Some(bpePairStatsOracle)),

@@ -270,6 +270,28 @@ class AnalyticsAdditionsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_train") == tt.toLong && r.getAs[Long]("n_val") == tv.toLong)
   }
 
+  test("vocab_zipf matches a closed-form driver OLS fit on the token census") {
+    val tokRe2 = "[a-z]+|[0-9]+".r
+    val freqs = Tables.documents(spark, sfDir).select("text")
+      .collect().flatMap(r => tokRe2.findAllIn(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val xs = freqs.indices.map(i => math.log(i + 1.0))
+    val ys = freqs.map { case (_, n) => math.log(n.toDouble) }
+    val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val syy = ys.map(y => (y - my) * (y - my)).sum
+    val slope = sxy / sxx
+    val r2 = sxy * sxy / (sxx * syy)
+    val r = LexiconOps.vocabZipf(spark, sfDir).head()
+    assert(r.getAs[Long]("n_types") == freqs.length.toLong)
+    assert(r.getAs[Long]("n_tokens") == freqs.map(_._2).sum)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-3, s"slope ${r} vs $slope")
+    assert(r.getAs[Double]("zipf_slope") < 0, "token frequency must decay with rank")
+    assert(math.abs(r.getAs[Double]("zipf_r2") - r2) < 1e-3)
+  }
+
   test("split_drift: exact integer ranking key matches a driver token census; JS terms sane") {
     val tokRe = "[a-z]+|[0-9]+".r
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
