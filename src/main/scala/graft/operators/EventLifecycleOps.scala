@@ -61,9 +61,14 @@ object EventLifecycleOps extends QueryModule {
     * by re-scanning the stream twice per step). The final shape is a
     * 3-row census: users reaching each step + conversion vs step 1.
     */
-  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+  /** Per-user strict funnel step times (t1 ≤ first view, t2 ≤ first
+    * later click, t3 ≤ first later purchase) — shared by [[funnelSteps]]
+    * (counts) and [[funnelLag]] (conversion-time distribution); one
+    * user_id exchange for all three chained conditional-min windows.
+    */
+  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-    val staged = Tables.events(s, dir)
+    Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t1",
         min(when(col("event_type") === "view", col("ts"))).over(w))
@@ -76,6 +81,24 @@ object EventLifecycleOps extends QueryModule {
       .groupBy(col("user_id"))
       .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
         min(col("t3")).as("t3"))
+  }
+
+  /** Shared oracle CTE prefix yielding u1/u2/u3 (the per-step times). */
+  private val funnelCteSql: String =
+    """u1 AS (
+      | SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+      | FROM events GROUP BY 1),
+      |u2 AS (
+      | SELECT e.user_id, min(e.ts) AS t2
+      | FROM events e JOIN u1 USING (user_id)
+      | WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+      |u3 AS (
+      | SELECT e.user_id, min(e.ts) AS t3
+      | FROM events e JOIN u2 USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1)""".stripMargin
+
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val staged = funnelTimes(s, dir)
     val counts = staged.agg(
       count(col("t1")).as("n1"), count(col("t2")).as("n2"),
       count(col("t3")).as("n3"))
@@ -95,17 +118,7 @@ object EventLifecycleOps extends QueryModule {
   }
 
   val funnelStepsOracle: String =
-    """WITH u1 AS (
-      | SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
-      | FROM events GROUP BY 1),
-      |u2 AS (
-      | SELECT e.user_id, min(e.ts) AS t2
-      | FROM events e JOIN u1 USING (user_id)
-      | WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
-      |u3 AS (
-      | SELECT e.user_id, min(e.ts) AS t3
-      | FROM events e JOIN u2 USING (user_id)
-      | WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+    s"""WITH $funnelCteSql,
       |c AS (
       | SELECT (SELECT count(t1) FROM u1) AS n1,
       |        (SELECT count(*) FROM u2) AS n2,
@@ -117,6 +130,48 @@ object EventLifecycleOps extends QueryModule {
       | UNION ALL SELECT '2_click', n2, n1 FROM c
       | UNION ALL SELECT '3_purchase', n3, n1 FROM c)
       |ORDER BY step""".stripMargin
+
+  /** Conversion-time distribution over the strict funnel: exact
+    * interpolated p50/p95 of the view→click and click→purchase lags (in
+    * fractional hours) across converting users — the "how long does the
+    * funnel take" companion to [[funnelSteps]]' "how many make it".
+    * Percentile parity recipe is [[WindowsAndStats.a13Percentiles]]':
+    * Spark `percentile` ≡ DuckDB `quantile_cont` (both ignore the
+    * non-converting users' NULL lags). Scale: the shared one-exchange
+    * [[funnelTimes]] staging plus a single global aggregate whose
+    * percentile state is per-converting-user — funnel conversions, not
+    * raw events, reach the reduce side.
+    */
+  def funnelLag(s: SparkSession, dir: String): DataFrame = {
+    val t = funnelTimes(s, dir)
+    val lags = t.select(
+      ((unix_micros(col("t2")) - unix_micros(col("t1"))) / lit(3.6e9)).as("lag12"),
+      ((unix_micros(col("t3")) - unix_micros(col("t2"))) / lit(3.6e9)).as("lag23"))
+    lags.agg(
+      count(col("lag12")).as("n_click_conv"),
+      roundTo(expr("percentile(lag12, 0.5)"), 4).as("p50_view_click_h"),
+      roundTo(expr("percentile(lag12, 0.95)"), 4).as("p95_view_click_h"),
+      count(col("lag23")).as("n_purchase_conv"),
+      roundTo(expr("percentile(lag23, 0.5)"), 4).as("p50_click_purchase_h"),
+      roundTo(expr("percentile(lag23, 0.95)"), 4).as("p95_click_purchase_h"))
+  }
+
+  val funnelLagOracle: String =
+    s"""WITH $funnelCteSql,
+      |t AS (
+      | SELECT u1.user_id, u1.t1, u2.t2, u3.t3
+      | FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)),
+      |l AS (
+      | SELECT (epoch_us(t2) - epoch_us(t1)) / 3.6e9 AS lag12,
+      |        (epoch_us(t3) - epoch_us(t2)) / 3.6e9 AS lag23
+      | FROM t)
+      |SELECT count(lag12) AS n_click_conv,
+      | floor(quantile_cont(lag12, 0.5) * 1e4 + 0.5) / 1e4 AS p50_view_click_h,
+      | floor(quantile_cont(lag12, 0.95) * 1e4 + 0.5) / 1e4 AS p95_view_click_h,
+      | count(lag23) AS n_purchase_conv,
+      | floor(quantile_cont(lag23, 0.5) * 1e4 + 0.5) / 1e4 AS p50_click_purchase_h,
+      | floor(quantile_cont(lag23, 0.95) * 1e4 + 0.5) / 1e4 AS p95_click_purchase_h
+      |FROM l""".stripMargin
 
   // ---------------------------------------------------------------------
   // Cohort retention
@@ -578,6 +633,7 @@ object EventLifecycleOps extends QueryModule {
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     RegisteredQuery("event_transitions", eventTransitions, Some(eventTransitionsOracle)),
+    RegisteredQuery("funnel_lag", funnelLag, Some(funnelLagOracle)),
     RegisteredQuery("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     RegisteredQuery("scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
     RegisteredQuery("scd2_pit_join", scd2PitJoin, Some(scd2PitJoinOracle)),
