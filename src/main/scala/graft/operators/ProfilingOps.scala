@@ -346,6 +346,68 @@ object ProfilingOps extends QueryModule {
       |   / sum(class_size) * 1e4 + 0.5) / 1e4 AS at_risk_share_l3
       |FROM classes""".stripMargin
 
+  /** Sketch-based join-size estimation — the optimizer statistic that
+    * decides broadcast-vs-shuffle and flags exploding joins BEFORE
+    * paying for them. The self-equi-join size on `l_partkey`
+    * (Σ_k cnt_k², the worst-case fan-out statistic) is estimated from a
+    * count-min sketch's self inner product (min over rows of Σ_col n²
+    * — the AMS/CMS second-moment estimator) and compared against the
+    * exact count in one result row, with the estimator's one-sided
+    * guarantee (it can only OVERestimate) emitted as a boolean.
+    *
+    * The sketch is built declaratively: d=5 portable md5 hash rows ×
+    * w=1024 columns as a (row, col)→count table — cell counts are plain
+    * integer sums (order-free), the hash is the repo's cross-engine md5
+    * bucket, so the DuckDB oracle RECOMPUTES the estimate exactly
+    * rather than trusting a pin (unlike the builtin `count_min_sketch`,
+    * whose cells are not inspectable and whose hash is not portable).
+    *
+    * Scale: two keyed aggregates — cells (d×w-bounded state, map-side
+    * partials absorb the stream) and the exact per-key census; at
+    * 100 TB only the sketch side runs per candidate join (that is its
+    * point); the exact side here is the driver-gated truth baseline.
+    */
+  def joinSizeSketch(s: SparkSession, dir: String): DataFrame = {
+    val d = 5
+    val w = 1024
+    val keys = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+    val cells = keys
+      .select(explode(expr(s"sequence(0, ${d - 1})")).as("r"), col("k"))
+      .select(col("r"),
+        (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("long") % w).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+    val est = cells.groupBy("r").agg(sum(col("n") * col("n")).as("ip"))
+      .agg(min(col("ip")).as("est_size"))
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") * col("cnt")).as("exact_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_size"), col("est_size"),
+        (col("est_size") >= col("exact_size")).as("never_underestimates"),
+        roundTo((col("est_size") - col("exact_size")) / col("exact_size"), 6)
+          .as("rel_overestimate"))
+  }
+
+  val joinSizeSketchOracle: String =
+    """WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+      |cells AS (
+      | SELECT r, CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+      |   CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS BIGINT) AS c,
+      |  count(*) AS n
+      | FROM keys, generate_series(0, 4) AS g(r)
+      | GROUP BY 1, 2),
+      |est AS (
+      | SELECT CAST(min(ip) AS BIGINT) AS est_size FROM (
+      |  SELECT r, sum(n * n) AS ip FROM cells GROUP BY r)),
+      |ex AS (
+      | SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_size FROM (
+      |  SELECT k, count(*) AS cnt FROM keys GROUP BY k))
+      |SELECT exact_size, est_size,
+      | est_size >= exact_size AS never_underestimates,
+      | floor(((est_size - exact_size) / exact_size) * 1e6 + 0.5) / 1e6
+      |   AS rel_overestimate
+      |FROM ex, est""".stripMargin
+
   val kanonOracle: String =
     """WITH classes AS (
       | SELECT c_mktsegment, c_nationkey, count(*) AS class_size
@@ -364,6 +426,7 @@ object ProfilingOps extends QueryModule {
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("kanon_audit", kanonAudit, Some(kanonOracle)),
     RegisteredQuery("ldiversity_audit", ldiversityAudit, Some(ldiversityOracle)),
+    RegisteredQuery("join_size_sketch", joinSizeSketch, Some(joinSizeSketchOracle)),
     RegisteredQuery("table_diff", tableDiff, Some(tableDiffOracle)),
     RegisteredQuery("length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
     RegisteredQuery("dq_rule_report", dqRuleReport, Some(dqRuleReportOracle)),

@@ -270,6 +270,21 @@ class AnalyticsAdditionsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_train") == tt.toLong && r.getAs[Long]("n_val") == tv.toLong)
   }
 
+  test("join_size_sketch: exact F2 matches a driver census; estimate obeys the one-sided bound") {
+    val cnts = Tables.lineitem(spark, sfDir).select("l_partkey")
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).values.toSeq
+    val exact = cnts.map(c => c * c).sum
+    val r = ProfilingOps.joinSizeSketch(spark, sfDir).head()
+    assert(r.getAs[Long]("exact_size") == exact)
+    assert(r.getAs[Boolean]("never_underestimates"),
+      "CMS inner product must never underestimate the join size")
+    assert(r.getAs[Long]("est_size") >= exact)
+    // collision error is bounded by ~N^2/w per row, far under 50% here
+    assert(r.getAs[Double]("rel_overestimate") < 0.5,
+      s"estimate drifted: ${r.getAs[Double]("rel_overestimate")}")
+  }
+
   test("vocab_zipf matches a closed-form driver OLS fit on the token census") {
     val tokRe2 = "[a-z]+|[0-9]+".r
     val freqs = Tables.documents(spark, sfDir).select("text")
