@@ -161,16 +161,23 @@ object GraphOps extends QueryModule {
     * and [[kCore]] read its key set as the distinct edge list) instead of
     * re-deriving the lineitem self-join each (the
     * [[graft.operators.SimilarityIndex]] memoization precedent). Keyed by
-    * applicationId so a checkpointed RDD never leaks across Spark
-    * contexts.
+    * applicationId (so a checkpointed RDD never leaks across Spark
+    * contexts) AND the fixture content fingerprint (so a rewritten
+    * lineitem.parquet under the same dir retrains instead of serving
+    * stale counts — ADVICE r10, same scheme as the Clustering/BPE memos).
+    * Superseded entries — dead context or stale fingerprint for the same
+    * dir — are unpersisted, not just dropped, so their blocks free
+    * immediately instead of waiting on GC.
     */
   private def coPairCounts(s: SparkSession, dir: String): DataFrame = {
     val appId = s.sparkContext.applicationId
-    // evict entries from other (stopped) contexts — unlike the driver-array
-    // memos elsewhere, these hold checkpointed DataFrames, which would pin
-    // a dead session's object graph for the JVM lifetime
-    pairCache.keys.filterNot(_.startsWith(s"$appId|")).foreach(pairCache.remove)
-    pairCache.getOrElseUpdate(s"$appId|$dir",
+    val key = s"$appId|$dir|${SimilarityIndex.fingerprint(dir, "lineitem.parquet")}"
+    pairCache.keys.filterNot(_ == key)
+      .filter(k => !k.startsWith(s"$appId|") || k.startsWith(s"$appId|$dir|"))
+      .foreach(k => pairCache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Exception => () }
+      })
+    pairCache.getOrElseUpdate(key,
       coPairs(liDistinct(s, dir))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
         .localCheckpoint())

@@ -892,22 +892,29 @@ object LexiconOps extends QueryModule {
     * the maintained index, written partitioned by token, and a phrase
     * probe touches only its terms' postings (the [[fuzzyLookupProbes]]
     * asymmetry); the census top-5 is a TakeOrderedAndProject; the
-    * per-phrase top-3 plans as WindowGroupLimit heaps. The bigram
-    * stream is materialized once (cache) for census + retrieval.
+    * per-phrase top-3 plans as WindowGroupLimit heaps. The census
+    * top-5 is collected as FIVE bounded literals (an index-metadata
+    * probe, like the ANN centroid fetches), so the retrieval pass is a
+    * literal IN-filter over a fresh postings derivation — no
+    * session-lifetime `.cache()` pinning corpus-scale storage
+    * (ADVICE r10: the previous cache was never unpersisted).
     */
   def phraseSearch(s: SparkSession, dir: String): DataFrame = {
-    val post = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(expr(s"regexp_extract_all(text, '$tokenRe', 0)"))
-          .as(Seq("pos", "tok")))
-    val big = post.as("p1").join(post.as("p2"),
-        col("p1.doc_id") === col("p2.doc_id") && col("p2.pos") === col("p1.pos") + 1)
-      .select(col("p1.doc_id").as("doc_id"),
-        concat(col("p1.tok"), lit(" "), col("p2.tok")).as("phrase"))
-      .cache()
-    val top5 = big.groupBy("phrase").agg(count(lit(1)).as("n_tot"))
+    def bigrams: DataFrame = {
+      val post = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr(s"regexp_extract_all(text, '$tokenRe', 0)"))
+            .as(Seq("pos", "tok")))
+      post.as("p1").join(post.as("p2"),
+          col("p1.doc_id") === col("p2.doc_id") && col("p2.pos") === col("p1.pos") + 1)
+        .select(col("p1.doc_id").as("doc_id"),
+          concat(col("p1.tok"), lit(" "), col("p2.tok")).as("phrase"))
+    }
+    // bounded driver probe: exactly 5 phrase strings
+    val top5 = bigrams.groupBy("phrase").agg(count(lit(1)).as("n_tot"))
       .orderBy(col("n_tot").desc, col("phrase")).limit(5)
-    big.join(broadcast(top5.select("phrase")), "phrase")
+      .collect().map(_.getString(0)).toSeq
+    bigrams.filter(col("phrase").isin(top5: _*))
       .groupBy(col("phrase"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
       .withColumn("rank", row_number().over(

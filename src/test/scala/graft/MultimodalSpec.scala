@@ -83,6 +83,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def parseAudio(payloads: Seq[(Long, Array[Byte])]) = {
+    val df = spark.createDataFrame(payloads).toDF("doc_id", "payload")
+    Multimodal.parseAudioHeaders(df).collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("golden WAV: full 44-byte canonical header incl. byte rate and data size") {
+    // 44100 Hz, stereo, 16-bit → block align 4, byte rate 176400;
+    // data chunk 352800 bytes = exactly 2.000 s
+    def le32(v: Long) = Array(v & 255, (v >> 8) & 255, (v >> 16) & 255, (v >> 24) & 255).map(_.toByte)
+    def le16(v: Long) = Array(v & 255, (v >> 8) & 255).map(_.toByte)
+    val wav: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + 352800) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+        le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(352800)
+    val r = parseAudio(Seq(1L -> wav))(1L)
+    assert(r.getString(1) == "wav")
+    assert(r.getLong(2) == 44100L && r.getLong(3) == 2L && r.getLong(4) == 16L)
+    assert(r.getLong(5) == 2000L, s"duration should be exactly 2000 ms, got ${r.getLong(5)}")
+  }
+
+  test("golden FLAC: STREAMINFO bit fields at the spec layout (44100/2ch/16bit)") {
+    // sample rate 44100 = 0x0AC44 (20 bits), channels-1 = 1 (3 bits),
+    // bps-1 = 15 (5 bits), total samples 88200 = 0x0158 88 (36 bits)
+    // → exactly 2.000 s; sr % 16 = 4 pins the low nibble split
+    val flac: Array[Byte] =
+      "fLaC".getBytes("US-ASCII") ++
+        Array(0x80, 0x00, 0x00, 0x22).map(_.toByte) ++       // last-block, type 0, len 34
+        Array(0x10, 0x00, 0x10, 0x00).map(_.toByte) ++       // min/max blocksize 4096
+        Array(0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte) ++ // frame sizes
+        // 0x0A,0xC4 = sr bits 19-4; 0x42 = sr low nibble 4 | ch-1=1 | bps-1 hi bit 0;
+        // 0xF0 = bps-1 low nibble 15 | ns bits 35-32 = 0
+        Array(0x0A, 0xC4, 0x42, 0xF0).map(_.toByte) ++
+        Array(0x00, 0x01, 0x58, 0x88).map(_.toByte) ++       // ns low 32 = 88200
+        Array.fill(16)(0x00.toByte)                          // MD5
+    val r = parseAudio(Seq(2L -> flac))(2L)
+    assert(r.getString(1) == "flac")
+    assert(r.getLong(2) == 44100L, s"sample rate: got ${r.getLong(2)}")
+    assert(r.getLong(3) == 2L && r.getLong(4) == 16L)
+    assert(r.getLong(5) == 2000L, s"duration should be exactly 2000 ms, got ${r.getLong(5)}")
+  }
+
+  test("audio parser: non-audio bytes fall through to unknown with NULLs") {
+    val junk = "RIFFxxxxAVI LIST but not audio".getBytes("US-ASCII")
+    val r = parseAudio(Seq(3L -> junk))(3L)
+    assert(r.getString(1) == "unknown")
+    (2 to 5).foreach(i => assert(r.isNullAt(i), s"col $i leaked for non-audio payload"))
+  }
+
+  test("registered audio probe: every row parses into a format branch") {
+    val rows = Multimodal.mmAudioProbe(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) == "wav" || r.getString(1) == "flac")
+      assert(r.getLong(2) >= 8000L && r.getLong(2) <= 48000L)
+      assert(!r.isNullAt(5) && r.getLong(5) >= 0L)
+    }
+  }
+
   test("mm_interleave_pack: hard budget, every doc packed once, dense pack ids") {
     val rows = Multimodal.mmInterleavePack(spark, sfDir).collect()
     val nDocs = graft.engine.Tables.documents(spark, sfDir).count()
