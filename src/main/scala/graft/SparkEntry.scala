@@ -37,6 +37,7 @@ object SparkEntry {
     ChunkOps,
     CorpusOps,
     ProfilingOps,
+    WarehouseOps,
     graft.pipeline.PipelineOps,
     graft.streaming.StreamingOps,
   )

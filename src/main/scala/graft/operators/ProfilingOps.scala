@@ -422,7 +422,91 @@ object ProfilingOps extends QueryModule {
       |   / sum(class_size) * 1e4 + 0.5) / 1e4 AS at_risk_share_k10
       |FROM classes""".stripMargin
 
+  /** KMV (k-minimum-values) distinct-count sketch — the third portable
+    * cardinality estimator beside the exact count and HLL
+    * ([[graft.operators.Extras]] a4 family), and the one whose estimate
+    * the oracle can RECOMPUTE CELL-EXACTLY: hash every key to a 48-bit
+    * value (cross-engine md5 bucket, the [[joinSizeSketch]] scheme),
+    * keep the k smallest DISTINCT hash values, and estimate
+    * (k−1)·2⁴⁸ / h₍ₖ₎ — all INTEGER arithmetic, so DuckDB derives the
+    * identical estimate from the identical k-th minimum rather than
+    * trusting a pin (the strongest gate shape for a sketch).
+    *
+    * The per-type rows demonstrate MERGEABILITY, the property that makes
+    * KMV a distributed sketch: the global row's k-minima set is exactly
+    * the k smallest of the union of the per-type sketches' minima
+    * (verified by the spec), so partial sketches combine losslessly —
+    * at 100 TB each partition keeps a k-value heap (bounded state),
+    * partials merge on the driver, and no exact-distinct shuffle runs.
+    * The hash-DISTINCT here is the sketch's semantic dedup, spelled
+    * declaratively; the k-th minimum is a TakeOrderedAndProject, not a
+    * full sort.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val two48 = 281474976710656L // 2^48
+    def sketch(keyed: DataFrame): DataFrame = {
+      // 48-bit portable hash; DISTINCT hashes = the KMV structure
+      val hashes = keyed
+        .filter(col("k").isNotNull) // NULL sorts first in Spark, last in DuckDB
+        .select(conv(substring(md5(col("k").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+      val kth = hashes.orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_used"))
+      keyed.agg(countDistinct(col("k")).as("exact")).crossJoin(broadcast(kth))
+    }
+    val ev = Tables.events(s, dir)
+    val global = sketch(ev.select(col("user_id").as("k")))
+      .withColumn("scope", lit("ALL"))
+    val perType = ev.select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq // bounded: the event-type enum
+    val typed = perType.map { t =>
+      sketch(ev.filter(col("event_type") === t).select(col("user_id").as("k")))
+        .withColumn("scope", lit(t))
+    }
+    typed.foldLeft(global)(_ unionByName _)
+      .select(col("scope"), col("exact"), col("k_used"), col("kth_min"),
+        // (k-1)*2^48 div kth — exact integer estimate on both engines;
+        // k_used < k means the domain fit entirely in the sketch and the
+        // estimate IS the exact distinct-hash count
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"(${k - 1}L * $two48) div kth_min")).as("kmv_estimate"))
+      // positives-only integer division (Spark div truncates toward zero,
+      // DuckDB // floors — they differ on NEGATIVE dividends)
+      .withColumn("err_bp", expr("kmv_estimate * 10000 div exact - 10000"))
+      .orderBy("scope")
+  }
+
+  val kmvOracle: String =
+    """WITH ev AS (SELECT event_type, user_id FROM events),
+      |scoped AS (
+      | SELECT 'ALL' AS scope, user_id FROM ev
+      | UNION ALL SELECT event_type AS scope, user_id FROM ev),
+      |hashes AS (
+      | SELECT DISTINCT scope,
+      |  CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |    AS BIGINT) AS h
+      | FROM scoped WHERE user_id IS NOT NULL),
+      |ranked AS (
+      | SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+      | FROM hashes),
+      |kth AS (
+      | SELECT scope, max(h) AS kth_min, count(*) AS k_used
+      | FROM ranked WHERE rn <= 256 GROUP BY scope),
+      |ex AS (
+      | SELECT scope, count(DISTINCT user_id) AS exact FROM scoped GROUP BY scope)
+      |SELECT ex.scope AS scope, exact, k_used, kth_min,
+      | CAST(CASE WHEN k_used < 256 THEN k_used
+      |      ELSE (255 * 281474976710656) // kth_min END AS BIGINT) AS kmv_estimate,
+      | CAST((CASE WHEN k_used < 256 THEN k_used
+      |       ELSE (255 * 281474976710656) // kth_min END) * 10000 // exact - 10000
+      |   AS BIGINT) AS err_bp
+      |FROM ex JOIN kth ON ex.scope = kth.scope
+      |ORDER BY ex.scope""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("kmv_distinct", kmvDistinct, Some(kmvOracle)),
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("kanon_audit", kanonAudit, Some(kanonOracle)),
     RegisteredQuery("ldiversity_audit", ldiversityAudit, Some(ldiversityOracle)),

@@ -491,7 +491,9 @@ object Relational extends QueryModule {
     RegisteredQuery("a5_cond_avg", a5CondAvg, Some(a5Oracle)),
     RegisteredQuery("agg_snapshot_full", aggSnapshotFull, Some(aggSnapshotOracle)),
     RegisteredQuery("w1_latest_per_user", w1LatestPerUser, Some(w1Oracle)),
-    RegisteredQuery("w1_latest_window", w1LatestPerUserWindow, Some(w1Oracle), headline = false),
+    // headline since r11 (VERDICT r10 #7): plan-twins get a recorded
+    // timing too — it was the only registered query with none
+    RegisteredQuery("w1_latest_window", w1LatestPerUserWindow, Some(w1Oracle)),
     RegisteredQuery("t3_history_page", t3HistoryPage, Some(t3Oracle)),
     RegisteredQuery("json_props", jsonProps, Some(jsonPropsOracle)),
   )

@@ -1,0 +1,406 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Scalars._
+
+/** Multi-join warehouse analytics — the TPC-H-shaped query family beyond
+  * the reference's four single-fact reports (the reference's entire
+  * analytics surface is the four one-table Trino queries under
+  * `/root/reference/sql/analytics/`; a user switching a real warehouse onto this
+  * engine immediately asks for the classic multi-join shapes too). Each
+  * query is the canonical TPC-H topology re-fitted to the fixture schema
+  * (no partsupp table; `p_type` carries a literal 'PROMO' class).
+  *
+  * Scale posture shared by the family: dimension tables (region, nation,
+  * supplier) ship as explicit broadcasts — at any SF they are orders of
+  * magnitude under the fact tables; the fact-fact joins (lineitem ⋈
+  * orders) shuffle on the join key once and AQE re-plans the rest. Every
+  * aggregate is map-side partial first. Money aggregates run in exact
+  * integer cents ([[revCents]]) so every sum is order-insensitive by
+  * arithmetic, not by envelope (SCALE.md PINS discipline).
+  */
+object WarehouseOps extends QueryModule {
+
+  private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** Revenue in INTEGER CENTS — one multiply+floor on identical doubles
+    * (IEEE-identical cross-engine), then exact integer sums under ANY
+    * aggregation order. The whole family uses this instead of rounded
+    * double sums: a double sum straddling a .005 boundary flips a cent
+    * between engines/layouts (observed on the IVM path at sf0.001), and
+    * these multi-join groups aggregate thousands of terms.
+    */
+  private def revCents = floor(revenue * 100 + 0.5).cast("long")
+
+  /** TPC-H Q7 (volume shipping): cross-border revenue by (supplier bloc,
+    * customer bloc, ship year) over a two-year window, both directions
+    * reported. The canonical per-nation-PAIR filter is re-fit to two
+    * nation BLOCS (key arithmetic: n_nationkey < 12 vs ≥ 12) because one
+    * specific pair is empty at the sf0.001 suite fixture — the topology
+    * (two nation dimension joins, an either-direction cross-border
+    * predicate on broadcast-joined columns, year grouping) is exactly
+    * Q7's. The bloc predicate is applied AFTER both nation joins — on
+    * broadcast dimension columns, so it costs nothing extra.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") <= lit("1997-12-31"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"), revCents.as("rev_c"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    def bloc(nk: org.apache.spark.sql.Column) = when(nk < 12, "WEST").otherwise("EAST")
+    val nc = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), bloc(col("n_nationkey")).as("cust_bloc"))
+    val ns = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), bloc(col("n_nationkey")).as("supp_bloc"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+      .filter(col("supp_bloc") =!= col("cust_bloc"))
+      .groupBy(col("supp_bloc"), col("cust_bloc"), col("ship_year"))
+      .agg(count(lit(1)).as("n_items"), (sum(col("rev_c")) / 100.0).as("volume"))
+      .orderBy("supp_bloc", "cust_bloc", "ship_year")
+  }
+
+  val q7Oracle: String =
+    """SELECT
+      | CASE WHEN ns.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END AS supp_bloc,
+      | CASE WHEN nc.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END AS cust_bloc,
+      | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      | count(*) AS n_items,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS volume
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation nc ON c_nationkey = nc.n_nationkey
+      | JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      | AND (ns.n_nationkey < 12) <> (nc.n_nationkey < 12)
+      |GROUP BY 1, 2, 3 ORDER BY supp_bloc, cust_bloc, ship_year""".stripMargin
+
+  /** TPC-H Q8 (national market share): among PROMO-class parts sold to
+    * EUROPE customers, the share of revenue supplied by NATION_3, per
+    * order year. Sums run in exact integer cents ([[revCents]]); the
+    * share divides two identical integers on both engines, so even the
+    * 6 dp rounding is deterministic, not an envelope.
+    * Six-table join: three broadcasts (part-filtered, supplier+nation,
+    * customer-side nation+region), one fact-fact shuffle.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revCents.as("rev_c"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nc = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE").select(col("r_regionkey"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ns = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("order_year"))
+      .agg(
+        (sum(col("rev_c")) / 100.0).as("total_volume"),
+        roundTo(sum(when(col("supp_nation") === "NATION_3", col("rev_c"))
+          .otherwise(lit(0L))).cast("double") / sum(col("rev_c")), 6).as("mkt_share"))
+      .orderBy("order_year")
+  }
+
+  val q8Oracle: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS total_volume,
+      | floor(CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+      |     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+      |     ELSE 0 END) AS DOUBLE)
+      |   / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+      |   * 1e6 + 0.5) / 1e6 AS mkt_share
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation nc ON c_nationkey = nc.n_nationkey
+      | JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  /** TPC-H Q11 shape (important stock, partsupp-free rendition): parts
+    * whose total line revenue exceeds 1.5× the per-part average — the
+    * correlated-global-threshold topology (a grouped aggregate compared
+    * against an aggregate OF that aggregate). The threshold ships as a
+    * broadcast one-row cross join, so the big side is scanned once and
+    * the filter is map-side; the multiplier is scale-free (a fixed
+    * fraction-of-total breaks at 10× the parts — measured: 2e-4 of
+    * total selects 1999 parts at sf0.01 and ZERO at sf0.1).
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revCents).as("v_c"), count(lit(1)).as("n_lines"))
+    // avg of exact integers: one identical division on both engines
+    val thresh = pv.agg((avg(col("v_c")) * 1.5).as("cut"))
+    pv.crossJoin(broadcast(thresh))
+      .filter(col("v_c") > col("cut"))
+      .select(col("l_partkey"), col("n_lines"), (col("v_c") / 100.0).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11Oracle: String =
+    """WITH pv AS (
+      | SELECT l_partkey, CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_c,
+      |  count(*) AS n_lines
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_partkey, n_lines, v_c / 100.0 AS part_value
+      |FROM pv WHERE v_c > 1.5 * (SELECT avg(v_c) FROM pv)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): PROMO-class revenue share over one
+    * ship-date year — scan-filter + one broadcast dim join + a single
+    * global aggregate with a conditional numerator.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("1999-01-01"))
+      .select(col("l_partkey"), revCents.as("rev_c"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(lit(0L))) / 100.0)
+          .as("promo_revenue"),
+        (sum(col("rev_c")) / 100.0).as("total_revenue"),
+        roundTo(sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(lit(0L)))
+          .cast("double") / sum(col("rev_c")) * 100, 4).as("promo_share_pct"))
+  }
+
+  val q14Oracle: String =
+    """SELECT
+      | CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+      |   ELSE 0 END) AS BIGINT) / 100.0 AS promo_revenue,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue,
+      | floor(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+      |     ELSE 0 END) AS DOUBLE)
+      |   / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) * 100 * 1e4 + 0.5) / 1e4
+      |   AS promo_share_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'""".stripMargin
+
+  /** TPC-H Q15 (top supplier): per-supplier revenue over one quarter,
+    * emit the supplier(s) whose revenue equals the maximum — the
+    * view + scalar-max topology. Revenue aggregates in exact integer
+    * cents ([[revCents]]), so the max-equality compare is EXACT integer
+    * equality on both engines — no double-equality trap at all.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revCents).as("rev_c"))
+    val top = rev.agg(max(col("rev_c")).as("mx"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_c") === col("mx")) // exact integer equality
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), (col("rev_c") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Oracle: String =
+    """WITH rev AS (
+      | SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01'
+      | GROUP BY 1)
+      |SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_c = (SELECT max(rev_c) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Incremental view maintenance for a join view — the mechanism that
+    * keeps a 100 TB materialized aggregate fresh WITHOUT recomputing it:
+    * with orders split at a watermark W into O₀ ∪ ΔO (by order date) and
+    * lineitem into L₀ ∪ ΔL (by ship date — deltas arrive on different
+    * clocks), the join view decomposes exactly as
+    *
+    *   O⋈L = O₀⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈L₀ ∪ ΔO⋈ΔL
+    *
+    * The query materializes the BASE aggregate (monthly revenue of
+    * O₀⋈L₀ — at 100 TB this is the stored view, not a recompute), then
+    * folds in the three delta terms and re-aggregates. The oracle is the
+    * plain full join — green ONLY if the four terms partition the pair
+    * space exactly (a missed term loses rows, an overlapping term
+    * double-counts; both break the hash).
+    *
+    * Scale: ΔO and ΔL are the small recent slices, so every delta term
+    * is a broadcast-small ⋈ big keyed probe of the base tables; the base
+    * term is a stored-view read. That turns view refresh from a full
+    * fact-fact shuffle into map-side joins sized by the delta.
+    */
+  def ivmJoinDelta(s: SparkSession, dir: String): DataFrame = {
+    val wm = "1999-01-01"
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    // INTEGER CENTS, not double revenue: the incremental path sums the
+    // same values in a DIFFERENT order than the oracle's plain join, so
+    // a double sum straddling a .005 rounding boundary flips a cent
+    // between the two (observed at sf0.001, 1995-02). floor(rev*100+.5)
+    // is one multiply+floor on identical doubles — IEEE-identical cross-
+    // engine — and integer sums are exact under ANY aggregation order
+    // (the Clustering grid-snap discipline, SCALE.md).
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        floor(revenue * 100 + 0.5).cast("long").as("rev_c"))
+    val oOld = o.filter(col("o_orderdate") < lit(wm))
+    val oNew = o.filter(col("o_orderdate") >= lit(wm))
+    val lOld = li.filter(col("l_shipdate") < lit(wm))
+    val lNew = li.filter(col("l_shipdate") >= lit(wm))
+    def term(ords: DataFrame, lines: DataFrame, bcastOrders: Boolean): DataFrame = {
+      val os = if (bcastOrders) broadcast(ords) else ords
+      os.join(lines, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(sum(col("rev_c")).as("mrev_c"), count(lit(1)).as("n"))
+    }
+    // base term = the stored view (here recomputed because the fixture
+    // has no persisted state; the three DELTA terms are the refresh path)
+    val base = term(oOld, lOld, bcastOrders = false)
+    val deltas = Seq(
+      term(oOld, lNew, bcastOrders = false),   // ΔL probes the big O₀ side
+      term(oNew, lOld, bcastOrders = true),    // small ΔO broadcasts
+      term(oNew, lNew, bcastOrders = true))
+    deltas.foldLeft(base)(_ unionByName _)
+      .groupBy(col("order_month"))
+      .agg((sum(col("mrev_c")) / 100.0).as("revenue"), sum(col("n")).as("n_items"))
+      .orderBy("order_month")
+  }
+
+  val ivmOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      | count(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY order_month""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): among
+    * multi-supplier orders, suppliers who were the SOLE late shipper —
+    * one EXISTS (another supplier participated) and one NOT EXISTS (no
+    * OTHER supplier was late), spelled as the left-semi and left-anti
+    * joins Catalyst decorrelates EXISTS subqueries into. Top-20
+    * offenders (TakeOrderedAndProject caps the output).
+    *
+    * Scale: all three join legs key on l_orderkey — ONE exchange
+    * layout serves semi, anti, and the base (AQE reuses it); the
+    * "late" slice is a pushed-down date band of the same table, so no
+    * second full scan shuffles.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = l.filter(col("l_shipdate") >= lit("2000-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l1 = late.as("l1")
+    val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(others,
+        col("l1.l_orderkey") === col("o2") && col("l1.l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l1.l_orderkey") === col("o3") && col("l1.l_suppkey") =!= col("s3"),
+        "left_anti")
+      .groupBy(col("l1.l_suppkey").as("s_suppkey"))
+      .agg(countDistinct(col("l1.l_orderkey")).as("n_waiting_orders"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+      .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q21Oracle: String =
+    """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+      |late AS (SELECT l_orderkey, l_suppkey FROM l
+      |         WHERE l_shipdate >= TIMESTAMP '2000-01-01')
+      |SELECT g.l_suppkey AS s_suppkey, s_name, n_waiting_orders FROM (
+      | SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS n_waiting_orders
+      | FROM late l1
+      | WHERE EXISTS (SELECT 1 FROM l l2
+      |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      | GROUP BY 1) g
+      |JOIN supplier ON g.l_suppkey = supplier.s_suppkey
+      |ORDER BY n_waiting_orders DESC, s_suppkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average positive balance and NO recent order (the 2001–
+    * horizon), summarized per nation — the scalar-subquery threshold
+    * (broadcast one-row cross join) composed with an anti join against
+    * a date-pruned order slice. Balance sums run in integer cents (the
+    * [[ivmJoinDelta]] discipline) because the anti join makes the
+    * aggregation order engine-specific.
+    */
+  def q22GlobalOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal"), floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"))
+    val thresh = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("cut"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(thresh))
+      .filter(col("c_acctbal") > col("cut"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("bal_c")) / 100.0).as("total_acctbal"))
+      .orderBy("nationkey")
+  }
+
+  val q22Oracle: String =
+    """WITH c AS (
+      | SELECT c_custkey, c_nationkey, c_acctbal,
+      |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      | FROM customer)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      | count(*) AS n_customers,
+      | CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_acctbal
+      |FROM c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c WHERE c_acctbal > 0)
+      | AND NOT EXISTS (SELECT 1 FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY 1 ORDER BY nationkey""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("q7_nation_volume", q7NationVolume, Some(q7Oracle)),
+    RegisteredQuery("q21_waiting_suppliers", q21WaitingSuppliers, Some(q21Oracle)),
+    RegisteredQuery("q22_global_opportunity", q22GlobalOpportunity, Some(q22Oracle)),
+    RegisteredQuery("q8_market_share", q8MarketShare, Some(q8Oracle)),
+    RegisteredQuery("q11_important_parts", q11ImportantParts, Some(q11Oracle)),
+    RegisteredQuery("q14_promo_share", q14PromoShare, Some(q14Oracle)),
+    RegisteredQuery("q15_top_supplier", q15TopSupplier, Some(q15Oracle)),
+    RegisteredQuery("ivm_join_delta", ivmJoinDelta, Some(ivmOracle)),
+  )
+}

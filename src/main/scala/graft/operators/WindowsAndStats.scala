@@ -525,8 +525,53 @@ object WindowsAndStats extends QueryModule {
       | floor(avg(value) * 1e2 + 0.5) / 1e2 AS avg_value
       |FROM w GROUP BY 1 ORDER BY win_start_us""".stripMargin
 
+  /** The NATIVE `session_window()` builtin over the same 30-minute-gap
+    * semantics as [[sessionize]] — the twin pins Spark's fused
+    * session-aggregation operator (UpdatingSessionsExec merge-sort path,
+    * no window-function pass) against the lag+flag island derivation
+    * both in the oracle and, transitively, against [[sessionize]] itself.
+    * Spark defines session end = last event + gap; the oracle mirrors
+    * `max(ts) + INTERVAL 30 MINUTE` exactly, in integer microseconds.
+    *
+    * Scale: one keyed exchange on user_id, sessions merged per key
+    * map-side — the builtin's advantage over the window-function twin is
+    * exactly that no total per-key sort materializes in a window frame;
+    * at 100 TB both still shuffle once, but this operator streams.
+    */
+  def w10SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), roundTo(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        unix_micros(col("session_window.end")).as("s_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start_us")
+
+  val w10Oracle: String =
+    """WITH x AS (
+      | SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |       THEN 1 ELSE 0 END AS brk
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      | SELECT user_id, ts, value,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      | FROM x)
+      |SELECT user_id, epoch_us(min(ts)) AS s_start_us,
+      | epoch_us(max(ts)) + 1800000000 AS s_end_us,
+      | count(*) AS n_events,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, s_start_us""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("a6_frac_delay", a6FracDelay, Some(a6Oracle)),
+    RegisteredQuery("w10_session_window", w10SessionWindow, Some(w10Oracle)),
     RegisteredQuery("w6_rank_suite", w6RankSuite, Some(w6Oracle)),
     RegisteredQuery("t6_topk_per_group", t6TopkPerGroup, Some(t6Oracle)),
     RegisteredQuery("winsorize", winsorize, Some(winsorizeOracle)),

@@ -122,11 +122,20 @@ object StreamingOps extends QueryModule {
     * The value is pinned into the query's checkpoint at start, so
     * restoring the conf after `body` can't re-plan a running query.
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, old)
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    withConfs(s, Map("spark.sql.shuffle.partitions" -> n.toString))(body)
+
+  /** Set session confs for the duration of `body`, restoring (or
+    * unsetting) each afterwards — the [[withShufflePartitions]] contract
+    * generalized to any conf set.
+    */
+  private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
+    val old = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   /** Move the parquet part files of `src` into the stream-source input
@@ -567,10 +576,12 @@ object StreamingOps extends QueryModule {
     * trigger to rely on). The click sentinel itself never flushes (the
     * final global watermark sits 1h before it) and is filtered anyway.
     *
-    * Batch order under maxFilesPerTrigger=1 per source (mtime-pinned):
-    * B1 c0+p1 → inner matches; B2 c1+p2 → cross-batch matches; B3 p3 →
-    * watermark jumps; B4 p4 → every remaining unmatched real click evicts
-    * with NULL purchase columns. The oracle is the plain batch LEFT JOIN:
+    * Batch order under maxFilesPerTrigger=1 per source (mtime-pinned;
+    * THREE batches since r11 — p3 rides in p2's file, see the staging
+    * comment): B1 c0+p1 → inner matches; B2 c1+(p2∪p3) → cross-batch
+    * matches, both watermarks jump at batch end; B3 p4 → every remaining
+    * unmatched row evicts with NULL far-side columns.
+    * The oracle is the plain batch LEFT JOIN:
     * every real row is on time and the final watermark passes everything,
     * so streaming must reproduce it exactly — no drops, no stuck state.
     *
@@ -604,21 +615,31 @@ object StreamingOps extends QueryModule {
         when(col("event_type") === "click", "c0")
           .when(col("ts") < cut, "p1").otherwise("p2").as("__b"))
     // ONE staged layout serves both outer variants — the staging (and the
-    // sentinel batches driving watermark eviction) is joinType-independent
+    // sentinel batches driving watermark eviction) is joinType-independent.
+    // THREE micro-batches, the semantic minimum (VERDICT r10 #3 — each
+    // batch costs ~1 s of fixed micro-batch machinery at local[32], so
+    // the old 4-batch layout paid a full second for nothing): the
+    // purchase watermark sentinel rides IN p2's file (watermark math
+    // only needs it SEEN by the end of B2, not in its own batch), so
+    // B1 = c0+p1 (in-batch matches), B2 = c1+(p2 ∪ p3-sentinel)
+    // (cross-batch matches through state; both source watermarks jump
+    // past the horizon at batch end), B3 = p4 (the trailing DATA batch
+    // whose eviction pass flushes both stores).
     val staged = StagedLayouts.dir("loj", dir) { in =>
       val t0 = 1700000000000L
       val clickDir = java.nio.file.Files.createDirectories(in.resolve("clicks"))
       val purchDir = java.nio.file.Files.createDirectories(in.resolve("purchases"))
-      stageSplitsTo(base, "__b", Map(
-        "c0" -> (clickDir, t0), "p1" -> (purchDir, t0),
-        "p2" -> (purchDir, t0 + 1000)))
       def sentinel(uid: Long, day: String): DataFrame =
         s.range(1).select(
           lit(uid).as("event_id"), lit(uid).as("user_id"),
           to_timestamp(lit(s"2024-06-$day 00:00:00")).as("ts"))
+      stageSplitsTo(
+        base.unionByName(sentinel(-2L, "02").withColumn("__b", lit("p2"))),
+        "__b", Map(
+          "c0" -> (clickDir, t0), "p1" -> (purchDir, t0),
+          "p2" -> (purchDir, t0 + 1000)))
       stage(sentinel(-1L, "01"), clickDir, "c1", t0 + 1000)
-      stage(sentinel(-2L, "02"), purchDir, "p3", t0 + 2000)
-      stage(sentinel(-3L, "03"), purchDir, "p4", t0 + 3000)
+      stage(sentinel(-3L, "03"), purchDir, "p4", t0 + 2000)
     }
     val clickDir = staged.resolve("clicks")
     val purchDir = staged.resolve("purchases")
@@ -627,7 +648,17 @@ object StreamingOps extends QueryModule {
       val ioSchema = base.drop("__b").schema
 
       val name = s"graft_stream_loj_${sinkSeq.incrementAndGet()}"
-      withShufflePartitions(s, 4) {
+      // 2 state partitions (not 4): join state here is two tiny keyed
+      // stores, and each extra partition costs 2 store instances × ~5
+      // commits of checkpoint traffic per run — at 100 TB this knob is
+      // Sessions.streamingStateConf's sizing arithmetic, not a constant.
+      // The trailing no-data micro-batch is disabled because the staged
+      // p4 DATA batch is what runs the eviction pass (see scaladoc) —
+      // the extra empty batch re-committed every store for no emission
+      // (VERDICT r10 #3; the oracle, not timing, gates the semantics).
+      withConfs(s, Map(
+        "spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
         val cs = s.readStream.schema(ioSchema)
           .option("maxFilesPerTrigger", 1).parquet(clickDir.toString)
           .select(col("event_id").as("click_id"), col("user_id"),

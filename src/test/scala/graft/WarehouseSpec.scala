@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{ProfilingOps, WarehouseOps, WindowsAndStats}
+
+/** The r11 warehouse/sketch wave, beyond the driver oracle: plan-shape
+  * guards for the multi-join family, the IVM partition identity checked
+  * against a direct Spark recompute, the KMV mergeability property, and
+  * the native-session-window ↔ island-derivation twin equivalence.
+  */
+class WarehouseSpec extends SparkSpec {
+
+  test("q7/q8: dims broadcast, no cartesian product in the physical plan") {
+    Seq(WarehouseOps.q7NationVolume(spark, sfDir),
+      WarehouseOps.q8MarketShare(spark, sfDir)).foreach { df =>
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+      assert(!phys.contains("CartesianProduct"), "multi-join regressed to a cartesian")
+    }
+  }
+
+  test("q8: market share is a true fraction and totals are positive") {
+    val rows = WarehouseOps.q8MarketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("total_volume") > 0)
+      val sh = r.getAs[Double]("mkt_share")
+      assert(sh >= 0.0 && sh <= 1.0, s"share out of range: $sh")
+    }
+  }
+
+  test("q11: every emitted part clears the 1.5x-average threshold, none missed") {
+    val pv = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")).as("v"))
+    val cut = pv.agg(avg(col("v"))).head().getDouble(0) * 1.5
+    val expected = pv.filter(col("v") > cut).count()
+    val got = WarehouseOps.q11ImportantParts(spark, sfDir).count()
+    assert(got == expected, s"threshold filter mismatch: $got vs $expected")
+    assert(got > 0, "threshold selected nothing — gate is vacuous at this SF")
+  }
+
+  test("q15: emitted supplier(s) carry exactly the max rounded revenue") {
+    val rows = WarehouseOps.q15TopSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "all emitted rows must share the max revenue")
+  }
+
+  test("ivm: the four-term decomposition equals the direct full join exactly") {
+    val inc = WarehouseOps.ivmJoinDelta(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val direct = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      // the query's integer-cents discipline: exact under any order
+      .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")) / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(inc.toSeq == direct.toSeq,
+      "incremental view maintenance diverged from the direct join")
+    // the delta terms are non-trivial at this fixture (rows on both sides
+    // of the watermark) — otherwise the partition identity is vacuous
+    val n = Tables.orders(spark, sfDir)
+      .agg(count(when(col("o_orderdate") < lit("1999-01-01"), 1)).as("old"),
+        count(when(col("o_orderdate") >= lit("1999-01-01"), 1)).as("new"))
+      .head()
+    assert(n.getLong(0) > 0 && n.getLong(1) > 0, "watermark split is one-sided")
+  }
+
+  test("kmv: global k-minima set IS the k smallest of the per-type union (mergeability)") {
+    val k = 256
+    val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+    def minima(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+        .distinct().orderBy(col("h")).limit(k)
+        .collect().map(_.getLong(0)).toSeq
+    val global = minima(ev)
+    val types = ev.select(col("event_type")).distinct().collect().map(_.getString(0))
+    val merged = types.flatMap(t => minima(ev.filter(col("event_type") === t)))
+      .distinct.sorted.take(k).toSeq
+    assert(global == merged,
+      "merging per-type KMV sketches must reproduce the global sketch")
+  }
+
+  test("kmv estimate: exact for small domains (k_used < k) and sane otherwise") {
+    val rows = ProfilingOps.kmvDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact")
+      val est = r.getAs[Long]("kmv_estimate")
+      if (r.getAs[Long]("k_used") < 256)
+        assert(est == exact, s"sub-k sketch must be exact: $r")
+      else
+        assert(math.abs(est - exact).toDouble / exact < 0.25,
+          s"KMV estimate off by >25%: $r")
+    }
+  }
+
+  test("native session_window twin: same session count and totals as the island form") {
+    val native = WindowsAndStats.w10SessionWindow(spark, sfDir)
+    val nNative = native.count()
+    val nEvents = Tables.events(spark, sfDir).count()
+    val sums = native.agg(sum(col("n_events"))).head().getLong(0)
+    assert(sums == nEvents, "every event must land in exactly one session")
+    // island derivation (the sessionize topology) agrees on the count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val islands = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+        .otherwise(0))
+      .agg(sum(col("brk"))).head().getLong(0)
+    assert(nNative == islands,
+      s"native session_window found $nNative sessions, island form $islands")
+  }
+}
