@@ -44,7 +44,11 @@ object Bench {
     // round-9 additions
     "stream_windowed_append", "jdbc_merge_digest",
     "stream_dedup_exact", "stream_interval_join", "stream_static_enrich",
-    "orc_roundtrip", "emb_kmeans", "semdedup_prune")
+    "orc_roundtrip", "emb_kmeans", "semdedup_prune",
+    // round-11 additions: the warehouse multi-join family's heaviest
+    // members + the new sketch/IVM/session-state gates
+    "q8_market_share", "q21_waiting_suppliers", "ivm_join_delta",
+    "kmv_distinct", "stream_session_window", "mm_audio_probe")
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that

@@ -302,6 +302,69 @@ object WarehouseOps extends QueryModule {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY order_month""".stripMargin
 
+  /** TPC-H Q13 (customer order distribution): orders per customer —
+    * INCLUDING zero-order customers, which is what forces the LEFT
+    * OUTER join — then the histogram of those counts (a group-by over
+    * a group-by). The order-side filter (priority class '1-') rides in
+    * the join so null-extension happens AFTER it, the Q13 trap: a WHERE
+    * would silently drop the zero-order class.
+    *
+    * Scale: one keyed outer join + two aggregates; the histogram
+    * domain is max-orders-per-customer — bounded, final stage trivial.
+    */
+  def q13OrderHistogram(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").startsWith("1"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+  }
+
+  val q13Oracle: String =
+    """WITH pc AS (
+      | SELECT c_custkey, count(o_orderkey) AS n_orders
+      | FROM customer LEFT JOIN orders
+      |   ON c_custkey = o_custkey AND o_orderpriority LIKE '1%'
+      | GROUP BY 1)
+      |SELECT n_orders, count(*) AS n_customers
+      |FROM pc GROUP BY 1 ORDER BY n_orders""".stripMargin
+
+  /** TPC-H Q18 (large-volume orders): orders whose total quantity
+    * clears 1.8× the per-order average (scale-free, the [[q11ImportantParts]]
+    * argument), top-100 by volume. Quantities are integer-valued, so
+    * the sums — and the average threshold — are exact on both engines.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val oq = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
+    val cut = oq.agg((avg(col("total_qty")) * 1.8).as("cut"))
+    oq.crossJoin(broadcast(cut))
+      .filter(col("total_qty") > col("cut"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_custkey"), col("order_year"),
+        col("total_qty"), col("n_items"))
+      .orderBy(col("total_qty").desc, col("l_orderkey"))
+      .limit(100)
+  }
+
+  val q18Oracle: String =
+    """WITH oq AS (
+      | SELECT l_orderkey, sum(l_quantity) AS total_qty, count(*) AS n_items
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, o_custkey, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      | total_qty, n_items
+      |FROM oq JOIN orders ON l_orderkey = o_orderkey
+      |WHERE total_qty > 1.8 * (SELECT avg(total_qty) FROM oq)
+      |ORDER BY total_qty DESC, l_orderkey LIMIT 100""".stripMargin
+
   /** TPC-H Q21 shape (suppliers who kept orders waiting): among
     * multi-supplier orders, suppliers who were the SOLE late shipper —
     * one EXISTS (another supplier participated) and one NOT EXISTS (no
@@ -395,6 +458,8 @@ object WarehouseOps extends QueryModule {
 
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("q7_nation_volume", q7NationVolume, Some(q7Oracle)),
+    RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),
+    RegisteredQuery("q18_large_orders", q18LargeOrders, Some(q18Oracle)),
     RegisteredQuery("q21_waiting_suppliers", q21WaitingSuppliers, Some(q21Oracle)),
     RegisteredQuery("q22_global_opportunity", q22GlobalOpportunity, Some(q22Oracle)),
     RegisteredQuery("q8_market_share", q8MarketShare, Some(q8Oracle)),

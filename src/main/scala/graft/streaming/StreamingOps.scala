@@ -1150,9 +1150,119 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(root)
   }
 
+  /** NATIVE `session_window()` under streaming append mode — the last
+    * built-in stateful aggregate the matrix lacked (tumbling/update/
+    * dedup/joins/arbitrary-state are covered; session state is the one
+    * whose windows MERGE). Staging is engineered so the merge path is
+    * provably on the gated plan at EVERY SF: the builder probes the
+    * fixture for an actual ≤30-minute same-user event pair (bounded
+    * 1-row driver probe, deterministic smallest (user, ts)) and cuts the
+    * two micro-batches at the pair's midpoint — so at least one session
+    * has its first half in B1 and its second half in B2 and MUST merge
+    * through the session-state store (`require`d on the output). A fixed
+    * calendar cut has ZERO straddlers at sf0.001/sf0.01 — the merge
+    * path would silently go unexercised.
+    *
+    * Batch plan (mtime-pinned, maxFilesPerTrigger=1): B1 = events ≤ cut;
+    * B2 = events > cut ∪ far-future sentinel (watermark jumps at batch
+    * end); B3 = trailing sentinel DATA batch whose eviction pass emits
+    * every real session (append emits a session only once the watermark
+    * passes its end — the [[streamWindowedAppend]] scaffold). Sentinel
+    * sessions never close (watermark parks 1 h short) and carry negative
+    * user ids, filtered from the compare.
+    *
+    * The oracle is the BATCH session derivation
+    * ([[graft.operators.WindowsAndStats.w10Oracle]], lag+flag islands) —
+    * so the native streaming operator, the native batch operator, and
+    * the window-function derivation are all pinned to one result.
+    *
+    * Scale: state = open sessions per user (bounded by the gap + the
+    * watermark horizon); one keyed shuffle per micro-batch; session
+    * merge is what makes this operator's state format special.
+    */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.engine.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val inDir = StagedLayouts.dir("ssw", dir) { in =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val pair = ev
+        .select(col("user_id"), col("ts"), lead(col("ts"), 1).over(w).as("nts"))
+        .filter(col("nts").isNotNull && col("nts") > col("ts") &&
+          unix_micros(col("nts")) - unix_micros(col("ts")) <= 1800000000L)
+        .orderBy("user_id", "ts").limit(1).collect()
+      require(pair.nonEmpty,
+        "no ≤30-min same-user event pair — the session-merge gate would be vacuous")
+      val aUs = pair.head.getTimestamp(1).toInstant
+      val bUs = pair.head.getTimestamp(2).toInstant
+      val cutUs = (aUs.getEpochSecond * 1000000L + aUs.getNano / 1000 +
+        bUs.getEpochSecond * 1000000L + bUs.getNano / 1000) / 2
+      val t0 = 1700000000000L
+      def sentinel(uid: Long, day: String): DataFrame =
+        s.range(1).select(lit(uid).as("user_id"),
+          to_timestamp(lit(s"2024-06-$day 00:00:00")).as("ts"),
+          lit(0.0d).as("value"))
+      // parquet batches live in a SUBDIR: the file stream source lists
+      // every leaf file of its input dir, so the cut marker must sit
+      // beside, not inside, the listing
+      val evDir = java.nio.file.Files.createDirectories(in.resolve("events"))
+      stageSplitsTo(
+        ev.withColumn("__b",
+            when(unix_micros(col("ts")) <= cutUs, "f1").otherwise("f2"))
+          .unionByName(sentinel(-1L, "01").withColumn("__b", lit("f2"))),
+        "__b", Map("f1" -> (evDir, t0), "f2" -> (evDir, t0 + 1000)))
+      stage(sentinel(-2L, "02"), evDir, "f3", t0 + 2000)
+      // persist the cut for the straddle assertion below
+      java.nio.file.Files.writeString(in.resolve("cut_us.txt"), cutUs.toString)
+    }
+    val cutUs = java.nio.file.Files.readString(inDir.resolve("cut_us.txt")).trim.toLong
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ssw")
+    try {
+      val ioSchema = ev.schema
+      val name = s"graft_stream_ssw_${sinkSeq.incrementAndGet()}"
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(ioSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.resolve("events").toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), roundTo(sum(col("value")), 2).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("s_start_us"),
+            unix_micros(col("session_window.end")).as("s_end_us"),
+            col("n_events"), col("sum_value"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name)
+            .filter(col("user_id") >= 0)
+            .orderBy("user_id", "s_start_us")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "session stream emitted no sessions")
+          // the engineered straddler really merged: a session starting at
+          // or before the cut whose LAST EVENT (end − gap) is past it
+          require(out.where(col("s_start_us") <= cutUs &&
+              col("s_end_us") - 1800000000L > cutUs).count() > 0,
+            "no session merged across the micro-batch cut — state merge unexercised")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("stream_tumbling_window", streamTumblingWindow,
       Some(streamTumblingOracle)),
+    // the batch w10 oracle: native streaming sessions == native batch
+    // sessions == the window-function island derivation
+    RegisteredQuery("stream_session_window", streamSessionWindow,
+      Some(graft.operators.WindowsAndStats.w10Oracle)),
     // same oracle as the Complete-mode twin: ALL events — green only if
     // every late replay dropped and the sentinel never surfaced
     RegisteredQuery("stream_windowed_append", streamWindowedAppend,
