@@ -23,18 +23,16 @@ object Bench {
     // ops, and the budget pin below is a hard ceiling. They still run and
     // land in bench_out.json, and the greedy fill usually fits them at
     // real-world value widths.)
-    "j4_salted_join", "a17_salted_agg",
-    "w6_rank_suite", "t6_topk_per_group", "t7_diversified_topk",
-    // vocab_oov_rate / emb_dim_stats demoted r9 second wave (same rule as
-    // the r6 reshape demotions above: stable sub-0.3s, budget is a hard pin)
-    "asof_fwd_tolerance", "compaction_plan",
-    // round-7 additions
-    "chunk_overlap", "dedup_segments", "boilerplate_ngrams", "knn_join_ivf",
+    "j4_salted_join",
+    // a17_salted_agg / w6_rank_suite / t6_topk_per_group /
+    // t7_diversified_topk / asof_fwd_tolerance / compaction_plan /
+    // chunk_overlap / dedup_segments / funnel_steps / scd2_intervals
+    // demoted r11 (same rule as the r6 reshape demotions: stable
+    // sub-0.3s, the budget is a hard pin; they still run and land in
+    // bench_out.json) to make room for the r11 warehouse/sketch wave
+    "boilerplate_ngrams", "knn_join_ivf",
     "corpus_repack",
-    // round-7 second wave: lifecycle family + the oracle-checked streaming
-    // run (ts_gapfill deliberately non-priority — the 7 below are the most
-    // worst-case chars that still fit BenchLineSpec's budget pin)
-    "funnel_steps", "scd2_intervals", "rolling_active_users",
+    "rolling_active_users",
     // bpe_pair_stats's slot passed to the r9 merge-training superset op
     "stream_tumbling_window", "dq_rule_report", "bpe_train_merges",
     "cohort_retention",

@@ -70,20 +70,12 @@ object Clustering extends QueryModule {
     * final assignment, PCA, and the k-center trajectory — previously
     * each checkpointed its own copy, so `embKmeans`'s honest retrain
     * paid the parquet read + interpreted snap pass twice per run
-    * (VERDICT r10 #5). Superseded entries (dead context, or a rewritten
-    * fixture under the same dir) are unpersisted eagerly, the
-    * [[GraphOps]] pairCache discipline.
+    * (VERDICT r10 #5). Eviction-with-unpersist discipline lives in
+    * [[SimilarityIndex.memoCheckpoint]] (shared with [[GraphOps]]).
     */
-  private def quantizedCk(s: SparkSession, dir: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    val key = s"$appId|$dir|${SimilarityIndex.fingerprint(dir)}"
-    qCache.keys.filterNot(_ == key)
-      .filter(k => !k.startsWith(s"$appId|") || k.startsWith(s"$appId|$dir|"))
-      .foreach(k => qCache.remove(k).foreach { df =>
-        try df.unpersist(blocking = false) catch { case _: Exception => () }
-      })
-    qCache.getOrElseUpdate(key, quantized(s, dir).localCheckpoint())
-  }
+  private def quantizedCk(s: SparkSession, dir: String): DataFrame =
+    SimilarityIndex.memoCheckpoint(qCache, s, dir, "embeddings.parquet")(
+      quantized(s, dir))
 
   /** Nearest-centroid assignment: flat-literal argmax, the same pattern as
     * [[Similarity.simIvfTopk]] — k dot products against inlined centroid

@@ -165,23 +165,13 @@ object GraphOps extends QueryModule {
     * contexts) AND the fixture content fingerprint (so a rewritten
     * lineitem.parquet under the same dir retrains instead of serving
     * stale counts — ADVICE r10, same scheme as the Clustering/BPE memos).
-    * Superseded entries — dead context or stale fingerprint for the same
-    * dir — are unpersisted, not just dropped, so their blocks free
-    * immediately instead of waiting on GC.
+    * Eviction-with-unpersist discipline lives in
+    * [[SimilarityIndex.memoCheckpoint]] (shared with [[Clustering]]).
     */
-  private def coPairCounts(s: SparkSession, dir: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    val key = s"$appId|$dir|${SimilarityIndex.fingerprint(dir, "lineitem.parquet")}"
-    pairCache.keys.filterNot(_ == key)
-      .filter(k => !k.startsWith(s"$appId|") || k.startsWith(s"$appId|$dir|"))
-      .foreach(k => pairCache.remove(k).foreach { df =>
-        try df.unpersist(blocking = false) catch { case _: Exception => () }
-      })
-    pairCache.getOrElseUpdate(key,
+  private def coPairCounts(s: SparkSession, dir: String): DataFrame =
+    SimilarityIndex.memoCheckpoint(pairCache, s, dir, "lineitem.parquet")(
       coPairs(liDistinct(s, dir))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-        .localCheckpoint())
-  }
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
 
   /** The distinct co-purchase edge set — the census's key projection. */
   private def coEdges(s: SparkSession, dir: String): DataFrame =

@@ -1145,6 +1145,31 @@ object Similarity extends QueryModule {
 object SimilarityIndex {
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
 
+  /** ONE materialized (localCheckpoint) DataFrame per (session, fixture
+    * fingerprint) — the shared memo discipline for checkpoint-holding
+    * caches ([[graft.operators.Clustering]]'s quantized table,
+    * [[graft.operators.GraphOps]]'s pair census): key by
+    * appId|dir|fingerprint, and UNPERSIST superseded entries eagerly —
+    * both a dead context's (whose object graph would otherwise pin for
+    * the JVM lifetime) and a stale fingerprint's for the same dir (a
+    * rewritten fixture must retrain, and its old blocks must free now,
+    * not at GC time). Single-sourced (review r11) so the subtle
+    * eviction predicate can't drift between copies.
+    */
+  private[graft] def memoCheckpoint(
+      cache: scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame],
+      s: org.apache.spark.sql.SparkSession, dir: String, table: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val appId = s.sparkContext.applicationId
+    val key = s"$appId|$dir|${fingerprint(dir, table)}"
+    cache.keys.filterNot(_ == key)
+      .filter(k => !k.startsWith(s"$appId|") || k.startsWith(s"$appId|$dir|"))
+      .foreach(k => cache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Exception => () }
+      })
+    cache.getOrElseUpdate(key, build.localCheckpoint())
+  }
+
   /** Cheap content fingerprint of the embeddings fixture: canonical path +
     * file count + per-file (name, size, mtime). Keys the memo so a
     * regenerated fixture under the same path — or the same data via a

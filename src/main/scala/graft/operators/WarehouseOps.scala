@@ -426,14 +426,18 @@ object WarehouseOps extends QueryModule {
   def q22GlobalOpportunity(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"),
-        col("c_acctbal"), floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"))
-    val thresh = c.filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal")).as("cut"))
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"))
+    // threshold over the EXACT cent integers (review r11): avg over raw
+    // doubles is an order-sensitive sum feeding an exact-equality gate —
+    // the instability class the cents discipline exists to kill. avg of
+    // longs = one identical division of one identical exact sum.
+    val thresh = c.filter(col("bal_c") > 0)
+      .agg(avg(col("bal_c")).as("cut"))
     val recent = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("2001-01-01"))
       .select(col("o_custkey"))
     c.crossJoin(broadcast(thresh))
-      .filter(col("c_acctbal") > col("cut"))
+      .filter(col("bal_c") > col("cut"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n_customers"),
@@ -443,14 +447,14 @@ object WarehouseOps extends QueryModule {
 
   val q22Oracle: String =
     """WITH c AS (
-      | SELECT c_custkey, c_nationkey, c_acctbal,
+      | SELECT c_custkey, c_nationkey,
       |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
       | FROM customer)
       |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
       | count(*) AS n_customers,
       | CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_acctbal
       |FROM c
-      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c WHERE c_acctbal > 0)
+      |WHERE bal_c > (SELECT avg(bal_c) FROM c WHERE bal_c > 0)
       | AND NOT EXISTS (SELECT 1 FROM orders o
       |   WHERE o.o_custkey = c.c_custkey
       |    AND o.o_orderdate >= TIMESTAMP '2001-01-01')

@@ -6,9 +6,15 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.engine.Sessions
 
 /** Dev probe: floor cost of an AvailableNow stream-stream outer join at
-  * the stream_left_outer_join topology, with per-batch progress timings —
-  * run to locate where its wall-clock goes (query start? batch N? state
-  * commit?). Not registered; dev utility like [[RecallProbe]].
+  * the stream_left_outer_join topology (the SHIPPED 3-batch layout: the
+  * purchase watermark sentinel rides in p2's file; B1 = c0+p1, B2 =
+  * c1+(p2∪p3), B3 = p4), with per-batch progress timings — run to locate
+  * where its wall-clock goes (query start? batch N? state commit?).
+  * Knobs: SP_PARTS (shuffle partitions), SP_WSCG (whole-stage codegen),
+  * SP_CKPT_ROOT (checkpoint filesystem). Measured r11: per-batch fixed
+  * cost ~0.6-0.9 s regardless of all three knobs — the incremental
+  * micro-batch machinery, not state partitions, codegen, or fsync.
+  * Not registered; dev utility like [[RecallProbe]].
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -37,13 +43,14 @@ object StreamProbe {
     val t0 = 1700000000000L
     dump(base.filter(col("__b") === "c0").drop("__b"), clickDir, "c0", t0)
     dump(base.filter(col("__b") === "p1").drop("__b"), purchDir, "p1", t0)
-    dump(base.filter(col("__b") === "p2").drop("__b"), purchDir, "p2", t0 + 1000)
     def sentinel(uid: Long, day: String) =
       spark.range(1).select(lit(uid).as("event_id"), lit(uid).as("user_id"),
         to_timestamp(lit(s"2024-06-$day 00:00:00")).as("ts"))
+    // shipped layout: the purchase watermark sentinel rides IN p2's file
+    dump(base.filter(col("__b") === "p2").drop("__b")
+      .unionByName(sentinel(-2L, "02")), purchDir, "p2", t0 + 1000)
     dump(sentinel(-1L, "01"), clickDir, "c1", t0 + 1000)
-    dump(sentinel(-2L, "02"), purchDir, "p3", t0 + 2000)
-    dump(sentinel(-3L, "03"), purchDir, "p4", t0 + 3000)
+    dump(sentinel(-3L, "03"), purchDir, "p4", t0 + 2000)
 
     val ioSchema = base.drop("__b").schema
     spark.conf.set("spark.sql.codegen.wholeStage", sys.env.getOrElse("SP_WSCG", "true"))
