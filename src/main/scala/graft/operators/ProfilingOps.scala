@@ -422,7 +422,9 @@ object ProfilingOps extends QueryModule {
       |   / sum(class_size) * 1e4 + 0.5) / 1e4 AS at_risk_share_k10
       |FROM classes""".stripMargin
 
-  /** KMV (k-minimum-values) distinct-count sketch — the third portable
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002, "Counting distinct elements in a data stream"; the
+    * (k−1)/h₍ₖ₎ unbiased form is Beyer et al. 2007) — the third portable
     * cardinality estimator beside the exact count and HLL
     * ([[graft.operators.Extras]] a4 family), and the one whose estimate
     * the oracle can RECOMPUTE CELL-EXACTLY: hash every key to a 48-bit

@@ -258,8 +258,14 @@ object WarehouseOps extends QueryModule {
     * term is a stored-view read. That turns view refresh from a full
     * fact-fact shuffle into map-side joins sized by the delta.
     */
-  def ivmJoinDelta(s: SparkSession, dir: String): DataFrame = {
-    val wm = "1999-01-01"
+  def ivmJoinDelta(s: SparkSession, dir: String): DataFrame =
+    ivmJoinDeltaAt(s, dir, "1999-01-01")
+
+  /** Watermark-parameterized form — `WarehouseSpec`'s property drives the
+    * cut across the date range and asserts the decomposition equals the
+    * direct join at EVERY cut (the registered query pins one).
+    */
+  private[graft] def ivmJoinDeltaAt(s: SparkSession, dir: String, wm: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
     // INTEGER CENTS, not double revenue: the incremental path sums the
     // same values in a DIFFERENT order than the oracle's plain join, so

@@ -74,6 +74,20 @@ class WarehouseSpec extends SparkSpec {
     assert(n.getLong(0) > 0 && n.getLong(1) > 0, "watermark split is one-sided")
   }
 
+  test("ivm property: the decomposition equals the direct join at EVERY watermark cut") {
+    // edges of the data range, a mid-range cut, and cuts landing ON
+    // month boundaries (the group key derives from o_orderdate, so a
+    // boundary cut is the off-by-one hazard)
+    val direct = WarehouseOps.ivmJoinDeltaAt(spark, sfDir, "1800-01-01").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    Seq("1995-01-01", "1996-06-15", "1998-01-01", "2001-08-01", "2100-01-01")
+      .foreach { wm =>
+        val inc = WarehouseOps.ivmJoinDeltaAt(spark, sfDir, wm).collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+        assert(inc == direct, s"IVM diverged from the direct join at cut $wm")
+      }
+  }
+
   test("kmv: global k-minima set IS the k smallest of the per-type union (mergeability)") {
     val k = 256
     val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
