@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLen(children(0))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_phash_bands"),
+      new ExpressionInfo(classOf[graft.functions.PhashBands].getName, "graft_phash_bands"),
+      (children: Seq[Expression]) => graft.functions.PhashBands(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier(graft.functions.PairCombinations.name),
       new ExpressionInfo(classOf[graft.functions.PairCombinations].getName,
         graft.functions.PairCombinations.name),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -262,12 +262,100 @@ object DeflateLen {
   }
 }
 
+/** Average-hash band signature for perceptual near-dup — the whole
+  * [[graft.operators.Multimodal.mmPhashNeardup]] hashing stage (8×8
+  * strided sampling → double mean → four 16-bit threshold bands) as ONE
+  * per-row O(n) kernel, `array<int>` of the 4 band values. Bit-identical
+  * to the HOF formulation it replaces (`transform(sequence(0,63), i ->
+  * ascii(substring(text, floor(i*length/64.0)+1, 1)))` → fold mean →
+  * per-band bit pack): positions use the same int-multiply-then-
+  * double-divide floor, the mean is the same exact ≤64×255 integer sum
+  * over 64.0, and ties (px == mean) set the bit on both paths. The HOF
+  * cascade was interpreted AND needed a repartition materialization
+  * barrier to stop CollapseProject re-inlining the 64-substring
+  * projection into every consumer (~128 re-evaluations per row without
+  * it — see the measurement note in Multimodal); the kernel is one
+  * codegen'd call, so the barrier and the posexplode_outer
+  * InferFiltersFromConstraints workaround both become unnecessary.
+  *
+  * `ascii()` parity: Spark's ascii returns the FIRST CODE POINT of the
+  * 1-char substring. The all-ASCII fast path reads the byte directly;
+  * non-ASCII docs take the indexed-codepoint slow path ([[CharTrigrams]]'
+  * approach) so the kernel stays correct beyond the ASCII fixture.
+  * Empty text yields px = 0s, mean 0.0, and 0 >= 0.0 sets every bit —
+  * exactly the HOF/oracle behavior.
+  */
+case class PhashBands(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    PhashBands.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.PhashBands.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PhashBands {
+  def compute(text: UTF8String): UnsafeArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < nBytes) { if (bytes(i) < 0) ascii = false; i += 1 }
+    val px = new Array[Int](64)
+    if (ascii) {
+      // char count == byte count; px[i] = byte at floor(i*n/64.0), 0 past end
+      var k = 0
+      while (k < 64) {
+        val pos = math.floor((k * nBytes).toDouble / 64.0).toInt
+        px(k) = if (pos < nBytes) bytes(pos).toInt else 0
+        k += 1
+      }
+    } else {
+      val nChars = text.numChars()
+      var k = 0
+      while (k < 64) {
+        val pos = math.floor((k * nChars).toDouble / 64.0).toInt
+        px(k) =
+          if (pos < nChars) {
+            val one = text.substring(pos, pos + 1).toString
+            if (one.isEmpty) 0 else one.codePointAt(0)
+          } else 0
+        k += 1
+      }
+    }
+    var sum = 0.0
+    var k = 0
+    while (k < 64) { sum += px(k); k += 1 }
+    val mean = sum / 64.0
+    val bands = new Array[Int](4)
+    var b = 0
+    while (b < 4) {
+      var acc = 0
+      var j = 0
+      while (j < 16) {
+        if (px(b * 16 + j) >= mean) acc += (1 << j)
+        j += 1
+      }
+      bands(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bands)
+  }
+}
+
 object TextKernels {
   val shingleHashesName = "graft_shingle_hashes"
   val simhashName = "graft_simhash"
   val nfcName = "graft_nfc"
   val charTrigramsName = "graft_char_trigrams"
   val deflateLenName = "graft_deflate_len"
+  val phashBandsName = "graft_phash_bands"
 
   /** Idempotent per-session registration; afterwards
     * `expr("graft_shingle_hashes(text)")` / `expr("graft_simhash(text)")`
@@ -304,5 +392,9 @@ object TextKernels {
         org.apache.spark.sql.catalyst.FunctionIdentifier(deflateLenName)))
       reg.createOrReplaceTempFunction(
         deflateLenName, exprs => DeflateLen(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(phashBandsName)))
+      reg.createOrReplaceTempFunction(
+        phashBandsName, exprs => PhashBands(exprs(0)), "built-in")
   }
 }

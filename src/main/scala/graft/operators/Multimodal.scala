@@ -493,33 +493,18 @@ object Multimodal extends QueryModule {
   private val replicaOffset = 1000000000000L
 
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextKernels.register(s)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // the whole sampling→mean→band-pack stage is ONE codegen'd kernel
+    // ([[graft.functions.PhashBands]], r11) — bit-identical to the HOF
+    // cascade it replaced, which was interpreted AND needed a
+    // repartition materialization barrier plus a posexplode_OUTER
+    // workaround to stop CollapseProject / InferFiltersFromConstraints
+    // re-inlining the 64-substring projection into every consumer
+    // (measured 251 s / 122 s failure modes — see PhashBands' scaladoc);
+    // a re-inlined kernel call is just another O(n) codegen'd call
     val hashedBase = docs
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, 63), i -> ascii(substring(text, CAST(floor(i * length(text) / 64.0) AS INT) + 1, 1)))")
-        .as("px"))
-      // materialization barrier IMMEDIATELY after the sampling transform
-      // (the `normalized` pattern, SCALE.md deliberate-decision #3): the
-      // 64-substring px expression is interpreted HOF work, and without
-      // an exchange CollapseProject inlines it into the mean aggregate
-      // AND all 64 band comparisons (each of which also inlines the
-      // mean, which re-inlines px) — ~128 recomputations per row,
-      // measured 251 s at sf0.1; with px materialized the hash pass is
-      // seconds. The barrier must sit between px and its consumers — a
-      // barrier after `bands` still lets the internal inlining happen
-      // (measured 125 s).
-      .repartition(col("doc_id"))
-      // double accumulator on purpose: an int accumulator promotes the
-      // mean compare to DECIMAL(17,6) (int/64.0 → decimal division),
-      // which runs interpreted per band bit; the double mean matches
-      // DuckDB's list_sum()/64.0 exactly (same IEEE ops, ≤64×255 sums
-      // are exact in both)
-      .withColumn("mean_px", expr("aggregate(px, 0D, (a, x) -> a + x) / 64.0"))
-      .withColumn("bands", expr(
-        """transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0,
-          |  (acc, j) -> acc + IF(element_at(px, b*16 + j + 1) >= mean_px,
-          |                       shiftleft(1, j), 0)))""".stripMargin))
-      .select(col("doc_id"), col("bands"))
+      .select(col("doc_id"), expr("graft_phash_bands(text)").as("bands"))
     // replica slice appended AFTER hashing: identical payloads hash
     // identically, so the replicas reuse the originals' bands (hash the
     // corpus once, not 1+1/7 times). This also sidesteps a Spark
@@ -529,13 +514,7 @@ object Multimodal extends QueryModule {
       hashedBase.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + replicaOffset).as("doc_id"), col("bands")))
     val banded = hashed.select(col("doc_id"), col("bands"),
-      // posexplode_OUTER on purpose — identical output (bands is always
-      // 4 elements) but the non-outer generator lets
-      // InferFiltersFromConstraints synthesize `size(bands) > 0` and
-      // push the ENTIRE inlined hash expression below the barrier into
-      // the scan, re-evaluated per row in interpreted decimal math
-      // (measured: 122 s for this count alone; outer: ~2 s)
-      posexplode_outer(col("bands")).as(Seq("band_id", "band_val")))
+      posexplode(col("bands")).as(Seq("band_id", "band_val")))
     def ham(i: Int) = bit_count(
       col("x.bands").getItem(i).bitwiseXOR(col("y.bands").getItem(i)))
     banded.as("x").join(banded.as("y"),

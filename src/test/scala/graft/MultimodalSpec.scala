@@ -162,6 +162,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length > nDocs / 10, "packing should produce many packs (images are heavy)")
   }
 
+  test("PhashBands kernel: bit-identical to the HOF formulation it replaced") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextKernels.register(spark)
+    val texts = Seq(
+      "", "a", "hello world", "x" * 63, "y" * 64, "z" * 65,
+      "päällystakki ääkkösiä éè字", // non-ASCII slow path
+      (0 until 500).map(i => ('a' + i % 26).toChar).mkString,
+      "the quick brown fox jumps over the lazy dog " * 20)
+    val df = spark.createDataFrame(texts.zipWithIndex.map(_.swap))
+      .toDF("id", "text")
+    val hof =
+      """transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0,
+        | (acc, j) -> acc + IF(element_at(
+        |   transform(sequence(0, 63), i ->
+        |     ascii(substring(text, CAST(floor(i * length(text) / 64.0) AS INT) + 1, 1))),
+        |   b*16 + j + 1) >=
+        |   aggregate(transform(sequence(0, 63), i ->
+        |     ascii(substring(text, CAST(floor(i * length(text) / 64.0) AS INT) + 1, 1))),
+        |     0D, (a, x) -> a + x) / 64.0,
+        |  shiftleft(1, j), 0)))""".stripMargin
+    val rows = df.select(col("id"),
+        expr("graft_phash_bands(text)").as("kernel"), expr(hof).as("hofv"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"kernel/HOF divergence for id ${r.getInt(0)}: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+  }
+
   test("mm_phash_neardup: replica pairs at hamming 0, banded plan, no cartesian") {
     val df = graft.operators.Multimodal.mmPhashNeardup(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString
