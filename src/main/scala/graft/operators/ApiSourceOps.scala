@@ -59,8 +59,41 @@ object ApiSourceOps extends QueryModule {
       |FROM range(0, 1000) t(i)
       |WHERE i >= 200""".stripMargin
 
+  /** The DSv2 WRITE half under the driver gate
+    * ([[graft.sources.GraftStore]]): push the validated events feed
+    * through the V2 two-phase-commit write path (task buffers → commit
+    * messages → one atomic driver publish), then read it back THROUGH
+    * THE CONNECTOR and emit every row. The oracle reads the same feed
+    * straight from parquet — green only if the write/read round-trip is
+    * row- and value-exact (schema fidelity, partition completeness, no
+    * duplicate task commits). `mode("overwrite")` exercises the
+    * SupportsTruncate path, and makes reruns (Bench's min-of-2,
+    * repeated Verify) idempotent.
+    *
+    * Scale note: the protocol is the gate here; the in-JVM registry
+    * stands in for staged files + a table-format commit log (see
+    * GraftStore's scaladoc). The abort-path atomicity (a poisoned
+    * partition publishes NOTHING) is spec-proven in SourceFormatsSpec.
+    */
+  def dsv2WriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val feed = graft.engine.Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        graft.functions.Scalars.roundTo(col("value"), 2).as("value"))
+    val store = "dsv2_rt"
+    feed.write.format("graft.sources.GraftStore")
+      .option("store", store).mode("overwrite").save()
+    s.read.format("graft.sources.GraftStore").option("store", store).load()
+      .orderBy("event_id")
+  }
+
+  val dsv2WriteOracle: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us,
+      | floor(value * 1e2 + 0.5) / 1e2 AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("api_source_scan", apiSourceScan, Some(apiSourceOracle)),
     RegisteredQuery("api_source_agg", apiSourceAgg, Some(apiSourceAggOracle)),
+    RegisteredQuery("dsv2_write_roundtrip", dsv2WriteRoundtrip, Some(dsv2WriteOracle)),
   )
 }

@@ -371,6 +371,45 @@ object WarehouseOps extends QueryModule {
       |WHERE total_qty > 1.8 * (SELECT avg(total_qty) FROM oq)
       |ORDER BY total_qty DESC, l_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q17 (small-quantity-order revenue): lines of one brand whose
+    * quantity sits under 0.4× that PART's average quantity — the
+    * PER-GROUP correlated threshold (Catalyst decorrelates the
+    * `l_quantity < (SELECT 0.4*avg FROM lineitem WHERE same part)`
+    * subquery into exactly this aggregate-then-rejoin), complementing
+    * [[q11ImportantParts]]' global-scalar variant. Quantities are
+    * integer-valued so each part's average is an exact-sum ÷ count —
+    * identical on both engines — and the threshold compare cannot
+    * straddle; revenue reports in exact cents.
+    *
+    * Scale: the per-part average is a keyed aggregate of the SAME table
+    * the probe side scans — at 100 TB both sides shuffle once on
+    * l_partkey and AQE plans the rejoin; the brand dimension broadcasts.
+    */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"))
+    val pa = li.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("aq"))
+    val brand = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .join(pa, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("aq") * 0.4)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("price_c")) / 100.0).as("small_qty_revenue"))
+  }
+
+  val q17Oracle: String =
+    """WITH pa AS (
+      | SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_lines,
+      | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |   / 100.0 AS small_qty_revenue
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+      | JOIN pa USING (l_partkey)
+      |WHERE l_quantity < 0.4 * aq""".stripMargin
+
   /** TPC-H Q21 shape (suppliers who kept orders waiting): among
     * multi-supplier orders, suppliers who were the SOLE late shipper —
     * one EXISTS (another supplier participated) and one NOT EXISTS (no
@@ -469,6 +508,7 @@ object WarehouseOps extends QueryModule {
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("q7_nation_volume", q7NationVolume, Some(q7Oracle)),
     RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),
+    RegisteredQuery("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),
     RegisteredQuery("q18_large_orders", q18LargeOrders, Some(q18Oracle)),
     RegisteredQuery("q21_waiting_suppliers", q21WaitingSuppliers, Some(q21Oracle)),
     RegisteredQuery("q22_global_opportunity", q22GlobalOpportunity, Some(q22Oracle)),

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SINK half of the DataSource V2 connector surface (the read half —
+  * scan, filter/column/aggregate pushdown, micro-batch streaming — is
+  * [[LaunchApiSource]]): a writable table with the REAL two-phase commit
+  * protocol Spark's V2 write path runs:
+  *
+  *   1. every task's [[DataWriter]] buffers its partition and, on task
+  *      commit, ships the rows as its [[WriterCommitMessage]] — nothing
+  *      is visible yet;
+  *   2. the driver's [[BatchWrite.commit]] publishes ALL messages in one
+  *      atomic registry swap — a failed/aborted job publishes NOTHING
+  *      ([[BatchWrite.abort]] simply never swaps), so readers can never
+  *      observe a torn write (spec-proven: a poisoned partition leaves
+  *      the store byte-identical).
+  *
+  * Append and truncate-overwrite are both supported
+  * ([[org.apache.spark.sql.connector.write.SupportsTruncate]] — Spark
+  * plans `mode("overwrite")` on a path-less V2 table as truncate).
+  * The backing store is an in-JVM registry (the memory-sink convention —
+  * fixtures, not service plumbing); at 100 TB the identical protocol
+  * commits files to an object store + a transactional table format's
+  * log, and ONLY [[GraftStore.publish]]'s swap changes: task buffers
+  * become staged files, commit messages carry file manifests, the
+  * atomic swap is the metadata-log append. The protocol on the Spark
+  * side — which IS what this class exercises — is unchanged.
+  */
+class GraftStore extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val name = GraftStore.storeName(options)
+    GraftStore.stores.get(name).map(_.schema).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft store '$name' does not exist yet — write it first or pass a schema"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftStoreTable(
+      GraftStore.storeName(new CaseInsensitiveStringMap(properties)), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftStore {
+  final case class Committed(schema: StructType, batches: Seq[Array[Array[Any]]]) {
+    def rowCount: Long = batches.iterator.map(_.length.toLong).sum
+  }
+
+  /** name → committed contents; the swap in [[publish]] is the commit. */
+  private[sources] val stores = TrieMap.empty[String, Committed]
+
+  private[sources] def storeName(options: CaseInsensitiveStringMap): String = {
+    val n = options.get("store")
+    require(n != null && n.nonEmpty, "graft store requires option 'store'")
+    n
+  }
+
+  /** The atomic publish step — ONE registry swap, so a reader sees either
+    * the pre-write or the complete post-write contents, never a prefix.
+    */
+  private[sources] def publish(name: String, schema: StructType,
+      incoming: Seq[Array[Array[Any]]], truncate: Boolean): Unit =
+    stores.synchronized {
+      val prior =
+        if (truncate) Seq.empty
+        else stores.get(name).map(_.batches).getOrElse(Seq.empty)
+      stores.put(name, Committed(schema, prior ++ incoming))
+      ()
+    }
+
+  private[graft] def drop(name: String): Unit = { stores.remove(name); () }
+  private[graft] def rowCount(name: String): Long =
+    stores.get(name).map(_.rowCount).getOrElse(0L)
+}
+
+private[sources] class GraftStoreTable(name: String, declared: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_store($name)"
+  override def schema(): StructType =
+    GraftStore.stores.get(name).map(_.schema).getOrElse(declared)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftStoreScan(name, schema())
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftStoreWriteBuilder(name, info.schema())
+}
+
+private[sources] class GraftStoreScan(name: String, val s: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = s
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_store($name) scan"
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftStore.stores.get(name).map(_.batches).getOrElse(Seq.empty)
+      .map(b => GraftStorePartition(b): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[GraftStorePartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] case class GraftStorePartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[sources] class GraftStoreWriteBuilder(name: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftStoreBatchWrite(name, schema, doTruncate)
+  }
+}
+
+private[sources] case class GraftStoreCommit(rows: Array[Array[Any]])
+    extends WriterCommitMessage
+
+private[sources] class GraftStoreBatchWrite(
+    name: String, schema: StructType, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val s = schema
+    (_: Int, _: Long) => new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      override def write(r: InternalRow): Unit = {
+        val vals = new Array[Any](s.length)
+        var i = 0
+        while (i < s.length) {
+          // materialize per-field (UTF8String etc. copied out of the
+          // unsafe row's transient buffer)
+          val v = r.get(i, s(i).dataType)
+          vals(i) = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case other => other
+          }
+          i += 1
+        }
+        buf += vals
+      }
+      override def commit(): WriterCommitMessage = GraftStoreCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftStore.publish(name, schema,
+      messages.map(_.asInstanceOf[GraftStoreCommit].rows).toSeq, truncate)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}

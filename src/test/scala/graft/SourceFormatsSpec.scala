@@ -126,4 +126,53 @@ class SourceFormatsSpec extends SparkSpec {
     assert(row.getLong(0) === Tables.customer(spark, sfDir).count())
     assert(row.getLong(1) === 1L)
   }
+
+  test("GraftStore write: append accumulates, overwrite truncates, round-trip exact") {
+    import spark.implicits._
+    val store = "spec_append"
+    graft.sources.GraftStore.drop(store)
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    a.write.format("graft.sources.GraftStore").option("store", store)
+      .mode("append").save()
+    a.write.format("graft.sources.GraftStore").option("store", store)
+      .mode("append").save()
+    assert(graft.sources.GraftStore.rowCount(store) === 4L)
+    a.write.format("graft.sources.GraftStore").option("store", store)
+      .mode("overwrite").save()
+    val back = spark.read.format("graft.sources.GraftStore")
+      .option("store", store).load().orderBy("k")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+    graft.sources.GraftStore.drop(store)
+  }
+
+  test("GraftStore abort atomicity: a poisoned partition publishes NOTHING") {
+    import spark.implicits._
+    val store = "spec_abort"
+    graft.sources.GraftStore.drop(store)
+    val good = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    good.write.format("graft.sources.GraftStore").option("store", store)
+      .mode("append").save()
+    val before = graft.sources.GraftStore.rowCount(store)
+    assert(before === 2L)
+    // 4 partitions; the poison lands in ONE of them AFTER others have
+    // buffered — their task commits must never become visible
+    val poisoned = spark.range(0, 100, 1, 4)
+      .select(col("id").as("k"),
+        when(col("id") === 97, expr("raise_error('poison')"))
+          .otherwise(col("id").cast("double")).as("v"))
+    val thrown = intercept[Exception] {
+      poisoned.write.format("graft.sources.GraftStore").option("store", store)
+        .mode("append").save()
+    }
+    assert(thrown.getMessage != null)
+    assert(graft.sources.GraftStore.rowCount(store) === before,
+      "a failed job leaked partial task commits into the store")
+    // and the store still reads back the ORIGINAL rows exactly
+    val back = spark.read.format("graft.sources.GraftStore")
+      .option("store", store).load().orderBy("k").collect()
+    assert(back.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 10.0), (2L, 20.0)))
+    graft.sources.GraftStore.drop(store)
+  }
 }
