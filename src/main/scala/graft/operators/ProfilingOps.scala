@@ -507,8 +507,66 @@ object ProfilingOps extends QueryModule {
       |FROM ex JOIN kth ON ex.scope = kth.scope
       |ORDER BY ex.scope""".stripMargin
 
+  /** The KMV sketch as a TYPED MERGEABLE AGGREGATE
+    * ([[graft.functions.KmvSketch]]) in an ordinary `groupBy().agg()` —
+    * the executed distributed-sketch path beside [[kmvDistinct]]'s
+    * declarative derivation: per-task state is ≤ k hashes per group
+    * (never the distinct key set), partials merge in the exchange, and
+    * the SAME integer estimate falls out — the DuckDB oracle recomputes
+    * it per group, so the sketch aggregate must agree with the sorted
+    * per-group hash minima exactly, regardless of partition layout or
+    * merge order (the union-of-minima argument in the Aggregator's
+    * scaladoc; `WarehouseSpec` additionally pins layout-invariance
+    * under repartition(1) vs repartition(13)).
+    */
+  def kmvGroupedAgg(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val two48 = 281474976710656L
+    val kmvUdaf = org.apache.spark.sql.functions.udaf(
+      graft.functions.KmvSketch.aggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("scope"), col("user_id"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("scope"))
+      .agg(kmvUdaf(col("h")).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+      .select(col("scope"), col("exact"),
+        col("sk.k_used").as("k_used"), col("sk.kth_min").as("kth_min"),
+        when(col("sk.k_used") < k, col("sk.k_used"))
+          .otherwise(expr(s"(${k - 1}L * $two48) div sk.kth_min"))
+          .as("kmv_estimate"))
+      .orderBy("scope")
+  }
+
+  /** Per-scope slice of [[kmvOracle]]'s derivation (no ALL row — the
+    * grouped aggregate's groups are exactly the event types). */
+  val kmvGroupedOracle: String =
+    """WITH hashes AS (
+      | SELECT DISTINCT event_type AS scope,
+      |  CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |    AS BIGINT) AS h
+      | FROM events WHERE user_id IS NOT NULL),
+      |ranked AS (
+      | SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+      | FROM hashes),
+      |kth AS (
+      | SELECT scope, max(h) AS kth_min, count(*) AS k_used
+      | FROM ranked WHERE rn <= 256 GROUP BY scope),
+      |ex AS (
+      | SELECT event_type AS scope, count(DISTINCT user_id) AS exact
+      | FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      |SELECT ex.scope AS scope, exact, k_used, kth_min,
+      | CAST(CASE WHEN k_used < 256 THEN k_used
+      |      ELSE (255 * 281474976710656) // kth_min END AS BIGINT) AS kmv_estimate
+      |FROM ex JOIN kth ON ex.scope = kth.scope
+      |ORDER BY ex.scope""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("kmv_distinct", kmvDistinct, Some(kmvOracle)),
+    RegisteredQuery("kmv_grouped_agg", kmvGroupedAgg, Some(kmvGroupedOracle)),
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("kanon_audit", kanonAudit, Some(kanonOracle)),
     RegisteredQuery("ldiversity_audit", ldiversityAudit, Some(ldiversityOracle)),

@@ -104,6 +104,30 @@ class WarehouseSpec extends SparkSpec {
       "merging per-type KMV sketches must reproduce the global sketch")
   }
 
+  test("KmvSketch aggregator: layout-invariant (1 vs 13 partitions) and unit rules hold") {
+    import graft.functions.KmvSketch
+    // unit rules: fast-path rejection, dedup, cap, merge=union-of-minima
+    assert(KmvSketch.insert(Seq(1L, 5L), 3L, 4) == Seq(1L, 3L, 5L))
+    assert(KmvSketch.insert(Seq(1L, 3L, 5L), 3L, 4) == Seq(1L, 3L, 5L), "dedup")
+    assert(KmvSketch.insert(Seq(1L, 2L, 3L), 9L, 3) == Seq(1L, 2L, 3L), "fast path")
+    assert(KmvSketch.insert(Seq(2L, 3L, 9L), 1L, 3) == Seq(1L, 2L, 3L), "cap")
+    assert(KmvSketch.union(Seq(1L, 4L), Seq(1L, 2L, 9L), 3) == Seq(1L, 2L, 4L))
+    // layout invariance through the real plan
+    def run(parts: Int) = {
+      val kmvUdaf = org.apache.spark.sql.functions.udaf(
+        KmvSketch.aggregator(64), org.apache.spark.sql.Encoders.scalaLong)
+      Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+        .repartition(parts)
+        .select(col("event_type").as("scope"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("scope").agg(kmvUdaf(col("h")).as("sk"))
+        .select(col("scope"), col("sk.k_used"), col("sk.kth_min"))
+        .orderBy("scope").collect().toSeq
+    }
+    assert(run(1) == run(13), "KMV summary depends on partition layout")
+  }
+
   test("kmv estimate: exact for small domains (k_used < k) and sane otherwise") {
     val rows = ProfilingOps.kmvDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
