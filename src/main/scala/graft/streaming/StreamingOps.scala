@@ -1093,11 +1093,11 @@ object StreamingOps extends QueryModule {
     * one state-store lifecycle per shuffle partition, twice under
     * min-of-2 — a fixed cost with no plan content. Two time-splits (not
     * three) still exercise cross-batch session continuation, and the
-    * stateful exchange runs at 8 partitions ([[withShufflePartitions]])
-    * — 4 micro-batches × 8 stores instead of 5 × 32. The gates are
-    * unchanged: same full-stream oracle, and the idle-gap regression
-    * spec pins the across-batch timeout semantics separately. (r10: 4
-    * micro-batches × 4 stores after the partition trim.)
+    * stateful exchange runs at 4 partitions ([[withShufflePartitions]]).
+    * The gates are unchanged: same full-stream oracle, and the idle-gap
+    * regression spec pins the across-batch timeout semantics separately.
+    * (r10: 4 micro-batches × 4 stores after the partition trim; r11: 3
+    * micro-batches — the watermark sentinel rides in f2's file.)
     *
     * Scale: state is one small record per user ever seen (the ordinal
     * session-id contract — see [[StreamingPipeline.sessionizeStream]]);
@@ -1114,13 +1114,18 @@ object StreamingOps extends QueryModule {
           (lit(maxTs) + expr(s"INTERVAL $plusHours HOURS")).as("ts"))
       val t0 = 1700000000000L // fixed, strictly increasing listing order
       // both time-splits from ONE scan (labels ride as a partition
-      // column and never enter the staged schema); sentinels are 1-row
+      // column and never enter the staged schema). THREE batches since
+      // r11 (the stream_left_outer_join lesson — each micro-batch costs
+      // ~1 s of fixed machinery): the watermark-advancing sentinel rides
+      // IN f2's file (it only needs to be SEEN by the end of B2), and s5
+      // stays the trailing DATA batch whose timeout pass flushes every
+      // real session.
       stageSplits(
-        ev.withColumn("__b", when(col("ts") < cut1, "f1").otherwise("f2")),
+        ev.withColumn("__b", when(col("ts") < cut1, "f1").otherwise("f2"))
+          .unionByName(sentinel(-1L, 24).withColumn("__b", lit("f2"))),
         "__b", in,
         Map("f1" -> t0, "f2" -> (t0 + 1000)))
-      stage(sentinel(-1L, 24), in, "s4", t0 + 2000)
-      stage(sentinel(-2L, 48), in, "s5", t0 + 3000)
+      stage(sentinel(-2L, 48), in, "s5", t0 + 2000)
     }
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sess")
     try {
