@@ -152,8 +152,72 @@ object PipelineOps extends QueryModule {
        |WINDOW w AS (ORDER BY batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY batch_id""".stripMargin
 
+  private val ttCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** TIME-TRAVEL read over the pipeline's versioned store — the
+    * snapshot-isolation property the `launches/v=<runId>` layout exists
+    * for, now on the driver gate (PipelineSpec covers run mechanics;
+    * this gates the READ side): two real [[IncrementalPipeline.run]]s
+    * (initial load of the pre-cut slice, then the incremental batch)
+    * write versions v=1 and v=2, and the query digests BOTH versions
+    * from their immutable directories. Green only if
+    *   - v1 is byte-stable after run 2 (a run that clobbered history
+    *     breaks the version-1 row),
+    *   - the watermark/merge arithmetic made v2 exactly the full
+    *     validated feed (a dropped boundary row breaks version 2).
+    * Value sums in exact integer cents (the WarehouseOps discipline).
+    *
+    * The store is staged ONCE per fixture fingerprint (memoized temp
+    * dir — the StagedLayouts convention), so Bench's min-of-2 measures
+    * the versioned READS, not repeated pipeline runs. At 100 TB the
+    * store is a transactional table format and v=… are its snapshots;
+    * the read path — pin a snapshot, digest it, trust immutability —
+    * is identical.
+    */
+  def storeTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = ttCache.getOrElseUpdate(
+      graft.operators.SimilarityIndex.fingerprint(dir, "events.parquet"), {
+        val r = java.nio.file.Files.createTempDirectory("graft-timetravel").toString
+        val store = new IncrementalPipeline.Store(s, r)
+        val ev = Tables.events(s, dir)
+        val cut = to_timestamp(lit(watermark))
+        IncrementalPipeline.run(store, ev.filter(col("ts") < cut), 1L)
+        IncrementalPipeline.run(store, ev, 2L)
+        r
+      })
+    def digest(v: Int): DataFrame =
+      s.read.parquet(s"$root/launches/v=$v").agg(
+        count(lit(1)).as("n_rows"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("sum_value"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_value"),
+          col("max_ts_us"))
+    digest(1).unionByName(digest(2)).orderBy("version")
+  }
+
+  /** Both versions recomputed from the raw feed: v1 = the validated
+    * pre-cut slice, v2 = the full validated feed (event_ids are unique
+    * in the fixture, so last-write-wins merge = the slice itself). */
+  val storeTimeTravelOracle: String =
+    s"""WITH valid AS (
+       | SELECT * FROM events
+       | WHERE event_id IS NOT NULL AND ts IS NOT NULL
+       |  AND (value IS NULL OR value >= 0))
+       |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+       | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+       |   AS sum_value,
+       | epoch_us(max(ts)) AS max_ts_us
+       |FROM valid WHERE ts < TIMESTAMP '$watermark'
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), count(*),
+       | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0,
+       | epoch_us(max(ts))
+       |FROM valid
+       |ORDER BY version""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("pipeline_metrics", pipelineMetrics, Some(pipelineMetricsOracle)),
     RegisteredQuery("pipeline_batches", pipelineBatches, Some(pipelineBatchesOracle)),
+    RegisteredQuery("store_time_travel", storeTimeTravel, Some(storeTimeTravelOracle)),
   )
 }
