@@ -8,12 +8,12 @@ import graft.engine.Tables
 import graft.functions.Scalars.roundTo
 import graft.operators.{MergeOps, QueryModule, RegisteredQuery}
 
-/** Oracle-checkable rendition of one E1 pipeline run (the observability
-  * dict the reference returns, src/ingest.py:108-118) as a pure dataflow:
-  * the `events` feed split at a fixed watermark into "already ingested"
-  * and "incoming", then validate → merge → metrics, with no writes so the
-  * driver can hash-compare the result. The side-effecting twin
-  * ([[IncrementalPipeline.run]]) is exercised by the ScalaTest suite.
+/** Oracle-checkable renditions of the E1 pipeline (the observability
+  * dict the reference returns, src/ingest.py:108-118): pure-dataflow
+  * metric/batch queries (no writes — the driver hash-compares them
+  * directly), plus [[storeTimeTravel]], which DOES run the
+  * side-effecting [[IncrementalPipeline.run]] twice into a
+  * fingerprint-memoized temp store and gates the versioned READ side.
   */
 object PipelineOps extends QueryModule {
 
