@@ -75,11 +75,26 @@ object ApiSourceOps extends QueryModule {
     * GraftStore's scaladoc). The abort-path atomicity (a poisoned
     * partition publishes NOTHING) is spec-proven in SourceFormatsSpec.
     */
+  /** Store names key on (applicationId, fixture dir) — a fixed global
+    * name lets two sessions/fixtures in one JVM clobber each other
+    * between the eager write and the LAZY read-back (ADVICE r11). Stale
+    * keys under the same prefix (dead sessions, rewritten fixtures) are
+    * evicted at write time, so at most one feed copy per prefix stays
+    * resident; the live one must (the returned DataFrame reads it
+    * lazily, and Bench's min-of-2 re-reads it).
+    */
+  private def rtStore(s: SparkSession, dir: String, tag: String): String = {
+    val name =
+      s"${tag}_${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.GraftStore.dropExcept(s"${tag}_", name)
+    name
+  }
+
   def dsv2WriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val feed = graft.engine.Tables.events(s, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         graft.functions.Scalars.roundTo(col("value"), 2).as("value"))
-    val store = "dsv2_rt"
+    val store = rtStore(s, dir, "dsv2_rt")
     feed.write.format("graft.sources.GraftStore")
       .option("store", store).mode("overwrite").save()
     s.read.format("graft.sources.GraftStore").option("store", store).load()
@@ -91,9 +106,40 @@ object ApiSourceOps extends QueryModule {
       | floor(value * 1e2 + 0.5) / 1e2 AS value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** The TRUNCATE semantics of the DSv2 sink under the driver gate
+    * (VERDICT r11 #6 — `SupportsTruncate` was spec-covered but had no
+    * registered query): write the FULL events feed, then `mode
+    * ("overwrite")` it with only the `event_id % 3 = 0` slice, and read
+    * the store back. The oracle is the slice ALONE — green only if the
+    * truncate-publish actually discarded the first commit's rows (a sink
+    * that degraded overwrite to append returns ~3× the rows and fails
+    * the row count before the hash). This is the observable that
+    * distinguishes the truncate path from [[dsv2WriteRoundtrip]]'s
+    * idempotent single-write overwrite.
+    */
+  def dsv2OverwriteTruncate(s: SparkSession, dir: String): DataFrame = {
+    val feed = graft.engine.Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        graft.functions.Scalars.roundTo(col("value"), 2).as("value"))
+    val store = rtStore(s, dir, "dsv2_tr")
+    feed.write.format("graft.sources.GraftStore")
+      .option("store", store).mode("overwrite").save()
+    feed.filter(col("event_id") % 3 === 0)
+      .write.format("graft.sources.GraftStore")
+      .option("store", store).mode("overwrite").save()
+    s.read.format("graft.sources.GraftStore").option("store", store).load()
+      .orderBy("event_id")
+  }
+
+  val dsv2TruncateOracle: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us,
+      | floor(value * 1e2 + 0.5) / 1e2 AS value
+      |FROM events WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("api_source_scan", apiSourceScan, Some(apiSourceOracle)),
     RegisteredQuery("api_source_agg", apiSourceAgg, Some(apiSourceAggOracle)),
     RegisteredQuery("dsv2_write_roundtrip", dsv2WriteRoundtrip, Some(dsv2WriteOracle)),
+    RegisteredQuery("dsv2_overwrite_truncate", dsv2OverwriteTruncate, Some(dsv2TruncateOracle)),
   )
 }

@@ -1155,20 +1155,31 @@ object SimilarityIndex {
     * rewritten fixture must retrain, and its old blocks must free now,
     * not at GC time). Single-sourced (review r11) so the subtle
     * eviction predicate can't drift between copies.
+    *
+    * The whole operation locks the cache (ADVICE r11): a bare
+    * `getOrElseUpdate` on TrieMap may run the by-name build more than
+    * once under concurrent callers — the losing localCheckpoint would be
+    * stored nowhere and never unpersisted — and an unlocked eviction
+    * could unpersist a checkpoint a concurrent caller on the same dir is
+    * mid-build against. The lock serializes per CACHE (each module owns
+    * its own TrieMap), so unrelated memos don't contend; builds inside
+    * the lock run Spark jobs, which is acceptable because a memo's build
+    * runs once per (session, fixture) lifetime by construction.
     */
   private[graft] def memoCheckpoint(
       cache: scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame],
       s: org.apache.spark.sql.SparkSession, dir: String, table: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val appId = s.sparkContext.applicationId
-    val key = s"$appId|$dir|${fingerprint(dir, table)}"
-    cache.keys.filterNot(_ == key)
-      .filter(k => !k.startsWith(s"$appId|") || k.startsWith(s"$appId|$dir|"))
-      .foreach(k => cache.remove(k).foreach { df =>
-        try df.unpersist(blocking = false) catch { case _: Exception => () }
-      })
-    cache.getOrElseUpdate(key, build.localCheckpoint())
-  }
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cache.synchronized {
+      val appId = s.sparkContext.applicationId
+      val key = s"$appId|$dir|${fingerprint(dir, table)}"
+      cache.keys.filterNot(_ == key)
+        .filter(k => !k.startsWith(s"$appId|") || k.startsWith(s"$appId|$dir|"))
+        .foreach(k => cache.remove(k).foreach { df =>
+          try df.unpersist(blocking = false) catch { case _: Exception => () }
+        })
+      cache.getOrElseUpdate(key, build.localCheckpoint())
+    }
 
   /** Cheap content fingerprint of the embeddings fixture: canonical path +
     * file count + per-file (name, size, mtime). Keys the memo so a

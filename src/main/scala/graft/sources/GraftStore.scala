@@ -82,6 +82,16 @@ object GraftStore {
     }
 
   private[graft] def drop(name: String): Unit = { stores.remove(name); () }
+
+  /** Evict every store under `prefix` except `keep` — the stale-session /
+    * stale-fixture cleanup for appId-keyed harness stores (ADVICE r11):
+    * the live store stays resident (the read side is lazy and Bench
+    * re-reads it), but at most ONE copy per prefix survives, so a dead
+    * session's or a rewritten fixture's feed doesn't pin driver memory
+    * for the JVM lifetime.
+    */
+  private[graft] def dropExcept(prefix: String, keep: String): Unit =
+    stores.keys.filter(k => k.startsWith(prefix) && k != keep).foreach(drop)
   private[graft] def rowCount(name: String): Long =
     stores.get(name).map(_.rowCount).getOrElse(0L)
 }
@@ -147,11 +157,18 @@ private[sources] class GraftStoreBatchWrite(
         val vals = new Array[Any](s.length)
         var i = 0
         while (i < s.length) {
-          // materialize per-field (UTF8String etc. copied out of the
-          // unsafe row's transient buffer)
+          // materialize per-field: every buffer-backed value (UTF8String,
+          // UnsafeArrayData/MapData, nested UnsafeRow) is a VIEW into the
+          // reused input row's transient bytes — copy each out, or the
+          // committed rows silently alias whatever the writer sees next
+          // (ADVICE r11). copy() on the unsafe variants duplicates the
+          // backing bytes; primitives/Decimal/CalendarInterval are safe.
           val v = r.get(i, s(i).dataType)
           vals(i) = v match {
             case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case row: InternalRow => row.copy()
             case other => other
           }
           i += 1
