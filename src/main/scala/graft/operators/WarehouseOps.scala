@@ -505,8 +505,97 @@ object WarehouseOps extends QueryModule {
       |    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
+  /** TPC-H Q19 (discounted revenue, disjunctive predicate): the OR-of-ANDs
+    * join predicate — three (brand, type-class, size band, quantity band)
+    * clauses OR'd together, each mixing part and lineitem columns. The one
+    * classic shape where a naive plan silently degrades to join-then-filter:
+    * the disjunction as a whole references both sides, so nothing pushes
+    * UNLESS the optimizer projects each OR arm onto each side and
+    * re-disjoins (Catalyst's constraint extraction over
+    * `extractPredicatesWithinOutputSet`) — the part scan then receives
+    * `(brand1∧type∧size) ∨ (brand2∧…) ∨ (brand3∧…)` and lineitem receives
+    * the quantity-band hull, BEFORE the join. `WarehouseSpec` pins both
+    * side-predicates in the physical plan, so a Spark upgrade that stops
+    * deriving them fails loudly rather than silently scanning everything.
+    * Re-fit from the canonical clauses: fixtures carry no p_container /
+    * l_shipmode / l_shipinstruct, so p_type plays the container role and
+    * those conjuncts drop; brand/size/quantity bands keep Q19's shape.
+    *
+    * Scale: the filtered part side broadcasts (the derived disjunction cut
+    * it to ~3 brands); lineitem is scanned once with the quantity hull
+    * pushed — no shuffle at all.
+    */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), revCents.as("rev_c"))
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val arm1 = col("p_brand") === "Brand#1" && col("p_type").isin("SMALL", "MEDIUM") &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 15)
+    val arm2 = col("p_brand") === "Brand#2" && col("p_type").isin("STANDARD", "PROMO") &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 25)
+    val arm3 = col("p_brand") === "Brand#3" && col("p_type").isin("LARGE", "ECONOMY") &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 35)
+    li.join(broadcast(p),
+        col("l_partkey") === col("p_partkey") && (arm1 || arm2 || arm3))
+      .agg(count(lit(1)).as("n_lines"), (sum(col("rev_c")) / 100.0).as("revenue"))
+  }
+
+  val q19Oracle: String =
+    """SELECT count(*) AS n_lines,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_type IN ('SMALL', 'MEDIUM')
+      |   AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_type IN ('STANDARD', 'PROMO')
+      |   AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#3' AND p_type IN ('LARGE', 'ECONOMY')
+      |   AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  /** TPC-H Q12 (shipping modes and order priority): per line class, how
+    * many lines belong to critical-priority orders vs not, over one
+    * ship-date year — the grouped DUAL conditional count. Re-fit:
+    * fixtures carry no l_shipmode / l_commitdate / l_receiptdate, so
+    * l_returnflag is the line-class axis and the late-delivery conjuncts
+    * reduce to the ship-date band; the topology (fact-fact join, two
+    * complementary `count(when)` aggregates, tiny group domain) is Q12's.
+    * Priorities are never null in the fixture AND the count form ignores
+    * nulls anyway, so high+low = total holds by construction.
+    *
+    * Scale: the date band prunes lineitem at the scan; one keyed
+    * fact-fact shuffle; the aggregate domain is |returnflag| = 3 rows.
+    */
+  def q12ShipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val crit = Seq("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("o_orderpriority").isin(crit: _*), 1)).as("high_line_count"),
+        count(when(!col("o_orderpriority").isin(crit: _*), 1)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Oracle: String =
+    """SELECT l_returnflag,
+      | count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+      |   AS high_line_count,
+      | count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+      |   AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("q7_nation_volume", q7NationVolume, Some(q7Oracle)),
+    RegisteredQuery("q12_shipmode_priority", q12ShipmodePriority, Some(q12Oracle)),
+    RegisteredQuery("q19_disjunctive_revenue", q19DisjunctiveRevenue, Some(q19Oracle)),
     RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),
     RegisteredQuery("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),
     RegisteredQuery("q18_large_orders", q18LargeOrders, Some(q18Oracle)),

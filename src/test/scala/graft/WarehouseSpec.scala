@@ -21,6 +21,39 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q19: the disjunction is projected onto BOTH scans' pushed filters") {
+    // The Q19 hazard: the OR-of-ANDs references both sides, so a plan
+    // that doesn't derive per-side disjunctions scans everything and
+    // filters after the join. Pin the derivation: the part scan's pushed
+    // filters carry the brand disjunction, the lineitem scan's carry the
+    // quantity-band hull, and the join itself broadcasts (no shuffle).
+    val df = WarehouseOps.q19DisjunctiveRevenue(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), "part side should broadcast")
+    assert(!phys.contains("CartesianProduct"))
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val partScan = scans.find(_.contains("part.parquet")).getOrElse(fail("no part scan"))
+    val liScan = scans.find(_.contains("lineitem.parquet")).getOrElse(fail("no lineitem scan"))
+    assert(partScan.contains("Or(") && partScan.contains("Brand#1"),
+      "brand/type/size disjunction did not reach the part scan's PushedFilters")
+    assert(liScan.contains("Or(") && liScan.contains("l_quantity"),
+      "quantity-band disjunction did not reach the lineitem scan's PushedFilters")
+  }
+
+  test("q12: the two conditional counts partition the joined lines exactly") {
+    val rows = WarehouseOps.q12ShipmodePriority(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).sorted.toSeq)
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("high_line_count") +
+      r.getAs[Long]("low_line_count")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(total == expected, "high+low must cover every joined line exactly once")
+  }
+
   test("q8: market share is a true fraction and totals are positive") {
     val rows = WarehouseOps.q8MarketShare(spark, sfDir).collect()
     assert(rows.nonEmpty)
