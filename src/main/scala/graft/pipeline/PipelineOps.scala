@@ -152,23 +152,6 @@ object PipelineOps extends QueryModule {
        |WINDOW w AS (ORDER BY batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY batch_id""".stripMargin
 
-  /** fixture dir → (content fingerprint, staged store root). Keyed by DIR
-    * with the fingerprint in the VALUE (ADVICE r11): a rewritten fixture
-    * under the same path re-stages, and the superseded temp root — a full
-    * versioned store under /tmp — is deleted on eviction rather than
-    * leaking for the JVM lifetime. The lock mirrors the memoCheckpoint
-    * contract (stage-once, evict-atomically).
-    */
-  private val ttCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    }
-  }
 
   /** TIME-TRAVEL read over the pipeline's versioned store — the
     * snapshot-isolation property the `launches/v=<runId>` layout exists
@@ -191,23 +174,15 @@ object PipelineOps extends QueryModule {
     * is identical.
     */
   def storeTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    // staged once per fixture fingerprint via the shared StagedRoots
+    // discipline (ADVICE r11: dir-keyed, superseded roots deleted)
     val fp = graft.operators.SimilarityIndex.fingerprint(dir, "events.parquet")
-    val root = ttCache.synchronized {
-      ttCache.get(dir) match {
-        case Some((`fp`, r)) => r
-        case stale =>
-          stale.foreach { case (_, old) =>
-            deleteRecursively(java.nio.file.Paths.get(old))
-          }
-          val r = java.nio.file.Files.createTempDirectory("graft-timetravel").toString
-          val store = new IncrementalPipeline.Store(s, r)
-          val ev = Tables.events(s, dir)
-          val cut = to_timestamp(lit(watermark))
-          IncrementalPipeline.run(store, ev.filter(col("ts") < cut), 1L)
-          IncrementalPipeline.run(store, ev, 2L)
-          ttCache.put(dir, (fp, r))
-          r
-      }
+    val root = graft.engine.StagedRoots.of("timetravel", dir, fp) { r =>
+      val store = new IncrementalPipeline.Store(s, r)
+      val ev = Tables.events(s, dir)
+      val cut = to_timestamp(lit(watermark))
+      IncrementalPipeline.run(store, ev.filter(col("ts") < cut), 1L)
+      IncrementalPipeline.run(store, ev, 2L)
     }
     def digest(v: Int): DataFrame =
       s.read.parquet(s"$root/launches/v=$v").agg(
