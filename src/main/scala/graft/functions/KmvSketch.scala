@@ -18,9 +18,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer is an ascending sorted `Seq[Long]` of ≤ k distinct hashes.
   * `reduce` is O(1) on the common path (a hash that cannot beat the
   * current k-th minimum is rejected by one comparison against the
-  * buffer's last element); the O(k) insert runs at most ~k·ln(n/k)
-  * times per partition in expectation. `merge` is one sorted
-  * merge-dedup capped at k.
+  * buffer's last element); an ACCEPTED insert binary-searches the
+  * sorted buffer — O(log k) compare + one O(k) splice, the sorted-array
+  * textbook form (VERDICT r11: the former linear `contains` + re-sort
+  * was noise at k=256 but dominates at the k=4096 merge-stress gate).
+  * Accepted inserts number ~k·ln(n/k) per partition in expectation.
+  * `merge` is one sorted merge-dedup capped at k.
   */
 object KmvSketch {
 
@@ -29,10 +32,24 @@ object KmvSketch {
 
   private[graft] def insert(b: Seq[Long], h: Long, k: Int): Seq[Long] =
     if (b.length == k && h >= b.last) b            // can't beat the kth min
-    else if (b.contains(h)) b                      // already a kept minimum
     else {
-      val grown = (b :+ h).sorted
-      if (grown.length > k) grown.take(k) else grown
+      // the encoder hands back indexed buffers (ArraySeq/Vector); guard
+      // the O(1)-indexing assumption for any other Seq a caller passes
+      val ix: IndexedSeq[Long] = b match {
+        case i: IndexedSeq[Long] => i
+        case other => other.toIndexedSeq
+      }
+      var lo = 0
+      var hi = ix.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ix(mid) < h) lo = mid + 1 else hi = mid
+      }
+      if (lo < ix.length && ix(lo) == h) b         // already a kept minimum
+      else {
+        val grown = (ix.take(lo) :+ h) ++ ix.drop(lo)
+        if (grown.length > k) grown.take(k) else grown
+      }
     }
 
   private[graft] def union(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =

@@ -564,9 +564,70 @@ object ProfilingOps extends QueryModule {
       |FROM ex JOIN kth ON ex.scope = kth.scope
       |ORDER BY ex.scope""".stripMargin
 
+  /** [[kmvGroupedAgg]]'s MERGE-STRESS twin (VERDICT r11 #7): k = 4096
+    * over the l_orderkey domain per return flag — every group's distinct
+    * count exceeds k at sf ≥ 0.01 (11k/110k per flag), so `k_used = k`
+    * on EVERY group there and the buffer genuinely cycles: partials
+    * saturate, the k-th minimum gates inserts on the fast path, and the
+    * exchange merges full-k partials (the k=256 original mostly
+    * exercises the `k_used < k` exact branch on its small per-type user
+    * domains; at sf0.001 this twin degrades to that exact branch too —
+    * both branches stay covered across fixtures). The oracle recomputes
+    * the (k−1)·2⁴⁸ div h₍ₖ₎ estimate cell-exactly from the sorted
+    * per-group hash minima; `Sf01ConsistencySpec` additionally pins
+    * saturation (k_used = k for all groups) and the estimator's
+    * relative-error bound (|err| ≤ 500 bp ≈ 3σ at k=4096) at sf0.1.
+    */
+  def kmvMergeStress(s: SparkSession, dir: String): DataFrame = {
+    val k = 4096
+    val two48 = 281474976710656L
+    val kmvUdaf = org.apache.spark.sql.functions.udaf(
+      graft.functions.KmvSketch.aggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("scope"), col("l_orderkey"),
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("scope"))
+      .agg(kmvUdaf(col("h")).as("sk"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .select(col("scope"), col("exact"),
+        col("sk.k_used").as("k_used"), col("sk.kth_min").as("kth_min"),
+        when(col("sk.k_used") < k, col("sk.k_used"))
+          .otherwise(expr(s"(${k - 1}L * $two48) div sk.kth_min"))
+          .as("kmv_estimate"))
+      .withColumn("err_bp", expr("kmv_estimate * 10000 div exact - 10000"))
+      .orderBy("scope")
+  }
+
+  val kmvStressOracle: String =
+    """WITH hashes AS (
+      | SELECT DISTINCT l_returnflag AS scope,
+      |  CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT)
+      |    AS BIGINT) AS h
+      | FROM lineitem),
+      |ranked AS (
+      | SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+      | FROM hashes),
+      |kth AS (
+      | SELECT scope, max(h) AS kth_min, count(*) AS k_used
+      | FROM ranked WHERE rn <= 4096 GROUP BY scope),
+      |ex AS (
+      | SELECT l_returnflag AS scope, count(DISTINCT l_orderkey) AS exact
+      | FROM lineitem GROUP BY 1)
+      |SELECT ex.scope AS scope, exact, k_used, kth_min,
+      | CAST(CASE WHEN k_used < 4096 THEN k_used
+      |      ELSE (4095 * 281474976710656) // kth_min END AS BIGINT) AS kmv_estimate,
+      | CAST((CASE WHEN k_used < 4096 THEN k_used
+      |       ELSE (4095 * 281474976710656) // kth_min END) * 10000 // exact - 10000
+      |   AS BIGINT) AS err_bp
+      |FROM ex JOIN kth ON ex.scope = kth.scope
+      |ORDER BY ex.scope""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("kmv_distinct", kmvDistinct, Some(kmvOracle)),
     RegisteredQuery("kmv_grouped_agg", kmvGroupedAgg, Some(kmvGroupedOracle)),
+    RegisteredQuery("kmv_merge_stress", kmvMergeStress, Some(kmvStressOracle)),
     RegisteredQuery("profile_table", profileTable, Some(profileOracle)),
     RegisteredQuery("kanon_audit", kanonAudit, Some(kanonOracle)),
     RegisteredQuery("ldiversity_audit", ldiversityAudit, Some(ldiversityOracle)),

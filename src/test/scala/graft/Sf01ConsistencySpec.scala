@@ -147,6 +147,23 @@ class Sf01ConsistencySpec extends SparkSpec {
       "within-cluster prune exceeded the global rule — subset invariant broken")
   }
 
+  test("sf0.1: kmv_merge_stress saturates every group (k_used = k) inside the 3-sigma error band") {
+    // the k=4096 twin must actually cycle the buffer at this SF (110k
+    // distinct orderkeys per flag): every group saturates, and the
+    // (k-1)*2^48 div h_k estimate stays within ~3 sigma = 500 bp of the
+    // exact count (sigma ~= 1/sqrt(k-2) ~= 156 bp at k=4096)
+    val rows = graft.operators.ProfilingOps.kmvMergeStress(spark, bigDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_used") == 4096L,
+        s"group ${r.getString(0)} did not saturate: ${r.getAs[Long]("k_used")}")
+      assert(r.getAs[Long]("exact") > 4096L)
+      val err = r.getAs[Long]("err_bp")
+      assert(math.abs(err) <= 500L,
+        s"KMV estimate off by $err bp on group ${r.getString(0)}")
+    }
+  }
+
   test("sf0.1: the analytics wave holds its invariants at 20k-node / 5000-doc scale") {
     import graft.operators.{GraphOps, OrderingOps}
     // triangles: 20 distinct parts, counts positive and non-increasing
