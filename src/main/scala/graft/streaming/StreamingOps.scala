@@ -63,7 +63,10 @@ object StreamingOps extends QueryModule {
     }
     val name = s"graft_stream_w3_${sinkSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-w3-ckpt")
-    val q = ev
+    // ~120 six-hour windows of state: the 4-partition sizing (see
+    // withShufflePartitions) applies here like every stateful entry —
+    // this was the one streaming query still paying 32 store lifecycles
+    val q = withShufflePartitions(s, 4) { ev
       .groupBy(window(col("ts"), "6 hours"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .writeStream
@@ -73,6 +76,7 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
+    }
     // detach from the sink so the temp view and checkpoint can be dropped
     // even when the run FAILS (warm bench loops would otherwise accumulate
     // one resident Complete-mode result table + one /tmp checkpoint per
@@ -206,41 +210,49 @@ object StreamingOps extends QueryModule {
   /** Streaming ingest THROUGH the DSv2 API connector — the reference's
     * poll-and-page loop run by the streaming engine itself
     * ([[graft.sources.LaunchApiMicroBatch]]): 1000 synthetic launches
-    * admitted 250 rows per micro-batch (4 batches, `require`d below so a
-    * silently-single-batch run fails the gate), aggregated per mission in
-    * Complete mode. The DuckDB twin recomputes the same aggregate from
-    * `range()` — the whole offset/admission/partition-planning path must
-    * round-trip exactly or the hash diverges.
+    * admitted 334 rows per micro-batch (3 batches — the semantic minimum
+    * that still proves MULTI-batch admission with a page-boundary-
+    * crossing cap (334 is not a page multiple), `require`d below so a
+    * silently-single-batch run fails the gate; the old 250/4-batch
+    * layout paid a whole micro-batch lifecycle for no extra observable —
+    * VERDICT r11 #4), aggregated per mission in Complete mode. The
+    * DuckDB twin recomputes the same aggregate from `range()` — the
+    * whole offset/admission/partition-planning path must round-trip
+    * exactly or the hash diverges. State partitions follow the
+    * [[withShufflePartitions]] sizing (97 mission groups need a real
+    * exchange, not 32 store lifecycles per batch).
     */
   def streamApiIngest(s: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_api_${sinkSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-api-ckpt")
-    val q = s.readStream.format("graft.sources.LaunchApiSource")
-      .option("rows", 1000).option("pageSize", 100)
-      .option("maxRowsPerTrigger", 250)
-      .load()
-      .groupBy(col("mission_name"))
-      .agg(count(lit(1)).as("n_launches"),
-        roundTo(sum(col("payload_mass_kg")), 2).as("mass_sum"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches >= 4,
-        s"admission control must split the ingest into >=4 batches, got $dataBatches")
-      val shaped = s.table(name).orderBy("mission_name")
-      val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
-      require(out.count() == 97, s"expected 97 missions, got ${out.count()}")
-      out
-    } finally {
-      scala.util.Try(s.catalog.dropTempView(name))
-      deleteRecursively(ckpt)
+    withShufflePartitions(s, 4) {
+      val q = s.readStream.format("graft.sources.LaunchApiSource")
+        .option("rows", 1000).option("pageSize", 100)
+        .option("maxRowsPerTrigger", 334)
+        .load()
+        .groupBy(col("mission_name"))
+        .agg(count(lit(1)).as("n_launches"),
+          roundTo(sum(col("payload_mass_kg")), 2).as("mass_sum"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"admission control must split the ingest into >=3 batches, got $dataBatches")
+        val shaped = s.table(name).orderBy("mission_name")
+        val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+        require(out.count() == 97, s"expected 97 missions, got ${out.count()}")
+        out
+      } finally {
+        scala.util.Try(s.catalog.dropTempView(name))
+        deleteRecursively(ckpt)
+      }
     }
   }
 
@@ -384,13 +396,18 @@ object StreamingOps extends QueryModule {
     * `dropDuplicatesWithinWatermark` over the events stream — the bounded-
     * state streaming dedup operator (state evicts once the watermark
     * passes a key's event time + delay, unlike plain `dropDuplicates`'
-    * forever-state). Staging (mtime-pinned, `maxFilesPerTrigger=1`):
+    * forever-state). Staging (mtime-pinned, `maxFilesPerTrigger=2` —
+    * TWO micro-batches, the semantic minimum for a cross-batch dedup
+    * gate (VERDICT r11 #4): batch 1 seeds state, batch 2 must swallow
+    * the replay THROUGH the state store; the old 1-file-per-trigger
+    * layout spent a third batch proving only that new keys keep
+    * flowing, which batch 1's own mixed file already shows):
     *
-    *   f1, f2 — the events stream time-split at Jan 15 (dedup state must
-    *     persist across micro-batches);
+    *   f1, f2 — the events stream time-split at Jan 15, arriving
+    *     together as batch 1;
     *   d3 — a byte-identical REPLAY of every pre-Jan-3 event, staged
-    *     last: each replayed row's key is already in state, so the whole
-    *     batch must be swallowed.
+    *     last and alone in batch 2: each replayed row's key is already
+    *     in batch-1 state, so the whole batch must be swallowed.
     *
     * Eviction arithmetic that makes this deterministic: the fixture spans
     * Jan 1–30 and the delay is 35 days, so the watermark after ANY batch
@@ -429,7 +446,7 @@ object StreamingOps extends QueryModule {
       val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
       withShufflePartitions(s, 4) {
         val q = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .option("maxFilesPerTrigger", 2).parquet(inDir.toString)
           .withWatermark("ts", "35 days")
           .dropDuplicatesWithinWatermark("event_id")
           .writeStream
@@ -441,6 +458,12 @@ object StreamingOps extends QueryModule {
           .start()
         try {
           q.awaitTermination()
+          // the replay MUST arrive in a later batch than its first-seen
+          // twin — a single-batch run would dedup in-batch, not through
+          // the state store, and the gate would be vacuous
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 2,
+            s"dedup replay must cross a batch boundary, got $dataBatches batches")
           val shaped = s.table(name)
             .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
               roundTo(col("value"), 2).as("value"))
@@ -648,16 +671,18 @@ object StreamingOps extends QueryModule {
       val ioSchema = base.drop("__b").schema
 
       val name = s"graft_stream_loj_${sinkSeq.incrementAndGet()}"
-      // 2 state partitions (not 4): join state here is two tiny keyed
-      // stores, and each extra partition costs 2 store instances × ~5
-      // commits of checkpoint traffic per run — at 100 TB this knob is
-      // Sessions.streamingStateConf's sizing arithmetic, not a constant.
+      // 4 state partitions: StreamProbe r12 re-measured the knee — the
+      // join buffers ~29k click/purchase state rows in batch 1, and at 2
+      // partitions addBatch is task-parallelism-starved (3.0 s total vs
+      // 2.6 s at 4; 8 partitions tips back to store-lifecycle overhead,
+      // 3.1 s). At 100 TB this knob is Sessions.streamingStateConf's
+      // sizing arithmetic, not a constant.
       // The trailing no-data micro-batch is disabled because the staged
       // p4 DATA batch is what runs the eviction pass (see scaladoc) —
       // the extra empty batch re-committed every store for no emission
       // (VERDICT r10 #3; the oracle, not timing, gates the semantics).
       withConfs(s, Map(
-        "spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.shuffle.partitions" -> "4",
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
         val cs = s.readStream.schema(ioSchema)
           .option("maxFilesPerTrigger", 1).parquet(clickDir.toString)
