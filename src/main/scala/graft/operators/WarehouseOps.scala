@@ -563,6 +563,218 @@ object WarehouseOps extends QueryModule {
       |    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
+  /** TPC-H Q1 (pricing summary report): the canonical full-scan grouped
+    * report — every line at-or-before the cutoff, grouped by the 6
+    * (returnflag, linestatus) classes, with the sum/avg battery. All
+    * money sums run in exact integer cents and discounts in exact basis
+    * points ([[revCents]] discipline) so the six-figure aggregates are
+    * order-insensitive; each avg is then ONE division of two identical
+    * exact integers on both engines, rounded at 4 dp. The charge term
+    * `price·(1−disc)·(1+tax)` is written with identical association in
+    * both engines (IEEE-identical doubles → identical floor).
+    *
+    * Scale: single scan (cutoff pushed), map-side partials into a
+    * 6-row aggregate — the textbook minimal plan, pinned by the driver
+    * hash.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val discBp = floor(col("l_discount") * 10000 + 0.5).cast("long")
+    val baseC = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val chargeC = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+      (lit(1) + col("l_tax")) * 100 + 0.5).cast("long")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(baseC) / 100.0).as("sum_base_price"),
+        (sum(revCents) / 100.0).as("sum_disc_price"),
+        (sum(chargeC) / 100.0).as("sum_charge"),
+        roundTo(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        roundTo(sum(baseC) / count(lit(1)) / 100.0, 4).as("avg_price"),
+        roundTo(sum(discBp) / count(lit(1)) / 10000.0, 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+      | floor(sum(l_quantity) / count(*) * 1e4 + 0.5) / 1e4 AS avg_qty,
+      | floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 * 1e4 + 0.5) / 1e4 AS avg_price,
+      | floor(CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 10000.0 * 1e6 + 0.5) / 1e6 AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 (shipping priority): revenue of UNSHIPPED lines of
+    * BUILDING-segment customers' pre-cutoff orders — order placed before
+    * the date, line shipped after it — top 10 by revenue. The two
+    * date predicates push into their respective scans; the customer
+    * filter broadcasts; one fact-fact shuffle; TakeOrderedAndProject
+    * caps the result.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-06-01"
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(cut))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(cut))
+      .select(col("l_orderkey"), revCents.as("rev_c"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("order_date"))
+      .agg((sum(col("rev_c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3PriorityOracle: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+      |WHERE o_orderdate < TIMESTAMP '1997-06-01'
+      |  AND l_shipdate > TIMESTAMP '1997-06-01'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q4 (order priority checking): per-priority count of one
+    * quarter's orders having at least one LATE line — the EXISTS
+    * correlated subquery, spelled as the left-semi join Catalyst
+    * decorrelates it into. Re-fit: fixtures carry no
+    * l_commitdate/l_receiptdate, so "late" = shipped more than 90 days
+    * after the order date (a predicate correlating BOTH tables' columns
+    * inside the EXISTS, like the original's commit<receipt).
+    *
+    * Scale: the quarter filter prunes orders at the scan; the semi join
+    * shuffles on the key once and short-circuits per match; the output
+    * domain is |priorities| = 5.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PriorityOracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): per (supplier nation, order
+    * year) margin over color-named parts. Re-fit: fixtures carry no
+    * partsupp, so supply cost is the part's retail price × quantity —
+    * margin = disc. revenue − retail cost, computed per line in one
+    * floor-to-cents of an identical double expression, then exact
+    * integer sums (a margin sum mixes positive and negative terms, the
+    * MOST rounding-order-sensitive aggregate in the family). Topology is
+    * Q9's: two broadcast dims through supplier→nation, a broadcast
+    * name-filtered part, one lineitem⋈orders fact shuffle.
+    */
+  def q9ProfitByNation(s: SparkSession, dir: String): DataFrame = {
+    val marginC = floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity")) * 100 + 0.5).cast("long")
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("order_year"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("order_year"))
+      .agg((sum(marginC) / 100.0).as("sum_profit"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("order_year").desc)
+  }
+
+  val q9Oracle: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+      |     - p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |   / 100.0 AS sum_profit,
+      | count(*) AS n_lines
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY nation, order_year DESC""".stripMargin
+
+  /** TPC-H Q10 (returned item reporting): customers ranked by the
+    * revenue they returned in one quarter — lineitem filtered to
+    * RETURNED flags, orders to the quarter, customer + nation joined
+    * for the report, top 20. Account balances emit through exact cents.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revCents.as("rev_c"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("1998-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+      (floor(col("c_acctbal") * 100 + 0.5).cast("long") / 100.0).as("acctbal"),
+      col("c_nationkey"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal"), col("nation"))
+      .agg((sum(col("rev_c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name,
+      | CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100.0 AS acctbal,
+      | n_name AS nation,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** TPC-H Q19 (discounted revenue, disjunctive predicate): the OR-of-ANDs
     * join predicate — three (brand, type-class, size band, quantity band)
     * clauses OR'd together, each mixing part and lineitem columns. The one
@@ -651,7 +863,12 @@ object WarehouseOps extends QueryModule {
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("q1_pricing_summary", q1PricingSummary, Some(q1PricingOracle)),
+    RegisteredQuery("q3_shipping_priority", q3ShippingPriority, Some(q3PriorityOracle)),
+    RegisteredQuery("q4_order_priority", q4OrderPriority, Some(q4PriorityOracle)),
     RegisteredQuery("q7_nation_volume", q7NationVolume, Some(q7Oracle)),
+    RegisteredQuery("q9_profit_by_nation", q9ProfitByNation, Some(q9Oracle)),
+    RegisteredQuery("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     RegisteredQuery("q12_shipmode_priority", q12ShipmodePriority, Some(q12Oracle)),
     RegisteredQuery("q19_disjunctive_revenue", q19DisjunctiveRevenue, Some(q19Oracle)),
     RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),

@@ -21,6 +21,28 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q1/q3/q4/q9/q10 wave: semi join survives, dims broadcast, no cartesian") {
+    val q4Phys = WarehouseOps.q4OrderPriority(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q4Phys.contains("LeftSemi"),
+      "q4's EXISTS must stay a semi join, not a join+dedup")
+    Seq(WarehouseOps.q3ShippingPriority(spark, sfDir),
+      WarehouseOps.q9ProfitByNation(spark, sfDir),
+      WarehouseOps.q10ReturnedItems(spark, sfDir)).foreach { df =>
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+      assert(!phys.contains("CartesianProduct"))
+    }
+    // q1: the six (returnflag, linestatus) classes partition every
+    // in-cutoff line — count_order must total the filtered scan
+    val q1 = WarehouseOps.q1PricingSummary(spark, sfDir).collect()
+    assert(q1.length == 6)
+    val total = q1.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2001-09-01")).count()
+    assert(total == expected, "q1 classes must partition the filtered lineitems")
+  }
+
   test("q19: the disjunction is projected onto BOTH scans' pushed filters") {
     // The Q19 hazard: the OR-of-ANDs references both sides, so a plan
     // that doesn't derive per-side disjunctions scans everything and
