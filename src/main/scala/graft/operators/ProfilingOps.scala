@@ -624,7 +624,88 @@ object ProfilingOps extends QueryModule {
       |FROM ex JOIN kth ON ex.scope = kth.scope
       |ORDER BY ex.scope""".stripMargin
 
+  /** Distributed QUANTILE estimation via bottom-k-by-hash sampling — the
+    * mergeable-summary family's quantile slot beside KMV (distinct
+    * count), CMS (point frequency) and Misra–Gries (heavy hitters). GK /
+    * KLL sketches are formally merge-order-sensitive (the reason
+    * `a13_approx`'s percentiles are tolerance-gated, SCALE.md PINS), so
+    * this uses the ORDER-INVARIANT alternative from the coordinated-
+    * sampling literature (Cohen & Kaplan, bottom-k sketches): the k
+    * keys with the smallest hash values form a uniform sample of the
+    * key domain that is a pure function of the data — partials merge by
+    * keep-k-smallest exactly like KMV, and the DuckDB oracle recomputes
+    * the whole estimate CELL-EXACTLY (no tolerance gate needed).
+    *
+    * Pipeline: one exact-cents order-value per key (order-invariant
+    * integer sum), bottom-k=1024 by md5 (TakeOrderedAndProject — a
+    * per-partition heap, never a global sort), then the unambiguous
+    * selection rule `rank = ⌊(n−1)p⌋+1` over the sorted sample for
+    * p ∈ {.25,.5,.75,.9,.99}. The truth column applies the same rule to
+    * the FULL population — the declared brute baseline (single-task sort
+    * of the grouped table, exactly like the ANN family's brute truth);
+    * the sketch column is the scale path. `Sf01ConsistencySpec` pins the
+    * sampling error ≤ 800 bp (2× the observed max across fixtures) at
+    * k=1024.
+    */
+  def bottomkQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 1024
+    val pop = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("ov_c"))
+    val sample = pop
+      .withColumn("h",
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("l_orderkey")).limit(k)
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("p")
+    def quantilesOf(df: DataFrame, out: String): DataFrame = {
+      val ranked = df
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("ov_c"), col("l_orderkey"))))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      ranked.join(broadcast(ps),
+          col("rn") === floor((col("n") - 1) * col("p")).cast("long") + 1)
+        .select(col("p"), col("ov_c").as(out))
+    }
+    quantilesOf(sample, "sq_c").join(quantilesOf(pop, "eq_c"), "p")
+      .select(col("p"), (col("sq_c") / 100.0).as("sample_q"),
+        (col("eq_c") / 100.0).as("exact_q"),
+        // positives-only EXACT integer division (the kmv err_bp
+        // convention — `div`, not `/`+cast, which routes through a
+        // double and can land a ULP off the integer boundary)
+        expr("sq_c * 10000L div eq_c").as("ratio_bp"))
+      .orderBy("p")
+  }
+
+  val bottomkQuantileOracle: String =
+    """WITH pop AS (
+      | SELECT l_orderkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ov_c
+      | FROM lineitem GROUP BY 1),
+      |keyed AS (
+      | SELECT *, CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)
+      |   AS BIGINT) AS BIGINT) AS h
+      | FROM pop),
+      |smp AS (SELECT * FROM keyed ORDER BY h, l_orderkey LIMIT 1024),
+      |ps AS (SELECT CAST(p AS DOUBLE) AS p
+      |       FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(p)),
+      |sr AS (SELECT ov_c, row_number() OVER (ORDER BY ov_c, l_orderkey) AS rn,
+      |        count(*) OVER () AS n FROM smp),
+      |pr AS (SELECT ov_c, row_number() OVER (ORDER BY ov_c, l_orderkey) AS rn,
+      |        count(*) OVER () AS n FROM pop),
+      |est AS (SELECT p, ov_c AS sq_c FROM ps JOIN sr
+      |        ON rn = CAST(floor((n - 1) * p) AS BIGINT) + 1),
+      |tru AS (SELECT p, ov_c AS eq_c FROM ps JOIN pr
+      |        ON rn = CAST(floor((n - 1) * p) AS BIGINT) + 1)
+      |SELECT est.p AS p, sq_c / 100.0 AS sample_q, eq_c / 100.0 AS exact_q,
+      | CAST(sq_c * 10000 // eq_c AS BIGINT) AS ratio_bp
+      |FROM est JOIN tru ON est.p = tru.p ORDER BY p""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("bottomk_quantile_sketch", bottomkQuantileSketch,
+      Some(bottomkQuantileOracle)),
     RegisteredQuery("kmv_distinct", kmvDistinct, Some(kmvOracle)),
     RegisteredQuery("kmv_grouped_agg", kmvGroupedAgg, Some(kmvGroupedOracle)),
     RegisteredQuery("kmv_merge_stress", kmvMergeStress, Some(kmvStressOracle)),

@@ -164,6 +164,20 @@ class Sf01ConsistencySpec extends SparkSpec {
     }
   }
 
+  test("sf0.1: bottom-k quantile sample stays within 800 bp of the exact selection") {
+    val rows = graft.operators.ProfilingOps.bottomkQuantileSketch(spark, bigDir).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    // quantile estimates are monotone in p and inside the sampling band
+    val qs = rows.map(_.getAs[Double]("sample_q"))
+    assert(qs.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    rows.foreach { r =>
+      val ratio = r.getAs[Long]("ratio_bp")
+      assert(math.abs(ratio - 10000L) <= 800L,
+        s"bottom-k quantile off by ${ratio - 10000L} bp at p=${r.getDouble(0)}")
+    }
+  }
+
   test("sf0.1: the analytics wave holds its invariants at 20k-node / 5000-doc scale") {
     import graft.operators.{GraphOps, OrderingOps}
     // triangles: 20 distinct parts, counts positive and non-increasing
