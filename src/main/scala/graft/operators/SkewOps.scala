@@ -88,8 +88,64 @@ object SkewOps extends QueryModule {
       | floor(sum(value) * 1e2 + 0.5) / 1e2 AS total_value
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Skew DETECTION — the profiler a user runs BEFORE configuring the
+    * mitigation ladder above: the join-key frequency distribution of
+    * lineitem's l_orderkey (the key [[saltedJoin]] salts), summarized as
+    * exact quantiles plus the salt factor the max/p99 ratio recommends.
+    *
+    * Scale shape: per-key counts are one keyed shuffle; everything after
+    * runs on the FREQUENCY-OF-FREQUENCIES histogram — a table bounded by
+    * the maximum key multiplicity (tens of rows at any corpus size), so
+    * the exact p50/p99 of the frequency distribution come from a
+    * cumulative sum over that tiny histogram, never a sort of the key
+    * domain (billions of keys at 100 TB). The selection rule is the
+    * [[ProfilingOps.bottomkQuantileSketch]] rank convention; all
+    * arithmetic is exact integer (ceil-div for the salt), so the oracle
+    * recomputes every cell.
+    */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("nk"))
+    val tot = h.agg(sum(col("nk")).as("n_keys"),
+      sum(col("freq") * col("nk")).as("total_rows"),
+      max(col("freq")).as("max_freq"))
+    val cum = h.withColumn("ck",
+      sum(col("nk")).over(Window.orderBy(col("freq"))))
+    def rankOf(p: Double) =
+      floor((col("n_keys") - 1) * p).cast("long") + 1
+    def quantile(p: Double, out: String): DataFrame =
+      cum.crossJoin(broadcast(tot))
+        .filter(col("ck") >= rankOf(p))
+        .agg(min(col("freq")).as(out))
+    tot.crossJoin(broadcast(quantile(0.5, "p50_freq")))
+      .crossJoin(broadcast(quantile(0.99, "p99_freq")))
+      .select(col("n_keys"), col("total_rows"), col("max_freq"),
+        col("p50_freq"), col("p99_freq"),
+        expr("max_freq * 10000L div total_rows").as("top1_share_bp"),
+        expr("(max_freq + p99_freq - 1) div p99_freq").as("salt_factor"))
+  }
+
+  val skewProfileOracle: String =
+    """WITH c AS (SELECT l_orderkey, count(*) AS freq FROM lineitem GROUP BY 1),
+      |h AS (SELECT freq, count(*) AS nk FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+      |        CAST(sum(freq * nk) AS BIGINT) AS total_rows,
+      |        max(freq) AS max_freq FROM h),
+      |cum AS (SELECT freq, sum(nk) OVER (ORDER BY freq) AS ck FROM h),
+      |p50 AS (SELECT min(freq) AS p50_freq FROM cum, tot
+      |        WHERE ck >= CAST(floor((n_keys - 1) * 0.5) AS BIGINT) + 1),
+      |p99 AS (SELECT min(freq) AS p99_freq FROM cum, tot
+      |        WHERE ck >= CAST(floor((n_keys - 1) * 0.99) AS BIGINT) + 1)
+      |SELECT n_keys, total_rows, max_freq, p50_freq, p99_freq,
+      | max_freq * 10000 // total_rows AS top1_share_bp,
+      | (max_freq + p99_freq - 1) // p99_freq AS salt_factor
+      |FROM tot, p50, p99""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("j4_salted_join", saltedJoin, Some(saltedJoinOracle)),
     RegisteredQuery("a17_salted_agg", saltedAgg, Some(saltedAggOracle)),
+    RegisteredQuery("skew_profile", skewProfile, Some(skewProfileOracle)),
   )
 }
