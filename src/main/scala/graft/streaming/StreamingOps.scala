@@ -1326,5 +1326,77 @@ object StreamingOps extends QueryModule {
     // RocksDB provider required by construction
     RegisteredQuery("stream_tws_topk", streamTwsTopk,
       Some(streamTwsTopkOracle)),
+    // the checkpoint's state store read back offline as a batch table
+    RegisteredQuery("stream_state_read", streamStateRead,
+      Some(streamStateReadOracle)),
   )
+
+  /** OFFLINE STATE-STORE INSPECTION — Spark 4's State Data Source
+    * (`spark.read.format("statestore")`) reading a streaming
+    * aggregation's checkpoint back as a BATCH table, under the driver
+    * oracle: a per-user count/sum aggregate streams over the events
+    * feed split into two micro-batches (`require`d — a single-batch run
+    * would gate in-batch aggregation, not the store), then the query
+    * opens the checkpoint's state store directly and emits every key's
+    * final buffer. Green only if the store's contents are EXACTLY the
+    * full-feed aggregate — i.e. batch-2 deltas landed in (not beside)
+    * batch-1 state, and the state source decodes key and buffer schemas
+    * faithfully.
+    *
+    * This is the operational tool of a 100 TB streaming deployment:
+    * state inspected offline (debugging a hot key, auditing eviction,
+    * seeding a migration) without stopping the production query — the
+    * read path scales like any batch scan, one input split per state
+    * partition. The run is staged once per fixture fingerprint (the
+    * [[graft.engine.StagedRoots]] discipline); every invocation pays
+    * only the state READ, which is the surface under test.
+    */
+  def streamStateRead(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val fp = graft.operators.SimilarityIndex.fingerprint(dir, "events.parquet")
+    val root = graft.engine.StagedRoots.of("stateread", dir, fp) { r =>
+      val in = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(r, "in"))
+      val t0 = 1700000000000L
+      stageSplits(ev.withColumn("__b",
+          when(col("event_id") % 2 === 0, "b0").otherwise("b1")),
+        "__b", in, Map("b0" -> t0, "b1" -> (t0 + 1000)))
+      withShufflePartitions(s, 4) {
+        val name = s"graft_stream_sr_${sinkSeq.incrementAndGet()}"
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", s"$r/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 2,
+            s"state must accumulate across >=2 batches, got $dataBatches")
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    }
+    // buffer field names are the aggregate's internal ones (count/sum),
+    // not the query aliases — part of what the gate pins
+    s.read.format("statestore").load(s"$root/ckpt")
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        roundTo(col("value.sum"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** The full-feed aggregate — the state store must hold exactly this. */
+  val streamStateReadOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
 }
