@@ -1329,6 +1329,9 @@ object StreamingOps extends QueryModule {
     // the checkpoint's state store read back offline as a batch table
     RegisteredQuery("stream_state_read", streamStateRead,
       Some(streamStateReadOracle)),
+    // the same checkpoint's per-batch state CDC feed
+    RegisteredQuery("stream_state_changefeed", streamStateChangefeed,
+      Some(streamStateChangefeedOracle)),
   )
 
   /** OFFLINE STATE-STORE INSPECTION — Spark 4's State Data Source
@@ -1351,12 +1354,26 @@ object StreamingOps extends QueryModule {
     * [[graft.engine.StagedRoots]] discipline); every invocation pays
     * only the state READ, which is the surface under test.
     */
-  def streamStateRead(s: SparkSession, dir: String): DataFrame = {
+  def streamStateRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("statestore").load(s"${stateReadRoot(s, dir)}/ckpt")
+      // buffer field names are the aggregate's internal ones (count/sum),
+      // not the query aliases — part of what the gate pins
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        roundTo(col("value.sum"), 2).as("sum_value"))
+      .orderBy("user_id")
+
+  /** Stages (once per fixture fingerprint) the two-batch per-user
+    * count/sum streaming aggregate whose checkpoint both state-source
+    * gates read — [[streamStateRead]] (latest snapshot) and
+    * [[streamStateChangefeed]] (per-batch change feed).
+    */
+  private def stateReadRoot(s: SparkSession, dir: String): String = {
     val ev = graft.engine.Tables.events(s, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("value"))
     val fp = graft.operators.SimilarityIndex.fingerprint(dir, "events.parquet")
-    val root = graft.engine.StagedRoots.of("stateread", dir, fp) { r =>
+    graft.engine.StagedRoots.of("stateread", dir, fp) { r =>
       val in = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(r, "in"))
       val t0 = 1700000000000L
@@ -1384,13 +1401,6 @@ object StreamingOps extends QueryModule {
         } finally scala.util.Try(s.catalog.dropTempView(name))
       }
     }
-    // buffer field names are the aggregate's internal ones (count/sum),
-    // not the query aliases — part of what the gate pins
-    s.read.format("statestore").load(s"$root/ckpt")
-      .select(col("key.user_id").as("user_id"),
-        col("value.count").as("n_events"),
-        roundTo(col("value.sum"), 2).as("sum_value"))
-      .orderBy("user_id")
   }
 
   /** The full-feed aggregate — the state store must hold exactly this. */
@@ -1399,4 +1409,42 @@ object StreamingOps extends QueryModule {
       | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
       |FROM events WHERE user_id IS NOT NULL
       |GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** The state CHANGE FEED of the same checkpoint
+    * (`readChangeFeed=true`): one row per (batch, touched key) with the
+    * key's post-batch buffer — the CDC view of streaming state, used at
+    * 100 TB to audit exactly which keys each batch revised (hot-key
+    * forensics, incremental state export). The oracle derives the feed
+    * from first principles: batch 0 touches the even-event_id slice's
+    * keys with slice-only aggregates; batch 1 touches the odd slice's
+    * keys with CUMULATIVE aggregates — green only if the feed reports
+    * the running buffer (not the per-batch delta) for precisely the
+    * touched keys of each batch, in the recorded batch order.
+    */
+  def streamStateChangefeed(s: SparkSession, dir: String): DataFrame =
+    s.read.format("statestore")
+      .option("readChangeFeed", "true").option("changeStartBatchId", "0")
+      .load(s"${stateReadRoot(s, dir)}/ckpt")
+      .select(col("batch_id"), col("change_type"),
+        col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        roundTo(col("value.sum"), 2).as("sum_value"))
+      .orderBy("batch_id", "user_id")
+
+  val streamStateChangefeedOracle: String =
+    """WITH ev AS (
+      | SELECT event_id, user_id, value FROM events WHERE user_id IS NOT NULL),
+      |b0 AS (SELECT user_id, count(*) AS n,
+      |        floor(sum(value) * 1e2 + 0.5) / 1e2 AS sv
+      |       FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+      |b1k AS (SELECT DISTINCT user_id FROM ev WHERE event_id % 2 <> 0),
+      |tot AS (SELECT user_id, count(*) AS n,
+      |         floor(sum(value) * 1e2 + 0.5) / 1e2 AS sv
+      |        FROM ev GROUP BY 1)
+      |SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+      |       user_id, n AS n_events, sv AS sum_value FROM b0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), 'update', tot.user_id, n, sv
+      |FROM tot JOIN b1k ON tot.user_id = b1k.user_id
+      |ORDER BY batch_id, user_id""".stripMargin
 }
