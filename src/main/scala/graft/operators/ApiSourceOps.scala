@@ -59,6 +59,21 @@ object ApiSourceOps extends QueryModule {
       |FROM range(0, 1000) t(i)
       |WHERE i >= 200""".stripMargin
 
+  /** Store names key on (applicationId, fixture dir) — a fixed global
+    * name lets two sessions/fixtures in one JVM clobber each other
+    * between the eager write and the LAZY read-back (ADVICE r11). Stale
+    * keys under the same prefix (dead sessions, rewritten fixtures) are
+    * evicted at write time, so at most one feed copy per prefix stays
+    * resident; the live one must (the returned DataFrame reads it
+    * lazily, and Bench's min-of-2 re-reads it).
+    */
+  private def rtStore(s: SparkSession, dir: String, tag: String): String = {
+    val name =
+      s"${tag}_${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.GraftStore.dropExcept(s"${tag}_", name)
+    name
+  }
+
   /** The DSv2 WRITE half under the driver gate
     * ([[graft.sources.GraftStore]]): push the validated events feed
     * through the V2 two-phase-commit write path (task buffers → commit
@@ -75,21 +90,6 @@ object ApiSourceOps extends QueryModule {
     * GraftStore's scaladoc). The abort-path atomicity (a poisoned
     * partition publishes NOTHING) is spec-proven in SourceFormatsSpec.
     */
-  /** Store names key on (applicationId, fixture dir) — a fixed global
-    * name lets two sessions/fixtures in one JVM clobber each other
-    * between the eager write and the LAZY read-back (ADVICE r11). Stale
-    * keys under the same prefix (dead sessions, rewritten fixtures) are
-    * evicted at write time, so at most one feed copy per prefix stays
-    * resident; the live one must (the returned DataFrame reads it
-    * lazily, and Bench's min-of-2 re-reads it).
-    */
-  private def rtStore(s: SparkSession, dir: String, tag: String): String = {
-    val name =
-      s"${tag}_${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    graft.sources.GraftStore.dropExcept(s"${tag}_", name)
-    name
-  }
-
   def dsv2WriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val feed = graft.engine.Tables.events(s, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),

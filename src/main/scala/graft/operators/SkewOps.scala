@@ -135,9 +135,9 @@ object SkewOps extends QueryModule {
       |        max(freq) AS max_freq FROM h),
       |cum AS (SELECT freq, sum(nk) OVER (ORDER BY freq) AS ck FROM h),
       |p50 AS (SELECT min(freq) AS p50_freq FROM cum, tot
-      |        WHERE ck >= CAST(floor((n_keys - 1) * 0.5) AS BIGINT) + 1),
+      |        WHERE ck >= CAST(floor((n_keys - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1),
       |p99 AS (SELECT min(freq) AS p99_freq FROM cum, tot
-      |        WHERE ck >= CAST(floor((n_keys - 1) * 0.99) AS BIGINT) + 1)
+      |        WHERE ck >= CAST(floor((n_keys - 1) * CAST(0.99 AS DOUBLE)) AS BIGINT) + 1)
       |SELECT n_keys, total_rows, max_freq, p50_freq, p99_freq,
       | max_freq * 10000 // total_rows AS top1_share_bp,
       | (max_freq + p99_freq - 1) // p99_freq AS salt_factor

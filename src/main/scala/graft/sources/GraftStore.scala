@@ -120,7 +120,14 @@ private[sources] class GraftStoreScan(name: String, val s: StructType)
   override def toBatch: Batch = this
   override def description(): String = s"graft_store($name) scan"
   override def planInputPartitions(): Array[InputPartition] =
-    GraftStore.stores.get(name).map(_.batches).getOrElse(Seq.empty)
+    // loud, not empty: a store that existed at load() time (inferSchema
+    // requires it) but is gone at scan time was EVICTED — silently
+    // returning zero rows would surface as a baffling row-count mismatch
+    // instead of this diagnosable staleness error (review r12)
+    GraftStore.stores.get(name).map(_.batches).getOrElse(
+        throw new IllegalStateException(
+          s"graft store '$name' no longer exists — evicted or dropped " +
+            "after this reader was planned; re-run the writing query"))
       .map(b => GraftStorePartition(b): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => new PartitionReader[InternalRow] {

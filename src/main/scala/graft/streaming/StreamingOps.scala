@@ -264,15 +264,10 @@ object StreamingOps extends QueryModule {
       |FROM range(0, 1000) t(i)
       |GROUP BY 1 ORDER BY mission_name""".stripMargin
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
+  // single-sourced with the staged-root eviction (review r12: per-module
+  // copies of recursive delete drift — one forgot to close the walk)
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    graft.engine.StagedRoots.deleteRecursively(root)
 
   /** Staged-INPUT memo (VERDICT r9 #4, the streaming fixed-cost trim):
     * each stream query's staged source files are fixture plumbing — a
@@ -284,30 +279,21 @@ object StreamingOps extends QueryModule {
     * checkpoints and sinks stay PER-INVOCATION, so every run still drives
     * the full micro-batch lifecycle (offset log, state stores, eviction)
     * from a cold start — the gates are unchanged, only the input
-    * directory is warm. The fingerprint key (same scheme as the
-    * ANN-index memos) re-stages if the driver regenerates a fixture;
-    * staged dirs die with the JVM via a shutdown hook.
+    * directory is warm. Delegates to [[graft.engine.StagedRoots]]
+    * (review r12): the old fingerprint-in-the-KEY memo never evicted, so
+    * a rewritten fixture leaked its superseded staged dir for the JVM
+    * lifetime — the exact leak class StagedRoots was built to close
+    * (dir-keyed, fingerprint-valued, superseded roots deleted, shutdown
+    * hook for the rest).
     */
   private object StagedLayouts {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
-    private lazy val rootDir = {
-      val r = java.nio.file.Files.createTempDirectory("graft-staged-layouts")
-      Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
-        override def run(): Unit = { val _ = scala.util.Try(deleteRecursively(r)) }
-      }))
-      r
-    }
     def dir(layout: String, fixtureDir: String, table: String = "events.parquet")(
-        build: java.nio.file.Path => Unit): java.nio.file.Path = {
-      val key = layout + "|" +
-        graft.operators.SimilarityIndex.fingerprint(fixtureDir, table)
-      cache.getOrElseUpdate(key, {
-        val d = java.nio.file.Files.createTempDirectory(rootDir, layout)
-        build(d)
-        d
-      })
-    }
+        build: java.nio.file.Path => Unit): java.nio.file.Path =
+      java.nio.file.Paths.get(
+        graft.engine.StagedRoots.of(s"layout-$layout", fixtureDir,
+          graft.operators.SimilarityIndex.fingerprint(fixtureDir, table)) { r =>
+          build(java.nio.file.Paths.get(r))
+        })
   }
 
   /** The production streaming-aggregate shape the Complete-mode twin
