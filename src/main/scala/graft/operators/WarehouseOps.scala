@@ -862,6 +862,123 @@ object WarehouseOps extends QueryModule {
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q16 (parts/supplier relationship): distinct-supplier counts per
+    * (brand, type, size) with a NOT-IN supplier exclusion list — the
+    * anti-join + count-distinct combination the family lacked (VERDICT r12
+    * #3). Re-fit: fixtures carry no partsupp, so the part–supplier
+    * association is the one lineitem itself witnesses (the same re-fit
+    * lever as [[q4OrderPriority]]'s EXISTS and [[q9ProfitByNation]]'s
+    * supply cost); no s_comment, so the complaint exclusion is the
+    * negative-balance suppliers. `countDistinct` over the joined fact
+    * subsumes the classic `SELECT DISTINCT` pair staging — part columns
+    * determine the group, so distinct suppliers per group are identical
+    * with or without pre-pairing. NOT IN is safe as a left-anti here
+    * because s_suppkey is non-nullable (the NULL trap this registry gates
+    * separately in `not_in_null_trap`).
+    *
+    * Scale: the triple-filtered part side broadcasts (brand/type/size
+    * predicates reach the part scan as PushedFilters); the exclusion list
+    * broadcasts as an anti join; lineitem is scanned once with only
+    * (l_partkey, l_suppkey) read; the single keyed shuffle is the
+    * (brand, type, size) count-distinct regroup — Spark expands it to two
+    * hash aggregates over one exchange, both map-side partial.
+    */
+  def q16PartsSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(3, 9, 14, 19, 23, 36, 45, 49)
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#12" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excl = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16Oracle: String =
+    """SELECT p_brand, p_type, p_size,
+      | CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = ps.l_partkey
+      |WHERE p_brand <> 'Brand#12'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      |  AND ps.l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion): suppliers of name-filtered
+    * parts whose off-window shipped volume ("stock on hand") clears a
+    * per-(part, supplier) multiple of the window demand — the nested
+    * EXISTS-with-correlated-scalar-aggregate, the double-decorrelation
+    * shape (VERDICT r12 #3). Re-fit: no partsupp, so the association is
+    * lineitem's own (l_partkey, l_suppkey) pairs and ps_availqty is the
+    * volume the pair shipped OUTSIDE the 1997 window (genuinely
+    * independent of the window demand, unlike a total-volume proxy whose
+    * predicate would be vacuously true); cover factor 4 keeps the
+    * predicate selective at every fixture SF (9/25/29 rows). One
+    * conditional aggregation over the pair key computes BOTH correlated
+    * sums — exactly the decorrelated form Catalyst would rewrite the
+    * nested subqueries into, expressed directly. NULL semantics match the
+    * classic spelling: a pair with no window rows has NULL demand, the
+    * `avail > 4*demand` comparison is NULL, and the pair drops — same as
+    * the correlated scalar subquery returning NULL. Quantities are
+    * whole-number doubles, so both sums and the ×4 threshold are exact in
+    * IEEE arithmetic on any aggregation order.
+    *
+    * Scale: the name-filtered part list broadcasts into the lineitem scan
+    * (prune before the pair aggregation); ONE keyed shuffle on
+    * (l_partkey, l_suppkey) computes both sums map-side-partial; the
+    * surviving supplier ids collapse to a distinct list that semi-joins
+    * supplier (broadcast-sized by construction — bounded by |supplier|);
+    * nation broadcasts for the report columns.
+    */
+  def q20ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+    val win = col("l_shipdate") >= lit("1997-01-01") &&
+      col("l_shipdate") < lit("1998-01-01")
+    val suppliers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_shipdate"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(when(win, col("l_quantity"))).as("demand"),
+        sum(when(!win, col("l_quantity"))).as("avail"))
+      .filter(col("avail") > lit(4.0) * col("demand"))
+      .select(col("l_suppkey")).distinct()
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    Tables.supplier(s, dir)
+      .join(suppliers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("nation"))
+      .orderBy("s_name")
+  }
+
+  val q20Oracle: String =
+    """SELECT s_name, n_name AS nation
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT ps.l_suppkey
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |  WHERE ps.l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND (SELECT sum(l_quantity) FROM lineitem l
+      |         WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+      |           AND (l.l_shipdate < TIMESTAMP '1997-01-01'
+      |                OR l.l_shipdate >= TIMESTAMP '1998-01-01'))
+      |      > 4.0 * (SELECT sum(l_quantity) FROM lineitem l
+      |         WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+      |           AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |           AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+      |ORDER BY s_name""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("q1_pricing_summary", q1PricingSummary, Some(q1PricingOracle)),
     RegisteredQuery("q3_shipping_priority", q3ShippingPriority, Some(q3PriorityOracle)),
@@ -870,6 +987,8 @@ object WarehouseOps extends QueryModule {
     RegisteredQuery("q9_profit_by_nation", q9ProfitByNation, Some(q9Oracle)),
     RegisteredQuery("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     RegisteredQuery("q12_shipmode_priority", q12ShipmodePriority, Some(q12Oracle)),
+    RegisteredQuery("q16_parts_suppliers", q16PartsSuppliers, Some(q16Oracle)),
+    RegisteredQuery("q20_excess_stock", q20ExcessStock, Some(q20Oracle)),
     RegisteredQuery("q19_disjunctive_revenue", q19DisjunctiveRevenue, Some(q19Oracle)),
     RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),
     RegisteredQuery("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),

@@ -240,4 +240,78 @@ class WarehouseSpec extends SparkSpec {
     assert(nNative == islands,
       s"native session_window found $nNative sessions, island form $islands")
   }
+
+  test("q16: anti join survives, part filters pushed, equals the distinct-pair form") {
+    val df = WarehouseOps.q16PartsSuppliers(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftAnti"),
+      "the NOT-IN exclusion must stay an anti join")
+    assert(phys.contains("BroadcastHashJoin"), "the filtered part side should broadcast")
+    assert(!phys.contains("CartesianProduct"))
+    // metadata strings truncate at 100 chars, so inspect dataFilters directly
+    // (on the pre-adaptive plan: an AQE plan's collectLeaves is the
+    // AdaptiveSparkPlanExec itself, not the scans)
+    val partScan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata("Location").contains("part.parquet") => f
+      }.getOrElse(fail("no part scan"))
+    assert(partScan.dataFilters.exists(e =>
+        e.toString.contains("p_size") && e.toString.contains("IN")),
+      "the size IN-list did not reach the part scan")
+    assert(partScan.dataFilters.exists(_.toString.contains("Brand#12")),
+      "the brand exclusion did not reach the part scan")
+    // twin recompute through the classic DISTINCT-pair staging: countDistinct
+    // over the joined fact must equal count over pre-deduped pairs
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excl = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val twin = pairs
+      .join(Tables.part(spark, sfDir)
+          .filter(col("p_brand") =!= "Brand#12" &&
+            !col("p_type").startsWith("MEDIUM") &&
+            col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)),
+        col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val want = twin.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == want, "countDistinct-over-fact must equal the distinct-pair form")
+    assert(got.nonEmpty)
+  }
+
+  test("q20: semi join + one pair shuffle; survivors exactly match a two-agg twin") {
+    val df = WarehouseOps.q20ExcessStock(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"),
+      "the supplier IN-list must stay a semi join, not a join+dedup")
+    assert(phys.contains("BroadcastHashJoin"))
+    assert(!phys.contains("CartesianProduct"))
+    // twin recompute with the two correlated sums as SEPARATE aggregations
+    // joined on the pair key (the un-fused spelling of the same semantics;
+    // an outer join keeps avail-only pairs, which must then NULL-drop)
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_name").startsWith("red")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_shipdate"))
+    val win = col("l_shipdate") >= lit("1997-01-01") &&
+      col("l_shipdate") < lit("1998-01-01")
+    val demand = li.filter(win).groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("demand"))
+    val avail = li.filter(!win).groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("avail"))
+    val wantSupp = avail.join(demand, Seq("l_partkey", "l_suppkey"), "left")
+      .filter(col("avail") > lit(4.0) * col("demand"))
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    val wantNames = Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey").isin(wantSupp.toSeq: _*))
+      .select("s_name").collect().map(_.getString(0)).sorted.toSeq
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got == wantNames, "q20 survivors must match the two-aggregation twin")
+    assert(got.nonEmpty, "the cover-factor predicate should select someone at sf0.001")
+  }
 }
