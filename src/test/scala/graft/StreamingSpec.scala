@@ -479,6 +479,43 @@ class StreamingSpec extends SparkSpec {
     assert(nUpd.forall(n => n >= 1 && n <= 3))
   }
 
+  test("stream_state_read_tws: custom value state decodes to the batch top-3 + ids") {
+    val got = graft.streaming.StreamingOps.streamStateReadTws(spark, sfDir)
+    // batch truth including the SURVIVOR IDS — pins the persisted
+    // tie-break (value desc, event_id asc), not just the values
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val truth = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_seen"),
+        max(when(col("rk") === 1, col("event_id"))).as("e1"),
+        max(when(col("rk") === 2, col("event_id"))).as("e2"),
+        max(when(col("rk") === 3, col("event_id"))).as("e3"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    val gotMap = got.collect().map { r =>
+      r.getLong(0) -> (r.getLong(1),
+        Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))
+    }.toMap
+    assert(gotMap == truth,
+      "persisted TwsState must equal the batch top-3 (ids + counter) per user")
+    // the staged checkpoint is genuinely RocksDB-backed: provider files on disk
+    val ckpt = java.nio.file.Paths.get(
+      graft.streaming.StreamingOps.twsStateRoot(spark, sfDir), "ckpt", "state")
+    val walk = java.nio.file.Files.walk(ckpt)
+    val hasRocks = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".zip") || n.endsWith(".sst") || n.contains("rocksdb")
+      }
+    } finally walk.close()
+    assert(hasRocks, s"no RocksDB artifacts under $ckpt — provider fell back?")
+  }
+
   test("streamingStateConf's RocksDB provider RUNS the stateful path, same results") {
     // the heavy-state regime's provider flip must be executable, not just
     // map-pinned arithmetic: run a real update-mode aggregate under the
