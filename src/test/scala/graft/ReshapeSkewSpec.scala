@@ -80,6 +80,33 @@ class ReshapeSkewSpec extends SparkSpec {
     assert(salts > 1, "salt column is constant per key — no spreading happens")
   }
 
+  test("skew_guided_join: profiler's factor drives the join, result equals plain join") {
+    val rows = SkewOps.skewGuidedJoin(spark, sfDir).collect()
+    // the emitted factor IS the profiler's recommendation
+    val rec = SkewOps.skewProfile(spark, sfDir)
+      .select("salt_factor").head().getLong(0)
+    assert(rows.forall(_.getAs[Long]("salt_factor") == math.max(1L, rec)),
+      "guided join must carry the profiled factor, not a default")
+    assert(rec > 1, "fixture key distribution should recommend a factor > 1")
+    // the rewrite stays pure: equals the plain unsalted join
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("l_extendedprice").as("tp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.length === plain.size)
+    rows.foreach { r =>
+      val (n, tp) = plain(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - tp) < 1e-4)
+    }
+    // plan shape unchanged from the hardcoded form: shuffled join, no broadcast
+    val phys = SkewOps.skewGuidedJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastHashJoin"),
+      "guided salted join must keep the shuffled shape")
+  }
+
   test("two-phase salted aggregation matches direct aggregation on the fixtures") {
     val salted = SkewOps.saltedAgg(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
