@@ -516,7 +516,14 @@ object StreamingOps extends QueryModule {
       val ioSchema = base.drop("__b").schema
 
       val name = s"graft_stream_ssj_${sinkSeq.incrementAndGet()}"
-      withShufflePartitions(s, 4) {
+      // noDataMicroBatches off (r13, the outer joins' existing setting):
+      // an INNER stream-stream join emits only on data batches and this
+      // query needs no eviction pass, so AvailableNow's trailing no-data
+      // batch re-committed all four state stores for zero output — one
+      // whole batch of fixed micro-batch cost for nothing.
+      withConfs(s, Map(
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
         val cs = s.readStream.schema(ioSchema).parquet(clickDir.toString)
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("click_ts"))
