@@ -5,29 +5,49 @@ package graft.engine
   * store, the IVM base snapshot, the streaming staged inputs): one staged
   * temp directory per (tag, fixture dir), keyed by dir with the content
   * fingerprint in the VALUE, so a rewritten fixture under the same path
-  * re-stages and the superseded root is deleted immediately — not leaked
-  * under /tmp for the JVM lifetime (ADVICE r11). Single-sourced for the
-  * same reason [[graft.operators.SimilarityIndex.memoCheckpoint]] is:
-  * the eviction predicate is subtle enough that per-module copies drift.
+  * re-stages. Single-sourced for the same reason
+  * [[graft.operators.SimilarityIndex.memoCheckpoint]] is: the eviction
+  * predicate is subtle enough that per-module copies drift.
   *
-  * The lock is one object-wide monitor: staging is rare (once per
-  * (tag, fixture) lifetime) and serializing it also makes delete-then-
-  * restage atomic against a concurrent reader of the same tag. A failed
-  * `stage` leaves NO cache entry (the key is removed before the old root
-  * is deleted — review r12: a dangling entry would serve a deleted path
-  * if the fixture later reverted to the old fingerprint) and its fresh
-  * half-populated root is deleted. Live roots are deleted at JVM exit by
-  * a shutdown hook, so staged state never outlives the session that
-  * built it.
+  * Concurrency (ADVICE r12, both findings):
+  *  - locking is PER KEY (one monitor per (tag, dir)), so a slow stage —
+  *    some run entire multi-batch streaming queries — no longer
+  *    serializes unrelated tags, and a stage closure that itself calls
+  *    `of` for a different key cannot deadlock (different monitor; the
+  *    same key from the same thread re-enters reentrantly).
+  *    Delete-then-restage stays atomic per key.
+  *  - a SUPERSEDED root is never deleted eagerly: previously returned
+  *    lazy DataFrames (time-travel digests, the IVM stored-base read,
+  *    statestore checkpoint reads) may still reference the old path, and
+  *    a re-stage between their plan time and collect time would turn
+  *    into FileNotFoundException. Superseded roots retire to a queue the
+  *    JVM-exit hook deletes along with the live roots — bounded by the
+  *    number of fixture rewrites in a session (the harness rewrites a
+  *    fixture at most once per round), so deferral cannot accumulate.
+  *
+  * A failed `stage` leaves NO cache entry (the key is removed before the
+  * old root retires — review r12: a dangling entry would serve a deleted
+  * path if the fixture later reverted to the old fingerprint) and its
+  * fresh half-populated root is deleted. Staged state never outlives the
+  * session that built it.
   */
 object StagedRoots {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private val retired =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
 
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
-      override def run(): Unit = cache.values.foreach { case (_, root) =>
-        val _ = scala.util.Try(deleteRecursively(java.nio.file.Paths.get(root)))
+      override def run(): Unit = {
+        val all = cache.values.map(_._2) ++
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            retired.iterator()).asScala
+        all.foreach { root =>
+          val _ = scala.util.Try(deleteRecursively(java.nio.file.Paths.get(root)))
+        }
       }
     }))
 
@@ -46,19 +66,17 @@ object StagedRoots {
     * populate it before returning; it runs at most once per fingerprint.
     */
   def of(tag: String, dir: String, fingerprint: String)(
-      stage: String => Unit): String =
-    cache.synchronized {
-      hookInstalled
-      val key = s"$tag|$dir"
+      stage: String => Unit): String = {
+    hookInstalled
+    val key = s"$tag|$dir"
+    locks.getOrElseUpdate(key, new Object).synchronized {
       cache.get(key) match {
         case Some((fp, root)) if fp == fingerprint => root
         case stale =>
-          // unmap BEFORE deleting/staging: a stage() failure must not
-          // leave the key pointing at a deleted root
+          // unmap BEFORE retiring: a stage() failure must not leave the
+          // key pointing at a superseded root
           cache.remove(key)
-          stale.foreach { case (_, old) =>
-            deleteRecursively(java.nio.file.Paths.get(old))
-          }
+          stale.foreach { case (_, old) => retired.add(old); () }
           val root =
             java.nio.file.Files.createTempDirectory(s"graft-$tag")
           try {
@@ -72,4 +90,5 @@ object StagedRoots {
           }
       }
     }
+  }
 }

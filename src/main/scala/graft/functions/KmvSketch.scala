@@ -34,9 +34,13 @@ object KmvSketch {
     if (b.length == k && h >= b.last) b            // can't beat the kth min
     else {
       // the encoder hands back indexed buffers (ArraySeq/Vector); guard
-      // the O(1)-indexing assumption for any other Seq a caller passes
+      // the O(1)-indexing assumption for any other Seq a caller passes.
+      // The element type is erased — `@unchecked` states that honestly
+      // (ADVICE r12): this guard classifies the CONTAINER only, and a
+      // mis-typed IndexedSeq would fail identically (ClassCastException
+      // at first element read) with or without a conversion.
       val ix: IndexedSeq[Long] = b match {
-        case i: IndexedSeq[Long] => i
+        case i: IndexedSeq[Long @unchecked] => i
         case other => other.toIndexedSeq
       }
       var lo = 0

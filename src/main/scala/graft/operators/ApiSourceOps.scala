@@ -61,16 +61,22 @@ object ApiSourceOps extends QueryModule {
 
   /** Store names key on (applicationId, fixture dir) — a fixed global
     * name lets two sessions/fixtures in one JVM clobber each other
-    * between the eager write and the LAZY read-back (ADVICE r11). Stale
-    * keys under the same prefix (dead sessions, rewritten fixtures) are
-    * evicted at write time, so at most one feed copy per prefix stays
-    * resident; the live one must (the returned DataFrame reads it
-    * lazily, and Bench's min-of-2 re-reads it).
+    * between the eager write and the LAZY read-back (ADVICE r11). Two
+    * eviction scopes at write time (ADVICE r12 — the old tag-wide
+    * `dropExcept` could evict a CONCURRENT session's live store):
+    * same-application stale keys (other/rewritten fixture dirs) are
+    * evicted except this one, and dead-application keys are reaped by
+    * appId mismatch — sound because a JVM runs at most ONE SparkContext
+    * at a time, so every live SparkSession shares the current
+    * applicationId and any other embedded appId belongs to a stopped
+    * context whose lazy readers are already dead.
     */
   private def rtStore(s: SparkSession, dir: String, tag: String): String = {
-    val name =
-      s"${tag}_${s.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    graft.sources.GraftStore.dropExcept(s"${tag}_", name)
+    val appScope = s"${tag}_${s.sparkContext.applicationId}_"
+    val name = s"$appScope${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.GraftStore.dropExcept(appScope, name)
+    graft.sources.GraftStore.dropMatching(k =>
+      k.startsWith(s"${tag}_") && !k.startsWith(appScope))
     name
   }
 

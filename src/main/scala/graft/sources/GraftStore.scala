@@ -92,6 +92,8 @@ object GraftStore {
     */
   private[graft] def dropExcept(prefix: String, keep: String): Unit =
     stores.keys.filter(k => k.startsWith(prefix) && k != keep).foreach(drop)
+  private[graft] def dropMatching(p: String => Boolean): Unit =
+    stores.keys.filter(p).foreach(drop)
   private[graft] def rowCount(name: String): Long =
     stores.get(name).map(_.rowCount).getOrElse(0L)
 }

@@ -65,40 +65,45 @@ object StreamingOps extends QueryModule {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-w3-ckpt")
     // ~120 six-hour windows of state: the 4-partition sizing (see
     // withShufflePartitions) applies here like every stateful entry —
-    // this was the one streaming query still paying 32 store lifecycles
-    val q = withShufflePartitions(s, 4) { ev
-      .groupBy(window(col("ts"), "6 hours"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    }
-    // detach from the sink so the temp view and checkpoint can be dropped
-    // even when the run FAILS (warm bench loops would otherwise accumulate
-    // one resident Complete-mode result table + one /tmp checkpoint per
-    // invocation); the window count is time-bounded, so the local copy is
-    // small
-    try {
-      q.awaitTermination()
-      val shaped = s.table(name)
-        .select(
-          unix_micros(col("window.start")).as("w_start_us"),
-          unix_micros(col("window.end")).as("w_end_us"),
-          col("n_events"),
-          roundTo(col("sum_value"), 2).as("sum_value"))
-        .orderBy("w_start_us")
-      val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
-      // a source that listed zero files completes "successfully" with an
-      // empty sink — fail loudly instead of returning a vacuous result
-      require(!out.isEmpty, s"streaming source matched no input under $path")
-      out
-    } finally {
-      scala.util.Try(s.catalog.dropTempView(name))
-      deleteRecursively(ckpt)
+    // this was the one streaming query still paying 32 store lifecycles.
+    // start()+awaitTermination both inside the conf scope, the idiom
+    // every other streaming entry uses (ADVICE r12 — the narrower
+    // start()-only scope was safe only via StreamExecution's
+    // clone-at-construction conf snapshot, an implicit dependency)
+    withShufflePartitions(s, 4) {
+      val q = ev
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // the try/finally detaches from the sink so the temp view and
+      // checkpoint can be dropped even when the run FAILS (warm bench
+      // loops would otherwise accumulate one resident Complete-mode
+      // result table + one /tmp checkpoint per invocation); the window
+      // count is time-bounded, so the local copy is small
+      try {
+        q.awaitTermination()
+        val shaped = s.table(name)
+          .select(
+            unix_micros(col("window.start")).as("w_start_us"),
+            unix_micros(col("window.end")).as("w_end_us"),
+            col("n_events"),
+            roundTo(col("sum_value"), 2).as("sum_value"))
+          .orderBy("w_start_us")
+        val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+        // a source that listed zero files completes "successfully" with an
+        // empty sink — fail loudly instead of returning a vacuous result
+        require(!out.isEmpty, s"streaming source matched no input under $path")
+        out
+      } finally {
+        scala.util.Try(s.catalog.dropTempView(name))
+        deleteRecursively(ckpt)
+      }
     }
   }
 
