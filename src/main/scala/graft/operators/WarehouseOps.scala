@@ -913,6 +913,77 @@ object WarehouseOps extends QueryModule {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** TPC-H Q2 (minimum-cost supplier) — the LAST classic shape, the one
+    * r12 assessed as partsupp-bound. The blocker was ps_supplycost;
+    * re-fit: a (part, supplier) pair's supply cost is the MINIMUM unit
+    * price (cents) the pair ever shipped at — `min` is a selection, not a
+    * sum, so the cents value is layout-independent and cross-engine
+    * IEEE-exact (one double multiply/divide on identical inputs, then
+    * floor-to-cents). With that, Q2's whole topology fits the fixtures:
+    * region-screened suppliers (EUROPE), size/type-filtered parts, and
+    * the correlated `cost = (SELECT min(cost) ... same part, same
+    * region)` subquery — decorrelated, as Catalyst would, into a
+    * partition-keyed window MIN and an equality filter (ties keep every
+    * minimum-cost supplier, the original's semantics). Output ordered by
+    * account balance like the classic report (acctbal in exact cents).
+    *
+    * Scale: the pair aggregation is the ONE fact-scale shuffle; part and
+    * the region-screened supplier dimension broadcast into it; the
+    * window min re-uses the partkey exchange AQE plans after the part
+    * broadcast prune (the association is part-filtered FIRST, so the
+    * window input is the ~0.5% surviving slice, not the full pair set).
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val costC = floor(col("l_extendedprice") * 100 / col("l_quantity") + 0.5).cast("long")
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(costC).as("supply_cost_c"))
+    val euro = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (floor(col("s_acctbal") * 100 + 0.5).cast("long") / 100.0).as("acctbal"),
+        col("n_name").as("nation"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_size") === 16 && col("p_type").endsWith("MALL"))
+      .select(col("p_partkey"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost_c",
+        min(col("supply_cost_c")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("supply_cost_c") === col("min_cost_c"))
+      .select(col("acctbal"), col("s_name"), col("nation"), col("p_partkey"),
+        (col("supply_cost_c") / 100.0).as("supply_cost"))
+      .orderBy(col("acctbal").desc, col("nation"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Oracle: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(floor(l_extendedprice * 100 / l_quantity + 0.5) AS BIGINT))
+      |      AS supply_cost_c
+      |  FROM lineitem GROUP BY 1, 2),
+      |euro AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |cand AS (
+      |  SELECT p_partkey, supply_cost_c, s_name, s_acctbal, n_name,
+      |    min(supply_cost_c) OVER (PARTITION BY p_partkey) AS min_cost_c
+      |  FROM ps
+      |  JOIN part ON l_partkey = p_partkey
+      |    AND p_size = 16 AND p_type LIKE '%MALL'
+      |  JOIN euro ON l_suppkey = s_suppkey)
+      |SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) / 100.0 AS acctbal,
+      | s_name, n_name AS nation, p_partkey,
+      | supply_cost_c / 100.0 AS supply_cost
+      |FROM cand WHERE supply_cost_c = min_cost_c
+      |ORDER BY acctbal DESC, nation, s_name, p_partkey LIMIT 100""".stripMargin
+
   /** TPC-H Q20 (potential part promotion): suppliers of name-filtered
     * parts whose off-window shipped volume ("stock on hand") clears a
     * per-(part, supplier) multiple of the window demand — the nested
@@ -989,6 +1060,7 @@ object WarehouseOps extends QueryModule {
     RegisteredQuery("q12_shipmode_priority", q12ShipmodePriority, Some(q12Oracle)),
     RegisteredQuery("q16_parts_suppliers", q16PartsSuppliers, Some(q16Oracle)),
     RegisteredQuery("q20_excess_stock", q20ExcessStock, Some(q20Oracle)),
+    RegisteredQuery("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Oracle)),
     RegisteredQuery("q19_disjunctive_revenue", q19DisjunctiveRevenue, Some(q19Oracle)),
     RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),
     RegisteredQuery("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),

@@ -134,6 +134,26 @@ object StreamingOps extends QueryModule {
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
     withConfs(s, Map("spark.sql.shuffle.partitions" -> n.toString))(body)
 
+  /** [[withShufflePartitions]] plus `noDataMicroBatches` OFF — for the
+    * watermarked queries whose FINAL emission already rides a staged
+    * trailing DATA batch (sentinels). Where the watermark still advances
+    * at the END of the last data batch, AvailableNow appends a no-data
+    * batch that re-commits every state store for zero output — on the
+    * stream-stream joins that batch measured ~1.2 s and disabling it cut
+    * `stream_interval_join` 4.68 → 3.32 s isolated (r13). On the
+    * agg/dedup/session entries the A/B measured NO delta (their staged
+    * sentinel batch is also the last watermark move, so no no-data batch
+    * fires) — the conf is inert there and applied for uniform discipline
+    * only. NOT for queries that rely on the no-data batch to emit after
+    * a watermark-only advance — every caller here stages its
+    * eviction-driving batch explicitly, which the oracles then prove
+    * (a missing final emission breaks rows_match loudly).
+    */
+  private def withStreamBatchConfs[T](s: SparkSession, n: Int)(body: => T): T =
+    withConfs(s, Map(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))(body)
+
   /** Set session confs for the duration of `body`, restoring (or
     * unsetting) each afterwards — the [[withShufflePartitions]] contract
     * generalized to any conf set.
@@ -353,7 +373,7 @@ object StreamingOps extends QueryModule {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-append")
     try {
       val name = s"graft_stream_wa_${sinkSeq.incrementAndGet()}"
-      withShufflePartitions(s, 4) {
+      withStreamBatchConfs(s, 4) {
         val q = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           .withWatermark("ts", "1 hour")
@@ -435,7 +455,7 @@ object StreamingOps extends QueryModule {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     try {
       val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
-      withShufflePartitions(s, 4) {
+      withStreamBatchConfs(s, 4) {
         val q = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2).parquet(inDir.toString)
           .withWatermark("ts", "35 days")
@@ -526,9 +546,7 @@ object StreamingOps extends QueryModule {
       // query needs no eviction pass, so AvailableNow's trailing no-data
       // batch re-committed all four state stores for zero output — one
       // whole batch of fixed micro-batch cost for nothing.
-      withConfs(s, Map(
-        "spark.sql.shuffle.partitions" -> "4",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
+      withStreamBatchConfs(s, 4) {
         val cs = s.readStream.schema(ioSchema).parquet(clickDir.toString)
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("click_ts"))
@@ -679,9 +697,7 @@ object StreamingOps extends QueryModule {
       // p4 DATA batch is what runs the eviction pass (see scaladoc) —
       // the extra empty batch re-committed every store for no emission
       // (VERDICT r10 #3; the oracle, not timing, gates the semantics).
-      withConfs(s, Map(
-        "spark.sql.shuffle.partitions" -> "4",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
+      withStreamBatchConfs(s, 4) {
         val cs = s.readStream.schema(ioSchema)
           .option("maxFilesPerTrigger", 1).parquet(clickDir.toString)
           .select(col("event_id").as("click_id"), col("user_id"),
@@ -1153,7 +1169,7 @@ object StreamingOps extends QueryModule {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sess")
     try {
       val name = s"graft_stream_sess_${sinkSeq.incrementAndGet()}"
-      withShufflePartitions(s, 4) {
+      withStreamBatchConfs(s, 4) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           .withWatermark("ts", "1 hour")
@@ -1248,7 +1264,7 @@ object StreamingOps extends QueryModule {
     try {
       val ioSchema = ev.schema
       val name = s"graft_stream_ssw_${sinkSeq.incrementAndGet()}"
-      withShufflePartitions(s, 4) {
+      withStreamBatchConfs(s, 4) {
         val q = s.readStream.schema(ioSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(inDir.resolve("events").toString)

@@ -284,6 +284,44 @@ class WarehouseSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q2: window-min decorrelation equals the groupBy+join-back twin, dims broadcast") {
+    val df = WarehouseOps.q2MinCostSupplier(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), "part + euro suppliers should broadcast")
+    assert(!phys.contains("CartesianProduct"))
+    // twin: the correlated MIN spelled as a grouped aggregate joined back
+    // (the other decorrelation Catalyst could pick) — same survivors
+    val costC = floor(col("l_extendedprice") * 100 / col("l_quantity") + 0.5).cast("long")
+    val ps = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(costC).as("cost_c"))
+    val euro = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 16 && col("p_type").endsWith("MALL"))
+      .select(col("p_partkey"))
+    val cand = ps.join(p, col("l_partkey") === col("p_partkey"))
+      .join(euro, col("l_suppkey") === col("s_suppkey"))
+    val mins = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_c")).as("min_c"))
+    val want = cand.join(mins,
+        col("p_partkey") === col("mk") && col("cost_c") === col("min_c"))
+      .select(col("s_name"), col("p_partkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = df.collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(got == want, "q2 survivors must match the join-back decorrelation")
+    assert(got.nonEmpty, "q2 should select someone at sf0.001")
+    // ties keep EVERY minimum-cost supplier: per part, all emitted costs equal
+    val perPart = df.collect().groupBy(_.getLong(3))
+    perPart.foreach { case (pk, rows) =>
+      assert(rows.map(_.getDouble(4)).distinct.length == 1,
+        s"part $pk emitted non-minimal costs")
+    }
+  }
+
   test("q20: semi join + one pair shuffle; survivors exactly match a two-agg twin") {
     val df = WarehouseOps.q20ExcessStock(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString
