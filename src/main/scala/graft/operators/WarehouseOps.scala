@@ -984,6 +984,69 @@ object WarehouseOps extends QueryModule {
       |FROM cand WHERE supply_cost_c = min_cost_c
       |ORDER BY acctbal DESC, nation, s_name, p_partkey LIMIT 100""".stripMargin
 
+  /** Runtime BLOOM-FILTER join pruning — the row-level runtime filter
+    * Spark ships beside DPP (`InjectRuntimeFilter`): a selective filter
+    * on the orders side plants `BloomFilterAggregate` over the join key
+    * as a subquery, and the lineitem scan gains a `might_contain` guard
+    * that drops non-joining rows BEFORE the shuffle. At 100 TB this is
+    * the difference between shuffling the full fact table and shuffling
+    * the ~2% that will survive the join — the lever for selective
+    * fact-fact joins where the dimension is too big to broadcast (DPP
+    * needs a partition column; the bloom filter needs nothing).
+    *
+    * Conf scope (the [[graft.operators.LayoutOps.footerMinmax]]
+    * discipline — set, materialize inside, restore in finally):
+    * `runtime.bloomFilter.enabled` (off by default),
+    * `applicationSideScanSizeThreshold=0` (the production 10 GB floor
+    * can never trigger on harness fixtures), and broadcast disabled to
+    * pin the shuffle-join shape the filter exists for — at real scale
+    * both sides exceed the broadcast threshold on their own. The filter
+    * is an optimization, not a semantic: the oracle is the plain join
+    * SQL, and `WarehouseSpec` pins `might_contain` present under these
+    * confs and ABSENT without them (so the gate can't silently pass on
+    * an unfiltered plan).
+    */
+  def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val saved = bloomConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      val out = bloomJoinPlan(s, dir)
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  /** The conf set + bare plan, shared with `WarehouseSpec`'s plan pin. */
+  private[graft] val bloomConfs: Map[String, String] = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def bloomJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("1998-04-01"))
+      .select(col("o_orderkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), revCents.as("rev_c"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), (sum(col("rev_c")) / 100.0).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val runtimeBloomOracle: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q20 (potential part promotion): suppliers of name-filtered
     * parts whose off-window shipped volume ("stock on hand") clears a
     * per-(part, supplier) multiple of the window demand — the nested
@@ -1061,6 +1124,7 @@ object WarehouseOps extends QueryModule {
     RegisteredQuery("q16_parts_suppliers", q16PartsSuppliers, Some(q16Oracle)),
     RegisteredQuery("q20_excess_stock", q20ExcessStock, Some(q20Oracle)),
     RegisteredQuery("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Oracle)),
+    RegisteredQuery("runtime_bloom_join", runtimeBloomJoin, Some(runtimeBloomOracle)),
     RegisteredQuery("q19_disjunctive_revenue", q19DisjunctiveRevenue, Some(q19Oracle)),
     RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),
     RegisteredQuery("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),

@@ -284,6 +284,28 @@ class WarehouseSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("runtime bloom join: might_contain present under the confs, absent without") {
+    val saved = WarehouseOps.bloomConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      WarehouseOps.bloomConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = WarehouseOps.bloomJoinPlan(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "runtime bloom filter was not injected into the lineitem side")
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        "no BloomFilterAggregate creation subquery in the plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    // control: without the confs the same plan has NO bloom guard, so the
+    // gate cannot silently pass on an unfiltered plan
+    val bare = WarehouseOps.bloomJoinPlan(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!bare.contains("might_contain"),
+      "control failed: bloom filter present without the confs")
+  }
+
   test("q2: window-min decorrelation equals the groupBy+join-back twin, dims broadcast") {
     val df = WarehouseOps.q2MinCostSupplier(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString
