@@ -749,9 +749,63 @@ object ProfilingOps extends QueryModule {
       | CAST(sq_c * 10000 // eq_c AS BIGINT) AS ratio_bp
       |FROM est JOIN tru ON est.p = tru.p ORDER BY p""".stripMargin
 
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Data-quality metrics via the `Observation` API — metrics that RIDE
+    * the transform's own job instead of a second scan. `dq_rule_report`
+    * is the standalone expectation suite (one dedicated aggregate pass);
+    * this is the other production shape: a real pipeline stage (per-user
+    * fan-out digest) runs once, and `observe()` plants a
+    * `CollectMetrics` node on its input that accumulates row counts /
+    * violation counts / the value sum DURING that run — at 100 TB the
+    * difference between auditing the feed for free and paying a second
+    * full scan for the same numbers. The spec pins the no-second-pass
+    * property (exactly ONE parquet scan in the digest's plan, with
+    * CollectMetrics present); the oracle recomputes every cell.
+    *
+    * `obs_value_sum` is a double sum under 2dp rounding — the
+    * stream_update_counts envelope (addition-order noise ~1e-13 relative
+    * vs the 5e-3 rounding margin), not a bit pin.
+    */
+  def observedIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_obs_${obsSeq.incrementAndGet()}")
+    val digest = observedDigest(s, dir, obs)
+    val d = digest.head()
+    val m = obs.get
+    Seq((d.getLong(0), d.getLong(1),
+        m("obs_rows").asInstanceOf[Long],
+        m("obs_bad_value").asInstanceOf[Long],
+        math.floor(m("obs_value_total").asInstanceOf[Double] * 100 + 0.5) / 100))
+      .toDF("n_users", "max_user_rows", "obs_rows", "obs_bad_value", "obs_value_sum")
+  }
+
+  /** The observed pipeline stage, shared with the spec's one-scan pin. */
+  private[graft] def observedDigest(
+      s: SparkSession, dir: String, obs: org.apache.spark.sql.Observation): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .observe(obs,
+        count(lit(1)).as("obs_rows"),
+        count(when(col("value").isNull || col("value") < 0, 1)).as("obs_bad_value"),
+        sum(col("value")).as("obs_value_total"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_users"), max(col("n")).as("max_user_rows"))
+
+  val observedIngestOracle: String =
+    """WITH ev AS (SELECT user_id, value FROM events WHERE user_id IS NOT NULL),
+      |per AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1)
+      |SELECT (SELECT count(*) FROM per) AS n_users,
+      | (SELECT max(n) FROM per) AS max_user_rows,
+      | (SELECT count(*) FROM ev) AS obs_rows,
+      | (SELECT count(*) FROM ev WHERE value IS NULL OR value < 0) AS obs_bad_value,
+      | (SELECT floor(sum(value) * 1e2 + 0.5) / 1e2 FROM ev) AS obs_value_sum""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("bottomk_quantile_sketch", bottomkQuantileSketch,
       Some(bottomkQuantileOracle)),
+    RegisteredQuery("observed_ingest", observedIngest, Some(observedIngestOracle)),
     RegisteredQuery("kmv_distinct", kmvDistinct, Some(kmvOracle)),
     RegisteredQuery("kmv_grouped_agg", kmvGroupedAgg, Some(kmvGroupedOracle)),
     RegisteredQuery("kmv_merge_stress", kmvMergeStress, Some(kmvStressOracle)),

@@ -37,6 +37,27 @@ class ProfilingSpec extends SparkSpec
     assert(scans.length == 1, s"expected one scan, got ${scans.length}")
   }
 
+  test("observed_ingest: metrics ride the ONE transform scan (CollectMetrics, no 2nd pass)") {
+    val obs = org.apache.spark.sql.Observation("graft_obs_spec")
+    val digest = ProfilingOps.observedDigest(spark, sfDir, obs)
+    digest.collect()
+    val plan = digest.queryExecution.executedPlan
+    val scans = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"observe() must not add a scan: expected 1, got ${scans.length}")
+    assert(plan.toString.contains("CollectMetrics"),
+      "no CollectMetrics node — the observation is not riding this job")
+    // the metrics equal a direct recompute
+    val m = obs.get
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+    assert(m("obs_rows") == ev.count())
+    assert(m("obs_bad_value") ==
+      ev.filter(col("value").isNull || col("value") < 0).count())
+  }
+
   test("integrity_audit: clean fixture passes; injected dup pk + orphan fk are caught") {
     import org.apache.spark.sql.functions._
     val clean = ProfilingOps.integrityAudit(spark, sfDir).collect()
