@@ -29,7 +29,13 @@ package graft.engine
   * old root retires — review r12: a dangling entry would serve a deleted
   * path if the fixture later reverted to the old fingerprint) and its
   * fresh half-populated root is deleted. Staged state never outlives the
-  * session that built it.
+  * session that built it — except on abnormal termination (SIGKILL/OOM)
+  * where the exit hook never runs. For that case (ADVICE r13) roots are
+  * PID-marked (`graft-p<pid>-<tag>`) and the first `of` call per JVM
+  * sweeps the temp root: PID-marked dirs whose owner process is dead are
+  * reclaimed immediately; legacy unmarked `graft-*` dirs are reclaimed
+  * once older than 24 h (an age floor so a concurrently-running sibling
+  * JVM's fresh dirs are never touched).
   */
 object StagedRoots {
   private val cache =
@@ -51,6 +57,36 @@ object StagedRoots {
       }
     }))
 
+  /** One-time-per-JVM reclaim of roots leaked by KILLED JVMs (where the
+    * exit hook never ran). Deletes `graft-p<pid>-*` dirs whose pid is no
+    * longer alive, and pre-PID-marking `graft-*` dirs older than 24 h.
+    * Errors are swallowed: the sweep is a best-effort janitor, never a
+    * correctness dependency.
+    */
+  private lazy val sweepInstalled: Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    scala.util.Try {
+      val st = java.nio.file.Files.list(tmp)
+      try st.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        val stale =
+          if (n.startsWith("graft-p")) {
+            val pid = n.stripPrefix("graft-p").takeWhile(_.isDigit)
+            pid.nonEmpty && pid.toLongOption.exists { id =>
+              id != ProcessHandle.current().pid() &&
+                !ProcessHandle.of(id).map[Boolean](_.isAlive).orElse(false)
+            }
+          } else n.startsWith("graft-") && scala.util.Try(
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+          ).getOrElse(false)
+        if (stale) { val _ = scala.util.Try(deleteRecursively(p)) }
+      } finally st.close()
+    }
+    ()
+  }
+
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
@@ -68,6 +104,7 @@ object StagedRoots {
   def of(tag: String, dir: String, fingerprint: String)(
       stage: String => Unit): String = {
     hookInstalled
+    sweepInstalled
     val key = s"$tag|$dir"
     locks.getOrElseUpdate(key, new Object).synchronized {
       cache.get(key) match {
@@ -77,8 +114,8 @@ object StagedRoots {
           // key pointing at a superseded root
           cache.remove(key)
           stale.foreach { case (_, old) => retired.add(old); () }
-          val root =
-            java.nio.file.Files.createTempDirectory(s"graft-$tag")
+          val root = java.nio.file.Files.createTempDirectory(
+            s"graft-p${ProcessHandle.current().pid()}-$tag")
           try {
             stage(root.toString)
             cache.put(key, (fingerprint, root.toString))

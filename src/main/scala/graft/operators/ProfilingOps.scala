@@ -706,8 +706,11 @@ object ProfilingOps extends QueryModule {
     import s.implicits._
     val mm = pop.agg(min(col("ov_c")).as("lo"), max(col("ov_c")).as("hi"),
       count(lit(1)).as("n")).head()
-    val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    // count first: on an empty population min/max are NULL and the
+    // primitive getters would throw an opaque NPE before the guard fires
+    val n = mm.getLong(2)
     require(n > 0, "exactQuantilesRanked over an empty population")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = math.max(1L, (hi - lo) / 1024L + 1L)
     val bucketed = pop.withColumn("b", expr(s"(ov_c - ${lo}L) div ${width}L"))
     val counts = bucketed.groupBy(col("b")).agg(count(lit(1)).as("c"))
@@ -763,9 +766,13 @@ object ProfilingOps extends QueryModule {
     * property (exactly ONE parquet scan in the digest's plan, with
     * CollectMetrics present); the oracle recomputes every cell.
     *
-    * `obs_value_sum` is a double sum under 2dp rounding — the
-    * stream_update_counts envelope (addition-order noise ~1e-13 relative
-    * vs the 5e-3 rounding margin), not a bit pin.
+    * `obs_value_sum` accumulates CENTS inside the observation
+    * (`sum(floor(value*100+0.5))` — per-row rounding, then an exact
+    * integer sum) so the total is identical in any addition order; the
+    * earlier floor-of-a-double-sum form could flip a cent when the raw
+    * sum landed within float noise of a half-cent boundary (floor is a
+    * step function, not a tolerance). Same revCents discipline as the
+    * warehouse family.
     */
   def observedIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -777,7 +784,7 @@ object ProfilingOps extends QueryModule {
     Seq((d.getLong(0), d.getLong(1),
         m("obs_rows").asInstanceOf[Long],
         m("obs_bad_value").asInstanceOf[Long],
-        math.floor(m("obs_value_total").asInstanceOf[Double] * 100 + 0.5) / 100))
+        m("obs_value_cents").asInstanceOf[Long] / 100.0))
       .toDF("n_users", "max_user_rows", "obs_rows", "obs_bad_value", "obs_value_sum")
   }
 
@@ -789,7 +796,7 @@ object ProfilingOps extends QueryModule {
       .observe(obs,
         count(lit(1)).as("obs_rows"),
         count(when(col("value").isNull || col("value") < 0, 1)).as("obs_bad_value"),
-        sum(col("value")).as("obs_value_total"))
+        sum(floor(col("value") * 100 + 0.5)).as("obs_value_cents"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_users"), max(col("n")).as("max_user_rows"))
 
@@ -800,7 +807,8 @@ object ProfilingOps extends QueryModule {
       | (SELECT max(n) FROM per) AS max_user_rows,
       | (SELECT count(*) FROM ev) AS obs_rows,
       | (SELECT count(*) FROM ev WHERE value IS NULL OR value < 0) AS obs_bad_value,
-      | (SELECT floor(sum(value) * 1e2 + 0.5) / 1e2 FROM ev) AS obs_value_sum""".stripMargin
+      | (SELECT sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 FROM ev)
+      |   AS obs_value_sum""".stripMargin
 
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("bottomk_quantile_sketch", bottomkQuantileSketch,

@@ -994,8 +994,10 @@ object WarehouseOps extends QueryModule {
     * fact-fact joins where the dimension is too big to broadcast (DPP
     * needs a partition column; the bloom filter needs nothing).
     *
-    * Conf scope (the [[graft.operators.LayoutOps.footerMinmax]]
-    * discipline — set, materialize inside, restore in finally):
+    * Conf scope: set on a `cloneSession()` and materialize inside it
+    * (session-local — stronger than the set/restore-in-finally
+    * [[graft.operators.LayoutOps.footerMinmax]] discipline, which
+    * assumes single-threaded execution on the shared session):
     * `runtime.bloomFilter.enabled` (off by default),
     * `applicationSideScanSizeThreshold=0` (the production 10 GB floor
     * can never trigger on harness fixtures), and broadcast disabled to
@@ -1007,14 +1009,22 @@ object WarehouseOps extends QueryModule {
     * an unfiltered plan).
     */
   def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
-    val saved = bloomConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
-    try {
-      bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
-      val out = bloomJoinPlan(s, dir)
-      s.createDataFrame(out.collectAsList(), out.schema)
-    } finally saved.foreach { case (k, v) =>
-      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    // ADVICE r13: mutate confs on an isolated session so the
+    // bloom/broadcast flips are session-local — a query planned
+    // concurrently on the caller's session can never observe them. The
+    // new session shares the SparkContext (same executors, same scan
+    // cache) but owns its conf; copying the caller's modifiable confs
+    // first gives clone semantics (`cloneSession` itself is
+    // private[sql]).
+    val scoped = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (scoped.conf.isModifiable(k)) scoped.conf.set(k, v)
     }
+    bloomConfs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    val out = bloomJoinPlan(scoped, dir)
+    // materialize inside the scoped session so the gated plan shape is
+    // what actually ran; re-bind the rows to the caller's session
+    s.createDataFrame(out.collectAsList(), out.schema)
   }
 
   /** The conf set + bare plan, shared with `WarehouseSpec`'s plan pin. */

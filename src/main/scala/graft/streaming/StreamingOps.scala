@@ -157,6 +157,19 @@ object StreamingOps extends QueryModule {
   /** Set session confs for the duration of `body`, restoring (or
     * unsetting) each afterwards — the [[withShufflePartitions]] contract
     * generalized to any conf set.
+    *
+    * CONCURRENCY CONTRACT (ADVICE r13): the set→run→restore window
+    * mutates SHARED SparkSession confs, so any query planned
+    * concurrently on the same session would silently pick up the
+    * altered values. Every caller in this repo runs under the harness's
+    * single-threaded query execution (Verify/Bench/ScalaTest drive one
+    * query at a time per session), which makes the idiom safe; a caller
+    * that needs the scope under concurrent planning must run `body` on
+    * `s.cloneSession()` instead so the mutation is session-local — the
+    * batch-side [[graft.operators.WarehouseOps.runtimeBloomJoin]] does
+    * exactly that. The streaming entries stay on the shared session
+    * because a cloned session would also clone the StreamingQueryManager
+    * and detach the memory-sink temp views the oracles read.
     */
   private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
     val old = confs.keys.map(k => k -> s.conf.getOption(k)).toMap

@@ -38,6 +38,7 @@ class ProfilingSpec extends SparkSpec
   }
 
   test("observed_ingest: metrics ride the ONE transform scan (CollectMetrics, no 2nd pass)") {
+    import org.apache.spark.sql.functions.col
     val obs = org.apache.spark.sql.Observation("graft_obs_spec")
     val digest = ProfilingOps.observedDigest(spark, sfDir, obs)
     digest.collect()
