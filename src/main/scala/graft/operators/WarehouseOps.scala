@@ -1008,22 +1008,28 @@ object WarehouseOps extends QueryModule {
     * confs and ABSENT without them (so the gate can't silently pass on
     * an unfiltered plan).
     */
-  def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
-    // ADVICE r13: mutate confs on an isolated session so the
-    // bloom/broadcast flips are session-local — a query planned
-    // concurrently on the caller's session can never observe them. The
-    // new session shares the SparkContext (same executors, same scan
-    // cache) but owns its conf; copying the caller's modifiable confs
-    // first gives clone semantics (`cloneSession` itself is
-    // private[sql]).
+  def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame =
+    scopedRun(s, bloomConfs)(bloomJoinPlan(_, dir))
+
+  /** Run `plan` under `confs` on an ISOLATED session (ADVICE r13): a
+    * query planned concurrently on the caller's session can never
+    * observe the flips. The new session shares the SparkContext (same
+    * executors, same scan cache) but owns its conf; copying the caller's
+    * modifiable confs first gives clone semantics (`cloneSession` itself
+    * is private[sql]). The result is materialized INSIDE the scoped
+    * session so the gated plan shape is what actually ran — a lazy
+    * frame would re-optimize on the caller's confs — then re-bound to
+    * the caller's session as a bounded local relation (every caller
+    * here returns a small grouped report).
+    */
+  private def scopedRun(s: SparkSession, confs: Map[String, String])(
+      plan: SparkSession => DataFrame): DataFrame = {
     val scoped = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
       if (scoped.conf.isModifiable(k)) scoped.conf.set(k, v)
     }
-    bloomConfs.foreach { case (k, v) => scoped.conf.set(k, v) }
-    val out = bloomJoinPlan(scoped, dir)
-    // materialize inside the scoped session so the gated plan shape is
-    // what actually ran; re-bind the rows to the caller's session
+    confs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    val out = plan(scoped)
     s.createDataFrame(out.collectAsList(), out.schema)
   }
 
@@ -1055,6 +1061,92 @@ object WarehouseOps extends QueryModule {
       |WHERE o_orderpriority = '1-URGENT'
       |  AND o_orderdate >= TIMESTAMP '1998-01-01'
       |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Runtime bloom pruning COMPOSED with AQE skew-join splitting
+    * (VERDICT r13 #5) — the real 100 TB shape the two levers were built
+    * for separately: a SELECTIVE fact-fact join over a SKEWED key. The
+    * fixture has no naturally hot join key, so the skew is derived
+    * deterministically (oracle-expressible): every lineitem row whose
+    * supplier key is not a multiple of 10 re-keys to supplier 1 — ~90%
+    * of the fact lands on ONE join key. The dimension side filters
+    * suppliers to one nation (plus the hot supplier, so the hot key
+    * SURVIVES — skew the optimizer must handle, not skew the filter
+    * deletes), staying unique per key so the inner join cannot explode.
+    *
+    * What each lever does here, measurably:
+    *  - the bloom filter built from the ~5% surviving suppliers plants
+    *    `might_contain` on the fact side BEFORE the shuffle, dropping
+    *    the ~86% of rows whose (cold) supplier fails the nation filter —
+    *    at scale, the difference between shuffling the full fact table
+    *    and shuffling the survivors;
+    *  - the survivors are ~73% ONE key, so the sort-merge join's hot
+    *    partition splits under AQE (`skew=true`), thresholds scaled to
+    *    fixture bytes exactly like [[graft.SkewJoinAqeSpec]] — at scale,
+    *    the difference between one straggler task and even waves.
+    *
+    * The report groups by `l_returnflag`, NOT the join key — and that
+    * is load-bearing: an aggregation ON the join key would reuse the
+    * join's output partitioning, and `OptimizeSkewedJoin` (correctly)
+    * refuses a split that would force an extra shuffle downstream
+    * (`forceOptimizeSkewedJoin` stays at its default). Grouping by a
+    * different key already requires its own (3-group partial-agg)
+    * exchange, so the split is free — the same reasoning a 100 TB
+    * pipeline applies when deciding which aggregations can ride a
+    * skew-split join.
+    *
+    * `SkewJoinAqeSpec` pins BOTH artifacts in the one executed plan
+    * (might_contain + skew=true); the oracle is the plain join SQL —
+    * both levers are pure plan rewrites.
+    */
+  def bloomSkewJoin(s: SparkSession, dir: String): DataFrame =
+    scopedRun(s, bloomSkewConfs)(bloomSkewPlan(_, dir))
+
+  private[graft] val bloomSkewConfs: Map[String, String] = bloomConfs ++ Map(
+    // AQE skew split, scaled to fixture bytes (production defaults are
+    // 256 MB/5×): 64 KB splits the sf0.01 hot partition (~hundreds of
+    // KB) into a handful of chunks and bounds the sf0.1 split count at
+    // a few dozen tasks — demonstration-sized, not pathological
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+
+  private[graft] def bloomSkewPlan(s: SparkSession, dir: String): DataFrame = {
+    // the round-robin repartition is FIXTURE plumbing, not the operator:
+    // OptimizeSkewedJoin splits a skewed reduce partition along MAPPER
+    // boundaries (PartialReducerPartitionSpec), and the single-file
+    // fixture gives the join exchange exactly ONE mapper — nothing to
+    // split. A real fact table arrives in thousands of scan tasks; 8
+    // round-robin partitions emulate that shape at ~1 MB of extra
+    // fixture shuffle. (Removing it makes the skew=true pin fail for
+    // exactly this documented reason.)
+    val fact = Tables.lineitem(s, dir)
+      .select(
+        when(pmod(col("l_suppkey"), lit(10L)) === 0, col("l_suppkey"))
+          .otherwise(lit(1L)).as("jk"),
+        col("l_returnflag"), revCents.as("rev_c"))
+      .repartition(8)
+    val dim = Tables.supplier(s, dir)
+      .filter(col("s_nationkey") === 0 || col("s_suppkey") === 1)
+      .select(col("s_suppkey"))
+    fact.join(dim, col("jk") === col("s_suppkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), (sum(col("rev_c")) / 100.0).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomSkewOracle: String =
+    """WITH f AS (
+      | SELECT CASE WHEN l_suppkey % 10 = 0 THEN l_suppkey ELSE 1 END AS jk,
+      |  l_returnflag,
+      |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+      |   AS rev_c
+      | FROM lineitem),
+      |d AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 0 OR s_suppkey = 1)
+      |SELECT l_returnflag, count(*) AS n_items,
+      | CAST(sum(rev_c) AS BIGINT) / 100.0 AS revenue
+      |FROM f JOIN d ON jk = s_suppkey
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   /** TPC-H Q20 (potential part promotion): suppliers of name-filtered
@@ -1135,6 +1227,7 @@ object WarehouseOps extends QueryModule {
     RegisteredQuery("q20_excess_stock", q20ExcessStock, Some(q20Oracle)),
     RegisteredQuery("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Oracle)),
     RegisteredQuery("runtime_bloom_join", runtimeBloomJoin, Some(runtimeBloomOracle)),
+    RegisteredQuery("bloom_skew_join", bloomSkewJoin, Some(bloomSkewOracle)),
     RegisteredQuery("q19_disjunctive_revenue", q19DisjunctiveRevenue, Some(q19Oracle)),
     RegisteredQuery("q13_order_histogram", q13OrderHistogram, Some(q13Oracle)),
     RegisteredQuery("q17_small_qty_revenue", q17SmallQtyRevenue, Some(q17Oracle)),
