@@ -51,3 +51,42 @@ class TwsTopKProcessor(k: Int) extends StatefulProcessor[Long, TwsIn, TwsEmit] {
     Iterator.single(TwsEmit(key, n, vs.lift(0), vs.lift(1), vs.lift(2)))
   }
 }
+
+/** VERSION 2 of the top-k state — [[TwsState]] plus one ADDED field
+  * (`maxSeen`, an `Option` so Avro encodes it nullable with a null
+  * default). Under `spark.sql.streaming.stateStore.encodingFormat=avro`
+  * a checkpoint written by [[TwsTopKProcessor]] restarts directly into
+  * [[TwsTopKProcessorV2]]: V1 rows decode with `maxSeen = None` and the
+  * new stat starts accruing at the migration batch — the supported
+  * state-schema-evolution path in Spark 4 (the default unsaferow
+  * encoding rejects any value-schema change). `StateEvolutionSpec`
+  * gates the restart: carried items/counter prove the old fields
+  * survived, and `max_seen` spanning only post-migration values proves
+  * the default fill (a recompute-from-scratch would cover both phases).
+  */
+case class TwsStateV2(items: List[TwsScored], nSeen: Long, maxSeen: Option[Double])
+case class TwsEmitV2(user_id: Long, n_seen: Long, max_seen: Option[Double],
+    v1: Option[Double], v2: Option[Double], v3: Option[Double])
+
+class TwsTopKProcessorV2(k: Int) extends StatefulProcessor[Long, TwsIn, TwsEmitV2] {
+
+  @transient private var state: ValueState[TwsStateV2] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TwsStateV2](
+      "topk", Encoders.product[TwsStateV2], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsIn],
+      timerValues: TimerValues): Iterator[TwsEmitV2] = {
+    val prev = Option(state.get()).getOrElse(TwsStateV2(Nil, 0L, None))
+    var n = prev.nSeen
+    val incoming = rows.map { r => n += 1; TwsScored(r.value, r.event_id) }.toList
+    val top = (prev.items ++ incoming)
+      .sortBy(e => (-e.value, e.eventId)).take(k)
+    val maxSeen = (prev.maxSeen.toList ++ incoming.map(_.value))
+      .reduceOption((a: Double, b: Double) => math.max(a, b))
+    state.update(TwsStateV2(top, n, maxSeen))
+    val vs = top.map(_.value)
+    Iterator.single(TwsEmitV2(key, n, maxSeen, vs.lift(0), vs.lift(1), vs.lift(2)))
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.Tables
+
+/** State-store EVOLUTION semantics (VERDICT r13 #4): the operational
+  * question after read/CDC/custom-read is what happens to an existing
+  * checkpoint when the job's sizing changes. Spark pins the stateful
+  * operator's partition count in the checkpoint (offset-log confs +
+  * state metadata), so a restart under a different
+  * `spark.sql.shuffle.partitions` must NOT re-shard live state — the
+  * conf change is silently overridden for the stateful subtree (batch
+  * sizing changes would otherwise corrupt key→partition routing).
+  *
+  * This spec proves that behavior end-to-end and pins the supported
+  * re-sizing path:
+  *  1. run a per-key streaming aggregate at 4 shuffle partitions;
+  *  2. restart the same checkpoint with the session asking for 8;
+  *  3. the restart SUCCEEDS, state carries (post-restart state equals
+  *     the batch aggregate over both phases), and the state-metadata
+  *     source still reports numPartitions=4 — the checkpoint, not the
+  *     session conf, owns state partitioning.
+  *
+  * The supported re-sizing recipe (documented here because there is no
+  * in-place path): export the final state through the `statestore`
+  * read source (gated green as `stream_state_read`), then start a
+  * FRESH checkpoint at the new partition count and replay — state
+  * cannot be re-sharded inside a live checkpoint in Spark 4 (the state
+  * sources are read-only; an offline rewrite would have to reproduce
+  * RocksDB/HDFS provider file layouts byte-for-byte).
+  */
+class StateEvolutionSpec extends SparkSpec {
+
+  test("restart with changed shuffle partitions: state carries at the CHECKPOINTED partitioning") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val h1 = ev.filter(col("event_id") % 2 === 0)
+    val h2 = ev.filter(col("event_id") % 2 =!= 0)
+
+    val inDir = tmpDir("graft-evo-in")
+    val ckpt = tmpDir("graft-evo-ckpt")
+    h1.write.mode(SaveMode.Overwrite).parquet(s"$inDir/f1")
+
+    def runOnce(name: String): Unit = {
+      // foreachBatch sink: the memory sink rejects checkpoint RECOVERY
+      // (not fault-tolerant); foreachBatch is the restartable shape
+      val q = spark.readStream.schema(ev.schema).parquet(s"$inDir/*")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val _ = df.count(); ()
+        }
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      runOnce("graft_evo_run1")
+
+      // phase 2: new data arrives AND the job is re-sized to 8
+      h2.write.mode(SaveMode.Overwrite).parquet(s"$inDir/f2")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      runOnce("graft_evo_run2") // must succeed, not reject
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    // the checkpoint, not the session conf, owns state partitioning
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    val parts = meta.select("numPartitions").collect().map(_.getInt(0)).toSeq
+    assert(parts.nonEmpty && parts.forall(_ == 4),
+      s"state metadata must pin the run-1 partitioning: $parts")
+    // and both phases committed through it
+    val maxBatch = meta.agg(max(col("maxBatchId"))).head().getLong(0)
+    assert(maxBatch >= 1, s"restart never committed a batch: maxBatchId=$maxBatch")
+
+    // state after the re-sized restart equals the batch aggregate over
+    // BOTH phases — nothing was lost or double-counted by the override
+    // sums compared in rounded cents: double addition order differs
+    // between the two-batch streaming accumulation and the batch plan
+    val cents = (c: org.apache.spark.sql.Column) =>
+      floor(c * 100 + 0.5).cast("long")
+    val state = spark.read.format("statestore").load(ckpt)
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        cents(col("value.sum")).as("sum_c"))
+    val expected = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), cents(sum(col("value"))).as("sum_c"))
+    assert(state.count() == expected.count())
+    val diff = state.exceptAll(expected).count() + expected.exceptAll(state).count()
+    assert(diff == 0, "post-restart state differs from the batch aggregate")
+  }
+
+  test("TWS value-state schema evolution: V2 processor (added field) resumes V1's checkpoint under Avro") {
+    import spark.implicits._
+    import graft.streaming.{TwsIn, TwsEmit, TwsEmitV2, TwsTopKProcessor, TwsTopKProcessorV2}
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val h1 = ev.filter(col("event_id") % 2 === 0)
+    val h2 = ev.filter(col("event_id") % 2 =!= 0)
+    val inDir = tmpDir("graft-twsevo-in")
+    val ckpt = tmpDir("graft-twsevo-ckpt")
+    h1.write.mode(SaveMode.Overwrite).parquet(s"$inDir/f1")
+
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.encodingFormat",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val emitsV1 = scala.collection.mutable.ArrayBuffer.empty[TwsEmit]
+    val emitsV2 = scala.collection.mutable.ArrayBuffer.empty[TwsEmitV2]
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Avro value encoding from the FIRST run: the default unsaferow
+      // encoding rejects any later value-schema change
+      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+      val q1 = spark.readStream.schema(ev.schema).parquet(s"$inDir/*")
+        .as[TwsIn].groupByKey(_.user_id)
+        .transformWithState(new TwsTopKProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[TwsEmit], _: Long) =>
+          emitsV1 ++= df.collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      assert(emitsV1.nonEmpty, "phase-1 processor emitted nothing")
+
+      // phase 2: new data AND the evolved processor on the SAME checkpoint
+      h2.write.mode(SaveMode.Overwrite).parquet(s"$inDir/f2")
+      val q2 = spark.readStream.schema(ev.schema).parquet(s"$inDir/*")
+        .as[TwsIn].groupByKey(_.user_id)
+        .transformWithState(new TwsTopKProcessorV2(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[TwsEmitV2], _: Long) =>
+          emitsV2 ++= df.collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+
+    val v2ByUser = emitsV2.map(e => e.user_id -> e).toMap
+    assert(v2ByUser.nonEmpty, "evolved processor emitted nothing")
+
+    // ground truth per user, computed batch-side
+    val rows = ev.select(col("user_id"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = rows.groupBy(_._1)
+    v2ByUser.foreach { case (u, e) =>
+      val all = byUser(u)
+      val phase2 = all.filter(_._2 % 2 != 0)
+      // carried V1 fields: the counter spans BOTH phases...
+      assert(e.n_seen == all.length,
+        s"user $u: n_seen ${e.n_seen} != total ${all.length} — V1 state was lost")
+      // ...and the top-3 items survived the schema change
+      val top = all.toSeq.sortBy(t => (-t._3, t._2)).take(3).map(_._3)
+      assert(Seq(e.v1, e.v2, e.v3).flatten == top, s"user $u: top-3 mismatch")
+      // the ADDED field starts at its default (None) and accrues only
+      // post-migration values — not a recompute over history
+      assert(e.max_seen.contains(phase2.map(_._3).max),
+        s"user $u: max_seen ${e.max_seen} should cover phase 2 only")
+    }
+    // the default-fill is observable: some user's full-history max exceeds
+    // its post-migration max (otherwise the previous assert proves nothing)
+    assert(v2ByUser.exists { case (u, e) =>
+      byUser(u).map(_._3).max > e.max_seen.getOrElse(Double.NegativeInfinity)
+    }, "fixture never distinguishes evolved default from recompute")
+  }
+}
