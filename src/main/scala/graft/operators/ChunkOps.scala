@@ -380,8 +380,111 @@ object ChunkOps extends QueryModule {
        |FROM c LEFT JOIN x USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Content-defined chunking (CDC)
+  // ---------------------------------------------------------------------
+
+  /** Rolling-hash window width and boundary divisor: a cut lands after
+    * any 8-char window whose hash ≡ 0 (mod 32), so chunks average ~32
+    * chars on the fixture docs. Production CDC adds min/max clamps
+    * against degenerate chunks; the census keeps the pure form so the
+    * oracle recomputes every boundary from first principles.
+    */
+  private val cdcWin = 8
+  private val cdcDiv = 32
+
+  /** Content-defined chunking census — the dedup primitive [[dedupSegments]]
+    * deliberately is NOT: fixed-width segments lose ALL alignment after a
+    * single-character insertion, while CDC boundaries are a pure function
+    * of the TRAILING bytes (cut where `md5(window) % 32 == 0`), so edits
+    * re-sync within one expected chunk length and the untouched remainder
+    * of the document keeps its chunk fingerprints
+    * (`ChunkPropertiesSpec`/`ChunkOpsSpec` pin exactly that shift
+    * robustness). This is the chunking rsync/LBFS-style dedup and
+    * training-corpus near-version dedup rely on.
+    *
+    * Topology (100 TB shape): the position grid explodes O(corpus chars)
+    * rows — the irreducible cost of byte-level chunking, kept MAP-ONLY
+    * (Generate + codegen'd md5 projection + filter, no interpreted HOF
+    * lambdas per the §7.5 discipline); surviving cut rows are ~1/32 of
+    * positions. Spans come from one keyed window on doc_id (lag over each
+    * doc's bounded cut list), chunk texts from one keyed join back to the
+    * doc table (text shipped once per ~32-char chunk, projected to an
+    * md5+length immediately), and the duplicate census is one
+    * hash-keyed shuffle — uniform by construction, no skew. Output is a
+    * bounded per-source report of exact integers.
+    */
+  def chunkCdcCensus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(length(col("text")) >= 1)
+    // natural cuts: position p (1-based, window ENDS at p) is a cut when
+    // the trailing 8-char window's hash divides; the doc end is always a
+    // cut so every doc chunks completely (short docs = one chunk)
+    val winHash = conv(
+      substring(md5(expr(s"substring(text, p - ${cdcWin - 1}, $cdcWin)")), 1, 6),
+      16, 10).cast("long")
+    val cuts = docs
+      .select(col("doc_id"), col("text"), explode(expr(
+        s"CASE WHEN length(text) >= $cdcWin THEN sequence($cdcWin, length(text)) " +
+          "ELSE array() END")).as("p"))
+      .filter(pmod(winHash, lit(cdcDiv)) === 0)
+      .select(col("doc_id"), col("p").cast("long").as("cut"))
+      .union(docs.select(col("doc_id"), length(col("text")).cast("long").as("cut")))
+      .distinct()
+    val spans = cuts
+      .withColumn("b", lag(col("cut"), 1, 0L)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("cut"))) + 1)
+    val chunks = spans.join(docs, "doc_id")
+      .select(col("doc_id"), col("source"),
+        md5(expr("substring(text, cast(b as int), cast(cut - b + 1 as int))")).as("ch"),
+        (col("cut") - col("b") + 1).as("clen"))
+    val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+    chunks.join(freq, "ch")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        coalesce(sum(when(col("cnt") > 1, col("clen"))), lit(0L)).as("dup_chars"),
+        sum(col("clen")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  val chunkCdcOracle: String =
+    s"""WITH d AS (
+      | SELECT doc_id, source, text FROM documents WHERE length(text) >= 1),
+      |pos AS (
+      | SELECT doc_id, text, unnest(generate_series($cdcWin, length(text))) AS p
+      | FROM d),
+      |nat AS (
+      | SELECT doc_id, CAST(p AS BIGINT) AS cut FROM pos
+      | WHERE CAST(('0x' || substr(md5(substr(text, p - ${cdcWin - 1}, $cdcWin)), 1, 6))
+      |   AS BIGINT) % $cdcDiv = 0),
+      |cuts AS (
+      | SELECT DISTINCT doc_id, cut FROM (
+      |  SELECT * FROM nat
+      |  UNION ALL SELECT doc_id, CAST(length(text) AS BIGINT) FROM d)),
+      |spans AS (
+      | SELECT doc_id,
+      |  coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS b,
+      |  cut FROM cuts),
+      |chunks AS (
+      | SELECT s.doc_id, d.source,
+      |  md5(substr(d.text, CAST(b AS INT), CAST(cut - b + 1 AS INT))) AS ch,
+      |  cut - b + 1 AS clen
+      | FROM spans s JOIN d USING (doc_id)),
+      |freq AS (SELECT ch, count(*) AS cnt FROM chunks GROUP BY 1)
+      |SELECT source, count(DISTINCT c.doc_id) AS n_docs, count(*) AS n_chunks,
+      | CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+      | CAST(coalesce(sum(CASE WHEN cnt > 1 THEN clen END), 0) AS BIGINT) AS dup_chars,
+      | CAST(sum(clen) AS BIGINT) AS total_chars
+      |FROM chunks c JOIN freq USING (ch)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),
+    RegisteredQuery("chunk_cdc_census", chunkCdcCensus, Some(chunkCdcOracle)),
     RegisteredQuery("dedup_segments", dedupSegments, Some(dedupSegmentsOracle)),
     RegisteredQuery("span_exact_dedup", spanExactDedup, Some(spanExactDedupOracle)),
     RegisteredQuery("boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsOracle)),

@@ -126,4 +126,47 @@ class ChunkOpsSpec extends SparkSpec {
     assert(seg.values.sum == 0L,
       s"grid segmenter unexpectedly caught the off-grid run: $seg")
   }
+
+  test("chunk_cdc_census: chunks tile every document exactly (per-source coverage)") {
+    val rows = ChunkOps.chunkCdcCensus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    val expect = graft.engine.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        sum(length(col("text")).cast("long")).as("tc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == expect.keySet)
+    rows.foreach { case (src, (nDocs, totalChars)) =>
+      assert((nDocs, totalChars) == expect(src),
+        s"source $src: chunks must cover every doc char exactly once")
+    }
+  }
+
+  test("CDC boundaries survive a prefix insertion; the fixed grid loses all alignment") {
+    // deterministic pseudo-diverse body (~720 chars); doc 1 is doc 0 with
+    // a 3-char prefix — every byte shifts, the exact failure mode that
+    // breaks aligned segmenters and that content-defined cuts absorb
+    val body = (1 to 120).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val dir = tmpDir("graft-cdc-shift")
+    import spark.implicits._
+    Seq((0L, body, "en", "s", body.length),
+        (1L, "XY " + body, "en", "s", body.length + 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val c = ChunkOps.chunkCdcCensus(spark, dir).collect().head
+    val (dupChunks, dupChars, totalChars) = (c.getLong(3), c.getLong(4), c.getLong(5))
+    // boundaries re-sync within ~one expected chunk of the edit: the
+    // shared suffix chunks dup on BOTH docs, so dup mass must dominate
+    assert(dupChunks >= 4, s"CDC re-sync failed: only $dupChunks dup chunks")
+    assert(dupChars * 2 > totalChars,
+      s"dup chars $dupChars must dominate $totalChars after a 3-char shift")
+
+    // the token-aligned segmenter on the same pair: the one-token prefix
+    // shifts every 16-token grid cell — zero duplicate segments
+    val seg = ChunkOps.dedupSegments(spark, dir).collect()
+      .map(r => r.getLong(1) - r.getLong(2)).sum
+    assert(seg == 0L, s"grid segmenter should lose alignment, caught $seg")
+  }
 }
