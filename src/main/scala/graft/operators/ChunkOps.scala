@@ -431,10 +431,13 @@ object ChunkOps extends QueryModule {
       .filter(pmod(winHash, lit(cdcDiv)) === 0)
       .select(col("doc_id"), col("p").cast("long").as("cut"))
       .union(docs.select(col("doc_id"), length(col("text")).cast("long").as("cut")))
-      .distinct()
+    // no distinct: when the doc end is ALSO a natural cut, the duplicate
+    // cut row lags into a zero-length span and the clen>=1 filter drops
+    // it — one less corpus-wide shuffle than dedup-then-window
     val spans = cuts
       .withColumn("b", lag(col("cut"), 1, 0L)
         .over(Window.partitionBy(col("doc_id")).orderBy(col("cut"))) + 1)
+      .filter(col("cut") - col("b") + 1 >= 1)
     val chunks = spans.join(docs, "doc_id")
       .select(col("doc_id"), col("source"),
         md5(expr("substring(text, cast(b as int), cast(cut - b + 1 as int))")).as("ch"),
@@ -462,13 +465,14 @@ object ChunkOps extends QueryModule {
       | WHERE CAST(('0x' || substr(md5(substr(text, p - ${cdcWin - 1}, $cdcWin)), 1, 6))
       |   AS BIGINT) % $cdcDiv = 0),
       |cuts AS (
-      | SELECT DISTINCT doc_id, cut FROM (
       |  SELECT * FROM nat
-      |  UNION ALL SELECT doc_id, CAST(length(text) AS BIGINT) FROM d)),
+      |  UNION ALL SELECT doc_id, CAST(length(text) AS BIGINT) FROM d),
       |spans AS (
-      | SELECT doc_id,
-      |  coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS b,
-      |  cut FROM cuts),
+      | SELECT * FROM (
+      |  SELECT doc_id,
+      |   coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS b,
+      |   cut FROM cuts)
+      | WHERE cut - b + 1 >= 1),
       |chunks AS (
       | SELECT s.doc_id, d.source,
       |  md5(substr(d.text, CAST(b AS INT), CAST(cut - b + 1 AS INT))) AS ch,

@@ -142,4 +142,41 @@ class KnnJoinSpec extends SparkSpec {
     assert(rate <= 0.78, f"blocking passes $rate%.3f of all pairs — not pruning")
     assert(cand > 0)
   }
+
+  test("sim_ivf_stored: served rows equal the in-memory probe; the scan prunes to the probed cells") {
+    val served = Similarity.simIvfStored(spark, sfDir)
+    val rows = served.collect()
+    // identical to the in-memory path's query-0 slice — the persisted
+    // index quantizes and ranks exactly like the live one
+    val mem = Similarity.simIvfTopk(spark, sfDir).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(rows.map(_.toSeq).toSeq == mem.map(_.toSeq).toSeq,
+      s"stored-index serve drifted from the in-memory probe:\n" +
+        s"  stored: ${rows.mkString(", ")}\n  memory: ${mem.mkString(", ")}")
+
+    // the layout claim: the candidates scan lists ONLY the probed cell
+    // partitions (static PartitionFilters), not the whole index
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") || plan.contains("PartitionFilters: [cell "),
+      s"candidates scan carries no partition filter:\n$plan")
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(served.queryExecution.executedPlan) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.partitionSchema.nonEmpty => sc
+    }
+    assert(scans.nonEmpty, "no partitioned scan in the served plan")
+    val root = Similarity.ivfStoredRoot(spark, sfDir)
+    val totalCells = new java.io.File(s"$root/candidates").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val listedFiles = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/candidates"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(totalCells == 16, s"index must persist 16 cell partitions, got $totalCells")
+    assert(listedFiles < totalFiles,
+      s"scan listed $listedFiles of $totalFiles files — no partitions pruned")
+  }
 }
