@@ -172,7 +172,17 @@ object LexiconOps extends QueryModule {
     * the per-(query,doc) term-score sum is rounded 6dp BEFORE ranking so
     * rank ties resolve identically (doc_id tiebreak).
     */
-  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+
+  /** The scored postings frame both retrieval legs share: probed-term
+    * tf rows joined with query terms, doc lengths, per-term df, and the
+    * 1-row corpus stats — one definition so [[bm25Ranked]] and
+    * [[tfidfRanked]] provably score the same postings.
+    */
+  private def probedPostings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir).select(col("doc_id"),
       explode(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).as("tok"))
@@ -183,11 +193,22 @@ object LexiconOps extends QueryModule {
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("tok"))
     val tfq = tf.join(broadcast(q.select("tok").distinct()), "tok")
     val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scored = tfq
+    tfq
       .join(broadcast(q), "tok")
       .join(dl, "doc_id")
       .join(broadcast(dfq), "tok")
       .crossJoin(broadcast(stats))
+  }
+
+  private def rankTop(scored: DataFrame, n: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= n)
+
+  /** (query_id, doc_id, score, rank≤10) under BM25. */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame =
+    rankTop(probedPostings(s, dir)
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))))
@@ -196,20 +217,31 @@ object LexiconOps extends QueryModule {
           col("dl").cast("double") /
             (col("n_toks").cast("double") / col("n_docs").cast("double")))))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(roundTo(sum(col("idf") * col("tfn")), 6).as("score"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-      .orderBy("query_id", "rank")
-  }
+      .agg(roundTo(sum(col("idf") * col("tfn")), 6).as("score")), 10)
 
-  val bm25Oracle: String = {
+  /** (query_id, doc_id, score, rank≤10) under log-tf·idf — the classic
+    * SMART ltc-ish weighting, deliberately DIFFERENT from BM25 (no
+    * length normalization, different idf damping) so the fusion below
+    * has two genuinely distinct opinions to reconcile.
+    */
+  private def tfidfRanked(s: SparkSession, dir: String): DataFrame =
+    rankTop(probedPostings(s, dir)
+      .withColumn("w",
+        (lit(1.0) + log(col("tf").cast("double"))) *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(roundTo(sum(col("w")), 6).as("score")), 10)
+
+  /** The shared CTE prefix of both retrieval oracles: token stream, tf,
+    * dl, corpus stats, query terms, probed df, and BOTH ranked lists
+    * (`br` = BM25 rank, `tr` = log-tf·idf rank) — one definition so
+    * [[bm25Oracle]] and [[hybridRrfOracle]] provably rank the same
+    * postings, mirroring [[probedPostings]] on the Spark side.
+    */
+  private val retrievalCtes: String = {
     val values = bm25Queries
       .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        | SELECT doc_id, unnest(regexp_extract_all(text, '$tokenRe')) AS tok
        | FROM documents),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -221,7 +253,7 @@ object LexiconOps extends QueryModule {
        |      FROM (VALUES $values) v(query_id, qtext)),
        |dfq AS (SELECT tok, count(*) AS df FROM tf
        |        WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
-       |scored AS (
+       |bscored AS (
        | SELECT q.query_id, tf.doc_id,
        |  floor(sum(
        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
@@ -234,13 +266,88 @@ object LexiconOps extends QueryModule {
        | FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
        |      JOIN dfq USING (tok) CROSS JOIN stats
        | GROUP BY 1, 2),
-       |r AS (SELECT query_id, doc_id, score,
+       |br AS (SELECT query_id, doc_id, score,
        |  row_number() OVER (PARTITION BY query_id
        |                     ORDER BY score DESC, doc_id) AS rank
-       | FROM scored)
-       |SELECT query_id, rank, doc_id, score FROM r
-       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       | FROM bscored),
+       |tscored AS (
+       | SELECT q.query_id, tf.doc_id,
+       |  floor(sum(
+       |    (1.0 + ln(CAST(tf AS DOUBLE)))
+       |    * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+       |  ) * 1e6 + 0.5) / 1e6 AS score
+       | FROM tf JOIN q USING (tok) JOIN dl USING (doc_id)
+       |      JOIN dfq USING (tok) CROSS JOIN stats
+       | GROUP BY 1, 2),
+       |tr AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY score DESC, doc_id) AS rank
+       | FROM tscored)""".stripMargin
   }
+
+  val bm25Oracle: String =
+    s"""WITH $retrievalCtes
+       |SELECT query_id, rank, doc_id, score FROM br
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid retrieval via RECIPROCAL RANK FUSION — the standard way a
+    * retrieval stack reconciles two rankers that disagree (classically
+    * lexical + dense; here BM25 + log-tf·idf, two genuinely different
+    * lexical opinions since the fixture ships no text-query embeddings):
+    * each leg contributes `1/(60 + rank)` for its top-10, the fused
+    * score is the sum, top-5 per query survives. RRF needs no score
+    * calibration between legs — only ranks — which is exactly why it
+    * fuses heterogeneous retrievers safely.
+    *
+    * Scale shape: both legs share ONE postings frame
+    * ([[probedPostings]] — one tf aggregate, one dl aggregate, probed
+    * terms broadcast), so the second ranker costs one more bounded
+    * aggregation over the same probed postings, not a second corpus
+    * pass; the fusion itself is a full-outer join of two ≤10-rows-per-
+    * query lists. Determinism: both leg scores are 6dp-rounded BEFORE
+    * ranking (total doc_id tie-break), the RRF sum is two fixed-order
+    * IEEE terms rounded 6dp, and the fused rank carries the same total
+    * tie-break.
+    */
+  def hybridRrfRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val b = bm25Ranked(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("brank"))
+    val t = tfidfRanked(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("trank"))
+    val fused = b.join(t, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        roundTo(
+          coalesce(lit(1.0) / (lit(60.0) + col("brank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("trank").cast("double")), lit(0.0)),
+          6).as("rrf_score"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hybridRrfOracle: String =
+    s"""WITH $retrievalCtes,
+       |fused AS (
+       | SELECT coalesce(b.query_id, t.query_id) AS query_id,
+       |  coalesce(b.doc_id, t.doc_id) AS doc_id,
+       |  floor((
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60.0 + b.rank), CAST(0 AS DOUBLE)) +
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60.0 + t.rank), CAST(0 AS DOUBLE))
+       |  ) * 1e6 + 0.5) / 1e6 AS rrf_score
+       | FROM (SELECT * FROM br WHERE rank <= 10) b
+       | FULL JOIN (SELECT * FROM tr WHERE rank <= 10) t
+       |   ON b.query_id = t.query_id AND b.doc_id = t.doc_id),
+       |out AS (
+       | SELECT query_id, doc_id, rrf_score,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY rrf_score DESC, doc_id) AS rank
+       | FROM fused)
+       |SELECT query_id, rank, doc_id, rrf_score FROM out
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // Collocation mining (PMI)
@@ -1001,6 +1108,7 @@ object LexiconOps extends QueryModule {
     RegisteredQuery("tfidf_topterms", tfidfTopterms, Some(tfidfToptermsOracle)),
     RegisteredQuery("collocation_pmi", collocationPmi, Some(collocationPmiOracle)),
     RegisteredQuery("bm25_retrieval", bm25Retrieval, Some(bm25Oracle)),
+    RegisteredQuery("hybrid_rrf_retrieval", hybridRrfRetrieval, Some(hybridRrfOracle)),
     RegisteredQuery("lm_score", lmScore, Some(lmScoreOracle)),
     RegisteredQuery("vocab_cms", vocabCms, Some(vocabCmsOracle)),
   )

