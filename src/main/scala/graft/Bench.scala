@@ -16,6 +16,10 @@ object Bench {
     "emb_neardup_clusters", "corpus_filter", "corpus_to_training",
     "range_join_inflight", "asof_join_native", "tfidf_topterms", "lm_score",
     "shuffle_blocks",
+    // round-14 flagships: the composed bloom+skew plan, CDC chunking,
+    // the stored-index serve path, and rank fusion
+    "bloom_skew_join", "chunk_cdc_census", "sim_ivf_stored",
+    "hybrid_rrf_retrieval",
     // round-6 additions the judge will want longitudinal numbers for
     // (pivot/unpivot/winsorize/vocab_mg_heavy/a14_grouping_sets/
     // w7_sliding_window were priority r6–r8; demoted when the r9

@@ -442,8 +442,10 @@ object ChunkOps extends QueryModule {
       .select(col("doc_id"), col("source"),
         md5(expr("substring(text, cast(b as int), cast(cut - b + 1 as int))")).as("ch"),
         (col("cut") - col("b") + 1).as("clen"))
-    val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
-    chunks.join(freq, "ch")
+    // corpus frequency as count-over-window: ONE ch-keyed exchange
+    // instead of groupBy + join back (two exchanges over the same key)
+    chunks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("ch"))))
       .groupBy(col("source"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -478,12 +480,13 @@ object ChunkOps extends QueryModule {
       |  md5(substr(d.text, CAST(b AS INT), CAST(cut - b + 1 AS INT))) AS ch,
       |  cut - b + 1 AS clen
       | FROM spans s JOIN d USING (doc_id)),
-      |freq AS (SELECT ch, count(*) AS cnt FROM chunks GROUP BY 1)
-      |SELECT source, count(DISTINCT c.doc_id) AS n_docs, count(*) AS n_chunks,
+      |counted AS (
+      | SELECT *, count(*) OVER (PARTITION BY ch) AS cnt FROM chunks)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
       | CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
       | CAST(coalesce(sum(CASE WHEN cnt > 1 THEN clen END), 0) AS BIGINT) AS dup_chars,
       | CAST(sum(clen) AS BIGINT) AS total_chars
-      |FROM chunks c JOIN freq USING (ch)
+      |FROM counted
       |GROUP BY 1 ORDER BY source""".stripMargin
 
   override def queries: Seq[RegisteredQuery] = Seq(

@@ -50,7 +50,13 @@ object PlanDump {
     "mm_phash_neardup" -> "perceptual dedup: map-only band hashing, keyed band join, no cartesian",
     "w9_range_frame" -> "time-RANGE frame: one keyed exchange, range-bounded WindowExec buffer",
     "graph_triangles" -> "compact-forward triangles: broadcast adjacency attach, wedge stream collapsed in array_intersect — no SMJ, no cartesian",
-    "pareto_frontier" -> "skyline: min-per-size keyed aggregate bounds the single-partition staircase window")
+    "pareto_frontier" -> "skyline: min-per-size keyed aggregate bounds the single-partition staircase window",
+    // bloom_skew_join / sim_ivf_stored are NOT here: their registered
+    // entries return driver-materialized rows (scopedRun / stored-index
+    // serve), so the interesting plans live in their spec pins
+    // (SkewJoinAqeSpec, KnnJoinSpec) instead of an explain dump
+    "chunk_cdc_census" -> "CDC chunking: map-only boundary detection (Generate + codegen md5), one doc-keyed window, hash-keyed dup census",
+    "hybrid_rrf_retrieval" -> "RRF fusion: ONE shared postings frame feeds both rankers; full-outer join of two 10-row-per-query lists")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("plandump", 8)
