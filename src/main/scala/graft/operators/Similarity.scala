@@ -340,9 +340,17 @@ object Similarity extends QueryModule {
     * total (score desc, cand_id) tie-break), and the spec additionally
     * diffs the served rows against the in-memory path's output.
     */
-  def simIvfStored(s: SparkSession, dir: String): DataFrame = {
+  def simIvfStored(s: SparkSession, dir: String): DataFrame =
+    serveStored(s, ivfStoredRoot(s, dir))
+
+  /** Serve query 0's top-3 from a persisted index root: probe cells
+    * fetched as ≤nprobe rows of index metadata, applied as a STATIC
+    * partition filter so the candidates scan lists only the probed cell
+    * directories. Shared by [[simIvfStored]] and [[simIvfAppend]] — the
+    * maintenance path must serve through the identical reader.
+    */
+  private[graft] def serveStored(s: SparkSession, root: String): DataFrame = {
     VectorFunctions.register(s)
-    val root = ivfStoredRoot(s, dir)
     val centDf = s.read.parquet(s"$root/centroids")
     val q = s.read.parquet(s"$root/queries").filter(col("query_id") === 0)
     val probeCells = q.crossJoin(broadcast(centDf))
@@ -359,6 +367,53 @@ object Similarity extends QueryModule {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy("query_id", "rank")
+  }
+
+  /** Incremental maintenance of the persisted index: the base index is
+    * built from candidates with `cand_id < 350`, then the delta
+    * (`cand_id >= 350`) is assigned against the SAME stored centroids
+    * and appended as NEW parquet files under the existing cell
+    * directories (`mode(Append).partitionBy("cell")`) — no rewrite of
+    * any base file, which is the maintenance contract that makes a
+    * 100 TB index updatable between full retrains. Serving goes through
+    * [[serveStored]] unchanged and must return the exact
+    * [[simIvfStoredOracle]] rows; that pin is NON-vacuous because two of
+    * the three pinned neighbors (365, 387) arrive only in the delta — an
+    * append that failed to land, or a reader that missed appended files,
+    * drops them (`KnnJoinSpec` additionally pins that the base alone
+    * serves a DIFFERENT top-3, and that appended cells really hold
+    * multiple files).
+    */
+  def simIvfAppend(s: SparkSession, dir: String): DataFrame =
+    serveStored(s, ivfAppendRoot(s, dir))
+
+  private[graft] val ivfAppendSplit = 350L
+
+  private[graft] def ivfAppendRoot(s: SparkSession, dir: String): String = {
+    val k = 16
+    val fp = SimilarityIndex.fingerprint(dir)
+    graft.engine.StagedRoots.of("ivfappend", dir, fp) { root =>
+      import s.implicits._
+      val cents = SimilarityIndex.centroids(s, dir, k)
+      val assigned = ivfAssigned(s, dir, k)
+      cents.toSeq.map(_.toSeq).zipWithIndex.map(_.swap).toDF("cell", "centroid")
+        .select(col("cell"), col("centroid").cast("array<double>").as("centroid"))
+        .coalesce(1).write.parquet(s"$root/centroids")
+      assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        .coalesce(1).write.parquet(s"$root/queries")
+      val cands = assigned
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("cell"))
+      cands.filter(col("cand_id") >= 5 && col("cand_id") < ivfAppendSplit)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(s"$root/candidates")
+      // the maintenance op: delta assigned with the stored quantizer,
+      // appended into the live partition layout
+      cands.filter(col("cand_id") >= ivfAppendSplit)
+        .repartition(col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cell").parquet(s"$root/candidates")
+    }
   }
 
   val simIvfStoredOracle: String = topkPin(
@@ -1211,6 +1266,7 @@ object Similarity extends QueryModule {
     RegisteredQuery("sim_lsh_topk", simLshTopk, Some(simLshTopkOracle)),
     RegisteredQuery("sim_ivf_topk", simIvfTopk(_, _), Some(simIvfTopkOracle)),
     RegisteredQuery("sim_ivf_stored", simIvfStored, Some(simIvfStoredOracle)),
+    RegisteredQuery("sim_ivf_append", simIvfAppend, Some(simIvfStoredOracle)),
     RegisteredQuery("sim_pq_topk", simPqTopk, Some(simPqTopkOracle)),
     RegisteredQuery("knn_join_ivf", knnJoinIvfDigest, Some(knnJoinIvfDigestOracle)),
     // shares the brute path's recursive-CTE oracle: the triangle bound

@@ -179,4 +179,35 @@ class KnnJoinSpec extends SparkSpec {
     assert(listedFiles < totalFiles,
       s"scan listed $listedFiles of $totalFiles files — no partitions pruned")
   }
+
+  test("sim_ivf_append: delta appends into the live layout; serving needs it; base files untouched") {
+    // sf0.01: the fixture whose VALUES pin puts two of the three served
+    // neighbors (365, 387) in the delta — at sf0.001 query 0's top-3
+    // happens to predate the split, which would make the
+    // delta-relevance assertion vacuous
+    val probeSf = "/root/testdata/sf0.01"
+    val appended = Similarity.simIvfAppend(spark, probeSf).collect()
+    val stored = Similarity.simIvfStored(spark, probeSf).collect()
+    assert(appended.map(_.toSeq).toSeq == stored.map(_.toSeq).toSeq,
+      "append-maintained index must serve exactly the full-build rows")
+
+    val root = Similarity.ivfAppendRoot(spark, probeSf)
+    // physical append evidence: some cell directory holds files from
+    // BOTH writes (base + delta), i.e. more than one parquet file
+    val cellDirs = new java.io.File(s"$root/candidates").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    val multiFile = cellDirs.count(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multiFile > 0, "no cell directory shows an appended file")
+
+    // the pin is non-vacuous: the base alone (cand_id < split) serves a
+    // DIFFERENT top-3 — two pinned neighbors live in the delta
+    import org.apache.spark.sql.functions._
+    val baseOnly = spark.read.parquet(s"$root/candidates")
+      .filter(col("cand_id") < Similarity.ivfAppendSplit)
+    val served = appended.map(_.getLong(1)).toSet
+    val baseIds = baseOnly.select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(served.exists(!baseIds.contains(_)),
+      "every served neighbor predates the append — the delta is dead weight")
+  }
 }
