@@ -364,7 +364,79 @@ object OrderingOps extends QueryModule {
       | tt AS n_train, tv AS n_val
       |FROM k ORDER BY gap DESC, n_chars LIMIT 1""".stripMargin
 
+  /** Token-budget epoch assembly — the selection shape every epoch
+    * builder runs that [[mixSample]] (count targets, hash order) is
+    * not: each source gets a TOKEN budget (35% of its token mass,
+    * integer arithmetic so the boundary is exact), docs are taken in
+    * QUALITY order (lexical diversity = distinct/total token ratio,
+    * deterministic division, doc_id tie-break), and the selected set is
+    * the maximal prefix whose cumulative tokens fit the budget. The
+    * census reports budget / picked docs / picked tokens / the quality
+    * cut line per source.
+    *
+    * Scale shape: tokenization is map-only (the shared `[a-z]+|[0-9]+`
+    * kernel, parity-proven by the lexicon family); per-source totals
+    * are one keyed aggregate; the prefix cut is ONE source-keyed window
+    * (explicit ROWS frame — the (quality, doc_id) order is total, so
+    * RANGE-peer ambiguity can't arise) — never a global sort. At 100 TB
+    * the window's per-source populations are the corpus partition; a
+    * hot source splits by the [[shuffleBlocks]] block trick if one
+    * source dominates.
+    */
+  def epochTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val toks = "[a-z]+|[0-9]+"
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"regexp_extract_all(text, '$toks', 0)").as("arr"))
+      .select(col("doc_id"), col("source"),
+        size(col("arr")).cast("long").as("ntok"),
+        (size(array_distinct(col("arr"))).cast("double") /
+          size(col("arr")).cast("double")).as("qual"))
+      .filter(col("ntok") >= 1)
+    val budgets = d.groupBy(col("source"))
+      .agg(sum(col("ntok")).as("tot"))
+      .select(col("source"), expr("tot * 35 div 100").as("budget_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("qual").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("ntok")).over(w))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(max(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_sel"),
+        sum(col("ntok")).as("tok_sel"),
+        roundTo(min(col("qual")), 6).as("min_qual"))
+      .orderBy("source")
+  }
+
+  val epochTokenBudgetOracle: String =
+    """WITH d AS (
+      | SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS ntok,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+      |    AS DOUBLE)
+      |   / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS DOUBLE)
+      |   AS qual
+      | FROM documents),
+      |d1 AS (SELECT * FROM d WHERE ntok >= 1),
+      |b AS (SELECT source, CAST(sum(ntok) AS BIGINT) * 35 // 100
+      |        AS budget_tokens
+      |      FROM d1 GROUP BY 1),
+      |c AS (SELECT d1.*, sum(ntok) OVER (PARTITION BY source
+      |        ORDER BY qual DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM d1),
+      |sel AS (SELECT c.*, budget_tokens FROM c JOIN b USING (source)
+      |        WHERE cum <= budget_tokens)
+      |SELECT source, CAST(max(budget_tokens) AS BIGINT) AS budget_tokens,
+      | count(*) AS n_sel, CAST(sum(ntok) AS BIGINT) AS tok_sel,
+      | floor(min(qual) * 1e6 + 0.5) / 1e6 AS min_qual
+      |FROM sel GROUP BY 1 ORDER BY source""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("epoch_token_budget", epochTokenBudget,
+      Some(epochTokenBudgetOracle)),
     RegisteredQuery("split_assign", splitAssign, Some(splitAssignOracle)),
     RegisteredQuery("pareto_frontier", paretoFrontier, Some(paretoFrontierOracle)),
     RegisteredQuery("split_ks", splitKs, Some(splitKsOracle)),

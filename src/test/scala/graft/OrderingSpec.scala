@@ -119,4 +119,34 @@ class OrderingSpec extends SparkSpec {
       assert(docs.map(_._4).sorted.toSeq === (1L to docs.length.toLong))
     }
   }
+
+  test("epoch_token_budget: selection is the MAXIMAL quality-ordered prefix under each budget") {
+    import org.apache.spark.sql.functions._
+    val census = graft.operators.OrderingOps.epochTokenBudget(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver replay from raw docs
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)").as("arr"))
+      .select(col("doc_id"), col("source"), size(col("arr")).cast("long").as("n"),
+        (size(array_distinct(col("arr"))).cast("double") /
+          size(col("arr")).cast("double")).as("q"))
+      .filter(col("n") >= 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val budget = ds.map(_._3).sum * 35 / 100
+      val ordered = ds.sortBy(d => (-d._4, d._1))
+      val prefix = ordered.scanLeft(0L)(_ + _._3).tail.zip(ordered)
+        .takeWhile(_._1 <= budget).map(_._2)
+      val (gotBudget, nSel, tokSel) = census(src)
+      assert(gotBudget == budget, s"$src: budget")
+      assert(nSel == prefix.length.toLong, s"$src: prefix length")
+      assert(tokSel == prefix.map(_._3).sum, s"$src: selected tokens")
+      // maximality: the next doc in quality order would burst the budget
+      if (prefix.length < ordered.length)
+        assert(tokSel + ordered(prefix.length)._3 > budget,
+          s"$src: selection stopped early — not maximal")
+    }
+  }
 }
