@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.PhashBands].getName, "graft_phash_bands"),
       (children: Seq[Expression]) => graft.functions.PhashBands(children(0))))
     ext.injectFunction((
+      new FunctionIdentifier(graft.functions.CdcCuts.name),
+      new ExpressionInfo(classOf[graft.functions.CdcCuts].getName,
+        graft.functions.CdcCuts.name),
+      (children: Seq[Expression]) => graft.functions.CdcCuts(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier(graft.functions.PairCombinations.name),
       new ExpressionInfo(classOf[graft.functions.PairCombinations].getName,
         graft.functions.PairCombinations.name),

@@ -396,5 +396,88 @@ object TextKernels {
         org.apache.spark.sql.catalyst.FunctionIdentifier(phashBandsName)))
       reg.createOrReplaceTempFunction(
         phashBandsName, exprs => PhashBands(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(CdcCuts.name)))
+      reg.createOrReplaceTempFunction(
+        CdcCuts.name, exprs => CdcCuts(exprs(0)), "built-in")
+  }
+}
+
+/** Content-defined-chunking cut positions as ONE per-row O(n) kernel —
+  * `array<long>` of 1-based char positions where the trailing
+  * [[CdcCuts.win]]-char window's md5 divides by [[CdcCuts.div]], with
+  * the doc end always appended (every doc chunks completely). Replaces
+  * the position-grid formulation (explode `sequence(8, length)` →
+  * per-position `substring` + `md5` + `conv` filter) that materialized
+  * one row PER CHARACTER of the corpus, each carrying the full text
+  * through two projections — the boundary scan now happens inside the
+  * row it came from, and only the ~len/div cut rows ever explode.
+  *
+  * Parity with the DuckDB oracle (which still recomputes boundaries
+  * from `substr`+`md5` first principles — the gate independently
+  * verifies this kernel): windows are CHAR-based like both engines'
+  * substring, so char start byte offsets are tracked explicitly
+  * (UTF-8 lead-byte detection — multi-byte text stays correct beyond
+  * the ASCII fixture; `ChunkOpsSpec` pins a multibyte example); the
+  * boundary value is the first 3 digest bytes as a 24-bit int, exactly
+  * `CAST('0x' || substr(md5(w), 1, 6) AS BIGINT)`. MessageDigest is
+  * thread-local ([[DeflateLen]]'s scratch discipline).
+  */
+case class CdcCuts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    CdcCuts.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.CdcCuts.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcCuts {
+  val name = "graft_cdc_cuts"
+  val win = 8
+  val div = 32
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(text: UTF8String): UnsafeArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // char start byte offsets (+ sentinel n): UTF-8 lead-byte detection
+    var nc = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xC0) != 0x80) nc += 1; i += 1 }
+    if (nc < win)
+      return UnsafeArrayData.fromPrimitiveArray(Array(nc.toLong))
+    val starts = new Array[Int](nc + 1)
+    var c = 0
+    i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nc) = n
+    val md = md5.get()
+    val cuts = new Array[Long](nc - win + 2)
+    var k = 0
+    c = win - 1
+    while (c < nc) {
+      val from = starts(c - win + 1)
+      md.reset()
+      md.update(bytes, from, starts(c + 1) - from)
+      val d = md.digest()
+      val v = ((d(0) & 0xFF) << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF)
+      if (v % div == 0) { cuts(k) = (c + 1).toLong; k += 1 }
+      c += 1
+    }
+    if (k == 0 || cuts(k - 1) != nc.toLong) { cuts(k) = nc.toLong; k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (k == cuts.length) cuts else java.util.Arrays.copyOf(cuts, k))
   }
 }

@@ -388,10 +388,12 @@ object ChunkOps extends QueryModule {
     * any 8-char window whose hash ≡ 0 (mod 32), so chunks average ~32
     * chars on the fixture docs. Production CDC adds min/max clamps
     * against degenerate chunks; the census keeps the pure form so the
-    * oracle recomputes every boundary from first principles.
+    * oracle recomputes every boundary from first principles. Single-
+    * sourced from the [[graft.functions.CdcCuts]] kernel that detects
+    * the boundaries.
     */
-  private val cdcWin = 8
-  private val cdcDiv = 32
+  private val cdcWin = graft.functions.CdcCuts.win
+  private val cdcDiv = graft.functions.CdcCuts.div
 
   /** Content-defined chunking census — the dedup primitive [[dedupSegments]]
     * deliberately is NOT: fixed-width segments lose ALL alignment after a
@@ -403,34 +405,32 @@ object ChunkOps extends QueryModule {
     * robustness). This is the chunking rsync/LBFS-style dedup and
     * training-corpus near-version dedup rely on.
     *
-    * Topology (100 TB shape): the position grid explodes O(corpus chars)
-    * rows — the irreducible cost of byte-level chunking, kept MAP-ONLY
-    * (Generate + codegen'd md5 projection + filter, no interpreted HOF
-    * lambdas per the §7.5 discipline); surviving cut rows are ~1/32 of
-    * positions. Spans come from one keyed window on doc_id (lag over each
-    * doc's bounded cut list), chunk texts from one keyed join back to the
-    * doc table (text shipped once per ~32-char chunk, projected to an
-    * md5+length immediately), and the duplicate census is one
-    * hash-keyed shuffle — uniform by construction, no skew. Output is a
-    * bounded per-source report of exact integers.
+    * Topology (100 TB shape): boundary detection is the
+    * [[graft.functions.CdcCuts]] per-row kernel — one O(doc chars)
+    * rolling scan INSIDE the row (the position-grid formulation it
+    * replaces exploded one row per corpus character, each dragging the
+    * full text through two projections: 2.8 → ~1 s at sf0.1), so only
+    * the ~len/32 cut rows ever explode. The O(corpus chars) hashing
+    * work itself is irreducible for byte-level chunking and stays
+    * map-only. Spans come from one keyed window on doc_id (lag over
+    * each doc's bounded cut list), chunk texts from one keyed join back
+    * to the doc table (text shipped once per ~32-char chunk, projected
+    * to an md5+length immediately), and the duplicate census is one
+    * hash-keyed window — uniform by construction, no skew. Output is a
+    * bounded per-source report of exact integers. The DuckDB oracle
+    * still recomputes every boundary from `substr`+`md5` first
+    * principles, so the gate independently verifies the kernel.
     */
   def chunkCdcCensus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextKernels.register(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
       .filter(length(col("text")) >= 1)
-    // natural cuts: position p (1-based, window ENDS at p) is a cut when
-    // the trailing 8-char window's hash divides; the doc end is always a
-    // cut so every doc chunks completely (short docs = one chunk)
-    val winHash = conv(
-      substring(md5(expr(s"substring(text, p - ${cdcWin - 1}, $cdcWin)")), 1, 6),
-      16, 10).cast("long")
+    // natural cuts where the trailing window's hash divides, plus the
+    // doc end (the kernel appends it) so every doc chunks completely
     val cuts = docs
-      .select(col("doc_id"), col("text"), explode(expr(
-        s"CASE WHEN length(text) >= $cdcWin THEN sequence($cdcWin, length(text)) " +
-          "ELSE array() END")).as("p"))
-      .filter(pmod(winHash, lit(cdcDiv)) === 0)
-      .select(col("doc_id"), col("p").cast("long").as("cut"))
-      .union(docs.select(col("doc_id"), length(col("text")).cast("long").as("cut")))
+      .select(col("doc_id"),
+        explode(expr(s"${graft.functions.CdcCuts.name}(text)")).as("cut"))
     // no distinct: when the doc end is ALSO a natural cut, the duplicate
     // cut row lags into a zero-length span and the clen>=1 filter drops
     // it — one less corpus-wide shuffle than dedup-then-window

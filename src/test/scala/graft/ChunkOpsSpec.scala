@@ -169,4 +169,32 @@ class ChunkOpsSpec extends SparkSpec {
       .map(r => r.getLong(1) - r.getLong(2)).sum
     assert(seg == 0L, s"grid segmenter should lose alignment, caught $seg")
   }
+
+  test("CdcCuts kernel: char-exact md5 windows, multibyte-safe, matches a reference scan") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def reference(text: String): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = text.length // the fixture and spec strings avoid surrogate pairs
+      val nat = (8 to n).filter { p =>
+        val d = md.digest(text.substring(p - 8, p).getBytes(UTF_8))
+        val v = ((d(0) & 0xFF) << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF)
+        v % 32 == 0
+      }.map(_.toLong)
+      if (nat.lastOption.contains(n.toLong)) nat else nat :+ n.toLong
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly and often",
+      "héllo wörld — naïve café über straße 中文分块测试 and ascii tail here",
+      "short", "", "exactly8",
+      (1 to 200).map(i => s"t${i * 31 % 97}").mkString(" "))
+    import spark.implicits._
+    graft.functions.TextKernels.register(spark)
+    val got = samples.toDF("text")
+      .select(expr(s"${graft.functions.CdcCuts.name}(text)").as("cuts"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    samples.zip(got).foreach { case (text, cuts) =>
+      val expected = if (text.length < 8) Seq(text.length.toLong) else reference(text)
+      assert(cuts == expected, s"kernel cuts differ for '${text.take(30)}...'")
+    }
+  }
 }
