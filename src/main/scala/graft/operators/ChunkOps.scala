@@ -421,7 +421,12 @@ object ChunkOps extends QueryModule {
     * still recomputes every boundary from `substr`+`md5` first
     * principles, so the gate independently verifies the kernel.
     */
-  def chunkCdcCensus(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, source, ch, clen): every CDC chunk of every document —
+    * the shared front end of [[chunkCdcCensus]] and [[cdcNeardupDocs]]
+    * (one definition so the pair detector provably fingerprints the
+    * same chunks the census counts).
+    */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextKernels.register(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
@@ -438,13 +443,16 @@ object ChunkOps extends QueryModule {
       .withColumn("b", lag(col("cut"), 1, 0L)
         .over(Window.partitionBy(col("doc_id")).orderBy(col("cut"))) + 1)
       .filter(col("cut") - col("b") + 1 >= 1)
-    val chunks = spans.join(docs, "doc_id")
+    spans.join(docs, "doc_id")
       .select(col("doc_id"), col("source"),
         md5(expr("substring(text, cast(b as int), cast(cut - b + 1 as int))")).as("ch"),
         (col("cut") - col("b") + 1).as("clen"))
+  }
+
+  def chunkCdcCensus(s: SparkSession, dir: String): DataFrame = {
     // corpus frequency as count-over-window: ONE ch-keyed exchange
     // instead of groupBy + join back (two exchanges over the same key)
-    chunks
+    cdcChunks(s, dir)
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("ch"))))
       .groupBy(col("source"))
       .agg(
@@ -456,8 +464,12 @@ object ChunkOps extends QueryModule {
       .orderBy("source")
   }
 
-  val chunkCdcOracle: String =
-    s"""WITH d AS (
+  /** The chunk-derivation CTEs both CDC oracles share (first-principles
+    * boundary recompute — independently verifying the Spark-side
+    * [[graft.functions.CdcCuts]] kernel).
+    */
+  private val cdcChunkCtes: String =
+    s"""d AS (
       | SELECT doc_id, source, text FROM documents WHERE length(text) >= 1),
       |pos AS (
       | SELECT doc_id, text, unnest(generate_series($cdcWin, length(text))) AS p
@@ -479,7 +491,10 @@ object ChunkOps extends QueryModule {
       | SELECT s.doc_id, d.source,
       |  md5(substr(d.text, CAST(b AS INT), CAST(cut - b + 1 AS INT))) AS ch,
       |  cut - b + 1 AS clen
-      | FROM spans s JOIN d USING (doc_id)),
+      | FROM spans s JOIN d USING (doc_id))""".stripMargin
+
+  val chunkCdcOracle: String =
+    s"""WITH $cdcChunkCtes,
       |counted AS (
       | SELECT *, count(*) OVER (PARTITION BY ch) AS cnt FROM chunks)
       |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
@@ -489,9 +504,79 @@ object ChunkOps extends QueryModule {
       |FROM counted
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Posting document-frequency cap for [[cdcNeardupDocs]]: a chunk in
+    * more than this many docs is boilerplate (shared headers, templates)
+    * and would fan the pair join quadratically — the same DF-cap
+    * discipline as [[Dedup]]'s shingle postings. Minimum shared-chunk
+    * count for a pair to report.
+    */
+  private val cdcDfCap = 8
+  private val cdcMinShared = 2
+
+  /** Cross-document near-VERSION detection from CDC chunk fingerprints —
+    * the query that makes [[chunkCdcCensus]] actionable: two docs that
+    * share ≥ [[cdcMinShared]] content-defined chunks overlap in actual
+    * spans (insertion-robust, unlike the grid segmenter), and the report
+    * quantifies the shared mass (`overlap_bp` = shared chars as basis
+    * points of the smaller doc).
+    *
+    * Scale shape: postings are (doc, chunk-hash) rows; the pair join is
+    * keyed on the chunk hash with a DF cap ([[cdcDfCap]]) so per-chunk
+    * fanout is bounded at df² ≤ 64 pairs — boilerplate chunks never
+    * join, exactly the hot-shingle discipline of `dedup_ngram_jaccard`.
+    * Per-doc char totals join back keyed on doc id. No all-pairs
+    * anywhere.
+    */
+  def cdcNeardupDocs(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(s, dir)
+    // distinct: intra-doc repeated chunks count once in the postings
+    val post = chunks.select(col("doc_id"), col("ch"), col("clen")).distinct()
+    val keep = post.groupBy(col("ch"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, cdcDfCap))
+      .select(col("ch"))
+    val p = post.join(keep, "ch")
+    val docLen = chunks.groupBy(col("doc_id"))
+      .agg(sum(col("clen")).as("n_chars"))
+    val pairs = p.toDF("ch", "doc_a", "clen")
+      .join(p.select(col("ch"), col("doc_id").as("doc_b")), "ch")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"), sum(col("clen")).as("shared_chars"))
+      .filter(col("n_shared_chunks") >= cdcMinShared)
+    pairs
+      .join(docLen.select(col("doc_id").as("doc_a"), col("n_chars").as("a_chars")), "doc_a")
+      .join(docLen.select(col("doc_id").as("doc_b"), col("n_chars").as("b_chars")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_chunks"), col("shared_chars"),
+        expr("shared_chars * 10000L div least(a_chars, b_chars)").as("overlap_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val cdcNeardupOracle: String =
+    s"""WITH $cdcChunkCtes,
+      |post AS (SELECT DISTINCT doc_id, ch, clen FROM chunks),
+      |keep AS (SELECT ch FROM post GROUP BY ch
+      |         HAVING count(*) BETWEEN 2 AND $cdcDfCap),
+      |p2 AS (SELECT * FROM post WHERE ch IN (SELECT ch FROM keep)),
+      |dlen AS (SELECT doc_id, CAST(sum(clen) AS BIGINT) AS n_chars
+      |         FROM chunks GROUP BY 1),
+      |pairs AS (
+      | SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      |  count(*) AS n_shared_chunks, CAST(sum(l.clen) AS BIGINT) AS shared_chars
+      | FROM p2 l JOIN p2 r USING (ch)
+      | WHERE l.doc_id < r.doc_id
+      | GROUP BY 1, 2 HAVING count(*) >= $cdcMinShared)
+      |SELECT doc_a, doc_b, n_shared_chunks, shared_chars,
+      | shared_chars * 10000 // least(a.n_chars, b.n_chars) AS overlap_bp
+      |FROM pairs
+      |JOIN dlen a ON doc_a = a.doc_id
+      |JOIN dlen b ON doc_b = b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),
     RegisteredQuery("chunk_cdc_census", chunkCdcCensus, Some(chunkCdcOracle)),
+    RegisteredQuery("cdc_neardup_docs", cdcNeardupDocs, Some(cdcNeardupOracle)),
     RegisteredQuery("dedup_segments", dedupSegments, Some(dedupSegmentsOracle)),
     RegisteredQuery("span_exact_dedup", spanExactDedup, Some(spanExactDedupOracle)),
     RegisteredQuery("boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsOracle)),

@@ -29,6 +29,12 @@ class HarnessSpec extends SparkSpec {
     assert(!json.exists(c => c < ' ' && c != '\n'.toChar), "raw control char in manifest")
   }
 
+  test("registry names are unique (a duplicate would silently shadow in the ListMap)") {
+    val names = SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, occ) if occ.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   test("Bench headline list is a subset of registered queries") {
     val headline = SparkEntry.headlineNames.toSet
     assert(headline.subsetOf(SparkEntry.queries.keySet))
