@@ -123,4 +123,53 @@ class ChunkPropertiesSpec extends SparkSpec {
       gotDocs == expectDocs
     })
   }
+
+  /** Driver reference of the CDC cut rule (mirrors `CdcCuts`). */
+  private def cdcChunksOf(text: String): Vector[String] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = text.length
+    val nat = (8 to n).filter { p =>
+      val d = md.digest(text.substring(p - 8, p).getBytes(UTF_8))
+      (((d(0) & 0xFF) << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF)) % 32 == 0
+    }
+    val cuts = if (nat.lastOption.contains(n)) nat else nat :+ n
+    (0 +: cuts).sliding(2).collect {
+      case Seq(a, b) if b > a => text.substring(a, b)
+    }.toVector
+  }
+
+  test("PROPERTY: a random edit preserves every CDC chunk outside one window of the edit") {
+    // the re-sync theorem, checked as a property: cut decisions depend
+    // only on the trailing 8 chars, so chunks that end ≥8 chars after
+    // the edit AND start after it are byte-identical between versions —
+    // a random insertion must keep the entire post-edit chunk multiset
+    // beyond the first re-synced boundary
+    val gen = for {
+      n <- Gen.choose(60, 300)
+      body <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ ' ')).map(_.mkString)
+      at <- Gen.choose(0, body.length)
+      ins <- Gen.listOfN(5, Gen.oneOf('a' to 'z')).map(_.mkString)
+    } yield (body, at, ins)
+    checkProp(Prop.forAll(gen) { case (body, at, ins) =>
+      val edited = body.substring(0, at) + ins + body.substring(at)
+      val origChunks = cdcChunksOf(body)
+      val editChunks = cdcChunksOf(edited)
+      // chunks whose START cut persists (prev cut ≥ at+8: its trailing
+      // window reads only post-edit bytes). For those, the theorem is
+      // exact: interior cuts persist too (all ≥ start), and new cuts
+      // only appear where a window overlaps the insertion (original
+      // coords < at+8, below every safe start) — so EVERY safe chunk
+      // must reappear, no exceptions
+      var off = 0
+      val safeOrig = origChunks.flatMap { c =>
+        val start = off; off += c.length
+        if (start >= at + 8) Some(c) else None
+      }
+      val editSet = editChunks.groupBy(identity).view.mapValues(_.size).toMap
+      val missing = safeOrig.groupBy(identity).view.mapValues(_.size)
+        .filter { case (c, k) => editSet.getOrElse(c, 0) < k }
+      missing.isEmpty
+    })
+  }
 }
