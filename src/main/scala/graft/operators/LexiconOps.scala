@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -206,31 +206,30 @@ object LexiconOps extends QueryModule {
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .filter(col("rank") <= n)
 
-  /** (query_id, doc_id, score, rank≤10) under BM25. */
-  private def bm25Ranked(s: SparkSession, dir: String): DataFrame =
-    rankTop(probedPostings(s, dir)
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))))
-      .withColumn("tfn", col("tf").cast("double") * lit(2.2) /
+  /** Per-posting BM25 term (Robertson/Lucene, k1=1.2 b=0.75). */
+  private def bm25Term: Column =
+    log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) *
+      (col("tf").cast("double") * lit(2.2) /
         (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
           col("dl").cast("double") /
             (col("n_toks").cast("double") / col("n_docs").cast("double")))))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(roundTo(sum(col("idf") * col("tfn")), 6).as("score")), 10)
 
-  /** (query_id, doc_id, score, rank≤10) under log-tf·idf — the classic
-    * SMART ltc-ish weighting, deliberately DIFFERENT from BM25 (no
-    * length normalization, different idf damping) so the fusion below
-    * has two genuinely distinct opinions to reconcile.
+  /** Per-posting log-tf·idf term — the classic SMART ltc-ish weighting,
+    * deliberately DIFFERENT from BM25 (no length normalization,
+    * different idf damping) so the fusion has two genuinely distinct
+    * opinions to reconcile.
     */
-  private def tfidfRanked(s: SparkSession, dir: String): DataFrame =
+  private def tfidfTerm: Column =
+    (lit(1.0) + log(col("tf").cast("double"))) *
+      log(col("n_docs").cast("double") / col("df").cast("double"))
+
+  /** (query_id, doc_id, score, rank≤10) under BM25. */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame =
     rankTop(probedPostings(s, dir)
-      .withColumn("w",
-        (lit(1.0) + log(col("tf").cast("double"))) *
-          log(col("n_docs").cast("double") / col("df").cast("double")))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(roundTo(sum(col("w")), 6).as("score")), 10)
+      .agg(roundTo(sum(bm25Term), 6).as("score")), 10)
 
   /** The shared CTE prefix of both retrieval oracles: token stream, tf,
     * dl, corpus stats, query terms, probed df, and BOTH ranked lists
@@ -299,28 +298,34 @@ object LexiconOps extends QueryModule {
     * calibration between legs — only ranks — which is exactly why it
     * fuses heterogeneous retrievers safely.
     *
-    * Scale shape: both legs share ONE postings frame
-    * ([[probedPostings]] — one tf aggregate, one dl aggregate, probed
-    * terms broadcast), so the second ranker costs one more bounded
-    * aggregation over the same probed postings, not a second corpus
-    * pass; the fusion itself is a full-outer join of two ≤10-rows-per-
-    * query lists. Determinism: both leg scores are 6dp-rounded BEFORE
-    * ranking (total doc_id tie-break), the RRF sum is two fixed-order
-    * IEEE terms rounded 6dp, and the fused rank carries the same total
-    * tie-break.
+    * Scale shape: ONE pass end to end — both leg scores are computed in
+    * the SAME (query, doc) aggregate over [[probedPostings]] (the legs
+    * score exactly the same candidate set, so separate pipelines would
+    * re-derive identical frames), both leg ranks are windows over the
+    * SAME query-keyed exchange, and the fusion is row-local arithmetic
+    * (a row outside both top-10s scores 0 and is filtered — exactly the
+    * full-outer-of-top-10s result, without the join). Determinism: both
+    * leg scores are 6dp-rounded BEFORE ranking (total doc_id
+    * tie-break), the RRF sum is two fixed-order IEEE terms rounded 6dp,
+    * and the fused rank carries the same total tie-break.
     */
   def hybridRrfRetrieval(s: SparkSession, dir: String): DataFrame = {
-    val b = bm25Ranked(s, dir)
-      .select(col("query_id"), col("doc_id"), col("rank").as("brank"))
-    val t = tfidfRanked(s, dir)
-      .select(col("query_id"), col("doc_id"), col("rank").as("trank"))
-    val fused = b.join(t, Seq("query_id", "doc_id"), "full_outer")
+    val scored = probedPostings(s, dir)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(roundTo(sum(bm25Term), 6).as("bscore"),
+        roundTo(sum(tfidfTerm), 6).as("tscore"))
+    def leg(score: String) = row_number().over(
+      Window.partitionBy("query_id").orderBy(col(score).desc, col("doc_id")))
+      .cast("long")
+    def contrib(rank: Column) =
+      coalesce(when(rank <= 10, lit(1.0) / (lit(60.0) + rank.cast("double"))),
+        lit(0.0))
+    scored
+      .withColumn("brank", leg("bscore"))
+      .withColumn("trank", leg("tscore"))
       .select(col("query_id"), col("doc_id"),
-        roundTo(
-          coalesce(lit(1.0) / (lit(60.0) + col("brank").cast("double")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + col("trank").cast("double")), lit(0.0)),
-          6).as("rrf_score"))
-    fused
+        roundTo(contrib(col("brank")) + contrib(col("trank")), 6).as("rrf_score"))
+      .filter(col("rrf_score") > 0)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
