@@ -1156,7 +1156,13 @@ object StreamingOps extends QueryModule {
     * the sentinel trick is harness plumbing for run-to-completion — a
     * production stream's watermark advances on its own.
     */
-  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+  /** The staged 3-batch session feed both sessionizer gates share
+    * ([[streamSessionize]] and [[streamTwsSessionize]] — StagedLayouts
+    * memoizes by name, so one build serves both): two time-split files
+    * plus the watermark sentinel riding in f2 and the trailing s5 data
+    * batch whose watermark pass flushes every real session.
+    */
+  private def sessStagedInput(s: SparkSession, dir: String): (java.nio.file.Path, DataFrame) = {
     val ev = graft.engine.Tables.events(s, dir).select(col("user_id"), col("ts"))
     val inDir = StagedLayouts.dir("sess", dir) { in =>
       val cut1 = to_timestamp(lit("2024-01-15 00:00:00"))
@@ -1179,6 +1185,11 @@ object StreamingOps extends QueryModule {
         Map("f1" -> t0, "f2" -> (t0 + 1000)))
       stage(sentinel(-2L, 48), in, "s5", t0 + 2000)
     }
+    (inDir, ev)
+  }
+
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val (inDir, ev) = sessStagedInput(s, dir)
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sess")
     try {
       val name = s"graft_stream_sess_${sinkSeq.incrementAndGet()}"
@@ -1204,6 +1215,63 @@ object StreamingOps extends QueryModule {
           out
         } finally scala.util.Try(s.catalog.dropTempView(name))
       }
+    } finally deleteRecursively(root)
+  }
+
+  /** Gap sessionization on `transformWithState` EVENT-TIME TIMERS
+    * ([[TwsSessionizer]]) — the TWS API leg the state matrix still
+    * lacked: value state, Avro schema evolution, and the offline state
+    * read are gated; this adds timer-driven expiry (register at
+    * `end + gap`, re-register as events extend, close the session in
+    * `handleExpiredTimer` when the watermark crosses it). Same staged
+    * feed, same sentinel mechanics, and the SAME batch oracle as
+    * [[streamSessionize]] — three sessionizers (fMGWS, native
+    * `session_window`, TWS timers) now pin to one DuckDB result, so the
+    * timer path's eviction timing is proven equivalent to the
+    * `GroupStateTimeout` path, not just plausible.
+    *
+    * Scale: the fMGWS argument unchanged (one small record per user;
+    * timers add one watermark-bounded entry per OPEN session); RocksDB
+    * provider because `transformWithState` requires it.
+    */
+  def streamTwsSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (inDir, ev) = sessStagedInput(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-twssess")
+    try {
+      val name = s"graft_stream_twsss_${sinkSeq.incrementAndGet()}"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStreamBatchConfs(s, 4) {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withWatermark("ts", "1 hour")
+          .as[SessIn]
+          .groupByKey(_.user_id)
+          .transformWithState(new TwsSessionizer(30),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name)
+            .filter(col("user_id") >= 0)
+            .select(col("user_id"), col("session_id"), col("n_events"),
+              col("session_start_us"), col("session_end_us"))
+            .orderBy("user_id", "session_id")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "TWS timer sessionizer emitted no sessions")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      } finally oldProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
     } finally deleteRecursively(root)
   }
 
@@ -1343,6 +1411,8 @@ object StreamingOps extends QueryModule {
     RegisteredQuery("stream_static_enrich", streamStaticEnrich,
       Some(streamStaticEnrichOracle)),
     RegisteredQuery("stream_sessionize", streamSessionize,
+      Some(graft.operators.WindowsAndStats.sessionizeOracle)),
+    RegisteredQuery("stream_tws_sessionize", streamTwsSessionize,
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
     RegisteredQuery("stream_api_ingest", streamApiIngest,
       Some(streamApiIngestOracle)),

@@ -299,6 +299,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_tws_sessionize (event-time TIMERS) equals the batch sessionizer row-for-row") {
+    val streamed = graft.streaming.StreamingOps
+      .streamTwsSessionize(spark, sfDir).collect().toSeq
+    val batch = graft.operators.WindowsAndStats
+      .sessionize(spark, sfDir).collect().toSeq
+    assert(streamed === batch)
+    // timers provably fired: every user's LAST session has no later
+    // event to close it in-batch — it can only flush through
+    // handleExpiredTimer, and equality above includes all of them
+    val lastPerUser = batch.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).max).toMap
+    assert(lastPerUser.nonEmpty)
+    val streamedSessions = streamed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    lastPerUser.foreach { case (u, sid) =>
+      assert(streamedSessions.contains((u, sid)),
+        s"user $u's final session $sid missing — the timer path never fired")
+    }
+    // exactly-once: no session emitted twice
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).distinct.size ==
+      streamed.size)
+  }
+
   test("stream_windowed_append drops the late replay and equals the batch windows") {
     // equality with the batch aggregate over ALL events is exactly the
     // late-data contract: the staged replay re-delivers every pre-Jan-3
