@@ -171,6 +171,15 @@ object StreamingOps extends QueryModule {
     * because a cloned session would also clone the StreamingQueryManager
     * and detach the memory-sink temp views the oracles read.
     */
+  /** RocksDB state-store provider, conf-scoped — every
+    * `transformWithState` entry needs it (the API rejects the
+    * HDFS-backed provider by design). Single-sourced so the three TWS
+    * call sites share one restore idiom instead of hand-rolled copies.
+    */
+  private val rocksProviderConf = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
     val old = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => s.conf.set(k, v) }
@@ -993,11 +1002,7 @@ object StreamingOps extends QueryModule {
     try {
       val name = s"graft_stream_tws_${sinkSeq.incrementAndGet()}"
       val srcSchema = ev.drop("b").schema
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try withShufflePartitions(s, 4) {
+      withConfs(s, rocksProviderConf) { withShufflePartitions(s, 4) {
         val q = s.readStream.schema(srcSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(inDir.toString)
@@ -1037,7 +1042,7 @@ object StreamingOps extends QueryModule {
           require(!out.isEmpty, s"transformWithState source matched no input under $inDir")
           out
         } finally scala.util.Try(s.catalog.dropTempView(name))
-      } finally oldProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+      } }
     } finally deleteRecursively(root)
   }
 
@@ -1240,11 +1245,7 @@ object StreamingOps extends QueryModule {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-twssess")
     try {
       val name = s"graft_stream_twsss_${sinkSeq.incrementAndGet()}"
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try withStreamBatchConfs(s, 4) {
+      withConfs(s, rocksProviderConf) { withStreamBatchConfs(s, 4) {
         val q = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           .withWatermark("ts", "1 hour")
@@ -1271,7 +1272,7 @@ object StreamingOps extends QueryModule {
           require(!out.isEmpty, "TWS timer sessionizer emitted no sessions")
           out
         } finally scala.util.Try(s.catalog.dropTempView(name))
-      } finally oldProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+      } }
     } finally deleteRecursively(root)
   }
 
@@ -1626,11 +1627,7 @@ object StreamingOps extends QueryModule {
     val fp = graft.operators.SimilarityIndex.fingerprint(dir, "events.parquet")
     graft.engine.StagedRoots.of("twsstate", dir, fp) { r =>
       val srcSchema = ev.drop("b").schema
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try withShufflePartitions(s, 4) {
+      withConfs(s, rocksProviderConf) { withShufflePartitions(s, 4) {
         val name = s"graft_stream_twssr_${sinkSeq.incrementAndGet()}"
         val q = s.readStream.schema(srcSchema)
           .option("maxFilesPerTrigger", 1)
@@ -1653,7 +1650,7 @@ object StreamingOps extends QueryModule {
           require(dataBatches >= 3,
             s"tws state staging must process >=3 micro-batches, got $dataBatches")
         } finally scala.util.Try(s.catalog.dropTempView(name))
-      } finally oldProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+      } }
     }
   }
 }
