@@ -1276,6 +1276,70 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(root)
   }
 
+  /** Per-(user, event_type) running counts on `transformWithState` MAP
+    * STATE ([[TwsTypeCountsProcessor]]) — the composite state type that
+    * completes the TWS matrix (value state, Avro evolution, offline
+    * read, event-time timers are all gated). Each batch touches only
+    * the map entries of the types it saw; the digest keeps each key's
+    * final update-mode emission (`n` strictly increases per key), and
+    * cents accumulate as exact longs so the oracle recomputes the final
+    * state cell-exactly.
+    */
+  def streamTwsTypeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("b", (col("event_id") % 3).cast("string"))
+    val inDir = StagedLayouts.dir("updt", dir) { in =>
+      val t0 = 1700000000000L
+      stageSplits(ev, "b", in,
+        Map("0" -> t0, "1" -> (t0 + 60000L), "2" -> (t0 + 120000L)))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-twstc")
+    try {
+      val name = s"graft_stream_twstc_${sinkSeq.incrementAndGet()}"
+      val srcSchema = ev.drop("b").schema
+      withConfs(s, rocksProviderConf) { withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .as[TcIn]
+          .groupByKey(_.user_id)
+          .transformWithState(new TwsTypeCountsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3,
+            s"map state must accumulate across >=3 batches, got $dataBatches")
+          val shaped = s.table(name)
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(max(col("n_events")).as("n_events"),
+              (max_by(col("sum_cents"), col("n_events")) / 100.0).as("sum_value"))
+            .orderBy("user_id", "event_type")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "map-state counts emitted nothing")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      } }
+    } finally deleteRecursively(root)
+  }
+
+  val streamTwsTypeCountsOracle: String =
+    """SELECT user_id, event_type, count(*) AS n_events,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS sum_value
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+
   /** NATIVE `session_window()` under streaming append mode — the last
     * built-in stateful aggregate the matrix lacked (tumbling/update/
     * dedup/joins/arbitrary-state are covered; session state is the one
@@ -1415,6 +1479,8 @@ object StreamingOps extends QueryModule {
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
     RegisteredQuery("stream_tws_sessionize", streamTwsSessionize,
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
+    RegisteredQuery("stream_tws_type_counts", streamTwsTypeCounts,
+      Some(streamTwsTypeCountsOracle)),
     RegisteredQuery("stream_api_ingest", streamApiIngest,
       Some(streamApiIngestOracle)),
     // completes the output-mode matrix: update alongside append/complete

@@ -321,6 +321,18 @@ class StreamingSpec extends SparkSpec {
       streamed.size)
   }
 
+  test("stream_tws_type_counts (MAP state) equals the batch two-key aggregate, cell-exact") {
+    val streamed = graft.streaming.StreamingOps
+      .streamTwsTypeCounts(spark, sfDir).collect().toSeq
+    val batch = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("stream_windowed_append drops the late replay and equals the batch windows") {
     // equality with the batch aggregate over ALL events is exactly the
     // late-data contract: the staged replay re-delivers every pre-Jan-3
