@@ -421,12 +421,22 @@ object ChunkOps extends QueryModule {
     * still recomputes every boundary from `substr`+`md5` first
     * principles, so the gate independently verifies the kernel.
     */
+  private val cdcChunkCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** (doc_id, source, ch, clen): every CDC chunk of every document —
     * the shared front end of [[chunkCdcCensus]] and [[cdcNeardupDocs]]
     * (one definition so the pair detector provably fingerprints the
-    * same chunks the census counts).
+    * same chunks the census counts), memoized per fixture fingerprint
+    * through the [[SimilarityIndex.memoCheckpoint]] discipline: the
+    * kernel scan + span window run once per fixture, both consumers
+    * read the checkpointed chunk table.
     */
-  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    SimilarityIndex.memoCheckpoint(cdcChunkCache, s, dir, "documents.parquet")(
+      cdcChunksBuild(s, dir))
+
+  private def cdcChunksBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextKernels.register(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
