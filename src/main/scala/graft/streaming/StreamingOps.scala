@@ -1276,6 +1276,70 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(root)
   }
 
+  /** STREAMING `observe()` — the per-micro-batch twin of the batch
+    * [[graft.operators.ProfilingOps.observedIngest]] gate: a
+    * CollectMetrics node planted on the stream's INPUT accumulates row
+    * counts and an exact cents sum DURING each micro-batch (no second
+    * pass over the feed), surfaced through
+    * `StreamingQueryProgress.observedMetrics` — the mechanism a 100 TB
+    * pipeline uses to audit every batch of a live feed for free. The
+    * digest sums the per-batch metrics and pins the batch count (the
+    * staged feed delivers exactly 3 data batches); the oracle recomputes
+    * the totals from the raw table, so metrics that dropped or
+    * double-counted a batch fail loudly. Cents discipline as everywhere:
+    * per-row `floor(v*100+0.5)` longs, exact in any batch split.
+    */
+  def streamObservedCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("b", (col("event_id") % 3).cast("string"))
+    val inDir = StagedLayouts.dir("upd", dir) { in =>
+      val t0 = 1700000000000L
+      stageSplits(ev, "b", in,
+        Map("0" -> t0, "1" -> (t0 + 60000L), "2" -> (t0 + 120000L)))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-obs")
+    try {
+      val name = s"graft_stream_obs_${sinkSeq.incrementAndGet()}"
+      val srcSchema = ev.drop("b").schema
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .observe("graft_obs_stream",
+            count(lit(1)).as("obs_rows"),
+            sum(floor(col("value") * 100 + 0.5)).as("obs_cents"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val perBatch = q.recentProgress.toSeq
+            .flatMap(p => Option(p.observedMetrics.get("graft_obs_stream")))
+          require(perBatch.nonEmpty, "no observed metrics surfaced")
+          val rows = perBatch.map(_.getAs[Long]("obs_rows")).sum
+          val cents = perBatch.map(_.getAs[Long]("obs_cents")).sum
+          Seq((perBatch.size.toLong, rows, cents / 100.0))
+            .toDF("n_obs_batches", "obs_rows", "obs_value_sum")
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
+  val streamObservedCountsOracle: String =
+    """SELECT CAST(3 AS BIGINT) AS n_obs_batches,
+      | count(*) AS obs_rows,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS obs_value_sum
+      |FROM events WHERE user_id IS NOT NULL""".stripMargin
+
   /** Per-(user, event_type) running counts on `transformWithState` MAP
     * STATE ([[TwsTypeCountsProcessor]]) — the composite state type that
     * completes the TWS matrix (value state, Avro evolution, offline
@@ -1481,6 +1545,8 @@ object StreamingOps extends QueryModule {
       Some(graft.operators.WindowsAndStats.sessionizeOracle)),
     RegisteredQuery("stream_tws_type_counts", streamTwsTypeCounts,
       Some(streamTwsTypeCountsOracle)),
+    RegisteredQuery("stream_observed_counts", streamObservedCounts,
+      Some(streamObservedCountsOracle)),
     RegisteredQuery("stream_api_ingest", streamApiIngest,
       Some(streamApiIngestOracle)),
     // completes the output-mode matrix: update alongside append/complete

@@ -333,6 +333,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_observed_counts: observe() metrics ride the micro-batches and sum to the batch totals") {
+    // the audit-for-free contract: the CollectMetrics node accumulates
+    // DURING each of the 3 staged micro-batches (n_obs_batches pins that
+    // no batch was skipped or merged), and the summed per-batch metrics
+    // must equal a from-scratch batch recomputation — a dropped or
+    // double-counted batch breaks either the count or the cents sum
+    val got = graft.streaming.StreamingOps
+      .streamObservedCounts(spark, sfDir).collect().head
+    val want = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .agg(count(lit(1)).as("rows"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("cents"))
+      .collect().head
+    assert(got.getLong(0) === 3L, "staged feed must surface exactly 3 observed batches")
+    assert(got.getLong(1) === want.getLong(0))
+    assert(got.getDouble(2) === want.getDouble(1))
+  }
+
   test("stream_windowed_append drops the late replay and equals the batch windows") {
     // equality with the batch aggregate over ALL events is exactly the
     // late-data contract: the staged replay re-delivers every pre-Jan-3
