@@ -38,6 +38,7 @@ object SparkEntry {
     CorpusOps,
     ProfilingOps,
     WarehouseOps,
+    ModernSqlOps,
     graft.pipeline.PipelineOps,
     graft.streaming.StreamingOps,
   )

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.engine.Tables
+
+/** Spark 4-native SQL surface: the engine capabilities that exist in
+  * Spark 4.x and in no earlier engine generation — the binary VARIANT
+  * type for semi-structured data, recursive CTEs (`UnionLoopExec`), and
+  * collation-aware string comparison. The reference's only
+  * semi-structured surface is a JSONB payload-id array parsed per row in
+  * Python (`/root/reference/src/database.py:110-119`); re-expressed
+  * Spark-first, the same need (typed access into schema-flexible
+  * payloads) is exactly what VARIANT shredding is for, and the other two
+  * close real gaps a 100 TB warehouse user hits (calendar spines without
+  * a dimension table; case-insensitive dedup without double-lowercasing
+  * every predicate).
+  *
+  * Scale notes (100 TB):
+  *  - `variant_shred`: JSON text is parsed ONCE into the binary variant
+  *    encoding; every subsequent typed path access (`variant_get`) is a
+  *    byte-offset walk, not a re-parse — at scale this is the difference
+  *    between one CPU-bound parse pass and one per accessed field. The
+  *    aggregate itself is one hash shuffle on the extracted key.
+  *  - `recursive_cte_spine`: the recursion runs over the DATE DOMAIN
+  *    (bounded: one row per month, ~80 iterations — far under the
+  *    engine's level limit), never over data rows; the data-scale work
+  *    stays in one grouped aggregate + a broadcast-sized join of the
+  *    spine against per-month partials. A recursion keyed on data rows
+  *    would be the anti-pattern (unbounded iterations, one shuffle per
+  *    level).
+  *  - `collated_dedup`: collation-aware grouping ships the collation KEY
+  *    (`CollationKey`) through the exchange, so case-insensitive dedup
+  *    costs exactly one hash shuffle — same topology as binary dedup,
+  *    no lower() rewrite needed in every downstream predicate.
+  */
+object ModernSqlOps extends QueryModule {
+
+  /** VARIANT shredding: each event's typed columns + its JSON `props`
+    * are assembled into one nested semi-structured document, parsed ONCE
+    * into a binary VARIANT, and every downstream access is a typed
+    * `variant_get` path walk — string key at `$.m.t`, long at `$.p.k`,
+    * double at `$.m.x`, and a presence probe via `try_variant_get` on an
+    * optional branch that only high-value events carry (`to_json` drops
+    * the null struct, so the path is genuinely ABSENT, not null-valued).
+    * The oracle recomputes every figure from the raw columns/JSON text,
+    * so a wrong path, a lossy double round-trip through JSON text, or
+    * try_variant_get throwing on absence would all surface as value
+    * diffs. Cents discipline on the double: floor(x*100+0.5) longs.
+    */
+  def variantShred(s: SparkSession, dir: String): DataFrame = {
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    val v = Tables.events(s, dir).select(
+      parse_json(to_json(struct(
+        col("user_id").as("u"),
+        struct(col("event_type").as("t"), col("value").as("x")).as("m"),
+        when(col("value") > 50, struct(lit(1L).as("f"))).as("opt"),
+        from_json(col("props"), propsSchema).as("p")))).as("v"))
+    v.groupBy(expr("variant_get(v, '$.m.t', 'string')").as("t"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("variant_get(v, '$.p.k', 'bigint')")).as("k_sum"),
+        (sum(floor(expr("variant_get(v, '$.m.x', 'double')") * 100 + 0.5))
+          / 100.0).as("x_sum"),
+        count(expr("try_variant_get(v, '$.opt.f', 'bigint')")).as("n_flag"))
+      .orderBy("t")
+  }
+
+  val variantShredOracle: String =
+    """SELECT event_type AS t, count(*) AS n,
+      | CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS x_sum,
+      | count(CASE WHEN value > 50 THEN 1 END) AS n_flag
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE` → `UnionLoopExec`): build
+    * the month spine between the first and last order date — carrying
+    * the upper bound THROUGH the recursion so the recursive leg needs no
+    * subquery — left-join per-month order partials onto it, and report
+    * the digest: months spanned, GAP months (present in the spine,
+    * absent in the data — exactly what a plain GROUP BY can never see),
+    * and the total check-sum in exact cents. The reference's only
+    * calendar logic is `GROUP BY EXTRACT(YEAR ...)` (SURVEY §2.8), which
+    * silently skips empty periods; the spine is how a warehouse reports
+    * them without shipping a date dimension.
+    */
+  def recursiveCteSpine(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rcte")
+    s.sql(
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT date_trunc('MONTH', min(o_orderdate)),
+        |         date_trunc('MONTH', max(o_orderdate))
+        |  FROM orders_rcte
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+        |),
+        |per AS (
+        |  SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders_rcte GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |       CAST(count(CASE WHEN per.m IS NULL THEN 1 END) AS BIGINT) AS n_gap_months,
+        |       CAST(sum(coalesce(per.n, 0)) AS BIGINT) AS n_orders,
+        |       CAST(sum(coalesce(per.cents, 0)) AS DOUBLE) / 100.0 AS sum_total
+        |FROM months LEFT JOIN per ON months.m = per.m""".stripMargin)
+  }
+
+  val recursiveCteSpineOracle: String =
+    """WITH RECURSIVE months(m, hi) AS (
+      |  SELECT date_trunc('month', min(o_orderdate)),
+      |         date_trunc('month', max(o_orderdate))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+      |),
+      |per AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+      |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_months,
+      |       CAST(count(CASE WHEN per.m IS NULL THEN 1 END) AS BIGINT) AS n_gap_months,
+      |       CAST(sum(coalesce(per.n, 0)) AS BIGINT) AS n_orders,
+      |       CAST(sum(coalesce(per.cents, 0)) AS DOUBLE) / 100.0 AS sum_total
+      |FROM months LEFT JOIN per ON months.m = per.m""".stripMargin
+
+  /** Collation-aware dedup: tokens get a deterministic mixed-case
+    * treatment (even docs contribute initcap forms, odd docs lowercase,
+    * so the same word genuinely appears under multiple casings), then
+    * ONE grouped pass under `UTF8_LCASE` counts the case-insensitive
+    * vocabulary, the binary vocabulary (sum of per-group binary forms —
+    * the CI groups partition the binary forms), and how many CI keys
+    * merge ≥2 binary casings. Collation makes the case-insensitive
+    * semantics a property of the COMPARISON, not a lower() rewrite
+    * smeared over every expression — the grouping exchange hashes the
+    * collation key, so the topology is identical to binary dedup.
+    */
+  def collatedDedup(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(when(col("doc_id") % 2 === 0, initcap(col("w0")))
+        .otherwise(col("w0")).as("w"))
+    words
+      .groupBy(expr("collate(w, 'UTF8_LCASE')").as("wk"))
+      .agg(countDistinct(col("w")).as("forms"), count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_words"),
+        sum(col("forms")).as("n_binary"),
+        count(lit(1)).as("n_ci"),
+        count(when(col("forms") > 1, 1)).as("n_case_merged"))
+  }
+
+  val collatedDedupOracle: String =
+    """WITH w AS (
+      |  SELECT CASE WHEN doc_id % 2 = 0
+      |           THEN upper(substr(w0, 1, 1)) || substr(w0, 2)
+      |           ELSE w0 END AS w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w0
+      |        FROM documents)
+      |  WHERE len(w0) > 0
+      |), g AS (
+      |  SELECT lower(w) AS wk, count(DISTINCT w) AS forms, count(*) AS n
+      |  FROM w GROUP BY 1
+      |)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_words,
+      |       CAST(sum(forms) AS BIGINT) AS n_binary,
+      |       CAST(count(*) AS BIGINT) AS n_ci,
+      |       CAST(count(CASE WHEN forms > 1 THEN 1 END) AS BIGINT) AS n_case_merged
+      |FROM g""".stripMargin
+
+  override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("variant_shred", variantShred, Some(variantShredOracle)),
+    RegisteredQuery("recursive_cte_spine", recursiveCteSpine,
+      Some(recursiveCteSpineOracle)),
+    RegisteredQuery("collated_dedup", collatedDedup, Some(collatedDedupOracle)),
+  )
+}

@@ -242,8 +242,45 @@ object FileFormatOps extends QueryModule {
       | floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** Customer → XML (built-in Spark 4 source) → read back with the
+    * explicit schema. `c_label` embeds the XML metacharacters (`<`, `&`,
+    * a double-quote) the writer must entity-escape and the reader must
+    * decode; `c_nat_null` carries real NULLs (the writer omits the
+    * element, the reader must restore NULL); `c_acctbal` checks numeric
+    * fidelity through XML text. Same ingest-boundary posture as the
+    * CSV/JSON twins: explicit schema (no inference scan), land once,
+    * normalize to columnar.
+    */
+  def xmlRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-xml-rt")
+    try {
+      val shaped = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"),
+        concat(col("c_name"), lit(" <&> \""), col("c_mktsegment"))
+          .as("c_label"),
+        when(col("c_mktsegment") === "MACHINERY", lit(null).cast("string"))
+          .otherwise(col("c_nationkey").cast("string")).as("c_nat_null"))
+      shaped.write.format("xml")
+        .option("rowTag", "row").option("rootTag", "rows")
+        .mode("overwrite").save(root.toString)
+      val back = s.read.format("xml")
+        .schema(shaped.schema).option("rowTag", "row")
+        .load(root.toString)
+        .orderBy("c_custkey")
+      materialize(s, back)
+    } finally deleteRecursively(root)
+  }
+
+  val xmlRoundTripOracle: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      | c_name || ' <&> "' || c_mktsegment AS c_label,
+      | CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+      |      ELSE CAST(c_nationkey AS VARCHAR) END AS c_nat_null
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("csv_roundtrip", csvRoundTrip, Some(csvRoundTripOracle)),
+    RegisteredQuery("xml_roundtrip", xmlRoundTrip, Some(xmlRoundTripOracle)),
     RegisteredQuery("json_roundtrip", jsonRoundTrip, Some(jsonRoundTripOracle)),
     RegisteredQuery("csv_corrupt_audit", csvCorruptAudit, Some(csvCorruptAuditOracle)),
     RegisteredQuery("orc_roundtrip", orcRoundTrip, Some(orcRoundTripOracle)),
