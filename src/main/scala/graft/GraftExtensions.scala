@@ -56,6 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.functions.PairCombinations(children(0))))
     ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRunningDistinct)
+    ext.injectOptimizerRule(s => new graft.plans.MvRollupRewrite(s))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
