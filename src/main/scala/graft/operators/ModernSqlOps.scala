@@ -172,8 +172,87 @@ object ModernSqlOps extends QueryModule {
       |       CAST(count(CASE WHEN forms > 1 THEN 1 END) AS BIGINT) AS n_case_merged
       |FROM g""".stripMargin
 
+  /** Higher-order array functions as the vector-column workhorse:
+    * `transform`/`filter`/`aggregate`/`zip_with`/`reverse`/`exists`
+    * compose PER-ROW over the 64-dim embedding — codegen'd lambda
+    * pipelines, no explode, no shuffle, no UDF. Cross-engine float
+    * discipline: every element is snapped to the 2^-20 grid as a LONG
+    * inside the lambda (float→double is exact, ×2^20 is exact on the
+    * float mantissa, floor is deterministic), so every sum is an exact
+    * integer in any order — the `emb_kmeans` argument applied at row
+    * scope. The oracle recomputes via positionally-aligned unnest + a
+    * reversed self-join, so a lambda off-by-one (wrong reverse
+    * alignment, wrong filter bound) breaks cell-exactly.
+    *
+    * Scale: this is the map-side idiom for 100 TB embedding columns —
+    * the whole pipeline lives inside one WholeStageCodegen span over the
+    * scan; the alternative (posexplode → groupBy(vec_id)) pays a
+    * fact-scale shuffle for what is row-local arithmetic.
+    */
+  def hofArrayPipeline(s: SparkSession, dir: String): DataFrame = {
+    val q = "CAST(floor(CAST(%s AS DOUBLE) * 1048576 + 0.5) AS BIGINT)"
+    Tables.embeddings(s, dir).selectExpr(
+      "vec_id",
+      s"aggregate(transform(embedding, x -> ${q.format("x")}), 0L, (a, x) -> a + x) AS qsum",
+      "CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos",
+      s"aggregate(zip_with(embedding, reverse(embedding), (a, b) -> ${q.format("a")} * ${q.format("b")}), 0L, (acc, x) -> acc + x) AS qrevdot",
+      "exists(embedding, x -> abs(x) > 0.5) AS has_big")
+      .orderBy("vec_id")
+  }
+
+  val hofArrayPipelineOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         len(embedding) AS n
+      |  FROM embeddings
+      |), qe AS (
+      |  SELECT vec_id, i, n, x,
+      |         CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS q
+      |  FROM e
+      |)
+      |SELECT a.vec_id,
+      |       CAST(sum(a.q) AS BIGINT) AS qsum,
+      |       CAST(count(CASE WHEN a.x > 0 THEN 1 END) AS BIGINT) AS n_pos,
+      |       CAST(sum(a.q * b.q) AS BIGINT) AS qrevdot,
+      |       bool_or(abs(a.x) > 0.5) AS has_big
+      |FROM qe a JOIN qe b
+      |  ON a.vec_id = b.vec_id AND b.i = a.n - a.i + 1
+      |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
+
+  /** Named-parameter SQL (`spark.sql(text, args)`): the injection-safe
+    * programmatic query surface — parameters bind as TYPED literals at
+    * parse time, not string splices. The oracle carries the same query
+    * with the bindings inlined; a binding that lands as the wrong type
+    * or position changes the result set.
+    */
+  def sqlParameterized(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_param")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS total
+        |FROM orders_param
+        |WHERE o_orderdate >= :lo AND o_totalprice < :cap
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      Map("lo" -> java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+        "cap" -> 200000))
+  }
+
+  val sqlParameterizedOracle: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |   / 100.0 AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice < 200000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("variant_shred", variantShred, Some(variantShredOracle)),
+    RegisteredQuery("hof_array_pipeline", hofArrayPipeline,
+      Some(hofArrayPipelineOracle)),
+    RegisteredQuery("sql_parameterized", sqlParameterized,
+      Some(sqlParameterizedOracle)),
     RegisteredQuery("recursive_cte_spine", recursiveCteSpine,
       Some(recursiveCteSpineOracle)),
     RegisteredQuery("collated_dedup", collatedDedup, Some(collatedDedupOracle)),

@@ -71,6 +71,49 @@ class ModernSqlSpec extends SparkSpec {
     assert(row.getLong(3) > 0, "at least one CI key must merge two casings")
   }
 
+  test("hof_array_pipeline equals the posexplode twin and shuffles only for the final sort") {
+    val df = ModernSqlOps.hofArrayPipeline(spark, sfDir)
+    // the per-row lambda pipeline must be map-only: the ONE exchange in
+    // the whole plan is the presentation sort's range partitioning —
+    // a posexplode/groupBy formulation would add a fact-scale hash
+    // exchange before it
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected at most the sort exchange, found $exchanges")
+    val got = df.collect().toSeq
+    val want = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("q", floor(col("x").cast("double") * 1048576 + 0.5).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("q")).as("qsum"),
+        count(when(col("x") > 0, 1)).as("n_pos"),
+        max(abs(col("x")) > 0.5).as("has_big"))
+      .orderBy("vec_id").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))) ===
+      want.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    // reversed quantized dot: spot-check one row brute-force on the driver
+    val first = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(1)
+      .collect().head
+    val emb = first.getSeq[Float](1)
+    def q(f: Float): Long = math.floor(f.toDouble * 1048576 + 0.5).toLong
+    val expect = emb.zip(emb.reverse).map { case (a, b) => q(a) * q(b) }.sum
+    assert(got.head.getLong(3) === expect)
+  }
+
+  test("sql_parameterized binds typed named parameters equal to the inlined-literal query") {
+    val got = ModernSqlOps.sqlParameterized(spark, sfDir).collect().toSeq
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_param")
+    val want = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 AS total
+        |FROM orders_param
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice < 200000
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect().toSeq
+    assert(got === want)
+  }
+
   test("xml_roundtrip entity-escapes the metacharacters on disk") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Files.createTempDirectory("graft-xml-esc")
