@@ -233,6 +233,61 @@ object LayoutOps extends QueryModule {
       | true AS files_sorted
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** DYNAMIC partition overwrite — the sink semantic that makes
+    * partition-grained reprocessing safe: `mode("overwrite")` under
+    * `partitionOverwriteMode=dynamic` replaces ONLY the partitions the
+    * incoming frame touches, where the default STATIC mode truncates the
+    * whole table first. The gate seeds every status partition (epoch 0),
+    * dynamically overwrites just the `F` partition (epoch 1), and reads
+    * the table back: `F` must carry the new epoch, every other partition
+    * must SURVIVE with epoch 0 — under static mode they would be gone
+    * (the contrast `ZorderLayoutSpec` pins). Conf scoped set/restore
+    * like [[footerMinmax]]; result materialized inside the temp-dir
+    * window.
+    *
+    * At 100 TB this is the idempotent-backfill primitive: re-running one
+    * day's job rewrites one `day=` directory atomically-enough for file
+    * tables, instead of truncating years of history (the reference's
+    * whole-table upsert S7 re-expressed at partition grain).
+    */
+  def dynamicPartitionOverwrite(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-dpo") { root =>
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      o.withColumn("epoch", lit(0L))
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(root.toString)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val saved = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "dynamic")
+        o.filter(col("o_orderstatus") === "F").withColumn("epoch", lit(1L))
+          .write.partitionBy("o_orderstatus").mode("overwrite")
+          .parquet(root.toString)
+      } finally saved.fold(s.conf.unset(key))(s.conf.set(key, _))
+      val out = s.read.parquet(root.toString)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("epoch")).as("epoch_min"),
+          max(col("epoch")).as("epoch_max"),
+          (sum(col("cents")) / 100.0).as("total"))
+        .orderBy("status")
+      s.createDataFrame(out.collectAsList(), out.schema)
+    }
+
+  /** n_rows/total are REAL SQL over orders (proof no partition was lost
+    * or doubled); the epoch columns pin the overwrite grain — F fully
+    * replaced (min=max=1), everything else untouched (min=max=0).
+    */
+  val dynamicPartitionOverwriteOracle: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_rows,
+      | CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS epoch_min,
+      | CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS epoch_max,
+      | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |   / 100.0 AS total
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   /** Footer-stats aggregation — whole-table min/max/count answered from
     * parquet FOOTER metadata instead of row scans (`PushedAggregation` in
     * the V2 scan): at 100 TB this turns a full-column pass into reading
@@ -376,5 +431,7 @@ object LayoutOps extends QueryModule {
       Some(partitionedWriteAuditOracle)),
     RegisteredQuery("footer_minmax", footerMinmax, Some(footerMinmaxOracle)),
     RegisteredQuery("shard_rendezvous", shardRendezvous, Some(shardRendezvousOracle)),
+    RegisteredQuery("dynamic_partition_overwrite", dynamicPartitionOverwrite,
+      Some(dynamicPartitionOverwriteOracle)),
   )
 }

@@ -112,4 +112,26 @@ class ZorderLayoutSpec extends SparkSpec {
     assert(filesPerStatus.exists(_ > 1L),
       "unrepartitioned partitionBy should produce multi-file partition dirs")
   }
+
+  test("dynamic partition overwrite keeps untouched partitions; STATIC truncates them") {
+    val orders = graft.engine.Tables.orders(spark, sfDir)
+    // positive semantics are fully gated by the registered oracle; here
+    // pin the CONTRAST that makes `dynamic` the load-bearing conf: the
+    // same two writes under the default static mode lose every partition
+    // the second frame does not touch
+    val got = LayoutOps.dynamicPartitionOverwrite(spark, sfDir).collect()
+    val statuses = orders.select("o_orderstatus").distinct().count()
+    assert(got.length == statuses, "dynamic overwrite must keep every seeded partition")
+
+    val root = tmpDir("graft-dpo-static")
+    val o = orders.select(col("o_orderkey"), col("o_orderstatus"))
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(root)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"), "contrast assumes the default static mode")
+    o.filter(col("o_orderstatus") === "F")
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(root)
+    val left = spark.read.parquet(root).select("o_orderstatus").distinct().collect()
+    assert(left.map(_.getString(0)).toSeq == Seq("F"),
+      s"static overwrite must truncate the whole table, found ${left.mkString(",")}")
+  }
 }
