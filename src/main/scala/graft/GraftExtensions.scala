@@ -57,6 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRunningDistinct)
     ext.injectOptimizerRule(s => new graft.plans.MvRollupRewrite(s))
+    ext.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -1119,6 +1119,52 @@ object WarehouseOps extends QueryModule {
       |  AND o_orderdate < TIMESTAMP '1998-04-01'
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Declared-constraint join elimination
+    * ([[graft.plans.FkJoinElimination]]): the view-expansion query shape
+    * — fact ⋈ dimension where the report touches only fact columns —
+    * run with the lineitem→orders FK declared (with referential
+    * integrity, which the fixture satisfies and the ORACLE actually
+    * checks: the DuckDB twin executes the real join, so an RI violation
+    * would change the eliminated result and go red). The optimizer must
+    * drop the join entirely — `require`d in-query, and `FkElimSpec` pins
+    * the orders scan's absence plus the refusals (dim column used,
+    * constraint undeclared, filtered dimension) and the null-guard
+    * semantics on a nullable fk. The declaration is scoped to this
+    * query (declare/try/undeclare) so every other gated plan's pinned
+    * shape stays independent; a production session would declare
+    * constraints once at startup.
+    *
+    * At 100 TB: the eliminated join is the whole dimension scan + a
+    * broadcast build (or worse, a shuffle) paid by every report routed
+    * through a canned join view — removed, leaving the bare fact scan.
+    */
+  def fkJoinElim(s: SparkSession, dir: String): DataFrame = {
+    val c = graft.plans.ConstraintCatalog.FkRi(
+      s"$dir/lineitem.parquet", "l_orderkey",
+      s"$dir/orders.parquet", "o_orderkey")
+    graft.plans.ConstraintCatalog.declare(c)
+    try {
+      val df = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(revCents) / 100.0).as("revenue"))
+        .orderBy("l_returnflag")
+      require(!df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "declared FK join was not eliminated")
+      df.queryExecution.executedPlan // full planning inside the declaration scope
+      df
+    } finally graft.plans.ConstraintCatalog.undeclare(c)
+  }
+
+  val fkJoinElimOracle: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   /** Cost-based optimization driven by ANALYZE TABLE statistics — the
     * catalog-stats surface no other gate exercises: the dimension is a
     * CATALOG table with column statistics, and the conjunctive filter's
@@ -1424,5 +1470,6 @@ object WarehouseOps extends QueryModule {
     RegisteredQuery("ivm_refresh_stored", ivmRefreshStored, Some(ivmOracle)),
     RegisteredQuery("mv_rewrite_rollup", mvRewriteRollup, Some(mvRewriteOracle)),
     RegisteredQuery("cbo_stats_join", cboStatsJoin, Some(cboStatsOracle)),
+    RegisteredQuery("fk_join_elim", fkJoinElim, Some(fkJoinElimOracle)),
   )
 }

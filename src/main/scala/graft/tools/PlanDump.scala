@@ -56,7 +56,13 @@ object PlanDump {
     // serve), so the interesting plans live in their spec pins
     // (SkewJoinAqeSpec, KnnJoinSpec) instead of an explain dump
     "chunk_cdc_census" -> "CDC chunking: map-only boundary detection (Generate + codegen md5), one doc-keyed window, hash-keyed dup census",
-    "hybrid_rrf_retrieval" -> "RRF fusion: ONE shared postings frame feeds both rankers; full-outer join of two 10-row-per-query lists")
+    "hybrid_rrf_retrieval" -> "RRF fusion: ONE shared postings frame feeds both rankers; full-outer join of two 10-row-per-query lists",
+    // cbo_stats_join is NOT here for the same scopedRun reason as
+    // bloom_skew_join — its strategy flip is pinned in CboStatsSpec
+    "mv_rewrite_rollup" -> "MvRollupRewrite fired: the scan is the stored month x customer MV, the base table is absent",
+    "fk_join_elim" -> "FkJoinElimination fired: declared-redundant dimension join GONE, bare fact scan + one aggregate",
+    "hof_array_pipeline" -> "higher-order lambdas fused into one codegen span over the scan; only exchange is the final sort",
+    "recursive_cte_spine" -> "WITH RECURSIVE month spine: UnionLoop over the date domain, data-scale work in one aggregate + spine join")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("plandump", 8)
