@@ -220,6 +220,53 @@ object ModernSqlOps extends QueryModule {
       |  ON a.vec_id = b.vec_id AND b.i = a.n - a.i + 1
       |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
 
+  /** MAP-typed columns under higher-order functions — the map twin of
+    * [[hofArrayPipeline]]: each user's per-type event counts become ONE
+    * map column (`map_from_entries` over an `array_sort`ed collect_list,
+    * so the map's entry order — which Spark preserves — is
+    * deterministic under any partitioning), then `element_at` (absent
+    * key → NULL, not 0 — the lookup semantic the oracle pins with
+    * NULLIF), `map_filter`, `map_values`+`aggregate`, and
+    * `transform_values` compose per row. Only scalars leave the query;
+    * the oracle recomputes every figure from flat SQL.
+    *
+    * Scale: the map column is the serving layout for per-entity feature
+    * bundles (one row per user, one map of features) — built with ONE
+    * keyed shuffle, then every downstream probe is row-local; the flat
+    * alternative re-shuffles per feature probe.
+    */
+  def mapHofPipeline(s: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    perType
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        expr("CAST(size(m) AS BIGINT)").as("n_types"),
+        expr("element_at(m, 'click')").as("n_click"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("n_events"),
+        expr("CAST(size(map_filter(m, (k, v) -> v >= 12)) AS BIGINT)").as("n_heavy"),
+        expr("aggregate(map_values(transform_values(m, (k, v) -> v * v)), 0L, (a, x) -> a + x)").as("sq_sum"))
+      .orderBy("user_id")
+  }
+
+  val mapHofPipelineOracle: String =
+    """WITH per AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT user_id,
+      |  count(*) AS n_types,
+      |  max(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(count(CASE WHEN n >= 12 THEN 1 END) AS BIGINT) AS n_heavy,
+      |  CAST(sum(n * n) AS BIGINT) AS sq_sum
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Named-parameter SQL (`spark.sql(text, args)`): the injection-safe
     * programmatic query surface — parameters bind as TYPED literals at
     * parse time, not string splices. The oracle carries the same query
@@ -251,6 +298,8 @@ object ModernSqlOps extends QueryModule {
     RegisteredQuery("variant_shred", variantShred, Some(variantShredOracle)),
     RegisteredQuery("hof_array_pipeline", hofArrayPipeline,
       Some(hofArrayPipelineOracle)),
+    RegisteredQuery("map_hof_pipeline", mapHofPipeline,
+      Some(mapHofPipelineOracle)),
     RegisteredQuery("sql_parameterized", sqlParameterized,
       Some(sqlParameterizedOracle)),
     RegisteredQuery("recursive_cte_spine", recursiveCteSpine,

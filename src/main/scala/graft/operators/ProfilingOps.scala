@@ -810,7 +810,34 @@ object ProfilingOps extends QueryModule {
       | (SELECT sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 FROM ev)
       |   AS obs_value_sum""".stripMargin
 
+  /** Spark 4's BUILT-IN frequent-items sketch (`approx_top_k`) beside
+    * the hand-built Misra–Gries twin (`vocab_mg_heavy`): heavy hitters
+    * in one pass, mergeable partials, bounded state. The gate runs it
+    * where its guarantee is EXACT — the tracked-item capacity (default
+    * 10⁴) exceeds the key domain (5 event types), so no eviction ever
+    * happens and every count is the true count (the Misra–Gries
+    * zero-eviction argument) — which is what makes a cell-exact DuckDB
+    * oracle sound for a sketch. Items re-sorted by (count desc, item);
+    * the fixture's counts are strictly distinct at every SF with ≥3
+    * margin, so the k=3 cut is stable. At 100 TB the sketch's value is
+    * the case this gate deliberately avoids: a key domain far past
+    * memory, where counts go approximate under the same dataflow (one
+    * map-side-combined aggregation, no key-domain shuffle).
+    */
+  def approxTopkBuiltin(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("item"))
+
+  val approxTopkBuiltinOracle: String =
+    """SELECT event_type AS item, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY n DESC, item LIMIT 3""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
+    RegisteredQuery("approx_topk_builtin", approxTopkBuiltin,
+      Some(approxTopkBuiltinOracle)),
     RegisteredQuery("bottomk_quantile_sketch", bottomkQuantileSketch,
       Some(bottomkQuantileOracle)),
     RegisteredQuery("observed_ingest", observedIngest, Some(observedIngestOracle)),

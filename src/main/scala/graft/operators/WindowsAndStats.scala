@@ -549,6 +549,56 @@ object WindowsAndStats extends QueryModule {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "s_start_us")
 
+  /** [[w10SessionWindow]]'s DYNAMIC-GAP variant: the gap is a function
+    * of the row (`error` events hold the session open 10 minutes,
+    * everything else 45) — the API for activity-dependent sessionization
+    * that no fixed gap can express. Semantics are interval-union: each
+    * event proposes `[ts, ts+gap)`, overlapping-or-touching proposals
+    * merge, session end = max(ts+gap). The oracle replays exactly that
+    * with a strictly-preceding running max of proposed ends (equal-ts
+    * events always share a start, so tie order cannot change the
+    * grouping), all in integer microseconds.
+    *
+    * Scale: identical topology to the fixed-gap builtin — one keyed
+    * exchange, sessions merged map-side; the per-row gap rides the row,
+    * costing nothing extra.
+    */
+  def w11SessionDynGap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "error", "10 minutes")
+          .otherwise("45 minutes")))
+      .agg(count(lit(1)).as("n_events"), roundTo(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        unix_micros(col("session_window.end")).as("s_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start_us")
+
+  val w11DynGapOracle: String =
+    """WITH x AS (
+      | SELECT user_id, ts, value, epoch_us(ts) AS t_us,
+      |  epoch_us(ts) + CASE WHEN event_type = 'error'
+      |    THEN 600000000 ELSE 2700000000 END AS e_us
+      | FROM events),
+      |y AS (
+      | SELECT user_id, ts, t_us, e_us, value,
+      |  max(e_us) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      | FROM x),
+      |g AS (
+      | SELECT user_id, t_us, e_us, value,
+      |  sum(CASE WHEN prev_end IS NULL OR t_us > prev_end THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      | FROM y)
+      |SELECT user_id, min(t_us) AS s_start_us, max(e_us) AS s_end_us,
+      | count(*) AS n_events,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, s_start_us""".stripMargin
+
   val w10Oracle: String =
     """WITH x AS (
       | SELECT user_id, ts, value,
@@ -572,6 +622,8 @@ object WindowsAndStats extends QueryModule {
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("a6_frac_delay", a6FracDelay, Some(a6Oracle)),
     RegisteredQuery("w10_session_window", w10SessionWindow, Some(w10Oracle)),
+    RegisteredQuery("w11_session_dynamic_gap", w11SessionDynGap,
+      Some(w11DynGapOracle)),
     RegisteredQuery("w6_rank_suite", w6RankSuite, Some(w6Oracle)),
     RegisteredQuery("t6_topk_per_group", t6TopkPerGroup, Some(t6Oracle)),
     RegisteredQuery("winsorize", winsorize, Some(winsorizeOracle)),

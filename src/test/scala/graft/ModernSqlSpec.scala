@@ -114,6 +114,35 @@ class ModernSqlSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("map_hof_pipeline equals the flat recompute; absent keys read as NULL") {
+    val got = ModernSqlOps.mapHofPipeline(spark, sfDir)
+    val flat = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"),
+        max(when(col("event_type") === "click", col("n"))).as("n_click"),
+        sum(col("n")).as("n_events"),
+        count(when(col("n") >= 12, 1)).as("n_heavy"),
+        sum(col("n") * col("n")).as("sq_sum"))
+      .orderBy("user_id")
+    assert(got.collect().toSeq === flat.collect().toSeq)
+    // absent-key lookup contract: element_at on a map without the key is
+    // NULL (not 0, not an error) — the semantic the oracle cannot reach
+    // on this fixture because every user has every type
+    val absent = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .selectExpr("element_at(m, 'no_such_type') AS x")
+      .collect()
+    assert(absent.forall(_.isNullAt(0)))
+  }
+
   test("xml_roundtrip entity-escapes the metacharacters on disk") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Files.createTempDirectory("graft-xml-esc")

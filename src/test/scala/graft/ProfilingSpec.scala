@@ -87,6 +87,18 @@ class ProfilingSpec extends SparkSpec
       "no lineitem points at the injected order key")
   }
 
+  test("approx_top_k is exact below sketch capacity: equals the true top-3") {
+    import org.apache.spark.sql.functions._
+    // 5 distinct event types vs a 10^4-item sketch: zero evictions, so
+    // every count is the true count and a cell-exact compare is sound
+    val got = ProfilingOps.approxTopkBuiltin(spark, sfDir).collect().toSeq
+    val want = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item")).limit(3).collect().toSeq
+    assert(got === want)
+  }
+
   test("kanon_audit: digest invariants against the raw class table") {
     val r = ProfilingOps.kanonAudit(spark, sfDir).collect().head
     val (nClasses, k, nRows, below5, below10) =

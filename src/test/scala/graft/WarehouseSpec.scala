@@ -241,6 +241,42 @@ class WarehouseSpec extends SparkSpec {
       s"native session_window found $nNative sessions, island form $islands")
   }
 
+  test("dynamic-gap session_window consults the per-row gap and matches the interval-union replay") {
+    val dyn = WindowsAndStats.w11SessionDynGap(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    assert(dyn.agg(sum(col("n_events"))).head().getLong(0) == ev.count(),
+      "every event must land in exactly one session")
+    // the per-row gap is load-bearing: both fixed-gap extremes disagree
+    def fixedSessions(gap: String): Long = ev
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), gap))
+      .agg(count(lit(1))).count()
+    val nDyn = dyn.count()
+    assert(nDyn != fixedSessions("10 minutes") && nDyn != fixedSessions("45 minutes"),
+      "dynamic result must differ from both constant-gap extremes")
+    // exact interval-union replay: proposed end rides each row; a session
+    // breaks where ts exceeds the running max of strictly-preceding ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val replay = ev
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("e_us", col("t_us") +
+        when(col("event_type") === "error", 600000000L).otherwise(2700000000L))
+      .withColumn("prev_end",
+        max(col("e_us")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("t_us") > col("prev_end"), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("t_us")).as("s_start_us"), max(col("e_us")).as("s_end_us"),
+        count(lit(1)).as("n_events"),
+        graft.functions.Scalars.roundTo(sum(col("value")), 2).as("sum_value"))
+      .drop("grp")
+      .orderBy("user_id", "s_start_us")
+    assert(dyn.collect().toSeq === replay.collect().toSeq)
+  }
+
   test("q16: anti join survives, part filters pushed, equals the distinct-pair form") {
     val df = WarehouseOps.q16PartsSuppliers(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString
