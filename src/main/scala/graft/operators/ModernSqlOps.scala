@@ -294,6 +294,112 @@ object ModernSqlOps extends QueryModule {
       |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice < 200000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL SCRIPTING (Spark 4 `BEGIN … END` compound statements): a
+    * procedural block DECLAREs a session variable, SETs it from a
+    * scalar subquery, and the final statement consumes it both as a
+    * FILTER threshold and a projected column — the migration surface
+    * for stored-procedure workloads (the reference's multi-round-trip
+    * Python-orchestrated SQL at `/root/reference/src/aggregations.py`
+    * is exactly this shape: compute an aggregate, reuse it in the next
+    * statement). The oracle inlines the scalar subquery twice; the
+    * threshold column is the suite's standard 2dp envelope on a
+    * double aggregate over a fixed fixture. Conf-scoped enable with
+    * restore, single-threaded-session discipline as documented at
+    * [[graft.streaming.StreamingOps]]'s conf-scope idiom.
+    *
+    * Scale: scripting is driver-side control flow — each statement is
+    * still one full Catalyst-planned distributed query; the variable
+    * is a broadcast scalar, so the procedural form costs nothing over
+    * the hand-inlined one (two scans either way).
+    */
+  def sqlScripting(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_script")
+    val key = "spark.sql.scripting.enabled"
+    val saved = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "true")
+      val df = s.sql(
+        """BEGIN
+          |  DECLARE avg_price DOUBLE;
+          |  SET avg_price = (SELECT avg(o_totalprice) FROM orders_script);
+          |  SELECT o_orderstatus, count(*) AS n_above,
+          |         CAST(floor(avg_price * 100 + 0.5) AS DOUBLE) / 100.0 AS threshold
+          |  FROM orders_script WHERE o_totalprice > avg_price
+          |  GROUP BY 1 ORDER BY 1;
+          |END""".stripMargin)
+      // force full planning inside the conf scope
+      df.queryExecution.executedPlan
+      df
+    } finally saved.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
+  val sqlScriptingOracle: String =
+    """SELECT o_orderstatus, count(*) AS n_above,
+      | floor((SELECT avg(o_totalprice) FROM orders) * 100 + 0.5) / 100.0 AS threshold
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Custom aggregate as a FIRST-CLASS SQL FUNCTION: the typed
+    * [[graft.functions.GeoMean]] `Aggregator` registered through
+    * `functions.udaf` and called from SQL text — the untyped face of the
+    * typed-aggregation API (SURVEY §2.11's ladder: typed Dataset
+    * aggregators exist since r2; this rung makes one callable by a SQL
+    * user). The state (Σ ln x, n) is decomposable, so the plan gets
+    * map-side partial aggregation like any built-in; the oracle
+    * recomputes exp(avg(ln x)) under the suite's 2dp envelope.
+    */
+  def udafGeomean(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("graft_gmean", org.apache.spark.sql.functions.udaf(
+      graft.functions.GeoMean, org.apache.spark.sql.Encoders.DOUBLE))
+    Tables.orders(s, dir).createOrReplaceTempView("orders_udaf")
+    s.sql(
+      """SELECT o_orderstatus,
+        | CAST(floor(graft_gmean(o_totalprice) * 100 + 0.5) AS DOUBLE) / 100.0
+        |   AS gmean,
+        | count(*) AS n
+        |FROM orders_udaf GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val udafGeomeanOracle: String =
+    """SELECT o_orderstatus,
+      | floor(exp(avg(ln(o_totalprice))) * 100 + 0.5) / 100.0 AS gmean,
+      | count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Result-set cache serve ([[graft.engine.ResultCache]]): the same
+    * revenue report issued twice — the first sight executes and stores,
+    * the second is REQUIRED to hit (counter-gated in-query; the
+    * cache-scan plan shape is pinned in `ModernSqlSpec`) and serves the
+    * stored result without touching the fact table. Cents are exact
+    * longs in the cached payload, so the serve path cannot introduce
+    * float drift. The dashboard pattern at 100 TB: one execution plus
+    * N−1 result-sized reads.
+    */
+  def resultCacheServe(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir + "|" + SimilarityIndex.fingerprint(dir, "lineitem.parquet")
+    def report = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).as("rev_c"))
+    graft.engine.ResultCache.run(s, report, tag)
+    val h0 = graft.engine.ResultCache.hits.get
+    val served = graft.engine.ResultCache.run(s, report, tag)
+    require(graft.engine.ResultCache.hits.get > h0,
+      "second sight of the same semantic plan must serve from the cache")
+    served
+      .select(col("l_returnflag"), col("n_items"),
+        (col("rev_c") / 100.0).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val resultCacheOracle: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("variant_shred", variantShred, Some(variantShredOracle)),
     RegisteredQuery("hof_array_pipeline", hofArrayPipeline,
@@ -302,6 +408,10 @@ object ModernSqlOps extends QueryModule {
       Some(mapHofPipelineOracle)),
     RegisteredQuery("sql_parameterized", sqlParameterized,
       Some(sqlParameterizedOracle)),
+    RegisteredQuery("sql_scripting", sqlScripting, Some(sqlScriptingOracle)),
+    RegisteredQuery("udaf_geomean", udafGeomean, Some(udafGeomeanOracle)),
+    RegisteredQuery("result_cache_serve", resultCacheServe,
+      Some(resultCacheOracle)),
     RegisteredQuery("recursive_cte_spine", recursiveCteSpine,
       Some(recursiveCteSpineOracle)),
     RegisteredQuery("collated_dedup", collatedDedup, Some(collatedDedupOracle)),

@@ -1510,6 +1510,100 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(root)
   }
 
+  /** [[streamSessionWindow]]'s DYNAMIC-GAP twin
+    * ([[graft.operators.WindowsAndStats.w11SessionDynGap]] under append
+    * streaming): the per-row gap expression rides through the session
+    * state store — merge decisions depend on each buffered event's OWN
+    * proposed end, which is exactly what the dynamic API adds over the
+    * constant gap. Staging engineering as the fixed twin, with the
+    * straddle pair probe honoring the FIRST event's dynamic gap (diff ≤
+    * gap(a) guarantees a and b share a session), and the runtime
+    * require is airtight by construction: the emitted session covering
+    * `[a, b]` must have merged across the cut because file f1 holds a,
+    * f2 holds b, and a ≤ cut < b. Oracle = the batch w11 interval-union
+    * replay — streaming, batch, and the window-function derivation
+    * pinned to one result.
+    */
+  def streamSessionDynGap(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.engine.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+    val gapUs = when(col("event_type") === "error", 600000000L)
+      .otherwise(2700000000L)
+    val inDir = StagedLayouts.dir("sswd", dir) { in =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val pair = ev
+        .select(col("user_id"), col("ts"), gapUs.as("gap_us"),
+          lead(col("ts"), 1).over(w).as("nts"))
+        .filter(col("nts").isNotNull && col("nts") > col("ts") &&
+          unix_micros(col("nts")) - unix_micros(col("ts")) <= col("gap_us"))
+        .orderBy("user_id", "ts").limit(1).collect()
+      require(pair.nonEmpty,
+        "no in-gap same-user pair — the dynamic session-merge gate would be vacuous")
+      val u = pair.head.getLong(0)
+      val aUs = { val i = pair.head.getTimestamp(1).toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000 }
+      val bUs = { val i = pair.head.getTimestamp(3).toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000 }
+      val cutUs = (aUs + bUs) / 2
+      val t0 = 1700000000000L
+      def sentinel(uid: Long, day: String): DataFrame =
+        s.range(1).select(lit(uid).as("user_id"),
+          to_timestamp(lit(s"2024-06-$day 00:00:00")).as("ts"),
+          lit(0.0d).as("value"), lit("view").as("event_type"))
+      val evDir = java.nio.file.Files.createDirectories(in.resolve("events"))
+      stageSplitsTo(
+        ev.withColumn("__b",
+            when(unix_micros(col("ts")) <= cutUs, "f1").otherwise("f2"))
+          .unionByName(sentinel(-1L, "01").withColumn("__b", lit("f2"))),
+        "__b", Map("f1" -> (evDir, t0), "f2" -> (evDir, t0 + 1000)))
+      stage(sentinel(-2L, "02"), evDir, "f3", t0 + 2000)
+      java.nio.file.Files.writeString(in.resolve("pair.txt"), s"$u $aUs $bUs")
+    }
+    val Array(pu, aUs, bUs) =
+      java.nio.file.Files.readString(inDir.resolve("pair.txt")).trim
+        .split(" ").map(_.toLong)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sswd")
+    try {
+      val ioSchema = ev.schema
+      val name = s"graft_stream_sswd_${sinkSeq.incrementAndGet()}"
+      withStreamBatchConfs(s, 4) {
+        val q = s.readStream.schema(ioSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.resolve("events").toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"),
+            when(col("event_type") === "error", "10 minutes")
+              .otherwise("45 minutes")))
+          .agg(count(lit(1)).as("n_events"),
+            roundTo(sum(col("value")), 2).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("s_start_us"),
+            unix_micros(col("session_window.end")).as("s_end_us"),
+            col("n_events"), col("sum_value"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          val shaped = s.table(name)
+            .filter(col("user_id") >= 0)
+            .orderBy("user_id", "s_start_us")
+          val out = s.createDataFrame(shaped.collectAsList(), shaped.schema)
+          require(!out.isEmpty, "dynamic session stream emitted no sessions")
+          require(out.where(col("user_id") === pu &&
+              col("s_start_us") <= aUs && col("s_end_us") > bUs).count() > 0,
+            "the engineered straddle session did not merge across the cut")
+          out
+        } finally scala.util.Try(s.catalog.dropTempView(name))
+      }
+    } finally deleteRecursively(root)
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("stream_tumbling_window", streamTumblingWindow,
       Some(streamTumblingOracle)),
@@ -1517,6 +1611,10 @@ object StreamingOps extends QueryModule {
     // sessions == the window-function island derivation
     RegisteredQuery("stream_session_window", streamSessionWindow,
       Some(graft.operators.WindowsAndStats.w10Oracle)),
+    // the batch w11 interval-union oracle: dynamic-gap streaming
+    // sessions == dynamic-gap batch sessions == the running-max replay
+    RegisteredQuery("stream_session_dynamic_gap", streamSessionDynGap,
+      Some(graft.operators.WindowsAndStats.w11DynGapOracle)),
     // same oracle as the Complete-mode twin: ALL events — green only if
     // every late replay dropped and the sentinel never surfaced
     RegisteredQuery("stream_windowed_append", streamWindowedAppend,

@@ -143,6 +143,70 @@ class ModernSqlSpec extends SparkSpec {
     assert(absent.forall(_.isNullAt(0)))
   }
 
+  test("sql_scripting: the scripted block equals the inlined twin; WHILE loops accumulate") {
+    val got = ModernSqlOps.sqlScripting(spark, sfDir).collect().toSeq
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_script")
+    val want = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_above,
+        | CAST(floor((SELECT avg(o_totalprice) FROM orders_script) * 100 + 0.5)
+        |   AS DOUBLE) / 100.0 AS threshold
+        |FROM orders_script
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_script)
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect().toSeq
+    assert(got === want)
+    // control flow: a WHILE loop over residue classes re-counts the table
+    val key = "spark.sql.scripting.enabled"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val n = spark.sql(
+        """BEGIN
+          |  DECLARE i INT DEFAULT 0;
+          |  DECLARE acc BIGINT DEFAULT 0;
+          |  WHILE i < 5 DO
+          |    SET acc = acc + (SELECT count(*) FROM orders_script WHERE o_orderkey % 5 = i);
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT acc AS n_total;
+          |END""".stripMargin).collect().head.getLong(0)
+      assert(n === Tables.orders(spark, sfDir).count())
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("result_cache_serve: the served plan scans the cache, not the fact table") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val served = ModernSqlOps.resultCacheServe(spark, sfDir)
+    val paths = served.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("resultcache")),
+      s"served plan must read the cache store, scanned $paths")
+    assert(!paths.exists(_.contains("lineitem")), "fact table must not be re-scanned")
+    // semantic keying: a DIFFERENT constant misses (no stale serve)
+    val m0 = graft.engine.ResultCache.misses.get
+    graft.engine.ResultCache.run(spark,
+      Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 25)
+        .agg(count(lit(1))), sfDir + "|specprobe")
+    assert(graft.engine.ResultCache.misses.get > m0)
+  }
+
+  test("udaf geomean contract: nulls and non-positive inputs are ignored, empty group is NaN") {
+    import spark.implicits._
+    spark.udf.register("graft_gmean_t", org.apache.spark.sql.functions.udaf(
+      graft.functions.GeoMean, org.apache.spark.sql.Encoders.DOUBLE))
+    val df = Seq(
+      ("a", Some(2.0)), ("a", Some(8.0)), ("a", None), ("a", Some(-3.0)),
+      ("b", Some(-1.0))).toDF("g", "x")
+    val rows = df.groupBy(col("g"))
+      .agg(expr("graft_gmean_t(x)").as("gm")).orderBy("g").collect()
+    assert(math.abs(rows(0).getDouble(1) - 4.0) < 1e-12,
+      "geomean(2, 8) must be 4 with null/-3 ignored")
+    assert(rows(1).getDouble(1).isNaN, "all-ignored group must finish NaN")
+  }
+
   test("xml_roundtrip entity-escapes the metacharacters on disk") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Files.createTempDirectory("graft-xml-esc")

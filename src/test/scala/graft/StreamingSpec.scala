@@ -333,6 +333,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_session_dynamic_gap equals the batch dynamic-gap operator, cell-exact") {
+    // streaming (3 micro-batches, engineered straddle merge) == batch
+    // builtin == the interval-union replay — one result, three engines
+    val streamed = graft.streaming.StreamingOps
+      .streamSessionDynGap(spark, sfDir).collect().toSeq
+    val batch = graft.operators.WindowsAndStats
+      .w11SessionDynGap(spark, sfDir).collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("stream_observed_counts: observe() metrics ride the micro-batches and sum to the batch totals") {
     // the audit-for-free contract: the CollectMetrics node accumulates
     // DURING each of the 3 staged micro-batches (n_obs_batches pins that
