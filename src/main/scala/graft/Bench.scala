@@ -20,6 +20,11 @@ object Bench {
     // the stored-index serve path, and rank fusion
     "bloom_skew_join", "chunk_cdc_census", "sim_ivf_stored",
     "hybrid_rrf_retrieval",
+    // round-14 second wave: the two injected plan-rewrite rules, the
+    // catalog-stats flip, VARIANT shredding, the recursive spine, and
+    // the dynamic-gap streaming sessions
+    "mv_rewrite_rollup", "fk_join_elim", "cbo_stats_join",
+    "variant_shred", "recursive_cte_spine", "stream_session_dynamic_gap",
     // round-6 additions the judge will want longitudinal numbers for
     // (pivot/unpivot/winsorize/vocab_mg_heavy/a14_grouping_sets/
     // w7_sliding_window were priority r6–r8; demoted when the r9
@@ -33,16 +38,17 @@ object Bench {
     // chunk_overlap / dedup_segments / funnel_steps / scd2_intervals
     // demoted r11 (same rule as the r6 reshape demotions: stable
     // sub-0.3s, the budget is a hard pin; they still run and land in
-    // bench_out.json) to make room for the r11 warehouse/sketch wave
-    "boilerplate_ngrams", "knn_join_ivf",
-    "corpus_repack",
-    "rolling_active_users",
+    // bench_out.json) to make room for the r11 warehouse/sketch wave.
+    // boilerplate_ngrams / corpus_repack / rolling_active_users /
+    // dq_rule_report / cohort_retention / split_leakage demoted for the
+    // r14 second wave under the same rule (stable, long-established
+    // bands in BENCH_BANDS.md)
+    "knn_join_ivf",
     // bpe_pair_stats's slot passed to the r9 merge-training superset op
-    "stream_tumbling_window", "dq_rule_report", "bpe_train_merges",
-    "cohort_retention",
+    "stream_tumbling_window", "bpe_train_merges",
     // round-8 additions
     "emb_neardup_clusters_blocked", "stream_merge_upsert", "sim_recall_report",
-    "stream_sessionize", "corpus_semantic_dedup", "split_leakage",
+    "stream_sessionize", "corpus_semantic_dedup",
     // round-9 additions
     "stream_windowed_append", "jdbc_merge_digest",
     "stream_dedup_exact", "stream_interval_join", "stream_static_enrich",
