@@ -301,8 +301,134 @@ object MergeOps extends QueryModule {
       |   AS sum_price_cents
       |FROM last""".stripMargin
 
+  private val dmlSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Seed a fresh [[graft.sources.GraftCatalog]] table from `seed`, run
+    * `body` against it, materialize the digest, drop the table. The
+    * catalog conf set is value-idempotent (same class name every time)
+    * on the shared session; table names are sequence-unique so reruns
+    * (Bench min-of-2, Verify, specs) never collide, and the drop keeps
+    * the in-JVM registry from accumulating.
+    */
+  private def withDmlTable(s: SparkSession, seed: DataFrame)(
+      body: String => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graft_cat.dml.t${dmlSeq.incrementAndGet()}"
+    seed.writeTo(tbl).create()
+    try {
+      val out = body(tbl)
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally { scala.util.Try(s.sql(s"DROP TABLE $tbl")); () }
+  }
+
+  /** S7 as SQL `MERGE INTO` against a [[graft.sources.GraftCatalog]]
+    * table — the row-level-DML face of the upsert the engine already
+    * ships three ways (DataFrame [[s7MergeUpsert]], streaming
+    * foreachBatch, JDBC): Spark's native `RewriteMergeIntoTable` plans
+    * the statement against the catalog's group-based copy-on-write
+    * operation, and the rewritten table must equal the reference merge
+    * semantics cell-exactly (shared [[s7Oracle]]). The update rows carry
+    * a later `ts`, so WHEN-MATCHED-UPDATE-SET-* and the keep-latest
+    * window merge provably coincide; inserted keys live at +1,000,000 —
+    * above every fixture id ([[s7Incoming]]'s standing assumption) — so
+    * `new_keys` reads straight off the merged table. At 100 TB the same
+    * statement drives per-file COW in a transactional format; the
+    * analysis/rewrite/2PC path exercised here is identical.
+    */
+  def sqlMergeInto(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s7Incoming(base).createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING graft_merge_src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val merged = s.table(tbl)
+      merged.agg(count(lit(1)).as("n_rows"),
+          roundTo(sum(col("value")), 2).as("sum_value"))
+        .crossJoin(merged.filter(col("event_id") >= 1000000L)
+          .agg(count(lit(1)).as("new_keys")))
+    }
+  }
+
+  /** SQL `UPDATE` and `DELETE` on the same catalog table — the remaining
+    * two row-level DML verbs through the same group-based COW operation:
+    * every 9th key DELETEd (a real row-set change — the fixture has no
+    * null columns to prune), every 7th surviving key's value doubled,
+    * digest read back from the surviving table (`n_ninths` pins that the
+    * deleted keys are GONE rather than zeroed).
+    */
+  def sqlUpdateDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 9 = 0")
+      s.sql(s"UPDATE $tbl SET value = value * 2 WHERE event_id % 7 = 0")
+      s.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(sum(col("value")), 2).as("sum_value"),
+        count(when(col("event_id") % 9 === 0, 1)).as("n_ninths"))
+    }
+  }
+
+  /** `VERSION AS OF` over a DML'd catalog table — the SQL face of
+    * [[graft.pipeline.IncrementalPipeline.Store]]'s versioned snapshots
+    * (`store_time_travel`): commit 1 = the CTAS'd even-key half (CTAS is
+    * two commits — 0 is the empty created table), commit 2 = the odd
+    * half appended, commit 3 = the COW DELETE of low values; each
+    * version's digest must match a from-scratch recompute of that
+    * commit's state.
+    * A time-travel read captures its snapshot at resolution, so the
+    * later commits cannot move it — the metadata-log contract every
+    * transactional format provides, exercised through Spark's native
+    * `VERSION AS OF` resolution path.
+    */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("value"))
+    withDmlTable(s, ev.filter(col("event_id") % 2 === 0)) { tbl =>
+      ev.filter(col("event_id") % 2 === 1).writeTo(tbl).append()
+      s.sql(s"DELETE FROM $tbl WHERE value < 50")
+      def digest(v: Int): DataFrame =
+        s.sql(
+          s"""SELECT CAST($v AS BIGINT) AS v, count(*) AS n,
+             | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |   / 100.0 AS total
+             |FROM $tbl VERSION AS OF $v""".stripMargin)
+      digest(1).unionByName(digest(2)).unionByName(digest(3)).orderBy("v")
+    }
+  }
+
+  val sqlTimeTravelOracle: String =
+    """SELECT CAST(1 AS BIGINT) AS v, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
+      |FROM events WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |FROM events
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |FROM events WHERE value >= 50
+      |ORDER BY v""".stripMargin
+
+  val sqlUpdateDeleteOracle: String =
+    """SELECT count(*) AS n_rows,
+      | floor(sum(CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END)
+      |   * 1e2 + 0.5) / 1e2 AS sum_value,
+      | CAST(0 AS BIGINT) AS n_ninths
+      |FROM events WHERE event_id % 9 <> 0""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
+    // shared oracle: SQL MERGE INTO must equal the DataFrame merge
+    RegisteredQuery("sql_merge_into", sqlMergeInto, Some(s7Oracle)),
+    RegisteredQuery("sql_update_delete", sqlUpdateDelete,
+      Some(sqlUpdateDeleteOracle)),
+    RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

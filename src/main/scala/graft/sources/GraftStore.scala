@@ -62,6 +62,14 @@ object GraftStore {
   /** name → committed contents; the swap in [[publish]] is the commit. */
   private[sources] val stores = TrieMap.empty[String, Committed]
 
+  /** name → every committed snapshot in publish order (version 0 = the
+    * create) — the metadata-log analogue that makes `VERSION AS OF`
+    * resolvable ([[GraftCatalog.loadTable(ident, version)]]). Bounded by
+    * the number of commits to harness tables, which are dropped after
+    * each gated query.
+    */
+  private[sources] val history = TrieMap.empty[String, Vector[Committed]]
+
   private[sources] def storeName(options: CaseInsensitiveStringMap): String = {
     val n = options.get("store")
     require(n != null && n.nonEmpty, "graft store requires option 'store'")
@@ -77,11 +85,14 @@ object GraftStore {
       val prior =
         if (truncate) Seq.empty
         else stores.get(name).map(_.batches).getOrElse(Seq.empty)
-      stores.put(name, Committed(schema, prior ++ incoming))
+      val snap = Committed(schema, prior ++ incoming)
+      stores.put(name, snap)
+      history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
     }
 
-  private[graft] def drop(name: String): Unit = { stores.remove(name); () }
+  private[graft] def drop(name: String): Unit =
+    { stores.remove(name); history.remove(name); () }
 
   /** Evict every store under `prefix` except `keep` — the stale-session /
     * stale-fixture cleanup for appId-keyed harness stores (ADVICE r11):

@@ -1,0 +1,97 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.MergeOps
+
+/** Row-level SQL DML through [[graft.sources.GraftCatalog]]: MERGE's
+  * table state must equal the DataFrame merge exactly, the DELETE verb
+  * must remove rows through the same COW path, and the catalog API
+  * round-trips.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  test("MERGE INTO table state equals mergeByKey, row for row") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("value"))
+    base.writeTo("graft_cat.spec.m1").create()
+    try {
+      MergeOps.s7Incoming(base).createOrReplaceTempView("spec_merge_src")
+      spark.sql(
+        """MERGE INTO graft_cat.spec.m1 t USING spec_merge_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.table("graft_cat.spec.m1")
+        .orderBy("event_id").collect().toSeq
+      val want = MergeOps
+        .mergeByKey(base, MergeOps.s7Incoming(base), "event_id", "ts")
+        .orderBy("event_id").collect().toSeq
+      assert(got === want)
+    } finally spark.sql("DROP TABLE graft_cat.spec.m1")
+  }
+
+  test("MERGE WHEN MATCHED DELETE removes exactly the matched keys") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.m2").create()
+    try {
+      base.filter(col("event_id") % 13 === 0).select(col("event_id"))
+        .createOrReplaceTempView("spec_del_src")
+      spark.sql(
+        """MERGE INTO graft_cat.spec.m2 t USING spec_del_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      val left = spark.table("graft_cat.spec.m2")
+      assert(left.filter(col("event_id") % 13 === 0).count() === 0L)
+      assert(left.count() === base.filter(col("event_id") % 13 =!= 0).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.m2")
+  }
+
+  test("VERSION AS OF: each commit queryable; a resolved snapshot is immune to later commits") {
+    cat()
+    spark.range(0, 4).select(col("id").as("k")).writeTo("graft_cat.spec.tt").create()
+    try {
+      spark.range(10, 12).select(col("id").as("k")).writeTo("graft_cat.spec.tt").append()
+      // CTAS is TWO commits: v0 = the empty created table, v1 = its data
+      assert(spark.sql("SELECT * FROM graft_cat.spec.tt VERSION AS OF 0").count() === 0L)
+      assert(spark.sql("SELECT * FROM graft_cat.spec.tt VERSION AS OF 1").count() === 4L)
+      assert(spark.sql("SELECT * FROM graft_cat.spec.tt VERSION AS OF 2").count() === 6L)
+      // snapshot isolation: a later DELETE must not move the resolved v2 read
+      val v2 = spark.sql("SELECT * FROM graft_cat.spec.tt VERSION AS OF 2")
+      v2.count() // resolve + capture
+      spark.sql("DELETE FROM graft_cat.spec.tt WHERE k >= 10")
+      assert(v2.count() === 6L, "resolved time-travel read moved after a later commit")
+      assert(spark.table("graft_cat.spec.tt").count() === 4L)
+      assert(spark.sql("SELECT * FROM graft_cat.spec.tt VERSION AS OF 3").count() === 4L)
+      val oob = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_cat.spec.tt VERSION AS OF 9").collect()
+      }
+      assert(oob.getMessage.contains("out of range"), oob.getMessage.take(120))
+    } finally spark.sql("DROP TABLE graft_cat.spec.tt")
+  }
+
+  test("catalog round-trip: create, list, load, drop; missing table throws") {
+    cat()
+    spark.range(3).select(col("id").as("k")).writeTo("graft_cat.spec.rt").create()
+    try {
+      assert(spark.table("graft_cat.spec.rt").count() === 3L)
+      assert(spark.sql("SHOW TABLES IN graft_cat.spec").collect()
+        .map(_.getString(1)).contains("rt"))
+    } finally spark.sql("DROP TABLE graft_cat.spec.rt")
+    // the catalog's NoSuchTableException surfaces as the analyzer's
+    // TABLE_OR_VIEW_NOT_FOUND
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.table("graft_cat.spec.rt").collect()
+    }
+    assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND",
+      s"unexpected error class ${e.getCondition}")
+  }
+}
