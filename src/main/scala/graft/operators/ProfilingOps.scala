@@ -835,9 +835,47 @@ object ProfilingOps extends QueryModule {
     """SELECT event_type AS item, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY n DESC, item LIMIT 3""".stripMargin
 
+  /** Built-in Apache DataSketches HLL (`hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate`) — the MERGEABLE-STATE
+    * distinct-count surface beside `approx_count_distinct` (one-shot)
+    * and the hand-built KMV twins: per-segment sketches are columns a
+    * warehouse can STORE and re-union later, which is what makes
+    * incremental distinct-count rollups possible without re-scanning
+    * history. Gated as the a13 tolerance pattern: the oracle recomputes
+    * exact counts; the sketch estimates must land within the 5%
+    * envelope (far looser than lgK=12's ~1.6σ, and the fixture
+    * cardinalities sit in the sketch's exact sparse range anyway) —
+    * booleans, not bit pins, per the PINS rule.
+    */
+  def hllDatasketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+    val perOut = per.select(col("event_type").as("k"), col("exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact"))
+        <= col("exact") * 0.05).as("est_ok"))
+    val unionOut = per.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("u_est"))
+      .crossJoin(Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("exact")))
+      .select(lit("__all__").as("k"), col("exact"),
+        (abs(col("u_est") - col("exact")) <= col("exact") * 0.05).as("est_ok"))
+    perOut.unionByName(unionOut).orderBy("k")
+  }
+
+  val hllDatasketchOracle: String =
+    """SELECT event_type AS k, count(DISTINCT user_id) AS exact, true AS est_ok
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT '__all__', count(DISTINCT user_id), true FROM events
+      |ORDER BY k""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("approx_topk_builtin", approxTopkBuiltin,
       Some(approxTopkBuiltinOracle)),
+    RegisteredQuery("hll_datasketch_union", hllDatasketchUnion,
+      Some(hllDatasketchOracle)),
     RegisteredQuery("bottomk_quantile_sketch", bottomkQuantileSketch,
       Some(bottomkQuantileOracle)),
     RegisteredQuery("observed_ingest", observedIngest, Some(observedIngestOracle)),

@@ -576,6 +576,34 @@ object WindowsAndStats extends QueryModule {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "s_start_us")
 
+  /** EXACT median and quartiles (`median` / `percentile`, the sort-based
+    * exact aggregates Spark added beside `approx_percentile`) — the
+    * exact complement of `a13_percentiles`' GK-sketch envelope: both
+    * engines define the continuous quantile by the same linear
+    * interpolation on the same doubles, so 4dp-rounded values compare
+    * cell-exactly. Scale note: the exact form SORTS each group's values
+    * in aggregation state — right for bounded groups (five event types
+    * here); at unbounded-group scale the a13 sketch is the path, which
+    * is exactly why both are gated.
+    */
+  def medianPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        roundTo(median(col("value")), 4).as("med"),
+        roundTo(percentile(col("value"), lit(0.25)), 4).as("q1"),
+        roundTo(percentile(col("value"), lit(0.75)), 4).as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val medianPercentilesOracle: String =
+    """SELECT event_type,
+      | floor(median(value) * 1e4 + 0.5) / 1e4 AS med,
+      | floor(quantile_cont(value, 0.25) * 1e4 + 0.5) / 1e4 AS q1,
+      | floor(quantile_cont(value, 0.75) * 1e4 + 0.5) / 1e4 AS q3,
+      | count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val w11DynGapOracle: String =
     """WITH x AS (
       | SELECT user_id, ts, value, epoch_us(ts) AS t_us,
@@ -624,6 +652,8 @@ object WindowsAndStats extends QueryModule {
     RegisteredQuery("w10_session_window", w10SessionWindow, Some(w10Oracle)),
     RegisteredQuery("w11_session_dynamic_gap", w11SessionDynGap,
       Some(w11DynGapOracle)),
+    RegisteredQuery("median_percentiles", medianPercentiles,
+      Some(medianPercentilesOracle)),
     RegisteredQuery("w6_rank_suite", w6RankSuite, Some(w6Oracle)),
     RegisteredQuery("t6_topk_per_group", t6TopkPerGroup, Some(t6Oracle)),
     RegisteredQuery("winsorize", winsorize, Some(winsorizeOracle)),

@@ -99,6 +99,43 @@ class ProfilingSpec extends SparkSpec
     assert(got === want)
   }
 
+  test("hll sketch columns are storable binary state; sparse-range estimates are exact") {
+    import org.apache.spark.sql.functions._
+    val per = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+    // the sketch is a BINARY column — the property that makes it a
+    // storable, re-unionable rollup artifact rather than a one-shot agg
+    assert(per.schema("sk").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // at fixture cardinality (15 users) the sketch is in its exact
+    // sparse range: estimates equal the true counts, no envelope needed
+    val rows = per.select(col("exact"),
+      hll_sketch_estimate(col("sk")).as("est")).collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(0)))
+  }
+
+  test("median/percentile (exact) equal a driver-side sorted recompute") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    def q(p: Double): Double = {
+      val pos = p * (vals.length - 1)
+      val lo = vals(pos.toInt)
+      val hi = vals(math.min(pos.toInt + 1, vals.length - 1))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val row = graft.operators.WindowsAndStats
+      .medianPercentiles(spark, sfDir)
+      .filter(col("event_type") === "click").collect().head
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(row.getDouble(1) === r4(q(0.5)))
+    assert(row.getDouble(2) === r4(q(0.25)))
+    assert(row.getDouble(3) === r4(q(0.75)))
+  }
+
   test("kanon_audit: digest invariants against the raw class table") {
     val r = ProfilingOps.kanonAudit(spark, sfDir).collect().head
     val (nClasses, k, nRows, below5, below10) =
