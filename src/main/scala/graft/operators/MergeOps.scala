@@ -310,12 +310,14 @@ object MergeOps extends QueryModule {
     * (Bench min-of-2, Verify, specs) never collide, and the drop keeps
     * the in-JVM registry from accumulating.
     */
-  private def withDmlTable(s: SparkSession, seed: DataFrame)(
+  private def withDmlTable(s: SparkSession, seed: DataFrame,
+      partitionBy: Option[String] = None)(
       body: String => DataFrame): DataFrame = {
     s.conf.set("spark.sql.catalog.graft_cat",
       classOf[graft.sources.GraftCatalog].getName)
     val tbl = s"graft_cat.dml.t${dmlSeq.incrementAndGet()}"
-    seed.writeTo(tbl).create()
+    val w = seed.writeTo(tbl)
+    partitionBy.fold(w)(c => w.partitionedBy(col(c))).create()
     try {
       val out = body(tbl)
       s.createDataFrame(out.collectAsList(), out.schema)
@@ -415,6 +417,44 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** Row-level DML at PARTITION-GROUP granularity
+    * ([[graft.sources.GraftCatalog]]'s partitioned table — partitions
+    * ARE the COW groups): a DELETE and an UPDATE each carrying a
+    * partition-column conjunct rewrite ONLY their group — the other
+    * partitions' committed batches stay reference-identical
+    * (`SqlDmlSpec` pins the `eq`). This is the 100 TB claim made real
+    * in miniature: group-based COW cost scales with the TOUCHED groups,
+    * not the table — exactly the per-file model of a transactional
+    * format, with Spark's own `GroupBasedRowLevelOperationScanPlanning`
+    * doing the narrowing through the operation scan's filter pushdown.
+    */
+  def sqlDeletePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type")) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'error' AND value < 50")
+      s.sql(s"UPDATE $tbl SET value = value + 1000 WHERE event_type = 'click'")
+      s.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("event_type")
+    }
+  }
+
+  val sqlDeletePartitionedOracle: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_type = 'click' THEN value + 1000 ELSE value END AS value
+      |  FROM events
+      |  WHERE NOT (event_type = 'error' AND value < 50)
+      |)
+      |SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val sqlUpdateDeleteOracle: String =
     """SELECT count(*) AS n_rows,
       | floor(sum(CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END)
@@ -429,6 +469,8 @@ object MergeOps extends QueryModule {
     RegisteredQuery("sql_update_delete", sqlUpdateDelete,
       Some(sqlUpdateDeleteOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
+    RegisteredQuery("sql_delete_partitioned", sqlDeletePartitioned,
+      Some(sqlDeletePartitionedOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

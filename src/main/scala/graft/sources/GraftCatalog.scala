@@ -56,7 +56,11 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table =
     GraftStore.stores.get(key(ident)) match {
-      case Some(c) => new GraftRowLevelTable(key(ident), c.schema)
+      case Some(c) =>
+        GraftCatalog.parts.get(key(ident)) match {
+          case Some(pc) => new GraftPartitionedTable(key(ident), c.schema, pc)
+          case None => new GraftRowLevelTable(key(ident), c.schema)
+        }
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -79,21 +83,50 @@ class GraftCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
     if (GraftStore.stores.contains(key(ident)))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
-    GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
-    new GraftRowLevelTable(key(ident), schema)
+    partitions.toSeq match {
+      case Seq() =>
+        GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
+        new GraftRowLevelTable(key(ident), schema)
+      case Seq(t) =>
+        // one identity transform over a string column: the partition
+        // (= COW group) granularity
+        val pc = t.references() match {
+          case Array(r) if t.name == "identity" => r.fieldNames.mkString(".")
+          case _ => throw new UnsupportedOperationException(
+            s"graft catalog supports only identity partitioning, got $t")
+        }
+        require(schema(pc).dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"partition column $pc must be STRING")
+        GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
+        GraftCatalog.parts.put(key(ident), pc)
+        new GraftPartitionedTable(key(ident), schema, pc)
+      case _ => throw new UnsupportedOperationException(
+        "graft catalog supports at most one partition column")
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog: ALTER TABLE unsupported")
 
-  override def dropTable(ident: Identifier): Boolean =
-    GraftStore.stores.remove(key(ident)).isDefined
+  override def dropTable(ident: Identifier): Boolean = {
+    val k = key(ident)
+    val existed = GraftStore.stores.contains(k)
+    GraftCatalog.parts.remove(k)
+    GraftStore.dropMatching(s => s == k || s.startsWith(k + "#p="))
+    existed
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: RENAME unsupported")
+}
+
+object GraftCatalog {
+  /** table key → its identity partition column (partitioned tables only). */
+  private[sources] val parts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 }
 
 /** A catalog table that additionally accepts row-level DML: the
@@ -143,6 +176,227 @@ private[sources] class GraftRowLevelTable(storeKey: String, declared: StructType
       }
     }
 }
+
+/** A PARTITIONED catalog table whose partitions ARE the COW groups —
+  * the real group-based model the unpartitioned table's whole-table
+  * group only sketches: row-level DML rewrites exactly the partitions
+  * its predicate touches, and untouched partitions keep their committed
+  * batch arrays REFERENCE-IDENTICAL (provably never rewritten —
+  * spec-pinned). Group pruning rides Spark's
+  * `GroupBasedRowLevelOperationScanPlanning`: the command's condition
+  * reaches the operation scan as source filters; any conjunct on the
+  * partition column narrows the group set (everything stays residual —
+  * group selection may keep false-positive ROWS, the rewrite plan
+  * re-filters them), and the operation's write replaces exactly the
+  * scanned groups. Storage: one [[GraftStore]] entry per partition
+  * (`key#p=value`), so each partition commits and versions
+  * independently — files in a transactional format, in miniature. MERGE
+  * against a partitioned table rewrites all groups (ON-condition group
+  * pruning needs runtime filtering, out of scope); DELETE/UPDATE with a
+  * partition conjunct is the narrow path this table exists to prove.
+  */
+private[sources] class GraftPartitionedTable(
+    tableKey: String, declared: StructType, partCol: String)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  override def name(): String = s"graft_store($tableKey/$partCol)"
+  override def schema(): StructType =
+    GraftStore.stores.get(tableKey).map(_.schema).getOrElse(declared)
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.identity(partCol))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  private def partKeys(): Seq[String] =
+    GraftStore.stores.keys.filter(_.startsWith(tableKey + "#p=")).toSeq.sorted
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_group"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "COW group id (= partition value)"
+    })
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new GraftPartsScan(tableKey, schema(), partKeys(), withGroup = false)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftPartBatchWrite(
+          tableKey, info.schema(), partCol,
+          // append/CTAS touch only the partitions the data lands in;
+          // truncate-overwrite replaces the whole table
+          replaceKeys = if (doTruncate) () => partKeys() else () => Seq.empty,
+          appendMode = !doTruncate)
+      }
+    }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        /** group set narrowed by the scan's pushed-down predicate; None
+          * until planning, meaning "all groups" (whole-table fallback).
+          * Single-statement lifecycle: scan planning happens-before the
+          * write commit on the driver.
+          */
+        @volatile private[sources] var matched: Option[Set[String]] = None
+        private def selectedKeys(): Seq[String] = matched match {
+          case Some(vs) => vs.toSeq.sorted.map(v => s"$tableKey#p=$v")
+          case None => partKeys()
+        }
+        override def command: RowLevelOperation.Command = info.command
+        override def description(): String =
+          s"graft partition-COW ${info.command} on $tableKey"
+        override def requiredMetadataAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(org.apache.spark.sql.connector.expressions.Expressions.column("_group"))
+        override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder with SupportsPushDownFilters {
+            override def pushFilters(
+                filters: Array[org.apache.spark.sql.sources.Filter])
+                : Array[org.apache.spark.sql.sources.Filter] = {
+              import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+              val bounds = filters.collect {
+                case EqualTo(c, v: String) if c == partCol => Set(v)
+                case EqualNullSafe(c, v: String) if c == partCol => Set(v)
+                case In(c, vs) if c == partCol =>
+                  vs.collect { case s: String => s }.toSet
+              }
+              if (bounds.nonEmpty) matched = Some(bounds.reduce(_ intersect _))
+              filters // all residual: pruning is GROUP-grained only
+            }
+            override def pushedFilters()
+                : Array[org.apache.spark.sql.sources.Filter] = Array.empty
+            override def build(): Scan =
+              new GraftPartsScan(tableKey, schema(), selectedKeys(),
+                withGroup = true)
+          }
+        override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new GraftPartBatchWrite(
+                tableKey, lwi.schema(), partCol,
+                replaceKeys = () => selectedKeys(), appendMode = false)
+            }
+          }
+      }
+    }
+}
+
+/** Scan over a fixed set of partition stores, optionally appending the
+  * `_group` metadata column (the partition value).
+  */
+private[sources] class GraftPartsScan(
+    tableKey: String, dataSchema: StructType, keys: Seq[String],
+    withGroup: Boolean) extends Scan with Batch {
+  private val full =
+    if (withGroup)
+      dataSchema.add("_group", org.apache.spark.sql.types.StringType,
+        nullable = false)
+    else dataSchema
+  override def readSchema(): StructType = full
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_store($tableKey) parts scan [${keys.size} groups]"
+  override def planInputPartitions(): Array[InputPartition] =
+    keys.flatMap { k =>
+      val v = k.substring(k.indexOf("#p=") + 3)
+      GraftStore.stores.get(k).map(_.batches).getOrElse(Seq.empty)
+        .map(b => GraftGroupPartition(b, if (withGroup) v else null)
+          : InputPartition)
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => new PartitionReader[InternalRow] {
+      private val gp = p.asInstanceOf[GraftGroupPartition]
+      private val pad = Option(gp.group)
+        .map(g => org.apache.spark.unsafe.types.UTF8String.fromString(g))
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < gp.rows.length }
+      override def get(): InternalRow = pad match {
+        case Some(g) => new GenericInternalRow(gp.rows(i) :+ (g: Any))
+        case None => new GenericInternalRow(gp.rows(i))
+      }
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] case class GraftGroupPartition(
+    rows: Array[Array[Any]], group: String) extends InputPartition
+
+/** Partition-routing batch write: every task groups its rows by the
+  * partition value; the driver commit replaces exactly `replaceKeys()`
+  * (dropping a replaced partition that received no rows) and
+  * publishes/appends the incoming groups — one atomic registry pass,
+  * same 2PC as the flat store.
+  */
+private[sources] class GraftPartBatchWrite(
+    tableKey: String, schema: StructType, partCol: String,
+    replaceKeys: () => Seq[String], appendMode: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val s = schema
+    val pIdx = schema.fieldIndex(partCol)
+    (_: Int, _: Long) => new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
+      override def write(r: InternalRow): Unit = {
+        val vals = new Array[Any](s.length)
+        var i = 0
+        while (i < s.length) {
+          val v = r.get(i, s(i).dataType)
+          vals(i) = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case row: InternalRow => row.copy()
+            case other => other
+          }
+          i += 1
+        }
+        val pv = String.valueOf(vals(pIdx))
+        buf.getOrElseUpdate(pv,
+          scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
+      }
+      override def commit(): WriterCommitMessage =
+        GraftPartCommit(buf.map { case (k, v) => k -> v.toArray }.toMap)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val byPart = messages.map(_.asInstanceOf[GraftPartCommit].parts)
+      .foldLeft(Map.empty[String, Seq[Array[Array[Any]]]]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, rows)) =>
+          a.updated(k, a.getOrElse(k, Seq.empty) :+ rows)
+        }
+      }
+    GraftStore.stores.synchronized {
+      if (!appendMode)
+        replaceKeys().foreach(GraftStore.drop)
+      byPart.foreach { case (pv, batches) =>
+        GraftStore.publish(s"$tableKey#p=$pv", schema, batches,
+          truncate = false)
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class GraftPartCommit(
+    parts: Map[String, Array[Array[Any]]]) extends WriterCommitMessage
 
 /** A read-only table over one ARCHIVED snapshot — what `VERSION AS OF`
   * resolves to. The scan captures the immutable snapshot at load time,

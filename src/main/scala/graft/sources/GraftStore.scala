@@ -107,6 +107,11 @@ object GraftStore {
     stores.keys.filter(p).foreach(drop)
   private[graft] def rowCount(name: String): Long =
     stores.get(name).map(_.rowCount).getOrElse(0L)
+  /** Test hook: the committed batch seq BY REFERENCE, so specs can prove
+    * an untouched COW group was never rewritten (eq, not ==).
+    */
+  private[graft] def batchesRef(name: String): Option[Seq[Array[Array[Any]]]] =
+    stores.get(name).map(_.batches)
 }
 
 private[sources] class GraftStoreTable(name: String, declared: StructType)

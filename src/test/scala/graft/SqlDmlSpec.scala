@@ -78,6 +78,41 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.tt")
   }
 
+  test("partition-group COW: a predicate-bounded DML rewrites ONLY its group (eq-pinned)") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    base.writeTo("graft_cat.spec.pt").partitionedBy(col("event_type")).create()
+    try {
+      def ref(p: String) = graft.sources.GraftStore
+        .batchesRef(s"cat::graft_cat.spec.pt#p=$p")
+        .getOrElse(fail(s"partition $p missing"))
+      val clickBefore = ref("click")
+      val viewBefore = ref("view")
+
+      spark.sql("DELETE FROM graft_cat.spec.pt WHERE event_type = 'error' AND value < 50")
+      // untouched groups were never rewritten: SAME object, not just equal
+      assert(ref("click") eq clickBefore, "click group was rewritten by a DELETE on error")
+      assert(ref("view") eq viewBefore, "view group was rewritten by a DELETE on error")
+      val errorRows = spark.table("graft_cat.spec.pt")
+        .filter(col("event_type") === "error")
+      assert(errorRows.filter(col("value") < 50).count() === 0L)
+      assert(errorRows.count() ===
+        base.filter(col("event_type") === "error" && col("value") >= 50).count())
+
+      spark.sql("UPDATE graft_cat.spec.pt SET value = 0 WHERE event_type = 'view'")
+      assert(ref("click") eq clickBefore, "click group was rewritten by an UPDATE on view")
+      assert(!(ref("view") eq viewBefore), "view group must have been rewritten")
+      assert(spark.table("graft_cat.spec.pt")
+        .filter(col("event_type") === "view" && col("value") =!= 0).count() === 0L)
+      // every row is still accounted for across groups
+      assert(spark.table("graft_cat.spec.pt").count() ===
+        base.count() - base.filter(col("event_type") === "error" && col("value") < 50).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.pt")
+  }
+
   test("catalog round-trip: create, list, load, drop; missing table throws") {
     cat()
     spark.range(3).select(col("id").as("k")).writeTo("graft_cat.spec.rt").create()
