@@ -92,7 +92,7 @@ object GraftStore {
     }
 
   private[graft] def drop(name: String): Unit =
-    { stores.remove(name); history.remove(name); () }
+    { stores.remove(name); history.remove(name); epochs.remove(name); () }
 
   /** Evict every store under `prefix` except `keep` — the stale-session /
     * stale-fixture cleanup for appId-keyed harness stores (ADVICE r11):
@@ -112,6 +112,30 @@ object GraftStore {
     */
   private[graft] def batchesRef(name: String): Option[Seq[Array[Array[Any]]]] =
     stores.get(name).map(_.batches)
+  private[graft] def versionCount(name: String): Int =
+    history.get(name).map(_.size).getOrElse(0)
+
+  /** name → highest streaming epoch committed — the exactly-once ledger:
+    * a replayed epoch (post-failure re-delivery of the same micro-batch)
+    * must commit as a NO-OP, which is the streaming sink contract every
+    * transactional format implements with an epoch column in its log.
+    */
+  private[sources] val epochs = TrieMap.empty[String, Long]
+
+  /** Streaming epoch commit: publish-append unless this epoch (or a
+    * later one) already committed — idempotent under micro-batch replay.
+    * Returns whether the epoch was applied (false = replay no-op).
+    */
+  private[graft] def publishEpoch(name: String, schema: StructType,
+      incoming: Seq[Array[Array[Any]]], epochId: Long): Boolean =
+    stores.synchronized {
+      if (epochs.get(name).exists(_ >= epochId)) false
+      else {
+        publish(name, schema, incoming, truncate = false)
+        epochs.put(name, epochId)
+        true
+      }
+    }
 }
 
 private[sources] class GraftStoreTable(name: String, declared: StructType)
@@ -121,7 +145,7 @@ private[sources] class GraftStoreTable(name: String, declared: StructType)
     GraftStore.stores.get(name).map(_.schema).getOrElse(declared)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -130,6 +154,51 @@ private[sources] class GraftStoreTable(name: String, declared: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(name, info.schema())
+}
+
+/** Streaming epochs into the store: every micro-batch is one
+  * append-commit through [[GraftStore.publishEpoch]]'s exactly-once
+  * ledger (a replayed epoch is a no-op), and — because the publish path
+  * is shared — one VERSION in the table's time-travel history: streaming
+  * commits are first-class commits.
+  */
+private[sources] class GraftStoreStreamingWrite(name: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val s = schema
+    (_: Int, _: Long, _: Long) => new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      override def write(r: InternalRow): Unit = {
+        val vals = new Array[Any](s.length)
+        var i = 0
+        while (i < s.length) {
+          val v = r.get(i, s(i).dataType)
+          vals(i) = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case row: InternalRow => row.copy()
+            case other => other
+          }
+          i += 1
+        }
+        buf += vals
+      }
+      override def commit(): WriterCommitMessage = GraftStoreCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    GraftStore.publishEpoch(name, schema,
+      messages.map(_.asInstanceOf[GraftStoreCommit].rows).toSeq, epochId)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[sources] class GraftStoreScan(name: String, val s: StructType)
@@ -166,6 +235,9 @@ private[sources] class GraftStoreWriteBuilder(name: String, schema: StructType)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftStoreBatchWrite(name, schema, doTruncate)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStoreStreamingWrite(name, schema)
   }
 }
 

@@ -1604,6 +1604,81 @@ object StreamingOps extends QueryModule {
     } finally deleteRecursively(root)
   }
 
+  /** `writeStream.toTable` into the DSv2 catalog
+    * ([[graft.sources.GraftCatalog]]): every micro-batch commits one
+    * EPOCH through the store's exactly-once ledger, and — because the
+    * streaming commit shares the batch publish path — one VERSION in the
+    * table's time-travel history. The digest reads the table back at
+    * `VERSION AS OF` 2/3/4 (the empty pre-create is itself a CTAS =
+    * commits 0 and 1 — the documented two-commit shape), so the
+    * gate pins epoch-grained commit atomicity AND cumulative contents:
+    * a dropped epoch, a double-committed replay, or rows leaking across
+    * micro-batches all shift some version's count or cents. The staged
+    * feed is 3 mtime-ordered files at one file per trigger — epoch order
+    * is deterministic, and the oracle recomputes each prefix from the
+    * residue classes. This is the lakehouse streaming-ingest contract:
+    * stream appends land as first-class table commits, queryable and
+    * time-travelable like any batch write.
+    */
+  def streamToCatalogTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("b", (col("event_id") % 3).cast("string"))
+    val inDir = StagedLayouts.dir("tocat", dir) { in =>
+      val t0 = 1700000000000L
+      stageSplits(ev, "b", in,
+        Map("0" -> t0, "1" -> (t0 + 60000L), "2" -> (t0 + 120000L)))
+    }
+    val tbl = s"graft_cat.stream.t${sinkSeq.incrementAndGet()}"
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-tocat")
+    try {
+      val srcSchema = ev.drop("b").schema
+      // pre-create so version ordinals are stable: v0 = empty create,
+      // v1..v3 = the three epochs
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        srcSchema).writeTo(tbl).create()
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .toTable(tbl)
+        try q.awaitTermination()
+        finally scala.util.Try(q.stop())
+      }
+      def vDigest(v: Int): DataFrame = s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS v, count(*) AS n,
+           | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           |   / 100.0 AS total
+           |FROM $tbl VERSION AS OF $v""".stripMargin)
+      val out = vDigest(2).unionByName(vDigest(3)).unionByName(vDigest(4))
+        .orderBy("v")
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $tbl"))
+      deleteRecursively(root)
+    }
+  }
+
+  val streamToCatalogOracle: String =
+    """SELECT CAST(2 AS BIGINT) AS v, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      |FROM events WHERE user_id IS NOT NULL AND event_id % 3 = 0
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |FROM events WHERE user_id IS NOT NULL AND event_id % 3 <= 1
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |FROM events WHERE user_id IS NOT NULL
+      |ORDER BY v""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("stream_tumbling_window", streamTumblingWindow,
       Some(streamTumblingOracle)),
@@ -1645,6 +1720,8 @@ object StreamingOps extends QueryModule {
       Some(streamTwsTypeCountsOracle)),
     RegisteredQuery("stream_observed_counts", streamObservedCounts,
       Some(streamObservedCountsOracle)),
+    RegisteredQuery("stream_to_catalog_table", streamToCatalogTable,
+      Some(streamToCatalogOracle)),
     RegisteredQuery("stream_api_ingest", streamApiIngest,
       Some(streamApiIngestOracle)),
     // completes the output-mode matrix: update alongside append/complete

@@ -113,6 +113,27 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pt")
   }
 
+  test("streaming epoch ledger: a replayed epoch commits as a NO-OP") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val key = "spec::epoch-ledger"
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val rows = Seq(Array[Array[Any]](Array(1L), Array(2L)))
+    try {
+      assert(graft.sources.GraftStore.publishEpoch(key, schema, rows, epochId = 0L))
+      assert(graft.sources.GraftStore.rowCount(key) === 2L)
+      val v = graft.sources.GraftStore.versionCount(key)
+      // micro-batch replay after a failure: same epoch re-delivered
+      assert(!graft.sources.GraftStore.publishEpoch(key, schema, rows, epochId = 0L),
+        "replayed epoch must be refused")
+      assert(graft.sources.GraftStore.rowCount(key) === 2L,
+        "replay must not double-commit rows")
+      assert(graft.sources.GraftStore.versionCount(key) === v,
+        "replay must not mint a new version")
+      assert(graft.sources.GraftStore.publishEpoch(key, schema, rows, epochId = 1L))
+      assert(graft.sources.GraftStore.rowCount(key) === 4L)
+    } finally graft.sources.GraftStore.drop(key)
+  }
+
   test("catalog round-trip: create, list, load, drop; missing table throws") {
     cat()
     spark.range(3).select(col("id").as("k")).writeTo("graft_cat.spec.rt").create()
