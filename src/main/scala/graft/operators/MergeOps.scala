@@ -443,6 +443,47 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** `ALTER TABLE ADD COLUMN` as METADATA-ONLY evolution
+    * ([[graft.sources.GraftCatalog.alterTable]]): the schema commit
+    * rewrites no data (`SqlDmlSpec` eq-pins the committed batches),
+    * old rows read the new column as NULL (scan-time padding), new
+    * appends land full-width, and the back-fill UPDATE — the first COW
+    * rewrite after evolution — materializes everything at the new
+    * width. The file-format twin (`parquet_schema_evolution`) covers
+    * read-side merging of heterogeneous FILES; this covers the CATALOG
+    * contract a transactional format gives: O(1) evolution, lazy
+    * back-fill.
+    */
+  def sqlAlterAddColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN tag STRING")
+      Tables.events(s, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"), col("value"),
+          lit("new").as("tag"))
+        .writeTo(tbl).append()
+      s.sql(s"UPDATE $tbl SET tag = 'legacy' WHERE tag IS NULL")
+      s.table(tbl)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("tag")
+    }
+  }
+
+  val sqlAlterAddColumnOracle: String =
+    """SELECT 'legacy' AS tag, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM events
+      |UNION ALL
+      |SELECT 'new', count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |FROM events WHERE event_id % 10 = 0
+      |ORDER BY tag""".stripMargin
+
   val sqlDeletePartitionedOracle: String =
     """WITH t AS (
       |  SELECT event_type,
@@ -471,6 +512,8 @@ object MergeOps extends QueryModule {
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
     RegisteredQuery("sql_delete_partitioned", sqlDeletePartitioned,
       Some(sqlDeletePartitionedOracle)),
+    RegisteredQuery("sql_alter_add_column", sqlAlterAddColumn,
+      Some(sqlAlterAddColumnOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

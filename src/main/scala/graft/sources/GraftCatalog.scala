@@ -108,8 +108,29 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER TABLE unsupported")
+  /** Schema evolution: `ADD COLUMN` (top-level, nullable) commits a new
+    * schema WITHOUT rewriting committed batches — rows shorter than the
+    * live schema read back as NULL in the new columns (the scan pads),
+    * and the next COW rewrite materializes them at full width. That is
+    * the metadata-only evolution contract of a transactional format:
+    * evolution is O(1), back-fill is lazy.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val k = key(ident)
+    val cur = GraftStore.stores.getOrElse(k, throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(cur.schema) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: only top-level ADD COLUMN is supported")
+        require(add.isNullable,
+          "graft catalog: added columns must be nullable (old rows have no value)")
+        sch.add(add.fieldNames.head, add.dataType, nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other")
+    }
+    GraftStore.evolveSchema(k, newSchema)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val k = key(ident)
@@ -316,19 +337,31 @@ private[sources] class GraftPartsScan(
         .map(b => GraftGroupPartition(b, if (withGroup) v else null)
           : InputPartition)
     }.toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataWidth = dataSchema.length
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val gp = p.asInstanceOf[GraftGroupPartition]
-      private val pad = Option(gp.group)
+      private val tag = Option(gp.group)
         .map(g => org.apache.spark.unsafe.types.UTF8String.fromString(g))
       private var i = -1
       override def next(): Boolean = { i += 1; i < gp.rows.length }
-      override def get(): InternalRow = pad match {
-        case Some(g) => new GenericInternalRow(gp.rows(i) :+ (g: Any))
-        case None => new GenericInternalRow(gp.rows(i))
+      override def get(): InternalRow = {
+        // pad pre-evolution rows to the DATA width first — only then
+        // append the metadata column, so it can never slide into an
+        // evolved column's slot
+        val r0 = gp.rows(i)
+        val r =
+          if (r0.length >= dataWidth) r0
+          else java.util.Arrays.copyOf(
+            r0.asInstanceOf[Array[AnyRef]], dataWidth).asInstanceOf[Array[Any]]
+        tag match {
+          case Some(g) => new GenericInternalRow(r :+ (g: Any))
+          case None => new GenericInternalRow(r)
+        }
       }
       override def close(): Unit = ()
     }
+  }
 }
 
 private[sources] case class GraftGroupPartition(
@@ -417,13 +450,7 @@ private[sources] class GraftVersionTable(nm: String, snap: GraftStore.Committed)
         override def planInputPartitions(): Array[InputPartition] =
           snap.batches.map(b => GraftStorePartition(b): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory =
-          (p: InputPartition) => new PartitionReader[InternalRow] {
-            private val rows = p.asInstanceOf[GraftStorePartition].rows
-            private var i = -1
-            override def next(): Boolean = { i += 1; i < rows.length }
-            override def get(): InternalRow = new GenericInternalRow(rows(i))
-            override def close(): Unit = ()
-          }
+          GraftStore.paddedReaderFactory(snap.schema.length)
       }
     }
 }
@@ -443,13 +470,22 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
         throw new IllegalStateException(
           s"graft store '$name' no longer exists — evicted or dropped"))
       .map(b => GraftStorePartition(b): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataWidth = dataSchema.length
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val rows = p.asInstanceOf[GraftStorePartition].rows
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow =
-        new GenericInternalRow(rows(i) :+ (0: Any))
+      override def get(): InternalRow = {
+        // pad evolved columns BEFORE appending the metadata column
+        val r0 = rows(i)
+        val r =
+          if (r0.length >= dataWidth) r0
+          else java.util.Arrays.copyOf(
+            r0.asInstanceOf[Array[AnyRef]], dataWidth).asInstanceOf[Array[Any]]
+        new GenericInternalRow(r :+ (0: Any))
+      }
       override def close(): Unit = ()
     }
+  }
 }

@@ -78,6 +78,11 @@ object GraftStore {
 
   /** The atomic publish step — ONE registry swap, so a reader sees either
     * the pre-write or the complete post-write contents, never a prefix.
+    * An APPEND keeps the table's DECLARED schema (an incoming frame's
+    * tighter nullability — e.g. a literal column — must not narrow it:
+    * post-evolution rows read padded NULLs, so a narrowed `tag` would
+    * crash every subsequent scan); truncate-overwrite adopts the write's
+    * schema, the store's pre-catalog semantics.
     */
   private[sources] def publish(name: String, schema: StructType,
       incoming: Seq[Array[Array[Any]]], truncate: Boolean): Unit =
@@ -85,7 +90,10 @@ object GraftStore {
       val prior =
         if (truncate) Seq.empty
         else stores.get(name).map(_.batches).getOrElse(Seq.empty)
-      val snap = Committed(schema, prior ++ incoming)
+      val sch =
+        if (truncate) schema
+        else stores.get(name).map(_.schema).getOrElse(schema)
+      val snap = Committed(sch, prior ++ incoming)
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
@@ -121,6 +129,38 @@ object GraftStore {
     * transactional format implements with an epoch column in its log.
     */
   private[sources] val epochs = TrieMap.empty[String, Long]
+
+  /** Shared reader: rows committed under an OLDER schema are shorter
+    * than the live one — pad with NULLs to `width` (the lazy-back-fill
+    * half of [[evolveSchema]]'s metadata-only contract).
+    */
+  private[sources] def paddedReaderFactory(width: Int): PartitionReaderFactory =
+    (p: InputPartition) => new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[GraftStorePartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        if (r.length >= width) new GenericInternalRow(r)
+        else new GenericInternalRow(java.util.Arrays.copyOf(
+          r.asInstanceOf[Array[AnyRef]], width).asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+
+  /** Metadata-only schema evolution: re-commit the CURRENT batches under
+    * the evolved schema (one history version, no data rewrite) — rows
+    * shorter than the schema are padded with NULLs at scan time.
+    */
+  private[graft] def evolveSchema(name: String, newSchema: StructType): Unit =
+    stores.synchronized {
+      val cur = stores.getOrElse(name,
+        throw new IllegalStateException(s"no store '$name' to evolve"))
+      val snap = Committed(newSchema, cur.batches)
+      stores.put(name, snap)
+      history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+      ()
+    }
 
   /** Streaming epoch commit: publish-append unless this epoch (or a
     * later one) already committed — idempotent under micro-batch replay.
@@ -217,13 +257,7 @@ private[sources] class GraftStoreScan(name: String, val s: StructType)
             "after this reader was planned; re-run the writing query"))
       .map(b => GraftStorePartition(b): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    (p: InputPartition) => new PartitionReader[InternalRow] {
-      private val rows = p.asInstanceOf[GraftStorePartition].rows
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = new GenericInternalRow(rows(i))
-      override def close(): Unit = ()
-    }
+    GraftStore.paddedReaderFactory(s.length)
 }
 
 private[sources] case class GraftStorePartition(rows: Array[Array[Any]])

@@ -113,6 +113,28 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pt")
   }
 
+  test("ALTER ADD COLUMN is metadata-only: batches eq-unchanged, old rows read NULL") {
+    cat()
+    spark.range(0, 5).select(col("id").as("k"), (col("id") * 2).as("x"))
+      .writeTo("graft_cat.spec.ev").create()
+    try {
+      val before = graft.sources.GraftStore
+        .batchesRef("cat::graft_cat.spec.ev").get
+      spark.sql("ALTER TABLE graft_cat.spec.ev ADD COLUMN note STRING")
+      assert(graft.sources.GraftStore.batchesRef("cat::graft_cat.spec.ev").get
+        eq before, "evolution must not rewrite committed batches")
+      val t = spark.table("graft_cat.spec.ev")
+      assert(t.schema.fieldNames.toSeq === Seq("k", "x", "note"))
+      assert(t.filter(col("note").isNotNull).count() === 0L,
+        "pre-evolution rows must read the new column as NULL")
+      // back-fill via COW rewrite materializes full width
+      spark.sql("UPDATE graft_cat.spec.ev SET note = 'filled' WHERE note IS NULL")
+      assert(spark.table("graft_cat.spec.ev")
+        .filter(col("note") =!= "filled").count() === 0L)
+      assert(spark.table("graft_cat.spec.ev").count() === 5L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.ev")
+  }
+
   test("streaming epoch ledger: a replayed epoch commits as a NO-OP") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val key = "spec::epoch-ledger"
