@@ -180,10 +180,23 @@ class MvRollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (outOpts.exists(_.isEmpty)) return None
 
+    // Remap filter references by NAME against the MV output for ALL MV
+    // group keys — the admission guard allows filters on any MV key, not
+    // just the query's grouping columns (filter(o_custkey=…).groupBy(om)
+    // against an {om, o_custkey} MV is exact: it prunes whole groups).
+    // keyAttr alone would leave such references pointing at the base
+    // relation and produce an unresolvable plan.
+    val condAttr: Map[ExprId, Attribute] = conds
+      .flatMap(_.references)
+      .flatMap(r => mvAttr.get(r.name).map(r.exprId -> _))
+      .toMap
+    if (conds.exists(!_.references.forall(r => condAttr.contains(r.exprId))))
+      return None
     val mvConds = conds.map(_.transform {
-      case ar: AttributeReference if keyAttr.contains(ar.exprId) =>
-        keyAttr(ar.exprId)
+      case ar: AttributeReference if condAttr.contains(ar.exprId) =>
+        condAttr(ar.exprId)
     })
+    if (mvConds.exists(!_.references.subsetOf(mv.outputSet))) return None
     val source = mvConds.foldLeft(mv: LogicalPlan)((p, c) => Filter(c, p))
     Some(Aggregate(groupRefs.map(g => keyAttr(g.exprId)), outOpts.flatten, source))
   }

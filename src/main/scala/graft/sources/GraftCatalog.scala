@@ -49,8 +49,14 @@ class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = s"cat::$catName.${namespace.mkString(".")}."
     GraftStore.stores.keys.toArray.collect {
-      case k if k.startsWith(prefix) =>
-        Identifier.of(namespace, k.stripPrefix(prefix))
+      // a table is the key's LAST path segment: skip partition-shard
+      // stores (`t#p=value` — internal storage, not tables) and tables
+      // in deeper namespaces (remainder still contains a '.'), else
+      // SHOW TABLES on a parent namespace returns bogus identifiers
+      case k if k.startsWith(prefix) && {
+        val rest = k.stripPrefix(prefix)
+        !rest.contains("#p=") && !rest.contains(".")
+      } => Identifier.of(namespace, k.stripPrefix(prefix))
     }
   }
 
@@ -70,6 +76,15 @@ class GraftCatalog extends TableCatalog {
     * state of a DML'd table stays queryable.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // partitioned tables commit per-SHARD (`key#p=v`) — the base key's
+    // history sees only the create, so resolving against it would
+    // silently time-travel over an empty snapshot (ADVICE r14); there is
+    // no table-level commit ordinal to resolve, so refuse loudly
+    if (GraftCatalog.parts.contains(key(ident)))
+      throw new UnsupportedOperationException(
+        "graft catalog: VERSION AS OF on a partitioned table is " +
+          "unsupported — partitions commit independently, so the table " +
+          "has no single commit-ordinal history")
     val hist = GraftStore.history.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
     val v = try version.toInt catch {

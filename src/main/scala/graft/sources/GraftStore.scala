@@ -271,7 +271,14 @@ private[sources] class GraftStoreWriteBuilder(name: String, schema: StructType)
     override def toBatch: BatchWrite = new GraftStoreBatchWrite(name, schema, doTruncate)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStoreStreamingWrite(name, schema)
+      // the epoch ledger is append-only; honoring truncate would mean
+      // replace-per-epoch (Complete mode), which silently duplicating
+      // instead (pre-r15 behavior) must never stand in for — reject loud
+      if (doTruncate) throw new UnsupportedOperationException(
+        "graft store streaming writes are append-only (exactly-once epoch " +
+          "ledger); Complete/truncate output mode is unsupported — use " +
+          "Append or Update")
+      else new GraftStoreStreamingWrite(name, schema)
   }
 }
 

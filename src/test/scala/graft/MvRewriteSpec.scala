@@ -65,6 +65,30 @@ class MvRewriteSpec extends SparkSpec {
     assert(df.collect().toSeq === want.collect().toSeq)
   }
 
+  test("filter on an MV key OUTSIDE the query's groupBy rewrites and stays exact") {
+    // The r14 ADVICE crash shape: filter(o_custkey…).groupBy(om) against
+    // the {om, o_custkey} MV. The filter prunes whole MV groups (exact),
+    // but its attribute is not among the query's grouping refs — the
+    // remap must resolve it by name against the MV output or the rewrite
+    // produces an unresolvable plan that dies at planning.
+    val base = stagedBase()
+    val df = base.filter(col("o_custkey") % 10 === 7)
+      .groupBy(col("om"))
+      .agg(sum(col("cents")).as("c"), count(lit(1)).as("n"))
+      .orderBy("om")
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.endsWith("/mv")),
+      s"non-grouped-key filter must still rewrite — scanned $paths")
+    val want = Tables.orders(spark, sfDir)
+      .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .filter(col("o_custkey") % 10 === 7)
+      .groupBy(col("om"))
+      .agg(sum(col("cents")).as("c"), count(lit(1)).as("n"))
+      .orderBy("om")
+    assert(df.collect().toSeq === want.collect().toSeq)
+  }
+
   test("guardrails: out-of-contract shapes keep the base scan") {
     val base = stagedBase()
     val refusals: Seq[(String, DataFrame)] = Seq(
