@@ -226,10 +226,13 @@ private[sources] class GraftRowLevelTable(storeKey: String, declared: StructType
   * re-filters them), and the operation's write replaces exactly the
   * scanned groups. Storage: one [[GraftStore]] entry per partition
   * (`key#p=value`), so each partition commits and versions
-  * independently — files in a transactional format, in miniature. MERGE
-  * against a partitioned table rewrites all groups (ON-condition group
-  * pruning needs runtime filtering, out of scope); DELETE/UPDATE with a
-  * partition conjunct is the narrow path this table exists to prove.
+  * independently — files in a transactional format, in miniature.
+  * MERGE (and any DML whose predicate has no partition conjunct) is
+  * narrowed by RUNTIME group filtering instead: the op scan implements
+  * [[SupportsRuntimeV2Filtering]] over `_group`, so Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` computes the matched
+  * groups from the command's own condition and the rewrite touches
+  * only those ([[GraftPartsOpScan]]).
   */
 private[sources] class GraftPartitionedTable(
     tableKey: String, declared: StructType, partCol: String)
@@ -257,10 +260,56 @@ private[sources] class GraftPartitionedTable(
       override def comment(): String = "COW group id (= partition value)"
     })
 
+  /** The plain read path appends the `_group` metadata column only when
+    * column pruning asks for it — Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` re-plans a COPY of the op
+    * relation (whose output includes `_group`) through THIS builder to
+    * build the matching-groups subquery, so ignoring the request would
+    * hand a 3-wide row to a 4-wide schema. Partition-column conjuncts
+    * PRUNE the partition stores read (filters stay residual — pruning is
+    * group-grained, Spark re-filters rows), the static half of the same
+    * pruning the op scan gets at DML time.
+    */
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan =
-        new GraftPartsScan(tableKey, schema(), partKeys(), withGroup = false)
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
+      private var wantGroup = false
+      private var bound: Option[Set[String]] = None
+      private var kept = Array.empty[org.apache.spark.sql.sources.Filter]
+      override def pruneColumns(required: StructType): Unit =
+        wantGroup = required.fieldNames.contains("_group")
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+        val bounds = filters.collect {
+          case EqualTo(c, v: String) if c.equalsIgnoreCase(partCol) => Set(v)
+          case EqualNullSafe(c, v: String) if c.equalsIgnoreCase(partCol) => Set(v)
+          case In(c, vs) if c.equalsIgnoreCase(partCol) =>
+            vs.collect { case s: String => s }.toSet
+        }
+        if (bounds.nonEmpty) {
+          bound = Some(bounds.reduce(_ intersect _))
+          kept = filters.filter {
+            case EqualTo(c, _: String) => c.equalsIgnoreCase(partCol)
+            case EqualNullSafe(c, _: String) => c.equalsIgnoreCase(partCol)
+            case In(c, _) => c.equalsIgnoreCase(partCol)
+            case _ => false
+          }
+        }
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        kept
+      override def build(): Scan = {
+        val keys = () => bound match {
+          case Some(vs) =>
+            val all = partKeys()
+            all.filter(k => vs(k.substring(k.indexOf("#p=") + 3)))
+          case None => partKeys()
+        }
+        new GraftPartsScan(tableKey, schema(), keys, withGroup = wantGroup)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -281,12 +330,17 @@ private[sources] class GraftPartitionedTable(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
-        /** group set narrowed by the scan's pushed-down predicate; None
-          * until planning, meaning "all groups" (whole-table fallback).
-          * Single-statement lifecycle: scan planning happens-before the
-          * write commit on the driver.
+        /** group set narrowed by the scan's pushed-down predicate AND/OR
+          * the runtime group filter; None until planning, meaning "all
+          * groups" (whole-table fallback). Single-statement lifecycle:
+          * scan planning and runtime-filter evaluation happen-before the
+          * write commit on the driver, and `narrow` only ever shrinks
+          * the set, so every contributor composes by intersection.
           */
         @volatile private[sources] var matched: Option[Set[String]] = None
+        private def narrow(vs: Set[String]): Unit = synchronized {
+          matched = Some(matched.fold(vs)(_ intersect vs))
+        }
         private def selectedKeys(): Seq[String] = matched match {
           case Some(vs) => vs.toSeq.sorted.map(v => s"$tableKey#p=$v")
           case None => partKeys()
@@ -309,14 +363,14 @@ private[sources] class GraftPartitionedTable(
                 case In(c, vs) if c == partCol =>
                   vs.collect { case s: String => s }.toSet
               }
-              if (bounds.nonEmpty) matched = Some(bounds.reduce(_ intersect _))
+              bounds.foreach(narrow)
               filters // all residual: pruning is GROUP-grained only
             }
             override def pushedFilters()
                 : Array[org.apache.spark.sql.sources.Filter] = Array.empty
             override def build(): Scan =
-              new GraftPartsScan(tableKey, schema(), selectedKeys(),
-                withGroup = true)
+              new GraftPartsOpScan(tableKey, schema(), () => selectedKeys(),
+                narrow)
           }
         override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
@@ -330,11 +384,14 @@ private[sources] class GraftPartitionedTable(
     }
 }
 
-/** Scan over a fixed set of partition stores, optionally appending the
-  * `_group` metadata column (the partition value).
+/** Scan over a set of partition stores, optionally appending the
+  * `_group` metadata column (the partition value). The key set is
+  * resolved LAZILY (at plan/describe time), so runtime group filtering
+  * ([[GraftPartsOpScan]]) can narrow it between scan construction and
+  * execution.
   */
 private[sources] class GraftPartsScan(
-    tableKey: String, dataSchema: StructType, keys: Seq[String],
+    tableKey: String, dataSchema: StructType, keysF: () => Seq[String],
     withGroup: Boolean) extends Scan with Batch {
   private val full =
     if (withGroup)
@@ -344,9 +401,9 @@ private[sources] class GraftPartsScan(
   override def readSchema(): StructType = full
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_store($tableKey) parts scan [${keys.size} groups]"
+    s"graft_store($tableKey) parts scan [${keysF().size} groups]"
   override def planInputPartitions(): Array[InputPartition] =
-    keys.flatMap { k =>
+    keysF().flatMap { k =>
       val v = k.substring(k.indexOf("#p=") + 3)
       GraftStore.stores.get(k).map(_.batches).getOrElse(Seq.empty)
         .map(b => GraftGroupPartition(b, if (withGroup) v else null)
@@ -381,6 +438,64 @@ private[sources] class GraftPartsScan(
 
 private[sources] case class GraftGroupPartition(
     rows: Array[Array[Any]], group: String) extends InputPartition
+
+/** The row-level OPERATION scan over a partitioned table: a
+  * [[GraftPartsScan]] (with the `_group` metadata column) that
+  * additionally accepts RUNTIME group filtering
+  * ([[SupportsRuntimeV2Filtering]]) — Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` rule plans a subquery that
+  * joins the table with the command's source on the MERGE/UPDATE/DELETE
+  * condition, collects the DISTINCT `_group` values of matching rows,
+  * and hands them to [[filter]] as an IN predicate before input
+  * partitions are planned. That narrows BOTH the rewrite's read set and
+  * (through the shared `narrow` callback → the operation's `matched`
+  * state → the write's `replaceKeys`) the COW replace set: a MERGE of a
+  * small delta into a partitioned fact rewrites only the partitions the
+  * delta touches — the Delta/Iceberg runtime-filtering model, on
+  * Spark's own rule. Unparseable predicates are ignored (no pruning =
+  * whole-table fallback, always correct).
+  */
+private[sources] class GraftPartsOpScan(
+    tableKey: String, dataSchema: StructType, keysF: () => Seq[String],
+    narrow: Set[String] => Unit)
+    extends GraftPartsScan(tableKey, dataSchema, keysF, withGroup = true)
+    with SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_group"))
+
+  private def isGroupRef(e: V2Expr): Boolean = e match {
+    case r: NamedReference => r.fieldNames.mkString(".") == "_group"
+    case _ => false
+  }
+  private def litStr(e: V2Expr): Option[String] = e match {
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      val vals: Option[Set[String]] = p.name() match {
+        case "IN" => p.children() match {
+          case kids if kids.nonEmpty && isGroupRef(kids.head) =>
+            val vs = kids.tail.flatMap(litStr)
+            if (vs.length == kids.length - 1) Some(vs.toSet) else None
+          case _ => None
+        }
+        case "=" | "<=>" => p.children() match {
+          case Array(r, l) if isGroupRef(r) => litStr(l).map(Set(_))
+          case Array(l, r) if isGroupRef(r) => litStr(l).map(Set(_))
+          case _ => None
+        }
+        case _ => None
+      }
+      vals.foreach(narrow)
+    }
+}
 
 /** Partition-routing batch write: every task groups its rows by the
   * partition value; the driver commit replaces exactly `replaceKeys()`

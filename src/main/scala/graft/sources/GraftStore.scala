@@ -55,7 +55,8 @@ class GraftStore extends TableProvider {
 }
 
 object GraftStore {
-  final case class Committed(schema: StructType, batches: Seq[Array[Array[Any]]]) {
+  final case class Committed(schema: StructType, batches: Seq[Array[Array[Any]]],
+      stats: Seq[BatchStats] = Seq.empty) {
     def rowCount: Long = batches.iterator.map(_.length.toLong).sum
   }
 
@@ -87,13 +88,16 @@ object GraftStore {
   private[sources] def publish(name: String, schema: StructType,
       incoming: Seq[Array[Array[Any]]], truncate: Boolean): Unit =
     stores.synchronized {
-      val prior =
-        if (truncate) Seq.empty
-        else stores.get(name).map(_.batches).getOrElse(Seq.empty)
-      val sch =
-        if (truncate) schema
-        else stores.get(name).map(_.schema).getOrElse(schema)
-      val snap = Committed(sch, prior ++ incoming)
+      val cur = if (truncate) None else stores.get(name)
+      val prior = cur.map(_.batches).getOrElse(Seq.empty)
+      val sch = cur.map(_.schema).getOrElse(schema)
+      // per-batch min/max footer stats, computed AT COMMIT like a parquet
+      // writer — the data-skipping half of the transactional format. An
+      // older snapshot missing stats degrades to no-skip (never wrong).
+      val priorStats = cur.map(_.stats).getOrElse(Seq.empty)
+        .padTo(prior.length, null: BatchStats)
+      val snap = Committed(sch, prior ++ incoming,
+        priorStats ++ incoming.map(b => StoreSkipping.computeStats(schema, b)))
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
@@ -156,11 +160,20 @@ object GraftStore {
     stores.synchronized {
       val cur = stores.getOrElse(name,
         throw new IllegalStateException(s"no store '$name' to evolve"))
-      val snap = Committed(newSchema, cur.batches)
+      // stats survive ADD COLUMN: indices of existing columns don't move,
+      // and the skipping evaluator treats an index past a batch's stat
+      // arrays as "no stat" (the appended column is all-NULL there anyway)
+      val snap = Committed(newSchema, cur.batches, cur.stats)
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
     }
+
+  /** store → (batches total, batches skipped) of the LAST planned scan —
+    * the test hook that lets a spec prove data skipping pruned batches
+    * (the `footer_minmax` pruned-file-count pattern, one level up).
+    */
+  private[graft] val skipLog = TrieMap.empty[String, (Int, Int)]
 
   /** Streaming epoch commit: publish-append unless this epoch (or a
     * later one) already committed — idempotent under micro-batch replay.
@@ -187,9 +200,23 @@ private[sources] class GraftStoreTable(name: String, declared: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
+  /** Read path with DATA SKIPPING: comparable filters are retained for
+    * per-committed-batch min/max pruning (and surfaced via
+    * `pushedFilters` so `.explain` shows them); ALL filters stay
+    * residual — stats prune whole batches, Spark re-filters rows.
+    */
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftStoreScan(name, schema())
+    new ScanBuilder with SupportsPushDownFilters {
+      private var skipping = Array.empty[org.apache.spark.sql.sources.Filter]
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        skipping = filters.filter(StoreSkipping.supported(schema(), _))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        skipping
+      override def build(): Scan = new GraftStoreScan(name, schema(), skipping)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -241,21 +268,31 @@ private[sources] class GraftStoreStreamingWrite(name: String, schema: StructType
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[sources] class GraftStoreScan(name: String, val s: StructType)
+private[sources] class GraftStoreScan(name: String, val s: StructType,
+    skipping: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = s
   override def toBatch: Batch = this
-  override def description(): String = s"graft_store($name) scan"
-  override def planInputPartitions(): Array[InputPartition] =
+  override def description(): String =
+    s"graft_store($name) scan" + (if (skipping.isEmpty) ""
+      else skipping.mkString(" [skipping: ", ", ", "]"))
+  override def planInputPartitions(): Array[InputPartition] = {
     // loud, not empty: a store that existed at load() time (inferSchema
     // requires it) but is gone at scan time was EVICTED — silently
     // returning zero rows would surface as a baffling row-count mismatch
     // instead of this diagnosable staleness error (review r12)
-    GraftStore.stores.get(name).map(_.batches).getOrElse(
-        throw new IllegalStateException(
-          s"graft store '$name' no longer exists — evicted or dropped " +
-            "after this reader was planned; re-run the writing query"))
-      .map(b => GraftStorePartition(b): InputPartition).toArray
+    val snap = GraftStore.stores.getOrElse(name,
+      throw new IllegalStateException(
+        s"graft store '$name' no longer exists — evicted or dropped " +
+          "after this reader was planned; re-run the writing query"))
+    val kept = snap.batches.indices.filter { i =>
+      skipping.isEmpty ||
+        StoreSkipping.batchMayMatch(s,
+          if (i < snap.stats.length) snap.stats(i) else null, skipping)
+    }
+    GraftStore.skipLog.put(name, (snap.batches.size, snap.batches.size - kept.size))
+    kept.map(i => GraftStorePartition(snap.batches(i)): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftStore.paddedReaderFactory(s.length)
 }
@@ -324,4 +361,185 @@ private[sources] class GraftStoreBatchWrite(
       messages.map(_.asInstanceOf[GraftStoreCommit].rows).toSeq, truncate)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Per-batch column statistics, computed once at COMMIT time (the parquet
+  * footer analogue): internal-representation min/max per supported
+  * column, null presence, and row count. `mins(i) == null` means "no
+  * stat for column i" (unsupported type, all-NULL, or NaN-poisoned) —
+  * the evaluator then never skips on that column.
+  */
+private[sources] final case class BatchStats(
+    rows: Int, mins: Array[Any], maxs: Array[Any],
+    hasNull: Array[Boolean], allNull: Array[Boolean])
+
+/** Data skipping over committed store batches: a conservative min/max
+  * interval check per pushed source filter. Every decision errs toward
+  * KEEPING the batch — `supported` admits only filter shapes the
+  * evaluator fully understands, `cmp` returns None (= keep) on any
+  * type it cannot compare exactly, and the whole pass is stats-only:
+  * rows of surviving batches are still re-filtered by Spark, so a
+  * wrong "keep" costs a batch scan and a wrong "skip" is impossible
+  * by construction. At 100 TB these stats live in the table format's
+  * metadata log and this exact evaluation prunes FILES before the
+  * scan plans splits — the Delta/Iceberg skipping model.
+  */
+private[sources] object StoreSkipping {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def comparable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Commit-time stats pass: one traversal of the batch, min/max kept in
+    * the INTERNAL value domain (UTF8String, micros longs, days ints).
+    */
+  def computeStats(schema: StructType, batch: Array[Array[Any]]): BatchStats = {
+    val n = schema.length
+    val mins = new Array[Any](n); val maxs = new Array[Any](n)
+    val hasNull = new Array[Boolean](n)
+    val allNull = Array.fill(n)(true)
+    val track = schema.fields.map(f => comparable(f.dataType))
+    val poisoned = new Array[Boolean](n) // NaN seen → stat meaningless
+    var r = 0
+    while (r < batch.length) {
+      val row = batch(r)
+      var c = 0
+      while (c < n && c < row.length) {
+        val v = row(c)
+        if (v == null) hasNull(c) = true
+        else {
+          allNull(c) = false
+          if (track(c) && !poisoned(c)) {
+            v match {
+              case d: java.lang.Double if d.isNaN => poisoned(c) = true
+              case f: java.lang.Float if f.isNaN => poisoned(c) = true
+              case _ =>
+                if (mins(c) == null) { mins(c) = v; maxs(c) = v }
+                else {
+                  if (rawCmp(v, mins(c)) < 0) mins(c) = v
+                  if (rawCmp(v, maxs(c)) > 0) maxs(c) = v
+                }
+            }
+          }
+        }
+        // a row shorter than the schema (pre-evolution) reads NULL in
+        // the missing columns
+        c += 1
+      }
+      while (c < n) { hasNull(c) = true; c += 1 }
+      r += 1
+    }
+    var c = 0
+    while (c < n) {
+      if (poisoned(c)) { mins(c) = null; maxs(c) = null }
+      c += 1
+    }
+    BatchStats(batch.length, mins, maxs, hasNull, allNull)
+  }
+
+  /** compare two INTERNAL values of the same column (never NaN here). */
+  private def rawCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+    case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
+    case _ => 0
+  }
+
+  /** external (filter-side) value → the column's internal domain. */
+  private def toInternal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (DateType, d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d))
+    case (DateType, d: java.time.LocalDate) =>
+      Some(DateTimeUtils.localDateToDays(d))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(DateTimeUtils.instantToMicros(t))
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      Some(DateTimeUtils.localDateTimeToMicros(t))
+    case (BooleanType, b: java.lang.Boolean) => Some(b)
+    case (ByteType | ShortType | IntegerType | LongType,
+        n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+             _: java.lang.Long)) =>
+      Some(n)
+    case (FloatType, n: java.lang.Float) => Some(n)
+    case (DoubleType, n: java.lang.Double) if !n.isNaN => Some(n)
+    case _ => None
+  }
+
+  /** Some(sign) when the internal stat value and the filter value compare
+    * exactly; None = inconclusive, never skip on it.
+    */
+  private def cmp(dt: DataType, stat: Any, ext: Any): Option[Int] =
+    toInternal(dt, ext).map(rawCmp(stat, _))
+
+  private def field(schema: StructType, name: String): Option[(Int, DataType)] = {
+    val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    if (i < 0) None else Some((i, schema.fields(i).dataType))
+  }
+
+  /** admit only shapes `batchMayMatch` fully understands. */
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(c, v) => convertible(schema, c, v)
+    case EqualNullSafe(c, v) => v != null && convertible(schema, c, v)
+    case GreaterThan(c, v) => convertible(schema, c, v)
+    case GreaterThanOrEqual(c, v) => convertible(schema, c, v)
+    case LessThan(c, v) => convertible(schema, c, v)
+    case LessThanOrEqual(c, v) => convertible(schema, c, v)
+    case In(c, vs) =>
+      vs.nonEmpty && vs.forall(v => v != null && convertible(schema, c, v))
+    case IsNull(c) => field(schema, c).isDefined
+    case IsNotNull(c) => field(schema, c).isDefined
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case _ => false
+  }
+  private def convertible(schema: StructType, c: String, v: Any): Boolean =
+    field(schema, c).exists { case (_, dt) => toInternal(dt, v).isDefined }
+
+  /** true = the batch MAY contain matching rows (scan it). */
+  def batchMayMatch(schema: StructType, st: BatchStats,
+      filters: Array[Filter]): Boolean = {
+    if (st == null) return true // pre-stats snapshot: no evidence, keep
+    if (st.rows == 0) return filters.isEmpty // empty batch matches nothing
+    filters.forall(mayMatch(schema, st, _))
+  }
+
+  private def mayMatch(schema: StructType, st: BatchStats, f: Filter): Boolean = {
+    def stats(c: String): Option[(Int, DataType)] =
+      field(schema, c).filter { case (i, _) => i < st.mins.length }
+    def bounds(c: String): Option[(DataType, Any, Any)] =
+      stats(c).flatMap { case (i, dt) =>
+        if (st.mins(i) == null) None else Some((dt, st.mins(i), st.maxs(i)))
+      }
+    f match {
+      case EqualTo(c, v) => bounds(c).forall { case (dt, mn, mx) =>
+        cmp(dt, mn, v).forall(_ <= 0) && cmp(dt, mx, v).forall(_ >= 0) }
+      case EqualNullSafe(c, v) => mayMatch(schema, st, EqualTo(c, v))
+      case GreaterThan(c, v) =>
+        bounds(c).forall { case (dt, _, mx) => cmp(dt, mx, v).forall(_ > 0) }
+      case GreaterThanOrEqual(c, v) =>
+        bounds(c).forall { case (dt, _, mx) => cmp(dt, mx, v).forall(_ >= 0) }
+      case LessThan(c, v) =>
+        bounds(c).forall { case (dt, mn, _) => cmp(dt, mn, v).forall(_ < 0) }
+      case LessThanOrEqual(c, v) =>
+        bounds(c).forall { case (dt, mn, _) => cmp(dt, mn, v).forall(_ <= 0) }
+      case In(c, vs) => vs.exists(v => mayMatch(schema, st, EqualTo(c, v)))
+      case IsNull(c) => stats(c).forall { case (i, _) =>
+        i < st.hasNull.length && st.hasNull(i) }
+      case IsNotNull(c) => stats(c).forall { case (i, _) =>
+        i < st.allNull.length && !st.allNull(i) }
+      case And(l, r) => mayMatch(schema, st, l) && mayMatch(schema, st, r)
+      case _ => true
+    }
+  }
 }

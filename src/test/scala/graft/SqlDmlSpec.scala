@@ -113,6 +113,48 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pt")
   }
 
+  test("MERGE group pruning: runtime filtering rewrites ONLY matched partitions (eq-pinned)") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    base.writeTo("graft_cat.spec.mp").partitionedBy(col("event_type")).create()
+    try {
+      def ref(p: String) = graft.sources.GraftStore
+        .batchesRef(s"cat::graft_cat.spec.mp#p=$p")
+        .getOrElse(fail(s"partition $p missing"))
+      val before = Seq("click", "view", "purchase", "signup").map(p => p -> ref(p))
+
+      // delta confined to the 'error' partition: updates match only
+      // error rows (unique event_id), inserts carry fresh ids
+      val err = base.filter(col("event_type") === "error")
+      err.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("event_type"), lit(-1.0).as("value"))
+        .unionByName(err.limit(3)
+          .select((col("event_id") + 5000000L).as("event_id"),
+            col("event_type"), lit(2.5).as("value")))
+        .createOrReplaceTempView("spec_mp_src")
+      spark.sql(
+        """MERGE INTO graft_cat.spec.mp t USING spec_mp_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET value = s.value
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+      // the ON clause has no partition conjunct — only RUNTIME group
+      // filtering can have kept the other four partitions untouched
+      before.foreach { case (p, b) =>
+        assert(ref(p) eq b, s"$p group was rewritten by a MERGE touching only error")
+      }
+      val t = spark.table("graft_cat.spec.mp")
+      val errN = base.filter(col("event_type") === "error").count()
+      assert(t.filter(col("event_type") === "error").count() === errN + 3)
+      assert(t.filter(col("value") === -1.0).count() ===
+        base.filter(col("event_type") === "error" && col("event_id") % 3 === 0).count())
+      assert(t.count() === base.count() + 3)
+    } finally spark.sql("DROP TABLE graft_cat.spec.mp")
+  }
+
   test("ALTER ADD COLUMN is metadata-only: batches eq-unchanged, old rows read NULL") {
     cat()
     spark.range(0, 5).select(col("id").as("k"), (col("id") * 2).as("x"))
@@ -171,5 +213,69 @@ class SqlDmlSpec extends SparkSpec {
     }
     assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND",
       s"unexpected error class ${e.getCondition}")
+  }
+
+  test("data skipping: min/max batch stats prune commits; results identical") {
+    cat()
+    val key = "cat::graft_cat.spec.ds"
+    def commit(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi)
+        .select(col("id").as("k"), (col("id") * 2).cast("double").as("v"),
+          when(col("id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("s"), col("id"))).as("tag"))
+        .repartition(1).writeTo("graft_cat.spec.ds").append()
+    spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).cast("double").as("v"),
+        concat(lit("s"), col("id")).as("tag"))
+      .repartition(1).writeTo("graft_cat.spec.ds").create()
+    try {
+      commit(100, 200); commit(200, 300)
+      val t = spark.table("graft_cat.spec.ds")
+      def skips = graft.sources.GraftStore.skipLog(key)
+
+      // range predicate: only the last commit can match
+      assert(t.filter(col("k") >= 250).count() === 50L)
+      assert(skips === ((3, 2)), "expected 2 of 3 batches stat-skipped")
+      // middle-batch equality
+      assert(t.filter(col("k") === 150).count() === 1L)
+      assert(skips === ((3, 2)))
+      // IN across two commits
+      assert(t.filter(col("k").isin(5L, 205L)).count() === 2L)
+      assert(skips === ((3, 1)))
+      // IS NULL: only the two appended commits ever contain nulls
+      assert(t.filter(col("tag").isNull).count() === 20L)
+      assert(skips === ((3, 1)))
+      // string range: batch 0 holds s0..s99; none start >= "t"
+      assert(t.filter(col("tag") > "s99").count() ===
+        (100L to 299L).count(i => s"s$i" > "s99"))
+      assert(skips._1 === 3)
+      // no-predicate scan: everything read, nothing skipped
+      assert(t.count() === 300L)
+      assert(skips === ((3, 0)))
+      // explain surfaces the skipping filters on the scan
+      val withFilter = t.filter(col("k") >= 250)
+      withFilter.collect()
+      val desc = withFilter.queryExecution.executedPlan.toString
+      assert(desc.contains("skipping"), s"scan description lacks filters: $desc")
+    } finally spark.sql("DROP TABLE graft_cat.spec.ds")
+  }
+
+  test("plain reads of a partitioned table prune partition stores by conjunct") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.pp").partitionedBy(col("event_type")).create()
+    try {
+      val q = spark.table("graft_cat.spec.pp")
+        .filter(col("event_type") === "error")
+        .agg(count(lit(1)).as("n"))
+      assert(q.head.getLong(0) ===
+        base.filter(col("event_type") === "error").count())
+      val scanDesc = q.queryExecution.executedPlan.toString
+      assert(scanDesc.contains("[1 groups]"),
+        s"expected a 1-group parts scan, got: $scanDesc")
+      // sanity: the unfiltered read still sees every partition
+      assert(spark.table("graft_cat.spec.pp").count() === base.count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.pp")
   }
 }
