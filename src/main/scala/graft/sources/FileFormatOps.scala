@@ -278,8 +278,96 @@ object FileFormatOps extends QueryModule {
       |      ELSE CAST(c_nationkey AS VARCHAR) END AS c_nat_null
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Supplier → Avro container files → read back → full row set. The
+    * classpath carries Avro core + avro-mapred but NOT the `spark-avro`
+    * DataFrame connector, so this goes through the Hadoop
+    * `AvroKeyOutputFormat`/`AvroKeyInputFormat` pair — the wire path
+    * every Kafka-adjacent ingest actually runs (schema'd records, no
+    * inference scan: the reader schema is set EXPLICITLY via
+    * `AvroJob.setInputKeySchema`, the scale posture of the CSV/JSON
+    * twins). Fidelity surface: long/int/double through Avro binary
+    * encoding, UTF-8 strings (Avro `Utf8` decoded immediately — the
+    * record object is REUSED by the reader, values must be extracted
+    * per record, the same aliasing trap as the DSv2 writer's
+    * UnsafeRow), and a `["null","string"]` union column restoring real
+    * NULLs. Avro container files are splittable by sync markers, so at
+    * 100 TB this input splits by `maxPartitionBytes` like any file
+    * source; the RDD boundary is the format shim only — everything
+    * downstream is the same DataFrame plan.
+    */
+  def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+
+    val avroJson =
+      """{"type":"record","name":"SupplierRec","namespace":"graft","fields":[
+        | {"name":"s_suppkey","type":"long"},
+        | {"name":"s_name","type":"string"},
+        | {"name":"s_nationkey","type":"int"},
+        | {"name":"s_acctbal","type":"double"},
+        | {"name":"s_label_null","type":["null","string"],"default":null}
+        |]}""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-avro-rt")
+    try {
+      val out = s"$root/data" // must NOT pre-exist: FileOutputFormat refuses
+      val shaped = Tables.supplier(s, dir).select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"),
+        when(col("s_nationkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(col("s_name"), lit(" | "), col("s_nationkey")))
+          .as("s_label_null"))
+
+      val wJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(wJob,
+        new org.apache.avro.Schema.Parser().parse(avroJson))
+      shaped.rdd.mapPartitions { it =>
+        // Schema is not serializable: parse from JSON inside the task
+        val sch = new org.apache.avro.Schema.Parser().parse(avroJson)
+        it.map { row =>
+          val rec: GenericRecord = new GenericData.Record(sch)
+          rec.put("s_suppkey", row.getLong(0))
+          rec.put("s_name", row.getString(1))
+          rec.put("s_nationkey", row.getInt(2))
+          rec.put("s_acctbal", row.getDouble(3))
+          rec.put("s_label_null", if (row.isNullAt(4)) null else row.getString(4))
+          (new AvroKey[GenericRecord](rec), NullWritable.get)
+        }
+      }.saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        wJob.getConfiguration)
+
+      val rJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setInputKeySchema(rJob,
+        new org.apache.avro.Schema.Parser().parse(avroJson))
+      val rows = s.sparkContext.newAPIHadoopFile(
+          s"$out/*.avro", classOf[AvroKeyInputFormat[GenericRecord]],
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          rJob.getConfiguration)
+        .map { case (k, _) =>
+          val r = k.datum() // reused buffer: extract every field NOW
+          org.apache.spark.sql.Row(
+            r.get("s_suppkey").asInstanceOf[Long],
+            r.get("s_name").toString,
+            r.get("s_nationkey").asInstanceOf[Int],
+            r.get("s_acctbal").asInstanceOf[Double],
+            Option(r.get("s_label_null")).map(_.toString).orNull)
+        }
+      val back = s.createDataFrame(rows, shaped.schema).orderBy("s_suppkey")
+      materialize(s, back)
+    } finally deleteRecursively(root)
+  }
+
+  val avroRoundTripOracle: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+      | CASE WHEN s_nationkey % 5 = 0 THEN NULL
+      |      ELSE s_name || ' | ' || CAST(s_nationkey AS VARCHAR) END AS s_label_null
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("csv_roundtrip", csvRoundTrip, Some(csvRoundTripOracle)),
+    RegisteredQuery("avro_roundtrip", avroRoundTrip, Some(avroRoundTripOracle)),
     RegisteredQuery("xml_roundtrip", xmlRoundTrip, Some(xmlRoundTripOracle)),
     RegisteredQuery("json_roundtrip", jsonRoundTrip, Some(jsonRoundTripOracle)),
     RegisteredQuery("csv_corrupt_audit", csvCorruptAudit, Some(csvCorruptAuditOracle)),
