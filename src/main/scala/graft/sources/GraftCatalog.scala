@@ -235,7 +235,8 @@ private[sources] class GraftRowLevelTable(storeKey: String, declared: StructType
   * only those ([[GraftPartsOpScan]]).
   */
 private[sources] class GraftPartitionedTable(
-    tableKey: String, declared: StructType, partCol: String)
+    private[sources] val tableKey: String, declared: StructType,
+    partCol: String)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 

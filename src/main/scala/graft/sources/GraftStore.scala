@@ -127,6 +127,25 @@ object GraftStore {
   private[graft] def versionCount(name: String): Int =
     history.get(name).map(_.size).getOrElse(0)
 
+  /** Commit-ordinal fingerprint of a connector table backed by this
+    * store, or None for any other table. A catalog table's fingerprint
+    * changes on EVERY commit — append, DML COW rewrite, streaming epoch,
+    * schema evolution — which is exactly the invalidation signal a
+    * result cache needs: key on it and a post-DML read can never serve
+    * the pre-DML result (the Delta/Snowflake model: cache entries are
+    * valid per table VERSION, not per table name).
+    */
+  private[graft] def commitFingerprint(
+      t: org.apache.spark.sql.connector.catalog.Table): Option[String] = t match {
+    case g: GraftStoreTable =>
+      Some(s"${g.storeKey}@v${versionCount(g.storeKey)}")
+    case p: GraftPartitionedTable =>
+      val parts = stores.keys.filter(_.startsWith(p.tableKey + "#p=")).toSeq.sorted
+      Some(parts.map(k => s"$k@v${versionCount(k)}")
+        .mkString(s"${p.tableKey}[", ",", "]"))
+    case _ => None
+  }
+
   /** name → highest streaming epoch committed — the exactly-once ledger:
     * a replayed epoch (post-failure re-delivery of the same micro-batch)
     * must commit as a NO-OP, which is the streaming sink contract every
@@ -191,11 +210,12 @@ object GraftStore {
     }
 }
 
-private[sources] class GraftStoreTable(name: String, declared: StructType)
+private[sources] class GraftStoreTable(
+    private[sources] val storeKey: String, declared: StructType)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft_store($name)"
+  override def name(): String = s"graft_store($storeKey)"
   override def schema(): StructType =
-    GraftStore.stores.get(name).map(_.schema).getOrElse(declared)
+    GraftStore.stores.get(storeKey).map(_.schema).getOrElse(declared)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
@@ -216,11 +236,12 @@ private[sources] class GraftStoreTable(name: String, declared: StructType)
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         skipping
-      override def build(): Scan = new GraftStoreScan(name, schema(), skipping)
+      override def build(): Scan =
+        new GraftStoreScan(storeKey, schema(), skipping)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftStoreWriteBuilder(name, info.schema())
+    new GraftStoreWriteBuilder(storeKey, info.schema())
 }
 
 /** Streaming epochs into the store: every micro-batch is one

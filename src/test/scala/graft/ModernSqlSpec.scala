@@ -193,6 +193,34 @@ class ModernSqlSpec extends SparkSpec {
     assert(graft.engine.ResultCache.misses.get > m0)
   }
 
+  test("result cache x DML: a commit moves the key; stale serve impossible") {
+    import graft.engine.ResultCache
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.range(0, 10).select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .writeTo("graft_cat.spec.rc").create()
+    try {
+      def q = spark.table("graft_cat.spec.rc").agg(sum(col("v")).as("s"))
+      val first = ResultCache.run(spark, q, "rc-dml-spec").head.getDouble(0)
+      assert(first === 45.0)
+      // identical query, same version: HIT
+      val h0 = ResultCache.hits.get
+      assert(ResultCache.run(spark, q, "rc-dml-spec").head.getDouble(0) === 45.0)
+      assert(ResultCache.hits.get > h0, "same-version rerun must hit")
+      // DML commit: the table's commit ordinal moves the key -> MISS,
+      // and the served result is the POST-update state
+      spark.sql("UPDATE graft_cat.spec.rc SET v = v + 100 WHERE k < 5")
+      val m1 = ResultCache.misses.get
+      val after = ResultCache.run(spark, q, "rc-dml-spec").head.getDouble(0)
+      assert(ResultCache.misses.get > m1, "post-DML read must miss, not serve stale")
+      assert(after === 545.0, s"post-DML result must be fresh, got $after")
+      // and the new version is itself cacheable
+      val h1 = ResultCache.hits.get
+      assert(ResultCache.run(spark, q, "rc-dml-spec").head.getDouble(0) === 545.0)
+      assert(ResultCache.hits.get > h1)
+    } finally spark.sql("DROP TABLE graft_cat.spec.rc")
+  }
+
   test("udaf geomean contract: nulls and non-positive inputs are ignored, empty group is NaN") {
     import spark.implicits._
     spark.udf.register("graft_gmean_t", org.apache.spark.sql.functions.udaf(
