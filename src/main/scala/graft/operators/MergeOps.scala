@@ -539,6 +539,50 @@ object MergeOps extends QueryModule {
       |FROM events WHERE event_id % 10 = 0
       |ORDER BY tag""".stripMargin
 
+  /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` — the rest of the
+    * metadata-only evolution surface after r14's ADD, with the
+    * resolution contract PINNED (the Iceberg field-id question): logical
+    * fields follow their physical SLOT, so after the rename every
+    * committed row serves under the new name with zero rewrite; the
+    * DROP tombstones its slot (the data stays — pre-drop versions still
+    * time-travel to it); and re-ADDing the dropped NAME binds a fresh
+    * slot, so `n_resurrected` MUST be 0 — a positional or name-recycled
+    * resolution would leak the old values back and go red here. The
+    * post-evolution append lands at the evolved logical width and is
+    * scattered into physical slots at commit. SqlDmlSpec eq-pins that
+    * neither ALTER rewrote a committed batch.
+    */
+  def sqlAlterRenameDrop(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN value TO amount")
+      s.sql(s"ALTER TABLE $tbl DROP COLUMN event_type")
+      base.filter(col("event_id") % 100 === 0)
+        .select((col("event_id") + 2000000L).as("event_id"),
+          lit(0.5).as("amount"))
+        .writeTo(tbl).append()
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN event_type STRING")
+      s.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        (sum(floor(col("amount") * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_amount"),
+        count(col("event_type")).as("n_resurrected"))
+    }
+  }
+
+  val sqlAlterRenameDropOracle: String =
+    """WITH t AS (
+      |  SELECT value AS amount FROM events
+      |  UNION ALL
+      |  SELECT 0.5 AS amount FROM events WHERE event_id % 100 = 0
+      |)
+      |SELECT count(*) AS n_rows,
+      | CAST(sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total_amount,
+      | CAST(0 AS BIGINT) AS n_resurrected
+      |FROM t""".stripMargin
+
   /** DATA SKIPPING on catalog-table scans
     * ([[graft.sources.StoreSkipping]]): the table is built as four
     * RANGE-DISJOINT commits (event_id quartiles, one batch each — the
@@ -620,6 +664,8 @@ object MergeOps extends QueryModule {
       Some(sqlAlterAddColumnOracle)),
     RegisteredQuery("store_data_skipping", storeDataSkipping,
       Some(storeDataSkippingOracle)),
+    RegisteredQuery("sql_alter_rename_drop", sqlAlterRenameDrop,
+      Some(sqlAlterRenameDropOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

@@ -130,20 +130,51 @@ class GraftCatalog extends TableCatalog {
     * the metadata-only evolution contract of a transactional format:
     * evolution is O(1), back-fill is lazy.
     */
+  /** Metadata-only schema evolution — ADD / RENAME / DROP COLUMN, one
+    * store commit each, zero data rewrite. The resolution contract is
+    * the field-id model ([[GraftStore.Committed]]'s physical-slot map):
+    * reads resolve names against the LOGICAL schema, logical fields
+    * follow their SLOT — so a rename keeps serving the old rows under
+    * the new name, a drop tombstones the slot (pre-drop versions still
+    * time-travel to it), and re-adding a dropped name binds a fresh
+    * slot so old values never resurrect. Partitioned tables accept ADD
+    * and RENAME of non-partition columns (their per-partition stores are
+    * positional and slots only ever append); DROP on a partitioned
+    * table is rejected loudly rather than silently misaligning.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val k = key(ident)
     val cur = GraftStore.stores.getOrElse(k, throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(cur.schema) {
-      case (sch, add: TableChange.AddColumn) =>
+    val partitioned = GraftCatalog.parts.get(k)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft catalog: only top-level ADD COLUMN is supported")
         require(add.isNullable,
           "graft catalog: added columns must be nullable (old rows have no value)")
-        sch.add(add.fieldNames.head, add.dataType, nullable = true)
-      case (_, other) => throw new UnsupportedOperationException(
+        GraftStore.addColumn(k, org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft catalog: only top-level RENAME COLUMN is supported")
+        val from = rn.fieldNames.head
+        require(!partitioned.contains(from), "graft catalog: cannot rename " +
+          s"partition column '$from' (partition routing is name-keyed)")
+        require(!cur.schema.fieldNames.contains(rn.newName),
+          s"graft catalog: column '${rn.newName}' already exists")
+        GraftStore.renameColumn(k, from, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft catalog: only top-level DROP COLUMN is supported")
+        require(partitioned.isEmpty, "graft catalog: DROP COLUMN on a " +
+          "partitioned table is unsupported (per-partition stores are " +
+          "positional); rewrite via CTAS instead")
+        require(!partitioned.contains(del.fieldNames.head),
+          "graft catalog: cannot drop the partition column")
+        GraftStore.dropColumn(k, del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
     }
-    GraftStore.evolveSchema(k, newSchema)
     loadTable(ident)
   }
 
@@ -581,7 +612,9 @@ private[sources] class GraftVersionTable(nm: String, snap: GraftStore.Committed)
         override def planInputPartitions(): Array[InputPartition] =
           snap.batches.map(b => GraftStorePartition(b): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory =
-          GraftStore.paddedReaderFactory(snap.schema.length)
+          // the SNAPSHOT's own projection: a pre-rename version keeps its
+          // old names, a pre-drop version still serves the dropped column
+          GraftStore.projectedReaderFactory(snap.projection)
       }
     }
 }
@@ -602,19 +635,25 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
           s"graft store '$name' no longer exists — evicted or dropped"))
       .map(b => GraftStorePartition(b): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
-    val dataWidth = dataSchema.length
+    // project physical slots to the logical view (pads pre-evolution
+    // rows, follows renames, hides tombstoned slots) BEFORE appending
+    // the metadata column
+    val proj = GraftStore.stores.get(name).map(_.projection)
+      .getOrElse(Array.tabulate(dataSchema.length)(identity))
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val rows = p.asInstanceOf[GraftStorePartition].rows
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
-        // pad evolved columns BEFORE appending the metadata column
         val r0 = rows(i)
-        val r =
-          if (r0.length >= dataWidth) r0
-          else java.util.Arrays.copyOf(
-            r0.asInstanceOf[Array[AnyRef]], dataWidth).asInstanceOf[Array[Any]]
-        new GenericInternalRow(r :+ (0: Any))
+        val r = new Array[Any](proj.length + 1)
+        var j = 0
+        while (j < proj.length) {
+          if (proj(j) < r0.length) r(j) = r0(proj(j))
+          j += 1
+        }
+        r(proj.length) = 0
+        new GenericInternalRow(r)
       }
       override def close(): Unit = ()
     }

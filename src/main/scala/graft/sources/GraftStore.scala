@@ -55,9 +55,26 @@ class GraftStore extends TableProvider {
 }
 
 object GraftStore {
+  /** One committed snapshot. `schema` is the LOGICAL schema readers see;
+    * rows are laid out in grow-only PHYSICAL slots and `proj` maps
+    * logical field → physical slot (null = identity, the never-evolved
+    * fast path). The slot model is the field-id contract of a real
+    * table format: RENAME changes a logical name only (the slot — and
+    * every committed row — stays), DROP removes the logical mapping and
+    * TOMBSTONES the slot, and a later ADD reusing a dropped NAME binds a
+    * brand-new slot (`physWidth` never shrinks), so old values can
+    * never resurrect under a recycled name.
+    */
   final case class Committed(schema: StructType, batches: Seq[Array[Array[Any]]],
-      stats: Seq[BatchStats] = Seq.empty) {
+      stats: Seq[BatchStats] = Seq.empty, proj: Array[Int] = null,
+      physWidth: Int = -1) {
     def rowCount: Long = batches.iterator.map(_.length.toLong).sum
+    def projection: Array[Int] =
+      if (proj == null) Array.tabulate(schema.length)(identity) else proj
+    def width: Int = if (physWidth < 0) schema.length else physWidth
+    def identityLayout: Boolean =
+      proj == null ||
+        (proj.length == width && proj.indices.forall(i => proj(i) == i))
   }
 
   /** name → committed contents; the swap in [[publish]] is the commit. */
@@ -91,13 +108,52 @@ object GraftStore {
       val cur = if (truncate) None else stores.get(name)
       val prior = cur.map(_.batches).getOrElse(Seq.empty)
       val sch = cur.map(_.schema).getOrElse(schema)
+      // incoming rows arrive in the write's LOGICAL layout; scatter them
+      // into the store's physical slots when evolution has moved them
+      // apart (a truncate-overwrite — including every COW rewrite —
+      // adopts the write's schema and resets to identity, compacting
+      // tombstoned slots like a real format's rewrite)
+      val proj = cur.map(_.projection).getOrElse(null: Array[Int])
+      val width = cur.map(_.width).getOrElse(schema.length)
+      val identity = cur.forall(_.identityLayout)
+      def remap(b: Array[Array[Any]]): Array[Array[Any]] =
+        if (identity) b
+        else b.map { r =>
+          val out = new Array[Any](width)
+          var j = 0
+          while (j < proj.length) {
+            if (j < r.length) out(proj(j)) = r(j)
+            j += 1
+          }
+          out
+        }
       // per-batch min/max footer stats, computed AT COMMIT like a parquet
-      // writer — the data-skipping half of the transactional format. An
-      // older snapshot missing stats degrades to no-skip (never wrong).
+      // writer — the data-skipping half of the transactional format,
+      // stored PHYSICAL-slot-indexed. An older snapshot missing stats
+      // degrades to no-skip (never wrong).
+      def scatter(st: BatchStats): BatchStats =
+        if (identity) st
+        else {
+          val mins = new Array[Any](width); val maxs = new Array[Any](width)
+          val hasNull = new Array[Boolean](width)
+          val allNull = Array.fill(width)(true)
+          var j = 0
+          while (j < proj.length) {
+            if (j < st.mins.length) {
+              mins(proj(j)) = st.mins(j); maxs(proj(j)) = st.maxs(j)
+              hasNull(proj(j)) = st.hasNull(j); allNull(proj(j)) = st.allNull(j)
+            }
+            j += 1
+          }
+          BatchStats(st.rows, mins, maxs, hasNull, allNull)
+        }
       val priorStats = cur.map(_.stats).getOrElse(Seq.empty)
         .padTo(prior.length, null: BatchStats)
-      val snap = Committed(sch, prior ++ incoming,
-        priorStats ++ incoming.map(b => StoreSkipping.computeStats(schema, b)))
+      val snap = Committed(sch, prior ++ incoming.map(remap),
+        priorStats ++ incoming.map(b =>
+          scatter(StoreSkipping.computeStats(schema, b))),
+        proj = cur.map(_.proj).orNull,
+        physWidth = cur.map(_.physWidth).getOrElse(-1))
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
@@ -126,6 +182,11 @@ object GraftStore {
     stores.get(name).map(_.batches)
   private[graft] def versionCount(name: String): Int =
     history.get(name).map(_.size).getOrElse(0)
+  /** Test hook: whether the store's slot layout is back to identity
+    * (i.e. a COW rewrite has compacted all evolution tombstones).
+    */
+  private[graft] def layoutIsIdentity(name: String): Boolean =
+    stores.get(name).forall(_.identityLayout)
 
   /** Commit-ordinal fingerprint of a connector table backed by this
     * store, or None for any other table. A catalog table's fingerprint
@@ -153,39 +214,90 @@ object GraftStore {
     */
   private[sources] val epochs = TrieMap.empty[String, Long]
 
-  /** Shared reader: rows committed under an OLDER schema are shorter
-    * than the live one — pad with NULLs to `width` (the lazy-back-fill
-    * half of [[evolveSchema]]'s metadata-only contract).
+  /** Shared reader: map each row's physical slots to the logical view
+    * via `proj`. A row shorter than a mapped slot (committed before that
+    * column existed) reads NULL — the lazy-back-fill half of the
+    * metadata-only evolution contract. Identity layouts (no RENAME/DROP
+    * ever) take the zero-copy pad-only fast path.
     */
-  private[sources] def paddedReaderFactory(width: Int): PartitionReaderFactory =
+  private[sources] def projectedReaderFactory(proj: Array[Int])
+      : PartitionReaderFactory = {
+    val width = proj.length
+    val isIdentity = proj.indices.forall(j => proj(j) == j)
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val rows = p.asInstanceOf[GraftStorePartition].rows
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
         val r = rows(i)
-        if (r.length >= width) new GenericInternalRow(r)
-        else new GenericInternalRow(java.util.Arrays.copyOf(
+        if (isIdentity && r.length >= width) new GenericInternalRow(r)
+        else if (isIdentity) new GenericInternalRow(java.util.Arrays.copyOf(
           r.asInstanceOf[Array[AnyRef]], width).asInstanceOf[Array[Any]])
+        else {
+          val out = new Array[Any](width)
+          var j = 0
+          while (j < width) {
+            if (proj(j) < r.length) out(j) = r(proj(j))
+            j += 1
+          }
+          new GenericInternalRow(out)
+        }
       }
       override def close(): Unit = ()
     }
+  }
 
-  /** Metadata-only schema evolution: re-commit the CURRENT batches under
-    * the evolved schema (one history version, no data rewrite) — rows
-    * shorter than the schema are padded with NULLs at scan time.
+  /** Metadata-only schema evolution: every op re-commits the CURRENT
+    * batches under an evolved logical view (one history version, ZERO
+    * data rewrite). Stats survive: they are physical-slot-indexed, and
+    * slots never move.
     */
-  private[graft] def evolveSchema(name: String, newSchema: StructType): Unit =
+  private def evolve(name: String)(f: Committed => Committed): Unit =
     stores.synchronized {
       val cur = stores.getOrElse(name,
         throw new IllegalStateException(s"no store '$name' to evolve"))
-      // stats survive ADD COLUMN: indices of existing columns don't move,
-      // and the skipping evaluator treats an index past a batch's stat
-      // arrays as "no stat" (the appended column is all-NULL there anyway)
-      val snap = Committed(newSchema, cur.batches, cur.stats)
+      val snap = f(cur)
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
+    }
+
+  /** ADD: the new logical field binds a brand-NEW physical slot — never
+    * a recycled one, so values from a column dropped under the same name
+    * cannot resurrect. Old rows read NULL (no slot written).
+    */
+  private[graft] def addColumn(name: String,
+      field: org.apache.spark.sql.types.StructField): Unit =
+    evolve(name) { cur =>
+      cur.copy(schema = cur.schema.add(field),
+        proj = cur.projection :+ cur.width, physWidth = cur.width + 1)
+    }
+
+  /** RENAME: logical name change only; the slot — and every committed
+    * row — stays put, so reads under the new name keep serving the old
+    * data (name-based resolution over stable slots, the field-id
+    * contract).
+    */
+  private[graft] def renameColumn(name: String, from: String, to: String): Unit =
+    evolve(name) { cur =>
+      val i = cur.schema.fieldIndex(from)
+      cur.copy(schema = StructType(cur.schema.fields.updated(i,
+        cur.schema.fields(i).copy(name = to))))
+    }
+
+  /** DROP: remove the logical mapping; the physical slot is TOMBSTONED
+    * (old rows keep their values — time travel to pre-drop versions
+    * still reads them) until the next truncate-overwrite/COW rewrite
+    * compacts it away.
+    */
+  private[graft] def dropColumn(name: String, colName: String): Unit =
+    evolve(name) { cur =>
+      require(cur.schema.length > 1,
+        s"graft store '$name': cannot drop the last column")
+      val i = cur.schema.fieldIndex(colName)
+      cur.copy(
+        schema = StructType(cur.schema.fields.patch(i, Nil, 1)),
+        proj = cur.projection.patch(i, Nil, 1), physWidth = cur.width)
     }
 
   /** store → (batches total, batches skipped) of the LAST planned scan —
@@ -308,14 +420,16 @@ private[sources] class GraftStoreScan(name: String, val s: StructType,
           "after this reader was planned; re-run the writing query"))
     val kept = snap.batches.indices.filter { i =>
       skipping.isEmpty ||
-        StoreSkipping.batchMayMatch(s,
+        StoreSkipping.batchMayMatch(s, snap.projection,
           if (i < snap.stats.length) snap.stats(i) else null, skipping)
     }
     GraftStore.skipLog.put(name, (snap.batches.size, snap.batches.size - kept.size))
     kept.map(i => GraftStorePartition(snap.batches(i)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftStore.paddedReaderFactory(s.length)
+    GraftStore.projectedReaderFactory(GraftStore.stores.get(name)
+      .map(_.projection)
+      .getOrElse(Array.tabulate(s.length)(identity)))
 }
 
 private[sources] case class GraftStorePartition(rows: Array[Array[Any]])
@@ -527,17 +641,24 @@ private[sources] object StoreSkipping {
   private def convertible(schema: StructType, c: String, v: Any): Boolean =
     field(schema, c).exists { case (_, dt) => toInternal(dt, v).isDefined }
 
-  /** true = the batch MAY contain matching rows (scan it). */
-  def batchMayMatch(schema: StructType, st: BatchStats,
+  /** true = the batch MAY contain matching rows (scan it). `proj` maps
+    * logical field index -> the PHYSICAL slot the stats are keyed by
+    * (stats survive RENAME because the slot never moves, and a column
+    * re-added after a DROP lands on a fresh slot with no stale stats).
+    */
+  def batchMayMatch(schema: StructType, proj: Array[Int], st: BatchStats,
       filters: Array[Filter]): Boolean = {
     if (st == null) return true // pre-stats snapshot: no evidence, keep
     if (st.rows == 0) return filters.isEmpty // empty batch matches nothing
-    filters.forall(mayMatch(schema, st, _))
+    filters.forall(mayMatch(schema, proj, st, _))
   }
 
-  private def mayMatch(schema: StructType, st: BatchStats, f: Filter): Boolean = {
+  private def mayMatch(schema: StructType, proj: Array[Int], st: BatchStats,
+      f: Filter): Boolean = {
     def stats(c: String): Option[(Int, DataType)] =
-      field(schema, c).filter { case (i, _) => i < st.mins.length }
+      field(schema, c)
+        .map { case (i, dt) => (if (i < proj.length) proj(i) else i, dt) }
+        .filter { case (i, _) => i < st.mins.length }
     def bounds(c: String): Option[(DataType, Any, Any)] =
       stats(c).flatMap { case (i, dt) =>
         if (st.mins(i) == null) None else Some((dt, st.mins(i), st.maxs(i)))
@@ -545,7 +666,7 @@ private[sources] object StoreSkipping {
     f match {
       case EqualTo(c, v) => bounds(c).forall { case (dt, mn, mx) =>
         cmp(dt, mn, v).forall(_ <= 0) && cmp(dt, mx, v).forall(_ >= 0) }
-      case EqualNullSafe(c, v) => mayMatch(schema, st, EqualTo(c, v))
+      case EqualNullSafe(c, v) => mayMatch(schema, proj, st, EqualTo(c, v))
       case GreaterThan(c, v) =>
         bounds(c).forall { case (dt, _, mx) => cmp(dt, mx, v).forall(_ > 0) }
       case GreaterThanOrEqual(c, v) =>
@@ -554,12 +675,12 @@ private[sources] object StoreSkipping {
         bounds(c).forall { case (dt, mn, _) => cmp(dt, mn, v).forall(_ < 0) }
       case LessThanOrEqual(c, v) =>
         bounds(c).forall { case (dt, mn, _) => cmp(dt, mn, v).forall(_ <= 0) }
-      case In(c, vs) => vs.exists(v => mayMatch(schema, st, EqualTo(c, v)))
+      case In(c, vs) => vs.exists(v => mayMatch(schema, proj, st, EqualTo(c, v)))
       case IsNull(c) => stats(c).forall { case (i, _) =>
         i < st.hasNull.length && st.hasNull(i) }
       case IsNotNull(c) => stats(c).forall { case (i, _) =>
         i < st.allNull.length && !st.allNull(i) }
-      case And(l, r) => mayMatch(schema, st, l) && mayMatch(schema, st, r)
+      case And(l, r) => mayMatch(schema, proj, st, l) && mayMatch(schema, proj, st, r)
       case _ => true
     }
   }

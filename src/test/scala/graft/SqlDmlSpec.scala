@@ -215,6 +215,70 @@ class SqlDmlSpec extends SparkSpec {
       s"unexpected error class ${e.getCondition}")
   }
 
+  test("RENAME/DROP are metadata-only; re-ADD of a dropped name never resurrects") {
+    cat()
+    val key = "cat::graft_cat.spec.rd"
+    spark.range(0, 20)
+      .select(col("id").as("k"), (col("id") * 10).cast("double").as("v"),
+        concat(lit("t"), col("id")).as("tag"))
+      .repartition(1).writeTo("graft_cat.spec.rd").create()
+    try {
+      val before = graft.sources.GraftStore.batchesRef(key).get
+
+      // RENAME: committed batches untouched; old rows serve the new name
+      spark.sql("ALTER TABLE graft_cat.spec.rd RENAME COLUMN v TO amount")
+      assert(graft.sources.GraftStore.batchesRef(key).get eq before,
+        "rename must not rewrite data")
+      val t1 = spark.table("graft_cat.spec.rd")
+      assert(t1.agg(sum(col("amount"))).head.getDouble(0) === 1900.0)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        t1.select(col("v")).collect()
+      }
+
+      // data skipping survives the rename: stats follow the slot
+      assert(t1.filter(col("amount") > 10000).count() === 0L)
+      assert(graft.sources.GraftStore.skipLog(key) === ((1, 1)),
+        "post-rename stats must still skip")
+
+      // DROP: tombstone, no rewrite; the dropped name is gone
+      spark.sql("ALTER TABLE graft_cat.spec.rd DROP COLUMN tag")
+      assert(graft.sources.GraftStore.batchesRef(key).get eq before,
+        "drop must not rewrite data")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.table("graft_cat.spec.rd").select(col("tag")).collect()
+      }
+
+      // a pre-drop version still serves the old column under its old name
+      val v1 = spark.sql(
+        "SELECT * FROM graft_cat.spec.rd VERSION AS OF 1") // the CTAS write
+      assert(v1.columns.toSeq === Seq("k", "v", "tag"))
+      assert(v1.filter(col("tag") === "t7").count() === 1L)
+
+      // re-ADD the dropped name: fresh slot, all-NULL — never the old data
+      spark.sql("ALTER TABLE graft_cat.spec.rd ADD COLUMN tag STRING")
+      val t2 = spark.table("graft_cat.spec.rd")
+      assert(t2.filter(col("tag").isNotNull).count() === 0L,
+        "re-added column must not resurrect dropped values")
+
+      // post-evolution append lands in the right slots
+      spark.range(100, 103)
+        .select(col("id").as("k"), lit(1.5).as("amount"),
+          lit("fresh").as("tag"))
+        .writeTo("graft_cat.spec.rd").append()
+      val t3 = spark.table("graft_cat.spec.rd")
+      assert(t3.count() === 23L)
+      assert(t3.filter(col("tag") === "fresh").count() === 3L)
+      assert(t3.agg(sum(col("amount"))).head.getDouble(0) === 1904.5)
+
+      // COW rewrite compacts tombstoned slots back to identity layout
+      spark.sql("UPDATE graft_cat.spec.rd SET amount = amount + 1 WHERE k < 0")
+      assert(graft.sources.GraftStore.layoutIsIdentity(key),
+        "COW rewrite must compact the slot layout")
+      assert(spark.table("graft_cat.spec.rd")
+        .agg(sum(col("amount"))).head.getDouble(0) === 1904.5)
+    } finally spark.sql("DROP TABLE graft_cat.spec.rd")
+  }
+
   test("data skipping: min/max batch stats prune commits; results identical") {
     cat()
     val key = "cat::graft_cat.spec.ds"
