@@ -571,6 +571,42 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** Time-travel RETENTION through the Spark-4 `ProcedureCatalog`
+    * surface: `CALL graft_cat.system.expire_versions(t, keep_last)`
+    * tombstones every version older than the last `keep_last` — ordinals
+    * stay stable, the live suffix keeps resolving, an expired `VERSION
+    * AS OF` fails with a clear error (spec-pinned), and live reads are
+    * untouched. The table runs the sqlTimeTravel commit script (create
+    * → CTAS → append → DELETE), so expiring to keep_last=2 must report
+    * exactly 2 expired with first live ordinal 2 — control-plane
+    * constants of the 4-commit script. The VACUUM half every real
+    * lakehouse pairs with time travel: an unbounded version ledger is a
+    * storage leak at 100 TB.
+    */
+  def sqlCallExpire(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, ev.filter(col("event_id") % 2 === 0)) { tbl =>
+      ev.filter(col("event_id") % 2 === 1).writeTo(tbl).append() // v2
+      s.sql(s"DELETE FROM $tbl WHERE value < 50") // v3
+      val res = s.sql("CALL graft_cat.system.expire_versions(" +
+        s"'${tbl.stripPrefix("graft_cat.")}', 2)")
+      val liveOld = s.sql(
+        s"""SELECT count(*) AS n_oldest_live, CAST(sum(CAST(floor(value * 100
+           | + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_oldest_live
+           |FROM $tbl VERSION AS OF 2""".stripMargin)
+      val now = s.table(tbl).agg(count(lit(1)).as("n_now"))
+      res.crossJoin(liveOld).crossJoin(now)
+    }
+  }
+
+  val sqlCallExpireOracle: String =
+    """SELECT 2 AS expired_versions, 2 AS first_live_version,
+      | count(*) AS n_oldest_live,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total_oldest_live,
+      | (SELECT count(*) FROM events WHERE value >= 50) AS n_now
+      |FROM events""".stripMargin
+
   val sqlAlterRenameDropOracle: String =
     """WITH t AS (
       |  SELECT value AS amount FROM events
@@ -666,6 +702,8 @@ object MergeOps extends QueryModule {
       Some(storeDataSkippingOracle)),
     RegisteredQuery("sql_alter_rename_drop", sqlAlterRenameDrop,
       Some(sqlAlterRenameDropOracle)),
+    RegisteredQuery("sql_call_expire", sqlCallExpire,
+      Some(sqlCallExpireOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

@@ -36,7 +36,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Storage shares [[GraftStore.stores]] under a `cat::`-prefixed key, so
   * the store's eviction/commit machinery applies unchanged.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catName: String = "graft_cat"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -45,6 +45,64 @@ class GraftCatalog extends TableCatalog {
 
   private def key(ident: Identifier): String =
     s"cat::$catName.${(ident.namespace :+ ident.name).mkString(".")}"
+
+  /** Catalog maintenance procedures, Spark-4-native: SQL
+    * `CALL graft_cat.system.expire_versions('ns.table', keep_last)`
+    * expires every time-travel version older than the last `keep_last`
+    * (ordinals stay stable — expired slots tombstone, they never
+    * renumber) and returns one row with the expired count and the
+    * first live ordinal. The operational VACUUM half of time travel.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "expire_versions"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    require(ident.namespace.sameElements(Array("system")) &&
+      ident.name == "expire_versions",
+      s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}.${ident.name}")
+    new UnboundProcedure {
+      override def name(): String = "expire_versions"
+      override def description(): String =
+        "expire time-travel versions older than the last keep_last"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "expire_versions"
+          override def description(): String =
+            "expire time-travel versions older than the last keep_last"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("keep_last", IntegerType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val keep = input.getInt(1)
+            val k = s"cat::$catName.$tbl"
+            require(GraftStore.stores.contains(k),
+              s"graft catalog: no table '$tbl' to expire")
+            val expired = GraftStore.expireVersions(k, keep)
+            val firstLive = GraftStore.history(k).indexWhere(_ != null)
+            val out = new StructType()
+              .add("expired_versions", IntegerType, nullable = false)
+              .add("first_live_version", IntegerType, nullable = false)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = Array(
+                  new GenericInternalRow(Array[Any](expired, firstLive)))
+                override def description(): String =
+                  s"expire_versions($tbl) result"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = s"cat::$catName.${namespace.mkString(".")}."
@@ -93,6 +151,13 @@ class GraftCatalog extends TableCatalog {
     }
     require(v >= 0 && v < hist.size,
       s"version $v out of range: table has ${hist.size} commits (0..${hist.size - 1})")
+    if (hist(v) == null) {
+      val firstLive = hist.indexWhere(_ != null)
+      throw new IllegalStateException(
+        s"version $v of ${ident.name} has been EXPIRED by retention " +
+          s"(live versions: $firstLive..${hist.size - 1}); " +
+          "re-run without VERSION AS OF, or against a live version")
+    }
     new GraftVersionTable(s"${key(ident)}@v$v", hist(v))
   }
 

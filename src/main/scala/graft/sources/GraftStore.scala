@@ -188,6 +188,29 @@ object GraftStore {
   private[graft] def layoutIsIdentity(name: String): Boolean =
     stores.get(name).forall(_.identityLayout)
 
+  /** Time-travel RETENTION: expire every version older than the last
+    * `keepLast`, releasing their snapshots (version ORDINALS are stable
+    * — expired slots become tombstones, they don't renumber — so a live
+    * `VERSION AS OF` keeps meaning the same commit). Returns how many
+    * versions this call expired. The operational half of time travel:
+    * an unbounded ledger is a storage leak at 100 TB, and VACUUM /
+    * retention is how every real format bounds it.
+    */
+  private[graft] def expireVersions(name: String, keepLast: Int): Int =
+    stores.synchronized {
+      require(keepLast >= 1,
+        s"retention must keep at least the latest version, got $keepLast")
+      val hist = history.getOrElse(name,
+        throw new IllegalStateException(s"no store '$name' to expire"))
+      val cut = math.max(0, hist.size - keepLast)
+      val expired = hist.take(cut).count(_ != null)
+      if (expired > 0)
+        history.put(name, hist.zipWithIndex.map { case (c, i) =>
+          if (i < cut) null else c
+        })
+      expired
+    }
+
   /** Commit-ordinal fingerprint of a connector table backed by this
     * store, or None for any other table. A catalog table's fingerprint
     * changes on EVERY commit — append, DML COW rewrite, streaming epoch,

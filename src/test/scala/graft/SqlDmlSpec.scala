@@ -279,6 +279,39 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.rd")
   }
 
+  test("retention: expired VERSION AS OF fails loudly; live versions and reads unaffected") {
+    cat()
+    spark.range(0, 4).select(col("id").as("k")).writeTo("graft_cat.spec.ex").create() // v0+v1
+    try {
+      spark.range(4, 8).select(col("id").as("k"))
+        .writeTo("graft_cat.spec.ex").append() // v2
+      spark.range(8, 10).select(col("id").as("k"))
+        .writeTo("graft_cat.spec.ex").append() // v3
+      val r = spark.sql(
+        "CALL graft_cat.system.expire_versions('spec.ex', 2)").head
+      assert((r.getInt(0), r.getInt(1)) === ((2, 2)))
+      // expired ordinal: loud, diagnosable
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_cat.spec.ex VERSION AS OF 1").collect()
+      }
+      assert(e.getMessage.contains("EXPIRED"), s"wrong error: ${e.getMessage}")
+      // live ordinals keep their MEANING (no renumbering) and resolve
+      assert(spark.sql("SELECT count(*) FROM graft_cat.spec.ex VERSION AS OF 2")
+        .head.getLong(0) === 8L)
+      assert(spark.sql("SELECT count(*) FROM graft_cat.spec.ex VERSION AS OF 3")
+        .head.getLong(0) === 10L)
+      // the live table read is untouched
+      assert(spark.table("graft_cat.spec.ex").count() === 10L)
+      // idempotent: nothing further to expire at the same retention
+      assert(spark.sql("CALL graft_cat.system.expire_versions('spec.ex', 2)")
+        .head.getInt(0) === 0)
+      // retention must keep at least one version
+      intercept[Exception] {
+        spark.sql("CALL graft_cat.system.expire_versions('spec.ex', 0)").collect()
+      }
+    } finally spark.sql("DROP TABLE graft_cat.spec.ex")
+  }
+
   test("data skipping: min/max batch stats prune commits; results identical") {
     cat()
     val key = "cat::graft_cat.spec.ds"
