@@ -24,10 +24,12 @@ import graft.engine.Tables
   *     source still reports numPartitions=4 — the checkpoint, not the
   *     session conf, owns state partitioning.
   *
-  * The supported re-sizing recipe (documented here because there is no
-  * in-place path): export the final state through the `statestore`
-  * read source (gated green as `stream_state_read`), then start a
-  * FRESH checkpoint at the new partition count and replay — state
+  * The supported re-sizing recipe — EXECUTED end-to-end by the second
+  * test, not just documented: export the final state through the
+  * `statestore` read source, stage it as the seed batch of a FRESH
+  * checkpoint at the new partition count, and continue — sound
+  * whenever the aggregate is over mergeable partials (commutative
+  * monoid), because the exported state IS a valid partial. State
   * cannot be re-sharded inside a live checkpoint in Spark 4 (the state
   * sources are read-only; an offline rewrite would have to reproduce
   * RocksDB/HDFS provider file layouts byte-for-byte).
@@ -98,6 +100,100 @@ class StateEvolutionSpec extends SparkSpec {
     assert(state.count() == expected.count())
     val diff = state.exceptAll(expected).count() + expected.exceptAll(state).count()
     assert(diff == 0, "post-restart state differs from the batch aggregate")
+  }
+
+  test("re-size recipe EXECUTED: export state at 4, replay into a fresh 8-partition checkpoint; equals the never-restarted run") {
+    // The aggregate is written over MERGEABLE PARTIALS — raw events map
+    // to (user, n=1, v=value) and the query sums partials — which is
+    // precisely what makes the recipe sound: the exported final state
+    // (user, n, v) is itself a valid partial, so seeding the fresh
+    // checkpoint means nothing more than feeding the export through the
+    // SAME query as an ordinary first batch. Commutative-monoid state is
+    // the 100 TB re-size contract.
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), lit(1L).as("n"), col("value").as("v"))
+    val h1 = partials(ev.filter(col("event_id") % 2 === 0))
+    val h2 = partials(ev.filter(col("event_id") % 2 =!= 0))
+    val schema = h1.schema
+
+    def runAgg(inDir: String, ckpt: String, name: String): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$inDir/*")
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("v")).as("v"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val _ = df.count(); ()
+        }
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // both sum-aggregate state fields are named `sum` and the struct's
+    // field order is an implementation detail — disambiguate by TYPE
+    // (sum(n) is the only LONG, sum(v) the only DOUBLE)
+    def rawState(ckpt: String): org.apache.spark.sql.DataFrame = {
+      val st = spark.read.format("statestore").load(ckpt)
+      val vt = st.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val nIdx = vt.fields
+        .indexWhere(_.dataType == org.apache.spark.sql.types.LongType)
+      val vIdx = vt.fields
+        .indexWhere(_.dataType == org.apache.spark.sql.types.DoubleType)
+      assert(nIdx >= 0 && vIdx >= 0, s"unexpected state layout: $vt")
+      // name-based extraction (`value.*`, getField) misresolves duplicate
+      // `sum` names — CAST the struct to positionally-renamed fields
+      val renamed = org.apache.spark.sql.types.StructType(
+        vt.fields.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.types.StructField(s"f$i", f.dataType, f.nullable)
+        })
+      st.select(col("key.user_id").as("user_id"),
+          col("value").cast(renamed).as("s"))
+        .select(col("user_id"), col(s"s.f$nIdx").as("n"), col(s"s.f$vIdx").as("v"))
+    }
+    def stateOf(ckpt: String): org.apache.spark.sql.DataFrame =
+      rawState(ckpt).select(col("user_id"), col("n"),
+        floor(col("v") * 100 + 0.5).cast("long").as("v_c"))
+    def partsOf(ckpt: String): Seq[Int] =
+      spark.read.format("state-metadata").load(ckpt)
+        .select("numPartitions").collect().map(_.getInt(0)).toSeq
+
+    val dirA = tmpDir("graft-rsz-a"); val ckptA = tmpDir("graft-rsz-ca")
+    val dirB = tmpDir("graft-rsz-b"); val ckptB = tmpDir("graft-rsz-cb")
+    val dirC = tmpDir("graft-rsz-c"); val ckptC = tmpDir("graft-rsz-cc")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // phase 1 at 4 partitions
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      h1.write.mode(SaveMode.Overwrite).parquet(s"$dirA/f1")
+      runAgg(dirA, ckptA, "graft_rsz_old")
+      assert(partsOf(ckptA).forall(_ == 4))
+
+      // EXPORT the final state through the statestore source, stage it
+      // as the fresh checkpoint's seed batch, then continue at 8
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      rawState(ckptA) // EXACT double partials, no rounding
+        .write.mode(SaveMode.Overwrite).parquet(s"$dirB/f0_seed")
+      h2.write.mode(SaveMode.Overwrite).parquet(s"$dirB/f2")
+      runAgg(dirB, ckptB, "graft_rsz_new")
+      assert(partsOf(ckptB).forall(_ == 8),
+        "fresh checkpoint must carry the NEW partitioning")
+
+      // control: the never-restarted run over both phases
+      h1.write.mode(SaveMode.Overwrite).parquet(s"$dirC/f1")
+      h2.write.mode(SaveMode.Overwrite).parquet(s"$dirC/f2")
+      runAgg(dirC, ckptC, "graft_rsz_ctl")
+
+      val got = stateOf(ckptB)
+      val want = stateOf(ckptC)
+      assert(got.count() === want.count())
+      val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+      assert(diff === 0L,
+        "re-sized replay state differs from the never-restarted run")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   test("TWS value-state schema evolution: V2 processor (added field) resumes V1's checkpoint under Avro") {
