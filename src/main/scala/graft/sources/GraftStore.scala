@@ -67,7 +67,7 @@ object GraftStore {
     */
   final case class Committed(schema: StructType, batches: Seq[Array[Array[Any]]],
       stats: Seq[BatchStats] = Seq.empty, proj: Array[Int] = null,
-      physWidth: Int = -1) {
+      physWidth: Int = -1, truncCount: Int = 0) {
     def rowCount: Long = batches.iterator.map(_.length.toLong).sum
     def projection: Array[Int] =
       if (proj == null) Array.tabulate(schema.length)(identity) else proj
@@ -149,11 +149,16 @@ object GraftStore {
         }
       val priorStats = cur.map(_.stats).getOrElse(Seq.empty)
         .padTo(prior.length, null: BatchStats)
+      // truncation epoch: bumped by every truncate-overwrite (incl. COW
+      // rewrites) so a streaming reader can detect that its batch-count
+      // offsets no longer address the same data (append-only contract)
+      val prevTc = stores.get(name).map(_.truncCount).getOrElse(0)
       val snap = Committed(sch, prior ++ incoming.map(remap),
         priorStats ++ incoming.map(b =>
           scatter(StoreSkipping.computeStats(schema, b))),
         proj = cur.map(_.proj).orNull,
-        physWidth = cur.map(_.physWidth).getOrElse(-1))
+        physWidth = cur.map(_.physWidth).getOrElse(-1),
+        truncCount = if (truncate) prevTc + 1 else prevTc)
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
@@ -353,7 +358,8 @@ private[sources] class GraftStoreTable(
     GraftStore.stores.get(storeKey).map(_.schema).getOrElse(declared)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** Read path with DATA SKIPPING: comparable filters are retained for
     * per-committed-batch min/max pruning (and surfaced via
@@ -453,6 +459,91 @@ private[sources] class GraftStoreScan(name: String, val s: StructType,
     GraftStore.projectedReaderFactory(GraftStore.stores.get(name)
       .map(_.projection)
       .getOrElse(Array.tabulate(s.length)(identity)))
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftStoreMicroBatchStream(name, s)
+}
+
+/** Streaming READS from a store/catalog table -- the change-feed half of
+  * the lakehouse streaming contract (`writeStream.toTable` is the other;
+  * both ride the same commit ledger). Offsets are (truncation-epoch,
+  * committed-batch-count) pairs: appends only ever GROW the batch list,
+  * so the rows of micro-batch (a, b] are exactly `batches.slice(a, b)` --
+  * no per-version diffing, stable under retention (expiry tombstones
+  * versions, never batches). Any truncate-overwrite or COW rewrite bumps
+  * the truncation epoch and the stream fails LOUDLY instead of replaying
+  * rewritten data under stale offsets -- the append-only source contract
+  * Delta enforces the same way. Implements admission control +
+  * `SupportsTriggerAvailableNow`, so `Trigger.AvailableNow` drains
+  * exactly the commits present at start and a checkpoint resume
+  * continues from the recorded batch count (exactly-once, gated).
+  */
+private[sources] class GraftStoreMicroBatchStream(name: String, s: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+
+  private def snap: GraftStore.Committed =
+    GraftStore.stores.getOrElse(name, throw new IllegalStateException(
+      s"graft store '$name' no longer exists - evicted or dropped"))
+  private def offsetOf(c: GraftStore.Committed): GraftStreamOffset =
+    GraftStreamOffset(c.truncCount, c.batches.size)
+  @volatile private var availableNowTarget: Option[GraftStreamOffset] = None
+
+  override def initialOffset(): V2Offset = GraftStreamOffset(snap.truncCount, 0)
+  override def deserializeOffset(json: String): V2Offset =
+    GraftStreamOffset.fromJson(json)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(offsetOf(snap))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): V2Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead of this method")
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
+    availableNowTarget.getOrElse(offsetOf(snap))
+  override def reportLatestOffset(): V2Offset = offsetOf(snap)
+  override def commit(end: V2Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset)
+      : Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftStreamOffset]
+    val b = end.asInstanceOf[GraftStreamOffset]
+    val cur = snap
+    // append-only contract: same truncation epoch, monotone batch count
+    if (a.truncEpoch != cur.truncCount || b.truncEpoch != cur.truncCount ||
+        cur.batches.size < b.batchCount)
+      throw new IllegalStateException(
+        s"graft store '$name' was truncated/rewritten under a streaming " +
+          s"reader (offset epoch ${a.truncEpoch}, store epoch " +
+          s"${cur.truncCount}): streaming reads require append-only " +
+          "commits - restart the query from a fresh checkpoint")
+    cur.batches.slice(a.batchCount, b.batchCount)
+      .map(GraftStorePartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val proj = snap.projection
+    require(proj.length == s.length,
+      s"graft store '$name' schema evolved under a streaming reader " +
+        s"(now ${proj.length} fields vs ${s.length} at start); restart " +
+        "the streaming query")
+    GraftStore.projectedReaderFactory(proj)
+  }
+}
+
+private[sources] case class GraftStreamOffset(truncEpoch: Int, batchCount: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    "{\"epoch\":" + truncEpoch + ",\"batches\":" + batchCount + "}"
+}
+
+private[sources] object GraftStreamOffset {
+  private val Pat = "\\{\"epoch\":(\\d+),\"batches\":(\\d+)\\}".r
+  def fromJson(j: String): GraftStreamOffset = j.trim match {
+    case Pat(e, b) => GraftStreamOffset(e.toInt, b.toInt)
+    case other => throw new IllegalArgumentException(
+      s"malformed graft stream offset: " + other)
+  }
 }
 
 private[sources] case class GraftStorePartition(rows: Array[Array[Any]])

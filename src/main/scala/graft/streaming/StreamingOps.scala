@@ -1665,6 +1665,79 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** Streaming READS from the catalog table — the change-feed half of
+    * the lakehouse streaming contract
+    * ([[graft.sources.GraftStoreMicroBatchStream]]; `stream_to_catalog
+    * _table` is the write half): `readStream.table` over the commit
+    * ledger, offsets = (truncation-epoch, committed-batch-count), so a
+    * micro-batch is exactly the batch-list delta — no per-version
+    * diffing, stable under retention. The gate runs TWO AvailableNow
+    * drains over one checkpoint: run 1 consumes the two commits present
+    * at start; a third commit lands; run 2 resumes from the recorded
+    * offset and must consume EXACTLY the delta — a re-read of old
+    * batches (double count) or a missed commit shifts the run-2 numbers
+    * and goes red. Per-row cents are summed per micro-batch and across
+    * batches as exact integers (order-free). This is Delta's stream-
+    * from-table contract: the table is simultaneously a sink, a batch
+    * source, a time-travel archive, and a streaming source, all off one
+    * ledger.
+    */
+  def streamFromCatalogTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val tbl = s"graft_cat.stream.r${sinkSeq.incrementAndGet()}"
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-fromcat")
+    try {
+      def third(i: Int) = ev.filter(col("event_id") % 3 === i).repartition(1)
+      third(0).writeTo(tbl).create()
+      third(1).writeTo(tbl).append()
+      val nAcc = new java.util.concurrent.atomic.AtomicLong()
+      val cAcc = new java.util.concurrent.atomic.AtomicLong()
+      def drain(): Unit = {
+        val q = s.readStream.table(tbl)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val r = df.agg(count(lit(1)),
+              sum(floor(col("value") * 100 + 0.5).cast("long"))).head
+            nAcc.addAndGet(r.getLong(0))
+            if (!r.isNullAt(1)) { cAcc.addAndGet(r.getLong(1)); () }
+            ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      drain()
+      val (n1, c1) = (nAcc.get, cAcc.get)
+      third(2).writeTo(tbl).append()
+      drain() // same checkpoint: must consume exactly the new commit
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "n_run1 BIGINT, total_run1 DOUBLE, n_run2_delta BIGINT, total_run2_delta DOUBLE")
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(n1, c1 / 100.0,
+          nAcc.get - n1, (cAcc.get - c1) / 100.0)), schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $tbl"))
+      deleteRecursively(root)
+    }
+  }
+
+  val streamFromCatalogOracle: String =
+    """SELECT
+      | (SELECT count(*) FROM events
+      |  WHERE user_id IS NOT NULL AND event_id % 3 <= 1) AS n_run1,
+      | (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 FROM events
+      |  WHERE user_id IS NOT NULL AND event_id % 3 <= 1) AS total_run1,
+      | (SELECT count(*) FROM events
+      |  WHERE user_id IS NOT NULL AND event_id % 3 = 2) AS n_run2_delta,
+      | (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 FROM events
+      |  WHERE user_id IS NOT NULL AND event_id % 3 = 2) AS total_run2_delta""".stripMargin
+
   val streamToCatalogOracle: String =
     """SELECT CAST(2 AS BIGINT) AS v, count(*) AS n,
       | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
@@ -1720,6 +1793,8 @@ object StreamingOps extends QueryModule {
       Some(streamTwsTypeCountsOracle)),
     RegisteredQuery("stream_observed_counts", streamObservedCounts,
       Some(streamObservedCountsOracle)),
+    RegisteredQuery("stream_from_catalog_table", streamFromCatalogTable,
+      Some(streamFromCatalogOracle)),
     RegisteredQuery("stream_to_catalog_table", streamToCatalogTable,
       Some(streamToCatalogOracle)),
     RegisteredQuery("stream_api_ingest", streamApiIngest,

@@ -312,6 +312,45 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.ex")
   }
 
+  test("streaming table read fails loudly after a COW rewrite (append-only contract)") {
+    cat()
+    val root = java.nio.file.Files.createTempDirectory("graft-spec-cdc")
+    spark.range(0, 10).select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .writeTo("graft_cat.spec.cdc").create()
+    try {
+      val seen = new java.util.concurrent.atomic.AtomicLong()
+      def drain(): Unit = {
+        val q = spark.readStream.table("graft_cat.spec.cdc")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            seen.addAndGet(df.count()); ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      drain()
+      assert(seen.get === 10L)
+      // a resume over pure appends consumes exactly the delta
+      spark.range(10, 15).select(col("id").as("k"), (col("id") * 1.0).as("v"))
+        .writeTo("graft_cat.spec.cdc").append()
+      drain()
+      assert(seen.get === 15L, "resume must consume exactly the appended commit")
+      // a COW rewrite bumps the truncation epoch: the NEXT drain must
+      // refuse rather than replay rewritten data under stale offsets
+      spark.sql("UPDATE graft_cat.spec.cdc SET v = v + 1 WHERE k < 3")
+      val e = intercept[Exception] { drain() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("append-only")),
+        s"expected the append-only refusal, got: ${messages(e).mkString(" | ")}")
+    } finally {
+      spark.sql("DROP TABLE graft_cat.spec.cdc")
+      graft.engine.StagedRoots.deleteRecursively(root)
+    }
+  }
+
   test("data skipping: min/max batch stats prune commits; results identical") {
     cat()
     val key = "cat::graft_cat.spec.ds"
