@@ -685,6 +685,116 @@ object MergeOps extends QueryModule {
       | CAST(0 AS BIGINT) AS n_ninths
       |FROM events WHERE event_id % 9 <> 0""".stripMargin
 
+  /** Merge-on-read DELETE via DELETION VECTORS — the metadata-only tier
+    * of row-level DML ([[graft.sources.GraftRowLevelTable.deleteWhere]]):
+    * because the whole condition translates to V2 predicates and
+    * `canDeleteWhere` accepts it, Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts the group-based COW
+    * rewrite back to `DeleteFromTableExec`, and the delete commits
+    * per-batch bitmaps instead of rewriting a single row
+    * (`DeleteVectorSpec` eq-pins the committed batches and the live DV).
+    * The follow-up UPDATE is a COW rewrite whose operation scan applies
+    * the DVs, so deleted rows provably cannot resurrect — the digest
+    * goes red if they do. At 100 TB this is the difference between a
+    * sparse DELETE rewriting terabytes and committing kilobytes of
+    * bitmaps — the Delta/Iceberg deletion-vector model on Spark's own
+    * optimizer rule.
+    */
+  def sqlDeleteDv(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE value < 30 OR event_type = 'error'")
+      s.sql(s"UPDATE $tbl SET value = value + 1000 WHERE event_id % 2 = 0")
+      s.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("event_type")
+    }
+  }
+
+  val sqlDeleteDvOracle: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(floor((CASE WHEN event_id % 2 = 0 THEN value + 1000
+      |   ELSE value END) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
+      |FROM events
+      |WHERE value >= 30 AND event_type <> 'error'
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** PARTITION-DROP delete — the metadata tier above deletion vectors
+    * ([[graft.sources.GraftPartitionedTable.deleteWhere]]): the whole
+    * condition is an IN over the partition column, so the delete names
+    * complete partition groups and retires each matched shard with one
+    * empty truncate-commit — no row read, no rewrite, and the surviving
+    * partitions' committed batches stay reference-identical
+    * (`DeleteVectorSpec` pins the `eq`). The 100 TB shape is
+    * `DELETE WHERE day IN (...)` dropping partitions as a metadata
+    * operation — Hive/Iceberg drop-partition on Spark's own
+    * `OptimizeMetadataOnlyDeleteFromTable` rule.
+    */
+  def sqlDeletePartitionDrop(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type")) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_type IN ('error', 'click')")
+      s.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("event_type")
+    }
+  }
+
+  val sqlDeletePartitionDropOracle: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM events WHERE event_type NOT IN ('error', 'click')
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** `CALL graft_cat.system.compact` — the OPTIMIZE half of catalog
+    * maintenance next to `sql_call_expire`'s VACUUM: the table is built
+    * as four single-batch commits (the small-file shape a streaming
+    * ingest accumulates), a DV delete marks rows without rewriting, and
+    * compaction materializes the vectors away while bin-packing
+    * everything into ONE batch — logical content provably unchanged (the
+    * digest), batch count and removed-row count are control-plane
+    * constants of the script. Time travel to the pre-compaction version
+    * still resolves (`DeleteVectorSpec`). At 100 TB this is the
+    * background rewrite that pays down small-file + DV debt so scans
+    * stay sequential.
+    */
+  def sqlCallCompact(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val maxId = base.agg(max(col("event_id"))).head.getLong(0)
+    val w = math.ceil((maxId + 1) / 4.0).toLong
+    def quartile(i: Int) = base
+      .filter(col("event_id") >= i * w && col("event_id") < (i + 1) * w)
+      .repartition(1)
+    withDmlTable(s, quartile(0)) { tbl =>
+      (1 to 3).foreach(i => quartile(i).writeTo(tbl).append())
+      s.sql(s"DELETE FROM $tbl WHERE value < 25")
+      val res = s.sql("CALL graft_cat.system.compact(" +
+        s"'${tbl.stripPrefix("graft_cat.")}')")
+      val digest = s.table(tbl)
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+      res.crossJoin(digest)
+    }
+  }
+
+  val sqlCallCompactOracle: String =
+    """SELECT 4 AS batches_before, 1 AS batches_after,
+      | (SELECT count(*) FROM events WHERE value < 25) AS dv_rows_removed,
+      | count(*) AS live_rows, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM events WHERE value >= 25""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -704,6 +814,11 @@ object MergeOps extends QueryModule {
       Some(sqlAlterRenameDropOracle)),
     RegisteredQuery("sql_call_expire", sqlCallExpire,
       Some(sqlCallExpireOracle)),
+    RegisteredQuery("sql_delete_dv", sqlDeleteDv, Some(sqlDeleteDvOracle)),
+    RegisteredQuery("sql_delete_partition_drop", sqlDeletePartitionDrop,
+      Some(sqlDeletePartitionDropOracle)),
+    RegisteredQuery("sql_call_compact", sqlCallCompact,
+      Some(sqlCallCompactOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

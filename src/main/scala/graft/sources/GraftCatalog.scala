@@ -55,16 +55,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "expire_versions"))
+      Array(Identifier.of(Array("system"), "expire_versions"),
+        Identifier.of(Array("system"), "compact"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
       : procedures.UnboundProcedure = {
     import org.apache.spark.sql.connector.catalog.procedures._
-    import org.apache.spark.sql.types.{IntegerType, StringType}
-    require(ident.namespace.sameElements(Array("system")) &&
-      ident.name == "expire_versions",
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(ident.namespace.sameElements(Array("system")),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}.${ident.name}")
+    if (ident.name == "compact") return compactProcedure
+    require(ident.name == "expire_versions",
+      s"graft catalog: unknown procedure system.${ident.name}")
     new UnboundProcedure {
       override def name(): String = "expire_versions"
       override def description(): String =
@@ -97,6 +100,66 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                   new GenericInternalRow(Array[Any](expired, firstLive)))
                 override def description(): String =
                   s"expire_versions($tbl) result"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
+  /** `CALL graft_cat.system.compact('ns.table')` — the OPTIMIZE half of
+    * catalog maintenance next to `expire_versions`' VACUUM: materializes
+    * deletion vectors away and bin-packs every committed batch into one
+    * ([[GraftStore.compactStore]]); a partitioned table compacts each
+    * partition shard independently (shards keep their own ledgers).
+    * Returns one row: (batches_before, batches_after, dv_rows_removed,
+    * live_rows). Itself a first-class truncate-commit, so time travel to
+    * pre-compaction versions still resolves and streaming readers fail
+    * loudly rather than reading re-packed batches under stale offsets.
+    */
+  private def compactProcedure: procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    new UnboundProcedure {
+      override def name(): String = "compact"
+      override def description(): String =
+        "materialize deletion vectors and bin-pack committed batches"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "compact"
+          override def description(): String =
+            "materialize deletion vectors and bin-pack committed batches"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val k = s"cat::$catName.$tbl"
+            val keys =
+              if (GraftCatalog.parts.contains(k))
+                GraftStore.stores.keys.filter(_.startsWith(k + "#p="))
+                  .toSeq.sorted
+              else {
+                require(GraftStore.stores.contains(k),
+                  s"graft catalog: no table '$tbl' to compact")
+                Seq(k)
+              }
+            val results = keys.map(GraftStore.compactStore)
+            val out = new StructType()
+              .add("batches_before", IntegerType, nullable = false)
+              .add("batches_after", IntegerType, nullable = false)
+              .add("dv_rows_removed", LongType, nullable = false)
+              .add("live_rows", LongType, nullable = false)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = Array(
+                  new GenericInternalRow(Array[Any](
+                    results.map(_._1).sum, keys.size,
+                    results.map(_._2).sum, results.map(_._3).sum)))
+                override def description(): String =
+                  s"compact($tbl) result"
               }
             java.util.Collections.singletonList(scan).iterator()
           }
@@ -276,7 +339,37 @@ object GraftCatalog {
   */
 private[sources] class GraftRowLevelTable(storeKey: String, declared: StructType)
     extends GraftStoreTable(storeKey, declared)
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDeleteV2 {
+
+  /** The METADATA-ONLY delete tier above the COW rewrite: Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts a rewritten
+    * `DELETE` back to `DeleteFromTableExec` iff the whole condition
+    * translates to V2 predicates AND `canDeleteWhere` accepts them —
+    * then [[deleteWhere]] commits DELETION VECTORS
+    * ([[GraftStore.deleteWhere]]) instead of rewriting a single batch.
+    * Any shape [[StorePredicates]] cannot evaluate exactly (computed
+    * operands, nested refs, subqueries never translate at all) reports
+    * false and the plan stays group-based COW — correctness never
+    * depends on this fast path.
+    */
+  override def canDeleteWhere(predicates: Array[org.apache.spark.sql
+      .connector.expressions.filter.Predicate]): Boolean =
+    StorePredicates.compile(schema(), predicates).isDefined
+
+  override def deleteWhere(predicates: Array[org.apache.spark.sql
+      .connector.expressions.filter.Predicate]): Unit = {
+    val pred = StorePredicates.compile(schema(), predicates).getOrElse(
+      throw new IllegalStateException(
+        "deleteWhere called with predicates canDeleteWhere rejected"))
+    GraftStore.deleteWhere(storeKey, pred)
+    ()
+  }
+
+  override def truncateTable(): Boolean = {
+    GraftStore.publish(storeKey, schema(), Seq.empty, truncate = true)
+    true
+  }
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -334,7 +427,8 @@ private[sources] class GraftPartitionedTable(
     private[sources] val tableKey: String, declared: StructType,
     partCol: String)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDeleteV2 {
 
   override def name(): String = s"graft_store($tableKey/$partCol)"
   override def schema(): StructType =
@@ -347,6 +441,79 @@ private[sources] class GraftPartitionedTable(
 
   private def partKeys(): Seq[String] =
     GraftStore.stores.keys.filter(_.startsWith(tableKey + "#p=")).toSeq.sorted
+
+  /** PARTITION-DROP delete — the metadata tier ABOVE deletion vectors:
+    * a DELETE whose whole condition is `=` / `<=>` / `IN` conjuncts on
+    * the partition column names complete partition groups, so no row
+    * needs reading at all — each matched shard takes one empty
+    * truncate-commit (its history and streaming epoch contract stay
+    * intact). At 100 TB this is `DELETE WHERE day = '2025-01-01'`
+    * retiring a partition as a metadata operation — the
+    * Hive/Iceberg drop-partition model on Spark's own
+    * `OptimizeMetadataOnlyDeleteFromTable` rule. Any other predicate
+    * shape reports false and keeps the partition-grained COW rewrite.
+    */
+  override def canDeleteWhere(predicates: Array[org.apache.spark.sql
+      .connector.expressions.filter.Predicate]): Boolean =
+    matchedPartitionValues(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[org.apache.spark.sql
+      .connector.expressions.filter.Predicate]): Unit = {
+    val vals = matchedPartitionValues(predicates).getOrElse(
+      throw new IllegalStateException(
+        "deleteWhere called with predicates canDeleteWhere rejected"))
+    partKeys()
+      .filter(k => vals.contains(k.substring(k.indexOf("#p=") + 3)))
+      .foreach(GraftStore.publish(_, schema(), Seq.empty, truncate = true))
+  }
+
+  override def truncateTable(): Boolean = {
+    partKeys().foreach(GraftStore.publish(_, schema(), Seq.empty,
+      truncate = true))
+    true
+  }
+
+  /** Some(partition values the conjunction selects — the intersection of
+    * every conjunct's membership set) iff EVERY predicate is an exact
+    * partition-column membership test (`=` / `<=>` / `IN` over string
+    * literals); None = not expressible as a partition drop.
+    */
+  private def matchedPartitionValues(predicates: Array[org.apache.spark.sql
+      .connector.expressions.filter.Predicate]): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
+    def isPartRef(e: V2Expr): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames() match {
+          case Array(n) => n.equalsIgnoreCase(partCol)
+          case _ => false
+        }
+      case _ => false
+    }
+    def strLit(e: V2Expr): Option[String] = e match {
+      case l: V2Literal[_]
+          if l.dataType == org.apache.spark.sql.types.StringType =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    val sets = predicates.map { p =>
+      p.name() match {
+        case "=" | "<=>" => p.children() match {
+          case Array(a, b) if isPartRef(a) => strLit(b).map(Set(_))
+          case Array(a, b) if isPartRef(b) => strLit(a).map(Set(_))
+          case _ => None
+        }
+        case "IN" => p.children() match {
+          case kids if kids.length >= 2 && isPartRef(kids.head) =>
+            val vs = kids.tail.flatMap(strLit)
+            if (vs.length == kids.length - 1) Some(vs.toSet) else None
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    if (predicates.isEmpty || sets.exists(_.isEmpty)) None
+    else Some(sets.flatten.reduce(_ intersect _))
+  }
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -675,7 +842,12 @@ private[sources] class GraftVersionTable(nm: String, snap: GraftStore.Committed)
         override def toBatch: Batch = this
         override def description(): String = s"graft_store($nm) snapshot scan"
         override def planInputPartitions(): Array[InputPartition] =
-          snap.batches.map(b => GraftStorePartition(b): InputPartition).toArray
+          snap.batches.zipWithIndex.map { case (b, i) =>
+            // the SNAPSHOT's own deletion vectors: a post-DV-delete
+            // version hides exactly the rows deleted AS OF that commit,
+            // a pre-delete version serves them all
+            GraftStorePartition(b, snap.dvs.getOrElse(i, null)): InputPartition
+          }.toArray
         override def createReaderFactory(): PartitionReaderFactory =
           // the SNAPSHOT's own projection: a pre-rename version keeps its
           // old names, a pre-drop version still serves the dropped column
@@ -694,11 +866,17 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
   override def readSchema(): StructType = full
   override def toBatch: Batch = this
   override def description(): String = s"graft_store($name) group scan"
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftStore.stores.get(name).map(_.batches).getOrElse(
-        throw new IllegalStateException(
-          s"graft store '$name' no longer exists — evicted or dropped"))
-      .map(b => GraftStorePartition(b): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = GraftStore.stores.getOrElse(name,
+      throw new IllegalStateException(
+        s"graft store '$name' no longer exists — evicted or dropped"))
+    // deletion vectors apply on the OPERATION scan too: a COW rewrite
+    // reads only live rows, so a later UPDATE can never resurrect a
+    // merge-on-read-deleted row
+    snap.batches.zipWithIndex.map { case (b, i) =>
+      GraftStorePartition(b, snap.dvs.getOrElse(i, null)): InputPartition
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     // project physical slots to the logical view (pads pre-evolution
     // rows, follows renames, hides tombstoned slots) BEFORE appending
@@ -706,9 +884,15 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
     val proj = GraftStore.stores.get(name).map(_.projection)
       .getOrElse(Array.tabulate(dataSchema.length)(identity))
     (p: InputPartition) => new PartitionReader[InternalRow] {
-      private val rows = p.asInstanceOf[GraftStorePartition].rows
+      private val gp = p.asInstanceOf[GraftStorePartition]
+      private val rows = gp.rows
+      private val deleted = gp.deleted
       private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
+      override def next(): Boolean = {
+        i += 1
+        if (deleted != null) while (i < rows.length && deleted.get(i)) i += 1
+        i < rows.length
+      }
       override def get(): InternalRow = {
         val r0 = rows(i)
         val r = new Array[Any](proj.length + 1)

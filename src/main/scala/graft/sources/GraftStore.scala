@@ -67,8 +67,16 @@ object GraftStore {
     */
   final case class Committed(schema: StructType, batches: Seq[Array[Array[Any]]],
       stats: Seq[BatchStats] = Seq.empty, proj: Array[Int] = null,
-      physWidth: Int = -1, truncCount: Int = 0) {
+      physWidth: Int = -1, truncCount: Int = 0,
+      dvs: Map[Int, Array[Long]] = Map.empty) {
     def rowCount: Long = batches.iterator.map(_.length.toLong).sum
+    /** rows visible to readers = physical rows minus deletion-vector'd
+      * ones (merge-on-read DELETE marks rows here instead of rewriting
+      * the batch — the Delta/Iceberg deletion-vector model).
+      */
+    def liveRowCount: Long = rowCount - deletedRowCount
+    def deletedRowCount: Long = dvs.valuesIterator
+      .map(w => java.util.BitSet.valueOf(w).cardinality().toLong).sum
     def projection: Array[Int] =
       if (proj == null) Array.tabulate(schema.length)(identity) else proj
     def width: Int = if (physWidth < 0) schema.length else physWidth
@@ -158,7 +166,11 @@ object GraftStore {
           scatter(StoreSkipping.computeStats(schema, b))),
         proj = cur.map(_.proj).orNull,
         physWidth = cur.map(_.physWidth).getOrElse(-1),
-        truncCount = if (truncate) prevTc + 1 else prevTc)
+        truncCount = if (truncate) prevTc + 1 else prevTc,
+        // appends only ever GROW the batch list, so existing deletion
+        // vectors stay index-stable; a truncate-overwrite (incl. every
+        // COW rewrite and compaction) starts from a DV-free snapshot
+        dvs = cur.map(_.dvs).getOrElse(Map.empty))
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
@@ -216,6 +228,113 @@ object GraftStore {
       expired
     }
 
+  /** Merge-on-read DELETE: evaluate `pred` over every LIVE row's logical
+    * view and mark the matches in per-batch DELETION VECTORS — zero data
+    * rewrite, one metadata commit. This is the other half of row-level
+    * DML next to the COW rewrite: at 100 TB a sparse DELETE that would
+    * rewrite terabytes under copy-on-write instead commits kilobytes of
+    * bitmaps (the Delta/Iceberg deletion-vector model), and the next
+    * COW rewrite or `CALL system.compact` materializes them away.
+    * Every scan path (batch, row-level op, time travel, streaming)
+    * applies the snapshot's DVs, so deleted rows can neither be read
+    * nor resurrected by a later UPDATE. The commit bumps the truncation
+    * epoch: already-streamed batches changed meaning, so a running
+    * change-feed reader fails loudly (append-only contract) instead of
+    * silently serving rows its downstream already processed.
+    * Returns the number of NEWLY deleted rows.
+    */
+  private[graft] def deleteWhere(name: String,
+      pred: Array[Any] => Boolean): Long =
+    stores.synchronized {
+      val cur = stores.getOrElse(name,
+        throw new IllegalStateException(s"no store '$name' to delete from"))
+      val proj = cur.projection
+      var newlyDeleted = 0L
+      val dvs = cur.batches.zipWithIndex.flatMap { case (batch, bi) =>
+        val bits = cur.dvs.get(bi)
+          .map(java.util.BitSet.valueOf)
+          .getOrElse(new java.util.BitSet(batch.length))
+        var changed = false
+        var r = 0
+        while (r < batch.length) {
+          if (!bits.get(r)) {
+            val row = batch(r)
+            val logical = new Array[Any](proj.length)
+            var j = 0
+            while (j < proj.length) {
+              if (proj(j) < row.length) logical(j) = row(proj(j))
+              j += 1
+            }
+            if (pred(logical)) {
+              bits.set(r); changed = true; newlyDeleted += 1
+            }
+          }
+          r += 1
+        }
+        if (changed || cur.dvs.contains(bi)) Some(bi -> bits.toLongArray)
+        else None
+      }.toMap
+      if (newlyDeleted > 0) {
+        val snap = cur.copy(dvs = dvs, truncCount = cur.truncCount + 1)
+        stores.put(name, snap)
+        history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+      }
+      newlyDeleted
+    }
+
+  /** Compaction: materialize deletion vectors away and bin-pack every
+    * committed batch into ONE, preserving logical content exactly. Runs
+    * through [[publish]]'s truncate path, so it is itself a first-class
+    * commit (time travel to pre-compaction versions still works), the
+    * slot layout resets to identity (evolution tombstones compacted,
+    * like a real format's rewrite), and the truncation epoch bumps
+    * (streaming readers must restart — their batch offsets no longer
+    * address the same data). The OPTIMIZE half of the lakehouse
+    * maintenance pair next to `expire_versions`: at 100 TB this is the
+    * small-file/DV debt a streaming ingest accumulates, paid down in
+    * one background rewrite. Returns (batchesBefore, dvRowsRemoved,
+    * liveRows).
+    */
+  private[graft] def compactStore(name: String): (Int, Long, Long) =
+    stores.synchronized {
+      val cur = stores.getOrElse(name,
+        throw new IllegalStateException(s"no store '$name' to compact"))
+      val proj = cur.projection
+      val identity = cur.identityLayout
+      val live = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      cur.batches.zipWithIndex.foreach { case (batch, bi) =>
+        val bits = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+        var r = 0
+        while (r < batch.length) {
+          if (bits == null || !bits.get(r)) {
+            val row = batch(r)
+            if (identity && row.length == proj.length) live += row
+            else {
+              val logical = new Array[Any](proj.length)
+              var j = 0
+              while (j < proj.length) {
+                if (proj(j) < row.length) logical(j) = row(proj(j))
+                j += 1
+              }
+              live += logical
+            }
+          }
+          r += 1
+        }
+      }
+      val removed = cur.deletedRowCount
+      publish(name, cur.schema, Seq(live.toArray), truncate = true)
+      (cur.batches.size, removed, live.size.toLong)
+    }
+
+  /** Test hook: rows currently marked deleted by deletion vectors. */
+  private[graft] def dvMarkedCount(name: String): Long =
+    stores.get(name).map(_.deletedRowCount).getOrElse(0L)
+
+  /** Test hook: the store's truncation epoch (streaming offset fence). */
+  private[graft] def truncEpoch(name: String): Int =
+    stores.get(name).map(_.truncCount).getOrElse(-1)
+
   /** Commit-ordinal fingerprint of a connector table backed by this
     * store, or None for any other table. A catalog table's fingerprint
     * changes on EVERY commit — append, DML COW rewrite, streaming epoch,
@@ -253,9 +372,15 @@ object GraftStore {
     val width = proj.length
     val isIdentity = proj.indices.forall(j => proj(j) == j)
     (p: InputPartition) => new PartitionReader[InternalRow] {
-      private val rows = p.asInstanceOf[GraftStorePartition].rows
+      private val gp = p.asInstanceOf[GraftStorePartition]
+      private val rows = gp.rows
+      private val deleted = gp.deleted
       private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
+      override def next(): Boolean = {
+        i += 1
+        if (deleted != null) while (i < rows.length && deleted.get(i)) i += 1
+        i < rows.length
+      }
       override def get(): InternalRow = {
         val r = rows(i)
         if (isIdentity && r.length >= width) new GenericInternalRow(r)
@@ -453,7 +578,8 @@ private[sources] class GraftStoreScan(name: String, val s: StructType,
           if (i < snap.stats.length) snap.stats(i) else null, skipping)
     }
     GraftStore.skipLog.put(name, (snap.batches.size, snap.batches.size - kept.size))
-    kept.map(i => GraftStorePartition(snap.batches(i)): InputPartition).toArray
+    kept.map(i => GraftStorePartition(snap.batches(i),
+      snap.dvs.getOrElse(i, null)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftStore.projectedReaderFactory(GraftStore.stores.get(name)
@@ -518,8 +644,15 @@ private[sources] class GraftStoreMicroBatchStream(name: String, s: StructType)
           s"reader (offset epoch ${a.truncEpoch}, store epoch " +
           s"${cur.truncCount}): streaming reads require append-only " +
           "commits - restart the query from a fresh checkpoint")
-    cur.batches.slice(a.batchCount, b.batchCount)
-      .map(GraftStorePartition(_): InputPartition).toArray
+    cur.batches.slice(a.batchCount, b.batchCount).zipWithIndex
+      .map { case (batch, i) =>
+        // a DV delete bumps the truncation epoch (checked above), so a
+        // batch served here can only carry DVs committed BEFORE this
+        // stream started — apply them so a fresh reader never replays
+        // merge-on-read-deleted rows
+        GraftStorePartition(batch,
+          cur.dvs.getOrElse(a.batchCount + i, null)): InputPartition
+      }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val proj = snap.projection
@@ -546,8 +679,15 @@ private[sources] object GraftStreamOffset {
   }
 }
 
-private[sources] case class GraftStorePartition(rows: Array[Array[Any]])
-    extends InputPartition
+/** One committed batch handed to a reader, plus the batch's deletion
+  * vector (null = none): every reader skips DV'd ordinals, so
+  * merge-on-read deletes are invisible on all read paths.
+  */
+private[sources] case class GraftStorePartition(rows: Array[Array[Any]],
+    dv: Array[Long] = null) extends InputPartition {
+  def deleted: java.util.BitSet =
+    if (dv == null) null else java.util.BitSet.valueOf(dv)
+}
 
 private[sources] class GraftStoreWriteBuilder(name: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
