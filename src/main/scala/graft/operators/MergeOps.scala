@@ -795,6 +795,59 @@ object MergeOps extends QueryModule {
       |   AS total
       |FROM events WHERE value >= 25""".stripMargin
 
+  /** Batch CHANGE FEED over the commit ledger
+    * ([[graft.sources.ChangeFeed.tableChanges]]) — the CDC surface the
+    * streaming reader deliberately refuses (it fences on rewrites;
+    * this serves any committed range after the fact, rewrites
+    * included). The script commits one of each kind and the feed must
+    * render each exactly: the CTAS data commit and the append as
+    * `insert`s, the deletion-vector delete as precisely its marked
+    * rows (`delete` — the row-exact CDC a DV ledger buys; a COW
+    * format must diff file contents for the same answer), and the
+    * UPDATE's copy-on-write rewrite as full pre-image `delete`s +
+    * post-image `insert`s (the honest rendering when the format
+    * journals no row lineage). At 100 TB the same walk diffs the
+    * metadata log's file/DV manifests and scans only changed files —
+    * Delta's `table_changes`, derived here from first principles on
+    * the graft ledger and recomputed by the oracle per commit kind.
+    */
+  def cdcTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base.filter(col("event_id") % 2 === 0)) { tbl => // v0+v1
+      base.filter(col("event_id") % 2 === 1).writeTo(tbl).append() // v2
+      s.sql(s"DELETE FROM $tbl WHERE value < 40") // v3: deletion vectors
+      s.sql(s"UPDATE $tbl SET value = value + 1000 WHERE event_id % 10 = 0") // v4: COW
+      graft.sources.ChangeFeed
+        .tableChanges(s, tbl.stripPrefix("graft_cat."), 0, 4)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("_commit_version", "_change_type")
+    }
+  }
+
+  val cdcTableChangesOracle: String =
+    """WITH ch AS (
+      |  SELECT 1 AS _commit_version, 'insert' AS _change_type, value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 2, 'insert', value FROM events WHERE event_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 3, 'delete', value FROM events WHERE value < 40
+      |  UNION ALL
+      |  SELECT 4, 'delete', value FROM events WHERE value >= 40
+      |  UNION ALL
+      |  SELECT 4, 'insert',
+      |    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+      |  FROM events WHERE value >= 40
+      |)
+      |SELECT _commit_version, _change_type, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM ch GROUP BY 1, 2
+      |ORDER BY _commit_version, _change_type""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -819,6 +872,8 @@ object MergeOps extends QueryModule {
       Some(sqlDeletePartitionDropOracle)),
     RegisteredQuery("sql_call_compact", sqlCallCompact,
       Some(sqlCallCompactOracle)),
+    RegisteredQuery("cdc_table_changes", cdcTableChanges,
+      Some(cdcTableChangesOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+
+/** Version-to-version CHANGE FEED over a catalog table's commit ledger —
+  * the batch half of the CDC surface (the streaming half is
+  * [[GraftStoreMicroBatchStream]], which serves append-only commits live
+  * and FENCES on rewrites; this reader serves any committed range after
+  * the fact, rewrites included). The Delta CDF / Iceberg
+  * changelog-scan model: changes are derived from the LEDGER, not from
+  * the table state, so the feed is exact for every commit kind:
+  *
+  *   - append commit (batch list grew, same truncation epoch): the new
+  *     batches' rows are `insert`s;
+  *   - deletion-vector commit ([[GraftStore.deleteWhere]]): the newly
+  *     set bits name the `delete`d rows exactly — the precision a DV
+  *     ledger buys CDC (a COW delete must diff whole batch contents);
+  *   - truncate-overwrite / COW rewrite / compaction: the pre-image's
+  *     live rows are `delete`s and the post-image's are `insert`s (an
+  *     UPDATE therefore reads as delete+insert, the honest rendering
+  *     when the format does not journal row lineage);
+  *   - metadata-only evolution commit (same batches, schema changed):
+  *     no row changes.
+  *
+  * Rows are rendered in the RANGE-END version's logical schema,
+  * resolved BY NAME against each source snapshot's own view (a renamed
+  * column's pre-rename rows still carry their values — slots are
+  * stable; a column absent at some version reads NULL), plus
+  * `_change_type` and `_commit_version` metadata columns.
+  *
+  * Computation is a driver-side walk of the in-JVM snapshot ledger —
+  * at 100 TB the identical walk diffs the metadata log's file + DV
+  * manifests per commit and plans a distributed scan over exactly the
+  * changed files (what `table_changes` does in Delta); the LOGIC —
+  * which rows each commit kind contributes — is what this implements
+  * and what the gate checks.
+  */
+object ChangeFeed {
+
+  /** Changes committed by versions (`fromVersion`, `toVersion`] of
+    * catalog table `tbl` (e.g. "ns.t" under catalog `graft_cat`).
+    */
+  def tableChanges(s: SparkSession, tbl: String, fromVersion: Int,
+      toVersion: Int, catalog: String = "graft_cat"): DataFrame = {
+    val key = s"cat::$catalog.$tbl"
+    require(!GraftCatalog.parts.contains(key),
+      "table_changes on a partitioned table is unsupported — partition " +
+        "shards commit independently (no table-level commit ordinals)")
+    val hist = GraftStore.history.getOrElse(key,
+      throw new IllegalStateException(s"no catalog table '$tbl'"))
+    require(fromVersion >= 0 && toVersion < hist.size && fromVersion <= toVersion,
+      s"version range [$fromVersion, $toVersion] out of bounds " +
+        s"(table has ${hist.size} commits)")
+    (((fromVersion + 1) max 1) to toVersion).foreach(v => require(
+      hist(v) != null && hist(v - 1) != null,
+      s"version ${v - 1} or $v expired by retention — change feed " +
+        "needs both sides of every diffed commit"))
+
+    val target = hist(toVersion).schema
+    val out = StructType(target.fields)
+      .add("_change_type", StringType, nullable = false)
+      .add("_commit_version", IntegerType, nullable = false)
+    val toExternal = target.fields
+      .map(f => CatalystTypeConverters.createToScalaConverter(f.dataType))
+
+    /** one snapshot's logical row, re-shaped by NAME into the target
+      * schema (+ change metadata), external value domain.
+      */
+    def render(snap: GraftStore.Committed, row: Array[Any],
+        change: String, version: Int): Row = {
+      val proj = snap.projection
+      val srcIdx = target.fields.map { f =>
+        snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+      }
+      val vals = new Array[Any](out.length)
+      var j = 0
+      while (j < target.length) {
+        val si = srcIdx(j)
+        val v =
+          if (si < 0 || si >= proj.length || proj(si) >= row.length) null
+          else row(proj(si))
+        vals(j) = if (v == null) null else toExternal(j)(v)
+        j += 1
+      }
+      vals(target.length) = change
+      vals(target.length + 1) = version
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+
+    def liveRows(snap: GraftStore.Committed): Iterator[Array[Any]] =
+      snap.batches.iterator.zipWithIndex.flatMap { case (batch, bi) =>
+        val bits = snap.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+        batch.iterator.zipWithIndex.collect {
+          case (row, r) if bits == null || !bits.get(r) => row
+        }
+      }
+
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Row]
+    (((fromVersion + 1) max 1) to toVersion).foreach { v =>
+      val prev = hist(v - 1)
+      val cur = hist(v)
+      if (cur.truncCount != prev.truncCount &&
+          (cur.batches ne prev.batches)) {
+        // rewrite commit: full pre-image deletes + post-image inserts.
+        // (a DV commit also bumps the epoch but keeps the batch seq
+        // reference-identical — handled below with exact row precision)
+        liveRows(prev).foreach(r => changes += render(prev, r, "delete", v))
+        liveRows(cur).foreach(r => changes += render(cur, r, "insert", v))
+      } else if (cur.batches ne prev.batches) {
+        // append commit: new batches are inserts
+        cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
+          changes += render(cur, r, "insert", v)))
+      } else if (cur.dvs != prev.dvs) {
+        // deletion-vector commit: newly set bits are deletes
+        cur.batches.zipWithIndex.foreach { case (batch, bi) =>
+          val now = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+          if (now != null) {
+            val before = prev.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+            var r = now.nextSetBit(0)
+            while (r >= 0) {
+              if (before == null || !before.get(r))
+                changes += render(prev, batch(r), "delete", v)
+              r = now.nextSetBit(r + 1)
+            }
+          }
+        }
+      } // else: metadata-only commit (schema evolution) — no row changes
+    }
+    s.createDataFrame(
+      java.util.Arrays.asList(changes.toArray: _*), out)
+  }
+}

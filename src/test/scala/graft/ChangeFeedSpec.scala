@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.sources.ChangeFeed
+
+/** Batch change feed over the catalog commit ledger
+  * ([[graft.sources.ChangeFeed.tableChanges]]): every commit kind must
+  * render its exact row-level delta, ranges must compose, and the
+  * refusals (partitioned tables, expired versions) must be loud.
+  */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  test("each commit kind renders its exact delta; ranges compose") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.filter(col("event_id") % 2 === 0)
+      .writeTo("graft_cat.spec.cf1").create() // v0 create, v1 data
+    try {
+      base.filter(col("event_id") % 2 === 1)
+        .writeTo("graft_cat.spec.cf1").append() // v2
+      spark.sql("DELETE FROM graft_cat.spec.cf1 WHERE value < 40") // v3 DV
+      spark.sql("ALTER TABLE graft_cat.spec.cf1 ADD COLUMN tag STRING") // v4 metadata
+
+      val all = ChangeFeed.tableChanges(spark, "spec.cf1", 0, 4).cache()
+      // v1 + v2: the two halves, as inserts
+      assert(all.filter(col("_commit_version") === 1 &&
+        col("_change_type") === "insert").count() ===
+        base.filter(col("event_id") % 2 === 0).count())
+      assert(all.filter(col("_commit_version") === 2 &&
+        col("_change_type") === "insert").count() ===
+        base.filter(col("event_id") % 2 === 1).count())
+      // v3: exactly the DV-marked rows, as deletes with full row content
+      val dels = all.filter(col("_commit_version") === 3)
+      assert(dels.filter(col("_change_type") =!= "delete").count() === 0L)
+      assert(dels.count() === base.filter(col("value") < 40).count())
+      assert(dels.filter(col("value") >= 40).count() === 0L)
+      // v4 (metadata-only evolution): no row changes; rows carry the
+      // range-end schema (tag reads NULL everywhere)
+      assert(all.filter(col("_commit_version") === 4).count() === 0L)
+      assert(all.schema.fieldNames.contains("tag"))
+      assert(all.filter(col("tag").isNotNull).count() === 0L)
+      // composition: (0,2] ∪ (2,4] == (0,4]
+      val a = ChangeFeed.tableChanges(spark, "spec.cf1", 0, 2)
+      val b = ChangeFeed.tableChanges(spark, "spec.cf1", 2, 4)
+      assert(a.count() + b.count() === all.count())
+      all.unpersist()
+    } finally spark.sql("DROP TABLE graft_cat.spec.cf1")
+  }
+
+  test("COW rewrite renders as pre-image deletes + post-image inserts that replay to the table state") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.cf2").create() // v0, v1
+    try {
+      spark.sql(
+        "UPDATE graft_cat.spec.cf2 SET value = value + 1000 WHERE event_id % 10 = 0") // v2
+      val ch = ChangeFeed.tableChanges(spark, "spec.cf2", 1, 2)
+      val n = base.count()
+      assert(ch.filter(col("_change_type") === "delete").count() === n)
+      assert(ch.filter(col("_change_type") === "insert").count() === n)
+      // replaying the feed (inserts of the last commit) reproduces the
+      // live table row-for-row
+      val replayed = ch.filter(col("_change_type") === "insert")
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id", "value").collect().toSeq
+      val live = spark.table("graft_cat.spec.cf2")
+        .orderBy("event_id", "value").collect().toSeq
+      assert(replayed === live)
+    } finally spark.sql("DROP TABLE graft_cat.spec.cf2")
+  }
+
+  test("refusals: partitioned table, out-of-range and retention-expired versions") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.cf3").partitionedBy(col("event_type")).create()
+    try {
+      intercept[IllegalArgumentException] {
+        ChangeFeed.tableChanges(spark, "spec.cf3", 0, 1)
+      }
+    } finally spark.sql("DROP TABLE graft_cat.spec.cf3")
+
+    val b2 = base.select(col("event_id"), col("value"))
+    b2.writeTo("graft_cat.spec.cf4").create()
+    try {
+      b2.limit(5).writeTo("graft_cat.spec.cf4").append() // v2
+      intercept[IllegalArgumentException] {
+        ChangeFeed.tableChanges(spark, "spec.cf4", 0, 99)
+      }
+      spark.sql("CALL graft_cat.system.expire_versions('spec.cf4', 1)")
+      intercept[IllegalArgumentException] {
+        ChangeFeed.tableChanges(spark, "spec.cf4", 0, 2)
+      }
+    } finally spark.sql("DROP TABLE graft_cat.spec.cf4")
+  }
+}
