@@ -848,6 +848,54 @@ object MergeOps extends QueryModule {
       |FROM ch GROUP BY 1, 2
       |ORDER BY _commit_version, _change_type""".stripMargin
 
+  /** WRITE-AUDIT-PUBLISH on catalog branches
+    * ([[graft.sources.GraftCatalog]]'s `create_branch` /
+    * `publish_branch` procedures): fork the table, run the audit
+    * writes on `` ns.`t@audit` `` — an append AND a deletion-vector
+    * DELETE, every DML surface the main table has — while main provably
+    * serves its unchanged snapshot (the before-digest), then publish:
+    * one fast-forward truncate-commit swaps the audited live rows in
+    * (branch DVs materialized), refusing if main advanced since the
+    * fork (`BranchSpec` pins the refusal and the isolation
+    * reference-identity). At 100 TB this is the Iceberg/Nessie WAP
+    * pattern: bad data is never reader-visible, and publish cost is a
+    * catalog pointer swap, independent of data size. `main_version` is
+    * a control-plane constant of the script's ledger (create, CTAS
+    * data, publish).
+    */
+  def sqlWapPublish(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base.filter(col("event_id") % 2 === 0)) { tbl =>
+      val short = tbl.stripPrefix("graft_cat.")
+      val Array(ns, t) = short.split("\\.")
+      s.sql(s"CALL graft_cat.system.create_branch('$short', 'audit')")
+      val branchTbl = s"graft_cat.$ns.`$t@audit`"
+      base.filter(col("event_id") % 2 === 1).writeTo(branchTbl).append()
+      s.sql(s"DELETE FROM $branchTbl WHERE value < 40")
+      val before = s.table(tbl).agg(count(lit(1)).as("n_before"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_before"))
+      val frozenBefore = s.createDataFrame(before.collectAsList(), before.schema)
+      val pub = s.sql(
+        s"CALL graft_cat.system.publish_branch('$short', 'audit')")
+      val after = s.table(tbl).agg(count(lit(1)).as("n_after"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_after"))
+      frozenBefore.crossJoin(pub).crossJoin(after)
+    }
+  }
+
+  val sqlWapPublishOracle: String =
+    """SELECT
+      | (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n_before,
+      | (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 FROM events WHERE event_id % 2 = 0) AS total_before,
+      | count(*) AS published_rows, 2 AS main_version,
+      | count(*) AS n_after,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total_after
+      |FROM events WHERE value >= 40""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -874,6 +922,8 @@ object MergeOps extends QueryModule {
       Some(sqlCallCompactOracle)),
     RegisteredQuery("cdc_table_changes", cdcTableChanges,
       Some(cdcTableChangesOracle)),
+    RegisteredQuery("sql_wap_publish", sqlWapPublish,
+      Some(sqlWapPublishOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

@@ -56,7 +56,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "expire_versions"),
-        Identifier.of(Array("system"), "compact"))
+        Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "create_branch"),
+        Identifier.of(Array("system"), "publish_branch"),
+        Identifier.of(Array("system"), "drop_branch"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -66,6 +69,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     require(ident.namespace.sameElements(Array("system")),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}.${ident.name}")
     if (ident.name == "compact") return compactProcedure
+    if (ident.name == "create_branch" || ident.name == "publish_branch" ||
+        ident.name == "drop_branch") return branchProcedure(ident.name)
     require(ident.name == "expire_versions",
       s"graft catalog: unknown procedure system.${ident.name}")
     new UnboundProcedure {
@@ -167,21 +172,145 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
+  /** The WRITE-AUDIT-PUBLISH lifecycle as procedures:
+    *
+    *   - `create_branch('ns.t','audit')` forks the table's current
+    *     snapshot into an independent ledger — a metadata-only ref
+    *     (batch arrays shared immutably), recording main's commit count
+    *     as the fast-forward base;
+    *   - writes land on `` ns.`t@audit` `` (every surface the main
+    *     table has — append, MERGE/UPDATE/DELETE with deletion vectors,
+    *     its own time travel) while main serves its unchanged snapshot;
+    *   - `publish_branch` atomically fast-forwards main to the branch's
+    *     audited content (live rows — branch DVs materialized) in ONE
+    *     truncate-commit, REFUSING loudly if main advanced since the
+    *     fork (optimistic concurrency — rebase by re-branching);
+    *   - `drop_branch` abandons the audit, main untouched.
+    *
+    * At 100 TB this is the Iceberg/Nessie WAP pattern: an ingest job
+    * writes and validates on a branch, and publishing is a catalog
+    * pointer swap — bad data is never visible to readers, and the swap
+    * cost is independent of data size.
+    */
+  private def branchProcedure(op: String): procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    new UnboundProcedure {
+      override def name(): String = op
+      override def description(): String = s"$op of a WAP branch"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = op
+          override def description(): String = s"$op of a WAP branch"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("branch", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val branch = input.getUTF8String(1).toString
+            val mainKey = s"cat::$catName.$tbl"
+            val bk = s"$mainKey#b=$branch"
+            require(!GraftCatalog.parts.contains(mainKey),
+              "graft catalog: branching a partitioned table is unsupported")
+            val (schema, row): (StructType, Array[Any]) = op match {
+              case "create_branch" =>
+                val cur = GraftStore.stores.getOrElse(mainKey,
+                  throw new IllegalStateException(
+                    s"graft catalog: no table '$tbl' to branch"))
+                require(!GraftCatalog.branches.contains(bk),
+                  s"graft catalog: branch '$branch' of '$tbl' already exists")
+                GraftStore.seed(bk, cur)
+                GraftCatalog.branches.put(bk,
+                  GraftStore.versionCount(mainKey))
+                (new StructType()
+                  .add("branch", StringType, nullable = false)
+                  .add("base_version", IntegerType, nullable = false),
+                  Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(branch),
+                    GraftStore.versionCount(mainKey) - 1))
+              case "publish_branch" =>
+                val base = GraftCatalog.branches.getOrElse(bk,
+                  throw new IllegalStateException(
+                    s"graft catalog: no branch '$branch' of '$tbl'"))
+                val nowMain = GraftStore.versionCount(mainKey)
+                if (nowMain != base)
+                  throw new IllegalStateException(
+                    s"graft catalog: cannot fast-forward '$tbl' to branch " +
+                      s"'$branch' — main advanced from commit ${base - 1} " +
+                      s"to ${nowMain - 1} since the fork; re-branch and " +
+                      "re-apply (rebase), then publish")
+                val snap = GraftStore.stores(bk)
+                val live = GraftStore.liveLogicalRows(snap)
+                GraftStore.publish(mainKey, snap.schema, Seq(live),
+                  truncate = true)
+                GraftCatalog.branches.remove(bk)
+                GraftStore.dropMatching(_ == bk)
+                (new StructType()
+                  .add("published_rows", LongType, nullable = false)
+                  .add("main_version", IntegerType, nullable = false),
+                  Array[Any](live.length.toLong,
+                    GraftStore.versionCount(mainKey) - 1))
+              case _ => // drop_branch
+                val existed = GraftCatalog.branches.remove(bk).isDefined
+                GraftStore.dropMatching(_ == bk)
+                (new StructType()
+                  .add("dropped", org.apache.spark.sql.types.BooleanType,
+                    nullable = false),
+                  Array[Any](existed))
+            }
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = schema
+                override def rows(): Array[InternalRow] =
+                  Array(new GenericInternalRow(row))
+                override def description(): String = s"$op($tbl, $branch)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = s"cat::$catName.${namespace.mkString(".")}."
     GraftStore.stores.keys.toArray.collect {
       // a table is the key's LAST path segment: skip partition-shard
-      // stores (`t#p=value` — internal storage, not tables) and tables
-      // in deeper namespaces (remainder still contains a '.'), else
-      // SHOW TABLES on a parent namespace returns bogus identifiers
+      // stores (`t#p=value`) and branch stores (`t#b=name`) — internal
+      // storage, not tables — and tables in deeper namespaces
+      // (remainder still contains a '.'), else SHOW TABLES on a parent
+      // namespace returns bogus identifiers
       case k if k.startsWith(prefix) && {
         val rest = k.stripPrefix(prefix)
-        !rest.contains("#p=") && !rest.contains(".")
+        !rest.contains("#p=") && !rest.contains("#b=") && !rest.contains(".")
       } => Identifier.of(namespace, k.stripPrefix(prefix))
     }
   }
 
-  override def loadTable(ident: Identifier): Table =
+  /** WRITE-AUDIT-PUBLISH branching: `ns.`t@branch`` addresses a branch
+    * created by `CALL system.create_branch` — a full-citizen row-level
+    * table over its own store (`t#b=branch`), so every write surface
+    * the main table has (append, MERGE/UPDATE/DELETE incl. deletion
+    * vectors, time travel over the branch's own ledger) works on the
+    * branch unchanged, invisible to main until
+    * `CALL system.publish_branch` fast-forwards it.
+    */
+  private def branchParts(ident: Identifier): Option[(String, String)] =
+    ident.name.split('@') match {
+      case Array(t, b) if t.nonEmpty && b.nonEmpty =>
+        Some((s"cat::$catName.${(ident.namespace :+ t).mkString(".")}", b))
+      case _ => None
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    branchParts(ident).foreach { case (mainKey, branch) =>
+      val bk = s"$mainKey#b=$branch"
+      if (!GraftCatalog.branches.contains(bk))
+        throw new NoSuchTableException(ident)
+      return new GraftRowLevelTable(bk,
+        GraftStore.stores(bk).schema)
+    }
     GraftStore.stores.get(key(ident)) match {
       case Some(c) =>
         GraftCatalog.parts.get(key(ident)) match {
@@ -190,6 +319,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         }
       case None => throw new NoSuchTableException(ident)
     }
+  }
 
   /** `VERSION AS OF n` — versions are commit ordinals (0 = the create),
     * resolved against the store's snapshot history: the metadata-log
@@ -206,7 +336,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "graft catalog: VERSION AS OF on a partitioned table is " +
           "unsupported — partitions commit independently, so the table " +
           "has no single commit-ordinal history")
-    val hist = GraftStore.history.getOrElse(key(ident),
+    // a branch time-travels over its OWN ledger (version 0 = the fork)
+    val histKey = branchParts(ident) match {
+      case Some((mainKey, branch)) =>
+        val bk = s"$mainKey#b=$branch"
+        if (!GraftCatalog.branches.contains(bk))
+          throw new NoSuchTableException(ident)
+        bk
+      case None => key(ident)
+    }
+    val hist = GraftStore.history.getOrElse(histKey,
       throw new NoSuchTableException(ident))
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
@@ -226,6 +365,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(!ident.name.contains('@'),
+      s"graft catalog: '@' names branches — create '${ident.name}' via " +
+        "CALL system.create_branch, not CREATE TABLE")
     if (GraftStore.stores.contains(key(ident)))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
     partitions.toSeq match {
@@ -310,7 +452,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val k = key(ident)
     val existed = GraftStore.stores.contains(k)
     GraftCatalog.parts.remove(k)
-    GraftStore.dropMatching(s => s == k || s.startsWith(k + "#p="))
+    GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))
+      .foreach(GraftCatalog.branches.remove)
+    GraftStore.dropMatching(s => s == k || s.startsWith(k + "#p=") ||
+      s.startsWith(k + "#b="))
     existed
   }
 
@@ -322,6 +467,14 @@ object GraftCatalog {
   /** table key → its identity partition column (partitioned tables only). */
   private[sources] val parts =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** branch store key (`<tableKey>#b=<name>`) → the MAIN table's commit
+    * count at fork time — the fast-forward fence: publish succeeds only
+    * if main has not advanced since (optimistic concurrency, the
+    * Iceberg/Nessie WAP model).
+    */
+  private[graft] val branches =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 }
 
 /** A catalog table that additionally accepts row-level DML: the

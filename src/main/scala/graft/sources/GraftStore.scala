@@ -299,32 +299,57 @@ object GraftStore {
     stores.synchronized {
       val cur = stores.getOrElse(name,
         throw new IllegalStateException(s"no store '$name' to compact"))
-      val proj = cur.projection
-      val identity = cur.identityLayout
-      val live = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-      cur.batches.zipWithIndex.foreach { case (batch, bi) =>
-        val bits = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
-        var r = 0
-        while (r < batch.length) {
-          if (bits == null || !bits.get(r)) {
-            val row = batch(r)
-            if (identity && row.length == proj.length) live += row
-            else {
-              val logical = new Array[Any](proj.length)
-              var j = 0
-              while (j < proj.length) {
-                if (proj(j) < row.length) logical(j) = row(proj(j))
-                j += 1
-              }
-              live += logical
-            }
-          }
-          r += 1
-        }
-      }
+      val live = liveLogicalRows(cur)
       val removed = cur.deletedRowCount
-      publish(name, cur.schema, Seq(live.toArray), truncate = true)
-      (cur.batches.size, removed, live.size.toLong)
+      publish(name, cur.schema, Seq(live), truncate = true)
+      (cur.batches.size, removed, live.length.toLong)
+    }
+
+  /** Materialize a snapshot's LIVE logical content: deletion vectors
+    * applied, every row at full logical width through the slot
+    * projection — the row set a rewrite (compaction, branch publish)
+    * carries forward.
+    */
+  private[sources] def liveLogicalRows(cur: Committed): Array[Array[Any]] = {
+    val proj = cur.projection
+    val identity = cur.identityLayout
+    val live = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    cur.batches.zipWithIndex.foreach { case (batch, bi) =>
+      val bits = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+      var r = 0
+      while (r < batch.length) {
+        if (bits == null || !bits.get(r)) {
+          val row = batch(r)
+          if (identity && row.length == proj.length) live += row
+          else {
+            val logical = new Array[Any](proj.length)
+            var j = 0
+            while (j < proj.length) {
+              if (proj(j) < row.length) logical(j) = row(proj(j))
+              j += 1
+            }
+            live += logical
+          }
+        }
+        r += 1
+      }
+    }
+    live.toArray
+  }
+
+  /** Seed a brand-new store from an existing snapshot — how a BRANCH is
+    * born ([[GraftCatalog]]'s write-audit-publish surface): the branch
+    * shares the parent's committed batch arrays by reference (snapshots
+    * are immutable — a metadata-only fork, exactly a ref in a real
+    * format's catalog) and starts its own independent ledger at
+    * version 0.
+    */
+  private[sources] def seed(name: String, snap: Committed): Unit =
+    stores.synchronized {
+      require(!stores.contains(name), s"store '$name' already exists")
+      stores.put(name, snap)
+      history.put(name, Vector(snap))
+      ()
     }
 
   /** Test hook: rows currently marked deleted by deletion vectors. */

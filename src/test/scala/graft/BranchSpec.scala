@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.sources.{GraftCatalog, GraftStore}
+
+/** Write-audit-publish branching ([[graft.sources.GraftCatalog]]):
+  * branch isolation, the fast-forward fence, and lifecycle hygiene.
+  */
+class BranchSpec extends SparkSpec {
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  test("branch writes are invisible to main until publish; publish fast-forwards audited content") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.filter(col("event_id") % 2 === 0).writeTo("graft_cat.spec.wap").create()
+    val mainKey = "cat::graft_cat.spec.wap"
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.wap', 'audit')")
+      val mainRef = GraftStore.batchesRef(mainKey).get
+      val mainCount = spark.table("graft_cat.spec.wap").count()
+      // branch starts at the fork point
+      assert(spark.table("graft_cat.spec.`wap@audit`").count() === mainCount)
+      // audit writes: append the odd half, DV-delete low values — on the
+      // BRANCH only
+      base.filter(col("event_id") % 2 === 1)
+        .writeTo("graft_cat.spec.`wap@audit`").append()
+      spark.sql("DELETE FROM graft_cat.spec.`wap@audit` WHERE value < 40")
+      assert(GraftStore.dvMarkedCount(mainKey + "#b=audit") > 0,
+        "the branch delete should be a DV commit")
+      // main: untouched — same count, committed batches reference-identical
+      assert(spark.table("graft_cat.spec.wap").count() === mainCount)
+      assert(GraftStore.batchesRef(mainKey).get eq mainRef)
+      val want = base.filter(col("value") >= 40)
+        .orderBy("event_id", "value").collect().toSeq
+      val pub = spark.sql(
+        "CALL graft_cat.system.publish_branch('spec.wap', 'audit')").head
+      assert(pub.getLong(0) === want.size.toLong, "published_rows")
+      // main now serves the audited content, row for row, DVs materialized
+      assert(spark.table("graft_cat.spec.wap")
+        .orderBy("event_id", "value").collect().toSeq === want)
+      // the branch is gone
+      intercept[Exception] {
+        spark.table("graft_cat.spec.`wap@audit`").count()
+      }
+      assert(GraftStore.batchesRef(mainKey + "#b=audit").isEmpty)
+    } finally spark.sql("DROP TABLE graft_cat.spec.wap")
+  }
+
+  test("publish refuses when main advanced since the fork (optimistic concurrency)") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.limit(100).writeTo("graft_cat.spec.wapc").create()
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.wapc', 'b1')")
+      base.limit(5).writeTo("graft_cat.spec.wapc").append() // main advances
+      val before = spark.table("graft_cat.spec.wapc").count()
+      val e = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.publish_branch('spec.wapc', 'b1')")
+      }
+      assert(e.getMessage != null && e.getMessage.contains("fast-forward"))
+      // the refused publish changed nothing: main intact, branch intact
+      assert(spark.table("graft_cat.spec.wapc").count() === before)
+      assert(spark.table("graft_cat.spec.`wapc@b1`").count() === 100L)
+      spark.sql("CALL graft_cat.system.drop_branch('spec.wapc', 'b1')")
+    } finally spark.sql("DROP TABLE graft_cat.spec.wapc")
+  }
+
+  test("lifecycle hygiene: SHOW TABLES hides branch stores; CREATE TABLE with '@' refused; DROP TABLE reaps branches") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value")).limit(50)
+    base.writeTo("graft_cat.spec.waph").create()
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.waph', 'x')")
+      val shown = spark.sql("SHOW TABLES IN graft_cat.spec")
+        .select("tableName").collect().map(_.getString(0))
+      assert(shown.contains("waph"))
+      assert(!shown.exists(_.contains("#b=")), shown.mkString(","))
+      intercept[Exception] {
+        spark.range(1).writeTo("graft_cat.spec.`bad@name`").create()
+      }
+      // branch time travel runs over the branch's OWN ledger
+      base.limit(5).writeTo("graft_cat.spec.`waph@x`").append()
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.`waph@x` VERSION AS OF 0")
+        .head.getLong(0) === 50L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.waph")
+    assert(GraftStore.batchesRef("cat::graft_cat.spec.waph#b=x").isEmpty,
+      "DROP TABLE must reap branch stores")
+    assert(!GraftCatalog.branches.contains("cat::graft_cat.spec.waph#b=x"))
+  }
+}
