@@ -896,6 +896,39 @@ object MergeOps extends QueryModule {
       |   AS total_after
       |FROM events WHERE value >= 40""".stripMargin
 
+  /** Operational UNDO through the ledger: `CALL system.rollback(t, v)`
+    * restores commit `v`'s live content (deletion vectors applied) as a
+    * NEW commit — the Delta RESTORE model, so the bad commits stay
+    * time-travelable and the undo itself is one metadata-grade
+    * truncate-commit (`DeleteVectorSpec` pins the post-rollback ledger
+    * shape). The script CTASes events, DV-deletes low values, then
+    * rolls back to the pre-delete commit: the digest must equal the
+    * full table again, and the procedure row's ordinals are
+    * control-plane constants (restore v1, publish as v3). At 100 TB a
+    * bad load is undone by a metadata commit pointing at the prior
+    * file set - no data movement.
+    */
+  def sqlCallRollback(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE value < 40") // v2: deletion vectors
+      val res = s.sql("CALL graft_cat.system.rollback(" +
+        s"'${tbl.stripPrefix("graft_cat.")}', 1)")
+      val digest = s.table(tbl)
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+      res.crossJoin(digest)
+    }
+  }
+
+  val sqlCallRollbackOracle: String =
+    """SELECT 1 AS restored_version, count(*) AS n_rows, 3 AS new_version,
+      | count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM events""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -924,6 +957,8 @@ object MergeOps extends QueryModule {
       Some(cdcTableChangesOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),
+    RegisteredQuery("sql_call_rollback", sqlCallRollback,
+      Some(sqlCallRollbackOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

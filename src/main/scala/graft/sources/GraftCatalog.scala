@@ -59,7 +59,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "publish_branch"),
-        Identifier.of(Array("system"), "drop_branch"))
+        Identifier.of(Array("system"), "drop_branch"),
+        Identifier.of(Array("system"), "rollback"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -71,6 +72,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (ident.name == "compact") return compactProcedure
     if (ident.name == "create_branch" || ident.name == "publish_branch" ||
         ident.name == "drop_branch") return branchProcedure(ident.name)
+    if (ident.name == "rollback") return rollbackProcedure
     require(ident.name == "expire_versions",
       s"graft catalog: unknown procedure system.${ident.name}")
     new UnboundProcedure {
@@ -165,6 +167,69 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                     results.map(_._2).sum, results.map(_._3).sum)))
                 override def description(): String =
                   s"compact($tbl) result"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
+  /** `CALL graft_cat.system.rollback('ns.t', v)` — restore the table to
+    * commit `v` AS A NEW COMMIT (the Delta RESTORE model): the target
+    * snapshot's live logical rows (its deletion vectors applied, its
+    * slot layout materialized) are published in one truncate-commit, so
+    * the rollback itself is time-travelable and the rolled-over commits
+    * stay in the ledger — an operational undo, not history rewriting.
+    * Refused for partitioned tables (no table-level ordinals) and
+    * retention-expired versions. At 100 TB: a bad load is undone by a
+    * metadata commit pointing back at the prior file set — no data
+    * movement.
+    */
+  private def rollbackProcedure: procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    new UnboundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String =
+        "restore the table to an earlier commit, as a new commit"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "rollback"
+          override def description(): String =
+            "restore the table to an earlier commit, as a new commit"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("version", IntegerType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val v = input.getInt(1)
+            val k = s"cat::$catName.$tbl"
+            require(!GraftCatalog.parts.contains(k),
+              "graft catalog: rollback of a partitioned table is " +
+                "unsupported — partitions commit independently")
+            val hist = GraftStore.history.getOrElse(k,
+              throw new IllegalStateException(
+                s"graft catalog: no table '$tbl' to roll back"))
+            require(v >= 0 && v < hist.size,
+              s"version $v out of range: table has ${hist.size} commits")
+            require(hist(v) != null,
+              s"version $v of '$tbl' has been expired by retention")
+            val snap = hist(v)
+            val live = GraftStore.liveLogicalRows(snap)
+            GraftStore.publish(k, snap.schema, Seq(live), truncate = true)
+            val out = new StructType()
+              .add("restored_version", IntegerType, nullable = false)
+              .add("n_rows", LongType, nullable = false)
+              .add("new_version", IntegerType, nullable = false)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = Array(
+                  new GenericInternalRow(Array[Any](v, live.length.toLong,
+                    GraftStore.versionCount(k) - 1)))
+                override def description(): String = s"rollback($tbl, $v)"
               }
             java.util.Collections.singletonList(scan).iterator()
           }

@@ -163,6 +163,29 @@ class DeleteVectorSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.dvc")
   }
 
+  test("CALL system.rollback restores an earlier commit as a NEW commit (undo without history rewrite)") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.dvr").create() // v0 create, v1 data
+    val key = "cat::graft_cat.spec.dvr"
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.dvr WHERE value < 40") // v2 DV
+      val afterDelete = spark.table("graft_cat.spec.dvr").count()
+      val res = spark.sql("CALL graft_cat.system.rollback('spec.dvr', 1)").head
+      assert(res.getInt(0) === 1, "restored_version")
+      assert(res.getLong(1) === base.count(), "n_rows")
+      assert(res.getInt(2) === 3, "new_version")
+      // the undo is live...
+      assert(spark.table("graft_cat.spec.dvr").count() === base.count())
+      // ...and the rolled-over DELETE is still in the ledger (rollback
+      // is a commit, not a history rewrite)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.dvr VERSION AS OF 2")
+        .head.getLong(0) === afterDelete)
+      assert(GraftStore.versionCount(key) === 4)
+    } finally spark.sql("DROP TABLE graft_cat.spec.dvr")
+  }
+
   test("TRUNCATE TABLE empties through the SupportsDeleteV2 surface") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
