@@ -929,6 +929,86 @@ object MergeOps extends QueryModule {
       |   AS total
       |FROM events""".stripMargin
 
+  /** `CALL system.history` — DESCRIBE HISTORY from the ledger alone:
+    * the script commits one of each kind (create, CTAS append, delta
+    * append, deletion-vector delete, COW rewrite, metadata-only
+    * evolution) and the procedure must DERIVE each kind plus the
+    * physical/live row split and truncation epoch per version, no data
+    * scan. The oracle recomputes every row from events: kinds and
+    * epochs are control-plane constants of the script, row counts are
+    * data properties. The observability every transactional format
+    * ships - which commit bloated the table, where the DV debt sits,
+    * what a rollback target looks like - answered from metadata.
+    */
+  def sqlCallHistory(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl => // v0 create, v1 append (CTAS data)
+      base.filter(col("event_id") % 10 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"), col("value"))
+        .writeTo(tbl).append() // v2 append
+      s.sql(s"DELETE FROM $tbl WHERE value < 40") // v3 delete-vectors
+      s.sql(s"UPDATE $tbl SET value = value + 1") // v4 rewrite
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN note STRING") // v5 evolve
+      s.sql("CALL graft_cat.system.history(" +
+        s"'${tbl.stripPrefix("graft_cat.")}')")
+        .select(col("version"), col("kind"), col("rows_physical"),
+          col("rows_live"), col("trunc_epoch"))
+        .orderBy("version")
+    }
+  }
+
+  val sqlCallHistoryOracle: String =
+    """WITH ap AS (SELECT value FROM events WHERE event_id % 10 = 0),
+      | all_t AS (SELECT value FROM events UNION ALL SELECT value FROM ap),
+      | c AS (SELECT count(*) AS n_all,
+      |        CAST(sum(CASE WHEN value < 40 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_del
+      |       FROM all_t),
+      | e AS (SELECT count(*) AS n_ev FROM events)
+      |SELECT 0 AS version, 'create' AS kind,
+      |  CAST(0 AS BIGINT) AS rows_physical, CAST(0 AS BIGINT) AS rows_live,
+      |  1 AS trunc_epoch
+      |UNION ALL SELECT 1, 'append', n_ev, n_ev, 1 FROM e
+      |UNION ALL SELECT 2, 'append', n_all, n_all, 1 FROM c
+      |UNION ALL SELECT 3, 'delete-vectors', n_all, n_all - n_del, 2 FROM c
+      |UNION ALL SELECT 4, 'rewrite', n_all - n_del, n_all - n_del, 3 FROM c
+      |UNION ALL SELECT 5, 'evolve', n_all - n_del, n_all - n_del, 3 FROM c
+      |ORDER BY version""".stripMargin
+
+  /** TAGS surviving ordinal retention (`create_tag` / `VERSION AS OF
+    * 'name'`): tag the CTAS state, DV-delete, expire every ordinal but
+    * the head - the tag must still serve the full pre-delete content,
+    * because the ref pins the SNAPSHOT, not a number (Iceberg's
+    * refs-protect-snapshots retention model; `CatalogRefsSpec` pins
+    * that the tagged ORDINAL itself is expired). At 100 TB tags are
+    * the reproducibility primitive: a training run reads `VERSION AS
+    * OF 'run-2025-08'` forever, however aggressively ordinal retention
+    * reaps the ledger.
+    */
+  def sqlTimeTravelTag(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      val short = tbl.stripPrefix("graft_cat.")
+      s.sql(s"CALL graft_cat.system.create_tag('$short', 'baseline')")
+      s.sql(s"DELETE FROM $tbl WHERE value < 40")
+      s.sql(s"CALL graft_cat.system.expire_versions('$short', 1)")
+      val tagged = s.sql(
+        s"""SELECT count(*) AS n_tagged,
+           | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           |   / 100.0 AS total_tagged
+           |FROM $tbl VERSION AS OF 'baseline'""".stripMargin)
+      val now = s.table(tbl).agg(count(lit(1)).as("n_now"))
+      tagged.crossJoin(now)
+    }
+  }
+
+  val sqlTimeTravelTagOracle: String =
+    """SELECT count(*) AS n_tagged,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total_tagged,
+      | (SELECT count(*) FROM events WHERE value >= 40) AS n_now
+      |FROM events""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -959,6 +1039,10 @@ object MergeOps extends QueryModule {
       Some(sqlWapPublishOracle)),
     RegisteredQuery("sql_call_rollback", sqlCallRollback,
       Some(sqlCallRollbackOracle)),
+    RegisteredQuery("sql_call_history", sqlCallHistory,
+      Some(sqlCallHistoryOracle)),
+    RegisteredQuery("sql_time_travel_tag", sqlTimeTravelTag,
+      Some(sqlTimeTravelTagOracle)),
     RegisteredQuery("jdbc_merge_digest", jdbcMergeDigest, Some(jdbcMergeOracle)),
     RegisteredQuery("a10_snapshot_series", a10SnapshotSeries, Some(a10Oracle)),
     RegisteredQuery("cdc_apply", cdcApply, Some(cdcApplyOracle)),

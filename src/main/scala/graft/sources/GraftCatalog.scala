@@ -60,7 +60,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "publish_branch"),
         Identifier.of(Array("system"), "drop_branch"),
-        Identifier.of(Array("system"), "rollback"))
+        Identifier.of(Array("system"), "rollback"),
+        Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "create_tag"),
+        Identifier.of(Array("system"), "drop_tag"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -73,6 +76,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (ident.name == "create_branch" || ident.name == "publish_branch" ||
         ident.name == "drop_branch") return branchProcedure(ident.name)
     if (ident.name == "rollback") return rollbackProcedure
+    if (ident.name == "history") return historyProcedure
+    if (ident.name == "create_tag" || ident.name == "drop_tag")
+      return tagProcedure(ident.name)
     require(ident.name == "expire_versions",
       s"graft catalog: unknown procedure system.${ident.name}")
     new UnboundProcedure {
@@ -230,6 +236,141 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                   new GenericInternalRow(Array[Any](v, live.length.toLong,
                     GraftStore.versionCount(k) - 1)))
                 override def description(): String = s"rollback($tbl, $v)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
+  /** `CALL graft_cat.system.history('ns.t')` — DESCRIBE HISTORY for the
+    * commit ledger: one row per version with the commit KIND derived
+    * from consecutive snapshots exactly like the change feed derives
+    * row deltas (create / append / delete-vectors / rewrite / evolve /
+    * expired), plus batch count, physical and live row counts, and the
+    * truncation epoch. The operational observability every
+    * transactional format ships: which commit bloated the table, where
+    * the DV debt is, what a rollback target looks like — answered from
+    * metadata alone, no data scan.
+    */
+  private def historyProcedure: procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    new UnboundProcedure {
+      override def name(): String = "history"
+      override def description(): String = "the table's commit ledger"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "history"
+          override def description(): String = "the table's commit ledger"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val k = s"cat::$catName.$tbl"
+            val hist = GraftStore.history.getOrElse(k,
+              throw new IllegalStateException(
+                s"graft catalog: no table '$tbl'"))
+            def kind(v: Int): String =
+              if (hist(v) == null) "expired"
+              else if (v == 0) "create"
+              else if (hist(v - 1) == null) "unknown" // diff base expired
+              else {
+                val prev = hist(v - 1); val cur = hist(v)
+                if (cur.truncCount != prev.truncCount &&
+                    (cur.batches ne prev.batches)) "rewrite"
+                else if (cur.batches ne prev.batches) "append"
+                else if (cur.dvs != prev.dvs) "delete-vectors"
+                else "evolve"
+              }
+            val out = new StructType()
+              .add("version", IntegerType, nullable = false)
+              .add("kind", StringType, nullable = false)
+              .add("batches", IntegerType, nullable = true)
+              .add("rows_physical", LongType, nullable = true)
+              .add("rows_live", LongType, nullable = true)
+              .add("trunc_epoch", IntegerType, nullable = true)
+            val ledgerRows = hist.indices.map { v =>
+              val c = hist(v)
+              val u = org.apache.spark.unsafe.types.UTF8String
+                .fromString(kind(v))
+              if (c == null)
+                new GenericInternalRow(Array[Any](v, u, null, null, null, null))
+              else
+                new GenericInternalRow(Array[Any](v, u, c.batches.size,
+                  c.rowCount, c.liveRowCount, c.truncCount))
+            }.toArray[InternalRow]
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = ledgerRows
+                override def description(): String = s"history($tbl)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
+  /** TAGS — read-only named refs into the ledger (`create_tag` /
+    * `drop_tag`), served through Spark's own time-travel resolution: a
+    * non-integer `VERSION AS OF 'name'` resolves the tag to its PINNED
+    * snapshot. The pin is the snapshot object itself, so a tag keeps
+    * serving even after `expire_versions` tombstones its ordinal —
+    * exactly Iceberg's ref-retention semantics (refs protect snapshots;
+    * ordinal retention reaps only unreferenced ones).
+    */
+  private def tagProcedure(op: String): procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+    new UnboundProcedure {
+      override def name(): String = op
+      override def description(): String = s"$op of a named snapshot ref"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = op
+          override def description(): String = s"$op of a named snapshot ref"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("tag", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val tag = input.getUTF8String(1).toString
+            val k = s"cat::$catName.$tbl"
+            val tk = s"$k#t=$tag"
+            val (schema, row): (StructType, Array[Any]) = op match {
+              case "create_tag" =>
+                val cur = GraftStore.stores.getOrElse(k,
+                  throw new IllegalStateException(
+                    s"graft catalog: no table '$tbl' to tag"))
+                require(!GraftCatalog.tags.contains(tk),
+                  s"graft catalog: tag '$tag' of '$tbl' already exists")
+                require(tag.toIntOption.isEmpty,
+                  s"graft catalog: tag name '$tag' would shadow an " +
+                    "integer commit ordinal")
+                GraftCatalog.tags.put(tk, cur)
+                (new StructType()
+                  .add("tag", StringType, nullable = false)
+                  .add("pinned_version", IntegerType, nullable = false),
+                  Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(tag),
+                    GraftStore.versionCount(k) - 1))
+              case _ => // drop_tag
+                val existed = GraftCatalog.tags.remove(tk).isDefined
+                (new StructType()
+                  .add("dropped", BooleanType, nullable = false),
+                  Array[Any](existed))
+            }
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = schema
+                override def rows(): Array[InternalRow] =
+                  Array(new GenericInternalRow(row))
+                override def description(): String = s"$op($tbl, $tag)"
               }
             java.util.Collections.singletonList(scan).iterator()
           }
@@ -412,10 +553,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     val hist = GraftStore.history.getOrElse(histKey,
       throw new NoSuchTableException(ident))
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft catalog versions are integer commit ordinals, got '$version'")
+    // a non-integer version string names a TAG: serve its pinned
+    // snapshot (which survives ordinal retention — the ref holds the
+    // snapshot, not a number)
+    if (version.toIntOption.isEmpty) {
+      val snap = GraftCatalog.tags.getOrElse(s"$histKey#t=$version",
+        throw new IllegalArgumentException(
+          s"graft catalog: '$version' is neither an integer commit " +
+            s"ordinal nor a tag of ${ident.name}"))
+      return new GraftVersionTable(s"$histKey@$version", snap)
     }
+    val v = version.toInt
     require(v >= 0 && v < hist.size,
       s"version $v out of range: table has ${hist.size} commits (0..${hist.size - 1})")
     if (hist(v) == null) {
@@ -519,6 +667,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     GraftCatalog.parts.remove(k)
     GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.branches.remove)
+    GraftCatalog.tags.keys.filter(_.startsWith(k + "#t="))
+      .foreach(GraftCatalog.tags.remove)
     GraftStore.dropMatching(s => s == k || s.startsWith(k + "#p=") ||
       s.startsWith(k + "#b="))
     existed
@@ -540,6 +690,13 @@ object GraftCatalog {
     */
   private[graft] val branches =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** tag key (`<tableKey>#t=<name>`) → the PINNED snapshot. Holding the
+    * snapshot object (not an ordinal) is what makes tags survive
+    * ordinal retention — the Iceberg refs-protect-snapshots model.
+    */
+  private[graft] val tags =
+    scala.collection.concurrent.TrieMap.empty[String, GraftStore.Committed]
 }
 
 /** A catalog table that additionally accepts row-level DML: the

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.sources.{GraftCatalog, GraftStore}
+
+/** Ledger observability (`CALL system.history`) and named refs (tags):
+  * commit kinds derived from consecutive snapshots, and tag pins that
+  * survive ordinal retention.
+  */
+class CatalogRefsSpec extends SparkSpec {
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  test("history derives each commit's kind from the ledger") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.h1").create() // v0 create, v1 append
+    try {
+      base.limit(7).select((col("event_id") + 1000000L).as("event_id"),
+        col("value")).writeTo("graft_cat.spec.h1").append() // v2
+      spark.sql("DELETE FROM graft_cat.spec.h1 WHERE value < 40") // v3 DV
+      spark.sql("UPDATE graft_cat.spec.h1 SET value = value + 1") // v4 rewrite
+      spark.sql("ALTER TABLE graft_cat.spec.h1 ADD COLUMN tag STRING") // v5
+      val kinds = spark.sql("CALL graft_cat.system.history('spec.h1')")
+        .orderBy("version").select("kind").collect().map(_.getString(0))
+      assert(kinds.toSeq === Seq("create", "append", "append",
+        "delete-vectors", "rewrite", "evolve"))
+      val h = spark.sql("CALL graft_cat.system.history('spec.h1')")
+        .orderBy("version").collect()
+      // DV commit: physical rows unchanged, live rows dropped
+      assert(h(3).getLong(3) === h(2).getLong(3))
+      assert(h(3).getLong(4) < h(3).getLong(3))
+      // rewrite: physical == live again, epoch bumped past the DV commit
+      assert(h(4).getLong(3) === h(4).getLong(4))
+      assert(h(4).getInt(5) === h(3).getInt(5) + 1)
+    } finally spark.sql("DROP TABLE graft_cat.spec.h1")
+  }
+
+  test("tags pin a snapshot through later DML AND ordinal retention; lifecycle is clean") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.tg").create()
+    try {
+      val full = base.count()
+      spark.sql("CALL graft_cat.system.create_tag('spec.tg', 'prewipe')")
+      spark.sql("DELETE FROM graft_cat.spec.tg WHERE value < 40")
+      // the tag still serves the pre-delete content
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.tg VERSION AS OF 'prewipe'")
+        .head.getLong(0) === full)
+      // ordinal retention reaps the tagged version's slot — the tag's
+      // pin survives (refs protect snapshots)
+      spark.sql("CALL graft_cat.system.expire_versions('spec.tg', 1)")
+      intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_cat.spec.tg VERSION AS OF 1")
+          .head
+      }
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.tg VERSION AS OF 'prewipe'")
+        .head.getLong(0) === full)
+      // unknown ref and ordinal-shadowing names are refused loudly
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_cat.spec.tg VERSION AS OF 'nope'").head
+      }
+      assert(e.getMessage.contains("neither an integer commit ordinal"))
+      intercept[Exception] {
+        spark.sql("CALL graft_cat.system.create_tag('spec.tg', '7')")
+      }
+      spark.sql("CALL graft_cat.system.drop_tag('spec.tg', 'prewipe')")
+      intercept[Exception] {
+        spark.sql(
+          "SELECT count(*) FROM graft_cat.spec.tg VERSION AS OF 'prewipe'")
+          .head
+      }
+    } finally spark.sql("DROP TABLE graft_cat.spec.tg")
+    assert(!GraftCatalog.tags.keys.exists(_.startsWith("cat::graft_cat.spec.tg#t=")),
+      "DROP TABLE must reap tags")
+  }
+}
