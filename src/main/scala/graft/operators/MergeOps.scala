@@ -311,12 +311,14 @@ object MergeOps extends QueryModule {
     * the in-JVM registry from accumulating.
     */
   private def withDmlTable(s: SparkSession, seed: DataFrame,
-      partitionBy: Option[String] = None)(
+      partitionBy: Option[String] = None, mergeOnRead: Boolean = false)(
       body: String => DataFrame): DataFrame = {
     s.conf.set("spark.sql.catalog.graft_cat",
       classOf[graft.sources.GraftCatalog].getName)
     val tbl = s"graft_cat.dml.t${dmlSeq.incrementAndGet()}"
-    val w = seed.writeTo(tbl)
+    val w0 = seed.writeTo(tbl)
+    val w = if (mergeOnRead) w0.tableProperty("write.mode", "merge-on-read")
+      else w0
     partitionBy.fold(w)(c => w.partitionedBy(col(c))).create()
     try {
       val out = body(tbl)
@@ -1009,10 +1011,43 @@ object MergeOps extends QueryModule {
       | (SELECT count(*) FROM events WHERE value >= 40) AS n_now
       |FROM events""".stripMargin
 
+  /** The S7 MERGE a THIRD way — same statement, same oracle, the
+    * MERGE-ON-READ physical path (`TBLPROPERTIES('write.mode'=
+    * 'merge-on-read')` → Spark's `RewriteMergeIntoTable` plans
+    * `WriteDelta` over the [[graft.sources.GraftRowLevelTable]]'s
+    * `SupportsDelta` operation): only the CHANGED rows reach the writer
+    * — updates as deletion-vector bits + delta-batch rows, inserts as
+    * delta-batch rows — and every pre-existing committed batch survives
+    * BY REFERENCE (`MorDeltaSpec` pins the `eq` and the delta batch
+    * sized exactly to the touched rows). Sharing [[s7Oracle]]
+    * cell-exactly with the DataFrame merge and the COW `sql_merge_into`
+    * makes the claim precise: three physical strategies, one semantics.
+    * At 100 TB this is the Iceberg-v2 MOR trade: a MERGE touching 0.1%
+    * of a table writes 0.1% of the bytes, and the read-side DV debt is
+    * paid down by `CALL system.compact`.
+    */
+  def sqlMergeMor(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+    withDmlTable(s, base, mergeOnRead = true) { tbl =>
+      s7Incoming(base).createOrReplaceTempView("graft_merge_mor_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING graft_merge_mor_src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val merged = s.table(tbl)
+      merged.agg(count(lit(1)).as("n_rows"),
+          roundTo(sum(col("value")), 2).as("sum_value"))
+        .crossJoin(merged.filter(col("event_id") >= 1000000L)
+          .agg(count(lit(1)).as("new_keys")))
+    }
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
     RegisteredQuery("sql_merge_into", sqlMergeInto, Some(s7Oracle)),
+    RegisteredQuery("sql_merge_mor", sqlMergeMor, Some(s7Oracle)),
     RegisteredQuery("sql_update_delete", sqlUpdateDelete,
       Some(sqlUpdateDeleteOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),

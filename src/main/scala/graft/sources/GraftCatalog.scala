@@ -514,14 +514,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val bk = s"$mainKey#b=$branch"
       if (!GraftCatalog.branches.contains(bk))
         throw new NoSuchTableException(ident)
-      return new GraftRowLevelTable(bk,
-        GraftStore.stores(bk).schema)
+      // a branch inherits the main table's write mode
+      return new GraftRowLevelTable(bk, GraftStore.stores(bk).schema,
+        GraftCatalog.morTables.contains(mainKey))
     }
     GraftStore.stores.get(key(ident)) match {
       case Some(c) =>
         GraftCatalog.parts.get(key(ident)) match {
           case Some(pc) => new GraftPartitionedTable(key(ident), c.schema, pc)
-          case None => new GraftRowLevelTable(key(ident), c.schema)
+          case None => new GraftRowLevelTable(key(ident), c.schema,
+            GraftCatalog.morTables.contains(key(ident)))
         }
       case None => throw new NoSuchTableException(ident)
     }
@@ -583,11 +585,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "CALL system.create_branch, not CREATE TABLE")
     if (GraftStore.stores.contains(key(ident)))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    val mor = "merge-on-read".equalsIgnoreCase(properties.get("write.mode"))
     partitions.toSeq match {
       case Seq() =>
         GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
-        new GraftRowLevelTable(key(ident), schema)
+        if (mor) GraftCatalog.morTables.put(key(ident), ())
+        new GraftRowLevelTable(key(ident), schema, mor)
       case Seq(t) =>
+        require(!mor, "graft catalog: merge-on-read on a partitioned " +
+          "table is unsupported — partition shards commit independently")
         // one identity transform over a string column: the partition
         // (= COW group) granularity
         val pc = t.references() match {
@@ -665,6 +671,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val k = key(ident)
     val existed = GraftStore.stores.contains(k)
     GraftCatalog.parts.remove(k)
+    GraftCatalog.morTables.remove(k)
     GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.branches.remove)
     GraftCatalog.tags.keys.filter(_.startsWith(k + "#t="))
@@ -697,6 +704,13 @@ object GraftCatalog {
     */
   private[graft] val tags =
     scala.collection.concurrent.TrieMap.empty[String, GraftStore.Committed]
+
+  /** table keys created with `TBLPROPERTIES('write.mode'='merge-on-read')`
+    * — their row-level DML plans as `WriteDelta` (O(changed rows))
+    * instead of group-based copy-on-write.
+    */
+  private[graft] val morTables =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
 }
 
 /** A catalog table that additionally accepts row-level DML: the
@@ -712,7 +726,8 @@ object GraftCatalog {
   * `_file`); here the whole table is one group, so the column is a
   * constant 0.
   */
-private[sources] class GraftRowLevelTable(storeKey: String, declared: StructType)
+private[sources] class GraftRowLevelTable(storeKey: String,
+    declared: StructType, mor: Boolean = false)
     extends GraftStoreTable(storeKey, declared)
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
@@ -746,36 +761,198 @@ private[sources] class GraftRowLevelTable(storeKey: String, declared: StructType
     true
   }
 
-  override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val group = new MetadataColumn {
       override def name(): String = "_group"
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.IntegerType
       override def isNullable: Boolean = false
       override def comment(): String = "COW group id (single whole-table group)"
+    }
+    if (!mor) Array(group)
+    else Array(group, new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stable row position (batch << 32 | row) — the MOR row id"
     })
+  }
 
+  /** Two write modes behind the same DML verbs. Copy-on-write (default):
+    * the group-based rewrite below. MERGE-ON-READ (`TBLPROPERTIES
+    * ('write.mode'='merge-on-read')`): the operation implements
+    * [[SupportsDelta]], so Spark's rewrite rules plan `WriteDelta`
+    * instead of `ReplaceData` — only CHANGED rows flow to the writer,
+    * as (operation, row-id, row) triples keyed by the scan-provided
+    * `_pos` metadata column, and the commit is one atomic row-delta
+    * ([[GraftStore.commitDelta]]): deletes/updates mark deletion-vector
+    * bits, updates/inserts append one new batch. At 100 TB this is an
+    * UPDATE of 0.1% of a table writing 0.1% of the bytes (Iceberg v2
+    * MOR), where COW rewrites every touched group; the read-side cost
+    * is the DV debt, paid down by `CALL system.compact`.
+    */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new RowLevelOperation {
-        override def command: RowLevelOperation.Command = info.command
-        override def description(): String =
-          s"graft COW ${info.command} on $storeKey"
-        override def requiredMetadataAttributes()
-            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-          Array(org.apache.spark.sql.connector.expressions.Expressions.column("_group"))
-        override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-          new ScanBuilder {
-            override def build() = new GraftGroupScan(storeKey, schema())
-          }
-        // the write REPLACES the single whole-table group the scan read:
-        // truncate-then-publish under the standard 2PC
-        override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
-          new GraftStoreWriteBuilder(storeKey, lwi.schema()).truncate()
-      }
+      override def build(): RowLevelOperation =
+        if (mor) new RowLevelOperation with SupportsDelta {
+          override def command: RowLevelOperation.Command = info.command
+          override def description(): String =
+            s"graft MOR ${info.command} on $storeKey"
+          override def requiredMetadataAttributes()
+              : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+            Array.empty // row positions are global — no group id needed
+          override def rowId()
+              : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .column("_pos"))
+          override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+            new ScanBuilder {
+              override def build() = new GraftDeltaScan(storeKey, schema())
+            }
+          override def newWriteBuilder(lwi: LogicalWriteInfo): DeltaWriteBuilder =
+            new DeltaWriteBuilder {
+              override def build(): DeltaWrite = new DeltaWrite {
+                override def toBatch: DeltaBatchWrite =
+                  new GraftDeltaBatchWrite(storeKey, lwi.schema())
+              }
+            }
+        }
+        else new RowLevelOperation {
+          override def command: RowLevelOperation.Command = info.command
+          override def description(): String =
+            s"graft COW ${info.command} on $storeKey"
+          override def requiredMetadataAttributes()
+              : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+            Array(org.apache.spark.sql.connector.expressions.Expressions.column("_group"))
+          override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+            new ScanBuilder {
+              override def build() = new GraftGroupScan(storeKey, schema())
+            }
+          // the write REPLACES the single whole-table group the scan read:
+          // truncate-then-publish under the standard 2PC
+          override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+            new GraftStoreWriteBuilder(storeKey, lwi.schema()).truncate()
+        }
     }
 }
+
+/** The MOR operation scan: the logical row view (projection-resolved,
+  * deletion vectors applied) plus the `_pos` row-id metadata column —
+  * the stable position a row-delta commit addresses
+  * ([[GraftStore.commitDelta]]).
+  */
+private[sources] class GraftDeltaScan(name: String, dataSchema: StructType)
+    extends Scan with Batch {
+  private val full = dataSchema.add("_pos",
+    org.apache.spark.sql.types.LongType, nullable = false)
+  override def readSchema(): StructType = full
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_store($name) delta scan"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = GraftStore.stores.getOrElse(name,
+      throw new IllegalStateException(
+        s"graft store '$name' no longer exists — evicted or dropped"))
+    snap.batches.zipWithIndex.map { case (b, i) =>
+      GraftDeltaPartition(b, snap.dvs.getOrElse(i, null), i): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val proj = GraftStore.stores.get(name).map(_.projection)
+      .getOrElse(Array.tabulate(dataSchema.length)(identity))
+    (p: InputPartition) => new PartitionReader[InternalRow] {
+      private val gp = p.asInstanceOf[GraftDeltaPartition]
+      private val rows = gp.rows
+      private val deleted =
+        if (gp.dv == null) null else java.util.BitSet.valueOf(gp.dv)
+      private val base = gp.batchIdx.toLong << 32
+      private var i = -1
+      override def next(): Boolean = {
+        i += 1
+        if (deleted != null) while (i < rows.length && deleted.get(i)) i += 1
+        i < rows.length
+      }
+      override def get(): InternalRow = {
+        val r0 = rows(i)
+        val r = new Array[Any](proj.length + 1)
+        var j = 0
+        while (j < proj.length) {
+          if (proj(j) < r0.length) r(j) = r0(proj(j))
+          j += 1
+        }
+        r(proj.length) = base | i.toLong
+        new GenericInternalRow(r)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] case class GraftDeltaPartition(rows: Array[Array[Any]],
+    dv: Array[Long], batchIdx: Int) extends InputPartition
+
+/** Task-side delta writer + driver-side atomic row-delta commit: each
+  * task buffers deleted positions and inserted rows (an UPDATE is both),
+  * ships them as its commit message, and the driver applies ALL
+  * messages in one [[GraftStore.commitDelta]] — the same 2PC as every
+  * other write, so an aborted MOR DML publishes nothing.
+  */
+private[sources] class GraftDeltaBatchWrite(name: String, rowSchema: StructType)
+    extends DeltaBatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // locals only: the factory lambda must not capture `this` (the
+    // batch write holds driver-side state and is not serializable)
+    val s = rowSchema
+    (_: Int, _: Long) => new DeltaWriter[InternalRow] {
+      private val dels = scala.collection.mutable.ArrayBuffer.empty[Long]
+      private val ins = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      private def copyRow(r: InternalRow): Array[Any] = {
+        val vals = new Array[Any](s.length)
+        var i = 0
+        while (i < s.length) {
+          val v = r.get(i, s(i).dataType)
+          vals(i) = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case row: InternalRow => row.copy()
+            case other => other
+          }
+          i += 1
+        }
+        vals
+      }
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += id.getLong(0)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        dels += id.getLong(0)
+        ins += copyRow(row)
+      }
+      override def insert(row: InternalRow): Unit = ins += copyRow(row)
+      override def commit(): WriterCommitMessage =
+        GraftDeltaCommit(dels.toArray, ins.toArray)
+      override def abort(): Unit = { dels.clear(); ins.clear() }
+      override def close(): Unit = ()
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.map(_.asInstanceOf[GraftDeltaCommit])
+    val deleted = ms.flatMap(_.deleted)
+    val inserted = ms.flatMap(_.inserted).toSeq
+    if (deleted.nonEmpty || inserted.nonEmpty)
+      GraftStore.commitDelta(name, deleted, inserted, rowSchema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class GraftDeltaCommit(deleted: Array[Long],
+    inserted: Array[Array[Any]]) extends WriterCommitMessage
 
 /** A PARTITIONED catalog table whose partitions ARE the COW groups —
   * the real group-based model the unpartitioned table's whole-table

@@ -337,6 +337,82 @@ object GraftStore {
     live.toArray
   }
 
+  /** ROW-DELTA commit — the merge-on-read write path behind
+    * [[SupportsDelta]]-planned DML (`WriteDelta`): one atomic ledger
+    * commit that (a) marks `deleted` row positions (encoded
+    * `batchIdx << 32 | rowIdx`) in deletion vectors and (b) appends
+    * `inserted` rows as one new batch — so an UPDATE/MERGE writes
+    * O(changed rows) instead of copy-on-writing every group it touches.
+    * Inserted rows arrive in the write's LOGICAL layout and are
+    * scattered into physical slots exactly like [[publish]] appends.
+    * The truncation epoch bumps only when rows were DELETED (visible
+    * content of already-streamed batches changed); a pure-insert delta
+    * is an append under the streaming contract.
+    */
+  private[sources] def commitDelta(name: String, deleted: Array[Long],
+      inserted: Seq[Array[Any]], schema: StructType): Unit =
+    stores.synchronized {
+      val cur = stores.getOrElse(name,
+        throw new IllegalStateException(s"no store '$name' for a delta commit"))
+      // deletion-vector side
+      val byBatch = deleted.groupBy(p => (p >>> 32).toInt)
+      val dvs = (cur.dvs.keySet ++ byBatch.keySet).map { bi =>
+        val bits = cur.dvs.get(bi).map(java.util.BitSet.valueOf)
+          .getOrElse(new java.util.BitSet())
+        byBatch.getOrElse(bi, Array.empty[Long])
+          .foreach(p => bits.set(p.toInt))
+        bi -> bits.toLongArray
+      }.toMap
+      // insert side: scatter logical rows into physical slots (same
+      // contract as publish's append remap)
+      val proj = cur.projection
+      val width = cur.width
+      val identity = cur.identityLayout
+      val newBatch =
+        if (inserted.isEmpty) None
+        else Some(
+          if (identity) inserted.toArray
+          else inserted.map { r =>
+            val out = new Array[Any](width)
+            var j = 0
+            while (j < proj.length) {
+              if (j < r.length) out(proj(j)) = r(j)
+              j += 1
+            }
+            out
+          }.toArray)
+      val stats = newBatch match {
+        case Some(b) =>
+          val st = StoreSkipping.computeStats(schema, inserted.toArray)
+          // physical-slot-indexed like publish: scatter when evolved
+          val scattered = if (identity) st else {
+            val mins = new Array[Any](width); val maxs = new Array[Any](width)
+            val hasNull = new Array[Boolean](width)
+            val allNull = Array.fill(width)(true)
+            var j = 0
+            while (j < proj.length) {
+              if (j < st.mins.length) {
+                mins(proj(j)) = st.mins(j); maxs(proj(j)) = st.maxs(j)
+                hasNull(proj(j)) = st.hasNull(j); allNull(proj(j)) = st.allNull(j)
+              }
+              j += 1
+            }
+            BatchStats(st.rows, mins, maxs, hasNull, allNull)
+          }
+          cur.stats.padTo(cur.batches.length, null: BatchStats) :+ scattered
+        case None => cur.stats
+      }
+      val snap = cur.copy(
+        batches = newBatch.fold(cur.batches)(cur.batches :+ _),
+        stats = stats,
+        dvs = dvs,
+        truncCount = if (deleted.nonEmpty) cur.truncCount + 1
+          else cur.truncCount)
+      stores.put(name, snap)
+      history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+      ()
+    }
+
   /** Seed a brand-new store from an existing snapshot — how a BRANCH is
     * born ([[GraftCatalog]]'s write-audit-publish surface): the branch
     * shares the parent's committed batch arrays by reference (snapshots

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.sources.GraftStore
+
+/** Merge-on-read row-level DML (`TBLPROPERTIES('write.mode'=
+  * 'merge-on-read')` → Spark plans `WriteDelta`): writes must be
+  * O(changed rows) — deletion-vector bits + one appended delta batch —
+  * with every committed batch REFERENCE-identical through the DML.
+  */
+class MorDeltaSpec extends SparkSpec {
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  private def createMor(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+    df.writeTo(name).tableProperty("write.mode", "merge-on-read").create()
+
+  test("UPDATE writes only the changed rows: DV bits + one delta batch, zero rewrite") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    createMor("graft_cat.spec.mor1", base)
+    val key = "cat::graft_cat.spec.mor1"
+    try {
+      val before = GraftStore.batchesRef(key).get
+      val touched = base.filter(col("event_id") % 50 === 0).count()
+      spark.sql(
+        "UPDATE graft_cat.spec.mor1 SET value = value + 1000 WHERE event_id % 50 = 0")
+      val after = GraftStore.batchesRef(key).get
+      // every pre-existing batch survives BY REFERENCE; exactly one
+      // delta batch was appended, sized to the touched rows
+      assert(after.size === before.size + 1)
+      before.indices.foreach(i => assert(after(i) eq before(i),
+        s"batch $i was rewritten by a MOR update"))
+      assert(after.last.length.toLong === touched)
+      assert(GraftStore.dvMarkedCount(key) === touched)
+      // semantics: identical to the COW answer
+      val got = spark.table("graft_cat.spec.mor1")
+        .orderBy("event_id", "value").collect().toSeq
+      val want = base.select(col("event_id"),
+          when(col("event_id") % 50 === 0, col("value") + 1000)
+            .otherwise(col("value")).as("value"))
+        .orderBy("event_id", "value").collect().toSeq
+      assert(got === want)
+    } finally spark.sql("DROP TABLE graft_cat.spec.mor1")
+  }
+
+  test("MERGE mixes update/insert/delete ops; physical write = changed rows only") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    createMor("graft_cat.spec.mor2", base)
+    val key = "cat::graft_cat.spec.mor2"
+    try {
+      val before = GraftStore.batchesRef(key).get
+      val upd = base.filter(col("event_id") % 7 === 0 &&
+          col("event_id") % 13 =!= 0)
+        .select(col("event_id"), (col("value") * 2).as("value"))
+      val ins = base.filter(col("event_id") % 11 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"), col("value"))
+      val del = base.filter(col("event_id") % 13 === 0)
+        .select(col("event_id"), lit(-1.0).as("value"))
+      upd.unionByName(ins).unionByName(del)
+        .createOrReplaceTempView("mor2_src")
+      spark.sql(
+        """MERGE INTO graft_cat.spec.mor2 t USING mor2_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED AND s.value < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET value = s.value
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = GraftStore.batchesRef(key).get
+      before.indices.foreach(i => assert(after(i) eq before(i)))
+      val nUpd = base.filter(col("event_id") % 7 === 0 &&
+        col("event_id") % 13 =!= 0).count()
+      val nIns = base.filter(col("event_id") % 11 === 0).count()
+      val nDel = base.filter(col("event_id") % 13 === 0).count()
+      assert(after.size === before.size + 1)
+      assert(after.last.length.toLong === nUpd + nIns)
+      assert(GraftStore.dvMarkedCount(key) === nUpd + nDel)
+      // semantics
+      val want = base.filter(col("event_id") % 13 =!= 0)
+        .select(col("event_id"),
+          when(col("event_id") % 7 === 0, col("value") * 2)
+            .otherwise(col("value")).as("value"))
+        .unionByName(ins)
+        .orderBy("event_id", "value").collect().toSeq
+      val got = spark.table("graft_cat.spec.mor2")
+        .orderBy("event_id", "value").collect().toSeq
+      assert(got === want)
+    } finally spark.sql("DROP TABLE graft_cat.spec.mor2")
+  }
+
+  test("non-pushable DELETE on a MOR table is a row-delta (DV bits), not a COW rewrite") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    createMor("graft_cat.spec.mor3", base)
+    val key = "cat::graft_cat.spec.mor3"
+    try {
+      val before = GraftStore.batchesRef(key).get
+      spark.sql("DELETE FROM graft_cat.spec.mor3 WHERE value * 2 < 80")
+      val after = GraftStore.batchesRef(key).get
+      assert(after.size === before.size, "a delete appends no batch")
+      before.indices.foreach(i => assert(after(i) eq before(i)))
+      assert(GraftStore.dvMarkedCount(key) ===
+        base.filter(col("value") * 2 < 80).count())
+      assert(spark.table("graft_cat.spec.mor3").count() ===
+        base.filter(col("value") * 2 >= 80).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.mor3")
+  }
+
+  test("MOR ledger composes: time travel, history kind, compaction paying down the DV debt") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    createMor("graft_cat.spec.mor4", base)
+    val key = "cat::graft_cat.spec.mor4"
+    try {
+      spark.sql(
+        "UPDATE graft_cat.spec.mor4 SET value = value + 1000 WHERE event_id % 50 = 0")
+      // pre-update version unaffected
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.mor4 VERSION AS OF 1")
+        .head.getLong(0) === base.count())
+      val want = spark.table("graft_cat.spec.mor4")
+        .orderBy("event_id", "value").collect().toSeq
+      spark.sql("CALL graft_cat.system.compact('spec.mor4')")
+      assert(GraftStore.dvMarkedCount(key) === 0L)
+      assert(GraftStore.batchesRef(key).get.size === 1)
+      assert(spark.table("graft_cat.spec.mor4")
+        .orderBy("event_id", "value").collect().toSeq === want)
+    } finally spark.sql("DROP TABLE graft_cat.spec.mor4")
+  }
+}
