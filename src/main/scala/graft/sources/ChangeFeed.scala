@@ -98,35 +98,45 @@ object ChangeFeed {
       }
 
     val changes = scala.collection.mutable.ArrayBuffer.empty[Row]
+    /** newly DV'd rows of `cur` vs `prev` as deletes (rendered from the
+      * pre-image snapshot — that's what the rows meant when live).
+      */
+    def dvDeltaDeletes(prev: GraftStore.Committed, cur: GraftStore.Committed,
+        v: Int): Unit =
+      cur.batches.zipWithIndex.foreach { case (batch, bi) =>
+        val now = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+        if (now != null) {
+          val before = prev.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+          var r = now.nextSetBit(0)
+          while (r >= 0) {
+            if (before == null || !before.get(r))
+              changes += render(prev, batch(r), "delete", v)
+            r = now.nextSetBit(r + 1)
+          }
+        }
+      }
     (((fromVersion + 1) max 1) to toVersion).foreach { v =>
       val prev = hist(v - 1)
       val cur = hist(v)
-      if (cur.truncCount != prev.truncCount &&
-          (cur.batches ne prev.batches)) {
-        // rewrite commit: full pre-image deletes + post-image inserts.
-        // (a DV commit also bumps the epoch but keeps the batch seq
-        // reference-identical — handled below with exact row precision)
-        liveRows(prev).foreach(r => changes += render(prev, r, "delete", v))
-        liveRows(cur).foreach(r => changes += render(cur, r, "insert", v))
-      } else if (cur.batches ne prev.batches) {
-        // append commit: new batches are inserts
-        cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
-          changes += render(cur, r, "insert", v)))
-      } else if (cur.dvs != prev.dvs) {
-        // deletion-vector commit: newly set bits are deletes
-        cur.batches.zipWithIndex.foreach { case (batch, bi) =>
-          val now = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
-          if (now != null) {
-            val before = prev.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
-            var r = now.nextSetBit(0)
-            while (r >= 0) {
-              if (before == null || !before.get(r))
-                changes += render(prev, batch(r), "delete", v)
-              r = now.nextSetBit(r + 1)
-            }
-          }
-        }
-      } // else: metadata-only commit (schema evolution) — no row changes
+      GraftStore.classifyCommit(prev, cur) match {
+        case "rewrite" =>
+          // full pre-image deletes + post-image inserts
+          liveRows(prev).foreach(r => changes += render(prev, r, "delete", v))
+          liveRows(cur).foreach(r => changes += render(cur, r, "insert", v))
+        case "append" =>
+          cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
+            changes += render(cur, r, "insert", v)))
+        case "delete-vectors" =>
+          dvDeltaDeletes(prev, cur, v)
+        case "row-delta" =>
+          // a MOR WriteDelta commit: exactly its DV delta as deletes
+          // plus its appended delta batches as inserts — row-precise,
+          // where a COW format must diff whole file contents
+          dvDeltaDeletes(prev, cur, v)
+          cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
+            changes += render(cur, r, "insert", v)))
+        case _ => // evolve/unknown: metadata only — no row changes
+      }
     }
     s.createDataFrame(
       java.util.Arrays.asList(changes.toArray: _*), out)

@@ -276,15 +276,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             def kind(v: Int): String =
               if (hist(v) == null) "expired"
               else if (v == 0) "create"
-              else if (hist(v - 1) == null) "unknown" // diff base expired
-              else {
-                val prev = hist(v - 1); val cur = hist(v)
-                if (cur.truncCount != prev.truncCount &&
-                    (cur.batches ne prev.batches)) "rewrite"
-                else if (cur.batches ne prev.batches) "append"
-                else if (cur.dvs != prev.dvs) "delete-vectors"
-                else "evolve"
-              }
+              else GraftStore.classifyCommit(hist(v - 1), hist(v))
             val out = new StructType()
               .add("version", IntegerType, nullable = false)
               .add("kind", StringType, nullable = false)

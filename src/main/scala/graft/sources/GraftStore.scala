@@ -405,12 +405,39 @@ object GraftStore {
       val snap = cur.copy(
         batches = newBatch.fold(cur.batches)(cur.batches :+ _),
         stats = stats,
-        dvs = dvs,
+        // a pure-insert delta keeps the DV map REFERENCE-identical, so
+        // commit classification can tell it from a deleting delta
+        dvs = if (deleted.isEmpty) cur.dvs else dvs,
         truncCount = if (deleted.nonEmpty) cur.truncCount + 1
           else cur.truncCount)
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
+    }
+
+  /** Classify the commit that turned `prev` into `cur` — the shared
+    * derivation behind `CALL system.history` and the change feed, all
+    * by reference identity of immutable snapshot internals:
+    * batch-seq shared → metadata only (`delete-vectors` if the DV map
+    * moved, else `evolve`); prev's batches a reference-prefix of cur's
+    * → additive (`row-delta` when the commit also deleted, else
+    * `append`); anything else replaced data (`rewrite`).
+    */
+  private[sources] def classifyCommit(prev: Committed, cur: Committed): String =
+    if (prev == null || cur == null) "unknown"
+    else if (cur.batches eq prev.batches) {
+      if (cur.dvs ne prev.dvs) "delete-vectors" else "evolve"
+    } else {
+      val prefix = cur.batches.size >= prev.batches.size &&
+        prev.batches.indices.forall(i => cur.batches(i) eq prev.batches(i))
+      if (cur.truncCount != prev.truncCount) {
+        // the epoch moved: either a deleting row-delta (old batches all
+        // survive by reference) or a genuine replace
+        if (prefix && prev.batches.nonEmpty) "row-delta" else "rewrite"
+      }
+      else if (!prefix) "rewrite"
+      else if (cur.dvs ne prev.dvs) "row-delta"
+      else "append"
     }
 
   /** Seed a brand-new store from an existing snapshot — how a BRANCH is

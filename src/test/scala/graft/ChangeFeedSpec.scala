@@ -75,6 +75,31 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.cf2")
   }
 
+  test("a MOR row-delta commit renders row-precisely: DV delta deletes + delta-batch inserts") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.cfm")
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      spark.sql(
+        "UPDATE graft_cat.spec.cfm SET value = value + 1000 WHERE event_id % 50 = 0") // v2 row-delta
+      val touched = base.filter(col("event_id") % 50 === 0).count()
+      val ch = ChangeFeed.tableChanges(spark, "spec.cfm", 1, 2)
+      // NOT a rewrite rendering: exactly the touched rows, both ways
+      assert(ch.filter(col("_change_type") === "delete").count() === touched)
+      assert(ch.filter(col("_change_type") === "insert").count() === touched)
+      assert(ch.filter(col("_change_type") === "delete" &&
+        col("event_id") % 50 =!= 0).count() === 0L)
+      // pre-image values on deletes, post-image on inserts
+      assert(ch.filter(col("_change_type") === "insert" &&
+        col("value") < 1000).count() === 0L)
+      // and the history kind agrees
+      val kinds = spark.sql("CALL graft_cat.system.history('spec.cfm')")
+        .orderBy("version").select("kind").collect().map(_.getString(0))
+      assert(kinds.toSeq === Seq("create", "append", "row-delta"))
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfm")
+  }
+
   test("refusals: partitioned table, out-of-range and retention-expired versions") {
     cat()
     val base = Tables.events(spark, sfDir)
