@@ -801,8 +801,25 @@ private[sources] class GraftRowLevelTable(storeKey: String,
             Array(org.apache.spark.sql.connector.expressions.Expressions
               .column("_pos"))
           override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-            new ScanBuilder {
-              override def build() = new GraftDeltaScan(storeKey, schema())
+            // the command's condition reaches this builder through
+            // V2ScanRelationPushdown, so a selective UPDATE/DELETE prunes
+            // COMMITTED BATCHES by footer stats before any row is read —
+            // the same data skipping the plain read path has, on the MOR
+            // operation scan (everything stays residual; positions are
+            // per-batch, so pruning cannot shift a surviving row's id)
+            new ScanBuilder with SupportsPushDownFilters {
+              private var skipping =
+                Array.empty[org.apache.spark.sql.sources.Filter]
+              override def pushFilters(
+                  filters: Array[org.apache.spark.sql.sources.Filter])
+                  : Array[org.apache.spark.sql.sources.Filter] = {
+                skipping = filters.filter(StoreSkipping.supported(schema(), _))
+                filters
+              }
+              override def pushedFilters()
+                  : Array[org.apache.spark.sql.sources.Filter] = skipping
+              override def build() =
+                new GraftDeltaScan(storeKey, schema(), skipping)
             }
           override def newWriteBuilder(lwi: LogicalWriteInfo): DeltaWriteBuilder =
             new DeltaWriteBuilder {
@@ -836,20 +853,29 @@ private[sources] class GraftRowLevelTable(storeKey: String,
   * the stable position a row-delta commit addresses
   * ([[GraftStore.commitDelta]]).
   */
-private[sources] class GraftDeltaScan(name: String, dataSchema: StructType)
+private[sources] class GraftDeltaScan(name: String, dataSchema: StructType,
+    skipping: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   private val full = dataSchema.add("_pos",
     org.apache.spark.sql.types.LongType, nullable = false)
   override def readSchema(): StructType = full
   override def toBatch: Batch = this
-  override def description(): String = s"graft_store($name) delta scan"
+  override def description(): String =
+    s"graft_store($name) delta scan" + (if (skipping.isEmpty) ""
+      else skipping.mkString(" [skipping: ", ", ", "]"))
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = GraftStore.stores.getOrElse(name,
       throw new IllegalStateException(
         s"graft store '$name' no longer exists — evicted or dropped"))
-    snap.batches.zipWithIndex.map { case (b, i) =>
-      GraftDeltaPartition(b, snap.dvs.getOrElse(i, null), i): InputPartition
-    }.toArray
+    val kept = snap.batches.indices.filter { i =>
+      skipping.isEmpty ||
+        StoreSkipping.batchMayMatch(dataSchema, snap.projection,
+          if (i < snap.stats.length) snap.stats(i) else null, skipping)
+    }
+    GraftStore.skipLog.put(name,
+      (snap.batches.size, snap.batches.size - kept.size))
+    kept.map(i => GraftDeltaPartition(snap.batches(i),
+      snap.dvs.getOrElse(i, null), i): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val proj = GraftStore.stores.get(name).map(_.projection)

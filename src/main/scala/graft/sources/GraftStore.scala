@@ -622,6 +622,11 @@ private[sources] class GraftStoreTable(
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters {
       private var skipping = Array.empty[org.apache.spark.sql.sources.Filter]
+      // streaming reads: `.option("startingOffsets", "latest")` starts a
+      // change feed at the CURRENT ledger head instead of replaying every
+      // committed batch (the Kafka/Delta option, earliest = default)
+      private val startLatest =
+        "latest".equalsIgnoreCase(opts.getOrDefault("startingOffsets", "earliest"))
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
@@ -631,7 +636,7 @@ private[sources] class GraftStoreTable(
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         skipping
       override def build(): Scan =
-        new GraftStoreScan(storeKey, schema(), skipping)
+        new GraftStoreScan(storeKey, schema(), skipping, startLatest)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -684,7 +689,8 @@ private[sources] class GraftStoreStreamingWrite(name: String, schema: StructType
 }
 
 private[sources] class GraftStoreScan(name: String, val s: StructType,
-    skipping: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    skipping: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    streamFromLatest: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = s
   override def toBatch: Batch = this
@@ -715,7 +721,7 @@ private[sources] class GraftStoreScan(name: String, val s: StructType,
       .getOrElse(Array.tabulate(s.length)(identity)))
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftStoreMicroBatchStream(name, s)
+    new GraftStoreMicroBatchStream(name, s, streamFromLatest)
 }
 
 /** Streaming READS from a store/catalog table -- the change-feed half of
@@ -732,7 +738,8 @@ private[sources] class GraftStoreScan(name: String, val s: StructType,
   * exactly the commits present at start and a checkpoint resume
   * continues from the recorded batch count (exactly-once, gated).
   */
-private[sources] class GraftStoreMicroBatchStream(name: String, s: StructType)
+private[sources] class GraftStoreMicroBatchStream(name: String, s: StructType,
+    fromLatest: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
@@ -744,7 +751,13 @@ private[sources] class GraftStoreMicroBatchStream(name: String, s: StructType)
     GraftStreamOffset(c.truncCount, c.batches.size)
   @volatile private var availableNowTarget: Option[GraftStreamOffset] = None
 
-  override def initialOffset(): V2Offset = GraftStreamOffset(snap.truncCount, 0)
+  override def initialOffset(): V2Offset = {
+    // earliest (default): replay every committed batch from ordinal 0;
+    // latest: begin at the ledger head — only post-start commits flow
+    val c = snap
+    if (fromLatest) GraftStreamOffset(c.truncCount, c.batches.size)
+    else GraftStreamOffset(c.truncCount, 0)
+  }
   override def deserializeOffset(json: String): V2Offset =
     GraftStreamOffset.fromJson(json)
   override def prepareForTriggerAvailableNow(): Unit =

@@ -110,6 +110,35 @@ class MorDeltaSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.mor3")
   }
 
+  test("the MOR operation scan data-skips: a range-selective UPDATE reads one batch of four") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val maxId = base.agg(max(col("event_id"))).head.getLong(0)
+    val w = math.ceil((maxId + 1) / 4.0).toLong
+    def quartile(i: Int) = base
+      .filter(col("event_id") >= i * w && col("event_id") < (i + 1) * w)
+      .repartition(1)
+    createMor("graft_cat.spec.mor5", quartile(0))
+    val key = "cat::graft_cat.spec.mor5"
+    try {
+      (1 to 3).foreach(i => quartile(i).writeTo("graft_cat.spec.mor5").append())
+      spark.sql(
+        s"UPDATE graft_cat.spec.mor5 SET value = value + 1 WHERE event_id >= ${3 * w}")
+      // the op scan's pushed filter pruned the three range-disjoint
+      // batches by footer stats before any row was read
+      val (planned, skipped) = GraftStore.skipLog.getOrElse(key, (-1, -1))
+      assert(planned === 4 && skipped === 3,
+        s"expected 4 batches / 3 skipped on the op scan, got $planned/$skipped")
+      // and the delta still lands correctly
+      val want = base.select(col("event_id"),
+          when(col("event_id") >= 3 * w, col("value") + 1)
+            .otherwise(col("value")).as("value"))
+        .orderBy("event_id", "value").collect().toSeq
+      assert(spark.table("graft_cat.spec.mor5")
+        .orderBy("event_id", "value").collect().toSeq === want)
+    } finally spark.sql("DROP TABLE graft_cat.spec.mor5")
+  }
+
   test("MOR ledger composes: time travel, history kind, compaction paying down the DV debt") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
