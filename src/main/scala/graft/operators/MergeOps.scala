@@ -1043,6 +1043,33 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** The CDC surface as a SQL-addressable VIEW — `` ns.`t@changes` ``
+    * ([[graft.sources.GraftCdcTable]]): same commit script as
+    * [[cdcTableChanges]], but the changes are read back with a plain
+    * `spark.table` over the reserved ref instead of the Scala API —
+    * shared oracle, so the view must render every commit kind
+    * identically. The same ref is STREAMABLE (`readStream.table`) with
+    * VERSION-ordinal offsets that keep flowing across rewrites where
+    * the raw append feed fences (`ChangeFeedSpec` pins the
+    * drain-rewrite-drain sequence); Delta's `readChangeFeed`, on the
+    * graft ledger.
+    */
+  def cdcChangesView(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base.filter(col("event_id") % 2 === 0)) { tbl => // v0+v1
+      base.filter(col("event_id") % 2 === 1).writeTo(tbl).append() // v2
+      s.sql(s"DELETE FROM $tbl WHERE value < 40") // v3: deletion vectors
+      s.sql(s"UPDATE $tbl SET value = value + 1000 WHERE event_id % 10 = 0") // v4: COW
+      val Array(ns, t) = tbl.stripPrefix("graft_cat.").split("\\.")
+      s.table(s"graft_cat.$ns.`$t@changes`")
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("_commit_version", "_change_type")
+    }
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -1069,6 +1096,8 @@ object MergeOps extends QueryModule {
     RegisteredQuery("sql_call_compact", sqlCallCompact,
       Some(sqlCallCompactOracle)),
     RegisteredQuery("cdc_table_changes", cdcTableChanges,
+      Some(cdcTableChangesOracle)),
+    RegisteredQuery("cdc_changes_view", cdcChangesView,
       Some(cdcTableChangesOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),

@@ -45,48 +45,74 @@ object ChangeFeed {
   def tableChanges(s: SparkSession, tbl: String, fromVersion: Int,
       toVersion: Int, catalog: String = "graft_cat"): DataFrame = {
     val key = s"cat::$catalog.$tbl"
-    require(!GraftCatalog.parts.contains(key),
-      "table_changes on a partitioned table is unsupported — partition " +
-        "shards commit independently (no table-level commit ordinals)")
-    val hist = GraftStore.history.getOrElse(key,
-      throw new IllegalStateException(s"no catalog table '$tbl'"))
+    val hist = histOf(key, tbl)
     require(fromVersion >= 0 && toVersion < hist.size && fromVersion <= toVersion,
       s"version range [$fromVersion, $toVersion] out of bounds " +
         s"(table has ${hist.size} commits)")
+    val target = hist(toVersion).schema
+    val out = outSchema(target)
+    val toExternal = target.fields
+      .map(f => CatalystTypeConverters.createToScalaConverter(f.dataType))
+    val rows = internalChanges(hist, target, fromVersion, toVersion).map { vals =>
+      val ext = new Array[Any](out.length)
+      var j = 0
+      while (j < target.length) {
+        ext(j) = if (vals(j) == null) null else toExternal(j)(vals(j))
+        j += 1
+      }
+      ext(target.length) = vals(target.length).toString // UTF8String → String
+      ext(target.length + 1) = vals(target.length + 1)
+      Row.fromSeq(ext.toIndexedSeq)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out)
+  }
+
+  private[sources] def histOf(key: String, tbl: String)
+      : Vector[GraftStore.Committed] = {
+    require(!GraftCatalog.parts.contains(key),
+      "table_changes on a partitioned table is unsupported — partition " +
+        "shards commit independently (no table-level commit ordinals)")
+    GraftStore.history.getOrElse(key,
+      throw new IllegalStateException(s"no catalog table '$tbl'"))
+  }
+
+  private[sources] def outSchema(target: StructType): StructType =
+    StructType(target.fields)
+      .add("_change_type", StringType, nullable = false)
+      .add("_commit_version", IntegerType, nullable = false)
+
+  /** The ledger walk shared by the batch API and the `t@changes` CDC
+    * table: rows in the INTERNAL value domain (UTF8String etc.), shaped
+    * to `target` by name, with `_change_type` (UTF8String) and
+    * `_commit_version` (Int) appended.
+    */
+  private[sources] def internalChanges(hist: Vector[GraftStore.Committed],
+      target: StructType, fromVersion: Int, toVersion: Int)
+      : Array[Array[Any]] = {
     (((fromVersion + 1) max 1) to toVersion).foreach(v => require(
       hist(v) != null && hist(v - 1) != null,
       s"version ${v - 1} or $v expired by retention — change feed " +
         "needs both sides of every diffed commit"))
 
-    val target = hist(toVersion).schema
-    val out = StructType(target.fields)
-      .add("_change_type", StringType, nullable = false)
-      .add("_commit_version", IntegerType, nullable = false)
-    val toExternal = target.fields
-      .map(f => CatalystTypeConverters.createToScalaConverter(f.dataType))
-
-    /** one snapshot's logical row, re-shaped by NAME into the target
-      * schema (+ change metadata), external value domain.
-      */
     def render(snap: GraftStore.Committed, row: Array[Any],
-        change: String, version: Int): Row = {
+        change: String, version: Int): Array[Any] = {
       val proj = snap.projection
       val srcIdx = target.fields.map { f =>
         snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
       }
-      val vals = new Array[Any](out.length)
+      val vals = new Array[Any](target.length + 2)
       var j = 0
       while (j < target.length) {
         val si = srcIdx(j)
-        val v =
+        vals(j) =
           if (si < 0 || si >= proj.length || proj(si) >= row.length) null
           else row(proj(si))
-        vals(j) = if (v == null) null else toExternal(j)(v)
         j += 1
       }
-      vals(target.length) = change
+      vals(target.length) =
+        org.apache.spark.unsafe.types.UTF8String.fromString(change)
       vals(target.length + 1) = version
-      Row.fromSeq(vals.toIndexedSeq)
+      vals
     }
 
     def liveRows(snap: GraftStore.Committed): Iterator[Array[Any]] =
@@ -97,7 +123,7 @@ object ChangeFeed {
         }
       }
 
-    val changes = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     /** newly DV'd rows of `cur` vs `prev` as deletes (rendered from the
       * pre-image snapshot — that's what the rows meant when live).
       */
@@ -138,7 +164,6 @@ object ChangeFeed {
         case _ => // evolve/unknown: metadata only — no row changes
       }
     }
-    s.createDataFrame(
-      java.util.Arrays.asList(changes.toArray: _*), out)
+    changes.toArray
   }
 }

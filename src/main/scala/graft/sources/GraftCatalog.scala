@@ -419,6 +419,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                     s"graft catalog: no table '$tbl' to branch"))
                 require(!GraftCatalog.branches.contains(bk),
                   s"graft catalog: branch '$branch' of '$tbl' already exists")
+                require(branch != "changes",
+                  "graft catalog: 'changes' is the reserved CDC ref " +
+                    "(`t@changes`), not a branch name")
                 GraftStore.seed(bk, cur)
                 GraftCatalog.branches.put(bk,
                   GraftStore.versionCount(mainKey))
@@ -503,6 +506,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     branchParts(ident).foreach { case (mainKey, branch) =>
+      // `t@changes` is the RESERVED ref: the table's CDC view (batch
+      // SELECT = full-history changes; readStream = a change feed whose
+      // offsets are VERSION ordinals, so it keeps flowing across
+      // rewrites where the raw append feed fences)
+      if (branch == "changes") {
+        if (!GraftStore.stores.contains(mainKey))
+          throw new NoSuchTableException(ident)
+        return new GraftCdcTable(mainKey, ident.name)
+      }
       val bk = s"$mainKey#b=$branch"
       if (!GraftCatalog.branches.contains(bk))
         throw new NoSuchTableException(ident)
@@ -1477,4 +1489,120 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
       override def close(): Unit = ()
     }
   }
+}
+
+/** The CDC VIEW of a catalog table, served at the reserved ref
+  * `` ns.`t@changes` ``: schema = the table's columns plus
+  * `_change_type` / `_commit_version`. A batch SELECT renders the FULL
+  * committed history's row-level changes; a readStream is a change
+  * feed whose offsets are VERSION ordinals — each micro-batch is
+  * exactly the commits in (start, end], rendered per commit kind by
+  * the same [[ChangeFeed]] walk as the batch API, so the feed keeps
+  * flowing across COW rewrites and MOR row-deltas where the raw
+  * append feed ([[GraftStoreMicroBatchStream]]) fences. This is
+  * Delta's `readChangeFeed` surface; at 100 TB each micro-batch plans
+  * a distributed scan over the commit's changed files + DV manifests.
+  * `.option("startingOffsets", "latest")` anchors at the ledger head.
+  * Retention interacts loudly: draining a range whose pre-image
+  * version was expired fails with the retention error, never serves a
+  * partial diff.
+  */
+private[sources] class GraftCdcTable(mainKey: String, nm: String)
+    extends Table with SupportsRead {
+  private def dataSchema: StructType = GraftStore.stores
+    .getOrElse(mainKey, throw new IllegalStateException(
+      s"graft catalog: table behind '$nm' no longer exists")).schema
+  override def name(): String = s"graft_store($mainKey@changes)"
+  override def schema(): StructType = ChangeFeed.outSchema(dataSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      private val startLatest = "latest".equalsIgnoreCase(
+        opts.getOrDefault("startingOffsets", "earliest"))
+      override def build(): Scan =
+        new GraftCdcScan(mainKey, nm, dataSchema, startLatest)
+    }
+}
+
+private[sources] class GraftCdcScan(mainKey: String, nm: String,
+    target: StructType, startLatest: Boolean) extends Scan with Batch {
+  override def readSchema(): StructType = ChangeFeed.outSchema(target)
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_store($mainKey) cdc scan"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val hist = ChangeFeed.histOf(mainKey, nm)
+    Array(GraftCdcPartition(
+      ChangeFeed.internalChanges(hist, target, 0, hist.size - 1)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCdcScan.readerFactory
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCdcMicroBatchStream(mainKey, nm, target, startLatest)
+}
+
+private[sources] object GraftCdcScan {
+  val readerFactory: PartitionReaderFactory =
+    (p: InputPartition) => new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[GraftCdcPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] case class GraftCdcPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+/** The streaming half of the CDC view: offsets are COMMIT ORDINALS
+  * into the ledger, so a micro-batch (a, b] is exactly those commits'
+  * row-level changes — stable under rewrites (they are first-class
+  * commits here, not a fence) and under retention as long as both
+  * sides of every diffed commit are live (else loud).
+  */
+private[sources] class GraftCdcMicroBatchStream(mainKey: String, nm: String,
+    target: StructType, fromLatest: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+
+  private def head: Int = ChangeFeed.histOf(mainKey, nm).size - 1
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  private case class VOff(v: Int) extends V2Offset {
+    override def json(): String = s"""{"version":$v}"""
+  }
+  private val Pat = """\{"version":(\d+)\}""".r
+
+  override def initialOffset(): V2Offset =
+    VOff(if (fromLatest) head else 0)
+  override def deserializeOffset(json: String): V2Offset = json.trim match {
+    case Pat(v) => VOff(v.toInt)
+    case other => throw new IllegalArgumentException(
+      s"malformed graft cdc offset: $other")
+  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(head)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): V2Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead of this method")
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
+    VOff(availableNowTarget.getOrElse(head))
+  override def reportLatestOffset(): V2Offset = VOff(head)
+  override def commit(end: V2Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset)
+      : Array[InputPartition] = {
+    val a = start.asInstanceOf[VOff].v
+    val b = end.asInstanceOf[VOff].v
+    if (a >= b) Array.empty
+    else Array(GraftCdcPartition(
+      ChangeFeed.internalChanges(ChangeFeed.histOf(mainKey, nm), target, a, b)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCdcScan.readerFactory
 }

@@ -100,6 +100,64 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.cfm")
   }
 
+  test("t@changes: batch SELECT serves full-history CDC; the stream survives rewrites") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+      .limit(100)
+    spark.createDataFrame(base.collectAsList(), base.schema)
+      .writeTo("graft_cat.spec.cdcv").create() // v0, v1
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcv")
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.cdcv WHERE value < 40") // v2 DV
+      val gone = spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.cdcv VERSION AS OF 1")
+        .head.getLong(0) - spark.table("graft_cat.spec.cdcv").count()
+      // batch view == the API, row for row
+      val viaView = spark.table("graft_cat.spec.`cdcv@changes`")
+        .orderBy("_commit_version", "_change_type", "event_id", "value")
+        .collect().toSeq
+      val viaApi = ChangeFeed.tableChanges(spark, "spec.cdcv", 0, 2)
+        .orderBy("_commit_version", "_change_type", "event_id", "value")
+        .collect().toSeq
+      assert(viaView === viaApi)
+      assert(viaView.size.toLong === 100 + gone)
+
+      // streaming: drain history, then a REWRITE commit, then drain the
+      // delta — the version-ordinal offsets flow across the rewrite
+      // where the raw append feed fences
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      def drain(): Long = {
+        seen.set(0)
+        val q = spark.readStream.table("graft_cat.spec.`cdcv@changes`")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            seen.addAndGet(df.count()); ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+        seen.get
+      }
+      assert(drain() === 100 + gone)
+      val live = spark.table("graft_cat.spec.cdcv").count()
+      spark.sql("UPDATE graft_cat.spec.cdcv SET value = value + 1") // v3 rewrite
+      assert(drain() === 2 * live,
+        "the rewrite commit must stream as pre-image deletes + post-image inserts")
+    } finally spark.sql("DROP TABLE graft_cat.spec.cdcv")
+  }
+
+  test("'changes' is a reserved ref: create_branch refuses it") {
+    cat()
+    spark.range(3).select(col("id").as("k")).writeTo("graft_cat.spec.cdcr").create()
+    try {
+      val e = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.create_branch('spec.cdcr', 'changes')")
+      }
+      assert(e.getMessage.contains("reserved"))
+    } finally spark.sql("DROP TABLE graft_cat.spec.cdcr")
+  }
+
   test("refusals: partitioned table, out-of-range and retention-expired versions") {
     cat()
     val base = Tables.events(spark, sfDir)
