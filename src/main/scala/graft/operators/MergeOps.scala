@@ -1070,6 +1070,49 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** ANSI CHECK constraints enforced by the engine's own write path
+    * (Spark 4 SPARK-51207 + [[graft.sources.GraftCatalog]] serving the
+    * stored constraint from `Table.constraints()`): after `ALTER TABLE
+    * ADD CONSTRAINT ... CHECK (value >= 0)`, a conforming append lands,
+    * and a violating INSERT fails IN FLIGHT — atomically, the 2PC
+    * publishes nothing (`rejected` pins the refusal, the digest pins
+    * that no partial batch leaked). `ConstraintSpec` additionally pins
+    * enforcement through the row-level UPDATE path, DROP CONSTRAINT
+    * lifting it, and informational NOT ENFORCED PRIMARY KEYs. At
+    * 100 TB this is schema-on-write data quality at the storage
+    * boundary — malformed rows can never enter the table, so no
+    * downstream quarantine pass.
+    */
+  def sqlCheckConstraint(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT v_nonneg CHECK (value >= 0)")
+      base.filter(col("event_id") % 10 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"), col("value"))
+        .writeTo(tbl).append() // conforming: fixture values are >= 0
+      val rejected =
+        try { s.sql(s"INSERT INTO $tbl VALUES (9999999, CAST(-1.0 AS DOUBLE))"); 0 }
+        catch { case _: Exception => 1 }
+      s.table(tbl)
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .withColumn("rejected", lit(rejected))
+    }
+  }
+
+  val sqlCheckConstraintOracle: String =
+    """WITH t AS (
+      |  SELECT value FROM events
+      |  UNION ALL
+      |  SELECT value FROM events WHERE event_id % 10 = 0
+      |)
+      |SELECT count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total,
+      | 1 AS rejected
+      |FROM t""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -1099,6 +1142,8 @@ object MergeOps extends QueryModule {
       Some(cdcTableChangesOracle)),
     RegisteredQuery("cdc_changes_view", cdcChangesView,
       Some(cdcTableChangesOracle)),
+    RegisteredQuery("sql_check_constraint", sqlCheckConstraint,
+      Some(sqlCheckConstraintOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),
     RegisteredQuery("sql_call_rollback", sqlCallRollback,

@@ -39,6 +39,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catName: String = "graft_cat"
 
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
   override def name(): String = catName
@@ -665,6 +668,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(!partitioned.contains(del.fieldNames.head),
           "graft catalog: cannot drop the partition column")
         GraftStore.dropColumn(k, del.fieldNames.head)
+      // ANSI constraints (Spark 4's SPARK-51207 framework): the catalog
+      // only has to STORE them and serve them from Table.constraints() —
+      // write-side CHECK enforcement is Spark's own
+      // `ResolveTableConstraints` wrapping every V2 write with the
+      // predicate, so a violating INSERT/MERGE fails in-flight and the
+      // 2PC publishes nothing. PK/FK/UNIQUE are informational (NOT
+      // ENFORCED / RELY), the CBO-hint model every warehouse uses.
+      case ac: TableChange.AddConstraint =>
+        val c = ac.constraint()
+        val existing = GraftCatalog.constraintsReg.getOrElse(k, Seq.empty)
+        require(!existing.exists(_.name.equalsIgnoreCase(c.name)),
+          s"graft catalog: constraint '${c.name}' already exists")
+        GraftCatalog.constraintsReg.put(k, existing :+ c)
+      case dc: TableChange.DropConstraint =>
+        val existing = GraftCatalog.constraintsReg.getOrElse(k, Seq.empty)
+        require(dc.ifExists ||
+          existing.exists(_.name.equalsIgnoreCase(dc.name)),
+          s"graft catalog: no constraint '${dc.name}' to drop")
+        GraftCatalog.constraintsReg.put(k,
+          existing.filterNot(_.name.equalsIgnoreCase(dc.name)))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
     }
@@ -676,6 +699,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val existed = GraftStore.stores.contains(k)
     GraftCatalog.parts.remove(k)
     GraftCatalog.morTables.remove(k)
+    GraftCatalog.constraintsReg.remove(k)
     GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.branches.remove)
     GraftCatalog.tags.keys.filter(_.startsWith(k + "#t="))
@@ -715,6 +739,12 @@ object GraftCatalog {
     */
   private[graft] val morTables =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** table key → its declared ANSI constraints (CHECK enforced by
+    * Spark's write path; PK/FK/UNIQUE informational).
+    */
+  private[graft] val constraintsReg = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[org.apache.spark.sql.connector.catalog.constraints.Constraint]]
 }
 
 /** A catalog table that additionally accepts row-level DML: the
@@ -764,6 +794,10 @@ private[sources] class GraftRowLevelTable(storeKey: String,
     GraftStore.publish(storeKey, schema(), Seq.empty, truncate = true)
     true
   }
+
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftCatalog.constraintsReg.getOrElse(storeKey, Seq.empty).toArray
 
   override def metadataColumns(): Array[MetadataColumn] = {
     val group = new MetadataColumn {
@@ -1013,6 +1047,9 @@ private[sources] class GraftPartitionedTable(
     with SupportsDeleteV2 {
 
   override def name(): String = s"graft_store($tableKey/$partCol)"
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftCatalog.constraintsReg.getOrElse(tableKey, Seq.empty).toArray
   override def schema(): StructType =
     GraftStore.stores.get(tableKey).map(_.schema).getOrElse(declared)
   override def partitioning(): Array[Transform] =
