@@ -1113,6 +1113,51 @@ object MergeOps extends QueryModule {
       | 1 AS rejected
       |FROM t""".stripMargin
 
+  /** DEFAULT column values, both halves metadata-only
+    * ([[graft.sources.GraftCatalog]] + the store's slot defaults):
+    * `ADD COLUMN tier STRING NOT NULL DEFAULT 'bronze'` rewrites
+    * nothing (spec eq-pins the batches) yet every pre-evolution row
+    * reads 'bronze' on every path (EXISTS_DEFAULT as a scan-time slot
+    * pad — NOT NULL is legal because of it), a full-width append keeps
+    * its own values, and an INSERT omitting the column gets the
+    * CURRENT_DEFAULT filled by Spark's analyzer from the stored field
+    * metadata. The digest goes red if any tier reads NULL. At 100 TB
+    * this is the O(1) default-evolution contract (Delta/Iceberg): no
+    * backfill job, the next COW rewrite materializes lazily.
+    */
+  def sqlDefaultColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(
+        s"ALTER TABLE $tbl ADD COLUMN tier STRING NOT NULL DEFAULT 'bronze'")
+      base.filter(col("event_id") % 10 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"), col("value"),
+          lit("gold").as("tier"))
+        .writeTo(tbl).append()
+      s.sql(s"INSERT INTO $tbl (event_id, value) " +
+        "VALUES (9000000, CAST(1.5 AS DOUBLE))")
+      s.table(tbl)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("tier")
+    }
+  }
+
+  val sqlDefaultColumnOracle: String =
+    """WITH t AS (
+      |  SELECT 'bronze' AS tier, value FROM events
+      |  UNION ALL
+      |  SELECT 'gold', value FROM events WHERE event_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'bronze', 1.5
+      |)
+      |SELECT tier, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM t GROUP BY 1 ORDER BY tier""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -1144,6 +1189,8 @@ object MergeOps extends QueryModule {
       Some(cdcTableChangesOracle)),
     RegisteredQuery("sql_check_constraint", sqlCheckConstraint,
       Some(sqlCheckConstraintOracle)),
+    RegisteredQuery("sql_default_column", sqlDefaultColumn,
+      Some(sqlDefaultColumnOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),
     RegisteredQuery("sql_call_rollback", sqlCallRollback,

@@ -94,9 +94,24 @@ object ChangeFeed {
       s"version ${v - 1} or $v expired by retention — change feed " +
         "needs both sides of every diffed commit"))
 
+    // existence defaults of the RANGE-END snapshot, aligned to `target`
+    // by name: a row from a snapshot that predates a DEFAULT'd column
+    // renders with the default — exactly how that row reads today
+    val endSnap = hist(toVersion)
+    val endPad: Array[Any] =
+      if (endSnap == null) new Array[Any](target.length)
+      else {
+        val pad = endSnap.logicalPad
+        target.fields.map { f =>
+          val i = endSnap.schema.fieldNames
+            .indexWhere(_.equalsIgnoreCase(f.name))
+          if (i < 0 || i >= pad.length) null else pad(i)
+        }
+      }
     def render(snap: GraftStore.Committed, row: Array[Any],
         change: String, version: Int): Array[Any] = {
       val proj = snap.projection
+      val pad = snap.logicalPad
       val srcIdx = target.fields.map { f =>
         snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
       }
@@ -105,7 +120,8 @@ object ChangeFeed {
       while (j < target.length) {
         val si = srcIdx(j)
         vals(j) =
-          if (si < 0 || si >= proj.length || proj(si) >= row.length) null
+          if (si < 0 || si >= proj.length) endPad(j) // column post-dates snap
+          else if (proj(si) >= row.length) pad(si) // existence default
           else row(proj(si))
         j += 1
       }

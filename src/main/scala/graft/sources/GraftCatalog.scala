@@ -40,7 +40,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catName: String = "graft_cat"
 
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
@@ -646,10 +647,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft catalog: only top-level ADD COLUMN is supported")
-        require(add.isNullable,
-          "graft catalog: added columns must be nullable (old rows have no value)")
-        GraftStore.addColumn(k, org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType, nullable = true))
+        // DEFAULT makes NOT NULL adds legal: old rows read the
+        // EXISTS_DEFAULT (scan-time pad), new INSERTs get the
+        // CURRENT_DEFAULT filled by Spark's analyzer from the field
+        // metadata — both halves of the Delta/Iceberg default contract,
+        // still metadata-only (zero rewrite; the next COW materializes)
+        val default = Option(add.defaultValue())
+        require(add.isNullable || default.isDefined,
+          "graft catalog: added columns must be nullable or carry a DEFAULT")
+        require(default.isEmpty || partitioned.isEmpty,
+          "graft catalog: ADD COLUMN DEFAULT on a partitioned table is " +
+            "unsupported (shard stores are positional)")
+        val field = default match {
+          case None => org.apache.spark.sql.types.StructField(
+            add.fieldNames.head, add.dataType, nullable = true)
+          case Some(dv) =>
+            val meta = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", dv.getSql)
+              .putString("EXISTS_DEFAULT", dv.getSql)
+              .build()
+            org.apache.spark.sql.types.StructField(add.fieldNames.head,
+              add.dataType, nullable = add.isNullable, metadata = meta)
+        }
+        GraftStore.addColumn(k, field,
+          default.map(dv => Option(dv.getValue)
+            .map(_.value.asInstanceOf[Any])
+            .getOrElse(throw new UnsupportedOperationException(
+              "graft catalog: ADD COLUMN DEFAULT requires a foldable " +
+                "literal default"))))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "graft catalog: only top-level RENAME COLUMN is supported")
@@ -924,8 +949,11 @@ private[sources] class GraftDeltaScan(name: String, dataSchema: StructType,
       snap.dvs.getOrElse(i, null), i): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
-    val proj = GraftStore.stores.get(name).map(_.projection)
+    val snap0 = GraftStore.stores.get(name)
+    val proj = snap0.map(_.projection)
       .getOrElse(Array.tabulate(dataSchema.length)(identity))
+    val pad = snap0.map(_.logicalPad)
+      .getOrElse(new Array[Any](proj.length))
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val gp = p.asInstanceOf[GraftDeltaPartition]
       private val rows = gp.rows
@@ -943,7 +971,7 @@ private[sources] class GraftDeltaScan(name: String, dataSchema: StructType,
         val r = new Array[Any](proj.length + 1)
         var j = 0
         while (j < proj.length) {
-          if (proj(j) < r0.length) r(j) = r0(proj(j))
+          r(j) = if (proj(j) < r0.length) r0(proj(j)) else pad(j)
           j += 1
         }
         r(proj.length) = base | i.toLong
@@ -1470,7 +1498,7 @@ private[sources] class GraftVersionTable(nm: String, snap: GraftStore.Committed)
         override def createReaderFactory(): PartitionReaderFactory =
           // the SNAPSHOT's own projection: a pre-rename version keeps its
           // old names, a pre-drop version still serves the dropped column
-          GraftStore.projectedReaderFactory(snap.projection)
+          GraftStore.projectedReaderFactory(snap.projection, snap.logicalPad)
       }
     }
 }
@@ -1500,8 +1528,11 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
     // project physical slots to the logical view (pads pre-evolution
     // rows, follows renames, hides tombstoned slots) BEFORE appending
     // the metadata column
-    val proj = GraftStore.stores.get(name).map(_.projection)
+    val snap0 = GraftStore.stores.get(name)
+    val proj = snap0.map(_.projection)
       .getOrElse(Array.tabulate(dataSchema.length)(identity))
+    val pad = snap0.map(_.logicalPad)
+      .getOrElse(new Array[Any](proj.length))
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val gp = p.asInstanceOf[GraftStorePartition]
       private val rows = gp.rows
@@ -1517,7 +1548,7 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
         val r = new Array[Any](proj.length + 1)
         var j = 0
         while (j < proj.length) {
-          if (proj(j) < r0.length) r(j) = r0(proj(j))
+          r(j) = if (proj(j) < r0.length) r0(proj(j)) else pad(j)
           j += 1
         }
         r(proj.length) = 0

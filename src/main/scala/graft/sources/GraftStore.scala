@@ -68,7 +68,17 @@ object GraftStore {
   final case class Committed(schema: StructType, batches: Seq[Array[Array[Any]]],
       stats: Seq[BatchStats] = Seq.empty, proj: Array[Int] = null,
       physWidth: Int = -1, truncCount: Int = 0,
-      dvs: Map[Int, Array[Long]] = Map.empty) {
+      dvs: Map[Int, Array[Long]] = Map.empty,
+      slotDefaults: Map[Int, Any] = Map.empty) {
+    /** per-LOGICAL-position pad value for rows shorter than their slot:
+      * the EXISTS_DEFAULT of a column added with DEFAULT, else null —
+      * the lazy-back-fill contract extended to defaults (metadata-only
+      * ADD, old rows read the default at scan).
+      */
+    def logicalPad: Array[Any] = {
+      val p = projection
+      Array.tabulate(p.length)(j => slotDefaults.getOrElse(p(j), null))
+    }
     def rowCount: Long = batches.iterator.map(_.length.toLong).sum
     /** rows visible to readers = physical rows minus deletion-vector'd
       * ones (merge-on-read DELETE marks rows here instead of rewriting
@@ -170,7 +180,9 @@ object GraftStore {
         // appends only ever GROW the batch list, so existing deletion
         // vectors stay index-stable; a truncate-overwrite (incl. every
         // COW rewrite and compaction) starts from a DV-free snapshot
-        dvs = cur.map(_.dvs).getOrElse(Map.empty))
+        // (and from materialized defaults - liveLogicalRows bakes them)
+        dvs = cur.map(_.dvs).getOrElse(Map.empty),
+        slotDefaults = cur.map(_.slotDefaults).getOrElse(Map.empty))
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
@@ -312,6 +324,7 @@ object GraftStore {
     */
   private[sources] def liveLogicalRows(cur: Committed): Array[Array[Any]] = {
     val proj = cur.projection
+    val pad = cur.logicalPad
     val identity = cur.identityLayout
     val live = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     cur.batches.zipWithIndex.foreach { case (batch, bi) =>
@@ -325,7 +338,10 @@ object GraftStore {
             val logical = new Array[Any](proj.length)
             var j = 0
             while (j < proj.length) {
-              if (proj(j) < row.length) logical(j) = row(proj(j))
+              // a rewrite MATERIALIZES existence defaults, like a real
+              // format's rewrite bakes them into data files
+              logical(j) =
+                if (proj(j) < row.length) row(proj(j)) else pad(j)
               j += 1
             }
             live += logical
@@ -495,10 +511,11 @@ object GraftStore {
     * metadata-only evolution contract. Identity layouts (no RENAME/DROP
     * ever) take the zero-copy pad-only fast path.
     */
-  private[sources] def projectedReaderFactory(proj: Array[Int])
-      : PartitionReaderFactory = {
+  private[sources] def projectedReaderFactory(proj: Array[Int],
+      pad: Array[Any] = null): PartitionReaderFactory = {
     val width = proj.length
-    val isIdentity = proj.indices.forall(j => proj(j) == j)
+    val noPad = pad == null || pad.forall(_ == null)
+    val isIdentity = proj.indices.forall(j => proj(j) == j) && noPad
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val gp = p.asInstanceOf[GraftStorePartition]
       private val rows = gp.rows
@@ -518,7 +535,12 @@ object GraftStore {
           val out = new Array[Any](width)
           var j = 0
           while (j < width) {
-            if (proj(j) < r.length) out(j) = r(proj(j))
+            // a row shorter than its slot reads the column's existence
+            // default (null when the column has none)
+            out(j) =
+              if (proj(j) < r.length) r(proj(j))
+              else if (pad == null) null
+              else pad(j)
             j += 1
           }
           new GenericInternalRow(out)
@@ -548,10 +570,13 @@ object GraftStore {
     * cannot resurrect. Old rows read NULL (no slot written).
     */
   private[graft] def addColumn(name: String,
-      field: org.apache.spark.sql.types.StructField): Unit =
+      field: org.apache.spark.sql.types.StructField,
+      defaultInternal: Option[Any] = None): Unit =
     evolve(name) { cur =>
       cur.copy(schema = cur.schema.add(field),
-        proj = cur.projection :+ cur.width, physWidth = cur.width + 1)
+        proj = cur.projection :+ cur.width, physWidth = cur.width + 1,
+        slotDefaults = defaultInternal.fold(cur.slotDefaults)(v =>
+          cur.slotDefaults.updated(cur.width, v)))
     }
 
   /** RENAME: logical name change only; the slot — and every committed
@@ -715,10 +740,12 @@ private[sources] class GraftStoreScan(name: String, val s: StructType,
     kept.map(i => GraftStorePartition(snap.batches(i),
       snap.dvs.getOrElse(i, null)): InputPartition).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftStore.projectedReaderFactory(GraftStore.stores.get(name)
-      .map(_.projection)
-      .getOrElse(Array.tabulate(s.length)(identity)))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val snap = GraftStore.stores.get(name)
+    GraftStore.projectedReaderFactory(
+      snap.map(_.projection).getOrElse(Array.tabulate(s.length)(identity)),
+      snap.map(_.logicalPad).orNull)
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftStoreMicroBatchStream(name, s, streamFromLatest)
@@ -796,12 +823,13 @@ private[sources] class GraftStoreMicroBatchStream(name: String, s: StructType,
       }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
-    val proj = snap.projection
+    val cur = snap
+    val proj = cur.projection
     require(proj.length == s.length,
       s"graft store '$name' schema evolved under a streaming reader " +
         s"(now ${proj.length} fields vs ${s.length} at start); restart " +
         "the streaming query")
-    GraftStore.projectedReaderFactory(proj)
+    GraftStore.projectedReaderFactory(proj, cur.logicalPad)
   }
 }
 
