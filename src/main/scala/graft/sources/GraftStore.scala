@@ -716,7 +716,28 @@ private[sources] class GraftStoreStreamingWrite(name: String, schema: StructType
 private[sources] class GraftStoreScan(name: String, val s: StructType,
     skipping: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     streamFromLatest: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Live-row statistics from the snapshot — the metadata-log numbers a
+    * transactional format hands the optimizer for free: row count =
+    * LIVE rows (deletion vectors subtracted), size from the schema's
+    * declared field widths. Catalyst then auto-broadcasts a small
+    * catalog table in a join with no hint and no ANALYZE — the same
+    * decision `cbo_stats_join` needs a stats pass for on raw files.
+    */
+  override def estimateStatistics(): Statistics = {
+    val snap = GraftStore.stores.get(name)
+    new Statistics {
+      override def numRows(): java.util.OptionalLong =
+        snap.fold(java.util.OptionalLong.empty())(c =>
+          java.util.OptionalLong.of(c.liveRowCount))
+      override def sizeInBytes(): java.util.OptionalLong =
+        snap.fold(java.util.OptionalLong.empty()) { c =>
+          val rowBytes = math.max(8, s.fields.map(_.dataType.defaultSize).sum)
+          java.util.OptionalLong.of(c.liveRowCount * rowBytes)
+        }
+    }
+  }
   override def readSchema(): StructType = s
   override def toBatch: Batch = this
   override def description(): String =
