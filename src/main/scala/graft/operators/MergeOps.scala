@@ -1158,6 +1158,82 @@ object MergeOps extends QueryModule {
       |   AS total
       |FROM t GROUP BY 1 ORDER BY tier""".stripMargin
 
+  /** CAPSTONE — the training-data curation loop ON the transactional
+    * catalog, ledger-first: the corpus (documents + synthesized exact
+    * dups, [[graft.operators.Dedup.dedupExact]]'s seed) lives in a
+    * MERGE-ON-READ catalog table; dedup retires the losers with a
+    * `MERGE ... WHEN MATCHED THEN DELETE` (a deletion-vector commit —
+    * zero rewrite for ~17% of the corpus); quality re-tagging is a MOR
+    * `UPDATE` (row-delta: DV bits + one delta batch, only the touched
+    * rows); and the DOWNSTREAM TRAINER reads the `` t@changes `` view
+    * — every curation step row-exact per commit, which is what makes
+    * incremental re-training possible (recompute only what the feed
+    * names, not the corpus). The oracle recomputes the whole loop —
+    * seed, keeper/loser sets, update set, per-commit feed — from first
+    * principles in SQL. At 100 TB: curation passes write O(changed
+    * rows), the trainer consumes O(changes), and nothing ever rewrites
+    * the corpus until `CALL system.compact` chooses to.
+    */
+  def corpusCurationLedger(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val seeded = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"), col("n_chars")))
+    withDmlTable(s, seeded, mergeOnRead = true) { tbl =>
+      val t = s.table(tbl)
+      val keep = t.groupBy(col("text")).agg(min(col("doc_id")).as("kid"))
+      val losers = t.join(keep, "text")
+        .filter(col("doc_id") =!= col("kid")).select("doc_id")
+      s.createDataFrame(losers.collectAsList(), losers.schema)
+        .createOrReplaceTempView("graft_curation_losers")
+      s.sql(
+        s"""MERGE INTO $tbl t USING graft_curation_losers l
+           |ON t.doc_id = l.doc_id
+           |WHEN MATCHED THEN DELETE""".stripMargin) // v2: DV commit
+      s.sql(s"UPDATE $tbl SET lang = 'und' WHERE n_chars < 100") // v3: row-delta
+      val Array(ns, tn) = tbl.stripPrefix("graft_cat.").split("\\.")
+      val feed = s.table(s"graft_cat.$ns.`$tn@changes`")
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars"))
+      val fin = s.table(tbl).agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "und", 1).otherwise(0)).cast("long")
+          .as("n_und"))
+      feed.crossJoin(fin).orderBy("_commit_version", "_change_type")
+    }
+  }
+
+  val corpusCurationLedgerOracle: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, text, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang, n_chars FROM documents
+      |  WHERE doc_id % 5 = 0
+      |),
+      |keepers AS (SELECT text, min(doc_id) AS kid FROM seeded GROUP BY text),
+      |losers AS (
+      |  SELECT s.* FROM seeded s JOIN keepers k
+      |  ON s.text = k.text AND s.doc_id <> k.kid
+      |),
+      |survivors AS (
+      |  SELECT s.* FROM seeded s JOIN keepers k ON s.doc_id = k.kid
+      |),
+      |upd AS (SELECT * FROM survivors WHERE n_chars < 100),
+      |feed AS (
+      |  SELECT 1 AS _commit_version, 'insert' AS _change_type, n_chars
+      |  FROM seeded
+      |  UNION ALL SELECT 2, 'delete', n_chars FROM losers
+      |  UNION ALL SELECT 3, 'delete', n_chars FROM upd
+      |  UNION ALL SELECT 3, 'insert', n_chars FROM upd
+      |)
+      |SELECT _commit_version, _change_type, count(*) AS n,
+      | CAST(sum(n_chars) AS BIGINT) AS chars,
+      | (SELECT count(*) FROM survivors) AS n_docs,
+      | (SELECT count(*) FROM upd) AS n_und
+      |FROM feed GROUP BY 1, 2
+      |ORDER BY _commit_version, _change_type""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -1191,6 +1267,8 @@ object MergeOps extends QueryModule {
       Some(sqlCheckConstraintOracle)),
     RegisteredQuery("sql_default_column", sqlDefaultColumn,
       Some(sqlDefaultColumnOracle)),
+    RegisteredQuery("corpus_curation_ledger", corpusCurationLedger,
+      Some(corpusCurationLedgerOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),
     RegisteredQuery("sql_call_rollback", sqlCallRollback,
