@@ -261,6 +261,7 @@ object GraftStore {
       val cur = stores.getOrElse(name,
         throw new IllegalStateException(s"no store '$name' to delete from"))
       val proj = cur.projection
+      val pad = cur.logicalPad
       var newlyDeleted = 0L
       val dvs = cur.batches.zipWithIndex.flatMap { case (batch, bi) =>
         val bits = cur.dvs.get(bi)
@@ -274,7 +275,11 @@ object GraftStore {
             val logical = new Array[Any](proj.length)
             var j = 0
             while (j < proj.length) {
-              if (proj(j) < row.length) logical(j) = row(proj(j))
+              // evaluate against the row AS IT READS: a missing slot is
+              // the column's existence default, not null — else a DELETE
+              // on a defaulted column misses every pre-evolution row
+              logical(j) =
+                if (proj(j) < row.length) row(proj(j)) else pad(j)
               j += 1
             }
             if (pred(logical)) {

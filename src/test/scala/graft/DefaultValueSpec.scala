@@ -69,6 +69,14 @@ class DefaultValueSpec extends SparkSpec {
       val ch = graft.sources.ChangeFeed.tableChanges(spark, "spec.dfl2", 0, 2)
       assert(ch.filter(col("_change_type") === "insert")
         .agg(sum(col("n"))).head.getLong(0) === 21L)
+      // a metadata DELETE by the defaulted value must hit pre-evolution
+      // rows — the predicate evaluates rows AS THEY READ
+      val before = GraftStore.batchesRef("cat::graft_cat.spec.dfl2").get
+      spark.sql("DELETE FROM graft_cat.spec.dfl2 WHERE n = 7")
+      assert(GraftStore.batchesRef("cat::graft_cat.spec.dfl2").get eq before,
+        "still a deletion-vector commit, not a rewrite")
+      assert(spark.table("graft_cat.spec.dfl2").count() === 0L,
+        "every pre-evolution row reads n=7 and must be deleted")
     } finally spark.sql("DROP TABLE graft_cat.spec.dfl2")
   }
 }
