@@ -1599,9 +1599,13 @@ private[sources] class GraftCdcScan(mainKey: String, nm: String,
   override def toBatch: Batch = this
   override def description(): String = s"graft_store($mainKey) cdc scan"
   override def planInputPartitions(): Array[InputPartition] = {
+    // one input partition PER COMMIT — reads parallelize across the
+    // ledger, and at 100 TB each partition maps to one commit's changed
+    // files + DV manifests
     val hist = ChangeFeed.histOf(mainKey, nm)
-    Array(GraftCdcPartition(
-      ChangeFeed.internalChanges(hist, target, 0, hist.size - 1)))
+    (1 until hist.size).map(v => GraftCdcPartition(
+      ChangeFeed.internalChanges(hist, target, v - 1, v)): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCdcScan.readerFactory
@@ -1668,8 +1672,12 @@ private[sources] class GraftCdcMicroBatchStream(mainKey: String, nm: String,
     val a = start.asInstanceOf[VOff].v
     val b = end.asInstanceOf[VOff].v
     if (a >= b) Array.empty
-    else Array(GraftCdcPartition(
-      ChangeFeed.internalChanges(ChangeFeed.histOf(mainKey, nm), target, a, b)))
+    else {
+      val hist = ChangeFeed.histOf(mainKey, nm)
+      ((a + 1) to b).map(v => GraftCdcPartition(
+        ChangeFeed.internalChanges(hist, target, v - 1, v)): InputPartition)
+        .toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCdcScan.readerFactory
