@@ -1234,12 +1234,35 @@ object MergeOps extends QueryModule {
       |FROM feed GROUP BY 1, 2
       |ORDER BY _commit_version, _change_type""".stripMargin
 
+  /** The UPDATE verb on the merge-on-read path (`sql_update_delete`'s
+    * COW twin): same semantics, but the write is DV bits + one delta
+    * batch sized to the touched rows (`MorDeltaSpec` eq-pins the
+    * batches), and the DELETE in the script goes through the
+    * metadata-only tier when pushable. Oracle shared shape with the
+    * COW rendition: every 9th key deleted, every 7th surviving key
+    * doubled — three write models now answer the same UPDATE/DELETE
+    * digest.
+    */
+  def sqlUpdateMor(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base, mergeOnRead = true) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 9 = 0")
+      s.sql(s"UPDATE $tbl SET value = value * 2 WHERE event_id % 7 = 0")
+      s.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(sum(col("value")), 2).as("sum_value"),
+        count(when(col("event_id") % 9 === 0, 1)).as("n_ninths"))
+    }
+  }
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
     RegisteredQuery("sql_merge_into", sqlMergeInto, Some(s7Oracle)),
     RegisteredQuery("sql_merge_mor", sqlMergeMor, Some(s7Oracle)),
     RegisteredQuery("sql_update_delete", sqlUpdateDelete,
+      Some(sqlUpdateDeleteOracle)),
+    RegisteredQuery("sql_update_mor", sqlUpdateMor,
       Some(sqlUpdateDeleteOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
     RegisteredQuery("sql_delete_partitioned", sqlDeletePartitioned,

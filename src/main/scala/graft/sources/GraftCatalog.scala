@@ -1142,8 +1142,13 @@ private[sources] class GraftPartitionedTable(
         Option(l.value).map(_.toString)
       case _ => None
     }
+    // the universe: every live partition value — what an ALWAYS_TRUE
+    // conjunct (an unpredicated `DELETE FROM t`) selects
+    lazy val universe: Set[String] =
+      partKeys().map(k => k.substring(k.indexOf("#p=") + 3)).toSet
     val sets = predicates.map { p =>
       p.name() match {
+        case "ALWAYS_TRUE" => Some(universe)
         case "=" | "<=>" => p.children() match {
           case Array(a, b) if isPartRef(a) => strLit(b).map(Set(_))
           case Array(a, b) if isPartRef(b) => strLit(a).map(Set(_))

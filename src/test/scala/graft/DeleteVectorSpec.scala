@@ -186,6 +186,26 @@ class DeleteVectorSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.dvr")
   }
 
+  test("unpredicated DELETE on a partitioned table truncates every shard, preserving shard ledgers") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.dvpt").partitionedBy(col("event_type")).create()
+    try {
+      val shardKeys = graft.sources.GraftStore.batchesRef(
+        "cat::graft_cat.spec.dvpt#p=error")
+      assert(shardKeys.isDefined)
+      spark.sql("DELETE FROM graft_cat.spec.dvpt")
+      assert(spark.table("graft_cat.spec.dvpt").count() === 0L)
+      // the shard stores survive as EMPTY tables (one truncate-commit
+      // each), so appends keep routing and shard history stays
+      assert(GraftStore.rowCount("cat::graft_cat.spec.dvpt#p=error") === 0L)
+      assert(GraftStore.versionCount("cat::graft_cat.spec.dvpt#p=error") >= 2)
+      base.limit(10).writeTo("graft_cat.spec.dvpt").append()
+      assert(spark.table("graft_cat.spec.dvpt").count() === 10L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.dvpt")
+  }
+
   test("TRUNCATE TABLE empties through the SupportsDeleteV2 surface") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
