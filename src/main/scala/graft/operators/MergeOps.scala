@@ -1255,6 +1255,62 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** HIDDEN PARTITIONING — `PARTITIONED BY (days(ts))`
+    * ([[graft.sources.PartSpec]], the Iceberg model): rows route to a
+    * DERIVED UTC-day shard, a plain `ts >= cutoff` range prunes every
+    * other day shard (`shards_total`/`shards_skipped` read from the
+    * scan's skip log — the query never names, or knows, the partition
+    * value), and the day-aligned retention DELETE retires old shards
+    * as a METADATA operation (`HiddenPartitionSpec` eq-pins the
+    * surviving shard and pins that an UNALIGNED bound falls back to
+    * COW, and that bucket shards never take the drop path). At 100 TB
+    * this kills the two classic Hive-partitioning failure modes: users
+    * filtering on the raw timestamp still get pruning, and retention
+    * is a metadata commit.
+    */
+  def hiddenPartitionDays(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graft_cat.dml.t${dmlSeq.incrementAndGet()}"
+    s.sql(s"""CREATE TABLE $tbl (event_id BIGINT, ts TIMESTAMP,
+              | value DOUBLE) PARTITIONED BY (days(ts))""".stripMargin)
+    try {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+      ev.writeTo(tbl).append()
+      val cutoff = ev.agg(date_trunc("DAY", max(col("ts"))))
+        .head.getTimestamp(0)
+      val recent = s.table(tbl).filter(col("ts") >= cutoff)
+        .agg(count(lit(1)).as("n_recent"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total_recent"))
+      val frozen = s.createDataFrame(recent.collectAsList(), recent.schema)
+      val (tot, skip) = graft.sources.GraftStore.skipLog
+        .getOrElse(s"cat::$tbl", (-1, -1))
+      s.sql(s"DELETE FROM $tbl WHERE ts < TIMESTAMP '$cutoff'") // metadata drop
+      val after = s.table(tbl).agg(count(lit(1)).as("n_after"))
+      val out = frozen.withColumn("shards_total", lit(tot))
+        .withColumn("shards_skipped", lit(skip))
+        .crossJoin(after)
+      // materialize BEFORE the finally drops the table (lazy plans over
+      // a dropped catalog table read empty)
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally { scala.util.Try(s.sql(s"DROP TABLE $tbl")); () }
+  }
+
+  val hiddenPartitionDaysOracle: String =
+    """WITH d AS (SELECT date_trunc('day', max(ts)) AS cutoff FROM events),
+      | days AS (
+      |  SELECT count(DISTINCT date_trunc('day', ts)) AS nd FROM events)
+      |SELECT
+      | (SELECT count(*) FROM events, d WHERE ts >= cutoff) AS n_recent,
+      | (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 FROM events, d WHERE ts >= cutoff) AS total_recent,
+      | CAST(nd AS INT) AS shards_total,
+      | CAST(nd - 1 AS INT) AS shards_skipped,
+      | (SELECT count(*) FROM events, d WHERE ts >= cutoff) AS n_after
+      |FROM days""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -1292,6 +1348,8 @@ object MergeOps extends QueryModule {
       Some(sqlDefaultColumnOracle)),
     RegisteredQuery("corpus_curation_ledger", corpusCurationLedger,
       Some(corpusCurationLedgerOracle)),
+    RegisteredQuery("hidden_partition_days", hiddenPartitionDays,
+      Some(hiddenPartitionDaysOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),
     RegisteredQuery("sql_call_rollback", sqlCallRollback,

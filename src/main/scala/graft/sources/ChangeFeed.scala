@@ -49,6 +49,9 @@ object ChangeFeed {
     require(fromVersion >= 0 && toVersion < hist.size && fromVersion <= toVersion,
       s"version range [$fromVersion, $toVersion] out of bounds " +
         s"(table has ${hist.size} commits)")
+    require(hist(toVersion) != null,
+      s"version $toVersion expired by retention — the change feed " +
+        "renders in the range-end version's schema")
     val target = hist(toVersion).schema
     val out = outSchema(target)
     val toExternal = target.fields

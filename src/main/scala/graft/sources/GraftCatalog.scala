@@ -529,7 +529,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     GraftStore.stores.get(key(ident)) match {
       case Some(c) =>
         GraftCatalog.parts.get(key(ident)) match {
-          case Some(pc) => new GraftPartitionedTable(key(ident), c.schema, pc)
+          case Some(spec) =>
+            new GraftPartitionedTable(key(ident), c.schema, spec)
           case None => new GraftRowLevelTable(key(ident), c.schema,
             GraftCatalog.morTables.contains(key(ident)))
         }
@@ -602,19 +603,46 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case Seq(t) =>
         require(!mor, "graft catalog: merge-on-read on a partitioned " +
           "table is unsupported — partition shards commit independently")
-        // one identity transform over a string column: the partition
-        // (= COW group) granularity
-        val pc = t.references() match {
-          case Array(r) if t.name == "identity" => r.fieldNames.mkString(".")
+        // one transform: identity over a STRING column (the r14
+        // original), or the HIDDEN transforms days(ts) / bucket(n, col)
+        // — rows route to a DERIVED value, reads prune from predicates
+        // on the SOURCE column (the Iceberg model; users never name the
+        // partition value)
+        def srcOf(): String = t.references() match {
+          case Array(r) => r.fieldNames.mkString(".")
           case _ => throw new UnsupportedOperationException(
-            s"graft catalog supports only identity partitioning, got $t")
+            s"graft catalog: unsupported partition transform $t")
         }
-        require(schema(pc).dataType ==
-          org.apache.spark.sql.types.StringType,
-          s"partition column $pc must be STRING")
+        val spec: PartSpec = t.name match {
+          case "identity" =>
+            val pc = srcOf()
+            require(schema(pc).dataType ==
+              org.apache.spark.sql.types.StringType,
+              s"partition column $pc must be STRING")
+            PartSpec.IdentityPart(pc)
+          case "days" =>
+            val pc = srcOf()
+            val dt = schema(pc).dataType
+            require(dt == org.apache.spark.sql.types.TimestampType ||
+              dt == org.apache.spark.sql.types.DateType,
+              s"days($pc) requires a TIMESTAMP or DATE column, got $dt")
+            PartSpec.DaysPart(pc, dt)
+          case "bucket" =>
+            val pc = srcOf()
+            val n = t.arguments().collectFirst {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value.isInstanceOf[Number] =>
+                l.value.asInstanceOf[Number].intValue
+            }.getOrElse(throw new UnsupportedOperationException(
+              s"graft catalog: bucket transform needs a bucket count: $t"))
+            require(n > 0, s"bucket count must be positive, got $n")
+            PartSpec.BucketPart(n, pc, schema(pc).dataType)
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: unsupported partition transform '$other'")
+        }
         GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
-        GraftCatalog.parts.put(key(ident), pc)
-        new GraftPartitionedTable(key(ident), schema, pc)
+        GraftCatalog.parts.put(key(ident), spec)
+        new GraftPartitionedTable(key(ident), schema, spec)
       case _ => throw new UnsupportedOperationException(
         "graft catalog supports at most one partition column")
     }
@@ -679,7 +707,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(rn.fieldNames.length == 1,
           "graft catalog: only top-level RENAME COLUMN is supported")
         val from = rn.fieldNames.head
-        require(!partitioned.contains(from), "graft catalog: cannot rename " +
+        require(!partitioned.exists(_.sourceCol.equalsIgnoreCase(from)),
+          "graft catalog: cannot rename " +
           s"partition column '$from' (partition routing is name-keyed)")
         require(!cur.schema.fieldNames.contains(rn.newName),
           s"graft catalog: column '${rn.newName}' already exists")
@@ -690,7 +719,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(partitioned.isEmpty, "graft catalog: DROP COLUMN on a " +
           "partitioned table is unsupported (per-partition stores are " +
           "positional); rewrite via CTAS instead")
-        require(!partitioned.contains(del.fieldNames.head),
+        require(!partitioned.exists(
+            _.sourceCol.equalsIgnoreCase(del.fieldNames.head)),
           "graft catalog: cannot drop the partition column")
         GraftStore.dropColumn(k, del.fieldNames.head)
       // ANSI constraints (Spark 4's SPARK-51207 framework): the catalog
@@ -739,9 +769,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 }
 
 object GraftCatalog {
-  /** table key → its identity partition column (partitioned tables only). */
+  /** table key → its partition TRANSFORM (partitioned tables only):
+    * identity, or the hidden `days(ts)` / `bucket(n, col)` transforms
+    * ([[PartSpec]]).
+    */
   private[sources] val parts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, PartSpec]
 
   /** branch store key (`<tableKey>#b=<name>`) → the MAIN table's commit
     * count at fork time — the fast-forward fence: publish succeeds only
@@ -1069,19 +1102,20 @@ private[sources] case class GraftDeltaCommit(deleted: Array[Long],
   */
 private[sources] class GraftPartitionedTable(
     private[sources] val tableKey: String, declared: StructType,
-    partCol: String)
+    spec: PartSpec)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
 
-  override def name(): String = s"graft_store($tableKey/$partCol)"
+  private def partCol: String = spec.sourceCol
+  override def name(): String =
+    s"graft_store($tableKey/${spec.transform.describe()})"
   override def constraints()
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     GraftCatalog.constraintsReg.getOrElse(tableKey, Seq.empty).toArray
   override def schema(): StructType =
     GraftStore.stores.get(tableKey).map(_.schema).getOrElse(declared)
-  override def partitioning(): Array[Transform] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.identity(partCol))
+  override def partitioning(): Array[Transform] = Array(spec.transform)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -1121,9 +1155,16 @@ private[sources] class GraftPartitionedTable(
   }
 
   /** Some(partition values the conjunction selects — the intersection of
-    * every conjunct's membership set) iff EVERY predicate is an exact
-    * partition-column membership test (`=` / `<=>` / `IN` over string
-    * literals); None = not expressible as a partition drop.
+    * every conjunct's selected set) iff EVERY predicate selects WHOLE
+    * partitions exactly. Identity: `=` / `<=>` / `IN` over string
+    * literals. `days(ts)`: only DAY-ALIGNED half-open ranges — `ts < T`
+    * / `ts >= T` with T exactly on a UTC day boundary (the retention
+    * shape: `DELETE WHERE ts < '2025-01-01'` retires day shards as
+    * metadata) — an unaligned bound or a point predicate would split a
+    * shard, so it refuses and the plan stays COW. `bucket` never
+    * matches (a bucket shard holds unrelated keys). `ALWAYS_TRUE`
+    * selects the live universe. None = not expressible as a partition
+    * drop.
     */
   private def matchedPartitionValues(predicates: Array[org.apache.spark.sql
       .connector.expressions.filter.Predicate]): Option[Set[String]] = {
@@ -1146,18 +1187,44 @@ private[sources] class GraftPartitionedTable(
     // conjunct (an unpredicated `DELETE FROM t`) selects
     lazy val universe: Set[String] =
       partKeys().map(k => k.substring(k.indexOf("#p=") + 3)).toSet
+    /** day-aligned micros bound of a days(ts) literal, else None. */
+    def alignedDay(e: V2Expr): Option[Long] = e match {
+      case l: V2Literal[_] if l.dataType ==
+          org.apache.spark.sql.types.TimestampType =>
+        Option(l.value).collect {
+          case m: java.lang.Long
+              if Math.floorMod(m, PartSpec.MicrosPerDay) == 0L =>
+            Math.floorDiv(m, PartSpec.MicrosPerDay)
+        }
+      case l: V2Literal[_] if l.dataType ==
+          org.apache.spark.sql.types.DateType =>
+        Option(l.value).collect { case d: java.lang.Integer => d.toLong }
+      case _ => None
+    }
     val sets = predicates.map { p =>
-      p.name() match {
-        case "ALWAYS_TRUE" => Some(universe)
-        case "=" | "<=>" => p.children() match {
+      (p.name(), spec) match {
+        case ("ALWAYS_TRUE", _) => Some(universe)
+        case ("=" | "<=>", _: PartSpec.IdentityPart) => p.children() match {
           case Array(a, b) if isPartRef(a) => strLit(b).map(Set(_))
           case Array(a, b) if isPartRef(b) => strLit(a).map(Set(_))
           case _ => None
         }
-        case "IN" => p.children() match {
+        case ("IN", _: PartSpec.IdentityPart) => p.children() match {
           case kids if kids.length >= 2 && isPartRef(kids.head) =>
             val vs = kids.tail.flatMap(strLit)
             if (vs.length == kids.length - 1) Some(vs.toSet) else None
+          case _ => None
+        }
+        case ("<", _: PartSpec.DaysPart) => p.children() match {
+          case Array(a, b) if isPartRef(a) =>
+            alignedDay(b).map(d => universe.filter(_.toLong < d))
+          case Array(a, b) if isPartRef(b) => // literal < col ≡ col > literal
+            None
+          case _ => None
+        }
+        case (">=", _: PartSpec.DaysPart) => p.children() match {
+          case Array(a, b) if isPartRef(a) =>
+            alignedDay(b).map(d => universe.filter(_.toLong >= d))
           case _ => None
         }
         case _ => None
@@ -1186,43 +1253,44 @@ private[sources] class GraftPartitionedTable(
     * group-grained, Spark re-filters rows), the static half of the same
     * pruning the op scan gets at DML time.
     */
+  /** Shard pruning from predicates on the partition SOURCE column,
+    * translated through the transform ([[PartSpec.keepFor]]): identity
+    * keeps its exact-match semantics; `days(ts)` prunes day shards from
+    * ts RANGES (boundary shards kept — conservative, rows re-filtered);
+    * `bucket(n, k)` prunes to the literal's bucket on key equality —
+    * the HIDDEN-partitioning contract: the query never names the
+    * derived value. Pruned/total shard counts land in the skip log so
+    * specs can pin the pruning.
+    */
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters {
       private var wantGroup = false
-      private var bound: Option[Set[String]] = None
+      private var keep: Option[String => Boolean] = None
       private var kept = Array.empty[org.apache.spark.sql.sources.Filter]
       override def pruneColumns(required: StructType): Unit =
         wantGroup = required.fieldNames.contains("_group")
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
-        import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
-        val bounds = filters.collect {
-          case EqualTo(c, v: String) if c.equalsIgnoreCase(partCol) => Set(v)
-          case EqualNullSafe(c, v: String) if c.equalsIgnoreCase(partCol) => Set(v)
-          case In(c, vs) if c.equalsIgnoreCase(partCol) =>
-            vs.collect { case s: String => s }.toSet
-        }
-        if (bounds.nonEmpty) {
-          bound = Some(bounds.reduce(_ intersect _))
-          kept = filters.filter {
-            case EqualTo(c, _: String) => c.equalsIgnoreCase(partCol)
-            case EqualNullSafe(c, _: String) => c.equalsIgnoreCase(partCol)
-            case In(c, _) => c.equalsIgnoreCase(partCol)
-            case _ => false
-          }
-        }
-        filters
+        keep = PartSpec.keepFor(spec, filters.toSeq)
+        if (keep.isDefined)
+          kept = filters.filter(f =>
+            PartSpec.keepFor(spec, Seq(f)).isDefined)
+        filters // everything residual: pruning is shard-grained only
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         kept
       override def build(): Scan = {
-        val keys = () => bound match {
-          case Some(vs) =>
-            val all = partKeys()
-            all.filter(k => vs(k.substring(k.indexOf("#p=") + 3)))
-          case None => partKeys()
+        val keys = () => {
+          val all = partKeys()
+          val sel = keep match {
+            case Some(p) =>
+              all.filter(k => p(k.substring(k.indexOf("#p=") + 3)))
+            case None => all
+          }
+          GraftStore.skipLog.put(tableKey, (all.size, all.size - sel.size))
+          sel
         }
         new GraftPartsScan(tableKey, schema(), keys, withGroup = wantGroup)
       }
@@ -1234,7 +1302,7 @@ private[sources] class GraftPartitionedTable(
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftPartBatchWrite(
-          tableKey, info.schema(), partCol,
+          tableKey, info.schema(), spec,
           // append/CTAS touch only the partitions the data lands in;
           // truncate-overwrite replaces the whole table
           replaceKeys = if (doTruncate) () => partKeys() else () => Seq.empty,
@@ -1272,14 +1340,14 @@ private[sources] class GraftPartitionedTable(
             override def pushFilters(
                 filters: Array[org.apache.spark.sql.sources.Filter])
                 : Array[org.apache.spark.sql.sources.Filter] = {
-              import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
-              val bounds = filters.collect {
-                case EqualTo(c, v: String) if c == partCol => Set(v)
-                case EqualNullSafe(c, v: String) if c == partCol => Set(v)
-                case In(c, vs) if c == partCol =>
-                  vs.collect { case s: String => s }.toSet
+              // hidden-transform translation, then narrowed to the
+              // CONCRETE live shard set (ranges can't enumerate values
+              // statically, but the existing shards can be filtered)
+              PartSpec.keepFor(spec, filters.toSeq).foreach { p =>
+                narrow(partKeys()
+                  .map(k => k.substring(k.indexOf("#p=") + 3))
+                  .filter(p).toSet)
               }
-              bounds.foreach(narrow)
               filters // all residual: pruning is GROUP-grained only
             }
             override def pushedFilters()
@@ -1292,7 +1360,7 @@ private[sources] class GraftPartitionedTable(
           new WriteBuilder {
             override def build(): Write = new Write {
               override def toBatch: BatchWrite = new GraftPartBatchWrite(
-                tableKey, lwi.schema(), partCol,
+                tableKey, lwi.schema(), spec,
                 replaceKeys = () => selectedKeys(), appendMode = false)
             }
           }
@@ -1420,12 +1488,13 @@ private[sources] class GraftPartsOpScan(
   * same 2PC as the flat store.
   */
 private[sources] class GraftPartBatchWrite(
-    tableKey: String, schema: StructType, partCol: String,
+    tableKey: String, schema: StructType, spec: PartSpec,
     replaceKeys: () => Seq[String], appendMode: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val s = schema
-    val pIdx = schema.fieldIndex(partCol)
+    val route = spec
+    val pIdx = schema.fieldIndex(spec.sourceCol)
     (_: Int, _: Long) => new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.Map
         .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
@@ -1443,7 +1512,9 @@ private[sources] class GraftPartBatchWrite(
           }
           i += 1
         }
-        val pv = String.valueOf(vals(pIdx))
+        // the TRANSFORM routes: identity keeps the raw value, days/
+        // bucket derive the hidden partition value from the source col
+        val pv = route.valueOf(vals(pIdx))
         buf.getOrElseUpdate(pv,
           scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
       }
