@@ -857,6 +857,10 @@ private[sources] class GraftRowLevelTable(storeKey: String,
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     GraftCatalog.constraintsReg.getOrElse(storeKey, Seq.empty).toArray
 
+  override def properties(): util.Map[String, String] =
+    if (mor) java.util.Collections.singletonMap("write.mode", "merge-on-read")
+    else java.util.Collections.emptyMap()
+
   override def metadataColumns(): Array[MetadataColumn] = {
     val group = new MetadataColumn {
       override def name(): String = "_group"

@@ -139,6 +139,17 @@ class MorDeltaSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.mor5")
   }
 
+  test("SHOW TBLPROPERTIES surfaces the write mode") {
+    cat()
+    spark.range(3).select(col("id").as("k")).writeTo("graft_cat.spec.morp")
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      val props = spark.sql("SHOW TBLPROPERTIES graft_cat.spec.morp")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("write.mode").contains("merge-on-read"))
+    } finally spark.sql("DROP TABLE graft_cat.spec.morp")
+  }
+
   test("MOR ledger composes: time travel, history kind, compaction paying down the DV debt") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
