@@ -51,6 +51,35 @@ class BranchSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.wap")
   }
 
+  test("a branch of a merge-on-read table inherits MOR: branch DML is a row-delta, publish carries it") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.wapm")
+      .tableProperty("write.mode", "merge-on-read").create()
+    val mainKey = "cat::graft_cat.spec.wapm"
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.wapm', 'fix')")
+      val branchBefore = GraftStore.batchesRef(mainKey + "#b=fix").get
+      spark.sql(
+        "UPDATE graft_cat.spec.`wapm@fix` SET value = value + 1000 WHERE event_id % 100 = 0")
+      val branchAfter = GraftStore.batchesRef(mainKey + "#b=fix").get
+      // the branch write was MERGE-ON-READ: old batches survive by
+      // reference, one delta batch appended
+      assert(branchAfter.size === branchBefore.size + 1)
+      branchBefore.indices.foreach(i =>
+        assert(branchAfter(i) eq branchBefore(i)))
+      assert(GraftStore.dvMarkedCount(mainKey + "#b=fix") ===
+        base.filter(col("event_id") % 100 === 0).count())
+      spark.sql("CALL graft_cat.system.publish_branch('spec.wapm', 'fix')")
+      val want = base.select(col("event_id"),
+          when(col("event_id") % 100 === 0, col("value") + 1000)
+            .otherwise(col("value")).as("value"))
+        .orderBy("event_id", "value").collect().toSeq
+      assert(spark.table("graft_cat.spec.wapm")
+        .orderBy("event_id", "value").collect().toSeq === want)
+    } finally spark.sql("DROP TABLE graft_cat.spec.wapm")
+  }
+
   test("publish refuses when main advanced since the fork (optimistic concurrency)") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
