@@ -1311,6 +1311,64 @@ object MergeOps extends QueryModule {
       | (SELECT count(*) FROM events, d WHERE ts >= cutoff) AS n_after
       |FROM days""".stripMargin
 
+  /** `CALL system.cluster` — compaction with CLUSTERING, the reason
+    * OPTIMIZE has a ZORDER clause: the table is seeded as four
+    * interleaved commits (every batch spans the full event_id range, so
+    * footer stats can prune NOTHING — `pre_skipped` pins 0), then
+    * clustered by event_id into 4 RANGE-DISJOINT batches; the same
+    * selective scan afterwards prunes 3 of 4 by stats alone
+    * (`post_skipped`). Content pinned unchanged by the digest. At
+    * 100 TB this is the recurring maintenance that keeps data skipping
+    * effective as appends interleave the sort key — clustering exists
+    * to SERVE skipping, and this query measures exactly that coupling.
+    */
+  def sqlCallCluster(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val maxId = base.agg(max(col("event_id"))).head.getLong(0)
+    val w = math.ceil((maxId + 1) / 4.0).toLong
+    // INTERLEAVED quarters: rows with id % 4 == i — every batch spans
+    // the whole id range, so pre-cluster stats prune nothing
+    def stripe(i: Int) = base.filter(col("event_id") % 4 === i).repartition(1)
+    withDmlTable(s, stripe(0)) { tbl =>
+      (1 to 3).foreach(i => stripe(i).writeTo(tbl).append())
+      def probe(): (Long, Int, Int) = {
+        val d = s.table(tbl).filter(col("event_id") >= 3 * w)
+          .agg(count(lit(1))).head.getLong(0)
+        val (t, sk) = graft.sources.GraftStore.skipLog
+          .getOrElse(s"cat::$tbl", (-1, -1))
+        (d, t, sk)
+      }
+      val (nPre, preTotal, preSkipped) = probe()
+      val res = s.sql("CALL graft_cat.system.cluster(" +
+        s"'${tbl.stripPrefix("graft_cat.")}', 'event_id', 4)")
+      val (nPost, postTotal, postSkipped) = probe()
+      val digest = s.table(tbl)
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+      val out = res.crossJoin(digest)
+        .withColumn("n_pre", lit(nPre)).withColumn("n_post", lit(nPost))
+        .withColumn("pre_skipped", lit(preSkipped))
+        .withColumn("post_total", lit(postTotal))
+        .withColumn("post_skipped", lit(postSkipped))
+      s.createDataFrame(out.collectAsList(), out.schema)
+    }
+  }
+
+  val sqlCallClusterOracle: String =
+    """SELECT 4 AS batches_before, 4 AS batches_after,
+      | count(*) AS live_rows, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total,
+      | (SELECT count(*) FROM events, (SELECT CAST(ceil((max(event_id) + 1)
+      |    / 4.0) AS BIGINT) AS w FROM events) q WHERE event_id >= 3 * q.w)
+      |   AS n_pre,
+      | (SELECT count(*) FROM events, (SELECT CAST(ceil((max(event_id) + 1)
+      |    / 4.0) AS BIGINT) AS w FROM events) q WHERE event_id >= 3 * q.w)
+      |   AS n_post,
+      | 0 AS pre_skipped, 4 AS post_total, 3 AS post_skipped
+      |FROM events""".stripMargin
+
   override def queries: Seq[RegisteredQuery] = Seq(
     RegisteredQuery("s7_merge_upsert", s7MergeUpsert, Some(s7Oracle)),
     // shared oracle: SQL MERGE INTO must equal the DataFrame merge
@@ -1350,6 +1408,8 @@ object MergeOps extends QueryModule {
       Some(corpusCurationLedgerOracle)),
     RegisteredQuery("hidden_partition_days", hiddenPartitionDays,
       Some(hiddenPartitionDaysOracle)),
+    RegisteredQuery("sql_call_cluster", sqlCallCluster,
+      Some(sqlCallClusterOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),
     RegisteredQuery("sql_call_rollback", sqlCallRollback,

@@ -65,6 +65,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         Identifier.of(Array("system"), "publish_branch"),
         Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "rollback"),
+        Identifier.of(Array("system"), "cluster"),
         Identifier.of(Array("system"), "history"),
         Identifier.of(Array("system"), "create_tag"),
         Identifier.of(Array("system"), "drop_tag"))
@@ -80,6 +81,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (ident.name == "create_branch" || ident.name == "publish_branch" ||
         ident.name == "drop_branch") return branchProcedure(ident.name)
     if (ident.name == "rollback") return rollbackProcedure
+    if (ident.name == "cluster") return clusterProcedure
     if (ident.name == "history") return historyProcedure
     if (ident.name == "create_tag" || ident.name == "drop_tag")
       return tagProcedure(ident.name)
@@ -367,6 +369,65 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                 override def rows(): Array[InternalRow] =
                   Array(new GenericInternalRow(row))
                 override def description(): String = s"$op($tbl, $tag)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
+  /** `CALL graft_cat.system.cluster('ns.t', 'col', n)` — compaction
+    * with CLUSTERING: live rows (DVs applied) sorted by `col` and
+    * re-committed as `n` RANGE-DISJOINT batches, so the footer min/max
+    * stats become selective and data skipping actually prunes — the
+    * point of OPTIMIZE ZORDER BY (single-column linear clustering = the
+    * 1-D Z-curve). One truncate-commit: time travel intact, streaming
+    * offsets fenced. Flat tables only.
+    */
+  private def clusterProcedure: procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    new UnboundProcedure {
+      override def name(): String = "cluster"
+      override def description(): String =
+        "sort-cluster live rows into range-disjoint batches"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "cluster"
+          override def description(): String =
+            "sort-cluster live rows into range-disjoint batches"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("sort_col", StringType).build(),
+            ProcedureParameter.in("target_batches", IntegerType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val colName = input.getUTF8String(1).toString
+            val n = input.getInt(2)
+            val k = s"cat::$catName.$tbl"
+            require(!GraftCatalog.parts.contains(k),
+              "graft catalog: cluster of a partitioned table is " +
+                "unsupported — cluster within partitions via COW instead")
+            require(GraftStore.stores.contains(k),
+              s"graft catalog: no table '$tbl' to cluster")
+            val (before, nLive) = GraftStore.clusterStore(k, colName, n)
+            // NOTE: locals here must not be named `rows` — the LocalScan
+            // method below would shadow them into infinite recursion
+            // (the history procedure hit exactly this)
+            val resultRow: InternalRow = new GenericInternalRow(Array[Any](
+              before, GraftStore.stores(k).batches.size, nLive))
+            val out = new StructType()
+              .add("batches_before", IntegerType, nullable = false)
+              .add("batches_after", IntegerType, nullable = false)
+              .add("live_rows", LongType, nullable = false)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = Array(resultRow)
+                override def description(): String =
+                  s"cluster($tbl, $colName, $n) result"
               }
             java.util.Collections.singletonList(scan).iterator()
           }

@@ -436,6 +436,43 @@ object GraftStore {
       ()
     }
 
+  /** CLUSTERING compaction — `CALL system.cluster(t, col, n)`: live
+    * rows sorted by a column and re-committed as `n` RANGE-DISJOINT
+    * batches, so the per-batch min/max footer stats become selective
+    * and data skipping actually prunes (a bin-packed single batch can
+    * never skip). This is the point of OPTIMIZE ZORDER BY: clustering
+    * exists to serve skipping — here single-column linear clustering,
+    * the one-dimension case of a Z-order curve. One truncate-commit:
+    * DVs materialized, layout reset, epoch bumped, time travel intact.
+    * Returns (batchesBefore, liveRows).
+    */
+  private[graft] def clusterStore(name: String, sortCol: String,
+      targetBatches: Int): (Int, Long) =
+    stores.synchronized {
+      require(targetBatches >= 1, s"target batch count must be >= 1")
+      val cur = stores.getOrElse(name,
+        throw new IllegalStateException(s"no store '$name' to cluster"))
+      val j = cur.schema.fieldNames.indexWhere(_.equalsIgnoreCase(sortCol))
+      require(j >= 0, s"no column '$sortCol' in ${cur.schema.fieldNames.mkString(",")}")
+      val live = liveLogicalRows(cur)
+      val ord = new Ordering[Array[Any]] {
+        override def compare(a: Array[Any], b: Array[Any]): Int = {
+          val x = if (j < a.length) a(j) else null
+          val y = if (j < b.length) b(j) else null
+          if (x == null && y == null) 0
+          else if (x == null) -1 // NULLS FIRST, the default sort order
+          else if (y == null) 1
+          else StoreSkipping.rawCmp(x, y)
+        }
+      }
+      java.util.Arrays.sort(live, ord)
+      val per = math.max(1, math.ceil(live.length.toDouble /
+        targetBatches).toInt)
+      val batches = live.grouped(per).toSeq
+      publish(name, cur.schema, batches, truncate = true)
+      (cur.batches.size, live.length.toLong)
+    }
+
   /** Classify the commit that turned `prev` into `cur` — the shared
     * derivation behind `CALL system.history` and the change feed, all
     * by reference identity of immutable snapshot internals:
@@ -1029,7 +1066,7 @@ private[sources] object StoreSkipping {
   }
 
   /** compare two INTERNAL values of the same column (never NaN here). */
-  private def rawCmp(a: Any, b: Any): Int = (a, b) match {
+  private[sources] def rawCmp(a: Any, b: Any): Int = (a, b) match {
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
