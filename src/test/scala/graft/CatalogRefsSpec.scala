@@ -40,6 +40,30 @@ class CatalogRefsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.h1")
   }
 
+  test("a tag pins a DV'd snapshot: the merge-on-read view survives compaction") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+      .limit(80)
+    spark.createDataFrame(base.collectAsList(), base.schema)
+      .writeTo("graft_cat.spec.tgdv").create()
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.tgdv WHERE value < 40") // DV commit
+      val live = spark.table("graft_cat.spec.tgdv").count()
+      spark.sql("CALL graft_cat.system.create_tag('spec.tgdv', 'curated')")
+      // compaction replaces batches entirely; the tag's pinned snapshot
+      // still serves the DV'd view (its own batches + vectors)
+      spark.sql("CALL graft_cat.system.compact('spec.tgdv')")
+      spark.sql("INSERT INTO graft_cat.spec.tgdv VALUES (999999, 1.0)")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.tgdv VERSION AS OF 'curated'")
+        .head.getLong(0) === live)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.tgdv VERSION AS OF 'curated' " +
+          "WHERE value < 40").head.getLong(0) === 0L,
+        "the tag must serve the deletion vectors it was pinned with")
+    } finally spark.sql("DROP TABLE graft_cat.spec.tgdv")
+  }
+
   test("tags pin a snapshot through later DML AND ordinal retention; lifecycle is clean") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))

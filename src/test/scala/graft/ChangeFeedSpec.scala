@@ -147,6 +147,34 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.cdcv")
   }
 
+  test("the feed renders maintenance commits honestly: compact and rollback as rewrites that replay to the live table") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+      .limit(60)
+    spark.createDataFrame(base.collectAsList(), base.schema)
+      .writeTo("graft_cat.spec.cfmx").create() // v0, v1
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.cfmx WHERE value < 40") // v2 DV
+      spark.sql("CALL graft_cat.system.compact('spec.cfmx')") // v3 rewrite
+      spark.sql("CALL graft_cat.system.rollback('spec.cfmx', 1)") // v4 rewrite
+      val kinds = spark.sql("CALL graft_cat.system.history('spec.cfmx')")
+        .orderBy("version").select("kind").collect().map(_.getString(0))
+      assert(kinds.toSeq === Seq("create", "append", "delete-vectors",
+        "rewrite", "rewrite"))
+      // replaying the LAST commit's inserts reproduces the live table
+      val ch = ChangeFeed.tableChanges(spark, "spec.cfmx", 3, 4)
+      val replayed = ch.filter(col("_change_type") === "insert")
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id", "value").collect().toSeq
+      val live = spark.table("graft_cat.spec.cfmx")
+        .orderBy("event_id", "value").collect().toSeq
+      assert(replayed === live)
+      // and the rollback's feed pre-image is exactly the compacted state
+      assert(ch.filter(col("_change_type") === "delete").count() ===
+        base.filter(col("value") >= 40).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfmx")
+  }
+
   test("'changes' is a reserved ref: create_branch refuses it") {
     cat()
     spark.range(3).select(col("id").as("k")).writeTo("graft_cat.spec.cdcr").create()
