@@ -206,6 +206,34 @@ class DeleteVectorSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.dvpt")
   }
 
+  test("DV predicate three-valued logic: NULLs survive comparisons, IS NULL names them, NOT/OR compose") {
+    cat()
+    import spark.implicits._
+    Seq((1L, Some(10.0)), (2L, Some(50.0)), (3L, None), (4L, Some(90.0)),
+      (5L, None))
+      .toDF("k", "v").writeTo("graft_cat.spec.dv3v").create()
+    val key = "cat::graft_cat.spec.dv3v"
+    try {
+      val before = GraftStore.batchesRef(key).get
+      // v < 40 is UNKNOWN for NULL rows: they must SURVIVE (SQL DELETE
+      // removes only rows where the predicate is TRUE)
+      spark.sql("DELETE FROM graft_cat.spec.dv3v WHERE v < 40")
+      assert(GraftStore.batchesRef(key).get eq before, "metadata-only")
+      assert(spark.table("graft_cat.spec.dv3v").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L, 4L, 5L))
+      // NOT (v >= 60) is likewise UNKNOWN on NULL: keeps 3 and 5
+      spark.sql("DELETE FROM graft_cat.spec.dv3v WHERE NOT (v >= 60)")
+      assert(spark.table("graft_cat.spec.dv3v").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq === Seq(3L, 4L, 5L))
+      // IS NULL names the null rows exactly; OR composes
+      spark.sql("DELETE FROM graft_cat.spec.dv3v WHERE v IS NULL OR v > 1000")
+      assert(spark.table("graft_cat.spec.dv3v").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq === Seq(4L))
+      assert(GraftStore.batchesRef(key).get eq before,
+        "every step stayed a deletion-vector commit")
+    } finally spark.sql("DROP TABLE graft_cat.spec.dv3v")
+  }
+
   test("TRUNCATE TABLE empties through the SupportsDeleteV2 surface") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
