@@ -771,18 +771,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(!partitioned.exists(_.sourceCol.equalsIgnoreCase(from)),
           "graft catalog: cannot rename " +
           s"partition column '$from' (partition routing is name-keyed)")
-        require(!cur.schema.fieldNames.contains(rn.newName),
+        // case-INSENSITIVE like every other column resolution here
+        // (fieldIndex/StoreSkipping bind equalsIgnoreCase): a rename that
+        // differs only in case would create two silently-colliding names
+        require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(rn.newName)),
           s"graft catalog: column '${rn.newName}' already exists")
         GraftStore.renameColumn(k, from, rn.newName)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           "graft catalog: only top-level DROP COLUMN is supported")
-        require(partitioned.isEmpty, "graft catalog: DROP COLUMN on a " +
-          "partitioned table is unsupported (per-partition stores are " +
-          "positional); rewrite via CTAS instead")
+        // partition-column first so ITS message fires when both apply;
+        // the blanket refusal below otherwise shadows it (ADVICE r15)
         require(!partitioned.exists(
             _.sourceCol.equalsIgnoreCase(del.fieldNames.head)),
           "graft catalog: cannot drop the partition column")
+        require(partitioned.isEmpty, "graft catalog: DROP COLUMN on a " +
+          "partitioned table is unsupported (per-partition stores are " +
+          "positional); rewrite via CTAS instead")
         GraftStore.dropColumn(k, del.fieldNames.head)
       // ANSI constraints (Spark 4's SPARK-51207 framework): the catalog
       // only has to STORE them and serve them from Table.constraints() —
@@ -1347,17 +1352,25 @@ private[sources] class GraftPartitionedTable(
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         kept
       override def build(): Scan = {
+        // the key resolver is PURE — skip-log recording happens only in
+        // planInputPartitions (the execution path), so an explain() or
+        // description() render between a scan and a spec's skipLog
+        // assertion can't overwrite the executed counts (ADVICE r15)
         val keys = () => {
           val all = partKeys()
-          val sel = keep match {
+          keep match {
             case Some(p) =>
               all.filter(k => p(k.substring(k.indexOf("#p=") + 3)))
             case None => all
           }
-          GraftStore.skipLog.put(tableKey, (all.size, all.size - sel.size))
-          sel
         }
-        new GraftPartsScan(tableKey, schema(), keys, withGroup = wantGroup)
+        val record = (selected: Int) => {
+          val total = partKeys().size
+          GraftStore.skipLog.put(tableKey, (total, total - selected))
+          ()
+        }
+        new GraftPartsScan(tableKey, schema(), keys, withGroup = wantGroup,
+          record)
       }
     }
 
@@ -1441,7 +1454,7 @@ private[sources] class GraftPartitionedTable(
   */
 private[sources] class GraftPartsScan(
     tableKey: String, dataSchema: StructType, keysF: () => Seq[String],
-    withGroup: Boolean) extends Scan with Batch {
+    withGroup: Boolean, record: Int => Unit = _ => ()) extends Scan with Batch {
   private val full =
     if (withGroup)
       dataSchema.add("_group", org.apache.spark.sql.types.StringType,
@@ -1451,13 +1464,16 @@ private[sources] class GraftPartsScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_store($tableKey) parts scan [${keysF().size} groups]"
-  override def planInputPartitions(): Array[InputPartition] =
-    keysF().flatMap { k =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val selected = keysF()
+    record(selected.size) // execution-path-only skip-log recording
+    selected.flatMap { k =>
       val v = k.substring(k.indexOf("#p=") + 3)
       GraftStore.stores.get(k).map(_.batches).getOrElse(Seq.empty)
         .map(b => GraftGroupPartition(b, if (withGroup) v else null)
           : InputPartition)
     }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     val dataWidth = dataSchema.length
     (p: InputPartition) => new PartitionReader[InternalRow] {

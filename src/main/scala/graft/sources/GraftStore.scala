@@ -1065,14 +1065,28 @@ private[sources] object StoreSkipping {
     BatchStats(batch.length, mins, maxs, hasNull, allNull)
   }
 
-  /** compare two INTERNAL values of the same column (never NaN here). */
+  /** compare two INTERNAL values of the same column (never NaN here).
+    * Mixed float/double boxes promote to double (longValue would
+    * truncate); anything else is a contract violation — throw rather
+    * than declare incomparables equal, which would silently corrupt
+    * min/max tracking if a type-widening change ever mixes domains
+    * (ADVICE r15).
+    */
   private[sources] def rawCmp(a: Any, b: Any): Int = (a, b) match {
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
     case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
-    case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
-    case _ => 0
+    case (x: Number, y: Number)
+        if x.isInstanceOf[java.lang.Float] || x.isInstanceOf[java.lang.Double] ||
+           y.isInstanceOf[java.lang.Float] || y.isInstanceOf[java.lang.Double] =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x: Number, y: Number) =>
+      java.lang.Long.compare(x.longValue, y.longValue)
+    case _ => throw new IllegalStateException(
+      s"graft store stats: incomparable stat/filter value classes " +
+        s"${a.getClass.getName} vs ${b.getClass.getName} — same-typed " +
+        "per column is the skipping contract")
   }
 
   /** external (filter-side) value → the column's internal domain. */
