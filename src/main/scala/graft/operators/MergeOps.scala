@@ -419,6 +419,56 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** `VERSION AS OF` on a PARTITIONED catalog table — r14/r15's loud
+    * refusal upgraded to the Iceberg model: shards commit physically,
+    * but every statement appends exactly ONE entry to a table-level
+    * snapshot ledger ([[graft.sources.GraftCatalog.partVersions]] —
+    * CTAS, partition-local COW DELETE, single-partition UPDATE each
+    * one version), and `VERSION AS OF n` resolves to that entry's
+    * pinned shard snapshots. Partitioned facts are exactly the tables
+    * worth time-traveling at 100 TB (reprocessing yesterday's state of
+    * a day-partitioned event log), and the versions must hold still
+    * under later commits: each digest below recomputes a PAST state
+    * after two further rewrites have dropped and re-created shards.
+    */
+  def sqlTimeTravelPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type")) { tbl =>
+      // v0 = create, v1 = the CTAS write; v2 rewrites only the 'error'
+      // partition, v3 only 'click' — both leave other shards untouched
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'error' AND value < 50")
+      s.sql(s"UPDATE $tbl SET value = value + 1000 WHERE event_type = 'click'")
+      def digest(v: Int): DataFrame =
+        s.sql(
+          s"""SELECT CAST($v AS BIGINT) AS v, count(*) AS n,
+             | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |   / 100.0 AS total
+             |FROM $tbl VERSION AS OF $v""".stripMargin)
+      digest(1).unionByName(digest(2)).unionByName(digest(3)).orderBy("v")
+    }
+  }
+
+  val sqlTimeTravelPartitionedOracle: String =
+    """WITH v2 AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE NOT (event_type = 'error' AND value < 50)
+      |)
+      |SELECT CAST(1 AS BIGINT) AS v, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
+      |FROM events
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |FROM v2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(
+      |   (CASE WHEN event_type = 'click' THEN value + 1000 ELSE value END)
+      |   * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |FROM v2
+      |ORDER BY v""".stripMargin
+
   /** Row-level DML at PARTITION-GROUP granularity
     * ([[graft.sources.GraftCatalog]]'s partitioned table — partitions
     * ARE the COW groups): a DELETE and an UPDATE each carrying a
@@ -1385,6 +1435,8 @@ object MergeOps extends QueryModule {
     RegisteredQuery("sql_update_mor", sqlUpdateMor,
       Some(sqlUpdateDeleteOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
+    RegisteredQuery("sql_time_travel_partitioned", sqlTimeTravelPartitioned,
+      Some(sqlTimeTravelPartitionedOracle)),
     RegisteredQuery("sql_delete_partitioned", sqlDeletePartitioned,
       Some(sqlDeletePartitionedOracle)),
     RegisteredQuery("sql_merge_partitioned", sqlMergePartitioned,

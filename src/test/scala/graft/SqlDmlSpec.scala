@@ -78,6 +78,46 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.tt")
   }
 
+  test("partitioned VERSION AS OF: table-level ordinals span shard commits; travel before/after a partition-local DELETE") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.ptt").partitionedBy(col("event_type")).create()
+    try {
+      val full = base.count()
+      val errLow = base.filter(col("event_type") === "error" && col("value") < 50).count()
+      assert(errLow > 0, "fixture must have error rows below 50")
+      // v0 = create (empty), v1 = the CTAS write — ONE version despite
+      // committing one shard per event_type
+      assert(spark.sql("SELECT * FROM graft_cat.spec.ptt VERSION AS OF 0").count() === 0L)
+      assert(spark.sql("SELECT * FROM graft_cat.spec.ptt VERSION AS OF 1").count() === full)
+      // v2: a partition-local COW DELETE (rewrites only the 'error' shard)
+      spark.sql("DELETE FROM graft_cat.spec.ptt WHERE event_type = 'error' AND value < 50")
+      assert(spark.sql("SELECT * FROM graft_cat.spec.ptt VERSION AS OF 1").count() === full,
+        "pre-delete version must still serve the deleted rows")
+      assert(spark.sql("SELECT * FROM graft_cat.spec.ptt VERSION AS OF 2").count() === full - errLow)
+      // a resolved version read is immune to LATER commits, even a
+      // rewrite that drops and re-creates the shard store
+      val v1 = spark.sql("SELECT * FROM graft_cat.spec.ptt VERSION AS OF 1")
+      v1.count()
+      spark.sql("UPDATE graft_cat.spec.ptt SET value = value + 1000 WHERE event_type = 'click'")
+      assert(v1.count() === full, "resolved partitioned time-travel read moved after a later commit")
+      assert(spark.sql("SELECT * FROM graft_cat.spec.ptt VERSION AS OF 3").count() === full - errLow)
+      // the UPDATE only moved 'click' values; v2 vs v3 digests differ there
+      val v2clicks = spark.sql(
+        "SELECT sum(value) FROM graft_cat.spec.ptt VERSION AS OF 2 WHERE event_type = 'click'")
+        .head.getDouble(0)
+      val v3clicks = spark.sql(
+        "SELECT sum(value) FROM graft_cat.spec.ptt VERSION AS OF 3 WHERE event_type = 'click'")
+        .head.getDouble(0)
+      assert(v3clicks > v2clicks)
+      val oob = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_cat.spec.ptt VERSION AS OF 9").collect()
+      }
+      assert(oob.getMessage.contains("out of range"), oob.getMessage.take(120))
+    } finally spark.sql("DROP TABLE graft_cat.spec.ptt")
+  }
+
   test("partition-group COW: a predicate-bounded DML rewrites ONLY its group (eq-pinned)") {
     cat()
     val base = Tables.events(spark, sfDir)
