@@ -17,10 +17,15 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
   *   - deletion-vector commit ([[GraftStore.deleteWhere]]): the newly
   *     set bits name the `delete`d rows exactly — the precision a DV
   *     ledger buys CDC (a COW delete must diff whole batch contents);
+  *   - MOR row-delta commit with journaled UPDATE lineage
+  *     ([[GraftStore.Committed.lineage]]): each updated row renders as
+  *     an `update_preimage`/`update_postimage` pair — the Delta CDF
+  *     rendering, exact because the DV bits and delta batch are
+  *     row-precise;
   *   - truncate-overwrite / COW rewrite / compaction: the pre-image's
-  *     live rows are `delete`s and the post-image's are `insert`s (an
-  *     UPDATE therefore reads as delete+insert, the honest rendering
-  *     when the format does not journal row lineage);
+  *     live rows are `delete`s and the post-image's are `insert`s (a
+  *     COW UPDATE therefore reads as delete+insert, the honest
+  *     rendering when the commit does not journal row lineage);
   *   - metadata-only evolution commit (same batches, schema changed):
   *     no row changes.
   *
@@ -147,14 +152,15 @@ object ChangeFeed {
       * pre-image snapshot — that's what the rows meant when live).
       */
     def dvDeltaDeletes(prev: GraftStore.Committed, cur: GraftStore.Committed,
-        v: Int): Unit =
+        v: Int, exclude: Set[Long] = Set.empty): Unit =
       cur.batches.zipWithIndex.foreach { case (batch, bi) =>
         val now = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
         if (now != null) {
           val before = prev.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
           var r = now.nextSetBit(0)
           while (r >= 0) {
-            if (before == null || !before.get(r))
+            if ((before == null || !before.get(r)) &&
+                !exclude.contains(bi.toLong << 32 | r.toLong))
               changes += render(prev, batch(r), "delete", v)
             r = now.nextSetBit(r + 1)
           }
@@ -174,12 +180,27 @@ object ChangeFeed {
         case "delete-vectors" =>
           dvDeltaDeletes(prev, cur, v)
         case "row-delta" =>
-          // a MOR WriteDelta commit: exactly its DV delta as deletes
-          // plus its appended delta batches as inserts — row-precise,
-          // where a COW format must diff whole file contents
-          dvDeltaDeletes(prev, cur, v)
-          cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
-            changes += render(cur, r, "insert", v)))
+          // a MOR WriteDelta commit journals its UPDATE lineage
+          // ([[GraftStore.Committed.lineage]]): each (old position →
+          // delta-batch index) pair renders as update_preimage /
+          // update_postimage — the Delta CDF model, possible here
+          // because DV bits + the delta batch are row-exact. The
+          // REMAINING DV delta is genuine deletes, the REMAINING delta
+          // rows genuine inserts — row-precise, where a COW format must
+          // diff whole file contents.
+          val lin = cur.lineage
+          val newRows = cur.batches.drop(prev.batches.size).flatten
+          lin.foreach { case (pos, i) =>
+            val bi = (pos >>> 32).toInt
+            val r = pos.toInt
+            changes += render(prev, prev.batches(bi)(r), "update_preimage", v)
+            changes += render(cur, newRows(i), "update_postimage", v)
+          }
+          dvDeltaDeletes(prev, cur, v, exclude = lin.map(_._1).toSet)
+          val linIdx = lin.map(_._2).toSet
+          newRows.zipWithIndex.foreach { case (r, i) =>
+            if (!linIdx.contains(i)) changes += render(cur, r, "insert", v)
+          }
         case _ => // evolve/unknown: metadata only — no row changes
       }
     }

@@ -1155,6 +1155,11 @@ private[sources] class GraftDeltaBatchWrite(name: String, rowSchema: StructType)
     (_: Int, _: Long) => new DeltaWriter[InternalRow] {
       private val dels = scala.collection.mutable.ArrayBuffer.empty[Long]
       private val ins = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      // UPDATE ops keep their (old position → new row) pairing — the
+      // row lineage Delta CDF journals, so the change feed can render
+      // update_preimage/update_postimage instead of delete+insert
+      private val updDels = scala.collection.mutable.ArrayBuffer.empty[Long]
+      private val updIns = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
       private def copyRow(r: InternalRow): Array[Any] = {
         val vals = new Array[Any](s.length)
         var i = 0
@@ -1175,30 +1180,37 @@ private[sources] class GraftDeltaBatchWrite(name: String, rowSchema: StructType)
         dels += id.getLong(0)
       override def update(meta: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
-        dels += id.getLong(0)
-        ins += copyRow(row)
+        updDels += id.getLong(0)
+        updIns += copyRow(row)
       }
       override def insert(row: InternalRow): Unit = ins += copyRow(row)
       override def commit(): WriterCommitMessage =
-        GraftDeltaCommit(dels.toArray, ins.toArray)
-      override def abort(): Unit = { dels.clear(); ins.clear() }
+        GraftDeltaCommit(dels.toArray, ins.toArray,
+          updDels.toArray, updIns.toArray)
+      override def abort(): Unit =
+        { dels.clear(); ins.clear(); updDels.clear(); updIns.clear() }
       override def close(): Unit = ()
     }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.map(_.asInstanceOf[GraftDeltaCommit])
-    val deleted = ms.flatMap(_.deleted)
-    val inserted = ms.flatMap(_.inserted).toSeq
+    // updated rows lead the appended batch so lineage indexes are the
+    // batch prefix; pure inserts follow
+    val updPairs = ms.flatMap(m => m.updatedDels.zip(m.updatedIns))
+    val deleted = ms.flatMap(_.deleted) ++ updPairs.map(_._1)
+    val inserted = (updPairs.map(_._2) ++ ms.flatMap(_.inserted)).toSeq
+    val lineage = updPairs.zipWithIndex.map { case ((pos, _), i) => (pos, i) }
     if (deleted.nonEmpty || inserted.nonEmpty)
-      GraftStore.commitDelta(name, deleted, inserted, rowSchema)
+      GraftStore.commitDelta(name, deleted, inserted, rowSchema, lineage)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[sources] case class GraftDeltaCommit(deleted: Array[Long],
-    inserted: Array[Array[Any]]) extends WriterCommitMessage
+    inserted: Array[Array[Any]], updatedDels: Array[Long],
+    updatedIns: Array[Array[Any]]) extends WriterCommitMessage
 
 /** A PARTITIONED catalog table whose partitions ARE the COW groups —
   * the real group-based model the unpartitioned table's whole-table

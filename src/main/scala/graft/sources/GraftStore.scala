@@ -69,7 +69,15 @@ object GraftStore {
       stats: Seq[BatchStats] = Seq.empty, proj: Array[Int] = null,
       physWidth: Int = -1, truncCount: Int = 0,
       dvs: Map[Int, Array[Long]] = Map.empty,
-      slotDefaults: Map[Int, Any] = Map.empty) {
+      slotDefaults: Map[Int, Any] = Map.empty,
+      // UPDATE row lineage of THE COMMIT THAT CREATED THIS SNAPSHOT —
+      // (deleted row position, index into this commit's appended delta
+      // batch) pairs journaled by a MOR WriteDelta UPDATE
+      // ([[commitDelta]]), so the change feed can render
+      // update_preimage/update_postimage (Delta CDF) instead of
+      // delete+insert. Per-commit metadata: EVERY other snapshot
+      // constructor (cur.copy sites included) must leave/reset it empty.
+      lineage: Array[(Long, Int)] = Array.empty) {
     /** per-LOGICAL-position pad value for rows shorter than their slot:
       * the EXISTS_DEFAULT of a column added with DEFAULT, else null —
       * the lazy-back-fill contract extended to defaults (metadata-only
@@ -292,7 +300,8 @@ object GraftStore {
         else None
       }.toMap
       if (newlyDeleted > 0) {
-        val snap = cur.copy(dvs = dvs, truncCount = cur.truncCount + 1)
+        val snap = cur.copy(dvs = dvs, truncCount = cur.truncCount + 1,
+          lineage = Array.empty)
         stores.put(name, snap)
         history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       }
@@ -371,7 +380,8 @@ object GraftStore {
     * is an append under the streaming contract.
     */
   private[sources] def commitDelta(name: String, deleted: Array[Long],
-      inserted: Seq[Array[Any]], schema: StructType): Unit =
+      inserted: Seq[Array[Any]], schema: StructType,
+      lineage: Array[(Long, Int)] = Array.empty): Unit =
     stores.synchronized {
       val cur = stores.getOrElse(name,
         throw new IllegalStateException(s"no store '$name' for a delta commit"))
@@ -430,7 +440,10 @@ object GraftStore {
         // commit classification can tell it from a deleting delta
         dvs = if (deleted.isEmpty) cur.dvs else dvs,
         truncCount = if (deleted.nonEmpty) cur.truncCount + 1
-          else cur.truncCount)
+          else cur.truncCount,
+        // journaled UPDATE lineage of THIS commit (empty for pure
+        // deletes/inserts) — what lets CDC render pre/post image pairs
+        lineage = lineage)
       stores.put(name, snap)
       history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
       ()
@@ -618,7 +631,8 @@ object GraftStore {
       cur.copy(schema = cur.schema.add(field),
         proj = cur.projection :+ cur.width, physWidth = cur.width + 1,
         slotDefaults = defaultInternal.fold(cur.slotDefaults)(v =>
-          cur.slotDefaults.updated(cur.width, v)))
+          cur.slotDefaults.updated(cur.width, v)),
+        lineage = Array.empty)
     }
 
   /** RENAME: logical name change only; the slot — and every committed
@@ -630,7 +644,7 @@ object GraftStore {
     evolve(name) { cur =>
       val i = cur.schema.fieldIndex(from)
       cur.copy(schema = StructType(cur.schema.fields.updated(i,
-        cur.schema.fields(i).copy(name = to))))
+        cur.schema.fields(i).copy(name = to))), lineage = Array.empty)
     }
 
   /** DROP: remove the logical mapping; the physical slot is TOMBSTONED
@@ -645,7 +659,8 @@ object GraftStore {
       val i = cur.schema.fieldIndex(colName)
       cur.copy(
         schema = StructType(cur.schema.fields.patch(i, Nil, 1)),
-        proj = cur.projection.patch(i, Nil, 1), physWidth = cur.width)
+        proj = cur.projection.patch(i, Nil, 1), physWidth = cur.width,
+        lineage = Array.empty)
     }
 
   /** store → (batches total, batches skipped) of the LAST planned scan —

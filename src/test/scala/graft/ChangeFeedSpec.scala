@@ -75,7 +75,7 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.cf2")
   }
 
-  test("a MOR row-delta commit renders row-precisely: DV delta deletes + delta-batch inserts") {
+  test("a MOR UPDATE renders with TRUE lineage: update_preimage/update_postimage pairs, zero delete+insert") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
     base.writeTo("graft_cat.spec.cfm")
@@ -85,19 +85,59 @@ class ChangeFeedSpec extends SparkSpec {
         "UPDATE graft_cat.spec.cfm SET value = value + 1000 WHERE event_id % 50 = 0") // v2 row-delta
       val touched = base.filter(col("event_id") % 50 === 0).count()
       val ch = ChangeFeed.tableChanges(spark, "spec.cfm", 1, 2)
-      // NOT a rewrite rendering: exactly the touched rows, both ways
-      assert(ch.filter(col("_change_type") === "delete").count() === touched)
-      assert(ch.filter(col("_change_type") === "insert").count() === touched)
-      assert(ch.filter(col("_change_type") === "delete" &&
+      // journaled lineage, not delete+insert: exactly the touched rows,
+      // as pre/post image pairs (the Delta CDF rendering)
+      assert(ch.filter(col("_change_type") === "update_preimage").count() === touched)
+      assert(ch.filter(col("_change_type") === "update_postimage").count() === touched)
+      assert(ch.filter(col("_change_type").isin("delete", "insert")).count() === 0L)
+      assert(ch.filter(col("_change_type") === "update_preimage" &&
         col("event_id") % 50 =!= 0).count() === 0L)
-      // pre-image values on deletes, post-image on inserts
-      assert(ch.filter(col("_change_type") === "insert" &&
-        col("value") < 1000).count() === 0L)
+      // PAIRING is row-exact: join pre to post by key — every pair
+      // moved by exactly +1000 (so a consumer can diff moved rows)
+      val pre = ch.filter(col("_change_type") === "update_preimage")
+        .select(col("event_id"), col("value").as("pre_v"))
+      val post = ch.filter(col("_change_type") === "update_postimage")
+        .select(col("event_id"), col("value").as("post_v"))
+      val pairs = pre.join(post, "event_id")
+      assert(pairs.count() === touched)
+      assert(pairs.filter(floor(col("post_v") * 100 + 0.5) -
+        floor(col("pre_v") * 100 + 0.5) =!= 100000L).count() === 0L)
       // and the history kind agrees
       val kinds = spark.sql("CALL graft_cat.system.history('spec.cfm')")
         .orderBy("version").select("kind").collect().map(_.getString(0))
       assert(kinds.toSeq === Seq("create", "append", "row-delta"))
     } finally spark.sql("DROP TABLE graft_cat.spec.cfm")
+  }
+
+  test("a MOR MERGE mixes lineage kinds: matched rows pair, unmatched rows are genuine inserts") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+      .limit(60)
+    spark.createDataFrame(base.collectAsList(), base.schema)
+      .writeTo("graft_cat.spec.cfmm")
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      spark.table("graft_cat.spec.cfmm")
+        .filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), (col("value") + 500).as("value"))
+        .unionByName(spark.range(5)
+          .select((col("id") + 9000000L).as("event_id"), lit(7.0).as("value")))
+        .createOrReplaceTempView("spec_cfmm_src")
+      spark.sql(
+        """MERGE INTO graft_cat.spec.cfmm t USING spec_cfmm_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET value = s.value
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val matched = spark.table("graft_cat.spec.cfmm")
+        .filter(col("event_id") % 3 === 0 && col("event_id") < 9000000L).count()
+      val ch = ChangeFeed.tableChanges(spark, "spec.cfmm", 1, 2)
+      assert(ch.filter(col("_change_type") === "update_preimage").count() === matched)
+      assert(ch.filter(col("_change_type") === "update_postimage").count() === matched)
+      assert(ch.filter(col("_change_type") === "insert").count() === 5L)
+      assert(ch.filter(col("_change_type") === "insert" &&
+        col("event_id") < 9000000L).count() === 0L)
+      assert(ch.filter(col("_change_type") === "delete").count() === 0L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfmm")
   }
 
   test("t@changes: batch SELECT serves full-history CDC; the stream survives rewrites") {
