@@ -1015,6 +1015,9 @@ private[sources] class GraftRowLevelTable(storeKey: String,
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         if (mor) new RowLevelOperation with SupportsDelta {
+          // optimistic concurrency: the op scan pins the snapshot it
+          // read; the delta commit validates identity (GraftStore)
+          @volatile private var readSnap: Option[GraftStore.Committed] = None
           override def command: RowLevelOperation.Command = info.command
           override def description(): String =
             s"graft MOR ${info.command} on $storeKey"
@@ -1044,17 +1047,22 @@ private[sources] class GraftRowLevelTable(storeKey: String,
               override def pushedFilters()
                   : Array[org.apache.spark.sql.sources.Filter] = skipping
               override def build() =
-                new GraftDeltaScan(storeKey, schema(), skipping)
+                new GraftDeltaScan(storeKey, schema(), skipping,
+                  snap => readSnap = Some(snap))
             }
           override def newWriteBuilder(lwi: LogicalWriteInfo): DeltaWriteBuilder =
             new DeltaWriteBuilder {
               override def build(): DeltaWrite = new DeltaWrite {
                 override def toBatch: DeltaBatchWrite =
-                  new GraftDeltaBatchWrite(storeKey, lwi.schema())
+                  new GraftDeltaBatchWrite(storeKey, lwi.schema(),
+                    () => readSnap)
               }
             }
         }
         else new RowLevelOperation {
+          // optimistic concurrency: see the MOR op above — the COW
+          // rewrite's truncate-publish validates the same way
+          @volatile private var readSnap: Option[GraftStore.Committed] = None
           override def command: RowLevelOperation.Command = info.command
           override def description(): String =
             s"graft COW ${info.command} on $storeKey"
@@ -1063,12 +1071,14 @@ private[sources] class GraftRowLevelTable(storeKey: String,
             Array(org.apache.spark.sql.connector.expressions.Expressions.column("_group"))
           override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
             new ScanBuilder {
-              override def build() = new GraftGroupScan(storeKey, schema())
+              override def build() = new GraftGroupScan(storeKey, schema(),
+                snap => readSnap = Some(snap))
             }
           // the write REPLACES the single whole-table group the scan read:
           // truncate-then-publish under the standard 2PC
           override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
-            new GraftStoreWriteBuilder(storeKey, lwi.schema()).truncate()
+            new GraftStoreWriteBuilder(storeKey, lwi.schema(),
+              () => readSnap).truncate()
         }
     }
 }
@@ -1079,7 +1089,8 @@ private[sources] class GraftRowLevelTable(storeKey: String,
   * ([[GraftStore.commitDelta]]).
   */
 private[sources] class GraftDeltaScan(name: String, dataSchema: StructType,
-    skipping: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    skipping: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    capture: GraftStore.Committed => Unit = _ => ())
     extends Scan with Batch {
   private val full = dataSchema.add("_pos",
     org.apache.spark.sql.types.LongType, nullable = false)
@@ -1092,6 +1103,7 @@ private[sources] class GraftDeltaScan(name: String, dataSchema: StructType,
     val snap = GraftStore.stores.getOrElse(name,
       throw new IllegalStateException(
         s"graft store '$name' no longer exists — evicted or dropped"))
+    capture(snap) // pin the read snapshot for commit-time validation
     val kept = snap.batches.indices.filter { i =>
       skipping.isEmpty ||
         StoreSkipping.batchMayMatch(dataSchema, snap.projection,
@@ -1145,7 +1157,8 @@ private[sources] case class GraftDeltaPartition(rows: Array[Array[Any]],
   * messages in one [[GraftStore.commitDelta]] — the same 2PC as every
   * other write, so an aborted MOR DML publishes nothing.
   */
-private[sources] class GraftDeltaBatchWrite(name: String, rowSchema: StructType)
+private[sources] class GraftDeltaBatchWrite(name: String, rowSchema: StructType,
+    expectSnapshot: () => Option[GraftStore.Committed] = () => None)
     extends DeltaBatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -1202,7 +1215,8 @@ private[sources] class GraftDeltaBatchWrite(name: String, rowSchema: StructType)
     val inserted = (updPairs.map(_._2) ++ ms.flatMap(_.inserted)).toSeq
     val lineage = updPairs.zipWithIndex.map { case ((pos, _), i) => (pos, i) }
     if (deleted.nonEmpty || inserted.nonEmpty)
-      GraftStore.commitDelta(name, deleted, inserted, rowSchema, lineage)
+      GraftStore.commitDelta(name, deleted, inserted, rowSchema, lineage,
+        expectSnapshot())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -1469,6 +1483,9 @@ private[sources] class GraftPartitionedTable(
           * the set, so every contributor composes by intersection.
           */
         @volatile private[sources] var matched: Option[Set[String]] = None
+        // shard snapshots pinned by the op scan for commit validation
+        @volatile private[sources] var readShards
+          : Option[Map[String, GraftStore.Committed]] = None
         private def narrow(vs: Set[String]): Unit = synchronized {
           matched = Some(matched.fold(vs)(_ intersect vs))
         }
@@ -1501,14 +1518,15 @@ private[sources] class GraftPartitionedTable(
                 : Array[org.apache.spark.sql.sources.Filter] = Array.empty
             override def build(): Scan =
               new GraftPartsOpScan(tableKey, schema(), () => selectedKeys(),
-                narrow)
+                narrow, shards => readShards = Some(shards))
           }
         override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
             override def build(): Write = new Write {
               override def toBatch: BatchWrite = new GraftPartBatchWrite(
                 tableKey, lwi.schema(), spec,
-                replaceKeys = () => selectedKeys(), appendMode = false)
+                replaceKeys = () => selectedKeys(), appendMode = false,
+                expectShards = () => readShards)
             }
           }
       }
@@ -1591,9 +1609,20 @@ private[sources] case class GraftGroupPartition(
   */
 private[sources] class GraftPartsOpScan(
     tableKey: String, dataSchema: StructType, keysF: () => Seq[String],
-    narrow: Set[String] => Unit)
+    narrow: Set[String] => Unit,
+    capture: Map[String, GraftStore.Committed] => Unit = _ => ())
     extends GraftPartsScan(tableKey, dataSchema, keysF, withGroup = true)
     with SupportsRuntimeV2Filtering {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // pin every SCANNED shard's snapshot for commit-time conflict
+    // validation — the scanned set equals the replace set, so a shard
+    // this statement will rewrite that a concurrent writer commits to
+    // first is refused, never lost-updated
+    capture(keysF().flatMap(k =>
+      GraftStore.stores.get(k).map(k -> _)).toMap)
+    super.planInputPartitions()
+  }
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr}
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -1639,7 +1668,9 @@ private[sources] class GraftPartsOpScan(
   */
 private[sources] class GraftPartBatchWrite(
     tableKey: String, schema: StructType, spec: PartSpec,
-    replaceKeys: () => Seq[String], appendMode: Boolean) extends BatchWrite {
+    replaceKeys: () => Seq[String], appendMode: Boolean,
+    expectShards: () => Option[Map[String, GraftStore.Committed]] =
+      () => None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val s = schema
@@ -1683,6 +1714,12 @@ private[sources] class GraftPartBatchWrite(
         }
       }
     GraftStore.stores.synchronized {
+      // optimistic concurrency at shard grain: every shard this op
+      // scanned must still hold the snapshot it read (new shards a
+      // concurrent writer created are appends, not lost updates)
+      expectShards().foreach(_.foreach { case (k, snap) =>
+        GraftStore.validateSnapshot(k, snap)
+      })
       if (!appendMode)
         replaceKeys().foreach(GraftStore.drop)
       byPart.foreach { case (pv, batches) =>
@@ -1773,7 +1810,8 @@ private[sources] class GraftPartsVersionTable(nm: String,
 /** [[GraftStoreScan]] plus the constant `_group` metadata column the
   * row-level operation requires.
   */
-private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
+private[sources] class GraftGroupScan(name: String, dataSchema: StructType,
+    capture: GraftStore.Committed => Unit = _ => ())
     extends Scan with Batch {
   private val full = dataSchema.add("_group",
     org.apache.spark.sql.types.IntegerType, nullable = false)
@@ -1784,6 +1822,7 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType)
     val snap = GraftStore.stores.getOrElse(name,
       throw new IllegalStateException(
         s"graft store '$name' no longer exists — evicted or dropped"))
+    capture(snap) // pin the read snapshot for commit-time validation
     // deletion vectors apply on the OPERATION scan too: a COW rewrite
     // reads only live rows, so a later UPDATE can never resurrect a
     // merge-on-read-deleted row
