@@ -118,6 +118,39 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.ptt")
   }
 
+  test("partition-spec evolution refuses loudly and the CTAS migration recipe works (pinned)") {
+    cat()
+    spark.range(0, 12)
+      .select((col("id") % 3).cast("string").as("p"), col("id").as("v"))
+      .writeTo("graft_cat.spec.pse").partitionedBy(col("p")).create()
+    try {
+      val ex = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.evolve_spec('spec.pse', 'bucket(8, v)')")
+          .collect()
+      }
+      assert(ex.getMessage.contains("partition-spec evolution"),
+        ex.getMessage.take(160))
+      assert(ex.getMessage.contains("CTAS"), "refusal must name the recipe")
+      val missing = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.evolve_spec('spec.nope', 'days(ts)')")
+          .collect()
+      }
+      assert(missing.getMessage.contains("no table"),
+        missing.getMessage.take(160))
+      // the recommended migration actually works: CTAS under the new
+      // spec, content identical
+      spark.table("graft_cat.spec.pse").writeTo("graft_cat.spec.pse2")
+        .partitionedBy(org.apache.spark.sql.functions.bucket(8, col("v")))
+        .create()
+      try {
+        assert(spark.table("graft_cat.spec.pse2").orderBy("v").collect().toSeq
+          === spark.table("graft_cat.spec.pse").orderBy("v").collect().toSeq)
+      } finally spark.sql("DROP TABLE graft_cat.spec.pse2")
+    } finally spark.sql("DROP TABLE graft_cat.spec.pse")
+  }
+
   test("partition-group COW: a predicate-bounded DML rewrites ONLY its group (eq-pinned)") {
     cat()
     val base = Tables.events(spark, sfDir)

@@ -55,6 +55,54 @@ class StreamLedgerSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.sol")
   }
 
+  test("metadata-only evolution MID-STREAM: RENAME keeps the feed coherent, ADD fences loudly") {
+    cat()
+    spark.range(0, 5).select(col("id").as("k"), lit(1.0).as("v"))
+      .writeTo("graft_cat.spec.sev").create()
+    val root = java.nio.file.Files.createTempDirectory("graft_sev")
+    try {
+      val seen = new AtomicLong(0)
+      val q = spark.readStream.table("graft_cat.spec.sev")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", root.resolve("c1").toString)
+        .start()
+      def awaitSeen(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (seen.get < n && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(seen.get === n)
+      }
+      try {
+        awaitSeen(5)
+        // RENAME mid-stream is COHERENT: slots are stable and widths
+        // unchanged, so committed and new rows keep flowing under the
+        // stream's declared (start-time) column names
+        spark.sql("ALTER TABLE graft_cat.spec.sev RENAME COLUMN v TO w")
+        spark.range(5, 9).select(col("id").as("k"), lit(2.0).as("w"))
+          .writeTo("graft_cat.spec.sev").append()
+        awaitSeen(9)
+        assert(q.isActive, "rename must not kill the feed")
+        // ADD COLUMN mid-stream diverges the widths: the feed must
+        // fence LOUDLY, never serve a mis-shaped batch
+        spark.sql("ALTER TABLE graft_cat.spec.sev ADD COLUMN tag STRING")
+        spark.range(9, 12)
+          .select(col("id").as("k"), lit(3.0).as("w"), lit("x").as("tag"))
+          .writeTo("graft_cat.spec.sev").append()
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination(120000); ()
+        }
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ chain(t.getCause)
+        assert(chain(ex).exists(_.contains("schema evolved under a streaming reader")),
+          chain(ex).mkString(" | ").take(300))
+        assert(seen.get === 9, "no mis-shaped batch may reach the sink")
+      } finally { scala.util.Try(q.stop()); () }
+    } finally spark.sql("DROP TABLE graft_cat.spec.sev")
+  }
+
   test("streaming ingest into a WAP branch: epochs land on the branch, main dark until publish") {
     cat()
     spark.range(0, 20).select(col("id").as("k"))
