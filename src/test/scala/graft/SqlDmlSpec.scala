@@ -118,6 +118,34 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.ptt")
   }
 
+  test("partitioned rollback: CALL system.rollback restores the ledger entry's shard set as a new commit") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.prb").partitionedBy(col("event_type")).create()
+    try {
+      val v1 = spark.table("graft_cat.spec.prb").orderBy("event_id", "value")
+        .collect().toSeq
+      spark.sql("DELETE FROM graft_cat.spec.prb WHERE event_type = 'error' AND value < 50") // v2
+      assert(spark.table("graft_cat.spec.prb").count() < v1.size)
+      val res = spark.sql("CALL graft_cat.system.rollback('spec.prb', 1)")
+        .head
+      assert(res.getInt(0) === 1)
+      assert(res.getLong(1) === v1.size.toLong)
+      assert(res.getInt(2) === 3) // v3 = the rollback commit itself
+      assert(spark.table("graft_cat.spec.prb").orderBy("event_id", "value")
+        .collect().toSeq === v1, "rollback must restore the v1 content")
+      // the rolled-over commit stays queryable: an operational undo,
+      // not history rewriting
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.prb VERSION AS OF 2")
+        .head.getLong(0) < v1.size.toLong)
+      // rollback to the CREATE drops every shard
+      spark.sql("CALL graft_cat.system.rollback('spec.prb', 0)")
+      assert(spark.table("graft_cat.spec.prb").count() === 0L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.prb")
+  }
+
   test("partition-spec evolution refuses loudly and the CTAS migration recipe works (pinned)") {
     cat()
     spark.range(0, 12)
