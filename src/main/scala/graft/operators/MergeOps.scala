@@ -1120,6 +1120,52 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** CDC over a PARTITIONED table — r15's refusal upgraded: the feed
+    * walks the TABLE-LEVEL ledger ([[graft.sources.GraftCatalog
+    * .partVersions]]) and diffs PER SHARD, so an untouched shard
+    * (reference-identical snapshot) contributes nothing — CDC cost ∝
+    * touched shards, the changed-manifests property of a real
+    * changelog scan. The script exercises both partition-grained
+    * commit kinds: a partition-local COW rewrite (v2: the 'error'
+    * shard's pre-image deletes + post-image inserts, other shards
+    * silent) and a metadata partition DROP (v3: the retired 'click'
+    * shard's live rows as deletes, nothing read). At 100 TB this is
+    * `table_changes` on a day-partitioned fact: each version's diff
+    * plans scans over exactly the shards that commit touched.
+    */
+  def cdcPartitionedFeed(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type")) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'error' AND value < 50")
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'click'")
+      val Array(ns, t) = tbl.stripPrefix("graft_cat.").split("\\.")
+      s.table(s"graft_cat.$ns.`$t@changes`")
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("_commit_version", "_change_type")
+    }
+  }
+
+  val cdcPartitionedFeedOracle: String =
+    """WITH feed AS (
+      |  SELECT 1 AS _commit_version, 'insert' AS _change_type, value
+      |  FROM events
+      |  UNION ALL SELECT 2, 'delete', value FROM events
+      |  WHERE event_type = 'error'
+      |  UNION ALL SELECT 2, 'insert', value FROM events
+      |  WHERE event_type = 'error' AND value >= 50
+      |  UNION ALL SELECT 3, 'delete', value FROM events
+      |  WHERE event_type = 'click'
+      |)
+      |SELECT _commit_version, _change_type, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM feed GROUP BY 1, 2
+      |ORDER BY _commit_version, _change_type""".stripMargin
+
   /** TRUE UPDATE LINEAGE in the change feed (VERDICT r15 missing #2):
     * a merge-on-read UPDATE journals its (old position → new row)
     * pairs in the commit ([[graft.sources.GraftStore.Committed]]'s
@@ -1500,6 +1546,8 @@ object MergeOps extends QueryModule {
       Some(cdcTableChangesOracle)),
     RegisteredQuery("cdc_update_lineage", cdcUpdateLineage,
       Some(cdcUpdateLineageOracle)),
+    RegisteredQuery("cdc_partitioned_feed", cdcPartitionedFeed,
+      Some(cdcPartitionedFeedOracle)),
     RegisteredQuery("sql_check_constraint", sqlCheckConstraint,
       Some(sqlCheckConstraintOracle)),
     RegisteredQuery("sql_default_column", sqlDefaultColumn,

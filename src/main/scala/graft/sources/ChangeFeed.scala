@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
   *   - metadata-only evolution commit (same batches, schema changed):
   *     no row changes.
   *
+  * PARTITIONED tables feed from the TABLE-LEVEL ledger
+  * ([[GraftCatalog.partVersions]]): each version pins every shard's
+  * snapshot, so one table-level commit diffs per shard with the same
+  * kind classification — an untouched shard is reference-identical and
+  * contributes nothing, a COW-rewritten shard renders delete+insert, a
+  * dropped/retired shard renders its pre-image as deletes, a new shard
+  * as inserts. That keeps CDC cost proportional to TOUCHED shards.
+  *
   * Rows are rendered in the RANGE-END version's logical schema,
   * resolved BY NAME against each source snapshot's own view (a renamed
   * column's pre-rename rows still carry their values — slots are
@@ -50,44 +58,173 @@ object ChangeFeed {
   def tableChanges(s: SparkSession, tbl: String, fromVersion: Int,
       toVersion: Int, catalog: String = "graft_cat"): DataFrame = {
     val key = s"cat::$catalog.$tbl"
-    val hist = histOf(key, tbl)
-    require(fromVersion >= 0 && toVersion < hist.size && fromVersion <= toVersion,
+    val size = ledgerSize(key, tbl)
+    require(fromVersion >= 0 && toVersion < size && fromVersion <= toVersion,
       s"version range [$fromVersion, $toVersion] out of bounds " +
-        s"(table has ${hist.size} commits)")
-    require(hist(toVersion) != null,
-      s"version $toVersion expired by retention — the change feed " +
-        "renders in the range-end version's schema")
-    val target = hist(toVersion).schema
+        s"(table has $size commits)")
+    val target =
+      if (GraftCatalog.parts.contains(key)) {
+        val entry = partHistOf(key, tbl)(toVersion)
+        require(entry != null,
+          s"version $toVersion expired by retention — the change feed " +
+            "renders in the range-end version's schema")
+        entry._1
+      } else {
+        val snap = histOf(key, tbl)(toVersion)
+        require(snap != null,
+          s"version $toVersion expired by retention — the change feed " +
+            "renders in the range-end version's schema")
+        snap.schema
+      }
     val out = outSchema(target)
     val toExternal = target.fields
       .map(f => CatalystTypeConverters.createToScalaConverter(f.dataType))
-    val rows = internalChanges(hist, target, fromVersion, toVersion).map { vals =>
-      val ext = new Array[Any](out.length)
-      var j = 0
-      while (j < target.length) {
-        ext(j) = if (vals(j) == null) null else toExternal(j)(vals(j))
-        j += 1
+    val rows = internalChangesOf(key, tbl, target, fromVersion, toVersion)
+      .map { vals =>
+        val ext = new Array[Any](out.length)
+        var j = 0
+        while (j < target.length) {
+          ext(j) = if (vals(j) == null) null else toExternal(j)(vals(j))
+          j += 1
+        }
+        ext(target.length) = vals(target.length).toString // UTF8String → String
+        ext(target.length + 1) = vals(target.length + 1)
+        Row.fromSeq(ext.toIndexedSeq)
       }
-      ext(target.length) = vals(target.length).toString // UTF8String → String
-      ext(target.length + 1) = vals(target.length + 1)
-      Row.fromSeq(ext.toIndexedSeq)
-    }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out)
   }
 
   private[sources] def histOf(key: String, tbl: String)
-      : Vector[GraftStore.Committed] = {
-    require(!GraftCatalog.parts.contains(key),
-      "table_changes on a partitioned table is unsupported — partition " +
-        "shards commit independently (no table-level commit ordinals)")
+      : Vector[GraftStore.Committed] =
     GraftStore.history.getOrElse(key,
       throw new IllegalStateException(s"no catalog table '$tbl'"))
-  }
+
+  private[sources] def partHistOf(key: String, tbl: String)
+      : Vector[(StructType, Map[String, GraftStore.Committed])] =
+    GraftCatalog.partVersions.getOrElse(key,
+      throw new IllegalStateException(s"no catalog table '$tbl'"))
+
+  /** ledger length (commit count) for either table shape. */
+  private[sources] def ledgerSize(key: String, tbl: String): Int =
+    if (GraftCatalog.parts.contains(key)) partHistOf(key, tbl).size
+    else histOf(key, tbl).size
+
+  /** the ledger walk for either table shape, internal value domain. */
+  private[sources] def internalChangesOf(key: String, tbl: String,
+      target: StructType, fromVersion: Int, toVersion: Int)
+      : Array[Array[Any]] =
+    if (GraftCatalog.parts.contains(key))
+      partInternalChanges(partHistOf(key, tbl), target, fromVersion, toVersion)
+    else
+      internalChanges(histOf(key, tbl), target, fromVersion, toVersion)
 
   private[sources] def outSchema(target: StructType): StructType =
     StructType(target.fields)
       .add("_change_type", StringType, nullable = false)
       .add("_commit_version", IntegerType, nullable = false)
+
+  /** Render `row` (a physical row of `snap`) into `target`'s shape by
+    * name, with change-type and commit-version metadata appended.
+    * `endPad` supplies the range-end existence default for columns that
+    * post-date `snap`.
+    */
+  private def render(snap: GraftStore.Committed, endPad: Array[Any],
+      target: StructType)(row: Array[Any], change: String, version: Int)
+      : Array[Any] = {
+    val proj = snap.projection
+    val pad = snap.logicalPad
+    val srcIdx = target.fields.map { f =>
+      snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+    }
+    val vals = new Array[Any](target.length + 2)
+    var j = 0
+    while (j < target.length) {
+      val si = srcIdx(j)
+      vals(j) =
+        if (si < 0 || si >= proj.length) endPad(j) // column post-dates snap
+        else if (proj(si) >= row.length) pad(si) // existence default
+        else row(proj(si))
+      j += 1
+    }
+    vals(target.length) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(change)
+    vals(target.length + 1) = version
+    vals
+  }
+
+  private def liveRows(snap: GraftStore.Committed): Iterator[Array[Any]] =
+    snap.batches.iterator.zipWithIndex.flatMap { case (batch, bi) =>
+      val bits = snap.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+      batch.iterator.zipWithIndex.collect {
+        case (row, r) if bits == null || !bits.get(r) => row
+      }
+    }
+
+  /** Diff ONE (prev, cur) snapshot pair at version `v` into `changes` —
+    * the per-commit-kind rendering shared by the unpartitioned walk and
+    * the partitioned per-shard walk.
+    */
+  private def diffCommit(prev: GraftStore.Committed,
+      cur: GraftStore.Committed, v: Int, target: StructType,
+      endPad: Array[Any],
+      changes: scala.collection.mutable.ArrayBuffer[Array[Any]]): Unit = {
+    /** newly DV'd rows of `cur` vs `prev` as deletes (rendered from the
+      * pre-image snapshot — that's what the rows meant when live).
+      */
+    def dvDeltaDeletes(exclude: Set[Long]): Unit =
+      cur.batches.zipWithIndex.foreach { case (batch, bi) =>
+        val now = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+        if (now != null) {
+          val before = prev.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+          var r = now.nextSetBit(0)
+          while (r >= 0) {
+            if ((before == null || !before.get(r)) &&
+                !exclude.contains(bi.toLong << 32 | r.toLong))
+              changes += render(prev, endPad, target)(batch(r), "delete", v)
+            r = now.nextSetBit(r + 1)
+          }
+        }
+      }
+    GraftStore.classifyCommit(prev, cur) match {
+      case "rewrite" =>
+        // full pre-image deletes + post-image inserts
+        liveRows(prev).foreach(r =>
+          changes += render(prev, endPad, target)(r, "delete", v))
+        liveRows(cur).foreach(r =>
+          changes += render(cur, endPad, target)(r, "insert", v))
+      case "append" =>
+        cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
+          changes += render(cur, endPad, target)(r, "insert", v)))
+      case "delete-vectors" =>
+        dvDeltaDeletes(Set.empty)
+      case "row-delta" =>
+        // a MOR WriteDelta commit journals its UPDATE lineage
+        // ([[GraftStore.Committed.lineage]]): each (old position →
+        // delta-batch index) pair renders as update_preimage /
+        // update_postimage — the Delta CDF model, possible here
+        // because DV bits + the delta batch are row-exact. The
+        // REMAINING DV delta is genuine deletes, the REMAINING delta
+        // rows genuine inserts — row-precise, where a COW format must
+        // diff whole file contents.
+        val lin = cur.lineage
+        val newRows = cur.batches.drop(prev.batches.size).flatten
+        lin.foreach { case (pos, i) =>
+          val bi = (pos >>> 32).toInt
+          val r = pos.toInt
+          changes += render(prev, endPad, target)(
+            prev.batches(bi)(r), "update_preimage", v)
+          changes += render(cur, endPad, target)(
+            newRows(i), "update_postimage", v)
+        }
+        dvDeltaDeletes(exclude = lin.map(_._1).toSet)
+        val linIdx = lin.map(_._2).toSet
+        newRows.zipWithIndex.foreach { case (r, i) =>
+          if (!linIdx.contains(i))
+            changes += render(cur, endPad, target)(r, "insert", v)
+        }
+      case _ => // evolve/unknown: metadata only — no row changes
+    }
+  }
 
   /** The ledger walk shared by the batch API and the `t@changes` CDC
     * table: rows in the INTERNAL value domain (UTF8String etc.), shaped
@@ -116,92 +253,47 @@ object ChangeFeed {
           if (i < 0 || i >= pad.length) null else pad(i)
         }
       }
-    def render(snap: GraftStore.Committed, row: Array[Any],
-        change: String, version: Int): Array[Any] = {
-      val proj = snap.projection
-      val pad = snap.logicalPad
-      val srcIdx = target.fields.map { f =>
-        snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
-      }
-      val vals = new Array[Any](target.length + 2)
-      var j = 0
-      while (j < target.length) {
-        val si = srcIdx(j)
-        vals(j) =
-          if (si < 0 || si >= proj.length) endPad(j) // column post-dates snap
-          else if (proj(si) >= row.length) pad(si) // existence default
-          else row(proj(si))
-        j += 1
-      }
-      vals(target.length) =
-        org.apache.spark.unsafe.types.UTF8String.fromString(change)
-      vals(target.length + 1) = version
-      vals
-    }
-
-    def liveRows(snap: GraftStore.Committed): Iterator[Array[Any]] =
-      snap.batches.iterator.zipWithIndex.flatMap { case (batch, bi) =>
-        val bits = snap.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
-        batch.iterator.zipWithIndex.collect {
-          case (row, r) if bits == null || !bits.get(r) => row
-        }
-      }
-
     val changes = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-    /** newly DV'd rows of `cur` vs `prev` as deletes (rendered from the
-      * pre-image snapshot — that's what the rows meant when live).
-      */
-    def dvDeltaDeletes(prev: GraftStore.Committed, cur: GraftStore.Committed,
-        v: Int, exclude: Set[Long] = Set.empty): Unit =
-      cur.batches.zipWithIndex.foreach { case (batch, bi) =>
-        val now = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
-        if (now != null) {
-          val before = prev.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
-          var r = now.nextSetBit(0)
-          while (r >= 0) {
-            if ((before == null || !before.get(r)) &&
-                !exclude.contains(bi.toLong << 32 | r.toLong))
-              changes += render(prev, batch(r), "delete", v)
-            r = now.nextSetBit(r + 1)
-          }
-        }
-      }
     (((fromVersion + 1) max 1) to toVersion).foreach { v =>
-      val prev = hist(v - 1)
-      val cur = hist(v)
-      GraftStore.classifyCommit(prev, cur) match {
-        case "rewrite" =>
-          // full pre-image deletes + post-image inserts
-          liveRows(prev).foreach(r => changes += render(prev, r, "delete", v))
-          liveRows(cur).foreach(r => changes += render(cur, r, "insert", v))
-        case "append" =>
-          cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
-            changes += render(cur, r, "insert", v)))
-        case "delete-vectors" =>
-          dvDeltaDeletes(prev, cur, v)
-        case "row-delta" =>
-          // a MOR WriteDelta commit journals its UPDATE lineage
-          // ([[GraftStore.Committed.lineage]]): each (old position →
-          // delta-batch index) pair renders as update_preimage /
-          // update_postimage — the Delta CDF model, possible here
-          // because DV bits + the delta batch are row-exact. The
-          // REMAINING DV delta is genuine deletes, the REMAINING delta
-          // rows genuine inserts — row-precise, where a COW format must
-          // diff whole file contents.
-          val lin = cur.lineage
-          val newRows = cur.batches.drop(prev.batches.size).flatten
-          lin.foreach { case (pos, i) =>
-            val bi = (pos >>> 32).toInt
-            val r = pos.toInt
-            changes += render(prev, prev.batches(bi)(r), "update_preimage", v)
-            changes += render(cur, newRows(i), "update_postimage", v)
-          }
-          dvDeltaDeletes(prev, cur, v, exclude = lin.map(_._1).toSet)
-          val linIdx = lin.map(_._2).toSet
-          newRows.zipWithIndex.foreach { case (r, i) =>
-            if (!linIdx.contains(i)) changes += render(cur, r, "insert", v)
-          }
-        case _ => // evolve/unknown: metadata only — no row changes
+      diffCommit(hist(v - 1), hist(v), v, target, endPad, changes)
+    }
+    changes.toArray
+  }
+
+  /** The PARTITIONED ledger walk: each table-level commit diffs per
+    * shard. Untouched shards are reference-identical snapshots (`eq`)
+    * and contribute nothing — CDC cost ∝ touched shards, the
+    * changed-manifests property of a real changelog scan. A shard
+    * absent on one side renders whole (created → inserts, dropped →
+    * pre-image deletes). Shards carry no DEFAULT columns (refused at
+    * ALTER), so the end-pad is all NULLs.
+    */
+  private[sources] def partInternalChanges(
+      ledger: Vector[(StructType, Map[String, GraftStore.Committed])],
+      target: StructType, fromVersion: Int, toVersion: Int)
+      : Array[Array[Any]] = {
+    (((fromVersion + 1) max 1) to toVersion).foreach(v => require(
+      ledger(v) != null && ledger(v - 1) != null,
+      s"version ${v - 1} or $v expired by retention — change feed " +
+        "needs both sides of every diffed commit"))
+    val endPad = new Array[Any](target.length)
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    (((fromVersion + 1) max 1) to toVersion).foreach { v =>
+      val (_, prevShards) = ledger(v - 1)
+      val (_, curShards) = ledger(v)
+      (prevShards.keySet ++ curShards.keySet).toSeq.sorted.foreach { pv =>
+        (prevShards.get(pv), curShards.get(pv)) match {
+          case (Some(p), Some(c)) if p eq c => // untouched shard
+          case (Some(p), Some(c)) =>
+            diffCommit(p, c, v, target, endPad, changes)
+          case (None, Some(c)) =>
+            liveRows(c).foreach(r =>
+              changes += render(c, endPad, target)(r, "insert", v))
+          case (Some(p), None) =>
+            liveRows(p).foreach(r =>
+              changes += render(p, endPad, target)(r, "delete", v))
+          case _ =>
+        }
       }
     }
     changes.toArray

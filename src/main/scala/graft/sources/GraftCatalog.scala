@@ -108,8 +108,30 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             val k = s"cat::$catName.$tbl"
             require(GraftStore.stores.contains(k),
               s"graft catalog: no table '$tbl' to expire")
-            val expired = GraftStore.expireVersions(k, keep)
-            val firstLive = GraftStore.history(k).indexWhere(_ != null)
+            // partitioned: retention runs on the TABLE-LEVEL ledger —
+            // entries tombstone in place (ordinals stable), pinned tags
+            // keep serving (they hold the snapshot objects)
+            val (expired, firstLive) =
+              if (GraftCatalog.parts.contains(k))
+                GraftStore.stores.synchronized {
+                  require(keep >= 1,
+                    s"retention must keep at least the latest version, got $keep")
+                  val ledger = GraftCatalog.partVersions.getOrElse(k,
+                    throw new IllegalStateException(
+                      s"graft catalog: no table '$tbl' to expire"))
+                  val cut = math.max(0, ledger.size - keep)
+                  val n = ledger.take(cut).count(_ != null)
+                  if (n > 0)
+                    GraftCatalog.partVersions.put(k,
+                      ledger.zipWithIndex.map { case (e, i) =>
+                        if (i < cut) null else e
+                      })
+                  (n, GraftCatalog.partVersions(k).indexWhere(_ != null))
+                }
+              else {
+                val n = GraftStore.expireVersions(k, keep)
+                (n, GraftStore.history(k).indexWhere(_ != null))
+              }
             val out = new StructType()
               .add("expired_versions", IntegerType, nullable = false)
               .add("first_live_version", IntegerType, nullable = false)
@@ -288,6 +310,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                     s"graft catalog: no table '$tbl' to roll back"))
                 require(v >= 0 && v < ledger.size,
                   s"version $v out of range: table has ${ledger.size} commits")
+                require(ledger(v) != null,
+                  s"version $v of '$tbl' has been expired by retention")
                 val (_, shards) = ledger(v)
                 GraftStore.stores.synchronized {
                   GraftStore.stores.keys
@@ -428,23 +452,44 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             val tk = s"$k#t=$tag"
             val (schema, row): (StructType, Array[Any]) = op match {
               case "create_tag" =>
-                val cur = GraftStore.stores.getOrElse(k,
-                  throw new IllegalStateException(
-                    s"graft catalog: no table '$tbl' to tag"))
-                require(!GraftCatalog.tags.contains(tk),
+                require(!GraftCatalog.tags.contains(tk) &&
+                  !GraftCatalog.partTags.contains(tk),
                   s"graft catalog: tag '$tag' of '$tbl' already exists")
                 require(tag.toIntOption.isEmpty,
                   s"graft catalog: tag name '$tag' would shadow an " +
                     "integer commit ordinal")
-                GraftCatalog.tags.put(tk, cur)
+                // partitioned: pin (schema, every live shard snapshot) —
+                // the partitioned twin of the snapshot-object ref
+                val pinnedVersion =
+                  if (GraftCatalog.parts.contains(k))
+                    GraftStore.stores.synchronized {
+                      val base = GraftStore.stores.getOrElse(k,
+                        throw new IllegalStateException(
+                          s"graft catalog: no table '$tbl' to tag"))
+                      val shards = GraftStore.stores.iterator.collect {
+                        case (kk, c) if kk.startsWith(k + "#p=") =>
+                          kk.substring(kk.indexOf("#p=") + 3) -> c
+                      }.toMap
+                      GraftCatalog.partTags.put(tk, (base.schema, shards))
+                      GraftCatalog.partVersions
+                        .getOrElse(k, Vector.empty).size - 1
+                    }
+                  else {
+                    val cur = GraftStore.stores.getOrElse(k,
+                      throw new IllegalStateException(
+                        s"graft catalog: no table '$tbl' to tag"))
+                    GraftCatalog.tags.put(tk, cur)
+                    GraftStore.versionCount(k) - 1
+                  }
                 (new StructType()
                   .add("tag", StringType, nullable = false)
                   .add("pinned_version", IntegerType, nullable = false),
                   Array[Any](
                     org.apache.spark.unsafe.types.UTF8String.fromString(tag),
-                    GraftStore.versionCount(k) - 1))
+                    pinnedVersion))
               case _ => // drop_tag
-                val existed = GraftCatalog.tags.remove(tk).isDefined
+                val existed = GraftCatalog.tags.remove(tk).isDefined |
+                  GraftCatalog.partTags.remove(tk).isDefined
                 (new StructType()
                   .add("dropped", BooleanType, nullable = false),
                   Array[Any](existed))
@@ -697,17 +742,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // model — so `VERSION AS OF n` resolves to the pinned shard
     // snapshots of table-level commit n (r14's refusal, upgraded)
     if (GraftCatalog.parts.contains(key(ident))) {
-      val ledger = GraftCatalog.partVersions.getOrElse(key(ident),
+      val k = key(ident)
+      val ledger = GraftCatalog.partVersions.getOrElse(k,
         throw new NoSuchTableException(ident))
-      val v = version.toIntOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"graft catalog: '$version' is not an integer commit ordinal " +
-            "(tags on partitioned tables are unsupported)"))
+      val v = version.toIntOption.getOrElse {
+        // non-integer = a TAG: serve the pinned (schema, shards) —
+        // survives retention and shard rewrites, like unpartitioned tags
+        val (sch, shards) = GraftCatalog.partTags.getOrElse(s"$k#t=$version",
+          throw new IllegalArgumentException(
+            s"graft catalog: '$version' is neither an integer commit " +
+              s"ordinal nor a tag of ${ident.name}"))
+        return new GraftPartsVersionTable(s"$k@$version", sch, shards)
+      }
       require(v >= 0 && v < ledger.size,
         s"version $v out of range: table has ${ledger.size} commits " +
           s"(0..${ledger.size - 1})")
-      val (sch, shards) = ledger(v)
-      return new GraftPartsVersionTable(s"${key(ident)}@v$v", sch, shards)
+      val entry = ledger(v)
+      if (entry == null) {
+        val firstLive = ledger.indexWhere(_ != null)
+        throw new IllegalStateException(
+          s"version $v of ${ident.name} has been EXPIRED by retention " +
+            s"(live versions: $firstLive..${ledger.size - 1}); " +
+            "re-run without VERSION AS OF, or against a live version")
+      }
+      val (sch, shards) = entry
+      return new GraftPartsVersionTable(s"$k@v$v", sch, shards)
     }
     // a branch time-travels over its OWN ledger (version 0 = the fork)
     val histKey = branchParts(ident) match {
@@ -925,6 +984,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .foreach(GraftCatalog.branches.remove)
     GraftCatalog.tags.keys.filter(_.startsWith(k + "#t="))
       .foreach(GraftCatalog.tags.remove)
+    GraftCatalog.partTags.keys.filter(_.startsWith(k + "#t="))
+      .foreach(GraftCatalog.partTags.remove)
     GraftStore.dropMatching(s => s == k || s.startsWith(k + "#p=") ||
       s.startsWith(k + "#b="))
     existed
@@ -991,6 +1052,15 @@ object GraftCatalog {
     */
   private[graft] val tags =
     scala.collection.concurrent.TrieMap.empty[String, GraftStore.Committed]
+
+  /** tag key (`<tableKey>#t=<name>`) → pinned (schema, shard snapshots)
+    * of a PARTITIONED table — the partitioned twin of [[tags]]: the ref
+    * holds every shard's snapshot object, so it survives both ordinal
+    * retention and shard drop/recreate under COW rewrites.
+    */
+  private[graft] val partTags = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.types.StructType,
+      Map[String, GraftStore.Committed])]
 
   /** table keys created with `TBLPROPERTIES('write.mode'='merge-on-read')`
     * — their row-level DML plans as `WriteDelta` (O(changed rows))
@@ -1991,11 +2061,11 @@ private[sources] class GraftCdcScan(mainKey: String, nm: String,
   override def planInputPartitions(): Array[InputPartition] = {
     // one input partition PER COMMIT — reads parallelize across the
     // ledger, and at 100 TB each partition maps to one commit's changed
-    // files + DV manifests
-    val hist = ChangeFeed.histOf(mainKey, nm)
-    (1 until hist.size).map(v => GraftCdcPartition(
-      ChangeFeed.internalChanges(hist, target, v - 1, v)): InputPartition)
-      .toArray
+    // files + DV manifests. Partitioned tables walk their table-level
+    // ledger (per-shard diffs) through the same entry point.
+    (1 until ChangeFeed.ledgerSize(mainKey, nm)).map(v => GraftCdcPartition(
+      ChangeFeed.internalChangesOf(mainKey, nm, target, v - 1, v))
+      : InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCdcScan.readerFactory
@@ -2030,7 +2100,7 @@ private[sources] class GraftCdcMicroBatchStream(mainKey: String, nm: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
 
-  private def head: Int = ChangeFeed.histOf(mainKey, nm).size - 1
+  private def head: Int = ChangeFeed.ledgerSize(mainKey, nm) - 1
   @volatile private var availableNowTarget: Option[Int] = None
 
   private case class VOff(v: Int) extends V2Offset {
@@ -2062,12 +2132,9 @@ private[sources] class GraftCdcMicroBatchStream(mainKey: String, nm: String,
     val a = start.asInstanceOf[VOff].v
     val b = end.asInstanceOf[VOff].v
     if (a >= b) Array.empty
-    else {
-      val hist = ChangeFeed.histOf(mainKey, nm)
-      ((a + 1) to b).map(v => GraftCdcPartition(
-        ChangeFeed.internalChanges(hist, target, v - 1, v)): InputPartition)
-        .toArray
-    }
+    else ((a + 1) to b).map(v => GraftCdcPartition(
+      ChangeFeed.internalChangesOf(mainKey, nm, target, v - 1, v))
+      : InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCdcScan.readerFactory

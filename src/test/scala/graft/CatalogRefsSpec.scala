@@ -104,4 +104,50 @@ class CatalogRefsSpec extends SparkSpec {
     assert(!GraftCatalog.tags.keys.exists(_.startsWith("cat::graft_cat.spec.tg#t=")),
       "DROP TABLE must reap tags")
   }
+
+  test("PARTITIONED tags + retention: refs pin shard snapshots through rewrites and ledger expiry") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.ptg").partitionedBy(col("event_type")).create()
+    try {
+      val full = base.count()
+      spark.sql("CALL graft_cat.system.create_tag('spec.ptg', 'prewipe')")
+      // a partition-local COW rewrite drops and re-creates the shard —
+      // the tag's pinned snapshot objects keep serving the old content
+      spark.sql("DELETE FROM graft_cat.spec.ptg WHERE event_type = 'error' AND value < 50")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.ptg VERSION AS OF 'prewipe'")
+        .head.getLong(0) === full)
+      // table-level ledger retention: the tagged ordinal expires, the
+      // tag survives (refs protect snapshots, partitioned edition)
+      val res = spark.sql(
+        "CALL graft_cat.system.expire_versions('spec.ptg', 1)").head
+      assert(res.getInt(0) === 2, "v0+v1 expired") // keep only v2
+      assert(res.getInt(1) === 2)
+      val gone = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_cat.spec.ptg VERSION AS OF 1").head
+      }
+      assert(gone.getMessage.contains("EXPIRED by retention"),
+        gone.getMessage.take(140))
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.ptg VERSION AS OF 'prewipe'")
+        .head.getLong(0) === full)
+      // rollback to an expired ordinal refuses loudly
+      val rb = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.rollback('spec.ptg', 1)").head
+      }
+      assert(rb.getMessage.contains("expired by retention"),
+        rb.getMessage.take(140))
+      spark.sql("CALL graft_cat.system.drop_tag('spec.ptg', 'prewipe')")
+      intercept[Exception] {
+        spark.sql(
+          "SELECT count(*) FROM graft_cat.spec.ptg VERSION AS OF 'prewipe'")
+          .head
+      }
+    } finally spark.sql("DROP TABLE graft_cat.spec.ptg")
+    assert(!GraftCatalog.partTags.keys
+      .exists(_.startsWith("cat::graft_cat.spec.ptg#t=")),
+      "DROP TABLE must reap partitioned tags")
+  }
 }

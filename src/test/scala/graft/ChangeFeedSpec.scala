@@ -226,16 +226,49 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.cdcr")
   }
 
-  test("refusals: partitioned table, out-of-range and retention-expired versions") {
+  test("PARTITIONED CDC: per-shard diffs — untouched shards contribute nothing, drops render pre-images") {
     cat()
     val base = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
     base.writeTo("graft_cat.spec.cf3").partitionedBy(col("event_type")).create()
     try {
-      intercept[IllegalArgumentException] {
-        ChangeFeed.tableChanges(spark, "spec.cf3", 0, 1)
-      }
+      // v1 = CTAS: every row an insert
+      val v1 = ChangeFeed.tableChanges(spark, "spec.cf3", 0, 1)
+      assert(v1.filter(col("_change_type") === "insert").count() === base.count())
+      // v2 = partition-local COW rewrite: ONLY the 'error' shard diffs —
+      // its pre-image rows delete, its post-image rows insert; every
+      // other shard is reference-identical and contributes nothing
+      spark.sql(
+        "DELETE FROM graft_cat.spec.cf3 WHERE event_type = 'error' AND value < 50")
+      val errBefore = base.filter(col("event_type") === "error").count()
+      val errAfter = spark.table("graft_cat.spec.cf3")
+        .filter(col("event_type") === "error").count()
+      val v2 = ChangeFeed.tableChanges(spark, "spec.cf3", 1, 2)
+      assert(v2.filter(col("_change_type") === "delete").count() === errBefore)
+      assert(v2.filter(col("_change_type") === "insert").count() === errAfter)
+      assert(v2.filter(col("event_type") =!= "error").count() === 0L,
+        "untouched shards must contribute nothing")
+      // v3 = partition DROP (metadata delete): the retired shard's live
+      // rows render as deletes
+      spark.sql("DELETE FROM graft_cat.spec.cf3 WHERE event_type = 'click'")
+      val clicks = base.filter(col("event_type") === "click").count()
+      val v3 = ChangeFeed.tableChanges(spark, "spec.cf3", 2, 3)
+      assert(v3.filter(col("_change_type") === "delete").count() === clicks)
+      assert(v3.filter(col("_change_type") =!= "delete").count() === 0L)
+      // the t@changes VIEW serves the same rows (shared walk)
+      val viaView = spark.table("graft_cat.spec.`cf3@changes`")
+        .filter(col("_commit_version") === 2)
+        .orderBy("_change_type", "event_id", "value").collect().toSeq
+      val viaApi = v2
+        .orderBy("_change_type", "event_id", "value").collect().toSeq
+      assert(viaView === viaApi)
     } finally spark.sql("DROP TABLE graft_cat.spec.cf3")
+  }
+
+  test("refusals: out-of-range and retention-expired versions") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
 
     val b2 = base.select(col("event_id"), col("value"))
     b2.writeTo("graft_cat.spec.cf4").create()

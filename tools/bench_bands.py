@@ -108,14 +108,22 @@ def main(root):
 
     # bench_out.json is the latest round's FULL line (every query; the
     # compact stdout line lists only ~70) — merge it into the newest
-    # round without overwriting the driver-scraped values
+    # round without overwriting the driver-scraped values, and ONLY if
+    # its headline total matches that round (a local dev bench run
+    # overwrites bench_out.json and must not leak into the round series)
     full = os.path.join(root, "bench_out.json")
     if rounds and os.path.exists(full):
         try:
             doc = json.load(open(full))
-            latest = rounds[max(rounds)]
-            for k, v in (doc.get("queries") or {}).items():
-                latest.setdefault(k, float(v))
+            latest_n = max(rounds)
+            scraped = json.load(
+                open(os.path.join(root, "BENCH_r%02d.json" % latest_n)))
+            parsed = scraped.get("parsed") or {}
+            if parsed.get("value") is not None and \
+                    doc.get("value") == parsed.get("value"):
+                latest = rounds[latest_n]
+                for k, v in (doc.get("queries") or {}).items():
+                    latest.setdefault(k, float(v))
         except Exception:
             pass
 
