@@ -538,17 +538,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             val colName = input.getUTF8String(1).toString
             val n = input.getInt(2)
             val k = s"cat::$catName.$tbl"
-            require(!GraftCatalog.parts.contains(k),
-              "graft catalog: cluster of a partitioned table is " +
-                "unsupported — cluster within partitions via COW instead")
-            require(GraftStore.stores.contains(k),
-              s"graft catalog: no table '$tbl' to cluster")
-            val (before, nLive) = GraftStore.clusterStore(k, colName, n)
+            // partitioned: cluster WITHIN each shard (sort locality is a
+            // per-shard property — cross-shard order is the partition
+            // transform's job), one table-level maintenance commit
+            val (before, after, nLive) =
+              if (GraftCatalog.parts.contains(k))
+                GraftStore.stores.synchronized {
+                  val keys = GraftStore.stores.keys
+                    .filter(_.startsWith(k + "#p=")).toSeq.sorted
+                  require(keys.nonEmpty || GraftStore.stores.contains(k),
+                    s"graft catalog: no table '$tbl' to cluster")
+                  val rs = keys.map { kk =>
+                    val (b, live) = GraftStore.clusterStore(kk, colName, n)
+                    (b, GraftStore.stores(kk).batches.size, live)
+                  }
+                  GraftCatalog.recordPartVersion(k)
+                  (rs.map(_._1).sum, rs.map(_._2).sum, rs.map(_._3).sum)
+                }
+              else {
+                require(GraftStore.stores.contains(k),
+                  s"graft catalog: no table '$tbl' to cluster")
+                val (b, live) = GraftStore.clusterStore(k, colName, n)
+                (b, GraftStore.stores(k).batches.size, live)
+              }
             // NOTE: locals here must not be named `rows` — the LocalScan
             // method below would shadow them into infinite recursion
             // (the history procedure hit exactly this)
             val resultRow: InternalRow = new GenericInternalRow(Array[Any](
-              before, GraftStore.stores(k).batches.size, nLive))
+              before, after, nLive))
             val out = new StructType()
               .add("batches_before", IntegerType, nullable = false)
               .add("batches_after", IntegerType, nullable = false)

@@ -262,6 +262,22 @@ class ChangeFeedSpec extends SparkSpec {
       val viaApi = v2
         .orderBy("_change_type", "event_id", "value").collect().toSeq
       assert(viaView === viaApi)
+      // and the STREAMING feed drains the full partitioned history with
+      // version-ordinal offsets (shape-agnostic micro-batch stream)
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_cf3s")
+        .resolve("c").toString
+      val q = spark.readStream.table("graft_cat.spec.`cf3@changes`")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      assert(seen.get ===
+        v1.count() + v2.count() + v3.count())
     } finally spark.sql("DROP TABLE graft_cat.spec.cf3")
   }
 

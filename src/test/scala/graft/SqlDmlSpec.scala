@@ -146,6 +146,37 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.prb")
   }
 
+  test("partitioned cluster: CALL system.cluster sorts within each shard, one maintenance commit") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.pcl").partitionedBy(col("event_type")).create()
+    try {
+      // extra appends interleave the sort key within every shard
+      base.filter(col("event_id") % 3 === 0)
+        .select((col("event_id") + 500000L).as("event_id"),
+          col("event_type"), col("value"))
+        .writeTo("graft_cat.spec.pcl").append() // v2
+      val want = spark.table("graft_cat.spec.pcl")
+        .orderBy("event_id", "value").collect().toSeq
+      val res = spark.sql(
+        "CALL graft_cat.system.cluster('spec.pcl', 'value', 2)").head
+      assert(res.getLong(2) === want.size.toLong)
+      // content identical, ledger grew by ONE table-level version (v3)
+      assert(spark.table("graft_cat.spec.pcl")
+        .orderBy("event_id", "value").collect().toSeq === want)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.pcl VERSION AS OF 3")
+        .head.getLong(0) === want.size.toLong)
+      // each shard independently re-packed to <= 2 range-disjoint batches
+      spark.table("graft_cat.spec.pcl").select("event_type").distinct()
+        .collect().map(_.getString(0)).foreach { pv =>
+          val k = s"cat::graft_cat.spec.pcl#p=$pv"
+          assert(graft.sources.GraftStore.batchesRef(k).get.size <= 2, k)
+        }
+    } finally spark.sql("DROP TABLE graft_cat.spec.pcl")
+  }
+
   test("partition-spec evolution refuses loudly and the CTAS migration recipe works (pinned)") {
     cat()
     spark.range(0, 12)
