@@ -1436,7 +1436,7 @@ private[sources] class GraftPartitionedTable(
   override def partitioning(): Array[Transform] = Array(spec.transform)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   private def partKeys(): Seq[String] =
     GraftStore.stores.keys.filter(_.startsWith(tableKey + "#p=")).toSeq.sorted
@@ -1624,7 +1624,8 @@ private[sources] class GraftPartitionedTable(
           ()
         }
         new GraftPartsScan(tableKey, schema(), keys, withGroup = wantGroup,
-          record)
+          record, streamFromLatest = "latest".equalsIgnoreCase(
+            opts.getOrDefault("startingOffsets", "earliest")))
       }
     }
 
@@ -1712,7 +1713,17 @@ private[sources] class GraftPartitionedTable(
   */
 private[sources] class GraftPartsScan(
     tableKey: String, dataSchema: StructType, keysF: () => Seq[String],
-    withGroup: Boolean, record: Int => Unit = _ => ()) extends Scan with Batch {
+    withGroup: Boolean, record: Int => Unit = _ => (),
+    streamFromLatest: Boolean = false) extends Scan with Batch {
+
+  /** Streaming SOURCE over a partitioned table: offsets are TABLE-LEVEL
+    * version ordinals ([[GraftCatalog.partVersions]]), each micro-batch
+    * the per-shard APPEND deltas of the commits in (a, b] — see
+    * [[GraftPartsMicroBatchStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftPartsMicroBatchStream(tableKey, dataSchema, streamFromLatest)
   private val full =
     if (withGroup)
       dataSchema.add("_group", org.apache.spark.sql.types.StringType,
@@ -1761,6 +1772,108 @@ private[sources] class GraftPartsScan(
 
 private[sources] case class GraftGroupPartition(
     rows: Array[Array[Any]], group: String) extends InputPartition
+
+/** Streaming READS from a PARTITIONED catalog table: offsets are
+  * TABLE-LEVEL version ordinals into [[GraftCatalog.partVersions]], and
+  * micro-batch (a, b] serves exactly the per-shard APPEND deltas of
+  * those commits — an untouched shard is reference-identical and
+  * contributes nothing, a newly created shard contributes all its
+  * batches. The append-only source contract holds at SHARD grain: a
+  * rewritten/truncated/dropped shard (COW DML, partition drop,
+  * compaction) fails LOUDLY — already-streamed data changed meaning —
+  * and a schema-width evolution mid-stream fences exactly like the
+  * unpartitioned feed (RENAME stays coherent: slots and widths stable).
+  * Retention interacts loudly too: draining a range whose entries were
+  * expired refuses rather than skipping commits. At 100 TB this is the
+  * streaming half of a day-partitioned event log: consumers tail the
+  * table-level snapshot log and each micro-batch plans scans over only
+  * the files the landed commits appended.
+  */
+private[sources] class GraftPartsMicroBatchStream(tableKey: String,
+    s: StructType, fromLatest: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+
+  private def ledger
+      : Vector[(StructType, Map[String, GraftStore.Committed])] =
+    GraftCatalog.partVersions.getOrElse(tableKey,
+      throw new IllegalStateException(
+        s"graft table '$tableKey' no longer exists — evicted or dropped"))
+  private def head: Int = ledger.size - 1
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  private case class VOff(v: Int) extends V2Offset {
+    override def json(): String = s"""{"version":$v}"""
+  }
+  private val Pat = """\{"version":(\d+)\}""".r
+
+  override def initialOffset(): V2Offset = VOff(if (fromLatest) head else 0)
+  override def deserializeOffset(json: String): V2Offset = json.trim match {
+    case Pat(v) => VOff(v.toInt)
+    case other => throw new IllegalArgumentException(
+      s"malformed graft parts stream offset: $other")
+  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(head)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): V2Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead of this method")
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
+    VOff(availableNowTarget.getOrElse(head))
+  override def reportLatestOffset(): V2Offset = VOff(head)
+  override def commit(end: V2Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset)
+      : Array[InputPartition] = {
+    val a = start.asInstanceOf[VOff].v
+    val b = end.asInstanceOf[VOff].v
+    if (a >= b) return Array.empty
+    val led = ledger
+    ((a + 1) to b).flatMap { v =>
+      val prevE = led(v - 1)
+      val curE = led(v)
+      if (prevE == null || curE == null)
+        throw new IllegalStateException(
+          s"graft table '$tableKey': version ${v - 1} or $v expired by " +
+            "retention under a streaming reader — restart from a fresh " +
+            "checkpoint")
+      val (curSchema, curShards) = curE
+      require(curSchema.length == s.length,
+        s"graft table '$tableKey' schema evolved under a streaming " +
+          s"reader (now ${curSchema.length} fields vs ${s.length} at " +
+          "start); restart the streaming query")
+      val (_, prevShards) = prevE
+      (prevShards.keySet ++ curShards.keySet).toSeq.sorted.flatMap { pv =>
+        (prevShards.get(pv), curShards.get(pv)) match {
+          case (Some(p), Some(c)) if p eq c => Seq.empty // untouched
+          case (Some(p), Some(c)) =>
+            if (GraftStore.classifyCommit(p, c) != "append")
+              throw new IllegalStateException(
+                s"graft table '$tableKey' shard '$pv' was rewritten or " +
+                  "truncated under a streaming reader: streaming reads " +
+                  "require append-only commits — restart the query from " +
+                  "a fresh checkpoint")
+            c.batches.drop(p.batches.size)
+              .map(bt => GraftStorePartition(bt): InputPartition)
+          case (None, Some(c)) => // shard born in this commit: all appends
+            c.batches.map(bt => GraftStorePartition(bt): InputPartition)
+          case (Some(_), None) =>
+            throw new IllegalStateException(
+              s"graft table '$tableKey' shard '$pv' was dropped under a " +
+                "streaming reader: streaming reads require append-only " +
+                "commits — restart the query from a fresh checkpoint")
+          case _ => Seq.empty
+        }
+      }
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftStore.projectedReaderFactory(
+      Array.tabulate(s.length)(identity), new Array[Any](s.length))
+}
 
 /** The row-level OPERATION scan over a partitioned table: a
   * [[GraftPartsScan]] (with the `_group` metadata column) that

@@ -1725,6 +1725,61 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** The PARTITIONED twin of [[streamFromCatalogTable]] — same script,
+    * same oracle, but the source table is partitioned by `event_type`,
+    * so the stream rides [[graft.sources.GraftPartsMicroBatchStream]]:
+    * offsets are TABLE-LEVEL version ordinals (one per statement,
+    * however many shards it touched) and each micro-batch serves only
+    * the per-shard APPEND deltas — untouched shards contribute nothing.
+    * Sharing the oracle cell-exactly pins "same semantics, partitioned
+    * layout". At 100 TB this is tailing a day-partitioned event log:
+    * the consumer reads the snapshot log, not the partitions, and a
+    * checkpoint resume drains exactly the landed commits.
+    */
+  def streamPartitionedSource(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    val tbl = s"graft_cat.stream.p${sinkSeq.incrementAndGet()}"
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-parts")
+    try {
+      def third(i: Int) = ev.filter(col("event_id") % 3 === i).repartition(1)
+      third(0).writeTo(tbl).partitionedBy(col("event_type")).create()
+      third(1).writeTo(tbl).append()
+      val nAcc = new java.util.concurrent.atomic.AtomicLong()
+      val cAcc = new java.util.concurrent.atomic.AtomicLong()
+      def drain(): Unit = {
+        val q = s.readStream.table(tbl)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val r = df.agg(count(lit(1)),
+              sum(floor(col("value") * 100 + 0.5).cast("long"))).head
+            nAcc.addAndGet(r.getLong(0))
+            if (!r.isNullAt(1)) { cAcc.addAndGet(r.getLong(1)); () }
+            ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      drain()
+      val (n1, c1) = (nAcc.get, cAcc.get)
+      third(2).writeTo(tbl).append()
+      drain() // same checkpoint: must consume exactly the new commit
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "n_run1 BIGINT, total_run1 DOUBLE, n_run2_delta BIGINT, total_run2_delta DOUBLE")
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(n1, c1 / 100.0,
+          nAcc.get - n1, (cAcc.get - c1) / 100.0)), schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $tbl"))
+      deleteRecursively(root)
+    }
+  }
+
   val streamFromCatalogOracle: String =
     """SELECT
       | (SELECT count(*) FROM events
@@ -1794,6 +1849,10 @@ object StreamingOps extends QueryModule {
     RegisteredQuery("stream_observed_counts", streamObservedCounts,
       Some(streamObservedCountsOracle)),
     RegisteredQuery("stream_from_catalog_table", streamFromCatalogTable,
+      Some(streamFromCatalogOracle)),
+    // same oracle as the unpartitioned feed: same semantics, the source
+    // is a PARTITIONED table streaming table-level append deltas
+    RegisteredQuery("stream_partitioned_source", streamPartitionedSource,
       Some(streamFromCatalogOracle)),
     RegisteredQuery("stream_to_catalog_table", streamToCatalogTable,
       Some(streamToCatalogOracle)),

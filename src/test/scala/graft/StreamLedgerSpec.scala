@@ -103,6 +103,51 @@ class StreamLedgerSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.sev")
   }
 
+  test("partitioned streaming source: shard-grain append-only contract — a COW rewrite fences loudly") {
+    cat()
+    spark.range(0, 12)
+      .select(col("id").as("k"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("p"),
+        lit(1.0).as("v"))
+      .writeTo("graft_cat.spec.pstr").partitionedBy(col("p")).create()
+    val root = java.nio.file.Files.createTempDirectory("graft_pstr")
+    try {
+      val ckpt = root.resolve("ckpt").toString
+      assert(drainCount("graft_cat.spec.pstr", ckpt) === 12L)
+      // an append lands in ONE shard; the resumed stream reads exactly it
+      spark.range(100, 103)
+        .select(col("id").as("k"), lit("a").as("p"), lit(2.0).as("v"))
+        .writeTo("graft_cat.spec.pstr").append()
+      assert(drainCount("graft_cat.spec.pstr", ckpt) === 3L)
+      // a COW rewrite of shard 'a' breaks the append-only contract for
+      // already-streamed offsets: the resumed stream must fence LOUDLY
+      spark.sql("UPDATE graft_cat.spec.pstr SET v = v + 1 WHERE p = 'a'")
+      val ex = intercept[Exception] {
+        drainCount("graft_cat.spec.pstr", ckpt)
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains("rewritten or truncated under a streaming reader")),
+        chain(ex).mkString(" | ").take(300))
+      // a FRESH checkpoint replays the post-rewrite history cleanly? No:
+      // the rewrite is still in the ledger — earliest replay walks over
+      // it and fences too; streaming a rewritten partitioned table needs
+      // the CDC view. Pin that the t@changes stream DOES flow across it.
+      val seen = new AtomicLong(0)
+      val q = spark.readStream.table("graft_cat.spec.`pstr@changes`")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", root.resolve("ckpt2").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      // 12 + 3 inserts, then the rewrite renders 9 deletes + 9 inserts
+      assert(seen.get === 12L + 3L + 18L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.pstr")
+  }
+
   test("streaming ingest into a WAP branch: epochs land on the branch, main dark until publish") {
     cat()
     spark.range(0, 20).select(col("id").as("k"))
