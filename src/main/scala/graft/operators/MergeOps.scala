@@ -948,6 +948,53 @@ object MergeOps extends QueryModule {
       |   AS total_after
       |FROM events WHERE value >= 40""".stripMargin
 
+  /** WRITE-AUDIT-PUBLISH on a PARTITIONED table — r15's refusal
+    * upgraded: `create_branch` forks every shard AS METADATA (seeded
+    * snapshot references, zero copy) with the branch carrying the same
+    * partition spec and its OWN table-level ledger; branch DML runs the
+    * full partitioned surface (the partition-local COW delete below
+    * rewrites one branch shard, main's shards stay
+    * reference-identical — `BranchSpec` pins the `eq`); and
+    * `publish_branch` fast-forwards main's shard SET to the audited
+    * content as ONE table-level commit, fenced on main's table-level
+    * commit count. At 100 TB: an ingest validates a day-partitioned
+    * fact on a branch and publishing is a snapshot-log pointer swap —
+    * bad partitions never become visible.
+    */
+  def sqlWapPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type")) { tbl =>
+      val short = tbl.stripPrefix("graft_cat.")
+      val Array(ns, t) = short.split("\\.")
+      s.sql(s"CALL graft_cat.system.create_branch('$short', 'audit')")
+      val branchTbl = s"graft_cat.$ns.`$t@audit`"
+      s.sql(s"DELETE FROM $branchTbl WHERE event_type = 'error' AND value < 50")
+      val before = s.table(tbl).agg(count(lit(1)).as("n_before"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_before"))
+      val frozenBefore = s.createDataFrame(before.collectAsList(), before.schema)
+      val pub = s.sql(
+        s"CALL graft_cat.system.publish_branch('$short', 'audit')")
+        .select(col("published_rows"))
+      val after = s.table(tbl).agg(count(lit(1)).as("n_after"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_after"))
+      frozenBefore.crossJoin(pub).crossJoin(after)
+    }
+  }
+
+  val sqlWapPartitionedOracle: String =
+    """SELECT
+      | (SELECT count(*) FROM events) AS n_before,
+      | (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 FROM events) AS total_before,
+      | count(*) AS published_rows,
+      | count(*) AS n_after,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total_after
+      |FROM events WHERE NOT (event_type = 'error' AND value < 50)""".stripMargin
+
   /** Operational UNDO through the ledger: `CALL system.rollback(t, v)`
     * restores commit `v`'s live content (deletion vectors applied) as a
     * NEW commit — the Delta RESTORE model, so the bad commits stay
@@ -1560,6 +1607,8 @@ object MergeOps extends QueryModule {
       Some(sqlCallClusterOracle)),
     RegisteredQuery("sql_wap_publish", sqlWapPublish,
       Some(sqlWapPublishOracle)),
+    RegisteredQuery("sql_wap_partitioned", sqlWapPartitioned,
+      Some(sqlWapPartitionedOracle)),
     RegisteredQuery("sql_call_rollback", sqlCallRollback,
       Some(sqlCallRollbackOracle)),
     RegisteredQuery("sql_call_history", sqlCallHistory,

@@ -623,8 +623,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             val branch = input.getUTF8String(1).toString
             val mainKey = s"cat::$catName.$tbl"
             val bk = s"$mainKey#b=$branch"
-            require(!GraftCatalog.parts.contains(mainKey),
-              "graft catalog: branching a partitioned table is unsupported")
+            val partitioned = GraftCatalog.parts.contains(mainKey)
+            def dropBranchStores(): Unit =
+              GraftStore.dropMatching(kk =>
+                kk == bk || kk.startsWith(bk + "#p="))
+            def cleanupBranch(): Unit = {
+              GraftCatalog.branches.remove(bk)
+              GraftCatalog.parts.remove(bk)
+              GraftCatalog.partVersions.remove(bk)
+              dropBranchStores()
+            }
             val (schema, row): (StructType, Array[Any]) = op match {
               case "create_branch" =>
                 val cur = GraftStore.stores.getOrElse(mainKey,
@@ -635,40 +643,89 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                 require(branch != "changes",
                   "graft catalog: 'changes' is the reserved CDC ref " +
                     "(`t@changes`), not a branch name")
-                GraftStore.seed(bk, cur)
-                GraftCatalog.branches.put(bk,
-                  GraftStore.versionCount(mainKey))
+                // partitioned: fork every shard AS METADATA (seeded
+                // snapshot references, zero copy), register the branch's
+                // own spec + table-level ledger, fence on main's
+                // TABLE-LEVEL commit count
+                val baseVersion =
+                  if (partitioned) GraftStore.stores.synchronized {
+                    GraftStore.seed(bk, cur)
+                    GraftStore.stores.iterator
+                      .filter(_._1.startsWith(mainKey + "#p=")).toSeq
+                      .foreach { case (kk, c) =>
+                        GraftStore.seed(bk + kk.substring(mainKey.length), c)
+                      }
+                    GraftCatalog.parts.put(bk, GraftCatalog.parts(mainKey))
+                    GraftCatalog.recordPartVersion(bk)
+                    val n = GraftCatalog.partVersions
+                      .getOrElse(mainKey, Vector.empty).size
+                    GraftCatalog.branches.put(bk, n)
+                    n - 1
+                  }
+                  else {
+                    GraftStore.seed(bk, cur)
+                    GraftCatalog.branches.put(bk,
+                      GraftStore.versionCount(mainKey))
+                    GraftStore.versionCount(mainKey) - 1
+                  }
                 (new StructType()
                   .add("branch", StringType, nullable = false)
                   .add("base_version", IntegerType, nullable = false),
                   Array[Any](
                     org.apache.spark.unsafe.types.UTF8String.fromString(branch),
-                    GraftStore.versionCount(mainKey) - 1))
+                    baseVersion))
               case "publish_branch" =>
                 val base = GraftCatalog.branches.getOrElse(bk,
                   throw new IllegalStateException(
                     s"graft catalog: no branch '$branch' of '$tbl'"))
-                val nowMain = GraftStore.versionCount(mainKey)
-                if (nowMain != base)
-                  throw new IllegalStateException(
-                    s"graft catalog: cannot fast-forward '$tbl' to branch " +
-                      s"'$branch' — main advanced from commit ${base - 1} " +
-                      s"to ${nowMain - 1} since the fork; re-branch and " +
-                      "re-apply (rebase), then publish")
-                val snap = GraftStore.stores(bk)
-                val live = GraftStore.liveLogicalRows(snap)
-                GraftStore.publish(mainKey, snap.schema, Seq(live),
-                  truncate = true)
-                GraftCatalog.branches.remove(bk)
-                GraftStore.dropMatching(_ == bk)
+                def fence(nowMain: Int): Unit =
+                  if (nowMain != base)
+                    throw new IllegalStateException(
+                      s"graft catalog: cannot fast-forward '$tbl' to branch " +
+                        s"'$branch' — main advanced from commit ${base - 1} " +
+                        s"to ${nowMain - 1} since the fork; re-branch and " +
+                        "re-apply (rebase), then publish")
+                val (published, mainVersion) =
+                  if (partitioned) GraftStore.stores.synchronized {
+                    fence(GraftCatalog.partVersions
+                      .getOrElse(mainKey, Vector.empty).size)
+                    // swap main's shard set to the branch's audited
+                    // content: ONE table-level commit
+                    val branchShards = GraftStore.stores.iterator.collect {
+                      case (kk, c) if kk.startsWith(bk + "#p=") =>
+                        kk.substring(kk.indexOf("#p=") + 3) -> c
+                    }.toMap
+                    GraftStore.stores.keys
+                      .filter(_.startsWith(mainKey + "#p="))
+                      .filterNot(kk => branchShards.contains(
+                        kk.substring(kk.indexOf("#p=") + 3)))
+                      .foreach(GraftStore.drop)
+                    val n = branchShards.map { case (pv, snap) =>
+                      val live = GraftStore.liveLogicalRows(snap)
+                      GraftStore.publish(s"$mainKey#p=$pv", snap.schema,
+                        Seq(live), truncate = true)
+                      live.length.toLong
+                    }.sum
+                    GraftCatalog.recordPartVersion(mainKey)
+                    cleanupBranch()
+                    (n, GraftCatalog.partVersions(mainKey).size - 1)
+                  }
+                  else {
+                    fence(GraftStore.versionCount(mainKey))
+                    val snap = GraftStore.stores(bk)
+                    val live = GraftStore.liveLogicalRows(snap)
+                    GraftStore.publish(mainKey, snap.schema, Seq(live),
+                      truncate = true)
+                    cleanupBranch()
+                    (live.length.toLong, GraftStore.versionCount(mainKey) - 1)
+                  }
                 (new StructType()
                   .add("published_rows", LongType, nullable = false)
                   .add("main_version", IntegerType, nullable = false),
-                  Array[Any](live.length.toLong,
-                    GraftStore.versionCount(mainKey) - 1))
+                  Array[Any](published, mainVersion))
               case _ => // drop_branch
-                val existed = GraftCatalog.branches.remove(bk).isDefined
-                GraftStore.dropMatching(_ == bk)
+                val existed = GraftCatalog.branches.contains(bk)
+                cleanupBranch()
                 (new StructType()
                   .add("dropped", org.apache.spark.sql.types.BooleanType,
                     nullable = false),
@@ -731,7 +788,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val bk = s"$mainKey#b=$branch"
       if (!GraftCatalog.branches.contains(bk))
         throw new NoSuchTableException(ident)
-      // a branch inherits the main table's write mode
+      // a branch inherits the main table's write mode AND its shape: a
+      // partitioned table's branch is itself partitioned (same spec,
+      // its own shard stores + table-level ledger)
+      GraftCatalog.parts.get(mainKey).foreach { spec =>
+        return new GraftPartitionedTable(bk, GraftStore.stores(bk).schema,
+          spec)
+      }
       return new GraftRowLevelTable(bk, GraftStore.stores(bk).schema,
         GraftCatalog.morTables.contains(mainKey))
     }
@@ -791,6 +854,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         val bk = s"$mainKey#b=$branch"
         if (!GraftCatalog.branches.contains(bk))
           throw new NoSuchTableException(ident)
+        // a PARTITIONED branch time-travels over its own TABLE-LEVEL
+        // ledger (version 0 = the fork), same resolution as main
+        if (GraftCatalog.parts.contains(mainKey)) {
+          val ledger = GraftCatalog.partVersions.getOrElse(bk,
+            throw new NoSuchTableException(ident))
+          val v = version.toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft catalog: '$version' is not an integer commit " +
+                "ordinal (tags on branches are unsupported)"))
+          require(v >= 0 && v < ledger.size,
+            s"version $v out of range: branch has ${ledger.size} commits")
+          val (sch, shards) = ledger(v)
+          return new GraftPartsVersionTable(s"$bk@v$v", sch, shards)
+        }
         bk
       case None => key(ident)
     }
@@ -995,6 +1072,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val existed = GraftStore.stores.contains(k)
     GraftCatalog.parts.remove(k)
     GraftCatalog.partVersions.remove(k)
+    // branch-scoped registrations of a partitioned table's branches
+    GraftCatalog.parts.keys.filter(_.startsWith(k + "#b="))
+      .foreach(GraftCatalog.parts.remove)
+    GraftCatalog.partVersions.keys.filter(_.startsWith(k + "#b="))
+      .foreach(GraftCatalog.partVersions.remove)
     GraftCatalog.morTables.remove(k)
     GraftCatalog.constraintsReg.remove(k)
     GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))

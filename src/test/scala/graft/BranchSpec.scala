@@ -123,4 +123,62 @@ class BranchSpec extends SparkSpec {
       "DROP TABLE must reap branch stores")
     assert(!GraftCatalog.branches.contains("cat::graft_cat.spec.waph#b=x"))
   }
+
+  test("PARTITIONED WAP: branch forks shards as metadata, DML stays on-branch, publish is one table-level commit") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.pwap").partitionedBy(col("event_type")).create()
+    try {
+      val mainBefore = spark.table("graft_cat.spec.pwap")
+        .orderBy("event_id", "value").collect().toSeq
+      spark.sql("CALL graft_cat.system.create_branch('spec.pwap', 'audit')")
+      // branch is itself partitioned: a partition-local COW DML runs on
+      // the BRANCH shards; main's shards stay reference-identical
+      val mainErrShard = GraftStore
+        .batchesRef("cat::graft_cat.spec.pwap#p=error").get
+      spark.sql(
+        "DELETE FROM graft_cat.spec.`pwap@audit` WHERE event_type = 'error' AND value < 50")
+      base.filter(col("event_id") % 7 === 0)
+        .select((col("event_id") + 700000L).as("event_id"),
+          col("event_type"), col("value"))
+        .writeTo("graft_cat.spec.`pwap@audit`").append()
+      assert(GraftStore.batchesRef("cat::graft_cat.spec.pwap#p=error").get
+        eq mainErrShard, "main shard must not be touched by branch DML")
+      assert(spark.table("graft_cat.spec.pwap")
+        .orderBy("event_id", "value").collect().toSeq === mainBefore,
+        "main must stay dark until publish")
+      // branch time travel over its OWN table-level ledger
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.`pwap@audit` VERSION AS OF 0")
+        .head.getLong(0) === mainBefore.size.toLong)
+      val want = spark.table("graft_cat.spec.`pwap@audit`")
+        .orderBy("event_id", "value").collect().toSeq
+      val res = spark.sql(
+        "CALL graft_cat.system.publish_branch('spec.pwap', 'audit')").head
+      assert(res.getLong(0) === want.size.toLong)
+      assert(spark.table("graft_cat.spec.pwap")
+        .orderBy("event_id", "value").collect().toSeq === want)
+      // the publish is ONE table-level commit: the pre-publish state is
+      // still one VERSION AS OF away
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_cat.spec.pwap VERSION AS OF ${res.getInt(1) - 1}")
+        .head.getLong(0) === mainBefore.size.toLong)
+      // stale publish refused: fork, advance main, publish must fence
+      spark.sql("CALL graft_cat.system.create_branch('spec.pwap', 'stale')")
+      base.limit(3).select((col("event_id") + 900000L).as("event_id"),
+        col("event_type"), col("value"))
+        .writeTo("graft_cat.spec.pwap").append()
+      val ex = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.publish_branch('spec.pwap', 'stale')")
+          .head
+      }
+      assert(ex.getMessage.contains("cannot fast-forward"),
+        ex.getMessage.take(160))
+      spark.sql("CALL graft_cat.system.drop_branch('spec.pwap', 'stale')")
+    } finally spark.sql("DROP TABLE graft_cat.spec.pwap")
+    assert(GraftStore
+      .batchesRef("cat::graft_cat.spec.pwap#b=stale#p=error").isEmpty,
+      "DROP TABLE must reap partitioned branch shard stores")
+  }
 }
