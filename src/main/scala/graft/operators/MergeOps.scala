@@ -1444,6 +1444,34 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** MERGE-ON-READ DML on a PARTITIONED table — the fourth write model
+    * behind the same UPDATE/DELETE digest (COW, MOR, partitioned COW,
+    * now partitioned MOR), sharing [[sqlUpdateDeleteOracle]]
+    * cell-exactly: the operation's COMPOSITE row id (`_group`, `_pos`)
+    * lets `WriteDelta` address shard-local positions, the commit marks
+    * each OWNING shard's deletion vectors and appends per-shard delta
+    * batches — zero rewrite anywhere (`MorDeltaSpec` eq-pins every
+    * shard's pre-existing batches across the DML, and covers the
+    * cross-shard MOVE case where an update relocates a row through the
+    * partition transform). At 100 TB this is Iceberg v2 MOR on a
+    * day-partitioned fact: a sparse UPDATE writes DV bitmaps + delta
+    * files in the touched days only.
+    */
+  def sqlUpdateMorPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type"),
+        mergeOnRead = true) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 9 = 0")
+      s.sql(s"UPDATE $tbl SET value = value * 2 WHERE event_id % 7 = 0")
+      s.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(sum(col("value")), 2).as("sum_value"),
+        count(when(col("event_id") % 9 === 0, 1)).as("n_ninths"))
+    }
+  }
+
   /** HIDDEN PARTITIONING — `PARTITIONED BY (days(ts))`
     * ([[graft.sources.PartSpec]], the Iceberg model): rows route to a
     * DERIVED UTC-day shard, a plain `ts >= cutoff` range prunes every
@@ -1566,6 +1594,9 @@ object MergeOps extends QueryModule {
     RegisteredQuery("sql_update_delete", sqlUpdateDelete,
       Some(sqlUpdateDeleteOracle)),
     RegisteredQuery("sql_update_mor", sqlUpdateMor,
+      Some(sqlUpdateDeleteOracle)),
+    // the FOURTH write model behind the same digest: partitioned MOR
+    RegisteredQuery("sql_update_mor_partitioned", sqlUpdateMorPartitioned,
       Some(sqlUpdateDeleteOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
     RegisteredQuery("sql_time_travel_partitioned", sqlTimeTravelPartitioned,

@@ -172,6 +172,65 @@ class MorDeltaSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.mor4")
   }
 
+  test("PARTITIONED MOR: UPDATE writes per-shard DV bits + delta batches, zero rewrite; CDC pairs lineage") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.pmor").partitionedBy(col("event_type"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      val shardKeys = base.select("event_type").distinct()
+        .collect().map(r => s"cat::graft_cat.spec.pmor#p=${r.getString(0)}")
+      val before = shardKeys.map(k => k -> GraftStore.batchesRef(k).get).toMap
+      spark.sql(
+        "UPDATE graft_cat.spec.pmor SET value = value + 1000 WHERE event_id % 50 = 0")
+      // MOR means NO rewrite anywhere: every shard's pre-existing
+      // batches survive BY REFERENCE (the batch list only ever grows)
+      shardKeys.foreach { k =>
+        val now = GraftStore.batchesRef(k).get
+        val prev = before(k)
+        assert(now.size >= prev.size &&
+          prev.indices.forall(i => now(i) eq prev(i)),
+          s"$k rewrote committed batches under a MOR UPDATE")
+      }
+      val want = base
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 50 === 0, col("value") + 1000)
+            .otherwise(col("value")).as("value"))
+        .orderBy("event_id", "value").collect().toSeq
+      assert(spark.table("graft_cat.spec.pmor")
+        .orderBy("event_id", "value").collect().toSeq === want)
+      // the partitioned CDC walk renders the journaled lineage
+      val touched = base.filter(col("event_id") % 50 === 0).count()
+      val ch = graft.sources.ChangeFeed.tableChanges(spark, "spec.pmor", 1, 2)
+      assert(ch.filter(col("_change_type") === "update_preimage").count() === touched)
+      assert(ch.filter(col("_change_type") === "update_postimage").count() === touched)
+      assert(ch.filter(col("_change_type").isin("delete", "insert")).count() === 0L)
+      // cross-shard MOVE: updating the partition column relocates the
+      // row — honestly a delete (old shard DV) + insert (new shard)
+      val moved = spark.table("graft_cat.spec.pmor")
+        .filter(col("event_id") % 97 === 0).count()
+      spark.sql(
+        "UPDATE graft_cat.spec.pmor SET event_type = 'moved' WHERE event_id % 97 = 0")
+      assert(spark.table("graft_cat.spec.pmor")
+        .filter(col("event_type") === "moved").count() === moved)
+      val ch3 = graft.sources.ChangeFeed.tableChanges(spark, "spec.pmor", 2, 3)
+      assert(ch3.filter(col("_change_type") === "delete").count() === moved)
+      assert(ch3.filter(col("_change_type") === "insert").count() === moved)
+      assert(ch3.filter(col("_change_type").startsWith("update")).count() === 0L)
+      // still zero rewrites: original batches all survive by reference
+      shardKeys.foreach { k =>
+        val now = GraftStore.batchesRef(k).get
+        val prev = before(k)
+        assert(prev.indices.forall(i => now(i) eq prev(i)), k)
+      }
+      // time travel over the table-level ledger still exact
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.pmor VERSION AS OF 1")
+        .head.getLong(0) === base.count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.pmor")
+  }
+
   test("capstone MERGE source stays distributed: no LocalRelation feeds any WriteDelta (VERDICT r15 #1)") {
     cat()
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
