@@ -1780,9 +1780,34 @@ private[sources] class GraftPartitionedTable(
         org.apache.spark.sql.connector.expressions.Expressions.column("_group"),
         org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
     override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-      new ScanBuilder {
-        override def build(): Scan = new GraftPartsDeltaScan(tableKey,
-          schema(), () => partKeys(), shards => readShards = Some(shards))
+      // partition-column conjuncts PRUNE the shards the delta op reads
+      // (everything residual — shard positions are shard-local, so
+      // pruning can never shift a surviving row's id); pruned/total
+      // land in the skip log so specs can pin it
+      new ScanBuilder with SupportsPushDownFilters {
+        private var keep: Option[String => Boolean] = None
+        override def pushFilters(
+            filters: Array[org.apache.spark.sql.sources.Filter])
+            : Array[org.apache.spark.sql.sources.Filter] = {
+          keep = PartSpec.keepFor(spec, filters.toSeq)
+          filters
+        }
+        override def pushedFilters()
+            : Array[org.apache.spark.sql.sources.Filter] = Array.empty
+        override def build(): Scan = {
+          val keys = () => {
+            val all = partKeys()
+            val sel = keep match {
+              case Some(p) =>
+                all.filter(k => p(k.substring(k.indexOf("#p=") + 3)))
+              case None => all
+            }
+            GraftStore.skipLog.put(tableKey, (all.size, all.size - sel.size))
+            sel
+          }
+          new GraftPartsDeltaScan(tableKey, schema(), keys,
+            shards => readShards = Some(shards))
+        }
       }
     override def newWriteBuilder(lwi: LogicalWriteInfo): DeltaWriteBuilder =
       new DeltaWriteBuilder {

@@ -284,6 +284,33 @@ class MorDeltaSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pmm")
   }
 
+  test("partitioned MOR op scan prunes shards on partition conjuncts (skip-log pinned)") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.pmp").partitionedBy(col("event_type"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      val nShards = base.select("event_type").distinct().count().toInt
+      spark.sql(
+        "UPDATE graft_cat.spec.pmp SET value = value + 1000 WHERE event_type = 'error' AND value < 30")
+      // the delta op read ONE shard of N — pruning recorded at planning
+      val (total, skipped) =
+        GraftStore.skipLog("cat::graft_cat.spec.pmp")
+      assert(total === nShards)
+      assert(skipped === nShards - 1,
+        s"expected ${nShards - 1} shards pruned, got $skipped")
+      // and the result is still exact
+      val want = base
+        .select(col("event_id"), col("event_type"),
+          when(col("event_type") === "error" && col("value") < 30,
+            col("value") + 1000).otherwise(col("value")).as("value"))
+        .orderBy("event_id", "value").collect().toSeq
+      assert(spark.table("graft_cat.spec.pmp")
+        .orderBy("event_id", "value").collect().toSeq === want)
+    } finally spark.sql("DROP TABLE graft_cat.spec.pmp")
+  }
+
   test("capstone MERGE source stays distributed: no LocalRelation feeds any WriteDelta (VERDICT r15 #1)") {
     cat()
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
