@@ -1472,6 +1472,114 @@ object MergeOps extends QueryModule {
     }
   }
 
+  /** WIDTH-CHANGING SCHEMA EVOLUTION ON A PARTITIONED TABLE (VERDICT
+    * r16 top-next — the r16 refusals retired): ADD COLUMN DEFAULT,
+    * RENAME, and DROP COLUMN are METADATA-ONLY on partitioned tables
+    * too — [[graft.sources.GraftCatalog.alterTable]] applies the same
+    * slot-map commit to the base key and EVERY live shard store under
+    * one lock (lockstep evolution, the Iceberg one-table-schema model),
+    * and every partitioned read path resolves rows through the shard's
+    * composed slot projection. The script interleaves evolution with
+    * per-shard MOR DVs and a post-evolution row-delta UPDATE:
+    * pre-evolution rows read the ADD's existence DEFAULT ('legacy'),
+    * the post-ADD append lands tagged 'new' into pre-evolution shards,
+    * RENAME keeps serving renamed slots, DROP tombstones per-shard
+    * slots, and re-ADDing the dropped name binds fresh slots —
+    * `n_resurrected` MUST be 0 in every shard. At 100 TB this is
+    * `ALTER TABLE day_partitioned_fact DROP COLUMN` as a metadata
+    * commit instead of a CTAS rewrite of the whole table.
+    */
+  def sqlAlterPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type"),
+        mergeOnRead = true) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 9 = 0") // per-shard DVs
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN tag STRING DEFAULT 'legacy'")
+      Tables.events(s, dir).filter(col("event_id") % 10 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"),
+          col("event_type"), col("user_id"), col("value"),
+          lit("new").as("tag"))
+        .writeTo(tbl).append()
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN value TO amount")
+      s.sql(s"ALTER TABLE $tbl DROP COLUMN user_id")
+      // post-evolution MOR row-delta through the evolved slot maps
+      s.sql(s"UPDATE $tbl SET amount = amount * 2 " +
+        "WHERE event_id % 7 = 0 AND event_id < 1000000")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN user_id BIGINT")
+      s.table(tbl).groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("amount") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"),
+          count(col("user_id")).as("n_resurrected"))
+        .orderBy("tag")
+    }
+  }
+
+  val sqlAlterPartitionedOracle: String =
+    """WITH t AS (
+      |  SELECT 'legacy' AS tag,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS amount
+      |  FROM events WHERE event_id % 9 <> 0
+      |  UNION ALL
+      |  SELECT 'new' AS tag, value AS amount FROM events
+      |  WHERE event_id % 10 = 0
+      |)
+      |SELECT tag, count(*) AS n,
+      | CAST(sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total,
+      | CAST(0 AS BIGINT) AS n_resurrected
+      |FROM t GROUP BY tag ORDER BY tag""".stripMargin
+
+  /** PARTITIONED CDC ACROSS SCHEMA EVOLUTION (ADVICE r16 medium): the
+    * change feed must render a column's values from every shard layout
+    * — including rows APPENDED WITH the column's value into shards
+    * created before the ADD COLUMN (pre-fix those rendered NULL: shard
+    * stores kept their creation-time schema and render() name-matched
+    * against it). Evolution now propagates to every shard in lockstep
+    * and the feed renders through composed slot maps, so `n_tagged` at
+    * the post-evolution append commit equals its row count, and the
+    * whole feed serves under the range-end schema (`amount` resolves
+    * pre-RENAME rows through their stable slots). Evolution commits
+    * themselves are metadata-only — versions 2 and 4 contribute no feed
+    * rows on either side of the oracle.
+    */
+  def cdcPartitionedEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type")) { tbl =>
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN tag STRING") // v2: evolve
+      Tables.events(s, dir).filter(col("event_id") % 10 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"),
+          col("event_type"), col("value"), lit("x").as("tag"))
+        .writeTo(tbl).append() // v3: tagged rows into pre-ADD shards
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN value TO amount") // v4
+      val Array(ns, t) = tbl.stripPrefix("graft_cat.").split("\\.")
+      s.table(s"graft_cat.$ns.`$t@changes`")
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), count(col("tag")).as("n_tagged"),
+          (sum(floor(col("amount") * 100 + 0.5).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy("_commit_version", "_change_type")
+    }
+  }
+
+  val cdcPartitionedEvolutionOracle: String =
+    """WITH feed AS (
+      |  SELECT 1 AS _commit_version, 'insert' AS _change_type,
+      |    value AS amount, CAST(NULL AS VARCHAR) AS tag
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 3, 'insert', value, 'x' FROM events WHERE event_id % 10 = 0
+      |)
+      |SELECT _commit_version, _change_type, count(*) AS n,
+      | count(tag) AS n_tagged,
+      | CAST(sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS total
+      |FROM feed GROUP BY 1, 2
+      |ORDER BY _commit_version, _change_type""".stripMargin
+
   /** HIDDEN PARTITIONING — `PARTITIONED BY (days(ts))`
     * ([[graft.sources.PartSpec]], the Iceberg model): rows route to a
     * DERIVED UTC-day shard, a plain `ts >= cutoff` range prunes every
@@ -1611,6 +1719,10 @@ object MergeOps extends QueryModule {
       Some(storeDataSkippingOracle)),
     RegisteredQuery("sql_alter_rename_drop", sqlAlterRenameDrop,
       Some(sqlAlterRenameDropOracle)),
+    RegisteredQuery("sql_alter_partitioned", sqlAlterPartitioned,
+      Some(sqlAlterPartitionedOracle)),
+    RegisteredQuery("cdc_partitioned_evolution", cdcPartitionedEvolution,
+      Some(cdcPartitionedEvolutionOracle)),
     RegisteredQuery("sql_call_expire", sqlCallExpire,
       Some(sqlCallExpireOracle)),
     RegisteredQuery("sql_delete_dv", sqlDeleteDv, Some(sqlDeleteDvOracle)),

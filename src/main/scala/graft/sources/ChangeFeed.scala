@@ -123,33 +123,48 @@ object ChangeFeed {
       .add("_change_type", StringType, nullable = false)
       .add("_commit_version", IntegerType, nullable = false)
 
-  /** Render `row` (a physical row of `snap`) into `target`'s shape by
-    * name, with change-type and commit-version metadata appended.
-    * `endPad` supplies the range-end existence default for columns that
-    * post-date `snap`.
+  /** A row renderer for (`snap`, `target`): maps physical rows of
+    * `snap` into `target`'s shape, with change-type and commit-version
+    * metadata appended. Resolution is NAME-FIRST over the snapshot's
+    * own view, then — for target fields the snapshot's schema does not
+    * name (a column RENAMED after `snap` was committed) — by SLOT
+    * through `endSnap`, the SAME STORE's range-end snapshot: slots are
+    * stable within a store lineage, so the renamed column keeps serving
+    * its pre-rename values (the field-id contract), while a column that
+    * genuinely post-dates the snapshot reads the range-end existence
+    * default (`endPad`) — a fresh slot is beyond every older row's
+    * width, so DROP + re-ADD can never resurrect. The composed
+    * projection is computed ONCE here, not per row.
     */
   private def render(snap: GraftStore.Committed, endPad: Array[Any],
-      target: StructType)(row: Array[Any], change: String, version: Int)
-      : Array[Any] = {
-    val proj = snap.projection
-    val pad = snap.logicalPad
-    val srcIdx = target.fields.map { f =>
-      snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+      target: StructType, endSnap: Option[GraftStore.Committed] = None)
+      : (Array[Any], String, Int) => Array[Any] = {
+    val (proj, pad) = GraftStore.composeProjection(snap, target, endPad)
+    endSnap.foreach { e =>
+      val eProj = e.projection
+      val ePad = e.logicalPad
+      var j = 0
+      while (j < target.length) {
+        if (proj(j) < 0 && j < eProj.length) {
+          proj(j) = eProj(j)
+          pad(j) = ePad(j)
+        }
+        j += 1
+      }
     }
-    val vals = new Array[Any](target.length + 2)
-    var j = 0
-    while (j < target.length) {
-      val si = srcIdx(j)
-      vals(j) =
-        if (si < 0 || si >= proj.length) endPad(j) // column post-dates snap
-        else if (proj(si) >= row.length) pad(si) // existence default
-        else row(proj(si))
-      j += 1
+    (row: Array[Any], change: String, version: Int) => {
+      val vals = new Array[Any](target.length + 2)
+      var j = 0
+      while (j < target.length) {
+        val sl = proj(j)
+        vals(j) = if (sl >= 0 && sl < row.length) row(sl) else pad(j)
+        j += 1
+      }
+      vals(target.length) =
+        org.apache.spark.unsafe.types.UTF8String.fromString(change)
+      vals(target.length + 1) = version
+      vals
     }
-    vals(target.length) =
-      org.apache.spark.unsafe.types.UTF8String.fromString(change)
-    vals(target.length + 1) = version
-    vals
   }
 
   private def liveRows(snap: GraftStore.Committed): Iterator[Array[Any]] =
@@ -167,7 +182,12 @@ object ChangeFeed {
   private def diffCommit(prev: GraftStore.Committed,
       cur: GraftStore.Committed, v: Int, target: StructType,
       endPad: Array[Any],
-      changes: scala.collection.mutable.ArrayBuffer[Array[Any]]): Unit = {
+      changes: scala.collection.mutable.ArrayBuffer[Array[Any]],
+      endSnap: Option[GraftStore.Committed] = None): Unit = {
+    // composed slot projections hoisted once per diffed commit — the
+    // per-row work is a plain array-indexed gather
+    lazy val rPrev = render(prev, endPad, target, endSnap)
+    lazy val rCur = render(cur, endPad, target, endSnap)
     /** newly DV'd rows of `cur` vs `prev` as deletes (rendered from the
       * pre-image snapshot — that's what the rows meant when live).
       */
@@ -180,7 +200,7 @@ object ChangeFeed {
           while (r >= 0) {
             if ((before == null || !before.get(r)) &&
                 !exclude.contains(bi.toLong << 32 | r.toLong))
-              changes += render(prev, endPad, target)(batch(r), "delete", v)
+              changes += rPrev(batch(r), "delete", v)
             r = now.nextSetBit(r + 1)
           }
         }
@@ -188,13 +208,11 @@ object ChangeFeed {
     GraftStore.classifyCommit(prev, cur) match {
       case "rewrite" =>
         // full pre-image deletes + post-image inserts
-        liveRows(prev).foreach(r =>
-          changes += render(prev, endPad, target)(r, "delete", v))
-        liveRows(cur).foreach(r =>
-          changes += render(cur, endPad, target)(r, "insert", v))
+        liveRows(prev).foreach(r => changes += rPrev(r, "delete", v))
+        liveRows(cur).foreach(r => changes += rCur(r, "insert", v))
       case "append" =>
         cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
-          changes += render(cur, endPad, target)(r, "insert", v)))
+          changes += rCur(r, "insert", v)))
       case "delete-vectors" =>
         dvDeltaDeletes(Set.empty)
       case "row-delta" =>
@@ -211,16 +229,14 @@ object ChangeFeed {
         lin.foreach { case (pos, i) =>
           val bi = (pos >>> 32).toInt
           val r = pos.toInt
-          changes += render(prev, endPad, target)(
-            prev.batches(bi)(r), "update_preimage", v)
-          changes += render(cur, endPad, target)(
-            newRows(i), "update_postimage", v)
+          changes += rPrev(prev.batches(bi)(r), "update_preimage", v)
+          changes += rCur(newRows(i), "update_postimage", v)
         }
         dvDeltaDeletes(exclude = lin.map(_._1).toSet)
         val linIdx = lin.map(_._2).toSet
         newRows.zipWithIndex.foreach { case (r, i) =>
           if (!linIdx.contains(i))
-            changes += render(cur, endPad, target)(r, "insert", v)
+            changes += rCur(r, "insert", v)
         }
       case _ => // evolve/unknown: metadata only — no row changes
     }
@@ -255,7 +271,8 @@ object ChangeFeed {
       }
     val changes = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     (((fromVersion + 1) max 1) to toVersion).foreach { v =>
-      diffCommit(hist(v - 1), hist(v), v, target, endPad, changes)
+      diffCommit(hist(v - 1), hist(v), v, target, endPad, changes,
+        endSnap = Option(endSnap))
     }
     changes.toArray
   }
@@ -265,8 +282,11 @@ object ChangeFeed {
     * and contribute nothing — CDC cost ∝ touched shards, the
     * changed-manifests property of a real changelog scan. A shard
     * absent on one side renders whole (created → inserts, dropped →
-    * pre-image deletes). Shards carry no DEFAULT columns (refused at
-    * ALTER), so the end-pad is all NULLs.
+    * pre-image deletes). Shards evolve in LOCKSTEP with the table
+    * schema (alterTable applies the slot commit per shard), and each
+    * snapshot renders through its own composed slot map — so rows from
+    * a shard layout that predates an ADD COLUMN render the range-end
+    * EXISTENCE DEFAULT, exactly how those rows read today.
     */
   private[sources] def partInternalChanges(
       ledger: Vector[(StructType, Map[String, GraftStore.Committed])],
@@ -276,22 +296,28 @@ object ChangeFeed {
       ledger(v) != null && ledger(v - 1) != null,
       s"version ${v - 1} or $v expired by retention — change feed " +
         "needs both sides of every diffed commit"))
-    val endPad = new Array[Any](target.length)
+    val endPad = GraftStore.existencePad(target)
     val changes = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     (((fromVersion + 1) max 1) to toVersion).foreach { v =>
       val (_, prevShards) = ledger(v - 1)
       val (_, curShards) = ledger(v)
+      // slot-fallback reference: the SAME shard's snapshot at the
+      // range-end entry (absent when the shard was dropped before the
+      // end — a later rename then has no slot bridge and reads endPad)
+      val endShards: Map[String, GraftStore.Committed] =
+        if (ledger(toVersion) == null) Map.empty else ledger(toVersion)._2
       (prevShards.keySet ++ curShards.keySet).toSeq.sorted.foreach { pv =>
+        val endSnap = endShards.get(pv)
         (prevShards.get(pv), curShards.get(pv)) match {
           case (Some(p), Some(c)) if p eq c => // untouched shard
           case (Some(p), Some(c)) =>
-            diffCommit(p, c, v, target, endPad, changes)
+            diffCommit(p, c, v, target, endPad, changes, endSnap)
           case (None, Some(c)) =>
-            liveRows(c).foreach(r =>
-              changes += render(c, endPad, target)(r, "insert", v))
+            val rC = render(c, endPad, target, endSnap)
+            liveRows(c).foreach(r => changes += rC(r, "insert", v))
           case (Some(p), None) =>
-            liveRows(p).foreach(r =>
-              changes += render(p, endPad, target)(r, "delete", v))
+            val rP = render(p, endPad, target, endSnap)
+            liveRows(p).foreach(r => changes += rP(r, "delete", v))
           case _ =>
         }
       }

@@ -312,7 +312,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                   s"version $v out of range: table has ${ledger.size} commits")
                 require(ledger(v) != null,
                   s"version $v of '$tbl' has been expired by retention")
-                val (_, shards) = ledger(v)
+                val (sch, shards) = ledger(v)
                 GraftStore.stores.synchronized {
                   GraftStore.stores.keys
                     .filter(_.startsWith(k + "#p="))
@@ -325,6 +325,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                       truncate = true)
                     live.length.toLong
                   }.sum
+                  // restore the TABLE-LEVEL schema too (the unpartitioned
+                  // path's truncate-publish adopts the target snapshot's
+                  // schema; the partitioned twin must keep base and
+                  // shards in LOCKSTEP or post-restore DML would scatter
+                  // rows through a mismatched slot map)
+                  GraftStore.publish(k, sch, Seq.empty, truncate = true)
                   GraftCatalog.recordPartVersion(k)
                   (n, GraftCatalog.partVersions(k).size - 1)
                 }
@@ -972,15 +978,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * follow their SLOT — so a rename keeps serving the old rows under
     * the new name, a drop tombstones the slot (pre-drop versions still
     * time-travel to it), and re-adding a dropped name binds a fresh
-    * slot so old values never resurrect. Partitioned tables accept ADD
-    * and RENAME of non-partition columns (their per-partition stores are
-    * positional and slots only ever append); DROP on a partitioned
-    * table is rejected loudly rather than silently misaligning.
+    * slot so old values never resurrect. PARTITIONED tables evolve in
+    * LOCKSTEP: the same slot-map commit applies to the base key and
+    * EVERY live shard store under one lock (the Iceberg model — ONE
+    * table-level schema, file layouts resolved through per-file slot
+    * maps), so ADD (incl. DEFAULT), RENAME, and DROP are all
+    * metadata-only on partitioned tables too; only the partition
+    * SOURCE column itself is immutable (routing and pruning key on it).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val k = key(ident)
     val cur = GraftStore.stores.getOrElse(k, throw new NoSuchTableException(ident))
     val partitioned = GraftCatalog.parts.get(k)
+    // partitioned: one evolution commit per store — the base key
+    // (carries the table-level logical schema) plus every live shard —
+    // applied under ONE lock so no commit can interleave mid-evolution
+    def evolveAll(f: String => Unit): Unit =
+      if (partitioned.isEmpty) f(k)
+      else GraftStore.stores.synchronized {
+        (k +: GraftStore.stores.keys.filter(_.startsWith(k + "#p="))
+          .toSeq.sorted).foreach(f)
+      }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -993,9 +1011,6 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         val default = Option(add.defaultValue())
         require(add.isNullable || default.isDefined,
           "graft catalog: added columns must be nullable or carry a DEFAULT")
-        require(default.isEmpty || partitioned.isEmpty,
-          "graft catalog: ADD COLUMN DEFAULT on a partitioned table is " +
-            "unsupported (shard stores are positional)")
         val field = default match {
           case None => org.apache.spark.sql.types.StructField(
             add.fieldNames.head, add.dataType, nullable = true)
@@ -1007,12 +1022,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             org.apache.spark.sql.types.StructField(add.fieldNames.head,
               add.dataType, nullable = add.isNullable, metadata = meta)
         }
-        GraftStore.addColumn(k, field,
-          default.map(dv => Option(dv.getValue)
-            .map(_.value.asInstanceOf[Any])
-            .getOrElse(throw new UnsupportedOperationException(
-              "graft catalog: ADD COLUMN DEFAULT requires a foldable " +
-                "literal default"))))
+        val defVal = default.map(dv => Option(dv.getValue)
+          .map(_.value.asInstanceOf[Any])
+          .getOrElse(throw new UnsupportedOperationException(
+            "graft catalog: ADD COLUMN DEFAULT requires a foldable " +
+              "literal default")))
+        evolveAll(GraftStore.addColumn(_, field, defVal))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "graft catalog: only top-level RENAME COLUMN is supported")
@@ -1025,19 +1040,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         // differs only in case would create two silently-colliding names
         require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(rn.newName)),
           s"graft catalog: column '${rn.newName}' already exists")
-        GraftStore.renameColumn(k, from, rn.newName)
+        evolveAll(GraftStore.renameColumn(_, from, rn.newName))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           "graft catalog: only top-level DROP COLUMN is supported")
-        // partition-column first so ITS message fires when both apply;
-        // the blanket refusal below otherwise shadows it (ADVICE r15)
         require(!partitioned.exists(
             _.sourceCol.equalsIgnoreCase(del.fieldNames.head)),
           "graft catalog: cannot drop the partition column")
-        require(partitioned.isEmpty, "graft catalog: DROP COLUMN on a " +
-          "partitioned table is unsupported (per-partition stores are " +
-          "positional); rewrite via CTAS instead")
-        GraftStore.dropColumn(k, del.fieldNames.head)
+        evolveAll(GraftStore.dropColumn(_, del.fieldNames.head))
       // ANSI constraints (Spark 4's SPARK-51207 framework): the catalog
       // only has to STORE them and serve them from Table.constraints() —
       // write-side CHECK enforcement is Spark's own
@@ -1687,10 +1697,16 @@ private[sources] class GraftPartitionedTable(
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters {
       private var wantGroup = false
+      private var wantPos = false
       private var keep: Option[String => Boolean] = None
       private var kept = Array.empty[org.apache.spark.sql.sources.Filter]
-      override def pruneColumns(required: StructType): Unit =
+      override def pruneColumns(required: StructType): Unit = {
         wantGroup = required.fieldNames.contains("_group")
+        // `_pos` is a first-class metadata column on MOR tables — plain
+        // SELECTs of it serve the same stable shard-local position the
+        // row-level row id carries (ADVICE r16)
+        wantPos = required.fieldNames.contains("_pos")
+      }
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
@@ -1722,7 +1738,8 @@ private[sources] class GraftPartitionedTable(
         }
         new GraftPartsScan(tableKey, schema(), keys, withGroup = wantGroup,
           record, streamFromLatest = "latest".equalsIgnoreCase(
-            opts.getOrDefault("startingOffsets", "earliest")))
+            opts.getOrDefault("startingOffsets", "earliest")),
+          withPos = wantPos)
       }
     }
 
@@ -1887,7 +1904,8 @@ private[sources] class GraftPartitionedTable(
 private[sources] class GraftPartsScan(
     tableKey: String, dataSchema: StructType, keysF: () => Seq[String],
     withGroup: Boolean, record: Int => Unit = _ => (),
-    streamFromLatest: Boolean = false) extends Scan with Batch {
+    streamFromLatest: Boolean = false, withPos: Boolean = false)
+    extends Scan with Batch {
 
   /** Streaming SOURCE over a partitioned table: offsets are TABLE-LEVEL
     * version ordinals ([[GraftCatalog.partVersions]]), each micro-batch
@@ -1897,11 +1915,14 @@ private[sources] class GraftPartsScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftPartsMicroBatchStream(tableKey, dataSchema, streamFromLatest)
-  private val full =
-    if (withGroup)
-      dataSchema.add("_group", org.apache.spark.sql.types.StringType,
-        nullable = false)
-    else dataSchema
+  private val full = {
+    var s0 = dataSchema
+    if (withGroup) s0 = s0.add("_group",
+      org.apache.spark.sql.types.StringType, nullable = false)
+    if (withPos) s0 = s0.add("_pos",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    s0
+  }
   override def readSchema(): StructType = full
   override def toBatch: Batch = this
   override def description(): String =
@@ -1909,26 +1930,47 @@ private[sources] class GraftPartsScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val selected = keysF()
     record(selected.size) // execution-path-only skip-log recording
+    val targetPad = GraftStore.existencePad(dataSchema)
     selected.flatMap { k =>
       val v = k.substring(k.indexOf("#p=") + 3)
       GraftStore.stores.get(k).toSeq.flatMap { snap =>
+        // each shard reads through its OWN slot map composed onto the
+        // table's logical schema (shards evolve in lockstep, but a
+        // restored/pinned snapshot may carry an older layout — name
+        // resolution over stable slots covers both)
+        val (proj, pad) =
+          GraftStore.composeProjection(snap, dataSchema, targetPad)
         // shard deletion vectors apply on every read path (partitioned
         // MOR DML marks rows here instead of rewriting the shard)
         snap.batches.zipWithIndex.map { case (b, i) =>
           GraftGroupPartition(b, if (withGroup) v else null,
-            snap.dvs.getOrElse(i, null)): InputPartition
+            snap.dvs.getOrElse(i, null), i, proj, pad): InputPartition
         }
       }
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val dataWidth = dataSchema.length
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPartsScan.groupReaderFactory(dataSchema.length, withPos)
+}
+
+private[sources] object GraftPartsScan {
+  /** Shared reader over [[GraftGroupPartition]]s: projects each PHYSICAL
+    * row through the partition's composed slot map (−1 / short row →
+    * pad = existence default), then appends the requested metadata
+    * columns — `_group` (when the partition carries one) and `_pos`
+    * (the stable shard-local position `batch << 32 | row`).
+    */
+  private[sources] def groupReaderFactory(dataWidth: Int,
+      withPos: Boolean): PartitionReaderFactory =
     (p: InputPartition) => new PartitionReader[InternalRow] {
       private val gp = p.asInstanceOf[GraftGroupPartition]
       private val tag = Option(gp.group)
         .map(g => org.apache.spark.unsafe.types.UTF8String.fromString(g))
       private val deleted =
         if (gp.dv == null) null else java.util.BitSet.valueOf(gp.dv)
+      private val metaWidth = (if (tag.isDefined) 1 else 0) +
+        (if (withPos) 1 else 0)
+      private val base = gp.batchIdx.toLong << 32
       private var i = -1
       override def next(): Boolean = {
         i += 1
@@ -1937,26 +1979,28 @@ private[sources] class GraftPartsScan(
         i < gp.rows.length
       }
       override def get(): InternalRow = {
-        // pad pre-evolution rows to the DATA width first — only then
-        // append the metadata column, so it can never slide into an
-        // evolved column's slot
         val r0 = gp.rows(i)
-        val r =
-          if (r0.length >= dataWidth) r0
-          else java.util.Arrays.copyOf(
-            r0.asInstanceOf[Array[AnyRef]], dataWidth).asInstanceOf[Array[Any]]
-        tag match {
-          case Some(g) => new GenericInternalRow(r :+ (g: Any))
-          case None => new GenericInternalRow(r)
+        val out = new Array[Any](dataWidth + metaWidth)
+        var j = 0
+        while (j < dataWidth) {
+          val sl = if (gp.proj == null) j else gp.proj(j)
+          out(j) =
+            if (sl >= 0 && sl < r0.length) r0(sl)
+            else if (gp.pad == null) null
+            else gp.pad(j)
+          j += 1
         }
+        tag.foreach { g => out(j) = g; j += 1 }
+        if (withPos) out(j) = base | i.toLong
+        new GenericInternalRow(out)
       }
       override def close(): Unit = ()
     }
-  }
 }
 
 private[sources] case class GraftGroupPartition(
-    rows: Array[Array[Any]], group: String, dv: Array[Long] = null)
+    rows: Array[Array[Any]], group: String, dv: Array[Long] = null,
+    batchIdx: Int = 0, proj: Array[Int] = null, pad: Array[Any] = null)
     extends InputPartition
 
 /** Streaming READS from a PARTITIONED catalog table: offsets are
@@ -2036,16 +2080,35 @@ private[sources] class GraftPartsMicroBatchStream(tableKey: String,
         (prevShards.get(pv), curShards.get(pv)) match {
           case (Some(p), Some(c)) if p eq c => Seq.empty // untouched
           case (Some(p), Some(c)) =>
-            if (GraftStore.classifyCommit(p, c) != "append")
-              throw new IllegalStateException(
-                s"graft table '$tableKey' shard '$pv' was rewritten or " +
-                  "truncated under a streaming reader: streaming reads " +
-                  "require append-only commits — restart the query from " +
-                  "a fresh checkpoint")
-            c.batches.drop(p.batches.size)
-              .map(bt => GraftStorePartition(bt): InputPartition)
+            GraftStore.classifyCommit(p, c) match {
+              case "append" =>
+                // POSITIONAL slot projection (not name-composed): the
+                // width fence above guarantees the shard's logical view
+                // stayed `s.length` wide, and a mid-stream RENAME must
+                // keep serving the renamed slot under the stream's
+                // start-time name — slots are the stream's contract
+                c.batches.drop(p.batches.size).zipWithIndex.map {
+                  case (bt, off) => GraftGroupPartition(bt, null, null,
+                    p.batches.size + off, c.projection, c.logicalPad)
+                      : InputPartition
+                }
+              case "evolve" =>
+                // metadata-only commit: same batches, evolved slot map —
+                // same-width evolution (RENAME) contributes no rows and
+                // keeps the stream coherent; width changes already fenced
+                Seq.empty
+              case _ =>
+                throw new IllegalStateException(
+                  s"graft table '$tableKey' shard '$pv' was rewritten or " +
+                    "truncated under a streaming reader: streaming reads " +
+                    "require append-only commits — restart the query from " +
+                    "a fresh checkpoint")
+            }
           case (None, Some(c)) => // shard born in this commit: all appends
-            c.batches.map(bt => GraftStorePartition(bt): InputPartition)
+            c.batches.zipWithIndex.map { case (bt, i) =>
+              GraftGroupPartition(bt, null, null, i, c.projection,
+                c.logicalPad): InputPartition
+            }
           case (Some(_), None) =>
             throw new IllegalStateException(
               s"graft table '$tableKey' shard '$pv' was dropped under a " +
@@ -2057,8 +2120,7 @@ private[sources] class GraftPartsMicroBatchStream(tableKey: String,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftStore.projectedReaderFactory(
-      Array.tabulate(s.length)(identity), new Array[Any](s.length))
+    GraftPartsScan.groupReaderFactory(s.length, withPos = false)
 }
 
 /** The row-level OPERATION scan over a partitioned table: a
@@ -2259,11 +2321,17 @@ private[sources] class GraftPartsDeltaScan(tableKey: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = keysF().flatMap(k => GraftStore.stores.get(k).map(k -> _))
     capture(shards.toMap) // pin read snapshots for commit validation
+    val targetPad = GraftStore.existencePad(dataSchema)
     shards.flatMap { case (k, snap) =>
       val pv = k.substring(k.indexOf("#p=") + 3)
+      // the op reads each shard through its composed slot map — `_pos`
+      // stays the PHYSICAL row position (what DVs and delta commits
+      // address), only the VALUES resolve logically
+      val (proj, pad) =
+        GraftStore.composeProjection(snap, dataSchema, targetPad)
       snap.batches.zipWithIndex.map { case (b, i) =>
-        GraftPartsDeltaPartition(b, snap.dvs.getOrElse(i, null), i, pv)
-          : InputPartition
+        GraftPartsDeltaPartition(b, snap.dvs.getOrElse(i, null), i, pv,
+          proj, pad): InputPartition
       }
     }.toArray
   }
@@ -2288,7 +2356,8 @@ private[sources] class GraftPartsDeltaScan(tableKey: String,
         val r = new Array[Any](width + 2)
         var j = 0
         while (j < width) {
-          r(j) = if (j < r0.length) r0(j) else null // pre-evolution pad
+          val sl = gp.proj(j)
+          r(j) = if (sl >= 0 && sl < r0.length) r0(sl) else gp.pad(j)
           j += 1
         }
         r(width) = tag
@@ -2301,7 +2370,8 @@ private[sources] class GraftPartsDeltaScan(tableKey: String,
 }
 
 private[sources] case class GraftPartsDeltaPartition(rows: Array[Array[Any]],
-    dv: Array[Long], batchIdx: Int, group: String) extends InputPartition
+    dv: Array[Long], batchIdx: Int, group: String,
+    proj: Array[Int], pad: Array[Any]) extends InputPartition
 
 /** Task-side partitioned delta writer + driver-side atomic commit:
   * each task buckets deletes by OWNING shard (`_group` of the row id),
@@ -2459,16 +2529,23 @@ private[sources] class GraftPartsVersionTable(nm: String,
         override def toBatch: Batch = this
         override def description(): String =
           s"graft_store($nm) partitioned snapshot scan [${shards.size} groups]"
-        override def planInputPartitions(): Array[InputPartition] =
+        override def planInputPartitions(): Array[InputPartition] = {
+          // each pinned shard snapshot reads through its OWN slot map
+          // composed onto the entry's recorded schema — a pre-evolution
+          // snapshot keeps serving its old layout under the names that
+          // version recorded
+          val targetPad = GraftStore.existencePad(sch)
           shards.toSeq.sortBy(_._1).flatMap { case (_, snap) =>
+            val (proj, pad) =
+              GraftStore.composeProjection(snap, sch, targetPad)
             snap.batches.zipWithIndex.map { case (b, i) =>
-              GraftStorePartition(b, snap.dvs.getOrElse(i, null))
-                : InputPartition
+              GraftGroupPartition(b, null, snap.dvs.getOrElse(i, null),
+                i, proj, pad): InputPartition
             }
           }.toArray
+        }
         override def createReaderFactory(): PartitionReaderFactory =
-          GraftStore.projectedReaderFactory(
-            Array.tabulate(sch.length)(identity), new Array[Any](sch.length))
+          GraftPartsScan.groupReaderFactory(sch.length, withPos = false)
       }
     }
 }

@@ -242,6 +242,12 @@ object GraftStore {
     */
   private[graft] def batchesRef(name: String): Option[Seq[Array[Array[Any]]]] =
     stores.get(name).map(_.batches)
+  /** Test hook: a store's current LOGICAL schema (spec-pins lockstep
+    * shard evolution without widening `stores`' visibility).
+    */
+  private[graft] def schemaOf(name: String): Option[StructType] =
+    stores.get(name).map(_.schema)
+
   private[graft] def versionCount(name: String): Int =
     history.get(name).map(_.size).getOrElse(0)
   /** Test hook: whether the store's slot layout is back to identity
@@ -633,6 +639,49 @@ object GraftStore {
       }
       override def close(): Unit = ()
     }
+  }
+
+  /** Per-field EXISTENCE-DEFAULT pad of a logical schema, resolved from
+    * the `EXISTS_DEFAULT` field metadata our ADD COLUMN DEFAULT writes
+    * (Spark's own scan-side contract — the same values a parquet reader
+    * pads short files with). Fields without a default pad NULL.
+    */
+  private[sources] def existencePad(target: StructType): Array[Any] =
+    if (org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .hasExistenceDefaultValues(target))
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .existenceDefaultValues(target).asInstanceOf[Array[Any]]
+    else new Array[Any](target.length)
+
+  /** Compose a snapshot's slot map onto a TARGET logical schema BY NAME:
+    * `proj(j)` is the physical slot of target field `j` in `snap`'s
+    * layout (−1 when the column post-dates the snapshot), `pad(j)` the
+    * value a missing/short row reads — the snapshot's own slot default
+    * when the field exists there, else the target-level existence
+    * default (`targetPad`). This is the field-id resolution contract in
+    * one array pass; readers then project each physical row with
+    * `if (proj(j) < 0 || proj(j) >= row.length) pad(j) else row(proj(j))`.
+    */
+  private[sources] def composeProjection(snap: Committed, target: StructType,
+      targetPad: Array[Any]): (Array[Int], Array[Any]) = {
+    val sProj = snap.projection
+    val sPad = snap.logicalPad
+    val proj = new Array[Int](target.length)
+    val pad = new Array[Any](target.length)
+    var j = 0
+    while (j < target.length) {
+      val si = snap.schema.fieldNames
+        .indexWhere(_.equalsIgnoreCase(target.fields(j).name))
+      if (si < 0) {
+        proj(j) = -1
+        pad(j) = if (targetPad == null) null else targetPad(j)
+      } else {
+        proj(j) = sProj(si)
+        pad(j) = sPad(si)
+      }
+      j += 1
+    }
+    (proj, pad)
   }
 
   /** Metadata-only schema evolution: every op re-commits the CURRENT

@@ -309,6 +309,77 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.ev")
   }
 
+  test("partitioned ALTER: ADD DEFAULT / RENAME / DROP are metadata-only per shard, in lockstep") {
+    cat()
+    spark.range(0, 12).select(col("id").as("k"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("p"),
+        (col("id") * 2).cast("double").as("v"), (col("id") + 100).as("u"))
+      .writeTo("graft_cat.spec.pev")
+      .tableProperty("write.mode", "merge-on-read")
+      .partitionedBy(col("p")).create()
+    try {
+      // per-shard deletion vectors FIRST — evolution must compose with
+      // MOR state, not reset it
+      spark.sql("DELETE FROM graft_cat.spec.pev WHERE k % 3 = 0")
+      val shardKeys = spark.table("graft_cat.spec.pev")
+        .select(col("p")).distinct()
+        .collect().map(r => s"cat::graft_cat.spec.pev#p=${r.getString(0)}")
+        .toSeq.sorted
+      assert(shardKeys.size === 2)
+      val before = shardKeys
+        .map(k => k -> graft.sources.GraftStore.batchesRef(k).get).toMap
+      spark.sql(
+        "ALTER TABLE graft_cat.spec.pev ADD COLUMN tag STRING DEFAULT 'old'")
+      spark.sql("ALTER TABLE graft_cat.spec.pev RENAME COLUMN v TO w")
+      spark.sql("ALTER TABLE graft_cat.spec.pev DROP COLUMN u")
+      // metadata-only: no shard batch was rewritten by any of the three
+      shardKeys.foreach { k =>
+        assert(graft.sources.GraftStore.batchesRef(k).get eq before(k),
+          s"evolution rewrote committed batches of $k")
+      }
+      // LOCKSTEP: every shard store serves the table's logical column
+      // set (names/types/order; shards keep the write's tighter
+      // nullability, same as unpartitioned appends)
+      val tblSchema =
+        graft.sources.GraftStore.schemaOf("cat::graft_cat.spec.pev").get
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      shardKeys.foreach { k =>
+        assert(shape(graft.sources.GraftStore.schemaOf(k).get) ===
+          shape(tblSchema), s"shard $k schema diverged from the table")
+      }
+      val t = spark.table("graft_cat.spec.pev")
+      assert(t.schema.fieldNames.toSeq === Seq("k", "p", "w", "tag"))
+      // DVs survive evolution; pre-evolution rows read the ADD's
+      // existence DEFAULT through every shard layout
+      assert(t.count() === 8L)
+      assert(t.filter(col("tag") === "old").count() === 8L)
+      // post-evolution append + MOR row-delta through evolved slot maps
+      spark.range(100, 103).select(col("id").as("k"), lit("a").as("p"),
+        lit(9.0).as("w"), lit("new").as("tag"))
+        .writeTo("graft_cat.spec.pev").append()
+      spark.sql("UPDATE graft_cat.spec.pev SET w = w + 0.5 WHERE tag = 'new'")
+      assert(spark.table("graft_cat.spec.pev")
+        .filter(col("tag") === "new" && col("w") === 9.5).count() === 3L)
+      // re-ADD of the dropped name binds FRESH slots in every shard —
+      // the old per-shard values can never resurrect
+      spark.sql("ALTER TABLE graft_cat.spec.pev ADD COLUMN u BIGINT")
+      assert(spark.table("graft_cat.spec.pev")
+        .filter(col("u").isNotNull).count() === 0L)
+      // `_pos` is a first-class metadata column on the PLAIN read path
+      // too (ADVICE r16): every live row serves a distinct (_group,_pos)
+      val ids = spark.table("graft_cat.spec.pev")
+        .select(col("_group"), col("_pos"))
+      assert(ids.distinct().count() === 11L)
+      // time travel BACK across the evolution: the pinned entry serves
+      // the pre-evolution schema and values
+      val v1 = spark.sql(
+        "SELECT * FROM graft_cat.spec.pev VERSION AS OF 1")
+      assert(v1.schema.fieldNames.toSeq === Seq("k", "p", "v", "u"))
+      assert(v1.count() === 12L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.pev")
+  }
+
   test("streaming epoch ledger: a replayed epoch commits as a NO-OP") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val key = "spec::epoch-ledger"

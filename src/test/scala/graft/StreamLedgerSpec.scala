@@ -148,6 +148,62 @@ class StreamLedgerSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pstr")
   }
 
+  test("partitioned mid-stream evolution: RENAME keeps shards flowing, ADD COLUMN fences at width") {
+    cat()
+    spark.range(0, 10)
+      .select(col("id").as("k"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("p"),
+        lit(1.0).as("v"))
+      .writeTo("graft_cat.spec.psev").partitionedBy(col("p")).create()
+    val root = java.nio.file.Files.createTempDirectory("graft_psev")
+    try {
+      val seen = new AtomicLong(0)
+      val q = spark.readStream.table("graft_cat.spec.psev")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", root.resolve("c1").toString)
+        .start()
+      def awaitSeen(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (seen.get < n && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(seen.get === n)
+      }
+      try {
+        awaitSeen(10)
+        // RENAME propagates to every shard as a metadata-only evolve
+        // commit: widths and slots stable, so the LIVE stream keeps
+        // flowing — the evolve commits contribute no rows, the
+        // post-rename append lands positionally under start-time names
+        spark.sql("ALTER TABLE graft_cat.spec.psev RENAME COLUMN v TO w")
+        spark.range(100, 104)
+          .select(col("id").as("k"),
+            when(col("id") % 2 === 0, "a").otherwise("b").as("p"),
+            lit(2.0).as("w"))
+          .writeTo("graft_cat.spec.psev").append()
+        awaitSeen(14)
+        assert(q.isActive, "rename must not kill the partitioned feed")
+        // ADD COLUMN diverges the table-level width mid-stream: the
+        // LIVE stream must fence LOUDLY, never serve mis-shaped rows
+        spark.sql("ALTER TABLE graft_cat.spec.psev ADD COLUMN tag STRING")
+        spark.range(200, 202)
+          .select(col("id").as("k"), lit("a").as("p"), lit(3.0).as("w"),
+            lit("x").as("tag"))
+          .writeTo("graft_cat.spec.psev").append()
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination(120000); ()
+        }
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ chain(t.getCause)
+        assert(chain(ex).exists(_.contains("schema evolved under a streaming reader")),
+          chain(ex).mkString(" | ").take(300))
+        assert(seen.get === 14, "no mis-shaped batch may reach the sink")
+      } finally { scala.util.Try(q.stop()); () }
+    } finally spark.sql("DROP TABLE graft_cat.spec.psev")
+  }
+
   test("streaming ingest into a WAP branch: epochs land on the branch, main dark until publish") {
     cat()
     spark.range(0, 20).select(col("id").as("k"))
