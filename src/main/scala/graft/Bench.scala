@@ -2,73 +2,48 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
-  /** Names whose per-query timings should appear FIRST on the stdout line
-    * (the judge tracks these across rounds: the reference's four analytics
-    * queries, the dedup/similarity family, the capstones, the custom-plan
-    * operators). Everything else fills whatever budget remains.
+  /** The stdout ordering is MECHANICAL (VERDICT r16 what's-wrong #2
+    * retired the hand-curated priority list): failed queries first
+    * (always visible), then the reference's own four analytics queries
+    * (the BASELINE.md anchors — the only fixed names, and they come
+    * from the baseline, not curation), then queries NEW since the last
+    * frozen `BENCH_FULL_rNN.json` (so each round's additions surface
+    * without anyone editing a list), then everything else by
+    * DESCENDING measured time — the entries that dominate the total
+    * are the informative ones. The complete map always lands in
+    * bench_out.json and is frozen per round by `tools/bench_bands.py`.
     */
-  val priorityNames: Seq[String] = Seq(
-    "q1_perf_over_time", "q2_top_mass", "q3_ship_delay", "q4_segment_util",
-    "j1_enrichment", "s7_merge_upsert",
-    // pipeline_metrics / dedup_simhash / dedup_incremental /
-    // contamination_check / sim_pq_topk / corpus_filter /
-    // range_join_inflight / lm_score demoted r16 (same rule as every
-    // prior demotion: stable sub-second, long-established bands in
-    // BENCH_BANDS.md, the budget is a hard pin; they still run and land
-    // in bench_out.json + the BENCH_FULL_rNN archive) to make room for
-    // the r16 partitioned-lakehouse wave
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_clusters",
-    "sim_topk_brute", "sim_lsh_topk", "sim_ivf_topk",
-    "emb_neardup_clusters", "corpus_to_training",
-    "asof_join_native", "tfidf_topterms",
-    "shuffle_blocks",
-    // round-14 flagships: the composed bloom+skew plan, CDC chunking,
-    // the stored-index serve path, and rank fusion
-    "bloom_skew_join", "chunk_cdc_census", "sim_ivf_stored",
-    "hybrid_rrf_retrieval",
-    // round-14 second wave: the two injected plan-rewrite rules, the
-    // catalog-stats flip, VARIANT shredding, the recursive spine, and
-    // the dynamic-gap streaming sessions
-    "mv_rewrite_rollup", "fk_join_elim", "cbo_stats_join",
-    "variant_shred", "recursive_cte_spine", "stream_session_dynamic_gap",
-    // round-6 additions the judge will want longitudinal numbers for
-    // (pivot/unpivot/winsorize/vocab_mg_heavy/a14_grouping_sets/
-    // w7_sliding_window were priority r6–r8; demoted when the r9
-    // streaming/format gates landed — they are stable sub-0.3s reshape
-    // ops, and the budget pin below is a hard ceiling. They still run and
-    // land in bench_out.json, and the greedy fill usually fits them at
-    // real-world value widths.)
-    "j4_salted_join",
-    // a17_salted_agg / w6_rank_suite / t6_topk_per_group /
-    // t7_diversified_topk / asof_fwd_tolerance / compaction_plan /
-    // chunk_overlap / dedup_segments / funnel_steps / scd2_intervals
-    // demoted r11 (same rule as the r6 reshape demotions: stable
-    // sub-0.3s, the budget is a hard pin; they still run and land in
-    // bench_out.json) to make room for the r11 warehouse/sketch wave.
-    // boilerplate_ngrams / corpus_repack / rolling_active_users /
-    // dq_rule_report / cohort_retention / split_leakage demoted for the
-    // r14 second wave under the same rule (stable, long-established
-    // bands in BENCH_BANDS.md)
-    "knn_join_ivf",
-    // bpe_pair_stats's slot passed to the r9 merge-training superset op
-    "stream_tumbling_window", "bpe_train_merges",
-    // round-8 additions
-    "emb_neardup_clusters_blocked", "stream_merge_upsert", "sim_recall_report",
-    "stream_sessionize", "corpus_semantic_dedup",
-    // round-9 additions
-    "stream_windowed_append", "jdbc_merge_digest",
-    "stream_dedup_exact", "stream_interval_join", "stream_static_enrich",
-    "orc_roundtrip", "emb_kmeans", "semdedup_prune",
-    // round-11 additions: the warehouse multi-join family's heaviest
-    // members + the new sketch/IVM/session-state gates
-    "q8_market_share", "q21_waiting_suppliers", "ivm_join_delta",
-    "kmv_distinct", "stream_session_window", "mm_audio_probe",
-    // round-16 additions: the partitioned-lakehouse wave (time travel,
-    // CDC lineage, MOR, WAP, streaming source over the table ledger)
-    "sql_time_travel_partitioned", "cdc_update_lineage",
-    "cdc_partitioned_feed", "sql_update_mor_partitioned",
-    "stream_partitioned_source", "sql_wap_partitioned")
+  val canonicalNames: Seq[String] = Seq(
+    "q1_perf_over_time", "q2_top_mass", "q3_ship_delay", "q4_segment_util")
+
+  /** Query names present in the LATEST frozen `BENCH_FULL_rNN.json` —
+    * the mechanical "not new this round" set. Key extraction is a
+    * regex over the frozen line (every key in it is either a query
+    * name or one of the envelope fields; treating envelope fields as
+    * "known" is harmless). Empty when no archive exists yet.
+    */
+  def latestFrozenQueries(): Set[String] =
+    try {
+      val dir = java.nio.file.Paths.get(sys.props("user.dir"))
+      val re = """BENCH_FULL_r(\d+)\.json""".r
+      val latest = java.nio.file.Files.list(dir).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var best: Option[(Int, java.nio.file.Path)] = None
+      latest.forEachRemaining { p =>
+        p.getFileName.toString match {
+          case re(n) if best.forall(_._1 < n.toInt) =>
+            best = Some((n.toInt, p))
+          case _ => ()
+        }
+      }
+      best match {
+        case None => Set.empty
+        case Some((_, p)) =>
+          val txt = java.nio.file.Files.readString(p)
+          """"([A-Za-z0-9_]+)":""".r
+            .findAllMatchIn(txt).map(_.group(1)).toSet
+      }
+    } catch { case _: Throwable => Set.empty }
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that
@@ -85,10 +60,12 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** (compact stdout line, full line for bench_out.json). Pure so the spec
-    * can pin the worst-case stdout length against the live registry.
+  /** (compact stdout line, full line for bench_out.json). Pure given
+    * `knownQueries` (injected so the spec pins ordering
+    * deterministically; the default reads the frozen archive).
     */
-  def renderLines(results: Seq[(String, Double)], sfDir: String): (String, String) = {
+  def renderLines(results: Seq[(String, Double)], sfDir: String,
+      knownQueries: Set[String] = latestFrozenQueries()): (String, String) = {
     // failed queries carry the -1.0 sentinel: keep them OUT of the headline
     // total (one failure must not read as "1s faster") and surface them
     // explicitly in both lines (ADVICE r6).
@@ -103,12 +80,18 @@ object Bench {
         s""""queries":${qs.map(entry).mkString("{", ",", "}")}$failedField$extra,"sf":"$sfDir"}"""
     val full = line(results, "")
     val byName = results.toMap
-    // failed entries jump the priority queue so a failure is always visible
-    // on the stdout line even under the budget cut
+    // mechanical ordering: failed (always visible) → the four BASELINE
+    // anchors → new-since-the-frozen-archive → the rest by descending
+    // time (the entries that dominate the total)
+    val newNames = results.collect {
+      case (n, _) if !knownQueries.contains(n) && !failed.contains(n) &&
+        !canonicalNames.contains(n) => n
+    }
+    val head = failed ++ canonicalNames.filterNot(failed.contains) ++ newNames
     val ordered =
-      (failed ++ priorityNames.filterNot(failed.contains))
-        .flatMap(n => byName.get(n).map(n -> _)) ++
-        results.filterNot(kv => failed.contains(kv._1) || priorityNames.contains(kv._1))
+      head.flatMap(n => byName.get(n).map(n -> _)) ++
+        results.filterNot(kv => head.contains(kv._1))
+          .sortBy { case (_, t) => -t }
     // fill greedily in priority order until the budget is hit
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = line(Nil, s""","omitted":${results.size}""").length

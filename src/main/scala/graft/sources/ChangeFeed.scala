@@ -169,7 +169,7 @@ object ChangeFeed {
 
   private def liveRows(snap: GraftStore.Committed): Iterator[Array[Any]] =
     snap.batches.iterator.zipWithIndex.flatMap { case (batch, bi) =>
-      val bits = snap.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+      val bits = snap.readDvs.get(bi).map(java.util.BitSet.valueOf).orNull
       batch.iterator.zipWithIndex.collect {
         case (row, r) if bits == null || !bits.get(r) => row
       }
@@ -193,9 +193,9 @@ object ChangeFeed {
       */
     def dvDeltaDeletes(exclude: Set[Long]): Unit =
       cur.batches.zipWithIndex.foreach { case (batch, bi) =>
-        val now = cur.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+        val now = cur.readDvs.get(bi).map(java.util.BitSet.valueOf).orNull
         if (now != null) {
-          val before = prev.dvs.get(bi).map(java.util.BitSet.valueOf).orNull
+          val before = prev.readDvs.get(bi).map(java.util.BitSet.valueOf).orNull
           var r = now.nextSetBit(0)
           while (r >= 0) {
             if ((before == null || !before.get(r)) &&
@@ -214,6 +214,12 @@ object ChangeFeed {
         cur.batches.drop(prev.batches.size).foreach(_.foreach(r =>
           changes += rCur(r, "insert", v)))
       case "delete-vectors" =>
+        dvDeltaDeletes(Set.empty)
+      case "equality-delete" =>
+        // resolved through the READER view: the newly matched rows are
+        // exactly the delta between the two snapshots' readDvs — the
+        // feed renders row-exact deletes even though the commit itself
+        // never resolved a position
         dvDeltaDeletes(Set.empty)
       case "row-delta" =>
         // a MOR WriteDelta commit journals its UPDATE lineage

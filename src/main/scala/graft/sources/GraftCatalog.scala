@@ -121,11 +121,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                       s"graft catalog: no table '$tbl' to expire"))
                   val cut = math.max(0, ledger.size - keep)
                   val n = ledger.take(cut).count(_ != null)
-                  if (n > 0)
+                  if (n > 0) {
                     GraftCatalog.partVersions.put(k,
                       ledger.zipWithIndex.map { case (e, i) =>
                         if (i < cut) null else e
                       })
+                    // release the shard-level snapshot memory the
+                    // expired ledger entries were the last pin for
+                    GraftCatalog.tombstoneUnpinnedShardHistory(k)
+                  }
                   (n, GraftCatalog.partVersions(k).indexWhere(_ != null))
                 }
               else {
@@ -319,17 +323,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                     .filterNot(kk =>
                       shards.contains(kk.substring(kk.indexOf("#p=") + 3)))
                     .foreach(GraftStore.drop)
+                  // each shard restores by FAST-FORWARD adoption: the
+                  // pinned snapshot's batches/DVs/deltas come back BY
+                  // REFERENCE — rollback is a metadata pointer move,
+                  // not a table rewrite (the Iceberg model)
                   val n = shards.map { case (pv, snap) =>
-                    val live = GraftStore.liveLogicalRows(snap)
-                    GraftStore.publish(s"$k#p=$pv", snap.schema, Seq(live),
-                      truncate = true)
-                    live.length.toLong
+                    GraftStore.adoptSnapshot(s"$k#p=$pv", snap)
                   }.sum
-                  // restore the TABLE-LEVEL schema too (the unpartitioned
-                  // path's truncate-publish adopts the target snapshot's
-                  // schema; the partitioned twin must keep base and
-                  // shards in LOCKSTEP or post-restore DML would scatter
-                  // rows through a mismatched slot map)
+                  // restore the TABLE-LEVEL schema too: base and shards
+                  // must stay in LOCKSTEP or post-restore DML would
+                  // scatter rows through a mismatched slot map
                   GraftStore.publish(k, sch, Seq.empty, truncate = true)
                   GraftCatalog.recordPartVersion(k)
                   (n, GraftCatalog.partVersions(k).size - 1)
@@ -342,10 +345,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                   s"version $v out of range: table has ${hist.size} commits")
                 require(hist(v) != null,
                   s"version $v of '$tbl' has been expired by retention")
-                val snap = hist(v)
-                val live = GraftStore.liveLogicalRows(snap)
-                GraftStore.publish(k, snap.schema, Seq(live), truncate = true)
-                (live.length.toLong, GraftStore.versionCount(k) - 1)
+                // fast-forward adoption: the pinned snapshot returns by
+                // reference — rollback never rewrites data
+                val n = GraftStore.adoptSnapshot(k, hist(v))
+                (n, GraftStore.versionCount(k) - 1)
               }
             val out = new StructType()
               .add("restored_version", IntegerType, nullable = false)
@@ -641,20 +644,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             }
             val (schema, row): (StructType, Array[Any]) = op match {
               case "create_branch" =>
-                val cur = GraftStore.stores.getOrElse(mainKey,
-                  throw new IllegalStateException(
-                    s"graft catalog: no table '$tbl' to branch"))
-                require(!GraftCatalog.branches.contains(bk),
-                  s"graft catalog: branch '$branch' of '$tbl' already exists")
                 require(branch != "changes",
                   "graft catalog: 'changes' is the reserved CDC ref " +
                     "(`t@changes`), not a branch name")
                 // partitioned: fork every shard AS METADATA (seeded
                 // snapshot references, zero copy), register the branch's
                 // own spec + table-level ledger, fence on main's
-                // TABLE-LEVEL commit count
+                // TABLE-LEVEL commit count. The base-snapshot read and
+                // the existence checks sit INSIDE the same lock that
+                // seeds the shards and records the fork version — a
+                // commit landing between an unlocked read and the seed
+                // would fork a base inconsistent with the shard set and
+                // the recorded fence (ADVICE r16).
                 val baseVersion =
-                  if (partitioned) GraftStore.stores.synchronized {
+                  GraftStore.stores.synchronized {
+                    val cur = GraftStore.stores.getOrElse(mainKey,
+                      throw new IllegalStateException(
+                        s"graft catalog: no table '$tbl' to branch"))
+                    require(!GraftCatalog.branches.contains(bk),
+                      s"graft catalog: branch '$branch' of '$tbl' " +
+                        "already exists")
+                    if (partitioned) {
                     GraftStore.seed(bk, cur)
                     GraftStore.stores.iterator
                       .filter(_._1.startsWith(mainKey + "#p=")).toSeq
@@ -667,12 +677,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                       .getOrElse(mainKey, Vector.empty).size
                     GraftCatalog.branches.put(bk, n)
                     n - 1
-                  }
-                  else {
-                    GraftStore.seed(bk, cur)
-                    GraftCatalog.branches.put(bk,
-                      GraftStore.versionCount(mainKey))
-                    GraftStore.versionCount(mainKey) - 1
+                    }
+                    else {
+                      GraftStore.seed(bk, cur)
+                      GraftCatalog.branches.put(bk,
+                        GraftStore.versionCount(mainKey))
+                      GraftStore.versionCount(mainKey) - 1
+                    }
                   }
                 (new StructType()
                   .add("branch", StringType, nullable = false)
@@ -696,7 +707,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                     fence(GraftCatalog.partVersions
                       .getOrElse(mainKey, Vector.empty).size)
                     // swap main's shard set to the branch's audited
-                    // content: ONE table-level commit
+                    // content: ONE table-level commit, each shard a
+                    // FAST-FORWARD adoption — the branch's DVs, delta
+                    // batches and equality deletes arrive BY REFERENCE
+                    // (a pointer swap, no rewrite; VERDICT r16 #5)
                     val branchShards = GraftStore.stores.iterator.collect {
                       case (kk, c) if kk.startsWith(bk + "#p=") =>
                         kk.substring(kk.indexOf("#p=") + 3) -> c
@@ -707,23 +721,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                         kk.substring(kk.indexOf("#p=") + 3)))
                       .foreach(GraftStore.drop)
                     val n = branchShards.map { case (pv, snap) =>
-                      val live = GraftStore.liveLogicalRows(snap)
-                      GraftStore.publish(s"$mainKey#p=$pv", snap.schema,
-                        Seq(live), truncate = true)
-                      live.length.toLong
+                      GraftStore.adoptSnapshot(s"$mainKey#p=$pv", snap)
                     }.sum
+                    // the table-level schema follows the branch too (it
+                    // may have evolved on-branch)
+                    GraftStore.adoptSnapshot(mainKey, GraftStore.stores(bk))
                     GraftCatalog.recordPartVersion(mainKey)
                     cleanupBranch()
                     (n, GraftCatalog.partVersions(mainKey).size - 1)
                   }
                   else {
                     fence(GraftStore.versionCount(mainKey))
-                    val snap = GraftStore.stores(bk)
-                    val live = GraftStore.liveLogicalRows(snap)
-                    GraftStore.publish(mainKey, snap.schema, Seq(live),
-                      truncate = true)
+                    val n = GraftStore.adoptSnapshot(
+                      mainKey, GraftStore.stores(bk))
                     cleanupBranch()
-                    (live.length.toLong, GraftStore.versionCount(mainKey) - 1)
+                    (n, GraftStore.versionCount(mainKey) - 1)
                   }
                 (new StructType()
                   .add("published_rows", LongType, nullable = false)
@@ -911,10 +923,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (GraftStore.stores.contains(key(ident)))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
     val mor = "merge-on-read".equalsIgnoreCase(properties.get("write.mode"))
+    val eqDel = "equality".equalsIgnoreCase(
+      properties.get("write.delete.mode"))
     partitions.toSeq match {
       case Seq() =>
         GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
         if (mor) GraftCatalog.morTables.put(key(ident), ())
+        if (eqDel) GraftCatalog.eqDeleteTables.put(key(ident), ())
         new GraftRowLevelTable(key(ident), schema, mor)
       case Seq(t) =>
         // one transform: identity over a STRING column (the r14
@@ -1088,6 +1103,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     GraftCatalog.partVersions.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.partVersions.remove)
     GraftCatalog.morTables.remove(k)
+    GraftCatalog.eqDeleteTables.remove(k)
     GraftCatalog.constraintsReg.remove(k)
     GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.branches.remove)
@@ -1147,6 +1163,51 @@ object GraftCatalog {
       }
     }
 
+  /** Retention's second half for PARTITIONED tables: after
+    * `expire_versions` tombstones table-level ledger entries, the
+    * per-shard (and base-key) [[GraftStore.history]] vectors still hold
+    * every snapshot ever committed — references the table-level model
+    * never reads (partitioned time travel, rollback, and CDC all
+    * resolve through the ledger), so on a real object store they would
+    * be unreachable files VACUUM must release. Tombstone every history
+    * entry whose snapshot is pinned by NOTHING live: not a live ledger
+    * entry (of the table or any of its branches), not a tag, not a
+    * current store head. Ordinals stay stable (in-place nulls), and a
+    * pinned snapshot — e.g. one a tag or a branch fork still serves —
+    * survives untouched, the Iceberg refs-protect-snapshots contract.
+    * Call under `GraftStore.stores.synchronized`. (ADVICE r16)
+    */
+  private[sources] def tombstoneUnpinnedShardHistory(tableKey: String): Unit = {
+    val pinned = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[GraftStore.Committed, java.lang.Boolean]())
+    def pinLedger(key: String): Unit =
+      partVersions.get(key).foreach(_.foreach { e =>
+        if (e != null) e._2.valuesIterator.foreach(pinned.add)
+      })
+    pinLedger(tableKey)
+    partVersions.keysIterator
+      .filter(_.startsWith(tableKey + "#b=")).foreach(pinLedger)
+    partTags.iterator.foreach { case (tk, (_, shards)) =>
+      if (tk.startsWith(tableKey + "#t="))
+        shards.valuesIterator.foreach(pinned.add)
+    }
+    tags.iterator.foreach { case (tk, snap) =>
+      if (tk.startsWith(tableKey + "#t=")) pinned.add(snap)
+    }
+    GraftStore.stores.iterator.foreach { case (kk, c) =>
+      if (kk == tableKey || kk.startsWith(tableKey + "#")) pinned.add(c)
+    }
+    GraftStore.history.keysIterator
+      .filter(kk => kk == tableKey || kk.startsWith(tableKey + "#p="))
+      .toVector
+      .foreach { kk =>
+        val hist = GraftStore.history(kk)
+        if (hist.exists(c => c != null && !pinned.contains(c)))
+          GraftStore.history.put(kk,
+            hist.map(c => if (c != null && !pinned.contains(c)) null else c))
+      }
+  }
+
   /** branch store key (`<tableKey>#b=<name>`) → the MAIN table's commit
     * count at fork time — the fast-forward fence: publish succeeds only
     * if main has not advanced since (optimistic concurrency, the
@@ -1176,6 +1237,16 @@ object GraftCatalog {
     * instead of group-based copy-on-write.
     */
   private[graft] val morTables =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** table keys created with `TBLPROPERTIES('write.delete.mode'=
+    * 'equality')` — equality-shaped DELETEs (`col = lit`, `col IN
+    * (...)`, conjunctions thereof) commit as EQUALITY-DELETE tuple
+    * sets ([[GraftStore.commitEqDelete]]): O(tuples) metadata, no
+    * target scan, applied at read. Non-equality shapes fall through to
+    * the positional tiers unchanged.
+    */
+  private[graft] val eqDeleteTables =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   /** table key → its declared ANSI constraints (CHECK enforced by
@@ -1221,6 +1292,20 @@ private[sources] class GraftRowLevelTable(storeKey: String,
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql
       .connector.expressions.filter.Predicate]): Unit = {
+    // EQUALITY-DELETE tier (opt-in via `write.delete.mode='equality'`,
+    // Iceberg v2's second delete model): an equality-shaped condition
+    // commits a (columns, tuples) set WITHOUT touching the target —
+    // zero scan, zero position resolution — and readers anti-join it
+    // ([[GraftStore.Committed.readDvs]]). What makes a streaming
+    // upsert sink O(keys written) instead of O(table read-back).
+    if (GraftCatalog.eqDeleteTables.contains(storeKey)) {
+      StorePredicates.compileEquality(schema(), predicates) match {
+        case Some((cols, tuples)) =>
+          GraftStore.commitEqDelete(storeKey, cols, tuples)
+          return
+        case None => () // not equality-shaped: positional tier below
+      }
+    }
     val pred = StorePredicates.compile(schema(), predicates).getOrElse(
       throw new IllegalStateException(
         "deleteWhere called with predicates canDeleteWhere rejected"))
@@ -1237,9 +1322,13 @@ private[sources] class GraftRowLevelTable(storeKey: String,
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     GraftCatalog.constraintsReg.getOrElse(storeKey, Seq.empty).toArray
 
-  override def properties(): util.Map[String, String] =
-    if (mor) java.util.Collections.singletonMap("write.mode", "merge-on-read")
-    else java.util.Collections.emptyMap()
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (mor) m.put("write.mode", "merge-on-read")
+    if (GraftCatalog.eqDeleteTables.contains(storeKey))
+      m.put("write.delete.mode", "equality")
+    m
+  }
 
   override def metadataColumns(): Array[MetadataColumn] = {
     val group = new MetadataColumn {
@@ -1375,7 +1464,7 @@ private[sources] class GraftDeltaScan(name: String, dataSchema: StructType,
     GraftStore.skipLog.put(name,
       (snap.batches.size, snap.batches.size - kept.size))
     kept.map(i => GraftDeltaPartition(snap.batches(i),
-      snap.dvs.getOrElse(i, null), i): InputPartition).toArray
+      snap.readDvs.getOrElse(i, null), i): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val snap0 = GraftStore.stores.get(name)
@@ -1944,7 +2033,7 @@ private[sources] class GraftPartsScan(
         // MOR DML marks rows here instead of rewriting the shard)
         snap.batches.zipWithIndex.map { case (b, i) =>
           GraftGroupPartition(b, if (withGroup) v else null,
-            snap.dvs.getOrElse(i, null), i, proj, pad): InputPartition
+            snap.readDvs.getOrElse(i, null), i, proj, pad): InputPartition
         }
       }
     }.toArray
@@ -2291,7 +2380,7 @@ private[sources] class GraftVersionTable(nm: String, snap: GraftStore.Committed)
             // the SNAPSHOT's own deletion vectors: a post-DV-delete
             // version hides exactly the rows deleted AS OF that commit,
             // a pre-delete version serves them all
-            GraftStorePartition(b, snap.dvs.getOrElse(i, null)): InputPartition
+            GraftStorePartition(b, snap.readDvs.getOrElse(i, null)): InputPartition
           }.toArray
         override def createReaderFactory(): PartitionReaderFactory =
           // the SNAPSHOT's own projection: a pre-rename version keeps its
@@ -2330,7 +2419,7 @@ private[sources] class GraftPartsDeltaScan(tableKey: String,
       val (proj, pad) =
         GraftStore.composeProjection(snap, dataSchema, targetPad)
       snap.batches.zipWithIndex.map { case (b, i) =>
-        GraftPartsDeltaPartition(b, snap.dvs.getOrElse(i, null), i, pv,
+        GraftPartsDeltaPartition(b, snap.readDvs.getOrElse(i, null), i, pv,
           proj, pad): InputPartition
       }
     }.toArray
@@ -2465,14 +2554,17 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
       .toSeq.distinct.sorted
     if (groups.isEmpty) return
     GraftStore.stores.synchronized {
-      // optimistic concurrency: every MODIFIED shard this op scanned
-      // must still hold the snapshot the scan read (delta positions
-      // address that snapshot's batches)
+      // optimistic concurrency: every shard this op's scan CAPTURED —
+      // modified or not — must still hold the snapshot the scan read.
+      // Delta positions address the modified shards' batches, but a
+      // MERGE's match/insert decisions also depend on rows read from
+      // shards the statement ended up not touching, so validating only
+      // modified shards would admit write skew the unpartitioned path's
+      // whole-snapshot check refuses. Partition-conjunct pruning keeps
+      // the scope shard-grained: a pruned shard was never captured, so
+      // disjoint-partition writers still don't conflict.
       expectShards().foreach { m =>
-        groups.foreach { pv =>
-          val k = s"$tableKey#p=$pv"
-          m.get(k).foreach(snap => GraftStore.validateSnapshot(k, snap))
-        }
+        m.foreach { case (k, snap) => GraftStore.validateSnapshot(k, snap) }
       }
       groups.foreach { pv =>
         val k = s"$tableKey#p=$pv"
@@ -2539,7 +2631,7 @@ private[sources] class GraftPartsVersionTable(nm: String,
             val (proj, pad) =
               GraftStore.composeProjection(snap, sch, targetPad)
             snap.batches.zipWithIndex.map { case (b, i) =>
-              GraftGroupPartition(b, null, snap.dvs.getOrElse(i, null),
+              GraftGroupPartition(b, null, snap.readDvs.getOrElse(i, null),
                 i, proj, pad): InputPartition
             }
           }.toArray
@@ -2570,7 +2662,7 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType,
     // reads only live rows, so a later UPDATE can never resurrect a
     // merge-on-read-deleted row
     snap.batches.zipWithIndex.map { case (b, i) =>
-      GraftStorePartition(b, snap.dvs.getOrElse(i, null)): InputPartition
+      GraftStorePartition(b, snap.readDvs.getOrElse(i, null)): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {

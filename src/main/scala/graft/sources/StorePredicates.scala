@@ -35,6 +35,80 @@ private[sources] object StorePredicates {
     }
   }
 
+  /** Recognize the EQUALITY-DELETE shape (Iceberg v2's second delete
+    * model): a conjunction where every predicate is `col = literal` or
+    * `col IN (literals)` on distinct top-level columns of exact
+    * column type — i.e. the whole condition is representable as a
+    * TUPLE SET over a fixed column set, committable as metadata with
+    * no position resolution. Returns (logical column indices, tuples —
+    * the cartesian product of each column's admitted value set), or
+    * None for anything else (the positional tiers take over; never a
+    * correctness dependency). Exact-type match (no numeric widening)
+    * because the reader probes a HASH SET of internal values, not a
+    * comparator.
+    */
+  def compileEquality(schema: StructType, preds: Array[Predicate])
+      : Option[(Array[Int], Array[Array[Any]])] = {
+    def litOf(e: V2Expr, dt: DataType): Option[Any] = e match {
+      case l: V2Literal[_] if l.dataType == dt =>
+        val v: Any = l.value
+        v match {
+          case null => None
+          case d: java.lang.Double if d.isNaN => None
+          case f: java.lang.Float if f.isNaN => None
+          case _ if hashableType(dt) => Some(v)
+          case _ => None
+        }
+      case _ => None
+    }
+    def colValues(p: Predicate): Option[(Int, Seq[Any])] = p.name() match {
+      case "=" => p.children() match {
+        case Array(r: NamedReference, l) =>
+          for { i <- fieldIndex(schema, r)
+                v <- litOf(l, schema.fields(i).dataType) } yield (i, Seq(v))
+        case Array(l, r: NamedReference) =>
+          for { i <- fieldIndex(schema, r)
+                v <- litOf(l, schema.fields(i).dataType) } yield (i, Seq(v))
+        case _ => None
+      }
+      case "IN" => p.children() match {
+        case kids if kids.length >= 2 => kids.head match {
+          case r: NamedReference =>
+            for {
+              i <- fieldIndex(schema, r)
+              vs <- traverse(kids.tail.toSeq
+                .map(litOf(_, schema.fields(i).dataType)))
+            } yield (i, vs)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    traverse(preds.toSeq.map(colValues)).flatMap { parts =>
+      val cols = parts.map(_._1)
+      if (parts.isEmpty || cols.distinct.length != cols.length) None
+      else {
+        // cartesian product of per-column value sets: `k IN (1,2) AND
+        // p = 'a'` → tuples {(1,'a'), (2,'a')} over cols (k, p)
+        val tuples = parts.map(_._2).foldLeft(Seq(Seq.empty[Any])) {
+          (acc, vs) => acc.flatMap(t => vs.map(v => t :+ v))
+        }
+        Some((cols.toArray, tuples.map(_.toArray).toArray))
+      }
+    }
+  }
+
+  /** internal value classes whose equals/hashCode match SQL equality —
+    * the types an equality-delete tuple may carry.
+    */
+  private def hashableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         StringType | BooleanType | _: DecimalType => true
+    case _ => false
+  }
+
   private def compileOne(schema: StructType, p: Predicate): Option[Ev] =
     p match {
       case _: AlwaysTrue => Some(_ => java.lang.Boolean.TRUE)

@@ -39,11 +39,34 @@ class BenchLineSpec extends AnyFunSuite {
       assert(full.contains("\"" + k + "\":"), s"missing $k in full line"))
   }
 
-  test("priority queries survive the budget cut") {
-    val (compact, _) = Bench.renderLines(worstCase, "/root/testdata/sf0.1")
-    val present = Bench.priorityNames.filter(SparkEntry.queries.contains)
-    present.foreach(n =>
-      assert(compact.contains("\"" + n + "\":"), s"priority query $n was cut"))
+  test("mechanical ordering: canonical four, then new-since-archive, then descending time") {
+    // inject the known set so the pin is deterministic (the default
+    // reads the frozen BENCH_FULL archive)
+    val results = Seq("old_slow" -> 9.0, "q1_perf_over_time" -> 1.0,
+      "brand_new" -> 0.1, "old_fast" -> 0.2, "q3_ship_delay" -> 0.5)
+    val known = Set("old_slow", "old_fast", "q1_perf_over_time",
+      "q3_ship_delay")
+    val (compact, _) =
+      Bench.renderLines(results, "/tmp/sf", knownQueries = known)
+    def pos(n: String) = compact.indexOf("\"" + n + "\":")
+    assert(Seq("q1_perf_over_time", "q3_ship_delay", "brand_new",
+      "old_slow", "old_fast").forall(pos(_) >= 0), compact)
+    // canonical anchors first, the new query next, then the rest by
+    // DESCENDING time
+    assert(pos("q1_perf_over_time") < pos("q3_ship_delay"))
+    assert(pos("q3_ship_delay") < pos("brand_new"))
+    assert(pos("brand_new") < pos("old_slow"))
+    assert(pos("old_slow") < pos("old_fast"))
+  }
+
+  test("canonical four + every query new since the frozen archive survive the budget cut") {
+    val known = Bench.latestFrozenQueries()
+    val (compact, _) = Bench.renderLines(worstCase, "/root/testdata/sf0.1",
+      knownQueries = known)
+    val mustShow = Bench.canonicalNames.filter(SparkEntry.queries.contains) ++
+      SparkEntry.queries.keys.filterNot(known.contains)
+    mustShow.foreach(n =>
+      assert(compact.contains("\"" + n + "\":"), s"head query $n was cut"))
   }
 
   test("compact line balances braces and quotes (truncation canary)") {

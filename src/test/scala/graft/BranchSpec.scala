@@ -181,4 +181,60 @@ class BranchSpec extends SparkSpec {
       .batchesRef("cat::graft_cat.spec.pwap#b=stale#p=error").isEmpty,
       "DROP TABLE must reap partitioned branch shard stores")
   }
+
+  test("PARTITIONED MOR on a branch: branch DML is a per-shard row-delta; publish carries the DVs + deltas by reference") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.pmor").partitionedBy(col("event_type"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    val mainErr = "cat::graft_cat.spec.pmor#p=error"
+    val branchErr = "cat::graft_cat.spec.pmor#b=mor#p=error"
+    try {
+      val mainBefore = spark.table("graft_cat.spec.pmor")
+        .orderBy("event_id", "value").collect().toSeq
+      val mainErrBatches = GraftStore.batchesRef(mainErr).get
+      spark.sql("CALL graft_cat.system.create_branch('spec.pmor', 'mor')")
+      // the fork is metadata: branch shards share main's batches by ref
+      assert(GraftStore.batchesRef(branchErr).get eq mainErrBatches)
+      // row-delta DML on the BRANCH: per-shard DV bits + delta batches,
+      // zero rewrite — the pre-existing batch prefix stays reference-
+      // identical to MAIN's batches even inside the branch store
+      spark.sql(
+        "UPDATE graft_cat.spec.`pmor@mor` SET value = value * 2 WHERE event_id % 7 = 0")
+      val bb = GraftStore.batchesRef(branchErr).get
+      assert(bb.size === mainErrBatches.size + 1,
+        "branch MOR UPDATE must append exactly one delta batch per touched shard")
+      mainErrBatches.indices.foreach(i =>
+        assert(bb(i) eq mainErrBatches(i),
+          s"branch delta rewrote pre-existing batch $i"))
+      assert(GraftStore.dvMarkedCount(branchErr) > 0L,
+        "branch MOR UPDATE must mark branch-shard DVs")
+      // main is completely dark: same batches, zero DVs, same rows
+      assert(GraftStore.batchesRef(mainErr).get eq mainErrBatches)
+      assert(GraftStore.dvMarkedCount(mainErr) === 0L)
+      assert(spark.table("graft_cat.spec.pmor")
+        .orderBy("event_id", "value").collect().toSeq === mainBefore)
+      // publish: main adopts the branch shard SNAPSHOTS — the DVs and
+      // delta batches arrive by reference (a pointer swap, not a
+      // rewrite), and the merged view reads through them
+      val want = spark.table("graft_cat.spec.`pmor@mor`")
+        .orderBy("event_id", "value").collect().toSeq
+      spark.sql("CALL graft_cat.system.publish_branch('spec.pmor', 'mor')")
+      assert(GraftStore.batchesRef(mainErr).get eq bb,
+        "publish must carry the branch's batches (incl. the delta) by reference")
+      assert(GraftStore.dvMarkedCount(mainErr) > 0L,
+        "publish must carry the branch's DVs")
+      assert(spark.table("graft_cat.spec.pmor")
+        .orderBy("event_id", "value").collect().toSeq === want)
+      // and the published content IS the doubled-%7 semantics
+      val pubCents = spark.table("graft_cat.spec.pmor")
+        .filter(col("event_id") % 7 === 0)
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long"))).head.getLong(0)
+      val baseCents = base.filter(col("event_id") % 7 === 0)
+        .agg(sum(floor(col("value") * 2 * 100 + 0.5).cast("long")))
+        .head.getLong(0)
+      assert(pubCents === baseCents)
+    } finally spark.sql("DROP TABLE graft_cat.spec.pmor")
+  }
 }

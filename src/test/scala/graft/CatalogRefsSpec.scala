@@ -150,4 +150,45 @@ class CatalogRefsSpec extends SparkSpec {
       .exists(_.startsWith("cat::graft_cat.spec.ptg#t=")),
       "DROP TABLE must reap partitioned tags")
   }
+
+  test("PARTITIONED retention releases shard-history snapshots the ledger no longer pins") {
+    cat()
+    val k = "cat::graft_cat.spec.ptr"
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.ptr").partitionedBy(col("event_type")).create()
+    try {
+      // grow shard histories: two more table-level commits
+      spark.sql(
+        "INSERT INTO graft_cat.spec.ptr VALUES (900001, 'error', 1.0)")
+      spark.sql("CALL graft_cat.system.create_tag('spec.ptr', 'mid')")
+      spark.sql(
+        "INSERT INTO graft_cat.spec.ptr VALUES (900002, 'error', 2.0)")
+      val errKey = s"$k#p=error"
+      val (liveBefore, totalBefore) = GraftStore.historySlots(errKey)
+      assert(liveBefore === totalBefore && totalBefore >= 3,
+        s"expected a fully-live shard history, got $liveBefore/$totalBefore")
+      // keep only the latest table-level version: the two expired
+      // ledger entries were the last pins on the shard's older
+      // snapshots — their history slots must tombstone (the VACUUM
+      // half of retention; an unreleased snapshot is a storage leak)
+      spark.sql("CALL graft_cat.system.expire_versions('spec.ptr', 1)")
+      val (liveAfter, totalAfter) = GraftStore.historySlots(errKey)
+      assert(totalAfter === totalBefore, "ordinals must stay stable")
+      assert(liveAfter < liveBefore,
+        s"shard history released nothing: $liveAfter/$totalAfter")
+      // the tag still pins its snapshot: the 'mid' read keeps serving
+      // (refs protect snapshots even after their history slot's ledger
+      // version expired)
+      val midCount = spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.ptr VERSION AS OF 'mid'")
+        .head.getLong(0)
+      assert(midCount === base.count() + 1)
+      // the live head still serves
+      assert(spark.table("graft_cat.spec.ptr").count() === base.count() + 2)
+      // base-key history released its unpinned snapshots too
+      val (baseLive, baseTotal) = GraftStore.historySlots(k)
+      assert(baseLive <= baseTotal)
+    } finally spark.sql("DROP TABLE graft_cat.spec.ptr")
+  }
 }

@@ -187,6 +187,50 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.cdcv")
   }
 
+  test("streaming lineage across a micro-batch boundary: a mid-stream MOR UPDATE serves row-exact pre/post pairs") {
+    cat()
+    val seed = (0L until 10L).map(i => (i, i * 10.0))
+    spark.createDataFrame(seed).toDF("k", "v")
+      .repartition(1)
+      .writeTo("graft_cat.spec.cfsl")
+      .tableProperty("write.mode", "merge-on-read").create() // v0, v1
+    val root = java.nio.file.Files.createTempDirectory("graft_cfsl")
+    try {
+      val got = new java.util.concurrent.atomic.AtomicReference[
+        Seq[org.apache.spark.sql.Row]](Seq.empty)
+      def drain(): Seq[org.apache.spark.sql.Row] = {
+        got.set(Seq.empty)
+        val q = spark.readStream.table("graft_cat.spec.`cfsl@changes`")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.updateAndGet(_ ++ df.collect().toSeq); ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+        got.get
+      }
+      assert(drain().count(_.getString(2) == "insert") === 10)
+      // the UPDATE lands BETWEEN checkpointed drains
+      spark.sql(
+        "UPDATE graft_cat.spec.cfsl SET v = v + 100 WHERE k IN (3, 7)") // v2
+      val delta = drain()
+      // exactly the update commit: 2 pre + 2 post, nothing else
+      assert(delta.length === 4, delta.mkString("; "))
+      assert(delta.forall(_.getInt(3) == 2), "all rows from commit v2")
+      val pre = delta.filter(_.getString(2) == "update_preimage")
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val post = delta.filter(_.getString(2) == "update_postimage")
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // row-exact pairing — and the PRE image is the pre-update value,
+      // served from the ledger even though the live table (which this
+      // drain runs against) already holds the post state
+      assert(pre === Map(3L -> 30.0, 7L -> 70.0))
+      assert(post === Map(3L -> 130.0, 7L -> 170.0))
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfsl")
+  }
+
   test("the feed renders maintenance commits honestly: compact and rollback as rewrites that replay to the live table") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))

@@ -146,6 +146,74 @@ class ConcurrencySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.occ3")
   }
 
+  test("partitioned MOR: validation covers every SCANNED shard — a scanned-but-unmodified shard conflict is refused") {
+    cat()
+    // k < 5 lives in partition 'a'; k >= 5 in 'b'. The UPDATE's
+    // predicate is NOT a partition conjunct, so its delta op scan
+    // captures BOTH shards, while the statement only modifies 'a'.
+    // A concurrent INSERT into 'b' — a shard the statement read but
+    // did not touch — must still refuse the commit: the statement's
+    // decisions depended on 'b' rows (serializable validation, not
+    // modified-shards-only snapshot isolation).
+    spark.range(0, 10).repartition(1)
+      .select(col("id").as("k"),
+        when(col("id") < 5, "a").otherwise("b").as("p"),
+        lit(1.0).as("v"))
+      .writeTo("graft_cat.spec.occ6").partitionedBy(col("p"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      ConcurrencyGates.arm()
+      spark.udf.register("occ_gate6", (k: Long) => ConcurrencyGates.pass(k))
+      val (t, err) = background(
+        "UPDATE graft_cat.spec.occ6 SET v = v + 1 WHERE k < 5 AND occ_gate6(k) >= 0")
+      assert(ConcurrencyGates.started.await(30, TimeUnit.SECONDS))
+      spark.sql("INSERT INTO graft_cat.spec.occ6 VALUES (100, 'b', 9.0)")
+      ConcurrencyGates.resume.countDown()
+      t.join(120000)
+      assert(err(0) != null,
+        "a write to a scanned-but-unmodified shard was NOT refused")
+      assert(conflictIn(err(0)), s"wrong failure: ${err(0)}")
+      val rows = spark.table("graft_cat.spec.occ6").collect()
+      assert(rows.exists(r => r.getLong(0) == 100L && r.getDouble(2) == 9.0))
+      assert(!rows.exists(_.getDouble(2) == 2.0),
+        "the refused UPDATE leaked row deltas")
+      // the retry against the fresh snapshot applies cleanly
+      spark.sql("UPDATE graft_cat.spec.occ6 SET v = v + 1 WHERE k < 5")
+      assert(spark.table("graft_cat.spec.occ6")
+        .filter(col("v") === 2.0).count() === 5L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.occ6")
+  }
+
+  test("partitioned MOR: partition-conjunct pruning keeps disjoint writers conflict-free") {
+    cat()
+    spark.range(0, 10).repartition(1)
+      .select(col("id").as("k"),
+        when(col("id") < 5, "a").otherwise("b").as("p"),
+        lit(1.0).as("v"))
+      .writeTo("graft_cat.spec.occ7").partitionedBy(col("p"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      // `p = 'a'` prunes the delta op scan to shard 'a' — shard 'b' is
+      // never captured, so the concurrent 'b' append cannot conflict
+      // even under scanned-shard validation (shard-grain isolation
+      // survives the serializable tightening)
+      ConcurrencyGates.arm()
+      spark.udf.register("occ_gate7", (k: Long) => ConcurrencyGates.pass(k))
+      val (t, err) = background(
+        "UPDATE graft_cat.spec.occ7 SET v = v + 1 WHERE p = 'a' AND occ_gate7(k) >= 0")
+      assert(ConcurrencyGates.started.await(30, TimeUnit.SECONDS))
+      spark.sql("INSERT INTO graft_cat.spec.occ7 VALUES (200, 'b', 9.0)")
+      ConcurrencyGates.resume.countDown()
+      t.join(120000)
+      assert(err(0) == null,
+        s"disjoint-partition MOR writers must not conflict: ${err(0)}")
+      assert(spark.table("graft_cat.spec.occ7")
+        .filter(col("p") === "a" && col("v") === 2.0).count() === 5L)
+      assert(spark.table("graft_cat.spec.occ7")
+        .filter(col("k") === 200L).count() === 1L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.occ7")
+  }
+
   test("the retry story: re-running the refused statement against the fresh snapshot succeeds") {
     cat()
     spark.range(0, 6).repartition(1)

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.sources.GraftStore
+
+/** EQUALITY deletes — Iceberg v2's second delete model (VERDICT r16
+  * missing #2). The load-bearing pins:
+  *   - the COMMIT is pure metadata: committed batches AND the
+  *     positional DV map are REFERENCE-identical across the delete —
+  *     the writer never scanned the target and never resolved a
+  *     position (that is the whole point vs the positional DV tier);
+  *   - application happens AT READ, with sequence semantics: only
+  *     batches that existed at commit time are subject, so a key
+  *     re-inserted after the delete is visible;
+  *   - the tiers compose (positional DVs on top, compaction
+  *     materializes both away) and the slot binding survives RENAME.
+  */
+class EqualityDeleteSpec extends SparkSpec {
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  private def mkTable(name: String): (String, Long) = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo(s"graft_cat.spec.$name")
+      .tableProperty("write.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "equality")
+      .create()
+    (s"cat::graft_cat.spec.$name", base.count())
+  }
+
+  test("equality DELETE is a pure-metadata commit: no batch rewrite, no position resolution, rows hidden at read") {
+    cat()
+    val (key, total) = mkTable("eq1")
+    try {
+      val batchesBefore = GraftStore.batchesRef(key).get
+      val dvsBefore = GraftStore.dvsRef(key).get
+      val v = GraftStore.versionCount(key)
+      val errors = spark.table("graft_cat.spec.eq1")
+        .filter(col("event_type") === "error").count()
+      assert(errors > 0, "fixture must contain 'error' rows")
+      spark.sql("DELETE FROM graft_cat.spec.eq1 WHERE event_type = 'error'")
+      // THE pin: neither data nor positional DVs moved — the delete
+      // committed a tuple set, nothing else
+      assert(GraftStore.batchesRef(key).get eq batchesBefore,
+        "equality delete must not rewrite any committed batch")
+      assert(GraftStore.dvsRef(key).get eq dvsBefore,
+        "equality delete must not resolve positions into DVs")
+      assert(GraftStore.eqDeleteCount(key) === 1)
+      assert(GraftStore.versionCount(key) === v + 1,
+        "an equality delete is one first-class commit")
+      // applied at read
+      assert(spark.table("graft_cat.spec.eq1").count() === total - errors)
+      assert(spark.table("graft_cat.spec.eq1")
+        .filter(col("event_type") === "error").count() === 0L)
+      // ledger observability: the commit classifies as its own kind
+      val kinds = spark.sql(
+        "CALL graft_cat.system.history('spec.eq1')")
+        .select("kind").collect().map(_.getString(0))
+      assert(kinds.last === "equality-delete", kinds.mkString(","))
+      // time travel: the pre-delete version still serves every row
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_cat.spec.eq1 VERSION AS OF ${v - 1}")
+        .head.getLong(0) === total)
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq1")
+  }
+
+  test("sequence semantics: a key re-inserted AFTER the equality delete stays visible") {
+    cat()
+    val (key, total) = mkTable("eq2")
+    try {
+      val errors = spark.table("graft_cat.spec.eq2")
+        .filter(col("event_type") === "error").count()
+      spark.sql("DELETE FROM graft_cat.spec.eq2 WHERE event_type = 'error'")
+      spark.sql(
+        "INSERT INTO graft_cat.spec.eq2 VALUES (90000001, 'error', 42.5)")
+      // the post-delete append is NOT subject to the earlier delete
+      val back = spark.table("graft_cat.spec.eq2")
+        .filter(col("event_type") === "error").collect()
+      assert(back.length === 1 && back(0).getLong(0) === 90000001L,
+        "the re-inserted key must be visible (appliesBefore fencing)")
+      assert(spark.table("graft_cat.spec.eq2").count() ===
+        total - errors + 1)
+      // a SECOND equality delete (tuple set on another column) removes
+      // it again — IN translates to one tuple per value
+      spark.sql(
+        "DELETE FROM graft_cat.spec.eq2 WHERE event_id IN (90000001)")
+      assert(GraftStore.eqDeleteCount(key) === 2)
+      assert(spark.table("graft_cat.spec.eq2")
+        .filter(col("event_type") === "error").count() === 0L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq2")
+  }
+
+  test("tiers compose: positional DV delete skips eq-deleted rows; compaction materializes both away") {
+    cat()
+    val (key, total) = mkTable("eq3")
+    try {
+      val base = spark.table("graft_cat.spec.eq3").cache()
+      val errors = base.filter(col("event_type") === "error").count()
+      val lowNonError = base.filter(col("value") < 30 &&
+        col("event_type") =!= "error").count()
+      spark.sql("DELETE FROM graft_cat.spec.eq3 WHERE event_type = 'error'")
+      // non-equality shape → the positional DV tier; it must count and
+      // mark ONLY rows still live under the reader view
+      spark.sql("DELETE FROM graft_cat.spec.eq3 WHERE value < 30")
+      assert(GraftStore.dvMarkedCount(key) === lowNonError,
+        "positional tier must not re-mark eq-deleted rows")
+      val expect = total - errors - lowNonError
+      assert(spark.table("graft_cat.spec.eq3").count() === expect)
+      // compaction: one rewrite materializes DVs AND equality deletes
+      spark.sql("CALL graft_cat.system.compact('spec.eq3')")
+      assert(GraftStore.eqDeleteCount(key) === 0,
+        "compaction must clear pending equality deletes")
+      assert(GraftStore.dvMarkedCount(key) === 0L)
+      assert(spark.table("graft_cat.spec.eq3").count() === expect)
+      assert(spark.table("graft_cat.spec.eq3")
+        .filter(col("event_type") === "error" || col("value") < 30)
+        .count() === 0L)
+      base.unpersist()
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq3")
+  }
+
+  test("the slot binding survives RENAME COLUMN; the change feed renders row-exact deletes") {
+    cat()
+    val (_, total) = mkTable("eq4")
+    try {
+      val errors = spark.table("graft_cat.spec.eq4")
+        .filter(col("event_type") === "error").count()
+      val v = GraftStore.versionCount("cat::graft_cat.spec.eq4")
+      spark.sql("DELETE FROM graft_cat.spec.eq4 WHERE event_type = 'error'")
+      // the CDC view renders the commit as deletes — row-exact, even
+      // though the commit itself never resolved a position
+      val feed = spark.table("graft_cat.spec.`eq4@changes`")
+        .filter(col("_commit_version") === v)
+      assert(feed.count() === errors)
+      assert(feed.filter(col("_change_type") =!= "delete").count() === 0L)
+      // rename the filtered column: the tuple set is bound to the SLOT
+      // (field-id contract), so it keeps applying
+      spark.sql(
+        "ALTER TABLE graft_cat.spec.eq4 RENAME COLUMN event_type TO kind")
+      assert(spark.table("graft_cat.spec.eq4")
+        .filter(col("kind") === "error").count() === 0L)
+      assert(spark.table("graft_cat.spec.eq4").count() === total - errors)
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq4")
+  }
+
+  test("without the table property, the same DELETE stays positional (opt-in contract)") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.eq5").create()
+    val key = "cat::graft_cat.spec.eq5"
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.eq5 WHERE event_type = 'error'")
+      assert(GraftStore.eqDeleteCount(key) === 0,
+        "a table without write.delete.mode=equality must not commit eq-deletes")
+      assert(GraftStore.dvMarkedCount(key) > 0L,
+        "the default pushable-DELETE tier is positional DVs")
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq5")
+  }
+}
