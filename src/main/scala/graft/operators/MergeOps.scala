@@ -1499,6 +1499,115 @@ object MergeOps extends QueryModule {
       |   AS n_error
       |FROM fin""".stripMargin
 
+  /** EQUALITY DELETES ON A PARTITIONED TABLE — the tier composition at
+    * the partitioned grain: a keyed tuple set with no partition-column
+    * conjunct records against every live shard (each shard's commit is
+    * still pure metadata, one TABLE-LEVEL version for the statement);
+    * a whole-partition condition keeps taking the strictly-cheaper
+    * partition-DROP tier; and a tuple set that DOES name the partition
+    * source column routes through the transform to exactly the owning
+    * shards (`EqualityDeleteSpec` pins the shard scoping) — the shape
+    * of a keyed streaming upsert into a day-partitioned fact, where
+    * the delete files land only in the touched days. Sequence
+    * semantics survive partitioning: the key re-inserted after the
+    * drop is visible.
+    */
+  def sqlDeleteEqPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type"),
+        props = Seq("write.delete.mode" -> "equality")) { tbl =>
+      // v1: keyed equality delete — recorded on every shard, no scan
+      s.sql(s"DELETE FROM $tbl WHERE event_id IN (2, 4, 8, 16)")
+      // v2: whole-partition condition still takes the DROP tier
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'click'")
+      // v3: append after the deletes — visible (sequence semantics)
+      s.sql(s"INSERT INTO $tbl VALUES (90000001, 'click', 42.5)")
+      // v4: tuple names the partition column — only the 'error' shard
+      // records the set
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'error' AND event_id = 9")
+      s.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(sum(col("value")), 2).as("sum_value"),
+        count(when(col("event_type") === "click", 1)).as("n_click"))
+    }
+  }
+
+  val sqlDeleteEqPartitionedOracle: String =
+    """WITH v1 AS (SELECT event_id, event_type, value FROM events
+      |            WHERE event_id NOT IN (2, 4, 8, 16)),
+      |v2 AS (SELECT * FROM v1 WHERE event_type IS DISTINCT FROM 'click'),
+      |v3 AS (SELECT * FROM v2 UNION ALL SELECT 90000001, 'click', 42.5),
+      |fin AS (SELECT * FROM v3
+      |        WHERE NOT (event_type = 'error' AND event_id = 9))
+      |SELECT count(*) AS n_rows,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+      | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_click
+      |FROM fin""".stripMargin
+
+  /** MULTI-TABLE TRANSACTION (VERDICT r16 #7): a curation pass that
+    * must keep TWO tables mutually consistent — the corpus and its
+    * per-type manifest — lands both changes in ONE catalog-level
+    * commit via composed WAP: branch both tables, DELETE low-value
+    * events from the corpus branch, MERGE the recount into the
+    * manifest branch, then `CALL system.publish_tables('t1@tx,t2@tx')`
+    * — phase 1 fences every table, phase 2 fast-forwards all under one
+    * lock, so both ledgers advance or neither (the Nessie/REST-catalog
+    * multi-table commit; `MultiTableTxnSpec` pins the all-or-nothing
+    * refusal). The digest IS the cross-table invariant: the manifest's
+    * counts equal the corpus's live counts after the transaction. At
+    * 100 TB this is MERGE `documents` + update `manifests` without a
+    * window where a reader of both sees the invariant broken by a
+    * failed half-commit.
+    */
+  def sqlMultiTableTxn(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val n = dmlSeq.incrementAndGet()
+    val corpus = s"graft_cat.dml.corpus$n"
+    val manifest = s"graft_cat.dml.manifest$n"
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo(corpus).create()
+    base.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeTo(manifest).create()
+    try {
+      s.sql(s"CALL graft_cat.system.create_branch('dml.corpus$n', 'tx')")
+      s.sql(s"CALL graft_cat.system.create_branch('dml.manifest$n', 'tx')")
+      s.sql(s"DELETE FROM graft_cat.dml.`corpus$n@tx` WHERE value < 30")
+      s.sql(
+        s"""MERGE INTO graft_cat.dml.`manifest$n@tx` m
+           |USING (SELECT event_type, count(*) AS n
+           |       FROM graft_cat.dml.`corpus$n@tx` GROUP BY event_type) c
+           |ON m.event_type = c.event_type
+           |WHEN MATCHED THEN UPDATE SET n = c.n
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      s.sql("CALL graft_cat.system.publish_tables(" +
+        s"'dml.corpus$n@tx,dml.manifest$n@tx')")
+      val digest = s.table(corpus).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_corpus"),
+          roundTo(sum(col("value")), 2).as("sum_value"))
+        .join(s.table(manifest), "event_type")
+        .select(col("event_type"), col("n_corpus"), col("sum_value"),
+          col("n").as("n_manifest"))
+        .orderBy("event_type")
+      s.createDataFrame(digest.collectAsList(), digest.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $corpus"))
+      scala.util.Try(s.sql(s"DROP TABLE $manifest")); ()
+    }
+  }
+
+  val sqlMultiTableTxnOracle: String =
+    """SELECT event_type, count(*) AS n_corpus,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+      | count(*) AS n_manifest
+      |FROM events
+      |WHERE value >= 30 OR value IS NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** MERGE-ON-READ DML on a PARTITIONED table — the fourth write model
     * behind the same UPDATE/DELETE digest (COW, MOR, partitioned COW,
     * now partitioned MOR), sharing [[sqlUpdateDeleteOracle]]
@@ -1764,6 +1873,11 @@ object MergeOps extends QueryModule {
     // EQUALITY deletes (Iceberg v2's second delete model): tuple-set
     // commits with no target scan, applied at read, sequence semantics
     RegisteredQuery("sql_delete_eq", sqlDeleteEq, Some(sqlDeleteEqOracle)),
+    RegisteredQuery("sql_delete_eq_partitioned", sqlDeleteEqPartitioned,
+      Some(sqlDeleteEqPartitionedOracle)),
+    // MULTI-TABLE transaction: two tables, one catalog-level commit
+    RegisteredQuery("sql_multi_table_txn", sqlMultiTableTxn,
+      Some(sqlMultiTableTxnOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
     RegisteredQuery("sql_time_travel_partitioned", sqlTimeTravelPartitioned,
       Some(sqlTimeTravelPartitionedOracle)),

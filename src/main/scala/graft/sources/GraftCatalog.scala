@@ -63,6 +63,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "publish_branch"),
+        Identifier.of(Array("system"), "publish_tables"),
         Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "cluster"),
@@ -80,6 +81,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (ident.name == "compact") return compactProcedure
     if (ident.name == "create_branch" || ident.name == "publish_branch" ||
         ident.name == "drop_branch") return branchProcedure(ident.name)
+    if (ident.name == "publish_tables") return publishTablesProcedure
     if (ident.name == "rollback") return rollbackProcedure
     if (ident.name == "cluster") return clusterProcedure
     if (ident.name == "history") return historyProcedure
@@ -612,6 +614,149 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * pointer swap — bad data is never visible to readers, and the swap
     * cost is independent of data size.
     */
+  /** Publish fence for branch `bk` of `mainKey`: main must not have
+    * advanced since the fork (optimistic concurrency). Call under
+    * `GraftStore.stores.synchronized`.
+    */
+  private def fencePublish(mainKey: String, bk: String, tbl: String,
+      branch: String): Unit = {
+    val base = GraftCatalog.branches.getOrElse(bk,
+      throw new IllegalStateException(
+        s"graft catalog: no branch '$branch' of '$tbl'"))
+    val nowMain =
+      if (GraftCatalog.parts.contains(mainKey))
+        GraftCatalog.partVersions.getOrElse(mainKey, Vector.empty).size
+      else GraftStore.versionCount(mainKey)
+    if (nowMain != base)
+      throw new IllegalStateException(
+        s"graft catalog: cannot fast-forward '$tbl' to branch " +
+          s"'$branch' — main advanced from commit ${base - 1} " +
+          s"to ${nowMain - 1} since the fork; re-branch and " +
+          "re-apply (rebase), then publish")
+  }
+
+  /** Fast-forward `mainKey` to branch `bk`'s snapshots (by-reference
+    * adoption — DVs, delta batches and equality deletes ride along)
+    * and reap the branch. Call under `GraftStore.stores.synchronized`,
+    * AFTER [[fencePublish]] passed for EVERY table in the commit (the
+    * two-phase shape is what makes the multi-table publish atomic:
+    * all fences, then all publishes). Returns (published live rows,
+    * main's new version ordinal).
+    */
+  private def publishFenced(mainKey: String, bk: String): (Long, Int) = {
+    def cleanupBranch(): Unit = {
+      GraftCatalog.branches.remove(bk)
+      GraftCatalog.parts.remove(bk)
+      GraftCatalog.partVersions.remove(bk)
+      GraftStore.dropMatching(kk => kk == bk || kk.startsWith(bk + "#p="))
+    }
+    if (GraftCatalog.parts.contains(mainKey)) {
+      // swap main's shard set to the branch's audited content: ONE
+      // table-level commit, each shard a fast-forward adoption
+      val branchShards = GraftStore.stores.iterator.collect {
+        case (kk, c) if kk.startsWith(bk + "#p=") =>
+          kk.substring(kk.indexOf("#p=") + 3) -> c
+      }.toMap
+      GraftStore.stores.keys
+        .filter(_.startsWith(mainKey + "#p="))
+        .filterNot(kk => branchShards.contains(
+          kk.substring(kk.indexOf("#p=") + 3)))
+        .foreach(GraftStore.drop)
+      val n = branchShards.map { case (pv, snap) =>
+        GraftStore.adoptSnapshot(s"$mainKey#p=$pv", snap)
+      }.sum
+      // the table-level schema follows the branch too (it may have
+      // evolved on-branch)
+      GraftStore.adoptSnapshot(mainKey, GraftStore.stores(bk))
+      GraftCatalog.recordPartVersion(mainKey)
+      cleanupBranch()
+      (n, GraftCatalog.partVersions(mainKey).size - 1)
+    } else {
+      val n = GraftStore.adoptSnapshot(mainKey, GraftStore.stores(bk))
+      cleanupBranch()
+      (n, GraftStore.versionCount(mainKey) - 1)
+    }
+  }
+
+  /** MULTI-TABLE transactions (VERDICT r16 #7) as composed WAP:
+    * `CALL system.publish_tables('ns.t1@b1,ns.t2@b2')` publishes every
+    * listed branch in ONE catalog-level commit — phase 1 fences every
+    * table (any main that advanced since its fork refuses the WHOLE
+    * call; nothing publishes), phase 2 fast-forwards all of them under
+    * the same lock, so both ledgers advance or neither. This is the
+    * Nessie/REST-catalog multi-table commit shape: a curation pass
+    * MERGEs `documents` and updates `manifests` on branches, validates,
+    * then lands both atomically w.r.t. every other WRITER. Cross-table
+    * READ consistency is the documented boundary (SCALE.md): each
+    * table's readers still pick up its swap independently — a reader
+    * needing a mutually consistent view reads the `main_version`
+    * ordinals this call returns via `VERSION AS OF`.
+    */
+  private def publishTablesProcedure: procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    new UnboundProcedure {
+      override def name(): String = "publish_tables"
+      override def description(): String =
+        "atomically publish WAP branches of several tables"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "publish_tables"
+          override def description(): String =
+            "atomically publish WAP branches of several tables"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("refs", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val parsed = input.getUTF8String(0).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq.map { r =>
+                val i = r.lastIndexOf('@')
+                require(i > 0 && i < r.length - 1,
+                  s"graft catalog: publish_tables ref '$r' must be " +
+                    "'ns.table@branch'")
+                (r.substring(0, i), r.substring(i + 1))
+              }
+            require(parsed.nonEmpty,
+              "graft catalog: publish_tables needs at least one ref")
+            require(parsed.map(_._1).distinct.size == parsed.size,
+              "graft catalog: publish_tables lists a table twice")
+            val results = GraftStore.stores.synchronized {
+              // PHASE 1: every fence, before anything publishes — a
+              // single stale table refuses the whole commit
+              parsed.foreach { case (tbl, branch) =>
+                val mainKey = s"cat::$catName.$tbl"
+                fencePublish(mainKey, s"$mainKey#b=$branch", tbl, branch)
+              }
+              // PHASE 2: all fast-forwards, same lock
+              parsed.map { case (tbl, branch) =>
+                val mainKey = s"cat::$catName.$tbl"
+                val (n, v) = publishFenced(mainKey, s"$mainKey#b=$branch")
+                (tbl, n, v)
+              }
+            }
+            val out = new StructType()
+              .add("table", StringType, nullable = false)
+              .add("published_rows", LongType, nullable = false)
+              .add("main_version", IntegerType, nullable = false)
+            val resultRows = results.map { case (tbl, n, v) =>
+              new GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+                n, v)): InternalRow
+            }.toArray
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = resultRows
+                override def description(): String =
+                  s"publish_tables(${parsed.mkString(",")})"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
   private def branchProcedure(op: String): procedures.UnboundProcedure = {
     import org.apache.spark.sql.connector.catalog.procedures._
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
@@ -692,50 +837,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                     org.apache.spark.unsafe.types.UTF8String.fromString(branch),
                     baseVersion))
               case "publish_branch" =>
-                val base = GraftCatalog.branches.getOrElse(bk,
-                  throw new IllegalStateException(
-                    s"graft catalog: no branch '$branch' of '$tbl'"))
-                def fence(nowMain: Int): Unit =
-                  if (nowMain != base)
-                    throw new IllegalStateException(
-                      s"graft catalog: cannot fast-forward '$tbl' to branch " +
-                        s"'$branch' — main advanced from commit ${base - 1} " +
-                        s"to ${nowMain - 1} since the fork; re-branch and " +
-                        "re-apply (rebase), then publish")
+                // single-table publish = the one-element multi-table
+                // commit: fence, then fast-forward adopt, one lock
                 val (published, mainVersion) =
-                  if (partitioned) GraftStore.stores.synchronized {
-                    fence(GraftCatalog.partVersions
-                      .getOrElse(mainKey, Vector.empty).size)
-                    // swap main's shard set to the branch's audited
-                    // content: ONE table-level commit, each shard a
-                    // FAST-FORWARD adoption — the branch's DVs, delta
-                    // batches and equality deletes arrive BY REFERENCE
-                    // (a pointer swap, no rewrite; VERDICT r16 #5)
-                    val branchShards = GraftStore.stores.iterator.collect {
-                      case (kk, c) if kk.startsWith(bk + "#p=") =>
-                        kk.substring(kk.indexOf("#p=") + 3) -> c
-                    }.toMap
-                    GraftStore.stores.keys
-                      .filter(_.startsWith(mainKey + "#p="))
-                      .filterNot(kk => branchShards.contains(
-                        kk.substring(kk.indexOf("#p=") + 3)))
-                      .foreach(GraftStore.drop)
-                    val n = branchShards.map { case (pv, snap) =>
-                      GraftStore.adoptSnapshot(s"$mainKey#p=$pv", snap)
-                    }.sum
-                    // the table-level schema follows the branch too (it
-                    // may have evolved on-branch)
-                    GraftStore.adoptSnapshot(mainKey, GraftStore.stores(bk))
-                    GraftCatalog.recordPartVersion(mainKey)
-                    cleanupBranch()
-                    (n, GraftCatalog.partVersions(mainKey).size - 1)
-                  }
-                  else {
-                    fence(GraftStore.versionCount(mainKey))
-                    val n = GraftStore.adoptSnapshot(
-                      mainKey, GraftStore.stores(bk))
-                    cleanupBranch()
-                    (n, GraftStore.versionCount(mainKey) - 1)
+                  GraftStore.stores.synchronized {
+                    fencePublish(mainKey, bk, tbl, branch)
+                    publishFenced(mainKey, bk)
                   }
                 (new StructType()
                   .add("published_rows", LongType, nullable = false)
@@ -972,6 +1079,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
         GraftCatalog.parts.put(key(ident), spec)
         if (mor) GraftCatalog.morTables.put(key(ident), ())
+        if (eqDel) GraftCatalog.eqDeleteTables.put(key(ident), ())
         GraftCatalog.recordPartVersion(key(ident)) // v0 = the create
         new GraftPartitionedTable(key(ident), schema, spec, mor)
       case _ => throw new UnsupportedOperationException(
@@ -1140,7 +1248,9 @@ object GraftCatalog {
     * version readable even after a COW rewrite drops and re-creates the
     * shard store.
     */
-  private[sources] val partVersions = scala.collection.concurrent.TrieMap
+  // private[graft] so specs can pin "ONE table-level version per
+  // statement" directly on the ledger length
+  private[graft] val partVersions = scala.collection.concurrent.TrieMap
     .empty[String, Vector[(org.apache.spark.sql.types.StructType,
       Map[String, GraftStore.Committed])]]
 
@@ -1635,18 +1745,46 @@ private[sources] class GraftPartitionedTable(
     */
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql
       .connector.expressions.filter.Predicate]): Boolean =
-    matchedPartitionValues(predicates).isDefined
+    matchedPartitionValues(predicates).isDefined ||
+      (GraftCatalog.eqDeleteTables.contains(tableKey) &&
+        StorePredicates.compileEquality(schema(), predicates).isDefined)
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql
       .connector.expressions.filter.Predicate]): Unit = {
-    val vals = matchedPartitionValues(predicates).getOrElse(
-      throw new IllegalStateException(
-        "deleteWhere called with predicates canDeleteWhere rejected"))
-    GraftStore.stores.synchronized {
-      partKeys()
-        .filter(k => vals.contains(k.substring(k.indexOf("#p=") + 3)))
-        .foreach(GraftStore.publish(_, schema(), Seq.empty, truncate = true))
-      GraftCatalog.recordPartVersion(tableKey)
+    // tier 1: whole-partition drop (strictly cheaper — no tuple set to
+    // carry at read). tier 2 (opt-in `write.delete.mode='equality'`):
+    // the equality-delete commit — ONE tuple set recorded against each
+    // owning shard, no scan, no position resolution; when the set
+    // constrains the partition SOURCE column it routes through the
+    // transform to exactly the owning shards, so a keyed streaming
+    // upsert into a day-partitioned fact touches only the landed days.
+    matchedPartitionValues(predicates) match {
+      case Some(vals) =>
+        GraftStore.stores.synchronized {
+          partKeys()
+            .filter(k => vals.contains(k.substring(k.indexOf("#p=") + 3)))
+            .foreach(GraftStore.publish(_, schema(), Seq.empty,
+              truncate = true))
+          GraftCatalog.recordPartVersion(tableKey)
+        }
+      case None =>
+        val (cols, tuples) = StorePredicates
+          .compileEquality(schema(), predicates).getOrElse(
+            throw new IllegalStateException(
+              "deleteWhere called with predicates canDeleteWhere rejected"))
+        val srcIdx = cols.indexWhere(i =>
+          schema().fields(i).name.equalsIgnoreCase(spec.sourceCol))
+        GraftStore.stores.synchronized {
+          val keys =
+            if (srcIdx < 0) partKeys()
+            else {
+              val owned = tuples.map(t => spec.valueOf(t(srcIdx))).toSet
+              partKeys().filter(k =>
+                owned.contains(k.substring(k.indexOf("#p=") + 3)))
+            }
+          keys.foreach(GraftStore.commitEqDelete(_, cols, tuples))
+          GraftCatalog.recordPartVersion(tableKey) // ONE table version
+        }
     }
   }
 

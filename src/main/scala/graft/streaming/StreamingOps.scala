@@ -1725,6 +1725,85 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** STREAMING UPSERT VIA EQUALITY DELETES — the workload the second
+    * delete model exists for (VERDICT r16 missing #2's motivation): a
+    * keyed upsert sink that NEVER reads the target back. Each
+    * micro-batch issues one equality DELETE for the batch's key set —
+    * committed as a tuple set, no target scan, no position resolution
+    * (contrast `stream_merge_upsert`, whose MERGE must join the target
+    * to find matches) — then appends the batch. The key set comes from
+    * the writer's OWN batch (at 100 TB each task ships it as an
+    * equality-delete file; here it surfaces as a DELETE ... IN list).
+    * Sequence semantics make the recipe correct: the delete only
+    * affects pre-existing batches, so the same statement's append is
+    * untouched, and the read view is last-write-wins per key. The DV
+    * debt compacts away like positional deletes.
+    */
+  def streamUpsertEq(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("event_id") % 3 === 0)
+      .select(col("event_id"), col("value"))
+    val n = sinkSeq.incrementAndGet()
+    val src = s"graft_cat.stream.ueqs$n"
+    val tgt = s"graft_cat.stream.ueqt$n"
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ueq")
+    try {
+      ev.repartition(1).writeTo(src).create()
+      ev.limit(0).writeTo(tgt)
+        .tableProperty("write.delete.mode", "equality").create()
+      def drain(): Unit = {
+        val q = s.readStream.table(src)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val batch = df.cache()
+            val keys = batch.select("event_id").distinct()
+              .collect().map(_.getLong(0))
+            if (keys.nonEmpty)
+              s.sql(s"DELETE FROM $tgt WHERE event_id IN " +
+                keys.mkString("(", ",", ")"))
+            batch.writeTo(tgt).append()
+            batch.unpersist()
+            ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      drain() // batch 1: the seed keys
+      // batch 2: every 5th key arrives again with an updated value
+      ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), (col("value") + 1000).as("value"))
+        .repartition(1).writeTo(src).append()
+      drain() // the upsert: eq-delete the keys, append the new rows
+      val out = s.table(tgt).agg(
+        count(lit(1)).as("n_rows"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("sum_value"),
+        count(when(col("event_id") % 5 === 0 && col("value") >= 1000, 1))
+          .as("n_updated"))
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $src"))
+      scala.util.Try(s.sql(s"DROP TABLE $tgt"))
+      deleteRecursively(root)
+    }
+  }
+
+  val streamUpsertEqOracle: String =
+    """WITH b1 AS (SELECT event_id, value FROM events
+      |            WHERE user_id IS NOT NULL AND event_id % 3 = 0),
+      |upd AS (SELECT event_id, value + 1000 AS value FROM b1
+      |        WHERE event_id % 5 = 0),
+      |fin AS (SELECT * FROM b1 WHERE event_id % 5 <> 0
+      |        UNION ALL SELECT * FROM upd)
+      |SELECT count(*) AS n_rows,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |   AS sum_value,
+      | CAST((SELECT count(*) FROM upd) AS BIGINT) AS n_updated
+      |FROM fin""".stripMargin
+
   /** STREAMING UPDATE LINEAGE (VERDICT r16 missing #4): the batch
     * `t@changes` view renders a MOR UPDATE as `update_preimage` /
     * `update_postimage` pairs (`cdc_update_lineage`); this query pins
@@ -1935,6 +2014,9 @@ object StreamingOps extends QueryModule {
     // micro-batch boundary (VERDICT r16 missing #4)
     RegisteredQuery("stream_update_lineage", streamUpdateLineage,
       Some(streamUpdateLineageOracle)),
+    // streaming upsert sink on equality deletes: no target read-back
+    RegisteredQuery("stream_upsert_eq", streamUpsertEq,
+      Some(streamUpsertEqOracle)),
     RegisteredQuery("stream_partitioned_source", streamPartitionedSource,
       Some(streamFromCatalogOracle)),
     RegisteredQuery("stream_to_catalog_table", streamToCatalogTable,

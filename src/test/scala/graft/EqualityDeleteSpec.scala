@@ -148,6 +148,48 @@ class EqualityDeleteSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.eq4")
   }
 
+  test("PARTITIONED equality delete: metadata-only per shard, ONE table version, partition-col tuples route to owning shards") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.peq")
+      .partitionedBy(col("event_type"))
+      .tableProperty("write.delete.mode", "equality").create()
+    val k = "cat::graft_cat.spec.peq"
+    val errKey = s"$k#p=error"
+    val viewKey = s"$k#p=view"
+    try {
+      val total = base.count()
+      val errBatches = GraftStore.batchesRef(errKey).get
+      val errDvs = GraftStore.dvsRef(errKey).get
+      val ledger0 = graft.sources.GraftCatalog.partVersions(k).size
+      // keyed tuple set with NO partition conjunct: recorded on every
+      // live shard, each commit pure metadata, ONE table-level version
+      spark.sql("DELETE FROM graft_cat.spec.peq WHERE event_id IN (2, 4, 8)")
+      assert(GraftStore.batchesRef(errKey).get eq errBatches)
+      assert(GraftStore.dvsRef(errKey).get eq errDvs,
+        "partitioned eq delete must not resolve positions")
+      assert(GraftStore.eqDeleteCount(errKey) === 1)
+      assert(GraftStore.eqDeleteCount(viewKey) === 1)
+      assert(graft.sources.GraftCatalog.partVersions(k).size === ledger0 + 1,
+        "one statement = one table-level version")
+      assert(spark.table("graft_cat.spec.peq").count() ===
+        total - base.filter(col("event_id").isin(2, 4, 8)).count())
+      // tuple set naming the partition SOURCE column routes through the
+      // transform: ONLY the owning shard records it
+      spark.sql(
+        "DELETE FROM graft_cat.spec.peq WHERE event_type = 'error' AND event_id = 9")
+      assert(GraftStore.eqDeleteCount(errKey) === 2)
+      assert(GraftStore.eqDeleteCount(viewKey) === 1,
+        "non-owning shards must not record a partition-scoped tuple set")
+      // time travel through the table-level ledger still serves the
+      // pre-delete content
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_cat.spec.peq VERSION AS OF ${ledger0 - 1}")
+        .head.getLong(0) === total)
+    } finally spark.sql("DROP TABLE graft_cat.spec.peq")
+  }
+
   test("without the table property, the same DELETE stays positional (opt-in contract)") {
     cat()
     val base = Tables.events(spark, sfDir)
