@@ -1546,6 +1546,51 @@ object MergeOps extends QueryModule {
       |   AS n_click
       |FROM fin""".stripMargin
 
+  /** SHALLOW CLONE + divergence: `CALL system.clone_table` forks a new
+    * first-class table whose v0 shares the source's snapshot BY
+    * REFERENCE (zero copy — the Delta SHALLOW CLONE model; `CloneSpec`
+    * eq-pins the sharing), then both sides take INDEPENDENT DML — the
+    * clone COW-updates its keys, the source DV-deletes its low-value
+    * rows — and the digest reads both tables, proving neither write
+    * leaked through the shared arrays (snapshot immutability is the
+    * isolation mechanism). At 100 TB this is forking the corpus for an
+    * experiment as one metadata commit instead of a copy job.
+    */
+  def sqlCloneDiverge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val n = dmlSeq.incrementAndGet()
+    val src = s"graft_cat.dml.csrc$n"
+    val dst = s"graft_cat.dml.cdst$n"
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    base.writeTo(src).create()
+    try {
+      s.sql(s"CALL graft_cat.system.clone_table('dml.csrc$n', 'dml.cdst$n')")
+      s.sql(s"UPDATE $dst SET value = value + 1000 WHERE event_id % 10 = 0")
+      s.sql(s"DELETE FROM $src WHERE value < 30")
+      val sa = s.table(src).agg(count(lit(1)).as("src_n"),
+        roundTo(sum(col("value")), 2).as("src_sum"))
+      val da = s.table(dst).agg(count(lit(1)).as("dst_n"),
+        roundTo(sum(col("value")), 2).as("dst_sum"))
+      val out = sa.crossJoin(da)
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $src"))
+      scala.util.Try(s.sql(s"DROP TABLE $dst")); ()
+    }
+  }
+
+  val sqlCloneDivergeOracle: String =
+    """SELECT
+      | (SELECT count(*) FROM events WHERE value >= 30 OR value IS NULL)
+      |   AS src_n,
+      | (SELECT floor(sum(value) * 1e2 + 0.5) / 1e2 FROM events
+      |  WHERE value >= 30 OR value IS NULL) AS src_sum,
+      | (SELECT count(*) FROM events) AS dst_n,
+      | (SELECT floor(sum(CASE WHEN event_id % 10 = 0 THEN value + 1000
+      |                        ELSE value END) * 1e2 + 0.5) / 1e2
+      |  FROM events) AS dst_sum""".stripMargin
+
   /** MULTI-TABLE TRANSACTION (VERDICT r16 #7): a curation pass that
     * must keep TWO tables mutually consistent — the corpus and its
     * per-type manifest — lands both changes in ONE catalog-level
@@ -1878,6 +1923,9 @@ object MergeOps extends QueryModule {
     // MULTI-TABLE transaction: two tables, one catalog-level commit
     RegisteredQuery("sql_multi_table_txn", sqlMultiTableTxn,
       Some(sqlMultiTableTxnOracle)),
+    // SHALLOW CLONE: zero-copy fork, independent divergence
+    RegisteredQuery("sql_clone_diverge", sqlCloneDiverge,
+      Some(sqlCloneDivergeOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
     RegisteredQuery("sql_time_travel_partitioned", sqlTimeTravelPartitioned,
       Some(sqlTimeTravelPartitionedOracle)),

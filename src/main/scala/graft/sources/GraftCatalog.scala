@@ -64,6 +64,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "publish_branch"),
         Identifier.of(Array("system"), "publish_tables"),
+        Identifier.of(Array("system"), "clone_table"),
         Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "cluster"),
@@ -82,6 +83,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (ident.name == "create_branch" || ident.name == "publish_branch" ||
         ident.name == "drop_branch") return branchProcedure(ident.name)
     if (ident.name == "publish_tables") return publishTablesProcedure
+    if (ident.name == "clone_table") return cloneProcedure
     if (ident.name == "rollback") return rollbackProcedure
     if (ident.name == "cluster") return clusterProcedure
     if (ident.name == "history") return historyProcedure
@@ -380,6 +382,72 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * the DV debt is, what a rollback target looks like — answered from
     * metadata alone, no data scan.
     */
+  /** DESCRIBE HISTORY for a PARTITIONED table: one row per TABLE-LEVEL
+    * ledger version. The commit kind is derived by diffing each
+    * version's pinned shard map against its predecessor — an untouched
+    * shard is reference-identical and contributes nothing, a new shard
+    * reads as `append`, a dropped one as `rewrite`, and a changed one
+    * classifies through the same snapshot diff the change feed uses;
+    * several distinct shard kinds aggregate as `k1+k2`. Counts are
+    * summed across the version's pinned shard set — answered from
+    * metadata alone, no data scan.
+    */
+  private def partitionedHistoryScan(tbl: String, k: String)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val ledger = GraftCatalog.partVersions.getOrElse(k,
+      throw new IllegalStateException(s"graft catalog: no table '$tbl'"))
+    def kindOf(v: Int): String = {
+      val cur = ledger(v)
+      if (cur == null) "expired"
+      else if (v == 0) "create"
+      else if (ledger(v - 1) == null) "unknown"
+      else {
+        val (pSch, pShards) = ledger(v - 1)
+        val (cSch, cShards) = cur
+        val kinds = scala.collection.mutable.SortedSet.empty[String]
+        cShards.foreach { case (pv, c) =>
+          pShards.get(pv) match {
+            case None => kinds += "append"
+            case Some(p) if p eq c => ()
+            case Some(p) => kinds += GraftStore.classifyCommit(p, c)
+          }
+        }
+        pShards.keysIterator.filterNot(cShards.contains)
+          .foreach(_ => kinds += "rewrite")
+        if (kinds.isEmpty) { if (cSch ne pSch) "evolve" else "metadata" }
+        else kinds.mkString("+")
+      }
+    }
+    val out = new StructType()
+      .add("version", IntegerType, nullable = false)
+      .add("kind", StringType, nullable = false)
+      .add("batches", IntegerType, nullable = true)
+      .add("rows_physical", LongType, nullable = true)
+      .add("rows_live", LongType, nullable = true)
+      .add("trunc_epoch", IntegerType, nullable = true)
+    val ledgerRows = ledger.indices.map { v =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(kindOf(v))
+      ledger(v) match {
+        case null =>
+          new GenericInternalRow(Array[Any](v, u, null, null, null, null))
+        case (_, shards) =>
+          new GenericInternalRow(Array[Any](v, u,
+            shards.valuesIterator.map(_.batches.size).sum,
+            shards.valuesIterator.map(_.rowCount).sum,
+            shards.valuesIterator.map(_.liveRowCount).sum,
+            null))
+      }
+    }.toArray[InternalRow]
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = ledgerRows
+        override def description(): String = s"history($tbl) [partitioned]"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
   private def historyProcedure: procedures.UnboundProcedure = {
     import org.apache.spark.sql.connector.catalog.procedures._
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
@@ -397,6 +465,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
             val tbl = input.getUTF8String(0).toString
             val k = s"cat::$catName.$tbl"
+            // PARTITIONED tables: the base-key store history only sees
+            // create/evolution commits (shard appends never touch it),
+            // so DESCRIBE HISTORY walks the TABLE-LEVEL ledger instead —
+            // one row per table version, commit kind derived per SHARD
+            // diff and aggregated (an untouched shard is reference-
+            // identical and contributes nothing, the changed-manifests
+            // property), counts summed across the pinned shard set
+            if (GraftCatalog.parts.contains(k))
+              return partitionedHistoryScan(tbl, k)
             val hist = GraftStore.history.getOrElse(k,
               throw new IllegalStateException(
                 s"graft catalog: no table '$tbl'"))
@@ -750,6 +827,91 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                 override def rows(): Array[InternalRow] = resultRows
                 override def description(): String =
                   s"publish_tables(${parsed.mkString(",")})"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+  }
+
+  /** SHALLOW CLONE (`CALL system.clone_table('ns.src','ns.dst')`): a
+    * new FIRST-CLASS table whose v0 is the source's current snapshot,
+    * shared BY REFERENCE — zero data copy, O(shards) metadata (the
+    * Delta SHALLOW CLONE / Iceberg snapshot-ref model). From that
+    * point the tables are fully independent: snapshots are immutable,
+    * so DML on either side commits new objects into its own ledger and
+    * the other's reads are untouched (`CloneSpec` pins the divergence
+    * both ways by reference). Write-model flags (merge-on-read,
+    * equality deletes) and the partition spec carry over — a clone of
+    * a MOR table is a MOR table; tags, branches and history do NOT
+    * (the clone starts a fresh lineage, exactly like Delta). At 100 TB
+    * this is how an experiment forks the corpus: a metadata commit,
+    * not a copy job.
+    */
+  private def cloneProcedure: procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    new UnboundProcedure {
+      override def name(): String = "clone_table"
+      override def description(): String = "zero-copy shallow clone"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "clone_table"
+          override def description(): String = "zero-copy shallow clone"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("source", StringType).build(),
+            ProcedureParameter.in("target", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val srcTbl = input.getUTF8String(0).toString
+            val dstTbl = input.getUTF8String(1).toString
+            require(!dstTbl.contains('@') && !srcTbl.contains('@'),
+              "graft catalog: clone_table takes plain table names " +
+                "(branches/CDC refs cannot be cloned)")
+            val srcKey = s"cat::$catName.$srcTbl"
+            val dstKey = s"cat::$catName.$dstTbl"
+            val rows = GraftStore.stores.synchronized {
+              val src = GraftStore.stores.getOrElse(srcKey,
+                throw new IllegalStateException(
+                  s"graft catalog: no table '$srcTbl' to clone"))
+              require(!GraftStore.stores.contains(dstKey),
+                s"graft catalog: table '$dstTbl' already exists")
+              GraftStore.seed(dstKey, src)
+              val n = GraftCatalog.parts.get(srcKey) match {
+                case Some(spec) =>
+                  // every shard snapshot forks as a reference
+                  val shardRows = GraftStore.stores.iterator.collect {
+                    case (kk, c) if kk.startsWith(srcKey + "#p=") =>
+                      GraftStore.seed(
+                        dstKey + kk.substring(srcKey.length), c)
+                      c.liveRowCount
+                  }.sum
+                  GraftCatalog.parts.put(dstKey, spec)
+                  GraftCatalog.recordPartVersion(dstKey) // v0 = the clone
+                  shardRows
+                case None => src.liveRowCount
+              }
+              if (GraftCatalog.morTables.contains(srcKey))
+                GraftCatalog.morTables.put(dstKey, ())
+              if (GraftCatalog.eqDeleteTables.contains(srcKey))
+                GraftCatalog.eqDeleteTables.put(dstKey, ())
+              GraftCatalog.constraintsReg.get(srcKey)
+                .foreach(GraftCatalog.constraintsReg.put(dstKey, _))
+              n
+            }
+            val out = new StructType()
+              .add("cloned_rows", LongType, nullable = false)
+              .add("target", StringType, nullable = false)
+            val resultRow: InternalRow = new GenericInternalRow(Array[Any](
+              rows,
+              org.apache.spark.unsafe.types.UTF8String.fromString(dstTbl)))
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = Array(resultRow)
+                override def description(): String =
+                  s"clone_table($srcTbl, $dstTbl)"
               }
             java.util.Collections.singletonList(scan).iterator()
           }

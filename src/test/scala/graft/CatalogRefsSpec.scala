@@ -151,6 +151,33 @@ class CatalogRefsSpec extends SparkSpec {
       "DROP TABLE must reap partitioned tags")
   }
 
+  test("PARTITIONED history walks the table-level ledger with per-shard-diff kinds") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.phist")
+      .partitionedBy(col("event_type")).create() // v0 create, v1 data
+    try {
+      spark.sql(
+        "INSERT INTO graft_cat.spec.phist VALUES (900001, 'error', 1.0)") // v2
+      spark.sql(
+        "DELETE FROM graft_cat.spec.phist WHERE event_type = 'error' AND value < 50") // v3: shard-local COW
+      val h = spark.sql("CALL graft_cat.system.history('spec.phist')")
+        .collect()
+      // one row per TABLE-LEVEL version — not the base store's
+      // create-only history (the pre-r17 rendering)
+      assert(h.length === 4, h.mkString("; "))
+      assert(h(0).getString(1) === "create")
+      assert(h(1).getString(1) === "append")
+      assert(h(2).getString(1) === "append")
+      assert(h(3).getString(1) === "rewrite",
+        s"partition-local COW must classify from the shard diff: ${h(3)}")
+      // live counts move with the commits, summed across shards
+      assert(h(2).getLong(4) === base.count() + 1)
+      assert(h(3).getLong(4) < h(2).getLong(4))
+    } finally spark.sql("DROP TABLE graft_cat.spec.phist")
+  }
+
   test("PARTITIONED retention releases shard-history snapshots the ledger no longer pins") {
     cat()
     val k = "cat::graft_cat.spec.ptr"

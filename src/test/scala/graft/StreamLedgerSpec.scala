@@ -55,6 +55,35 @@ class StreamLedgerSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.sol")
   }
 
+  test("an EQUALITY delete mid-stream fences the raw append feed; eq-deletes committed before start are applied") {
+    cat()
+    spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 10.0).as("v"))
+      .writeTo("graft_cat.spec.seqf")
+      .tableProperty("write.delete.mode", "equality").create()
+    val root = java.nio.file.Files.createTempDirectory("graft_seqf")
+    try {
+      val ckpt = root.resolve("ckpt").toString
+      assert(drainCount("graft_cat.spec.seqf", ckpt) === 10L)
+      // the eq-delete changed the meaning of already-streamed batches:
+      // the epoch bumps and the checkpointed stream fails LOUDLY
+      // instead of silently serving rows downstream already processed
+      spark.sql("DELETE FROM graft_cat.spec.seqf WHERE k IN (3, 7)")
+      val ex = intercept[Exception] {
+        drainCount("graft_cat.spec.seqf", ckpt)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("append-only")),
+        msgs(ex).mkString(" | ").take(200))
+      // a FRESH stream applies the pending tuple set: deleted keys
+      // never replay
+      assert(drainCount("graft_cat.spec.seqf",
+        root.resolve("ckpt2").toString) === 8L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.seqf")
+  }
+
   test("metadata-only evolution MID-STREAM: RENAME keeps the feed coherent, ADD fences loudly") {
     cat()
     spark.range(0, 5).select(col("id").as("k"), lit(1.0).as("v"))
