@@ -1546,6 +1546,41 @@ object MergeOps extends QueryModule {
       |   AS n_click
       |FROM fin""".stripMargin
 
+  /** PARTITION-SPEC EVOLUTION end-to-end (retires the r16 refusal —
+    * the last "missing" item): an identity-partitioned table evolves
+    * to `bucket(8, event_id)` as ONE metadata commit (`SqlDmlSpec`
+    * eq-pins that no shard is touched), the second half of the data
+    * lands under the NEW spec (its id rides in the shard-key suffix),
+    * and a COW DELETE then runs across BOTH spec generations — each
+    * shard pruned and rewritten under its OWN spec, surviving rewritten
+    * rows migrating to the current spec exactly like an Iceberg rewrite
+    * does. The digest reads the whole table after all three phases; at
+    * 100 TB this is re-partitioning a growing event log without the
+    * CTAS rewrite the r16 refusal demanded.
+    */
+  def sqlSpecEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base.filter(col("event_id") % 2 === 0),
+        partitionBy = Some("event_type")) { tbl =>
+      s.sql(s"CALL graft_cat.system.evolve_spec(" +
+        s"'${tbl.stripPrefix("graft_cat.")}', 'bucket(8, event_id)')")
+      base.filter(col("event_id") % 2 === 1).writeTo(tbl).append()
+      s.sql(s"DELETE FROM $tbl WHERE value < 30")
+      s.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(sum(col("value")), 2).as("sum_value"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+    }
+  }
+
+  val sqlSpecEvolutionOracle: String =
+    """SELECT count(*) AS n_rows,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+      | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_error
+      |FROM events WHERE value >= 30 OR value IS NULL""".stripMargin
+
   /** SHALLOW CLONE + divergence: `CALL system.clone_table` forks a new
     * first-class table whose v0 shares the source's snapshot BY
     * REFERENCE (zero copy — the Delta SHALLOW CLONE model; `CloneSpec`
@@ -1926,6 +1961,9 @@ object MergeOps extends QueryModule {
     // SHALLOW CLONE: zero-copy fork, independent divergence
     RegisteredQuery("sql_clone_diverge", sqlCloneDiverge,
       Some(sqlCloneDivergeOracle)),
+    // PARTITION-SPEC evolution: metadata-only, per-shard spec ids
+    RegisteredQuery("sql_spec_evolution", sqlSpecEvolution,
+      Some(sqlSpecEvolutionOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
     RegisteredQuery("sql_time_travel_partitioned", sqlTimeTravelPartitioned,
       Some(sqlTimeTravelPartitionedOracle)),

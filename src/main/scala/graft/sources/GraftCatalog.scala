@@ -219,32 +219,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
-  /** `CALL graft_cat.system.evolve_spec('ns.t', '<transform>')` — the
-    * addressable surface for PARTITION-SPEC EVOLUTION, answered with a
-    * DOCUMENTED refusal (VERDICT r15 missing #4). Iceberg evolves a
-    * spec metadata-only because every data file carries its own
-    * partition tuple and manifests index files per spec, so old files
-    * keep the old spec while new writes land under the new one. This
-    * store's shards are spec-homogeneous — the shard key IS the
-    * partition value under ONE transform, and pruning, COW group
-    * routing, runtime group filtering and the table-level version
-    * ledger all assume it — so a second live spec would silently break
-    * group identity. Refusing loudly (with the CTAS migration recipe)
-    * is the honest contract until shards carry per-spec keys; a silent
-    * accept-and-misroute is the failure mode this guards against.
+  /** PARTITION-SPEC EVOLUTION (`CALL system.evolve_spec('ns.t',
+    * 'bucket(8, k)')`) — metadata-only, the Iceberg model (retires the
+    * r16 refusal): the new spec appends to the table's spec vector and
+    * becomes CURRENT; existing shards keep their creation spec — their
+    * spec id rides in the shard-key suffix, pruning and
+    * partition-drop evaluate each shard under its OWN spec, and new
+    * writes route through the new transform. No shard is read or
+    * rewritten; the commit is one table-level ledger entry. A
+    * whole-condition delete that only one spec generation can evaluate
+    * refuses the metadata tier and falls to the always-correct COW
+    * rewrite; `CALL system.compact`-era rewrites progressively migrate
+    * data to the current spec as they rewrite (here: a COW touching an
+    * old-spec row re-routes it).
     */
   private def evolveSpecProcedure: procedures.UnboundProcedure = {
     import org.apache.spark.sql.connector.catalog.procedures._
-    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.types.{IntegerType, StringType}
     new UnboundProcedure {
       override def name(): String = "evolve_spec"
       override def description(): String =
-        "evolve a table's partition spec (documented refusal)"
+        "evolve a table's partition spec (metadata-only)"
       override def bind(inputType: StructType): BoundProcedure =
         new BoundProcedure {
           override def name(): String = "evolve_spec"
           override def description(): String =
-            "evolve a table's partition spec (documented refusal)"
+            "evolve a table's partition spec (metadata-only)"
           override def parameters(): Array[ProcedureParameter] = Array(
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("transform", StringType).build())
@@ -254,18 +254,80 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             val tbl = input.getUTF8String(0).toString
             val transform = input.getUTF8String(1).toString
             val k = s"cat::$catName.$tbl"
-            require(GraftStore.stores.contains(k) ||
-              GraftCatalog.parts.contains(k),
-              s"graft catalog: no table '$tbl' to evolve")
-            throw new UnsupportedOperationException(
-              s"graft catalog: partition-spec evolution of '$tbl' to " +
-                s"'$transform' is unsupported — shards are " +
-                "spec-homogeneous (one transform per table; pruning, COW " +
-                "group identity and the version ledger depend on it). " +
-                "Migrate via CTAS: CREATE TABLE t2 PARTITIONED BY " +
-                s"($transform) AS SELECT * FROM $tbl — a one-time " +
-                "rewrite, where Iceberg's per-file spec ids make it " +
-                "metadata-only.")
+            require(!tbl.contains('@'),
+              "graft catalog: evolve_spec takes a plain table name")
+            require(GraftCatalog.parts.contains(k),
+              if (GraftStore.stores.contains(k))
+                s"graft catalog: '$tbl' is unpartitioned — " +
+                  "evolve_spec changes the transform of a partitioned " +
+                  "table; partition an unpartitioned table via CTAS"
+              else s"graft catalog: no table '$tbl' to evolve")
+            val schema = GraftStore.stores(k).schema
+            def col(c: String): String = {
+              require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+                s"graft catalog: no column '$c' in ${tbl}")
+              schema.fieldNames.find(_.equalsIgnoreCase(c)).get
+            }
+            val Bucket = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+            val Days = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+            val Ident = """(?:identity\(\s*)?([A-Za-z0-9_]+)\s*\)?""".r
+            val newSpec: PartSpec = transform.trim match {
+              case Bucket(n, c) =>
+                require(n.toInt > 0, s"bucket count must be positive: $n")
+                PartSpec.BucketPart(n.toInt, col(c),
+                  schema(col(c)).dataType)
+              case Days(c) =>
+                val dt = schema(col(c)).dataType
+                require(dt == org.apache.spark.sql.types.TimestampType ||
+                  dt == org.apache.spark.sql.types.DateType,
+                  s"days(${col(c)}) requires TIMESTAMP or DATE, got $dt")
+                PartSpec.DaysPart(col(c), dt)
+              case Ident(c) =>
+                require(schema(col(c)).dataType ==
+                  org.apache.spark.sql.types.StringType,
+                  s"identity partition column ${col(c)} must be STRING")
+                PartSpec.IdentityPart(col(c))
+              case other => throw new IllegalArgumentException(
+                s"graft catalog: unsupported transform '$other' — use " +
+                  "identity(col), days(col) or bucket(n, col)")
+            }
+            val specId = GraftStore.stores.synchronized {
+              val specs = GraftCatalog.specsOf(k)
+              require(specs.last != newSpec,
+                s"graft catalog: '$tbl' already partitions by " +
+                  s"${newSpec.transform.describe()}")
+              // the one ambiguity the suffix codec admits: a RAW
+              // spec-0 value that itself looks like an encoded suffix
+              // could alias a later spec's shard — refuse up front,
+              // loudly, before anything commits
+              GraftStore.stores.keys.filter(_.startsWith(k + "#p="))
+                .foreach { kk =>
+                  val sfx = kk.substring(kk.indexOf("#p=") + 3)
+                  if (specs.size <= 1 && PartSpec.suffixLooksEncoded(sfx))
+                    throw new IllegalStateException(
+                      s"graft catalog: cannot evolve '$tbl' — existing " +
+                        s"partition value '$sfx' collides with the " +
+                        "spec-id suffix encoding; rewrite via CTAS first")
+                }
+              GraftCatalog.partSpecs.put(k, specs :+ newSpec)
+              GraftCatalog.parts.put(k, newSpec)
+              GraftCatalog.recordPartVersion(k) // one metadata commit
+              specs.size
+            }
+            val out = new StructType()
+              .add("spec_id", IntegerType, nullable = false)
+              .add("transform", StringType, nullable = false)
+            val resultRow: InternalRow = new GenericInternalRow(Array[Any](
+              specId, org.apache.spark.unsafe.types.UTF8String
+                .fromString(newSpec.transform.describe())))
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = Array(resultRow)
+                override def description(): String =
+                  s"evolve_spec($tbl, $transform)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
           }
         }
     }
@@ -724,6 +786,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     def cleanupBranch(): Unit = {
       GraftCatalog.branches.remove(bk)
       GraftCatalog.parts.remove(bk)
+      GraftCatalog.partSpecs.remove(bk)
       GraftCatalog.partVersions.remove(bk)
       GraftStore.dropMatching(kk => kk == bk || kk.startsWith(bk + "#p="))
     }
@@ -888,6 +951,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                       c.liveRowCount
                   }.sum
                   GraftCatalog.parts.put(dstKey, spec)
+                  GraftCatalog.partSpecs
+                    .put(dstKey, GraftCatalog.specsOf(srcKey))
                   GraftCatalog.recordPartVersion(dstKey) // v0 = the clone
                   shardRows
                 case None => src.liveRowCount
@@ -946,6 +1011,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             def cleanupBranch(): Unit = {
               GraftCatalog.branches.remove(bk)
               GraftCatalog.parts.remove(bk)
+              GraftCatalog.partSpecs.remove(bk)
               GraftCatalog.partVersions.remove(bk)
               dropBranchStores()
             }
@@ -979,6 +1045,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                         GraftStore.seed(bk + kk.substring(mainKey.length), c)
                       }
                     GraftCatalog.parts.put(bk, GraftCatalog.parts(mainKey))
+                    GraftCatalog.partSpecs
+                      .put(bk, GraftCatalog.specsOf(mainKey))
                     GraftCatalog.recordPartVersion(bk)
                     val n = GraftCatalog.partVersions
                       .getOrElse(mainKey, Vector.empty).size
@@ -1240,6 +1308,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         }
         GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
         GraftCatalog.parts.put(key(ident), spec)
+        GraftCatalog.partSpecs.put(key(ident), Vector(spec))
         if (mor) GraftCatalog.morTables.put(key(ident), ())
         if (eqDel) GraftCatalog.eqDeleteTables.put(key(ident), ())
         GraftCatalog.recordPartVersion(key(ident)) // v0 = the create
@@ -1366,10 +1435,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val k = key(ident)
     val existed = GraftStore.stores.contains(k)
     GraftCatalog.parts.remove(k)
+    GraftCatalog.partSpecs.remove(k)
     GraftCatalog.partVersions.remove(k)
     // branch-scoped registrations of a partitioned table's branches
     GraftCatalog.parts.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.parts.remove)
+    GraftCatalog.partSpecs.keys.filter(_.startsWith(k + "#b="))
+      .foreach(GraftCatalog.partSpecs.remove)
     GraftCatalog.partVersions.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.partVersions.remove)
     GraftCatalog.morTables.remove(k)
@@ -1397,6 +1469,61 @@ object GraftCatalog {
     */
   private[sources] val parts =
     scala.collection.concurrent.TrieMap.empty[String, PartSpec]
+
+  /** table key → EVERY partition spec the table has ever had, index =
+    * spec id, last = current (mirrored in [[parts]] for the hot
+    * paths). Only populated beyond one entry by `CALL
+    * system.evolve_spec`; absent means "the single spec in [[parts]]".
+    * The Iceberg spec-history model: old shards keep their creation
+    * spec (their id rides in the shard-key suffix,
+    * [[PartSpec.decodeSuffix]]), new writes route through the current
+    * one, and per-shard pruning/drop logic consults the shard's OWN
+    * spec.
+    */
+  private[graft] val partSpecs = scala.collection.concurrent.TrieMap
+    .empty[String, Vector[PartSpec]]
+
+  private[sources] def specsOf(k: String): Vector[PartSpec] =
+    partSpecs.getOrElse(k, parts.get(k).toVector)
+  private[sources] def currentSpecId(k: String): Int =
+    math.max(0, specsOf(k).size - 1)
+  /** (spec id, spec, raw value) of a shard-key suffix under table
+    * `k` — single-spec tables never decode (raw value == suffix).
+    */
+  private[sources] def shardSpecOf(k: String, suffix: String)
+      : (Int, PartSpec, String) = {
+    val specs = specsOf(k)
+    if (specs.size <= 1) (0, specs.headOption.orNull, suffix)
+    else {
+      val (id, v) = PartSpec.decodeSuffix(suffix)
+      (id, specs.lift(id).getOrElse(specs.last), v)
+    }
+  }
+
+  /** Pruning keep-predicate over SHARD SUFFIXES for table `k`: each
+    * shard prunes by its OWN spec (a filter on a column an old spec
+    * can't evaluate keeps that spec's shards — conservative, exactly
+    * Iceberg's per-spec manifest evaluation). Single-spec tables take
+    * the original [[PartSpec.keepFor]] path untouched.
+    */
+  private[sources] def keepForTable(k: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[String => Boolean] = {
+    val specs = specsOf(k)
+    if (specs.size <= 1)
+      PartSpec.keepFor(specs.headOption.orNull, filters)
+    else {
+      val keeps = specs.map(sp => PartSpec.keepFor(sp, filters))
+      if (keeps.forall(_.isEmpty)) None
+      else Some { suffix =>
+        val (id, v) = PartSpec.decodeSuffix(suffix)
+        keeps.lift(id).flatten match {
+          case Some(p) => p(v)
+          case None => true
+        }
+      }
+    }
+  }
 
   /** partitioned table key → TABLE-LEVEL commit ledger: one entry per
     * statement-scope commit, pinning the logical schema and every live
@@ -1934,16 +2061,19 @@ private[sources] class GraftPartitionedTable(
           .compileEquality(schema(), predicates).getOrElse(
             throw new IllegalStateException(
               "deleteWhere called with predicates canDeleteWhere rejected"))
-        val srcIdx = cols.indexWhere(i =>
-          schema().fields(i).name.equalsIgnoreCase(spec.sourceCol))
         GraftStore.stores.synchronized {
-          val keys =
-            if (srcIdx < 0) partKeys()
-            else {
-              val owned = tuples.map(t => spec.valueOf(t(srcIdx))).toSet
-              partKeys().filter(k =>
-                owned.contains(k.substring(k.indexOf("#p=") + 3)))
-            }
+          // owning-shard scoping PER SHARD under its OWN spec: if the
+          // tuple set constrains a shard's partition source column,
+          // only shards some tuple routes to record it; a shard whose
+          // spec derives from a column the tuples don't name must
+          // record the set (the tuple could live anywhere in it)
+          val keys = partKeys().filter { k =>
+            val sfx = k.substring(k.indexOf("#p=") + 3)
+            val (_, sp, v) = GraftCatalog.shardSpecOf(tableKey, sfx)
+            val srcIdx = cols.indexWhere(i =>
+              schema().fields(i).name.equalsIgnoreCase(sp.sourceCol))
+            srcIdx < 0 || tuples.exists(t => sp.valueOf(t(srcIdx)) == v)
+          }
           keys.foreach(GraftStore.commitEqDelete(_, cols, tuples))
           GraftCatalog.recordPartVersion(tableKey) // ONE table version
         }
@@ -1974,10 +2104,10 @@ private[sources] class GraftPartitionedTable(
   private def matchedPartitionValues(predicates: Array[org.apache.spark.sql
       .connector.expressions.filter.Predicate]): Option[Set[String]] = {
     import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
-    def isPartRef(e: V2Expr): Boolean = e match {
+    def isRefTo(e: V2Expr, col: String): Boolean = e match {
       case r: NamedReference =>
         r.fieldNames() match {
-          case Array(n) => n.equalsIgnoreCase(partCol)
+          case Array(n) => n.equalsIgnoreCase(col)
           case _ => false
         }
       case _ => false
@@ -1988,10 +2118,6 @@ private[sources] class GraftPartitionedTable(
         Option(l.value).map(_.toString)
       case _ => None
     }
-    // the universe: every live partition value — what an ALWAYS_TRUE
-    // conjunct (an unpredicated `DELETE FROM t`) selects
-    lazy val universe: Set[String] =
-      partKeys().map(k => k.substring(k.indexOf("#p=") + 3)).toSet
     /** day-aligned micros bound of a days(ts) literal, else None. */
     def alignedDay(e: V2Expr): Option[Long] = e match {
       case l: V2Literal[_] if l.dataType ==
@@ -2006,37 +2132,51 @@ private[sources] class GraftPartitionedTable(
         Option(l.value).collect { case d: java.lang.Integer => d.toLong }
       case _ => None
     }
-    val sets = predicates.map { p =>
-      (p.name(), spec) match {
-        case ("ALWAYS_TRUE", _) => Some(universe)
-        case ("=" | "<=>", _: PartSpec.IdentityPart) => p.children() match {
-          case Array(a, b) if isPartRef(a) => strLit(b).map(Set(_))
-          case Array(a, b) if isPartRef(b) => strLit(a).map(Set(_))
+    // PER SHARD, under the shard's OWN spec (spec evolution means live
+    // shards can carry different specs): does predicate `p` select the
+    // WHOLE shard (Some(true)), NONE of it (Some(false)), or can we
+    // not tell (None — e.g. a point predicate on a bucket shard, or a
+    // column the shard's spec doesn't derive from)? A single
+    // can't-tell anywhere refuses the metadata drop; the plan stays
+    // the always-correct COW rewrite.
+    def evalShard(sp: PartSpec, v: String,
+        p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Boolean] =
+      (p.name(), sp) match {
+        case ("ALWAYS_TRUE", _) => Some(true)
+        case ("=" | "<=>", PartSpec.IdentityPart(c)) => p.children() match {
+          case Array(a, b) if isRefTo(a, c) => strLit(b).map(_ == v)
+          case Array(a, b) if isRefTo(b, c) => strLit(a).map(_ == v)
           case _ => None
         }
-        case ("IN", _: PartSpec.IdentityPart) => p.children() match {
-          case kids if kids.length >= 2 && isPartRef(kids.head) =>
+        case ("IN", PartSpec.IdentityPart(c)) => p.children() match {
+          case kids if kids.length >= 2 && isRefTo(kids.head, c) =>
             val vs = kids.tail.flatMap(strLit)
-            if (vs.length == kids.length - 1) Some(vs.toSet) else None
+            if (vs.length == kids.length - 1) Some(vs.contains(v)) else None
           case _ => None
         }
-        case ("<", _: PartSpec.DaysPart) => p.children() match {
-          case Array(a, b) if isPartRef(a) =>
-            alignedDay(b).map(d => universe.filter(_.toLong < d))
-          case Array(a, b) if isPartRef(b) => // literal < col ≡ col > literal
-            None
+        case ("<", PartSpec.DaysPart(c, _)) => p.children() match {
+          case Array(a, b) if isRefTo(a, c) =>
+            alignedDay(b).map(d => v.toLong < d)
           case _ => None
         }
-        case (">=", _: PartSpec.DaysPart) => p.children() match {
-          case Array(a, b) if isPartRef(a) =>
-            alignedDay(b).map(d => universe.filter(_.toLong >= d))
+        case (">=", PartSpec.DaysPart(c, _)) => p.children() match {
+          case Array(a, b) if isRefTo(a, c) =>
+            alignedDay(b).map(d => v.toLong >= d)
           case _ => None
         }
         case _ => None
       }
+    if (predicates.isEmpty) return None
+    val matched = Set.newBuilder[String]
+    partKeys().foreach { k =>
+      val sfx = k.substring(k.indexOf("#p=") + 3)
+      val (_, sp, v) = GraftCatalog.shardSpecOf(tableKey, sfx)
+      val per = predicates.map(evalShard(sp, v, _))
+      if (per.exists(_.isEmpty)) return None
+      if (per.forall(_.contains(true))) matched += sfx
     }
-    if (predicates.isEmpty || sets.exists(_.isEmpty)) None
-    else Some(sets.flatten.reduce(_ intersect _))
+    Some(matched.result())
   }
 
   override def properties(): util.Map[String, String] =
@@ -2099,10 +2239,10 @@ private[sources] class GraftPartitionedTable(
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
-        keep = PartSpec.keepFor(spec, filters.toSeq)
+        keep = GraftCatalog.keepForTable(tableKey, filters.toSeq)
         if (keep.isDefined)
           kept = filters.filter(f =>
-            PartSpec.keepFor(spec, Seq(f)).isDefined)
+            GraftCatalog.keepForTable(tableKey, Seq(f)).isDefined)
         filters // everything residual: pruning is shard-grained only
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -2195,7 +2335,7 @@ private[sources] class GraftPartitionedTable(
         override def pushFilters(
             filters: Array[org.apache.spark.sql.sources.Filter])
             : Array[org.apache.spark.sql.sources.Filter] = {
-          keep = PartSpec.keepFor(spec, filters.toSeq)
+          keep = GraftCatalog.keepForTable(tableKey, filters.toSeq)
           filters
         }
         override def pushedFilters()
@@ -2259,7 +2399,8 @@ private[sources] class GraftPartitionedTable(
               // hidden-transform translation, then narrowed to the
               // CONCRETE live shard set (ranges can't enumerate values
               // statically, but the existing shards can be filtered)
-              PartSpec.keepFor(spec, filters.toSeq).foreach { p =>
+              GraftCatalog.keepForTable(tableKey, filters.toSeq)
+                .foreach { p =>
                 narrow(partKeys()
                   .map(k => k.substring(k.indexOf("#p=") + 3))
                   .filter(p).toSet)
@@ -2597,6 +2738,10 @@ private[sources] class GraftPartBatchWrite(
     val s = schema
     val route = spec
     val pIdx = schema.fieldIndex(spec.sourceCol)
+    // new data always routes through the CURRENT spec; its id rides in
+    // the shard-key suffix (spec evolution — raw for a never-evolved
+    // table, `#s=N` after the Nth evolve)
+    val specId = GraftCatalog.currentSpecId(tableKey)
     (_: Int, _: Long) => new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.Map
         .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
@@ -2616,7 +2761,7 @@ private[sources] class GraftPartBatchWrite(
         }
         // the TRANSFORM routes: identity keeps the raw value, days/
         // bucket derive the hidden partition value from the source col
-        val pv = route.valueOf(vals(pIdx))
+        val pv = PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), specId)
         buf.getOrElseUpdate(pv,
           scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
       }
@@ -2782,6 +2927,10 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val s = rowSchema
     val route = spec
+    // new/updated rows route through the CURRENT spec (suffix carries
+    // its id after an evolve; an update whose row sat in an old-spec
+    // shard honestly migrates as delete + insert)
+    val specId = GraftCatalog.currentSpecId(tableKey)
     // a DELETE-only WriteDelta carries an EMPTY row schema (only row
     // ids flow) — resolve the routing column lazily, it is only needed
     // when insert/update rows actually arrive
@@ -2820,7 +2969,8 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
         val oldGroup = id.getUTF8String(0).toString
         val pos = id.getLong(1)
         val vals = copyRow(row)
-        val newGroup = route.valueOf(vals(pIdx))
+        val newGroup =
+          PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), specId)
         if (newGroup == oldGroup)
           upds.getOrElseUpdate(oldGroup, scala.collection.mutable
             .ArrayBuffer.empty[(Long, Array[Any])]) += ((pos, vals))
@@ -2833,7 +2983,8 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
       }
       override def insert(row: InternalRow): Unit = {
         val vals = copyRow(row)
-        ins.getOrElseUpdate(route.valueOf(vals(pIdx)),
+        ins.getOrElseUpdate(
+          PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), specId),
           scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
       }
       override def commit(): WriterCommitMessage =

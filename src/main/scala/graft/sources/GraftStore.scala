@@ -318,6 +318,9 @@ object GraftStore {
     */
   private[graft] def dvsRef(name: String): Option[Map[Int, Array[Long]]] =
     stores.get(name).map(_.dvs)
+  /** Test hook: live store keys under a prefix (shard enumeration). */
+  private[graft] def keysWithPrefix(prefix: String): Seq[String] =
+    stores.keys.filter(_.startsWith(prefix)).toSeq.sorted
   private[graft] def eqDeleteCount(name: String): Int =
     stores.get(name).map(_.eqDeletes.size).getOrElse(0)
   /** Test hook: a store's current LOGICAL schema (spec-pins lockstep

@@ -86,6 +86,25 @@ private[sources] object PartSpec {
       case _ => None
     }
 
+  /** Shard-suffix codec for MULTI-SPEC tables (partition-spec
+    * evolution): spec id 0 keeps the RAW partition value as its shard
+    * suffix — a table that never evolves never pays any encoding and
+    * every pre-evolution key stays valid — while spec id N >= 1
+    * appends `#s=N`. `decodeSuffix` is consulted only for tables whose
+    * spec vector has grown; `evolve_spec` refuses up front if any
+    * pre-existing raw suffix would itself parse as encoded (the one
+    * ambiguity the scheme admits).
+    */
+  private val SpecTag = """^(.*)#s=(\d+)$""".r
+  def encodeSuffix(value: String, specId: Int): String =
+    if (specId == 0) value else s"$value#s=$specId"
+  def decodeSuffix(suffix: String): (Int, String) = suffix match {
+    case SpecTag(v, id) => (id.toInt, v)
+    case _ => (0, suffix)
+  }
+  def suffixLooksEncoded(suffix: String): Boolean =
+    SpecTag.matches(suffix)
+
   /** Translate the pushed source/partition-column filters into a
     * shard-value keep-predicate. None = no applicable filter (keep all).
     * Always CONSERVATIVE: a day-range bound keeps its boundary shard

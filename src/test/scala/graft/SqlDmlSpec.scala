@@ -177,20 +177,58 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pcl")
   }
 
-  test("partition-spec evolution refuses loudly and the CTAS migration recipe works (pinned)") {
+  test("partition-spec evolution is METADATA-ONLY: old shards keep their spec, new writes route through the new one") {
     cat()
     spark.range(0, 12)
       .select((col("id") % 3).cast("string").as("p"), col("id").as("v"))
       .writeTo("graft_cat.spec.pse").partitionedBy(col("p")).create()
     try {
-      val ex = intercept[Exception] {
-        spark.sql(
-          "CALL graft_cat.system.evolve_spec('spec.pse', 'bucket(8, v)')")
-          .collect()
-      }
-      assert(ex.getMessage.contains("partition-spec evolution"),
-        ex.getMessage.take(160))
-      assert(ex.getMessage.contains("CTAS"), "refusal must name the recipe")
+      val before = spark.table("graft_cat.spec.pse")
+        .orderBy("v").collect().toSeq
+      val oldShard = graft.sources.GraftStore
+        .batchesRef("cat::graft_cat.spec.pse#p=0").get
+      val res = spark.sql(
+        "CALL graft_cat.system.evolve_spec('spec.pse', 'bucket(8, v)')").head
+      assert(res.getInt(0) === 1, "first evolution = spec id 1")
+      // metadata-only: not one shard touched, content identical
+      assert(graft.sources.GraftStore
+        .batchesRef("cat::graft_cat.spec.pse#p=0").get eq oldShard)
+      assert(spark.table("graft_cat.spec.pse")
+        .orderBy("v").collect().toSeq === before)
+      // new writes route through the NEW spec: bucket shards carry the
+      // spec id in their key suffix, old identity shards untouched
+      spark.range(100, 104)
+        .select((col("id") % 3).cast("string").as("p"), col("id").as("v"))
+        .writeTo("graft_cat.spec.pse").append()
+      assert(graft.sources.GraftStore
+        .batchesRef("cat::graft_cat.spec.pse#p=0").get eq oldShard)
+      val newShards = graft.sources.GraftStore
+        .keysWithPrefix("cat::graft_cat.spec.pse#p=")
+        .filter(_.contains("#s=1"))
+      assert(newShards.nonEmpty, "new-spec shards must carry #s=1")
+      assert(spark.table("graft_cat.spec.pse").count() === 16L)
+      // pruning is PER SHARD under its own spec: p='1' prunes the old
+      // identity shards to one but keeps every new-spec bucket shard
+      // (its spec cannot evaluate p — conservative, rows re-filtered)
+      assert(spark.table("graft_cat.spec.pse")
+        .filter(col("p") === "1").count() === 6L)
+      val (total, skipped) = graft.sources.GraftStore
+        .skipLog("cat::graft_cat.spec.pse")
+      assert(skipped === 2,
+        s"expected the two non-matching identity shards pruned, got $skipped/$total")
+      // v = 101 prunes new-spec buckets but keeps all old shards
+      assert(spark.table("graft_cat.spec.pse")
+        .filter(col("v") === 101L).count() === 1L)
+      // a COW DML across both generations stays correct
+      spark.sql("DELETE FROM graft_cat.spec.pse WHERE v % 2 = 1")
+      assert(spark.table("graft_cat.spec.pse").count() === 8L)
+      assert(spark.table("graft_cat.spec.pse")
+        .filter(col("v") % 2 === 1).count() === 0L)
+      // time travel: the pre-evolution version still serves
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.pse VERSION AS OF 1")
+        .head.getLong(0) === 12L)
+      // refusals: unknown table, no-op re-evolve, unpartitioned target
       val missing = intercept[Exception] {
         spark.sql(
           "CALL graft_cat.system.evolve_spec('spec.nope', 'days(ts)')")
@@ -198,15 +236,13 @@ class SqlDmlSpec extends SparkSpec {
       }
       assert(missing.getMessage.contains("no table"),
         missing.getMessage.take(160))
-      // the recommended migration actually works: CTAS under the new
-      // spec, content identical
-      spark.table("graft_cat.spec.pse").writeTo("graft_cat.spec.pse2")
-        .partitionedBy(org.apache.spark.sql.functions.bucket(8, col("v")))
-        .create()
-      try {
-        assert(spark.table("graft_cat.spec.pse2").orderBy("v").collect().toSeq
-          === spark.table("graft_cat.spec.pse").orderBy("v").collect().toSeq)
-      } finally spark.sql("DROP TABLE graft_cat.spec.pse2")
+      val noop = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.evolve_spec('spec.pse', 'bucket(8, v)')")
+          .collect()
+      }
+      assert(noop.getMessage.contains("already partitions"),
+        noop.getMessage.take(160))
     } finally spark.sql("DROP TABLE graft_cat.spec.pse")
   }
 
