@@ -246,6 +246,47 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pse")
   }
 
+  test("spec evolution composes with partitioned MOR: row-deltas stay shard-local, updates migrate across generations") {
+    cat()
+    spark.range(0, 12)
+      .select((col("id") % 3).cast("string").as("p"), col("id").as("v"))
+      .writeTo("graft_cat.spec.psem").partitionedBy(col("p"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      spark.sql(
+        "CALL graft_cat.system.evolve_spec('spec.psem', 'bucket(4, v)')")
+      spark.range(100, 104)
+        .select((col("id") % 3).cast("string").as("p"), col("id").as("v"))
+        .writeTo("graft_cat.spec.psem").append()
+      // a MOR UPDATE touching BOTH generations: rows in old-spec shards
+      // migrate (delete + insert under the current spec), rows already
+      // in current-spec shards delta in place — and every untouched
+      // pre-existing batch survives by reference
+      val oldShard = graft.sources.GraftStore
+        .batchesRef("cat::graft_cat.spec.psem#p=0").get
+      spark.sql(
+        "UPDATE graft_cat.spec.psem SET v = v + 1000 WHERE v % 2 = 0")
+      // old shard: DV bits only, no rewrite (its even rows migrated out)
+      val after = graft.sources.GraftStore
+        .batchesRef("cat::graft_cat.spec.psem#p=0").get
+      oldShard.indices.foreach(i => assert(after(i) eq oldShard(i),
+        s"pre-existing batch $i of the old-spec shard was rewritten"))
+      assert(graft.sources.GraftStore
+        .dvMarkedCount("cat::graft_cat.spec.psem#p=0") > 0L)
+      // content correct across both generations
+      assert(spark.table("graft_cat.spec.psem").count() === 16L)
+      assert(spark.table("graft_cat.spec.psem")
+        .filter(col("v") % 2 === 0 && col("v") < 1000).count() === 0L)
+      assert(spark.table("graft_cat.spec.psem")
+        .filter(col("v") >= 1000).count() === 8L)
+      // the migrated rows live in CURRENT-spec shards
+      val newShardRows = graft.sources.GraftStore
+        .keysWithPrefix("cat::graft_cat.spec.psem#p=")
+        .filter(_.contains("#s=1"))
+      assert(newShardRows.nonEmpty)
+    } finally spark.sql("DROP TABLE graft_cat.spec.psem")
+  }
+
   test("partition-group COW: a predicate-bounded DML rewrites ONLY its group (eq-pinned)") {
     cat()
     val base = Tables.events(spark, sfDir)

@@ -233,6 +233,31 @@ class StreamLedgerSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.psev")
   }
 
+  test("spec evolution mid-stream: the partitioned source keeps flowing; post-evolve appends arrive from new-spec shards") {
+    cat()
+    spark.range(0, 6)
+      .select((col("id") % 2).cast("string").as("p"), col("id").as("v"))
+      .repartition(1)
+      .writeTo("graft_cat.spec.sevo").partitionedBy(col("p")).create()
+    val root = java.nio.file.Files.createTempDirectory("graft_sevo")
+    try {
+      val ckpt = root.resolve("ckpt").toString
+      assert(drainCount("graft_cat.spec.sevo", ckpt) === 6L)
+      // the evolve is a metadata-only table-level commit: nothing to
+      // serve, nothing to fence — the checkpointed stream stays alive
+      spark.sql(
+        "CALL graft_cat.system.evolve_spec('spec.sevo', 'bucket(2, v)')")
+      assert(drainCount("graft_cat.spec.sevo", ckpt) === 0L)
+      // appends now land in NEW-spec shards (a shard APPEARING
+      // mid-stream is an append like any other) and flow to the sink
+      spark.range(100, 103)
+        .select((col("id") % 2).cast("string").as("p"), col("id").as("v"))
+        .repartition(1)
+        .writeTo("graft_cat.spec.sevo").append()
+      assert(drainCount("graft_cat.spec.sevo", ckpt) === 3L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.sevo")
+  }
+
   test("streaming ingest into a WAP branch: epochs land on the branch, main dark until publish") {
     cat()
     spark.range(0, 20).select(col("id").as("k"))
