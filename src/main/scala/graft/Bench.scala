@@ -26,16 +26,18 @@ object Bench {
     try {
       val dir = java.nio.file.Paths.get(sys.props("user.dir"))
       val re = """BENCH_FULL_r(\d+)\.json""".r
-      val latest = java.nio.file.Files.list(dir).iterator()
-        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
       var best: Option[(Int, java.nio.file.Path)] = None
-      latest.forEachRemaining { p =>
-        p.getFileName.toString match {
-          case re(n) if best.forall(_._1 < n.toInt) =>
-            best = Some((n.toInt, p))
-          case _ => ()
+      val stream = java.nio.file.Files.list(dir)
+      try stream.iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .forEachRemaining { p =>
+          p.getFileName.toString match {
+            case re(n) if best.forall(_._1 < n.toInt) =>
+              best = Some((n.toInt, p))
+            case _ => ()
+          }
         }
-      }
+      finally stream.close()
       best match {
         case None => Set.empty
         case Some((_, p)) =>

@@ -1492,7 +1492,7 @@ object MergeOps extends QueryModule {
       |v2 AS (SELECT * FROM v1
       |       UNION ALL SELECT 90000001, 'error', 42.5),
       |v3 AS (SELECT * FROM v2 WHERE event_id NOT IN (2, 4, 8, 16)),
-      |fin AS (SELECT * FROM v3 WHERE NOT (value < 1.0))
+      |fin AS (SELECT * FROM v3 WHERE value >= 1.0 OR value IS NULL)
       |SELECT count(*) AS n_rows,
       | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
       | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)

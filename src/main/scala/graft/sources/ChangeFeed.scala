@@ -140,14 +140,31 @@ object ChangeFeed {
       target: StructType, endSnap: Option[GraftStore.Committed] = None)
       : (Array[Any], String, Int) => Array[Any] = {
     val (proj, pad) = GraftStore.composeProjection(snap, target, endPad)
-    endSnap.foreach { e =>
+    // the slot fallback is only sound within ONE slot lineage: a
+    // truncate-publish (compaction, clustering, COW rewrite) resets
+    // physical slots to identity, so a slot index borrowed from the
+    // range-end snapshot across that reset could address a DIFFERENT
+    // column of the older row — e.g. serve a DROPPED column's values
+    // under a post-reset ADDed name. The lineage token gates it.
+    endSnap.filter(e =>
+      snap.layoutId != null && (e.layoutId eq snap.layoutId)).foreach { e =>
       val eProj = e.projection
       val ePad = e.logicalPad
       var j = 0
       while (j < target.length) {
-        if (proj(j) < 0 && j < eProj.length) {
-          proj(j) = eProj(j)
-          pad(j) = ePad(j)
+        if (proj(j) < 0) {
+          // resolve the target field in the fallback snapshot BY NAME
+          // (its schema need not align with `target` positionally —
+          // e.g. a per-commit walk passes an OLDER snapshot), then
+          // borrow that field's SLOT: within one lineage the slot is
+          // the field id, so a renamed column keeps serving its
+          // pre-rename values
+          val ei = e.schema.fieldNames
+            .indexWhere(_.equalsIgnoreCase(target.fields(j).name))
+          if (ei >= 0 && ei < eProj.length) {
+            proj(j) = eProj(ei)
+            pad(j) = ePad(ei)
+          }
         }
         j += 1
       }
@@ -261,10 +278,14 @@ object ChangeFeed {
       s"version ${v - 1} or $v expired by retention — change feed " +
         "needs both sides of every diffed commit"))
 
-    // existence defaults of the RANGE-END snapshot, aligned to `target`
-    // by name: a row from a snapshot that predates a DEFAULT'd column
-    // renders with the default — exactly how that row reads today
-    val endSnap = hist(toVersion)
+    // the slot/default RESOLVER is the LATEST live snapshot — the one
+    // whose schema `target` was derived from. (Not hist(toVersion):
+    // the per-commit CDC scan walks one version at a time, and an
+    // older snapshot can neither name a later-renamed column nor align
+    // positionally with today's target.) Existence defaults align to
+    // `target` by name: a row from a snapshot that predates a
+    // DEFAULT'd column renders with the default — how it reads today.
+    val endSnap = hist.reverseIterator.find(_ != null).orNull
     val endPad: Array[Any] =
       if (endSnap == null) new Array[Any](target.length)
       else {
@@ -304,14 +325,15 @@ object ChangeFeed {
         "needs both sides of every diffed commit"))
     val endPad = GraftStore.existencePad(target)
     val changes = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    // slot-fallback reference: the SAME shard's snapshot at the LATEST
+    // live ledger entry — the schema `target` derives from (absent
+    // when the shard was dropped before the end — a later rename then
+    // has no slot bridge and reads endPad)
+    val endShards: Map[String, GraftStore.Committed] =
+      ledger.reverseIterator.find(_ != null).map(_._2).getOrElse(Map.empty)
     (((fromVersion + 1) max 1) to toVersion).foreach { v =>
       val (_, prevShards) = ledger(v - 1)
       val (_, curShards) = ledger(v)
-      // slot-fallback reference: the SAME shard's snapshot at the
-      // range-end entry (absent when the shard was dropped before the
-      // end — a later rename then has no slot bridge and reads endPad)
-      val endShards: Map[String, GraftStore.Committed] =
-        if (ledger(toVersion) == null) Map.empty else ledger(toVersion)._2
       (prevShards.keySet ++ curShards.keySet).toSeq.sorted.foreach { pv =>
         val endSnap = endShards.get(pv)
         (prevShards.get(pv), curShards.get(pv)) match {

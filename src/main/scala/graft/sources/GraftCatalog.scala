@@ -788,6 +788,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       GraftCatalog.parts.remove(bk)
       GraftCatalog.partSpecs.remove(bk)
       GraftCatalog.partVersions.remove(bk)
+      GraftCatalog.eqDeleteTables.remove(bk)
       GraftStore.dropMatching(kk => kk == bk || kk.startsWith(bk + "#p="))
     }
     if (GraftCatalog.parts.contains(mainKey)) {
@@ -1013,6 +1014,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               GraftCatalog.parts.remove(bk)
               GraftCatalog.partSpecs.remove(bk)
               GraftCatalog.partVersions.remove(bk)
+              GraftCatalog.eqDeleteTables.remove(bk)
               dropBranchStores()
             }
             val (schema, row): (StructType, Array[Any]) = op match {
@@ -1037,6 +1039,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                     require(!GraftCatalog.branches.contains(bk),
                       s"graft catalog: branch '$branch' of '$tbl' " +
                         "already exists")
+                    // a branch inherits EVERY write-model flag: MOR
+                    // resolves via mainKey at load, but the equality-
+                    // delete tier keys on the STORE key, so the branch
+                    // key registers explicitly (else branch DELETEs
+                    // silently fall to the positional tiers)
+                    if (GraftCatalog.eqDeleteTables.contains(mainKey))
+                      GraftCatalog.eqDeleteTables.put(bk, ())
                     if (partitioned) {
                     GraftStore.seed(bk, cur)
                     GraftStore.stores.iterator
@@ -1353,6 +1362,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         (k +: GraftStore.stores.keys.filter(_.startsWith(k + "#p="))
           .toSeq.sorted).foreach(f)
       }
+    // does this statement EVOLVE the stores (schema commit), or only
+    // touch catalog-side metadata (constraints)? Only the former is a
+    // table-level ledger commit — a constraint-only ALTER must not
+    // advance partitioned version ordinals (it would break the WAP
+    // publish fence for a change no snapshot ever saw, and skew
+    // ordinals vs the unpartitioned shape)
+    var evolved = false
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -1381,6 +1397,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           .getOrElse(throw new UnsupportedOperationException(
             "graft catalog: ADD COLUMN DEFAULT requires a foldable " +
               "literal default")))
+        evolved = true
         evolveAll(GraftStore.addColumn(_, field, defVal))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
@@ -1394,6 +1411,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         // differs only in case would create two silently-colliding names
         require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(rn.newName)),
           s"graft catalog: column '${rn.newName}' already exists")
+        evolved = true
         evolveAll(GraftStore.renameColumn(_, from, rn.newName))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
@@ -1401,6 +1419,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(!partitioned.exists(
             _.sourceCol.equalsIgnoreCase(del.fieldNames.head)),
           "graft catalog: cannot drop the partition column")
+        evolved = true
         evolveAll(GraftStore.dropColumn(_, del.fieldNames.head))
       // ANSI constraints (Spark 4's SPARK-51207 framework): the catalog
       // only has to STORE them and serve them from Table.constraints() —
@@ -1426,8 +1445,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         s"graft catalog: unsupported table change $other")
     }
     // an evolution on a partitioned table is a table-level commit too:
-    // same shard snapshots, new logical schema
-    if (partitioned.isDefined) GraftCatalog.recordPartVersion(k)
+    // same shard snapshots, new logical schema (constraint-only ALTERs
+    // touched no store and record nothing)
+    if (evolved && partitioned.isDefined) GraftCatalog.recordPartVersion(k)
     loadTable(ident)
   }
 
@@ -1442,6 +1462,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .foreach(GraftCatalog.parts.remove)
     GraftCatalog.partSpecs.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.partSpecs.remove)
+    GraftCatalog.eqDeleteTables.keys.filter(_.startsWith(k + "#b="))
+      .foreach(GraftCatalog.eqDeleteTables.remove)
     GraftCatalog.partVersions.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.partVersions.remove)
     GraftCatalog.morTables.remove(k)
@@ -2179,9 +2201,13 @@ private[sources] class GraftPartitionedTable(
     Some(matched.result())
   }
 
-  override def properties(): util.Map[String, String] =
-    if (mor) java.util.Collections.singletonMap("write.mode", "merge-on-read")
-    else java.util.Collections.emptyMap()
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (mor) m.put("write.mode", "merge-on-read")
+    if (GraftCatalog.eqDeleteTables.contains(tableKey))
+      m.put("write.delete.mode", "equality")
+    m
+  }
 
   override def metadataColumns(): Array[MetadataColumn] = {
     val group = new MetadataColumn {

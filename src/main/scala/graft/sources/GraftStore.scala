@@ -78,6 +78,15 @@ object GraftStore {
       // delete+insert. Per-commit metadata: EVERY other snapshot
       // constructor (cur.copy sites included) must leave/reset it empty.
       lineage: Array[(Long, Int)] = Array.empty,
+      // SLOT-LINEAGE token: the same object rides through every
+      // metadata commit (copy/append preserve it); a truncate-publish
+      // — compaction, clustering, COW rewrite — mints a FRESH one,
+      // because the rewrite resets physical slots to identity and slot
+      // indices from before it no longer mean the same column. The
+      // change feed's rename fallback compares tokens by `eq` before
+      // trusting a slot across snapshots (a slot borrowed across a
+      // reset could serve a DROPPED column's values under a new name).
+      layoutId: AnyRef = null,
       // pending EQUALITY deletes (Iceberg v2's second delete model):
       // committed as (slot set, tuple set) metadata WITHOUT resolving
       // positions — the write path never scans the target — and applied
@@ -280,6 +289,9 @@ object GraftStore {
         // (and from materialized defaults - liveLogicalRows bakes them)
         dvs = cur.map(_.dvs).getOrElse(Map.empty),
         slotDefaults = cur.map(_.slotDefaults).getOrElse(Map.empty),
+        // append stays in the same slot lineage; a truncate-overwrite
+        // resets the layout, so it mints a fresh lineage token
+        layoutId = cur.map(_.layoutId).getOrElse(new Object),
         // pending equality deletes ride along on APPEND (they keep
         // applying to their pre-existing batches only); a truncate-
         // overwrite starts clean (cur is None — the rewrite
@@ -714,7 +726,6 @@ object GraftStore {
       ()
     }
 
-  /** Test hook: rows currently marked deleted by deletion vectors. */
   /** Test hook: rows marked in the POSITIONAL DV map only — equality
     * deletes (applied at read, never resolved at commit) deliberately
     * do not show up here.

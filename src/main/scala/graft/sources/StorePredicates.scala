@@ -56,6 +56,12 @@ private[sources] object StorePredicates {
           case null => None
           case d: java.lang.Double if d.isNaN => None
           case f: java.lang.Float if f.isNaN => None
+          // signed zero: boxed equals is bit-wise (0.0 != -0.0) but
+          // SQL equality is numeric — a hash-set probe would miss the
+          // -0.0 row the positional comparator deletes; refuse, the
+          // positional tier keeps exact semantics
+          case d: java.lang.Double if d.doubleValue == 0.0 => None
+          case f: java.lang.Float if f.floatValue == 0.0f => None
           case _ if hashableType(dt) => Some(v)
           case _ => None
         }

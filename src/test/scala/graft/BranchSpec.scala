@@ -182,6 +182,35 @@ class BranchSpec extends SparkSpec {
       "DROP TABLE must reap partitioned branch shard stores")
   }
 
+  test("a constraint-only ALTER on a partitioned table is no ledger commit: the WAP publish fence survives it") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.pcf").partitionedBy(col("event_type")).create()
+    try {
+      val ledger0 = GraftCatalog.partVersions("cat::graft_cat.spec.pcf").size
+      spark.sql("CALL graft_cat.system.create_branch('spec.pcf', 'tx')")
+      spark.sql(
+        "DELETE FROM graft_cat.spec.`pcf@tx` WHERE event_type = 'click'")
+      // catalog-side metadata only: no store commit, no ledger entry —
+      // the unpartitioned shape never counted these either, and a
+      // fence tripped by a constraint would refuse a publish for a
+      // change no snapshot ever saw
+      spark.sql("ALTER TABLE graft_cat.spec.pcf " +
+        "ADD CONSTRAINT v_nonneg CHECK (value >= 0)")
+      assert(GraftCatalog.partVersions("cat::graft_cat.spec.pcf").size
+        === ledger0, "constraint-only ALTER must not advance the ledger")
+      spark.sql("CALL graft_cat.system.publish_branch('spec.pcf', 'tx')")
+      assert(spark.table("graft_cat.spec.pcf")
+        .filter(col("event_type") === "click").count() === 0L)
+      // a SCHEMA-evolving ALTER still records one table-level version
+      val l1 = GraftCatalog.partVersions("cat::graft_cat.spec.pcf").size
+      spark.sql("ALTER TABLE graft_cat.spec.pcf ADD COLUMN note STRING")
+      assert(GraftCatalog.partVersions("cat::graft_cat.spec.pcf").size
+        === l1 + 1)
+    } finally spark.sql("DROP TABLE graft_cat.spec.pcf")
+  }
+
   test("PARTITIONED MOR on a branch: branch DML is a per-shard row-delta; publish carries the DVs + deltas by reference") {
     cat()
     val base = Tables.events(spark, sfDir)

@@ -259,6 +259,40 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.cfmx")
   }
 
+  test("a slot reset between DROP and re-ADD cannot resurrect dropped values in the feed (lineage-gated fallback)") {
+    cat()
+    spark.createDataFrame(Seq((1L, "aa", "SECRET1"), (2L, "bb", "SECRET2")))
+      .toDF("k", "b", "c").repartition(1)
+      .writeTo("graft_cat.spec.cflg").create() // v0, v1
+    try {
+      spark.sql("ALTER TABLE graft_cat.spec.cflg DROP COLUMN c") // v2
+      spark.sql("CALL graft_cat.system.compact('spec.cflg')") // v3: slot reset
+      spark.sql("ALTER TABLE graft_cat.spec.cflg ADD COLUMN d STRING") // v4
+      // rendering v1's inserts: column d post-dates v1; its post-reset
+      // slot numerically aliases v1's DROPPED column c — the lineage
+      // gate must serve the range-end default (NULL), never c's values
+      val v1 = spark.table("graft_cat.spec.cflg@changes".replace(
+        "graft_cat.spec.cflg@changes", "graft_cat.spec.`cflg@changes`"))
+        .filter(col("_commit_version") === 1).collect()
+      assert(v1.length === 2)
+      v1.foreach { r =>
+        val d = r.getAs[String]("d")
+        assert(d == null, s"dropped column value resurrected as d: $d")
+      }
+      // and a RENAME within one lineage still serves old rows' values
+      spark.sql(
+        "ALTER TABLE graft_cat.spec.cflg RENAME COLUMN b TO b2") // v5
+      val post = spark.table("graft_cat.spec.`cflg@changes`")
+        .filter(col("_commit_version") === 3 && // the compact rewrite's
+          col("_change_type") === "insert")     // POST-image rows (its
+        // pre-image deletes render from the PREVIOUS lineage, where the
+        // cross-reset bridge is correctly refused → b2 reads NULL)
+        .select("b2").collect().map(_.getString(0)).sorted
+      assert(post.toSeq === Seq("aa", "bb"),
+        "same-lineage rename fallback must keep serving pre-rename values")
+    } finally spark.sql("DROP TABLE graft_cat.spec.cflg")
+  }
+
   test("'changes' is a reserved ref: create_branch refuses it") {
     cat()
     spark.range(3).select(col("id").as("k")).writeTo("graft_cat.spec.cdcr").create()

@@ -190,6 +190,32 @@ class EqualityDeleteSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.peq")
   }
 
+  test("a WAP branch inherits equality-delete mode; the flag is reaped with the branch") {
+    cat()
+    val (key, total) = mkTable("eqb")
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.eqb', 'tx')")
+      val bk = s"$key#b=tx"
+      val branchBatches = GraftStore.batchesRef(bk).get
+      spark.sql(
+        "DELETE FROM graft_cat.spec.`eqb@tx` WHERE event_type = 'error'")
+      // the branch DELETE took the equality tier: tuple-set commit on
+      // the BRANCH store, no batch rewrite, no positional resolution
+      assert(GraftStore.eqDeleteCount(bk) === 1,
+        "branch must inherit write.delete.mode=equality")
+      assert(GraftStore.batchesRef(bk).get eq branchBatches)
+      assert(GraftStore.dvMarkedCount(bk) === 0L)
+      // main untouched until publish; publish carries the tuple set
+      assert(spark.table("graft_cat.spec.eqb").count() === total)
+      assert(GraftStore.eqDeleteCount(key) === 0)
+      spark.sql("CALL graft_cat.system.publish_branch('spec.eqb', 'tx')")
+      assert(spark.table("graft_cat.spec.eqb")
+        .filter(col("event_type") === "error").count() === 0L)
+      assert(!graft.sources.GraftCatalog.eqDeleteTables.contains(bk),
+        "publish must reap the branch flag")
+    } finally spark.sql("DROP TABLE graft_cat.spec.eqb")
+  }
+
   test("without the table property, the same DELETE stays positional (opt-in contract)") {
     cat()
     val base = Tables.events(spark, sfDir)
