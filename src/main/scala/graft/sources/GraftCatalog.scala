@@ -2302,7 +2302,38 @@ private[sources] class GraftPartitionedTable(
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        /** CLUSTERED write distribution on the partition column — the
+          * V2 contract that lets Spark shuffle rows to co-locate each
+          * shard's data in one task before the write. Without it an
+          * N-task append to an S-shard table commits up to N×S tiny
+          * batches (the small-files problem every table format
+          * fights); with it, one batch per touched shard per
+          * statement. Only IDENTITY specs request it: days/bucket
+          * transforms need a FunctionCatalog for Spark to translate
+          * them into a shuffle key (`V2ExpressionUtils.toCatalyst`
+          * refuses otherwise), and clustering those by the raw source
+          * column would not co-locate a shard's values anyway. Not
+          * strictly required: Spark skips the exchange when the
+          * incoming distribution already satisfies it, so single-task
+          * writes pay nothing.
+          */
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          spec match {
+            case _: PartSpec.IdentityPart =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(spec.transform))
+            case _ =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+          }
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def distributionStrictlyRequired(): Boolean = false
         override def toBatch: BatchWrite = new GraftPartBatchWrite(
           tableKey, info.schema(), spec,
           // append/CTAS touch only the partitions the data lands in;

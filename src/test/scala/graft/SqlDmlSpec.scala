@@ -246,6 +246,35 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.pse")
   }
 
+  test("clustered write distribution: a multi-task append commits ONE batch per touched shard") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    // 8 write tasks; without RequiresDistributionAndOrdering each
+    // shard would collect up to 8 batches per statement (the
+    // small-files problem) — the clustered distribution shuffles each
+    // shard's rows into one task first
+    base.repartition(8).writeTo("graft_cat.spec.pwd")
+      .partitionedBy(col("event_type")).create()
+    try {
+      val shards = graft.sources.GraftStore
+        .keysWithPrefix("cat::graft_cat.spec.pwd#p=")
+      assert(shards.nonEmpty)
+      shards.foreach { k =>
+        assert(graft.sources.GraftStore.batchesRef(k).get.size === 1,
+          s"$k: multi-task write fragmented the shard")
+      }
+      assert(spark.table("graft_cat.spec.pwd").count() === base.count())
+      // each further statement adds at most ONE batch per touched shard
+      base.repartition(8).writeTo("graft_cat.spec.pwd").append()
+      shards.foreach { k =>
+        assert(graft.sources.GraftStore.batchesRef(k).get.size === 2,
+          s"$k: append fragmented the shard")
+      }
+      assert(spark.table("graft_cat.spec.pwd").count() === 2 * base.count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.pwd")
+  }
+
   test("spec evolution composes with partitioned MOR: row-deltas stay shard-local, updates migrate across generations") {
     cat()
     spark.range(0, 12)
