@@ -278,14 +278,23 @@ object ChangeFeed {
       s"version ${v - 1} or $v expired by retention — change feed " +
         "needs both sides of every diffed commit"))
 
-    // the slot/default RESOLVER is the LATEST live snapshot — the one
-    // whose schema `target` was derived from. (Not hist(toVersion):
-    // the per-commit CDC scan walks one version at a time, and an
-    // older snapshot can neither name a later-renamed column nor align
-    // positionally with today's target.) Existence defaults align to
-    // `target` by name: a row from a snapshot that predates a
-    // DEFAULT'd column renders with the default — how it reads today.
-    val endSnap = hist.reverseIterator.find(_ != null).orNull
+    // the slot/default RESOLVER is the snapshot `target` was DERIVED
+    // from. The batch API renders in hist(toVersion)'s schema, so a
+    // bounded range ending before a later RENAME must resolve by name
+    // against THAT snapshot (the latest one no longer carries the old
+    // name and would render endPad where the slot still bridges —
+    // ADVICE r17). The per-commit streaming walk's target is the
+    // CURRENT schema, so there the latest live snapshot resolves (an
+    // older one can neither name a later-renamed column nor align
+    // positionally with today's target). Schema identity is the tell:
+    // prefer hist(toVersion) exactly when target came from it.
+    // Existence defaults align to `target` by name either way: a row
+    // from a snapshot predating a DEFAULT'd column renders the default.
+    val endSnap = {
+      val atEnd = if (toVersion < hist.size) hist(toVersion) else null
+      if (atEnd != null && atEnd.schema == target) atEnd
+      else hist.reverseIterator.find(_ != null).orNull
+    }
     val endPad: Array[Any] =
       if (endSnap == null) new Array[Any](target.length)
       else {
@@ -325,12 +334,19 @@ object ChangeFeed {
         "needs both sides of every diffed commit"))
     val endPad = GraftStore.existencePad(target)
     val changes = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-    // slot-fallback reference: the SAME shard's snapshot at the LATEST
-    // live ledger entry — the schema `target` derives from (absent
-    // when the shard was dropped before the end — a later rename then
-    // has no slot bridge and reads endPad)
-    val endShards: Map[String, GraftStore.Committed] =
-      ledger.reverseIterator.find(_ != null).map(_._2).getOrElse(Map.empty)
+    // slot-fallback reference: the SAME shard's snapshot at the ledger
+    // entry `target` derives from — ledger(toVersion) for the batch
+    // API's bounded range (so a RENAME landing after toVersion cannot
+    // orphan the by-name lookup — ADVICE r17, flat-path twin), the
+    // latest live entry for the streaming walk whose target is the
+    // current schema. Absent shard (dropped before the resolver
+    // entry) → no slot bridge, reads endPad.
+    val endShards: Map[String, GraftStore.Committed] = {
+      val atEnd = if (toVersion < ledger.size) ledger(toVersion) else null
+      if (atEnd != null && atEnd._1 == target) atEnd._2
+      else ledger.reverseIterator.find(_ != null).map(_._2)
+        .getOrElse(Map.empty)
+    }
     (((fromVersion + 1) max 1) to toVersion).foreach { v =>
       val (_, prevShards) = ledger(v - 1)
       val (_, curShards) = ledger(v)

@@ -1153,9 +1153,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       if (!GraftCatalog.branches.contains(bk))
         throw new NoSuchTableException(ident)
       // a branch inherits the main table's write mode AND its shape: a
-      // partitioned table's branch is itself partitioned (same spec,
-      // its own shard stores + table-level ledger)
-      GraftCatalog.parts.get(mainKey).foreach { spec =>
+      // partitioned table's branch is itself partitioned. The spec
+      // resolves from the BRANCH's own registration (create_branch put
+      // parts(bk) = the spec at fork time) — resolving main's CURRENT
+      // spec would, after a post-fork evolve_spec on main, route
+      // branch writes through main's new transform while shards get
+      // tagged with the branch's old spec id and reads prune under the
+      // branch's own spec vector (ADVICE r17). mainKey is only the
+      // fallback for the never-registered legacy shape.
+      GraftCatalog.parts.get(bk)
+        .orElse(GraftCatalog.parts.get(mainKey)).foreach { spec =>
         return new GraftPartitionedTable(bk, GraftStore.stores(bk).schema,
           spec, GraftCatalog.morTables.contains(mainKey))
       }
@@ -1509,6 +1516,24 @@ object GraftCatalog {
     partSpecs.getOrElse(k, parts.get(k).toVector)
   private[sources] def currentSpecId(k: String): Int =
     math.max(0, specsOf(k).size - 1)
+  /** Commit-time guard for the (spec, specId) pair a write CAPTURED at
+    * table load: the id must still name that exact transform in the
+    * table's spec vector. Writing under an OLD pair is coherent (the
+    * shard suffix carries the id, per-shard decode honors it — the
+    * Iceberg per-file-spec model), but a TORN pair — old transform
+    * routed the rows while a concurrent evolve_spec moved the id —
+    * would tag shards with a spec they weren't routed by, silently
+    * corrupting per-shard decoding and pruning (ADVICE r17). Call
+    * under the store lock, like the snapshot validations.
+    */
+  private[sources] def validateSpecCapture(k: String, specId: Int,
+      spec: PartSpec): Unit = {
+    val specs = specsOf(k)
+    require(specId >= 0 && specId < specs.size && specs(specId) == spec,
+      s"graft table '$k': partition spec evolved between analysis and " +
+        s"execution (captured spec id $specId no longer names the " +
+        "captured transform) — retry the statement")
+  }
   /** (spec id, spec, raw value) of a shard-key suffix under table
     * `k` — single-spec tables never decode (raw value == suffix).
     */
@@ -2027,6 +2052,13 @@ private[sources] class GraftPartitionedTable(
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
 
+  // the spec ID captured TOGETHER with `spec` at table load — writes
+  // route through (spec, loadSpecId) as one unit and re-validate the
+  // pair at commit, so a concurrent evolve_spec between analysis and
+  // execution fails loudly instead of tagging old-transform-routed
+  // shards with the new id (ADVICE r17)
+  private[sources] val loadSpecId: Int = GraftCatalog.currentSpecId(tableKey)
+
   private def partCol: String = spec.sourceCol
   override def name(): String =
     s"graft_store($tableKey/${spec.transform.describe()})"
@@ -2335,7 +2367,7 @@ private[sources] class GraftPartitionedTable(
           Array.empty
         override def distributionStrictlyRequired(): Boolean = false
         override def toBatch: BatchWrite = new GraftPartBatchWrite(
-          tableKey, info.schema(), spec,
+          tableKey, info.schema(), spec, loadSpecId,
           // append/CTAS touch only the partitions the data lands in;
           // truncate-overwrite replaces the whole table
           replaceKeys = if (doTruncate) () => partKeys() else () => Seq.empty,
@@ -2417,7 +2449,7 @@ private[sources] class GraftPartitionedTable(
         override def build(): DeltaWrite = new DeltaWrite {
           override def toBatch: DeltaBatchWrite =
             new GraftPartsDeltaBatchWrite(tableKey, lwi.schema(), spec,
-              () => readShards)
+              loadSpecId, () => readShards)
         }
       }
   }
@@ -2474,7 +2506,7 @@ private[sources] class GraftPartitionedTable(
           new WriteBuilder {
             override def build(): Write = new Write {
               override def toBatch: BatchWrite = new GraftPartBatchWrite(
-                tableKey, lwi.schema(), spec,
+                tableKey, lwi.schema(), spec, loadSpecId,
                 replaceKeys = () => selectedKeys(), appendMode = false,
                 expectShards = () => readShards)
             }
@@ -2692,9 +2724,14 @@ private[sources] class GraftPartsMicroBatchStream(tableKey: String,
                     "a fresh checkpoint")
             }
           case (None, Some(c)) => // shard born in this commit: all appends
+            // honor the NEWBORN snapshot's own deletion state: a
+            // publish_branch can adopt a shard that was created AND
+            // row-deleted on-branch (DVs or pending equality deletes),
+            // and serving its batches raw would replay deleted rows as
+            // inserts (ADVICE r17). readDvs composes eq-deletes in.
             c.batches.zipWithIndex.map { case (bt, i) =>
-              GraftGroupPartition(bt, null, null, i, c.projection,
-                c.logicalPad): InputPartition
+              GraftGroupPartition(bt, null, c.readDvs.getOrElse(i, null),
+                i, c.projection, c.logicalPad): InputPartition
             }
           case (Some(_), None) =>
             throw new IllegalStateException(
@@ -2786,7 +2823,7 @@ private[sources] class GraftPartsOpScan(
   * same 2PC as the flat store.
   */
 private[sources] class GraftPartBatchWrite(
-    tableKey: String, schema: StructType, spec: PartSpec,
+    tableKey: String, schema: StructType, spec: PartSpec, specId: Int,
     replaceKeys: () => Seq[String], appendMode: Boolean,
     expectShards: () => Option[Map[String, GraftStore.Committed]] =
       () => None) extends BatchWrite {
@@ -2795,10 +2832,13 @@ private[sources] class GraftPartBatchWrite(
     val s = schema
     val route = spec
     val pIdx = schema.fieldIndex(spec.sourceCol)
-    // new data always routes through the CURRENT spec; its id rides in
-    // the shard-key suffix (spec evolution — raw for a never-evolved
-    // table, `#s=N` after the Nth evolve)
-    val specId = GraftCatalog.currentSpecId(tableKey)
+    // rows route through the (spec, specId) pair captured at table
+    // load — NOT a fresh currentSpecId read here, which could tear
+    // against the load-time transform under a concurrent evolve_spec
+    // (ADVICE r17); commit() re-validates the pair under the lock.
+    // The id rides in the shard-key suffix (raw for a never-evolved
+    // table, `#s=N` after the Nth evolve).
+    val sid = specId
     (_: Int, _: Long) => new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.Map
         .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
@@ -2818,7 +2858,7 @@ private[sources] class GraftPartBatchWrite(
         }
         // the TRANSFORM routes: identity keeps the raw value, days/
         // bucket derive the hidden partition value from the source col
-        val pv = PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), specId)
+        val pv = PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), sid)
         buf.getOrElseUpdate(pv,
           scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
       }
@@ -2837,6 +2877,10 @@ private[sources] class GraftPartBatchWrite(
         }
       }
     GraftStore.stores.synchronized {
+      // the captured (spec, specId) pair must still be coherent — a
+      // concurrent evolve_spec that moved the id out from under the
+      // load-time transform refuses here, like the snapshot checks
+      GraftCatalog.validateSpecCapture(tableKey, specId, spec)
       // optimistic concurrency at shard grain: every shard this op
       // scanned must still hold the snapshot it read (new shards a
       // concurrent writer created are appends, not lost updates)
@@ -2976,7 +3020,7 @@ private[sources] case class GraftPartsDeltaPartition(rows: Array[Array[Any]],
   * a plain append.
   */
 private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
-    rowSchema: StructType, spec: PartSpec,
+    rowSchema: StructType, spec: PartSpec, specId: Int,
     expectShards: () => Option[Map[String, GraftStore.Committed]])
     extends DeltaBatchWrite {
 
@@ -2984,10 +3028,12 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val s = rowSchema
     val route = spec
-    // new/updated rows route through the CURRENT spec (suffix carries
-    // its id after an evolve; an update whose row sat in an old-spec
-    // shard honestly migrates as delete + insert)
-    val specId = GraftCatalog.currentSpecId(tableKey)
+    // new/updated rows route through the (spec, specId) pair captured
+    // at table load (ADVICE r17 — no fresh currentSpecId read that
+    // could tear against the load-time transform); commit()
+    // re-validates the pair under the lock. An update whose row sat in
+    // an old-spec shard honestly migrates as delete + insert.
+    val sid = specId
     // a DELETE-only WriteDelta carries an EMPTY row schema (only row
     // ids flow) — resolve the routing column lazily, it is only needed
     // when insert/update rows actually arrive
@@ -3027,7 +3073,7 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
         val pos = id.getLong(1)
         val vals = copyRow(row)
         val newGroup =
-          PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), specId)
+          PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), sid)
         if (newGroup == oldGroup)
           upds.getOrElseUpdate(oldGroup, scala.collection.mutable
             .ArrayBuffer.empty[(Long, Array[Any])]) += ((pos, vals))
@@ -3041,7 +3087,7 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
       override def insert(row: InternalRow): Unit = {
         val vals = copyRow(row)
         ins.getOrElseUpdate(
-          PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), specId),
+          PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), sid),
           scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
       }
       override def commit(): WriterCommitMessage =
@@ -3062,6 +3108,10 @@ private[sources] class GraftPartsDeltaBatchWrite(tableKey: String,
       .toSeq.distinct.sorted
     if (groups.isEmpty) return
     GraftStore.stores.synchronized {
+      // captured (spec, specId) coherence first (ADVICE r17) — a torn
+      // pair would tag delta-routed shards with a spec that didn't
+      // route them
+      GraftCatalog.validateSpecCapture(tableKey, specId, spec)
       // optimistic concurrency: every shard this op's scan CAPTURED —
       // modified or not — must still hold the snapshot the scan read.
       // Delta positions address the modified shards' batches, but a

@@ -266,4 +266,45 @@ class BranchSpec extends SparkSpec {
       assert(pubCents === baseCents)
     } finally spark.sql("DROP TABLE graft_cat.spec.pmor")
   }
+
+  test("a partitioned branch keeps its FORK-TIME spec after main evolves (ADVICE r17)") {
+    cat()
+    spark.range(0, 12)
+      .select((col("id") % 3).cast("string").as("p"), col("id").as("v"))
+      .repartition(1)
+      .writeTo("graft_cat.spec.bspec").partitionedBy(col("p")).create()
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.bspec', 'wip')")
+      // main evolves to bucket AFTER the fork — the branch's identity
+      // spec (registered at fork) must keep routing branch writes;
+      // resolving main's CURRENT spec here would route branch rows
+      // through the bucket transform while tagging shards with the
+      // branch's old spec id — silent misrouting
+      spark.sql(
+        "CALL graft_cat.system.evolve_spec('spec.bspec', 'bucket(4, v)')")
+      val shardsBefore = GraftStore
+        .keysWithPrefix("cat::graft_cat.spec.bspec#b=wip#p=").toSet
+      spark.range(100, 104)
+        .select((col("id") % 3).cast("string").as("p"), col("id").as("v"))
+        .repartition(1)
+        .writeTo("graft_cat.spec.`bspec@wip`").append()
+      val shardsAfter = GraftStore
+        .keysWithPrefix("cat::graft_cat.spec.bspec#b=wip#p=").toSet
+      // identity routing lands every row in the existing p-shards — no
+      // new shard keys, no spec-id suffix, each row in ITS p shard
+      assert(shardsAfter === shardsBefore,
+        s"branch append created unexpected shards: ${shardsAfter -- shardsBefore}")
+      assert(shardsAfter.forall(!_.contains("#s=")),
+        "branch shards must not carry a spec-id suffix (single-spec branch)")
+      // v=100..103 → p = 1,2,0,1: shard #p=1 gains exactly 2 rows
+      assert(GraftStore
+        .rowCount("cat::graft_cat.spec.bspec#b=wip#p=1") === 4L + 2L)
+      assert(spark.table("graft_cat.spec.`bspec@wip`").count() === 16L)
+      assert(spark.table("graft_cat.spec.`bspec@wip`")
+        .filter(col("p") === "1").count() === 6L)
+      // main is independent: its post-evolve appends route through the
+      // NEW spec and the branch append never touched it
+      assert(spark.table("graft_cat.spec.bspec").count() === 12L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.bspec")
+  }
 }

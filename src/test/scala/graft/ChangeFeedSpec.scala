@@ -377,4 +377,57 @@ class ChangeFeedSpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE graft_cat.spec.cf4")
   }
+
+  test("a bounded range ending before a LATER rename renders through the range-end snapshot (ADVICE r17)") {
+    cat()
+    // v1 commits under name `b`; v2 renames b→c; v3 appends under `c`;
+    // v4 renames c→d. tableChanges(0,3) renders in hist(3)'s schema
+    // (`c`) — resolving slots against the LATEST snapshot (named `d`)
+    // would miss the by-name lookup and null out v1's values, even
+    // though hist(3) still bridges the slot
+    spark.createDataFrame(Seq((1L, "x"), (2L, "y"))).toDF("k", "b")
+      .repartition(1).writeTo("graft_cat.spec.cfre").create() // v0, v1
+    try {
+      spark.sql("ALTER TABLE graft_cat.spec.cfre RENAME COLUMN b TO c") // v2
+      spark.createDataFrame(Seq((3L, "z"))).toDF("k", "c")
+        .repartition(1).writeTo("graft_cat.spec.cfre").append() // v3
+      spark.sql("ALTER TABLE graft_cat.spec.cfre RENAME COLUMN c TO d") // v4
+      val ch = ChangeFeed.tableChanges(spark, "spec.cfre", 0, 3).cache()
+      assert(ch.columns.contains("c"),
+        "the feed renders in the range-end version's schema")
+      val v1 = ch.filter(col("_commit_version") === 1)
+        .select("c").collect().map(_.getString(0)).sorted.toSeq
+      assert(v1 === Seq("x", "y"),
+        "pre-rename rows must serve their values through the range-end slot bridge")
+      assert(ch.filter(col("_commit_version") === 3)
+        .select("c").head.getString(0) === "z")
+      // the unbounded walk (current schema `d`) keeps resolving against
+      // the latest snapshot — both names serve the same slot's values
+      val all = ChangeFeed.tableChanges(spark, "spec.cfre", 0, 4)
+      assert(all.filter(col("_commit_version") === 1)
+        .select("d").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("x", "y"))
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfre")
+  }
+
+  test("PARTITIONED: a bounded range ending before a later rename bridges slots the same way (ADVICE r17)") {
+    cat()
+    spark.createDataFrame(Seq(("p1", 1L, "x"), ("p2", 2L, "y")))
+      .toDF("p", "k", "b").repartition(1)
+      .writeTo("graft_cat.spec.cfrp").partitionedBy(col("p")).create()
+    try {
+      spark.sql("ALTER TABLE graft_cat.spec.cfrp RENAME COLUMN b TO c")
+      spark.createDataFrame(Seq(("p1", 3L, "z"))).toDF("p", "k", "c")
+        .repartition(1).writeTo("graft_cat.spec.cfrp").append()
+      val endV = graft.sources.GraftCatalog
+        .partVersions("cat::graft_cat.spec.cfrp").size - 1
+      spark.sql("ALTER TABLE graft_cat.spec.cfrp RENAME COLUMN c TO d")
+      val ch = ChangeFeed.tableChanges(spark, "spec.cfrp", 0, endV)
+      assert(ch.columns.contains("c"))
+      assert(ch.filter(col("_change_type") === "insert")
+        .select("c").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("x", "y", "z"),
+        "partitioned pre-rename rows must bridge through the range-end shards")
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfrp")
+  }
 }

@@ -287,4 +287,33 @@ class StreamLedgerSpec extends SparkSpec {
       assert(spark.table("graft_cat.spec.wstr").count() === 20L + streamed)
     } finally spark.sql("DROP TABLE graft_cat.spec.wstr")
   }
+
+  test("a branch-born shard published WITH deletion state streams only its live rows (ADVICE r17)") {
+    cat()
+    spark.range(0, 8).select(lit("a").as("p"), col("id").as("v"))
+      .repartition(1)
+      .writeTo("graft_cat.spec.nbdv").partitionedBy(col("p"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    val root = java.nio.file.Files.createTempDirectory("graft_nbdv")
+    try {
+      val ckpt = root.resolve("ckpt").toString
+      assert(drainCount("graft_cat.spec.nbdv", ckpt) === 8L)
+      // on a BRANCH: a brand-new partition is created, then some of its
+      // rows are DV-deleted — publish adopts the shard in ONE main
+      // commit, so the stream sees it NEWBORN with deletion state
+      spark.sql("CALL graft_cat.system.create_branch('spec.nbdv', 'wip')")
+      spark.range(100, 110).select(lit("b").as("p"), col("id").as("v"))
+        .repartition(1)
+        .writeTo("graft_cat.spec.`nbdv@wip`").append()
+      spark.sql(
+        "DELETE FROM graft_cat.spec.`nbdv@wip` WHERE p = 'b' AND v % 2 = 0")
+      assert(GraftStore
+        .dvMarkedCount("cat::graft_cat.spec.nbdv#b=wip#p=b") === 5L,
+        "branch delete must land as DV bits on the newborn branch shard")
+      spark.sql("CALL graft_cat.system.publish_branch('spec.nbdv', 'wip')")
+      // resume: exactly the newborn shard's FIVE live rows — replaying
+      // its DV'd rows as inserts would leak deleted data downstream
+      assert(drainCount("graft_cat.spec.nbdv", ckpt) === 5L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.nbdv")
+  }
 }
