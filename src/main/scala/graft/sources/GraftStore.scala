@@ -335,6 +335,13 @@ object GraftStore {
     stores.keys.filter(_.startsWith(prefix)).toSeq.sorted
   private[graft] def eqDeleteCount(name: String): Int =
     stores.get(name).map(_.eqDeletes.size).getOrElse(0)
+  /** Test hook: total tuples across pending equality-delete sets —
+    * pins the plan-sourced sink's task+driver dedup without widening
+    * `stores`' visibility.
+    */
+  private[graft] def eqDeleteTupleCount(name: String): Int =
+    stores.get(name).map(_.eqDeletes.iterator.map(_.tuples.length).sum)
+      .getOrElse(0)
   /** Test hook: a store's current LOGICAL schema (spec-pins lockstep
     * shard evolution without widening `stores`' visibility).
     */

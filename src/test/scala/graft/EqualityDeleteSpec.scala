@@ -230,4 +230,150 @@ class EqualityDeleteSpec extends SparkSpec {
         "the default pushable-DELETE tier is positional DVs")
     } finally spark.sql("DROP TABLE graft_cat.spec.eq5")
   }
+
+  test("PLAN-SOURCED eq-delete (t@eq_deletes): the key set ships as a distributed write, pure-metadata commit, deduped tuples") {
+    cat()
+    val (key, total) = mkTable("eq6")
+    try {
+      val batchesBefore = GraftStore.batchesRef(key).get
+      val dvsBefore = GraftStore.dvsRef(key).get
+      val errors = spark.table("graft_cat.spec.eq6")
+        .filter(col("event_type") === "error")
+      val nErr = errors.count()
+      val nKeys = errors.select("event_id").distinct().count()
+      assert(nErr > 0)
+      // the key set is a PLAN — multi-partition, duplicated 3×, with a
+      // NULL-carrying tuple thrown in; tasks dedup, the driver merges,
+      // NULL tuples drop (SQL equality never matches NULL)
+      errors.select("event_id")
+        .unionAll(errors.select("event_id"))
+        .unionAll(errors.select("event_id"))
+        .unionAll(spark.range(1).select(lit(null).cast("long").as("event_id")))
+        .repartition(8)
+        .writeTo("graft_cat.spec.`eq6@eq_deletes`").append()
+      assert(GraftStore.batchesRef(key).get eq batchesBefore,
+        "plan-sourced eq-delete must not rewrite any committed batch")
+      assert(GraftStore.dvsRef(key).get eq dvsBefore,
+        "plan-sourced eq-delete must not resolve positions into DVs")
+      assert(GraftStore.eqDeleteCount(key) === 1,
+        "one statement = one tuple-set commit")
+      assert(GraftStore.eqDeleteTupleCount(key) === nKeys.toInt,
+        "tuples must be globally deduped and NULL tuples dropped")
+      assert(spark.table("graft_cat.spec.eq6").count() === total - nErr)
+      assert(spark.table("graft_cat.spec.eq6")
+        .filter(col("event_type") === "error").count() === 0L)
+      // sequence semantics hold for the channel too: re-insert after
+      // (sourced from the PARQUET base — the table view is now empty)
+      val back = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_type") === "error").limit(5)
+      back.writeTo("graft_cat.spec.eq6").append()
+      assert(spark.table("graft_cat.spec.eq6")
+        .filter(col("event_type") === "error").count() === 5L)
+      // an all-duplicate re-send still commits a (new) set; an EMPTY
+      // key frame commits nothing at all
+      val v = GraftStore.versionCount(key)
+      errors.limit(0).select("event_id")
+        .writeTo("graft_cat.spec.`eq6@eq_deletes`").append()
+      assert(GraftStore.versionCount(key) === v,
+        "an empty key frame must not create a ledger commit")
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq6")
+  }
+
+  test("plan-sourced eq-delete on a PARTITIONED table routes tuples to owning shards, one table version") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.eq7").partitionedBy(col("event_type"))
+      .tableProperty("write.delete.mode", "equality").create()
+    val key = "cat::graft_cat.spec.eq7"
+    try {
+      val ledger0 = graft.sources.GraftCatalog.partVersions(key).size
+      val errKeys = spark.table("graft_cat.spec.eq7")
+        .filter(col("event_type") === "error").select("event_id")
+      val nErr = errKeys.count()
+      // the key frame names the partition SOURCE column: tuples route
+      // to exactly the owning shard — other shards record nothing
+      spark.table("graft_cat.spec.eq7")
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("event_type"))
+        .repartition(4)
+        .writeTo("graft_cat.spec.`eq7@eq_deletes`").append()
+      assert(GraftStore.eqDeleteCount(key + "#p=error") === 1)
+      assert(GraftStore.keysWithPrefix(key + "#p=")
+        .filterNot(_.endsWith("error"))
+        .forall(GraftStore.eqDeleteCount(_) === 0),
+        "tuples constraining the partition column must not fan to other shards")
+      assert(graft.sources.GraftCatalog.partVersions(key).size ===
+        ledger0 + 1, "one statement = one table-level version")
+      assert(spark.table("graft_cat.spec.eq7")
+        .filter(col("event_type") === "error").count() === 0L)
+      assert(spark.table("graft_cat.spec.eq7").count() ===
+        base.count() - nErr)
+      // a key frame WITHOUT the partition column fans to every shard
+      // (sourced from the parquet base — the table's error view is empty)
+      base.filter(col("event_type") === "error").select("event_id")
+        .limit(3).writeTo("graft_cat.spec.`eq7@eq_deletes`").append()
+      assert(GraftStore.keysWithPrefix(key + "#p=")
+        .forall(GraftStore.eqDeleteCount(_) >= 1),
+        "tuples not naming the partition column must reach every shard")
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq7")
+  }
+
+  test("eq-delete channel refusals: opt-in contract, unknown/duplicate/float keys, reserved ref") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo("graft_cat.spec.eq8").create() // NOT equality mode
+    try {
+      val noMode = intercept[Exception] {
+        base.select("event_id")
+          .writeTo("graft_cat.spec.`eq8@eq_deletes`").append()
+      }
+      assert(noMode.getMessage.contains("write.delete.mode"),
+        noMode.getMessage.take(160))
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq8")
+    val (_, _) = mkTable("eq9")
+    try {
+      val unknown = intercept[Exception] {
+        base.select(col("event_id").as("nope"))
+          .writeTo("graft_cat.spec.`eq9@eq_deletes`").append()
+      }
+      assert(unknown.getMessage.contains("not a column"),
+        unknown.getMessage.take(160))
+      val float = intercept[Exception] {
+        base.select("value") // DOUBLE
+          .writeTo("graft_cat.spec.`eq9@eq_deletes`").append()
+      }
+      assert(float.getMessage.contains("FLOAT/DOUBLE"),
+        float.getMessage.take(160))
+      val reserved = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.create_branch('spec.eq9', 'eq_deletes')")
+      }
+      assert(reserved.getMessage.contains("reserved"),
+        reserved.getMessage.take(160))
+    } finally spark.sql("DROP TABLE graft_cat.spec.eq9")
+  }
+
+  test("the streaming upsert path carries no data-proportional driver collect (VERDICT r17 #1 pin)") {
+    // mechanical pin, ReadmeClaimsSpec-style: the upsert recipe's
+    // foreachBatch must source the eq-delete keys as a PLAN (the
+    // t@eq_deletes channel), never .collect() them or string-build an
+    // IN (...) DELETE
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/streaming/StreamingOps.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val start = src.indexOf("def streamUpsertEq")
+    assert(start >= 0, "streamUpsertEq must exist")
+    val end = src.indexOf("streamUpsertEqOracle", start)
+    val body = src.substring(start, if (end < 0) src.length else end)
+    assert(!body.contains(".collect()"),
+      "streamUpsertEq must not collect batch keys to the driver")
+    assert(!body.contains("IN ("),
+      "streamUpsertEq must not string-build an IN-list DELETE")
+    assert(body.contains("@eq_deletes"),
+      "streamUpsertEq must route keys through the plan-sourced channel")
+  }
 }
