@@ -1688,6 +1688,74 @@ object MergeOps extends QueryModule {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** MULTI-TABLE READ CONSISTENCY (VERDICT r17 #5 — the SCALE.md
+    * recipe, executed): `publish_tables` makes the two swaps atomic
+    * w.r.t. WRITERS, but a reader scanning both tables mid-swap can
+    * see t1-new + t2-old — the same boundary as Iceberg-without-
+    * Nessie. The documented recipe: read BOTH tables `VERSION AS OF`
+    * the `main_version` ordinals the call returns. This query runs the
+    * recipe end-to-end and makes the pin bite: AFTER the publish, both
+    * tables drift (an extra append each), so only as-of reads at the
+    * returned ordinals — not current reads — reproduce the mutually
+    * consistent published state the oracle expects. `n_manifest` is
+    * the manifest's recount of the corpus at the SAME transaction, so
+    * any cross-version tear shows up as n_corpus != n_manifest.
+    */
+  def sqlMultiTableRead(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val n = dmlSeq.incrementAndGet()
+    val corpus = s"graft_cat.dml.rcorpus$n"
+    val manifest = s"graft_cat.dml.rmanifest$n"
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo(corpus).create()
+    base.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeTo(manifest).create()
+    try {
+      s.sql(s"CALL graft_cat.system.create_branch('dml.rcorpus$n', 'tx')")
+      s.sql(s"CALL graft_cat.system.create_branch('dml.rmanifest$n', 'tx')")
+      s.sql(s"DELETE FROM graft_cat.dml.`rcorpus$n@tx` WHERE value < 30")
+      s.sql(
+        s"""MERGE INTO graft_cat.dml.`rmanifest$n@tx` m
+           |USING (SELECT event_type, count(*) AS n
+           |       FROM graft_cat.dml.`rcorpus$n@tx` GROUP BY event_type) c
+           |ON m.event_type = c.event_type
+           |WHEN MATCHED THEN UPDATE SET n = c.n
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val pub = s.sql("CALL graft_cat.system.publish_tables(" +
+        s"'dml.rcorpus$n@tx,dml.rmanifest$n@tx')").collect()
+        .map(r => r.getString(0) -> r.getInt(2)).toMap
+      val vc = pub(s"dml.rcorpus$n")
+      val vm = pub(s"dml.rmanifest$n")
+      // post-publish drift on BOTH tables: current reads no longer see
+      // the transaction's state — the as-of recipe is load-bearing
+      base.limit(7).writeTo(corpus).append()
+      s.sql(s"INSERT INTO $manifest VALUES ('drift', 999)")
+      val asOfCorpus = s.sql(s"SELECT * FROM $corpus VERSION AS OF $vc")
+      val asOfManifest = s.sql(s"SELECT * FROM $manifest VERSION AS OF $vm")
+      val digest = asOfCorpus.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_corpus"))
+        .join(asOfManifest, "event_type")
+        .select(col("event_type"), col("n_corpus"),
+          col("n").as("n_manifest"),
+          (col("n_corpus") === col("n")).as("consistent"))
+        .orderBy("event_type")
+      s.createDataFrame(digest.collectAsList(), digest.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $corpus"))
+      scala.util.Try(s.sql(s"DROP TABLE $manifest")); ()
+    }
+  }
+
+  val sqlMultiTableReadOracle: String =
+    """SELECT event_type, count(*) AS n_corpus,
+      | count(*) AS n_manifest, true AS consistent
+      |FROM events
+      |WHERE value >= 30 OR value IS NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** MERGE-ON-READ DML on a PARTITIONED table — the fourth write model
     * behind the same UPDATE/DELETE digest (COW, MOR, partitioned COW,
     * now partitioned MOR), sharing [[sqlUpdateDeleteOracle]]
@@ -1958,6 +2026,10 @@ object MergeOps extends QueryModule {
     // MULTI-TABLE transaction: two tables, one catalog-level commit
     RegisteredQuery("sql_multi_table_txn", sqlMultiTableTxn,
       Some(sqlMultiTableTxnOracle)),
+    // ... and the cross-table READ recipe: VERSION AS OF the returned
+    // ordinals reproduces the mutually consistent published state
+    RegisteredQuery("sql_multi_table_read", sqlMultiTableRead,
+      Some(sqlMultiTableReadOracle)),
     // SHALLOW CLONE: zero-copy fork, independent divergence
     RegisteredQuery("sql_clone_diverge", sqlCloneDiverge,
       Some(sqlCloneDivergeOracle)),

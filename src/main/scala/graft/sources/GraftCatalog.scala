@@ -36,8 +36,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Storage shares [[GraftStore.stores]] under a `cat::`-prefixed key, so
   * the store's eviction/commit machinery applies unchanged.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with FunctionCatalog {
   private var catName: String = "graft_cat"
+
+  /** The hidden partition transforms as loadable catalog functions —
+    * what lets `V2ExpressionUtils.toCatalyst` translate a
+    * `days(ts)`/`bucket(n, col)` clustered write distribution into a
+    * shuffle key (Iceberg's FunctionCatalog model, VERDICT r17 #2).
+    * The analyzer also resolves them in SQL as
+    * `graft_cat.days(ts)` / `graft_cat.bucket(n, col)`.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "days"),
+        Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    else ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "days" => new TransformFunctions.DaysUnbound
+      case "bucket" => new TransformFunctions.BucketUnbound
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
@@ -2364,31 +2389,26 @@ private[sources] class GraftPartitionedTable(
       override def build(): Write = new Write
           with org.apache.spark.sql.connector.write
             .RequiresDistributionAndOrdering {
-        /** CLUSTERED write distribution on the partition column — the
-          * V2 contract that lets Spark shuffle rows to co-locate each
-          * shard's data in one task before the write. Without it an
-          * N-task append to an S-shard table commits up to N×S tiny
+        /** CLUSTERED write distribution on the partition transform —
+          * the V2 contract that lets Spark shuffle rows to co-locate
+          * each shard's data in one task before the write. Without it
+          * an N-task append to an S-shard table commits up to N×S tiny
           * batches (the small-files problem every table format
           * fights); with it, one batch per touched shard per
-          * statement. Only IDENTITY specs request it: days/bucket
-          * transforms need a FunctionCatalog for Spark to translate
-          * them into a shuffle key (`V2ExpressionUtils.toCatalyst`
-          * refuses otherwise), and clustering those by the raw source
-          * column would not co-locate a shard's values anyway. Not
-          * strictly required: Spark skips the exchange when the
-          * incoming distribution already satisfies it, so single-task
-          * writes pay nothing.
+          * statement. EVERY spec requests it: identity clusters on the
+          * raw column, and `days`/`bucket` translate through the
+          * catalog-registered transform functions
+          * ([[TransformFunctions]], the Iceberg FunctionCatalog model)
+          * — so the single most common 100 TB shape, a day-partitioned
+          * event log under multi-task append, also lands one batch per
+          * touched day. Not strictly required: Spark skips the
+          * exchange when the incoming distribution already satisfies
+          * it, so single-task and pre-clustered writes pay nothing.
           */
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          spec match {
-            case _: PartSpec.IdentityPart =>
-              org.apache.spark.sql.connector.distributions.Distributions
-                .clustered(Array(spec.transform))
-            case _ =>
-              org.apache.spark.sql.connector.distributions.Distributions
-                .unspecified()
-          }
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(spec.transform))
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           Array.empty

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** Catalog FUNCTIONS for the hidden partition transforms (VERDICT r17
+  * #2): with `days` and `bucket` loadable from the table's catalog,
+  * Spark's `V2ExpressionUtils.toCatalyst` can translate a
+  * transform-partitioned table's `Distributions.clustered(days(ts))`
+  * into a shuffle key, so the CLUSTERED WRITE DISTRIBUTION
+  * ([[GraftPartitionedTable]]'s `RequiresDistributionAndOrdering`)
+  * fires for `days`/`bucket` tables too — previously identity-only,
+  * leaving the single most common 100 TB shape (a day-partitioned
+  * event log) fragmenting up to tasks×shards batches per multi-task
+  * append. This is exactly Iceberg's FunctionCatalog-registered
+  * transform-function model.
+  *
+  * The bound functions MUST induce the same equivalence classes as the
+  * write-side routing ([[PartSpec.DaysPart.dayOf]] /
+  * [[PartSpec.BucketPart.bucketOf]]) — clustering correctness needs
+  * equal-routed rows to hash equal, which same-valued functions
+  * guarantee; both sides share the epoch-day floor-div and the
+  * murmur3(seed=42) pmod n here.
+  */
+private[sources] object TransformFunctions {
+
+  /** `days(ts)` — UTC epoch-day ordinal of a timestamp/date column.
+    * Binds per input type so the MAGIC `invoke` stays codegen-friendly
+    * (primitive long/int in, long out — no boxing in the exchange's
+    * key projection).
+    */
+  class DaysUnbound extends UnboundFunction {
+    override def name(): String = "days"
+    override def description(): String =
+      "days(ts): UTC epoch-day ordinal (hidden partition transform)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"days takes exactly one argument, got ${inputType.length}")
+      inputType.fields(0).dataType match {
+        case TimestampType | TimestampNTZType => new DaysOfMicros
+        case DateType => new DaysOfDate
+        case dt => throw new UnsupportedOperationException(
+          s"days is not defined on ${dt.catalogString}")
+      }
+    }
+  }
+
+  class DaysOfMicros extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(TimestampType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "days"
+    override def canonicalName(): String = "graft.days(timestamp)"
+    def invoke(micros: Long): Long =
+      Math.floorDiv(micros, PartSpec.MicrosPerDay)
+    override def produceResult(input: InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) null else invoke(input.getLong(0))
+  }
+
+  class DaysOfDate extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(DateType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "days"
+    override def canonicalName(): String = "graft.days(date)"
+    def invoke(days: Int): Long = days.toLong
+    override def produceResult(input: InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) null else invoke(input.getInt(0))
+  }
+
+  /** `bucket(n, col)` — murmur3(col, seed 42) pmod n, the same hash
+    * [[PartSpec.BucketPart]] routes writes with. Spark hands the
+    * transform's arity as (numBuckets INT, col), so the bound input is
+    * two fields; `produceResult` keeps the column generic over every
+    * hashable type (the call sits only in the write exchange's key
+    * projection).
+    */
+  class BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): murmur3 pmod n (hidden partition transform)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket takes (numBuckets, col), got ${inputType.length} args")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"bucket's first argument must be INT, got " +
+          inputType.fields(0).dataType.catalogString)
+      new BucketBound(inputType.fields(1).dataType)
+    }
+  }
+
+  class BucketBound(dt: DataType) extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String =
+      s"graft.bucket(${dt.catalogString})"
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else {
+        val n = input.getInt(0)
+        val h = Murmur3HashFunction.hash(input.get(1, dt), dt, 42L).toInt
+        val m = h % n
+        if (m < 0) m + n else m
+      }
+  }
+}

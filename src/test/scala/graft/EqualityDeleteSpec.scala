@@ -356,6 +356,53 @@ class EqualityDeleteSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.eq9")
   }
 
+  test("compaction/cluster on a PARTITIONED table with PENDING eq-deletes: no resurrection, seq contract survives renumbering (VERDICT r17 #6)") {
+    cat()
+    spark.range(0, 12)
+      .select((col("id") % 2).cast("string").as("p"), col("id").as("v"))
+      .repartition(1)
+      .writeTo("graft_cat.spec.eqc").partitionedBy(col("p"))
+      .tableProperty("write.delete.mode", "equality").create()
+    val key = "cat::graft_cat.spec.eqc"
+    try {
+      // pending eq-delete on every shard, then a key RE-INSERTED after
+      // it (visible under sequence semantics) — the state compaction
+      // must preserve exactly
+      spark.sql("DELETE FROM graft_cat.spec.eqc WHERE v IN (2, 3, 4)")
+      spark.sql("INSERT INTO graft_cat.spec.eqc VALUES ('0', 4)")
+      val before = spark.table("graft_cat.spec.eqc")
+        .orderBy("p", "v").collect().toSeq
+      assert(before.map(_.getLong(1)).count(_ == 4L) === 1,
+        "the re-inserted key must be visible pre-compaction")
+      assert(GraftStore.keysWithPrefix(key + "#p=")
+        .map(GraftStore.eqDeleteCount).sum > 0, "eq-deletes must be PENDING")
+      spark.sql("CALL graft_cat.system.compact('spec.eqc')")
+      // survivors identical; eq-deleted rows NOT resurrected; the
+      // re-inserted row (post-delete seq) survives; debt paid down
+      assert(spark.table("graft_cat.spec.eqc")
+        .orderBy("p", "v").collect().toSeq === before,
+        "compaction must preserve the logical view exactly")
+      assert(GraftStore.keysWithPrefix(key + "#p=")
+        .map(GraftStore.eqDeleteCount).sum === 0,
+        "compaction must materialize pending eq-deletes away")
+      // batch renumbering is safe for LATER eq-deletes: a fresh delete
+      // against the compacted (renumbered) batches still lands exactly
+      spark.sql("DELETE FROM graft_cat.spec.eqc WHERE v = 7")
+      assert(spark.table("graft_cat.spec.eqc")
+        .filter(col("v") === 7L).count() === 0L)
+      // and CLUSTER with a pending eq-delete behaves the same
+      spark.sql("DELETE FROM graft_cat.spec.eqc WHERE v IN (8, 9)")
+      val want = spark.table("graft_cat.spec.eqc")
+        .orderBy("p", "v").collect().toSeq
+      spark.sql("CALL graft_cat.system.cluster('spec.eqc', 'v', 2)")
+      assert(spark.table("graft_cat.spec.eqc")
+        .orderBy("p", "v").collect().toSeq === want,
+        "cluster must not resurrect eq-deleted rows")
+      assert(GraftStore.keysWithPrefix(key + "#p=")
+        .map(GraftStore.eqDeleteCount).sum === 0)
+    } finally spark.sql("DROP TABLE graft_cat.spec.eqc")
+  }
+
   test("the streaming upsert path carries no data-proportional driver collect (VERDICT r17 #1 pin)") {
     // mechanical pin, ReadmeClaimsSpec-style: the upsert recipe's
     // foreachBatch must source the eq-delete keys as a PLAN (the

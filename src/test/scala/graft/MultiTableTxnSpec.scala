@@ -138,4 +138,66 @@ class MultiTableTxnSpec extends SparkSpec {
       spark.sql("DROP TABLE graft_cat.spec.mt3b")
     }
   }
+
+  test("cross-table READ consistency: a mid-swap view tears; VERSION AS OF the returned ordinals never does (VERDICT r17 #5)") {
+    cat()
+    seed("mt4a", "mt4b")
+    try {
+      // capture the PRE-publish ordinals — the exact versions a reader
+      // that already resolved t2 before the swap would be serving
+      val preA = GraftStore.versionCount("cat::graft_cat.spec.mt4a") - 1
+      val preB = GraftStore.versionCount("cat::graft_cat.spec.mt4b") - 1
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt4a', 'tx')")
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt4b', 'tx')")
+      spark.sql("DELETE FROM graft_cat.spec.`mt4a@tx` WHERE value < 30")
+      spark.sql(
+        """MERGE INTO graft_cat.spec.`mt4b@tx` m
+          |USING (SELECT event_type, count(*) AS n
+          |       FROM graft_cat.spec.`mt4a@tx` GROUP BY event_type) c
+          |ON m.event_type = c.event_type
+          |WHEN MATCHED THEN UPDATE SET n = c.n
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val pub = spark.sql("CALL graft_cat.system.publish_tables(" +
+        "'spec.mt4a@tx,spec.mt4b@tx')").collect()
+        .map(r => r.getString(0) -> r.getInt(2)).toMap
+      def recount(corpus: org.apache.spark.sql.DataFrame,
+          manifest: org.apache.spark.sql.DataFrame): Boolean = {
+        val byType = corpus.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nc"))
+        byType.join(manifest, Seq("event_type"), "full_outer")
+          .filter(col("nc").isNull || col("n").isNull ||
+            col("nc") =!= col("n")).isEmpty
+      }
+      // the MID-SWAP view a reader can observe (t1-new + t2-old, the
+      // documented boundary): provably INCONSISTENT
+      val torn = recount(
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4a VERSION AS OF " +
+          pub("spec.mt4a")),
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4b VERSION AS OF $preB"))
+      assert(!torn, "t1-new + t2-old must tear (else the pin is vacuous)")
+      // the recipe: both AS OF the returned ordinals — consistent
+      assert(recount(
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4a VERSION AS OF " +
+          pub("spec.mt4a")),
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4b VERSION AS OF " +
+          pub("spec.mt4b"))),
+        "VERSION AS OF the returned ordinals must be mutually consistent")
+      // and the PRE-transaction pair is consistent too (it was a
+      // consistent state once) — the boundary is only the mixed view
+      assert(recount(
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4a VERSION AS OF $preA"),
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4b VERSION AS OF $preB")))
+      // drift both tables: current reads diverge from the transaction,
+      // the as-of recipe keeps serving it
+      spark.sql("INSERT INTO graft_cat.spec.mt4b VALUES ('drift', 999)")
+      assert(recount(
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4a VERSION AS OF " +
+          pub("spec.mt4a")),
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt4b VERSION AS OF " +
+          pub("spec.mt4b"))))
+    } finally {
+      spark.sql("DROP TABLE graft_cat.spec.mt4a")
+      spark.sql("DROP TABLE graft_cat.spec.mt4b")
+    }
+  }
 }

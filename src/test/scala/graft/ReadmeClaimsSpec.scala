@@ -43,13 +43,16 @@ class ReadmeClaimsSpec extends AnyFunSuite {
     // session is lazy), and sum registered test names.
     val dir = java.nio.file.Paths.get("target/scala-2.13/test-classes/graft")
     assert(java.nio.file.Files.isDirectory(dir), s"missing $dir")
-    val suites = java.nio.file.Files.list(dir).iterator()
+    // recursive: suites live in graft AND its subpackages (e.g.
+    // graft.sources.SpecCaptureSpec, which needs private[sources] access)
+    val suites = java.nio.file.Files.walk(dir).iterator()
       .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     suites.forEachRemaining { p =>
       val f = p.getFileName.toString
       if (f.endsWith(".class") && !f.contains("$"))
-        names += "graft." + f.stripSuffix(".class")
+        names += ("graft." + dir.relativize(p).toString
+          .stripSuffix(".class").replace(java.io.File.separatorChar, '.'))
     }
     val live = names.sorted.flatMap { cn =>
       val c = Class.forName(cn)
