@@ -1794,6 +1794,83 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** The PARTITIONED twin of [[streamUpsertEq]] — the full 100 TB
+    * upsert story in one query: the target is PARTITIONED (identity on
+    * `event_type`) with `write.delete.mode='equality'`, the upsert key
+    * is (event_id, event_type), and each micro-batch (1) ships its key
+    * set through the `t@eq_deletes` channel — because the tuples name
+    * the partition source column, the commit records on exactly the
+    * OWNING shards, not table-wide — and (2) appends through the
+    * clustered write distribution, one batch per touched shard. No
+    * target read-back, no driver-side key collect, no cross-shard
+    * delete fan-out: the two r18 write-path pieces composing on the
+    * workload they exist for.
+    */
+  def streamUpsertEqPartitioned(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("event_id") % 3 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val n = sinkSeq.incrementAndGet()
+    val src = s"graft_cat.stream.ueqps$n"
+    val tgt = s"graft_cat.stream.ueqpt$n"
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ueqp")
+    try {
+      ev.repartition(1).writeTo(src).create()
+      ev.limit(0).writeTo(tgt).partitionedBy(col("event_type"))
+        .tableProperty("write.delete.mode", "equality").create()
+      def drain(): Unit = {
+        val q = s.readStream.table(src)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val batch = df.cache()
+            batch.select("event_id", "event_type")
+              .writeTo(s"graft_cat.stream.`ueqpt$n@eq_deletes`").append()
+            batch.writeTo(tgt).append()
+            batch.unpersist()
+            ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      drain()
+      ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") + 1000).as("value"))
+        .repartition(1).writeTo(src).append()
+      drain()
+      val out = s.table(tgt).agg(
+        count(lit(1)).as("n_rows"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("sum_value"),
+        count(when(col("event_id") % 5 === 0 && col("value") >= 1000, 1))
+          .as("n_updated"),
+        countDistinct(col("event_type")).as("n_types"))
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $src"))
+      scala.util.Try(s.sql(s"DROP TABLE $tgt"))
+      deleteRecursively(root)
+    }
+  }
+
+  val streamUpsertEqPartitionedOracle: String =
+    """WITH b1 AS (SELECT event_id, event_type, value FROM events
+      |            WHERE user_id IS NOT NULL AND event_id % 3 = 0),
+      |upd AS (SELECT event_id, event_type, value + 1000 AS value FROM b1
+      |        WHERE event_id % 5 = 0),
+      |fin AS (SELECT * FROM b1 WHERE event_id % 5 <> 0
+      |        UNION ALL SELECT * FROM upd)
+      |SELECT count(*) AS n_rows,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |   / 100.0 AS sum_value,
+      | count(*) FILTER (WHERE event_id % 5 = 0 AND value >= 1000)
+      |   AS n_updated,
+      | count(DISTINCT event_type) AS n_types
+      |FROM fin""".stripMargin
+
   val streamUpsertEqOracle: String =
     """WITH b1 AS (SELECT event_id, value FROM events
       |            WHERE user_id IS NOT NULL AND event_id % 3 = 0),
@@ -2020,6 +2097,10 @@ object StreamingOps extends QueryModule {
     // streaming upsert sink on equality deletes: no target read-back
     RegisteredQuery("stream_upsert_eq", streamUpsertEq,
       Some(streamUpsertEqOracle)),
+    // the partitioned twin: owning-shard-scoped eq-deletes + clustered
+    // appends composing on the keyed-upsert-into-partitioned-fact shape
+    RegisteredQuery("stream_upsert_eq_partitioned",
+      streamUpsertEqPartitioned, Some(streamUpsertEqPartitionedOracle)),
     RegisteredQuery("stream_partitioned_source", streamPartitionedSource,
       Some(streamFromCatalogOracle)),
     RegisteredQuery("stream_to_catalog_table", streamToCatalogTable,

@@ -412,15 +412,20 @@ class EqualityDeleteSpec extends SparkSpec {
       java.nio.file.Paths.get(
         "src/main/scala/graft/streaming/StreamingOps.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
-    val start = src.indexOf("def streamUpsertEq")
-    assert(start >= 0, "streamUpsertEq must exist")
-    val end = src.indexOf("streamUpsertEqOracle", start)
-    val body = src.substring(start, if (end < 0) src.length else end)
-    assert(!body.contains(".collect()"),
-      "streamUpsertEq must not collect batch keys to the driver")
-    assert(!body.contains("IN ("),
-      "streamUpsertEq must not string-build an IN-list DELETE")
-    assert(body.contains("@eq_deletes"),
-      "streamUpsertEq must route keys through the plan-sourced channel")
+    Seq("def streamUpsertEq(" -> "streamUpsertEqOracle",
+        "def streamUpsertEqPartitioned(" ->
+          "streamUpsertEqPartitionedOracle").foreach {
+      case (defMarker, endMarker) =>
+        val start = src.indexOf(defMarker)
+        assert(start >= 0, s"$defMarker must exist")
+        val end = src.indexOf(endMarker, start)
+        val body = src.substring(start, if (end < 0) src.length else end)
+        assert(!body.contains(".collect()"),
+          s"$defMarker must not collect batch keys to the driver")
+        assert(!body.contains("IN ("),
+          s"$defMarker must not string-build an IN-list DELETE")
+        assert(body.contains("@eq_deletes"),
+          s"$defMarker must route keys through the plan-sourced channel")
+    }
   }
 }
