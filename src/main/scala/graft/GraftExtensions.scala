@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.PairCombinations].getName,
         graft.functions.PairCombinations.name),
       (children: Seq[Expression]) => graft.functions.PairCombinations(children(0))))
+    // DELETE ... WHERE k IN (SELECT ...) on an equality-delete table →
+    // the plan-sourced eq-delete channel (post-hoc: DeleteFromTable is
+    // still intact at end of analysis; the optimizer's row-level
+    // rewrite would otherwise claim it)
+    ext.injectPostHocResolutionRule(s =>
+      graft.plans.RewriteEqDeleteSubquery(s))
+    ext.injectPlannerStrategy(s => new graft.plans.EqDeleteStrategy(s))
     ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRunningDistinct)
     ext.injectOptimizerRule(s => new graft.plans.MvRollupRewrite(s))

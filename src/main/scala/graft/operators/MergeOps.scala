@@ -1688,6 +1688,64 @@ object MergeOps extends QueryModule {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** `DELETE ... WHERE k IN (SELECT ...)` AS AN EQUALITY DELETE
+    * (VERDICT r17 #1's SQL form): on a `write.delete.mode='equality'`
+    * table, [[graft.plans.RewriteEqDeleteSubquery]] routes the
+    * IN-subquery DELETE's key plan into the `t@eq_deletes` channel —
+    * the statement commits O(tuples) metadata with NO target scan, no
+    * position resolution, and no driver-side key materialization,
+    * where the default path would plan a MOR WriteDelta that joins the
+    * target. The script then re-INSERTs some retired keys (sequence
+    * semantics keep them visible) and compacts (the debt pays down),
+    * so the digest pins the whole lifecycle behind the SQL surface.
+    */
+  def sqlDeleteEqSubquery(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val n = dmlSeq.incrementAndGet()
+    val tbl = s"graft_cat.dml.eqsub$n"
+    val keys = s"graft_cat.dml.eqsubk$n"
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo(tbl)
+      .tableProperty("write.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "equality").create()
+    base.filter(col("event_type") === "error").select(col("event_id"))
+      .writeTo(keys).create()
+    try {
+      s.sql(s"DELETE FROM $tbl WHERE event_id IN (SELECT event_id FROM $keys)")
+      val k = s"cat::graft_cat.dml.eqsub$n"
+      require(graft.sources.GraftStore.eqDeleteCount(k) == 1,
+        "the IN-subquery DELETE must commit exactly one eq-delete set")
+      // sequence semantics: three retired keys come back
+      base.filter(col("event_type") === "error")
+        .orderBy(col("event_id")).limit(3)
+        .writeTo(tbl).append()
+      s.sql(s"CALL graft_cat.system.compact('dml.eqsub$n')")
+      require(graft.sources.GraftStore.eqDeleteCount(k) == 0,
+        "compaction must materialize the eq-delete debt away")
+      val digest = s.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        roundTo(sum(col("value")), 2).as("sum_value"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+      s.createDataFrame(digest.collectAsList(), digest.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $tbl"))
+      scala.util.Try(s.sql(s"DROP TABLE $keys")); ()
+    }
+  }
+
+  val sqlDeleteEqSubqueryOracle: String =
+    """WITH kept AS (SELECT event_id, event_type, value FROM events
+      |              WHERE event_type <> 'error' OR event_type IS NULL),
+      |back AS (SELECT event_id, event_type, value FROM events
+      |         WHERE event_type = 'error' ORDER BY event_id LIMIT 3),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM back)
+      |SELECT count(*) AS n_rows,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+      | count(*) FILTER (WHERE event_type = 'error') AS n_error
+      |FROM fin""".stripMargin
+
   /** MULTI-TABLE READ CONSISTENCY (VERDICT r17 #5 — the SCALE.md
     * recipe, executed): `publish_tables` makes the two swaps atomic
     * w.r.t. WRITERS, but a reader scanning both tables mid-swap can
@@ -2023,6 +2081,10 @@ object MergeOps extends QueryModule {
     RegisteredQuery("sql_delete_eq", sqlDeleteEq, Some(sqlDeleteEqOracle)),
     RegisteredQuery("sql_delete_eq_partitioned", sqlDeleteEqPartitioned,
       Some(sqlDeleteEqPartitionedOracle)),
+    // ... and the IN-subquery SQL form, routed to the plan-sourced
+    // channel by the injected post-hoc rule
+    RegisteredQuery("sql_delete_eq_subquery", sqlDeleteEqSubquery,
+      Some(sqlDeleteEqSubqueryOracle)),
     // MULTI-TABLE transaction: two tables, one catalog-level commit
     RegisteredQuery("sql_multi_table_txn", sqlMultiTableTxn,
       Some(sqlMultiTableTxnOracle)),

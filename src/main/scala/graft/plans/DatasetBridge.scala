@@ -22,4 +22,20 @@ object DatasetBridge {
     */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Unwrap a row-level operation table iff its verb is DELETE —
+    * `RowLevelOperationTable` is `private[sql]`, so the single type
+    * test [[graft.plans.RewriteEqDeleteSubquery]] needs (DELETE vs the
+    * UPDATE/MERGE rewrites that build the same ReplaceData/WriteDelta
+    * nodes) lives in this shim.
+    */
+  def deleteOperationTarget(
+      t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.catalog.Table] = t match {
+    case r: org.apache.spark.sql.connector.write.RowLevelOperationTable
+        if r.operation.command ==
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE =>
+      Some(r.table)
+    case _ => None
+  }
 }

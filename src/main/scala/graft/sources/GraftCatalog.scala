@@ -1734,6 +1734,29 @@ object GraftCatalog {
   private[graft] val eqDeleteTables =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** The SQL-addressable `t@eq_deletes` channel for a loaded catalog
+    * table, when (and only when) the table opted into equality deletes
+    * — what [[graft.plans.RewriteEqDeleteSubquery]] needs to route a
+    * `DELETE ... WHERE k IN (SELECT ...)` into a plan-sourced
+    * equality-delete commit instead of the COW/MOR rewrite. Branch
+    * tables are excluded (their store key embeds `#b=`, which is not a
+    * loadable identifier) — branch subquery-DELETEs keep the row-level
+    * path.
+    */
+  private[graft] def eqDeleteChannelFor(
+      t: org.apache.spark.sql.connector.catalog.Table): Option[String] = {
+    val key = t match {
+      case rl: GraftRowLevelTable => Some(rl.storeKey)
+      case pt: GraftPartitionedTable => Some(pt.tableKey)
+      case _ => None
+    }
+    key.filter(k => !k.contains("#b=") && eqDeleteTables.contains(k))
+      .map { k =>
+        val parts = k.stripPrefix("cat::").split('.')
+        (parts.init :+ s"`${parts.last}@eq_deletes`").mkString(".")
+      }
+  }
+
   /** Commit one equality-delete tuple set against a PARTITIONED table,
     * scoped to owning shards PER SHARD under its OWN spec: if the
     * tuple set constrains a shard's partition source column, only

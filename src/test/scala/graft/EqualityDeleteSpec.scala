@@ -403,6 +403,108 @@ class EqualityDeleteSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.eqc")
   }
 
+  test("DELETE ... WHERE k IN (SELECT ...) on an eq-delete table routes through the channel: pure metadata, no target scan") {
+    cat()
+    val (key, total) = mkTable("eqs1")
+    // a SOURCE table holding the keys to retire — the subquery is a
+    // genuine distributed plan over another table, not a literal list
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error").select(col("event_id"))
+      .writeTo("graft_cat.spec.eqs1del").create()
+    try {
+      val batchesBefore = GraftStore.batchesRef(key).get
+      val dvsBefore = GraftStore.dvsRef(key).get
+      val nDel = spark.table("graft_cat.spec.eqs1")
+        .filter(col("event_type") === "error").count()
+      spark.sql(
+        """DELETE FROM graft_cat.spec.eqs1 WHERE event_id IN
+          |  (SELECT event_id FROM graft_cat.spec.eqs1del)""".stripMargin)
+      // THE pin: the subquery DELETE committed a tuple set — neither
+      // the data nor the positional DV map moved (a COW rewrite would
+      // replace batches; a MOR delta would mark DVs)
+      assert(GraftStore.batchesRef(key).get eq batchesBefore,
+        "IN-subquery eq-delete must not rewrite any committed batch")
+      assert(GraftStore.dvsRef(key).get eq dvsBefore,
+        "IN-subquery eq-delete must not resolve positions into DVs")
+      assert(GraftStore.eqDeleteCount(key) === 1)
+      assert(spark.table("graft_cat.spec.eqs1").count() === total - nDel)
+      assert(spark.table("graft_cat.spec.eqs1")
+        .filter(col("event_type") === "error").count() === 0L)
+      // sequence semantics: re-insert after, still visible
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_type") === "error").limit(3)
+        .writeTo("graft_cat.spec.eqs1").append()
+      assert(spark.table("graft_cat.spec.eqs1")
+        .filter(col("event_type") === "error").count() === 3L)
+      // multi-column key: (a, b) IN (SELECT ...) routes too — capture
+      // fresh refs (the re-insert above legitimately appended a batch)
+      val eqSets = GraftStore.eqDeleteCount(key)
+      val batchesMid = GraftStore.batchesRef(key).get
+      spark.sql(
+        """DELETE FROM graft_cat.spec.eqs1 WHERE (event_id, event_type) IN
+          |  (SELECT event_id, 'error' FROM graft_cat.spec.eqs1del LIMIT 2)"""
+          .stripMargin)
+      assert(GraftStore.eqDeleteCount(key) === eqSets + 1,
+        "multi-column IN-subquery must also commit a tuple set")
+      assert(GraftStore.batchesRef(key).get eq batchesMid,
+        "the multi-column tuple-set commit must not touch data")
+    } finally {
+      spark.sql("DROP TABLE graft_cat.spec.eqs1")
+      spark.sql("DROP TABLE graft_cat.spec.eqs1del")
+    }
+  }
+
+  test("IN-subquery DELETE conservative fallbacks: non-eq table, residual conjunct, double key all keep the row-level path") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.limit(50).select(col("event_id")).repartition(1)
+      .writeTo("graft_cat.spec.eqs2del").create()
+    // (a) non-eq-mode table: stays COW (data rewritten, no tuple set)
+    base.writeTo("graft_cat.spec.eqs2").create()
+    try {
+      spark.sql(
+        """DELETE FROM graft_cat.spec.eqs2 WHERE event_id IN
+          |  (SELECT event_id FROM graft_cat.spec.eqs2del)""".stripMargin)
+      assert(GraftStore.eqDeleteCount("cat::graft_cat.spec.eqs2") === 0,
+        "a non-equality table must not commit eq-deletes")
+      assert(spark.table("graft_cat.spec.eqs2").count() === base.count() - 50)
+    } finally spark.sql("DROP TABLE graft_cat.spec.eqs2")
+    // (b) residual conjunct alongside the subquery: row-level path
+    // (the extra predicate needs target-row evaluation)
+    val (key3, _) = mkTable("eqs3")
+    try {
+      spark.sql(
+        """DELETE FROM graft_cat.spec.eqs3 WHERE event_id IN
+          |  (SELECT event_id FROM graft_cat.spec.eqs2del)
+          |  AND value < 1e9""".stripMargin)
+      assert(GraftStore.eqDeleteCount(key3) === 0,
+        "a residual conjunct must keep the row-level path")
+      assert(spark.table("graft_cat.spec.eqs3")
+        .join(spark.table("graft_cat.spec.eqs2del"), "event_id")
+        .filter(col("value") < 1e9).count() === 0L,
+        "the row-level path must still delete the matched rows")
+    } finally spark.sql("DROP TABLE graft_cat.spec.eqs3")
+    // (c) DOUBLE key column: refused by the channel contract, so the
+    // rewrite must not fire — row-level path, still correct
+    val (key4, total4) = mkTable("eqs4")
+    base.limit(20).select(col("value")).repartition(1)
+      .writeTo("graft_cat.spec.eqs4del").create()
+    try {
+      spark.sql(
+        """DELETE FROM graft_cat.spec.eqs4 WHERE value IN
+          |  (SELECT value FROM graft_cat.spec.eqs4del)""".stripMargin)
+      assert(GraftStore.eqDeleteCount(key4) === 0,
+        "a DOUBLE key must keep the row-level path")
+      assert(spark.table("graft_cat.spec.eqs4").count() < total4)
+    } finally {
+      spark.sql("DROP TABLE graft_cat.spec.eqs4")
+      spark.sql("DROP TABLE graft_cat.spec.eqs4del")
+      spark.sql("DROP TABLE graft_cat.spec.eqs2del")
+    }
+  }
+
   test("the streaming upsert path carries no data-proportional driver collect (VERDICT r17 #1 pin)") {
     // mechanical pin, ReadmeClaimsSpec-style: the upsert recipe's
     // foreachBatch must source the eq-delete keys as a PLAN (the
