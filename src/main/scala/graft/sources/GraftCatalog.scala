@@ -2159,7 +2159,8 @@ private[sources] class GraftPartitionedTable(
   override def partitioning(): Array[Transform] = Array(spec.transform)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   private def partKeys(): Seq[String] =
     GraftStore.stores.keys.filter(_.startsWith(tableKey + "#p=")).toSeq.sorted
@@ -2442,6 +2443,18 @@ private[sources] class GraftPartitionedTable(
           // truncate-overwrite replaces the whole table
           replaceKeys = if (doTruncate) () => partKeys() else () => Seq.empty,
           appendMode = !doTruncate)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          // streaming ingest INTO the partitioned table — the
+          // day-partitioned event log's write half. Append-only, like
+          // the flat epoch ledger (Complete mode would be
+          // replace-per-epoch; refuse loudly rather than duplicate).
+          if (doTruncate) throw new UnsupportedOperationException(
+            "graft partitioned streaming writes are append-only " +
+              "(exactly-once epoch ledger); Complete/truncate output " +
+              "mode is unsupported — use Append or Update")
+          else new GraftPartsStreamingWrite(tableKey, info.schema(), spec,
+            loadSpecId)
       }
     }
 
@@ -2974,6 +2987,85 @@ private[sources] class GraftPartBatchWrite(
 
 private[sources] case class GraftPartCommit(
     parts: Map[String, Array[Array[Any]]]) extends WriterCommitMessage
+
+/** Streaming epochs into a PARTITIONED table: every micro-batch routes
+  * rows through the captured (spec, specId) pair exactly like the
+  * batch writer, and the epoch commit is EXACTLY-ONCE at TABLE grain —
+  * one ledger check, one table-level version, however many shards the
+  * epoch touched (a replayed epoch is a whole-batch no-op, never a
+  * partial re-append). The write-side half of the day-partitioned
+  * event log: at 100 TB a streaming ingest appends one file per
+  * touched day per epoch (the clustered distribution rides the same
+  * Write), and consumers tail the table-level snapshot log
+  * ([[GraftPartsMicroBatchStream]]).
+  */
+private[sources] class GraftPartsStreamingWrite(tableKey: String,
+    schema: StructType, spec: PartSpec, specId: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val s = schema
+    val route = spec
+    val sid = specId
+    val pIdx = schema.fieldIndex(spec.sourceCol)
+    (_: Int, _: Long, _: Long) => new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
+      override def write(r: InternalRow): Unit = {
+        val vals = new Array[Any](s.length)
+        var i = 0
+        while (i < s.length) {
+          val v = r.get(i, s(i).dataType)
+          vals(i) = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case row: InternalRow => row.copy()
+            case other => other
+          }
+          i += 1
+        }
+        val pv = PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), sid)
+        buf.getOrElseUpdate(pv,
+          scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
+        ()
+      }
+      override def commit(): WriterCommitMessage =
+        GraftPartCommit(buf.map { case (k, v) => k -> v.toArray }.toMap)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val byPart = messages.map(_.asInstanceOf[GraftPartCommit].parts)
+      .foldLeft(Map.empty[String, Seq[Array[Array[Any]]]]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, rows)) =>
+          a.updated(k, a.getOrElse(k, Seq.empty) :+ rows)
+        }
+      }
+    GraftStore.stores.synchronized {
+      // exactly-once at TABLE grain: the whole epoch lands or none of
+      // it — shard publishes and the ledger entry sit inside the same
+      // lock as the epoch check
+      if (GraftStore.epochs.get(tableKey).exists(_ >= epochId)) return
+      GraftCatalog.validateSpecCapture(tableKey, specId, spec)
+      byPart.foreach { case (pv, batches) =>
+        GraftStore.publish(s"$tableKey#p=$pv", schema, batches,
+          truncate = false)
+      }
+      GraftCatalog.recordPartVersion(tableKey)
+      GraftStore.epochs.put(tableKey, epochId)
+      ()
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
 
 /** A read-only table over one ARCHIVED snapshot — what `VERSION AS OF`
   * resolves to. The scan captures the immutable snapshot at load time,

@@ -1665,6 +1665,83 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** STREAMING INGEST INTO A PARTITIONED CATALOG TABLE — the write
+    * half of the day-partitioned event log
+    * ([[graft.sources.GraftPartsStreamingWrite]];
+    * `stream_partitioned_source` is the read half): `writeStream
+    * .toTable` over a partitioned target routes every micro-batch's
+    * rows through the partition transform and commits the epoch
+    * EXACTLY-ONCE at TABLE grain — one table-level version per epoch,
+    * however many shards it touched, a replayed epoch a whole-batch
+    * no-op. The digest reads each epoch's version with `VERSION AS OF`
+    * (cumulative thirds), so a duplicated or split epoch shifts every
+    * row. At 100 TB this is the canonical ingest topology: a streaming
+    * job appends one file per touched day per epoch (the clustered
+    * write distribution rides the same `Write`), maintenance compacts,
+    * and consumers tail the table-level snapshot log.
+    */
+  def streamIntoPartitioned(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val ev = graft.engine.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("b", (col("event_id") % 3).cast("string"))
+    val inDir = StagedLayouts.dir("intopart", dir) { in =>
+      val t0 = 1700000000000L
+      stageSplits(ev, "b", in,
+        Map("0" -> t0, "1" -> (t0 + 60000L), "2" -> (t0 + 120000L)))
+    }
+    val tbl = s"graft_cat.stream.pt${sinkSeq.incrementAndGet()}"
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-intopart")
+    try {
+      val srcSchema = ev.drop("b").schema
+      // pre-create the PARTITIONED target so epoch ordinals are stable
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        srcSchema).writeTo(tbl).partitionedBy(col("event_type")).create()
+      val base = graft.sources.GraftCatalog
+        .partVersions(s"cat::$tbl").size - 1
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .toTable(tbl)
+        try q.awaitTermination()
+        finally scala.util.Try(q.stop())
+      }
+      def vDigest(i: Int): DataFrame = s.sql(
+        s"""SELECT CAST($i AS BIGINT) AS v, count(*) AS n,
+           | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           |   / 100.0 AS total
+           |FROM $tbl VERSION AS OF ${base + i}""".stripMargin)
+      val out = vDigest(1).unionByName(vDigest(2)).unionByName(vDigest(3))
+        .orderBy("v")
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $tbl"))
+      deleteRecursively(root)
+    }
+  }
+
+  val streamIntoPartitionedOracle: String =
+    """SELECT CAST(1 AS BIGINT) AS v, count(*) AS n,
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |   / 100.0 AS total
+      |FROM events WHERE user_id IS NOT NULL AND event_id % 3 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |FROM events WHERE user_id IS NOT NULL AND event_id % 3 <= 1
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*),
+      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |FROM events WHERE user_id IS NOT NULL
+      |ORDER BY v""".stripMargin
+
   /** Streaming READS from the catalog table — the change-feed half of
     * the lakehouse streaming contract
     * ([[graft.sources.GraftStoreMicroBatchStream]]; `stream_to_catalog
@@ -2103,6 +2180,10 @@ object StreamingOps extends QueryModule {
       streamUpsertEqPartitioned, Some(streamUpsertEqPartitionedOracle)),
     RegisteredQuery("stream_partitioned_source", streamPartitionedSource,
       Some(streamFromCatalogOracle)),
+    // the write half of the day-partitioned event log: streaming
+    // ingest INTO the partitioned table, epoch-exactly-once
+    RegisteredQuery("stream_into_partitioned", streamIntoPartitioned,
+      Some(streamIntoPartitionedOracle)),
     RegisteredQuery("stream_to_catalog_table", streamToCatalogTable,
       Some(streamToCatalogOracle)),
     RegisteredQuery("stream_api_ingest", streamApiIngest,

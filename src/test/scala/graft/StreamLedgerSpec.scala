@@ -316,4 +316,51 @@ class StreamLedgerSpec extends SparkSpec {
       assert(drainCount("graft_cat.spec.nbdv", ckpt) === 5L)
     } finally spark.sql("DROP TABLE graft_cat.spec.nbdv")
   }
+
+  test("streaming ingest INTO a partitioned table: rows route per-shard, one table version per epoch, checkpoint resume appends only the delta") {
+    cat()
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("p STRING, v BIGINT"))
+      .writeTo("graft_cat.spec.sipw").partitionedBy(col("p")).create()
+    val k = "cat::graft_cat.spec.sipw"
+    val root = java.nio.file.Files.createTempDirectory("graft_sipw")
+    try {
+      val v0 = graft.sources.GraftCatalog.partVersions(k).size
+      def ingest(): Unit = {
+        val q = spark.readStream
+          .format("rate-micro-batch")
+          .option("rowsPerBatch", "6")
+          .option("numPartitions", "2")
+          .load()
+          .select((col("value") % 3).cast("string").as("p"),
+            col("value").as("v"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_cat.spec.sipw")
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      ingest()
+      val n1 = spark.table("graft_cat.spec.sipw").count()
+      assert(n1 > 0, "the stream must have appended")
+      val epochs1 = graft.sources.GraftCatalog.partVersions(k).size - v0
+      assert(epochs1 >= 1)
+      // rows routed through the transform: every shard holds only its
+      // own partition value
+      GraftStore.keysWithPrefix(k + "#p=").foreach { sk =>
+        val pv = sk.substring(sk.indexOf("#p=") + 3)
+        assert(spark.table("graft_cat.spec.sipw")
+          .filter(col("_group") === pv && col("p") =!= pv).count() === 0L)
+      }
+      // resume from the checkpoint: only NEW epochs land (the epoch
+      // ledger refuses replays), and versions advance one per epoch
+      ingest()
+      val n2 = spark.table("graft_cat.spec.sipw").count()
+      assert(n2 >= n1, "resume must never lose rows")
+      assert(spark.table("graft_cat.spec.sipw")
+        .groupBy(col("v")).count().filter(col("count") > 1).isEmpty,
+        "no row may be ingested twice across checkpoint resumes")
+    } finally spark.sql("DROP TABLE graft_cat.spec.sipw")
+  }
 }
