@@ -60,7 +60,13 @@ case class RewriteEqDeleteSubquery(session: SparkSession)
     org.apache.spark.sql.graftbridge.DatasetBridge
       .deleteOperationTarget(rel.table).flatMap { target =>
       cond match {
-        case in @ InSubquery(values, lq) if in.resolved =>
+        // the subquery must be UNCORRELATED: a correlated plan carries
+        // OuterReference(target.col) and cannot run standalone as the
+        // channel's source — it must keep the row-level path (which
+        // plans the correlation as a join against the target)
+        case in @ InSubquery(values, lq)
+            if in.resolved && lq.outerAttrs.isEmpty &&
+              lq.joinCond.isEmpty =>
           graft.sources.GraftCatalog.eqDeleteChannelFor(target)
             .flatMap { channel =>
               val keyAttrs =
@@ -68,6 +74,10 @@ case class RewriteEqDeleteSubquery(session: SparkSession)
               val sub = lq.plan
               val shapeOk = keyAttrs.length == values.length &&
                 keyAttrs.length == sub.output.length &&
+                // a REPEATED key column is a channel refusal — fall
+                // back rather than break a previously-working DELETE
+                keyAttrs.map(_.exprId).distinct.length ==
+                  keyAttrs.length &&
                 keyAttrs.zip(sub.output).forall { case (k, o) =>
                   k.dataType == o.dataType &&
                     k.dataType != FloatType && k.dataType != DoubleType

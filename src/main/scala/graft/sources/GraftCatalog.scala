@@ -1198,10 +1198,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       // spec would, after a post-fork evolve_spec on main, route
       // branch writes through main's new transform while shards get
       // tagged with the branch's old spec id and reads prune under the
-      // branch's own spec vector (ADVICE r17). mainKey is only the
-      // fallback for the never-registered legacy shape.
-      GraftCatalog.parts.get(bk)
-        .orElse(GraftCatalog.parts.get(mainKey)).foreach { spec =>
+      // branch's own spec vector (ADVICE r17). The never-registered
+      // legacy shape adopts main's spec ONCE, registering it under the
+      // branch key so the commit-time (spec, specId) validation stays
+      // coherent — a bare fallback would build a table whose
+      // loadSpecId indexes an EMPTY branch spec vector and every write
+      // would refuse.
+      GraftCatalog.parts.get(bk).orElse {
+        GraftCatalog.parts.get(mainKey).map { sp =>
+          GraftCatalog.parts.putIfAbsent(bk, sp)
+          GraftCatalog.partSpecs
+            .putIfAbsent(bk, GraftCatalog.specsOf(mainKey))
+          GraftCatalog.parts(bk)
+        }
+      }.foreach { spec =>
         return new GraftPartitionedTable(bk, GraftStore.stores(bk).schema,
           spec, GraftCatalog.morTables.contains(mainKey))
       }
@@ -2914,7 +2924,6 @@ private[sources] class GraftPartBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val s = schema
     val route = spec
-    val pIdx = schema.fieldIndex(spec.sourceCol)
     // rows route through the (spec, specId) pair captured at table
     // load — NOT a fresh currentSpecId read here, which could tear
     // against the load-time transform under a concurrent evolve_spec
@@ -2922,43 +2931,11 @@ private[sources] class GraftPartBatchWrite(
     // The id rides in the shard-key suffix (raw for a never-evolved
     // table, `#s=N` after the Nth evolve).
     val sid = specId
-    (_: Int, _: Long) => new DataWriter[InternalRow] {
-      private val buf = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
-      override def write(r: InternalRow): Unit = {
-        val vals = new Array[Any](s.length)
-        var i = 0
-        while (i < s.length) {
-          val v = r.get(i, s(i).dataType)
-          vals(i) = v match {
-            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
-            case row: InternalRow => row.copy()
-            case other => other
-          }
-          i += 1
-        }
-        // the TRANSFORM routes: identity keeps the raw value, days/
-        // bucket derive the hidden partition value from the source col
-        val pv = PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), sid)
-        buf.getOrElseUpdate(pv,
-          scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
-      }
-      override def commit(): WriterCommitMessage =
-        GraftPartCommit(buf.map { case (k, v) => k -> v.toArray }.toMap)
-      override def abort(): Unit = buf.clear()
-      override def close(): Unit = ()
-    }
+    (_: Int, _: Long) => GraftPartWriters.routingWriter(s, route, sid)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val byPart = messages.map(_.asInstanceOf[GraftPartCommit].parts)
-      .foldLeft(Map.empty[String, Seq[Array[Array[Any]]]]) { (acc, m) =>
-        m.foldLeft(acc) { case (a, (k, rows)) =>
-          a.updated(k, a.getOrElse(k, Seq.empty) :+ rows)
-        }
-      }
+    val byPart = GraftPartWriters.mergeByPart(messages)
     GraftStore.stores.synchronized {
       // the captured (spec, specId) pair must still be coherent — a
       // concurrent evolve_spec that moved the id out from under the
@@ -2988,6 +2965,58 @@ private[sources] class GraftPartBatchWrite(
 private[sources] case class GraftPartCommit(
     parts: Map[String, Array[Array[Any]]]) extends WriterCommitMessage
 
+/** The partition-routing writer and commit-side merge SHARED by the
+  * batch ([[GraftPartBatchWrite]]) and streaming
+  * ([[GraftPartsStreamingWrite]]) paths — one place owns the per-field
+  * value copying (buffer-backed values are views into the reused input
+  * row) and the transform routing, so a fix to either can never let
+  * the two paths silently diverge.
+  */
+private[sources] object GraftPartWriters {
+  def routingWriter(s: StructType, route: PartSpec,
+      sid: Int): DataWriter[InternalRow] = {
+    val pIdx = s.fieldIndex(route.sourceCol)
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
+      override def write(r: InternalRow): Unit = {
+        val vals = new Array[Any](s.length)
+        var i = 0
+        while (i < s.length) {
+          val v = r.get(i, s(i).dataType)
+          vals(i) = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case row: InternalRow => row.copy()
+            case other => other
+          }
+          i += 1
+        }
+        // the TRANSFORM routes: identity keeps the raw value, days/
+        // bucket derive the hidden partition value from the source col
+        val pv = PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), sid)
+        buf.getOrElseUpdate(pv,
+          scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
+        ()
+      }
+      override def commit(): WriterCommitMessage =
+        GraftPartCommit(buf.map { case (k, v) => k -> v.toArray }.toMap)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
+
+  def mergeByPart(messages: Array[WriterCommitMessage])
+      : Map[String, Seq[Array[Array[Any]]]] =
+    messages.map(_.asInstanceOf[GraftPartCommit].parts)
+      .foldLeft(Map.empty[String, Seq[Array[Array[Any]]]]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, rows)) =>
+          a.updated(k, a.getOrElse(k, Seq.empty) :+ rows)
+        }
+      }
+}
+
 /** Streaming epochs into a PARTITIONED table: every micro-batch routes
   * rows through the captured (spec, specId) pair exactly like the
   * batch writer, and the epoch commit is EXACTLY-ONCE at TABLE grain —
@@ -3009,44 +3038,12 @@ private[sources] class GraftPartsStreamingWrite(tableKey: String,
     val s = schema
     val route = spec
     val sid = specId
-    val pIdx = schema.fieldIndex(spec.sourceCol)
-    (_: Int, _: Long, _: Long) => new DataWriter[InternalRow] {
-      private val buf = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
-      override def write(r: InternalRow): Unit = {
-        val vals = new Array[Any](s.length)
-        var i = 0
-        while (i < s.length) {
-          val v = r.get(i, s(i).dataType)
-          vals(i) = v match {
-            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
-            case row: InternalRow => row.copy()
-            case other => other
-          }
-          i += 1
-        }
-        val pv = PartSpec.encodeSuffix(route.valueOf(vals(pIdx)), sid)
-        buf.getOrElseUpdate(pv,
-          scala.collection.mutable.ArrayBuffer.empty[Array[Any]]) += vals
-        ()
-      }
-      override def commit(): WriterCommitMessage =
-        GraftPartCommit(buf.map { case (k, v) => k -> v.toArray }.toMap)
-      override def abort(): Unit = buf.clear()
-      override def close(): Unit = ()
-    }
+    (_: Int, _: Long, _: Long) => GraftPartWriters.routingWriter(s, route, sid)
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val byPart = messages.map(_.asInstanceOf[GraftPartCommit].parts)
-      .foldLeft(Map.empty[String, Seq[Array[Array[Any]]]]) { (acc, m) =>
-        m.foldLeft(acc) { case (a, (k, rows)) =>
-          a.updated(k, a.getOrElse(k, Seq.empty) :+ rows)
-        }
-      }
+    val byPart = GraftPartWriters.mergeByPart(messages)
     GraftStore.stores.synchronized {
       // exactly-once at TABLE grain: the whole epoch lands or none of
       // it — shard publishes and the ledger entry sit inside the same

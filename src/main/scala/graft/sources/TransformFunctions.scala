@@ -39,7 +39,12 @@ private[sources] object TransformFunctions {
       require(inputType.fields.length == 1,
         s"days takes exactly one argument, got ${inputType.length}")
       inputType.fields(0).dataType match {
-        case TimestampType | TimestampNTZType => new DaysOfMicros
+        // bind to the ACTUAL micros type: declaring TimestampType for
+        // an NTZ argument would make Spark insert an NTZ→LTZ cast that
+        // shifts the wall-clock by the session timezone, disagreeing
+        // with the write-side raw floorDiv routing
+        case dt @ (TimestampType | TimestampNTZType) =>
+          new DaysOfMicros(dt)
         case DateType => new DaysOfDate
         case dt => throw new UnsupportedOperationException(
           s"days is not defined on ${dt.catalogString}")
@@ -47,11 +52,12 @@ private[sources] object TransformFunctions {
     }
   }
 
-  class DaysOfMicros extends ScalarFunction[java.lang.Long] {
-    override def inputTypes(): Array[DataType] = Array(TimestampType)
+  class DaysOfMicros(dt: DataType) extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(dt)
     override def resultType(): DataType = LongType
     override def name(): String = "days"
-    override def canonicalName(): String = "graft.days(timestamp)"
+    override def canonicalName(): String =
+      s"graft.days(${dt.catalogString})"
     def invoke(micros: Long): Long =
       Math.floorDiv(micros, PartSpec.MicrosPerDay)
     override def produceResult(input: InternalRow): java.lang.Long =

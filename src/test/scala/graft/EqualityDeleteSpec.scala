@@ -486,6 +486,20 @@ class EqualityDeleteSpec extends SparkSpec {
         .filter(col("value") < 1e9).count() === 0L,
         "the row-level path must still delete the matched rows")
     } finally spark.sql("DROP TABLE graft_cat.spec.eqs3")
+    // (b2) CORRELATED subquery: carries an OuterReference into the key
+    // plan — cannot run standalone as the channel source, must keep
+    // the row-level path (planned as a join against the target)
+    val (key5, total5) = mkTable("eqs5")
+    try {
+      spark.sql(
+        """DELETE FROM graft_cat.spec.eqs5 t WHERE event_id IN
+          |  (SELECT d.event_id FROM graft_cat.spec.eqs2del d
+          |   WHERE d.event_id = t.event_id AND t.value < 1e9)""".stripMargin)
+      assert(GraftStore.eqDeleteCount(key5) === 0,
+        "a correlated IN-subquery must keep the row-level path")
+      assert(spark.table("graft_cat.spec.eqs5").count() < total5,
+        "the row-level path must still delete the matched rows")
+    } finally spark.sql("DROP TABLE graft_cat.spec.eqs5")
     // (c) DOUBLE key column: refused by the channel contract, so the
     // rewrite must not fire — row-level path, still correct
     val (key4, total4) = mkTable("eqs4")

@@ -331,6 +331,26 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.tcwb")
   }
 
+  test("graft_cat.days binds TIMESTAMP_NTZ to its own type: no session-timezone shift against the routing") {
+    cat()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati") // +14
+    try {
+      // NTZ: raw wall-clock micros floor-div — 2024-01-01 is epoch day
+      // 19723 regardless of session timezone (binding to TimestampType
+      // would insert an NTZ→LTZ cast that shifts the wall-clock)
+      assert(spark.sql(
+        "SELECT graft_cat.days(TIMESTAMP_NTZ '2024-01-01 10:00:00')")
+        .head.getLong(0) === 19723L)
+      // LTZ: the literal itself parses in the session zone (+14), so
+      // its UTC instant is 2023-12-31T20:00 → day 19722 — the honest
+      // LTZ semantics, distinct from the NTZ wall-clock day
+      assert(spark.sql(
+        "SELECT graft_cat.days(TIMESTAMP '2024-01-01 10:00:00')")
+        .head.getLong(0) === 19722L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("spec evolution composes with partitioned MOR: row-deltas stay shard-local, updates migrate across generations") {
     cat()
     spark.range(0, 12)
