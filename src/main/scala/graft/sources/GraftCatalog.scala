@@ -1051,6 +1051,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                   "graft catalog: 'eq_deletes' is the reserved " +
                     "equality-delete sink ref (`t@eq_deletes`), not a " +
                     "branch name")
+                require(!branch.contains('@'),
+                  "graft catalog: branch names cannot contain '@' — " +
+                    "it separates composite refs (`t@b@eq_deletes`)")
                 // partitioned: fork every shard AS METADATA (seeded
                 // snapshot references, zero copy), register the branch's
                 // own spec + table-level ledger, fence on main's
@@ -1160,12 +1163,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * branch unchanged, invisible to main until
     * `CALL system.publish_branch` fast-forwards it.
     */
-  private def branchParts(ident: Identifier): Option[(String, String)] =
-    ident.name.split('@') match {
-      case Array(t, b) if t.nonEmpty && b.nonEmpty =>
-        Some((s"cat::$catName.${(ident.namespace :+ t).mkString(".")}", b))
-      case _ => None
-    }
+  private def branchParts(ident: Identifier): Option[(String, String)] = {
+    // split at the FIRST '@': the ref part may itself be composite
+    // (`t@b@eq_deletes` = branch b's eq-delete channel)
+    val i = ident.name.indexOf('@')
+    if (i > 0 && i < ident.name.length - 1)
+      Some((s"cat::$catName.${
+        (ident.namespace :+ ident.name.substring(0, i)).mkString(".")}",
+        ident.name.substring(i + 1)))
+    else None
+  }
 
   override def loadTable(ident: Identifier): Table = {
     branchParts(ident).foreach { case (mainKey, branch) =>
@@ -1187,6 +1194,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (!GraftStore.stores.contains(mainKey))
           throw new NoSuchTableException(ident)
         return new GraftEqDeleteSinkTable(mainKey, ident.name)
+      }
+      // ... and it composes with WAP: `t@b@eq_deletes` is branch b's
+      // own channel — a curation pass eq-upserts ON THE BRANCH, main
+      // dark until publish carries the tuple sets by reference
+      if (branch.endsWith("@eq_deletes")) {
+        val b = branch.stripSuffix("@eq_deletes")
+        val bk = s"$mainKey#b=$b"
+        if (b.isEmpty || !GraftCatalog.branches.contains(bk) ||
+            !GraftStore.stores.contains(bk))
+          throw new NoSuchTableException(ident)
+        return new GraftEqDeleteSinkTable(bk, ident.name)
       }
       val bk = s"$mainKey#b=$branch"
       if (!GraftCatalog.branches.contains(bk))
@@ -1748,10 +1766,9 @@ object GraftCatalog {
     * table, when (and only when) the table opted into equality deletes
     * — what [[graft.plans.RewriteEqDeleteSubquery]] needs to route a
     * `DELETE ... WHERE k IN (SELECT ...)` into a plan-sourced
-    * equality-delete commit instead of the COW/MOR rewrite. Branch
-    * tables are excluded (their store key embeds `#b=`, which is not a
-    * loadable identifier) — branch subquery-DELETEs keep the row-level
-    * path.
+    * equality-delete commit instead of the COW/MOR rewrite. A BRANCH
+    * table maps to its own channel ref (`t@b@eq_deletes`), so a
+    * curation pass's subquery-DELETE on the branch routes too.
     */
   private[graft] def eqDeleteChannelFor(
       t: org.apache.spark.sql.connector.catalog.Table): Option[String] = {
@@ -1760,11 +1777,14 @@ object GraftCatalog {
       case pt: GraftPartitionedTable => Some(pt.tableKey)
       case _ => None
     }
-    key.filter(k => !k.contains("#b=") && eqDeleteTables.contains(k))
-      .map { k =>
-        val parts = k.stripPrefix("cat::").split('.')
-        (parts.init :+ s"`${parts.last}@eq_deletes`").mkString(".")
+    key.filter(eqDeleteTables.contains).map { k =>
+      val parts = k.stripPrefix("cat::").split('.')
+      val ref = parts.last.split("#b=") match {
+        case Array(tbl, b) => s"$tbl@$b@eq_deletes"
+        case _ => s"${parts.last}@eq_deletes"
       }
+      (parts.init :+ s"`$ref`").mkString(".")
+    }
   }
 
   /** Commit one equality-delete tuple set against a PARTITIONED table,

@@ -519,6 +519,58 @@ class EqualityDeleteSpec extends SparkSpec {
     }
   }
 
+  test("the eq-delete channel composes with WAP: t@b@eq_deletes commits on the BRANCH, main dark until publish") {
+    cat()
+    val (key, total) = mkTable("eqb1")
+    val bk = key + "#b=cur"
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.eqb1', 'cur')")
+      val mainBatches = GraftStore.batchesRef(key).get
+      // the curation pass: retire the error keys ON THE BRANCH via the
+      // branch's own plan-sourced channel
+      Tables.events(spark, sfDir)
+        .filter(col("event_type") === "error").select("event_id")
+        .repartition(4)
+        .writeTo("graft_cat.spec.`eqb1@cur@eq_deletes`").append()
+      assert(GraftStore.eqDeleteCount(bk) === 1,
+        "the tuple set must land on the BRANCH store")
+      assert(GraftStore.eqDeleteCount(key) === 0,
+        "main must carry no eq-delete before publish")
+      assert(spark.table("graft_cat.spec.`eqb1@cur`")
+        .filter(col("event_type") === "error").count() === 0L)
+      assert(spark.table("graft_cat.spec.eqb1").count() === total,
+        "main must stay dark until publish")
+      // the IN-subquery SQL form routes on the branch too
+      Tables.events(spark, sfDir)
+        .filter(col("event_type") === "click").select("event_id").limit(5)
+        .repartition(1).writeTo("graft_cat.spec.eqb1k").create()
+      spark.sql(
+        """DELETE FROM graft_cat.spec.`eqb1@cur` WHERE event_id IN
+          |  (SELECT event_id FROM graft_cat.spec.eqb1k)""".stripMargin)
+      assert(GraftStore.eqDeleteCount(bk) === 2,
+        "the branch subquery-DELETE must commit a second tuple set")
+      assert(GraftStore.batchesRef(bk).get eq mainBatches,
+        "branch channel commits must not rewrite shared batches")
+      // publish: the tuple sets arrive by reference, main reads hide
+      val want = spark.table("graft_cat.spec.`eqb1@cur`")
+        .orderBy("event_id").collect().toSeq
+      spark.sql("CALL graft_cat.system.publish_branch('spec.eqb1', 'cur')")
+      assert(GraftStore.eqDeleteCount(key) === 2,
+        "publish must carry the branch's eq-delete sets")
+      assert(spark.table("graft_cat.spec.eqb1")
+        .orderBy("event_id").collect().toSeq === want)
+      // the reserved composite ref cannot be a branch name
+      val e = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.create_branch('spec.eqb1', 'a@b')")
+      }
+      assert(e.getMessage.contains("cannot contain '@'"),
+        e.getMessage.take(160))
+    } finally {
+      spark.sql("DROP TABLE graft_cat.spec.eqb1")
+      spark.sql("DROP TABLE graft_cat.spec.eqb1k")
+    }
+  }
+
   test("the streaming upsert path carries no data-proportional driver collect (VERDICT r17 #1 pin)") {
     // mechanical pin, ReadmeClaimsSpec-style: the upsert recipe's
     // foreachBatch must source the eq-delete keys as a PLAN (the
