@@ -3548,7 +3548,7 @@ private[sources] class GraftEqDeleteSinkTable(mainKey: String, nm: String)
     val keySchema = info.schema()
     require(keySchema.nonEmpty,
       s"graft catalog: '$nm' needs at least one key column")
-    val cols = keySchema.fields.map { f =>
+    keySchema.fields.foreach { f =>
       val i = ds.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
       require(i >= 0, s"graft catalog: eq-delete key column '${f.name}' " +
         s"is not a column of the target table")
@@ -3558,14 +3558,21 @@ private[sources] class GraftEqDeleteSinkTable(mainKey: String, nm: String)
         s"graft catalog: eq-delete key column '${f.name}' is " +
           "FLOAT/DOUBLE — boxed equality diverges from SQL equality " +
           "(±0.0, NaN); use an exact-typed key")
-      i
+      // ACCEPT_ANY_SCHEMA skips the analyzer's output coercion, so the
+      // key frame arrives AS-IS: a type mismatch (INT keys against a
+      // BIGINT column) would ship tuples whose boxed values can never
+      // equal the stored rows — a SILENT no-op delete. Refuse loudly.
+      require(dt == f.dataType,
+        s"graft catalog: eq-delete key column '${f.name}' is " +
+          s"${f.dataType.catalogString} but the target column is " +
+          s"${dt.catalogString} — cast the key frame to the exact type")
     }
-    require(cols.distinct.length == cols.length,
-      "graft catalog: duplicate eq-delete key columns")
+    require(keySchema.fieldNames.map(_.toLowerCase).distinct.length ==
+      keySchema.length, "graft catalog: duplicate eq-delete key columns")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftEqDeleteBatchWrite(mainKey, ds, keySchema, cols)
+          new GraftEqDeleteBatchWrite(mainKey, keySchema)
       }
     }
   }
@@ -3582,11 +3589,14 @@ private[sources] case class GraftEqDeleteCommit(tuples: Array[Array[Any]])
   * entry). The sequence-number contract is the store's: the committed
   * set applies only to batches that existed before it, so the
   * same-statement-pattern "eq-delete keys, then append rows" is
-  * last-write-wins per key.
+  * last-write-wins per key. Key columns carry as NAMES and re-resolve
+  * against the LIVE schema UNDER THE STORE LOCK at commit — logical
+  * indices captured at analysis would tear if a concurrent DROP
+  * shifted positions between analysis and execution (the same window
+  * the spec-capture validation closes for routing).
   */
 private[sources] class GraftEqDeleteBatchWrite(mainKey: String,
-    tableSchema: StructType, keySchema: StructType, cols: Array[Int])
-    extends BatchWrite {
+    keySchema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val ks = keySchema
@@ -3630,10 +3640,27 @@ private[sources] class GraftEqDeleteBatchWrite(mainKey: String,
           merged += t
     })
     if (merged.isEmpty) return
-    if (GraftCatalog.parts.contains(mainKey))
-      GraftCatalog.commitEqDeletePartitioned(mainKey, tableSchema, cols,
-        merged.toArray)
-    else GraftStore.commitEqDelete(mainKey, cols, merged.toArray)
+    GraftStore.stores.synchronized {
+      // re-resolve key NAMES against the LIVE schema under the lock: a
+      // DROP/ADD between analysis and execution shifts logical
+      // positions, and index-bound columns would delete by the WRONG
+      // column; a dropped/retyped key refuses like the snapshot checks
+      val live = GraftStore.stores.getOrElse(mainKey,
+        throw new IllegalStateException(
+          s"graft catalog: eq-delete target '$mainKey' no longer exists"))
+      val cols = keySchema.fields.map { f =>
+        val i = live.schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+        require(i >= 0 && live.schema.fields(i).dataType == f.dataType,
+          s"graft catalog: eq-delete key column '${f.name}' was dropped " +
+            "or retyped between analysis and execution — retry the " +
+            "statement")
+        i
+      }
+      if (GraftCatalog.parts.contains(mainKey))
+        GraftCatalog.commitEqDeletePartitioned(mainKey, live.schema, cols,
+          merged.toArray)
+      else GraftStore.commitEqDelete(mainKey, cols, merged.toArray)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -347,6 +347,15 @@ class EqualityDeleteSpec extends SparkSpec {
       }
       assert(float.getMessage.contains("FLOAT/DOUBLE"),
         float.getMessage.take(160))
+      // ACCEPT_ANY_SCHEMA skips coercion, so a type-mismatched key
+      // frame would probe with boxed values that can never equal the
+      // stored rows — a silent no-op delete; must refuse loudly
+      val mistyped = intercept[Exception] {
+        base.select(col("event_id").cast("int").as("event_id"))
+          .writeTo("graft_cat.spec.`eq9@eq_deletes`").append()
+      }
+      assert(mistyped.getMessage.contains("exact type"),
+        mistyped.getMessage.take(160))
       val reserved = intercept[Exception] {
         spark.sql(
           "CALL graft_cat.system.create_branch('spec.eq9', 'eq_deletes')")

@@ -79,4 +79,39 @@ class SpecCaptureSpec extends graft.SparkSpec {
         .filter(col("v") === 99L).select("p").head.getString(0) === "0")
     } finally spark.sql("DROP TABLE graft_cat.spec.tear")
   }
+
+  test("an eq-delete channel commit whose key column was dropped/retyped mid-flight refuses (by-name re-resolution under the lock)") {
+    cat()
+    spark.range(0, 6)
+      .select(col("id").as("k"), (col("id") % 3).as("g"),
+        col("id").cast("string").as("s"))
+      .writeTo("graft_cat.spec.kdrop")
+      .tableProperty("write.delete.mode", "equality").create()
+    val key = "cat::graft_cat.spec.kdrop"
+    try {
+      // the write was ANALYZED against (k, g, s); `g` is dropped before
+      // the commit executes — index-bound columns would now delete by
+      // the WRONG column (s shifted into g's position)
+      val w = new GraftEqDeleteBatchWrite(key,
+        org.apache.spark.sql.types.StructType.fromDDL("g BIGINT"))
+      spark.sql("ALTER TABLE graft_cat.spec.kdrop DROP COLUMN g")
+      val msg = GraftEqDeleteCommit(Array(Array[Any](1L)))
+      val ex = intercept[IllegalArgumentException] {
+        w.commit(Array(msg))
+      }
+      assert(ex.getMessage.contains("dropped or retyped"),
+        ex.getMessage.take(160))
+      assert(GraftStore.eqDeleteCount(key) === 0,
+        "a refused channel commit must record nothing")
+      // a surviving key column still commits by NAME, whatever its
+      // logical position became after the drop
+      val w2 = new GraftEqDeleteBatchWrite(key,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+      w2.commit(Array(GraftEqDeleteCommit(Array(Array[Any](2L)))))
+      assert(GraftStore.eqDeleteCount(key) === 1)
+      assert(spark.table("graft_cat.spec.kdrop")
+        .filter(col("k") === 2L).count() === 0L)
+      assert(spark.table("graft_cat.spec.kdrop").count() === 5L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.kdrop")
+  }
 }
