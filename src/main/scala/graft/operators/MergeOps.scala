@@ -1746,6 +1746,65 @@ object MergeOps extends QueryModule {
       | count(*) FILTER (WHERE event_type = 'error') AS n_error
       |FROM fin""".stripMargin
 
+  /** WRITE-MODE TOGGLING VIA `ALTER TABLE ... SET TBLPROPERTIES` — the
+    * Iceberg/Delta contract that write modes are table METADATA, not
+    * creation-time constants: a mode switch affects FUTURE operations
+    * only, existing deletion state keeps applying at read, and the
+    * flip itself is no ledger commit. The script walks one table
+    * through all three delete tiers: positional DVs (default), then
+    * `write.delete.mode='equality'` (the same DELETE shape now commits
+    * a tuple set — spec-pinned pure metadata), then
+    * `write.mode='merge-on-read'` (an UPDATE plans WriteDelta). The
+    * digest reads through the composed debt of all three.
+    */
+  def sqlSetWriteMode(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val n = dmlSeq.incrementAndGet()
+    val tbl = s"graft_cat.dml.modes$n"
+    val key = s"cat::graft_cat.dml.modes$n"
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    base.writeTo(tbl).create() // plain: positional-DV tier
+    try {
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'click'") // DVs
+      require(graft.sources.GraftStore.eqDeleteCount(key) == 0 &&
+        graft.sources.GraftStore.dvMarkedCount(key) > 0,
+        "the default tier must be positional DVs")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.delete.mode'='equality')")
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'error'") // tuple set
+      require(graft.sources.GraftStore.eqDeleteCount(key) == 1,
+        "post-toggle the same DELETE shape must commit an eq-delete")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      s.sql(s"UPDATE $tbl SET value = value + 1000 " +
+        "WHERE event_type = 'signup'") // row-delta
+      // NULL-typed rows survive both DELETEs on each side; they are
+      // excluded from the digest because Spark and DuckDB disagree on
+      // NULL sort placement (NULLS FIRST vs LAST) and the compare is
+      // row-order-sensitive
+      val digest = s.table(tbl).filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          roundTo(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+      s.createDataFrame(digest.collectAsList(), digest.schema)
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE $tbl")); ()
+    }
+  }
+
+  val sqlSetWriteModeOracle: String =
+    """SELECT event_type, count(*) AS n,
+      | floor(sum(CASE WHEN event_type = 'signup' THEN value + 1000
+      |                ELSE value END) * 1e2 + 0.5) / 1e2 AS sum_value
+      |FROM events
+      |WHERE event_type IS NOT NULL
+      |  AND event_type NOT IN ('click', 'error')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** MULTI-TABLE READ CONSISTENCY (VERDICT r17 #5 — the SCALE.md
     * recipe, executed): `publish_tables` makes the two swaps atomic
     * w.r.t. WRITERS, but a reader scanning both tables mid-swap can
@@ -2085,6 +2144,10 @@ object MergeOps extends QueryModule {
     // channel by the injected post-hoc rule
     RegisteredQuery("sql_delete_eq_subquery", sqlDeleteEqSubquery,
       Some(sqlDeleteEqSubqueryOracle)),
+    // write modes are table METADATA: ALTER ... SET TBLPROPERTIES
+    // walks one table through all three delete tiers
+    RegisteredQuery("sql_set_write_mode", sqlSetWriteMode,
+      Some(sqlSetWriteModeOracle)),
     // MULTI-TABLE transaction: two tables, one catalog-level commit
     RegisteredQuery("sql_multi_table_txn", sqlMultiTableTxn,
       Some(sqlMultiTableTxnOracle)),

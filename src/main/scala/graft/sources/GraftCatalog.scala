@@ -1515,6 +1515,38 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"graft catalog: no constraint '${dc.name}' to drop")
         GraftCatalog.constraintsReg.put(k,
           existing.filterNot(_.name.equalsIgnoreCase(dc.name)))
+      // write-model properties are TOGGLEABLE post-create (the
+      // Iceberg/Delta contract: a mode switch affects FUTURE operations
+      // only — existing DVs/tuple sets keep applying at read, pending
+      // debt compacts away the same). Catalog-side metadata only: no
+      // store commit, no ledger version (like constraints — the WAP
+      // fence must survive a mode flip no snapshot ever saw).
+      case sp: TableChange.SetProperty =>
+        sp.property match {
+          case "write.delete.mode" => sp.value match {
+            case "equality" => GraftCatalog.eqDeleteTables.put(k, ())
+            case "position" => GraftCatalog.eqDeleteTables.remove(k)
+            case v => throw new IllegalArgumentException(
+              s"graft catalog: write.delete.mode must be 'equality' or " +
+                s"'position', got '$v'")
+          }
+          case "write.mode" => sp.value match {
+            case "merge-on-read" => GraftCatalog.morTables.put(k, ())
+            case "copy-on-write" => GraftCatalog.morTables.remove(k)
+            case v => throw new IllegalArgumentException(
+              s"graft catalog: write.mode must be 'merge-on-read' or " +
+                s"'copy-on-write', got '$v'")
+          }
+          case p => throw new UnsupportedOperationException(
+            s"graft catalog: unsupported table property '$p'")
+        }
+      case rp: TableChange.RemoveProperty =>
+        rp.property match {
+          case "write.delete.mode" => GraftCatalog.eqDeleteTables.remove(k)
+          case "write.mode" => GraftCatalog.morTables.remove(k)
+          case p => throw new UnsupportedOperationException(
+            s"graft catalog: unsupported table property '$p'")
+        }
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
     }

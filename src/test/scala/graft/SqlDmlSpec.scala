@@ -331,6 +331,60 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.tcwb")
   }
 
+  test("write modes toggle via SET/UNSET TBLPROPERTIES: future ops only, existing debt keeps applying, no ledger commit") {
+    cat()
+    spark.range(0, 10).select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .writeTo("graft_cat.spec.wmt").create()
+    val key = "cat::graft_cat.spec.wmt"
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.wmt WHERE k = 1") // DV tier
+      assert(graft.sources.GraftStore.dvMarkedCount(key) === 1L)
+      val v = graft.sources.GraftStore.versionCount(key)
+      spark.sql("ALTER TABLE graft_cat.spec.wmt SET TBLPROPERTIES " +
+        "('write.delete.mode'='equality')")
+      assert(graft.sources.GraftStore.versionCount(key) === v,
+        "a mode flip is catalog metadata, not a ledger commit")
+      assert(spark.sql("SHOW TBLPROPERTIES graft_cat.spec.wmt").collect()
+        .exists(r => r.getString(0) == "write.delete.mode" &&
+          r.getString(1) == "equality"))
+      spark.sql("DELETE FROM graft_cat.spec.wmt WHERE k = 2") // eq tier
+      assert(graft.sources.GraftStore.eqDeleteCount(key) === 1)
+      assert(graft.sources.GraftStore.dvMarkedCount(key) === 1L,
+        "the pre-toggle DV must keep applying untouched")
+      // back to positional: the same DELETE shape marks DVs again,
+      // and the PENDING tuple set still hides its key at read
+      spark.sql("ALTER TABLE graft_cat.spec.wmt UNSET TBLPROPERTIES " +
+        "('write.delete.mode')")
+      spark.sql("DELETE FROM graft_cat.spec.wmt WHERE k = 3")
+      assert(graft.sources.GraftStore.eqDeleteCount(key) === 1)
+      assert(graft.sources.GraftStore.dvMarkedCount(key) === 2L)
+      assert(spark.table("graft_cat.spec.wmt").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq === Seq(0L, 4L, 5L, 6L, 7L, 8L, 9L))
+      // MOR toggle: the next UPDATE plans a row-delta, zero rewrite
+      spark.sql("ALTER TABLE graft_cat.spec.wmt SET TBLPROPERTIES " +
+        "('write.mode'='merge-on-read')")
+      val batches = graft.sources.GraftStore.batchesRef(key).get
+      spark.sql("UPDATE graft_cat.spec.wmt SET v = v + 100 WHERE k = 4")
+      val after = graft.sources.GraftStore.batchesRef(key).get
+      assert(after.size === batches.size + 1 &&
+        batches.indices.forall(i => after(i) eq batches(i)),
+        "post-toggle UPDATE must be a row-delta, not a rewrite")
+      // refusals: bad values and unknown properties stay loud
+      val bad = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.spec.wmt SET TBLPROPERTIES " +
+          "('write.delete.mode'='vectorized')")
+      }
+      assert(bad.getMessage.contains("write.delete.mode"),
+        bad.getMessage.take(160))
+      val unknown = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.spec.wmt SET TBLPROPERTIES " +
+          "('some.random.prop'='x')")
+      }
+      assert(unknown.getMessage.contains("unsupported table property"),
+        unknown.getMessage.take(160))
+    } finally spark.sql("DROP TABLE graft_cat.spec.wmt")
+  }
+
   test("graft_cat.days binds TIMESTAMP_NTZ to its own type: no session-timezone shift against the routing") {
     cat()
     val prev = spark.conf.get("spark.sql.session.timeZone")
