@@ -31,8 +31,12 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   *     operands change the match semantics the tuple set encodes);
   *   - FLOAT/DOUBLE key columns refuse (boxed equality diverges from
   *     SQL equality on ±0.0/NaN — same contract as the channel);
-  *   - branch targets keep COW (their store key is not addressable as
-  *     a channel ref).
+  *   - the subquery must be uncorrelated and the key columns distinct
+  *     (both would break at the channel; the row-level path handles
+  *     them).
+  * BRANCH targets route too: the rewrite maps a branch table to its
+  * own `t@b@eq_deletes` ref, so a curation pass's subquery-DELETE on
+  * the branch commits a branch-local tuple set.
   *
   * NULL semantics line up for free: a NULL-carrying subquery tuple
   * never equals anything under SQL `IN`, and the channel drops NULL

@@ -1211,25 +1211,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         throw new NoSuchTableException(ident)
       // a branch inherits the main table's write mode AND its shape: a
       // partitioned table's branch is itself partitioned. The spec
-      // resolves from the BRANCH's own registration (create_branch put
-      // parts(bk) = the spec at fork time) — resolving main's CURRENT
-      // spec would, after a post-fork evolve_spec on main, route
-      // branch writes through main's new transform while shards get
-      // tagged with the branch's old spec id and reads prune under the
-      // branch's own spec vector (ADVICE r17). The never-registered
-      // legacy shape adopts main's spec ONCE, registering it under the
-      // branch key so the commit-time (spec, specId) validation stays
-      // coherent — a bare fallback would build a table whose
-      // loadSpecId indexes an EMPTY branch spec vector and every write
-      // would refuse.
-      GraftCatalog.parts.get(bk).orElse {
-        GraftCatalog.parts.get(mainKey).map { sp =>
-          GraftCatalog.parts.putIfAbsent(bk, sp)
-          GraftCatalog.partSpecs
-            .putIfAbsent(bk, GraftCatalog.specsOf(mainKey))
-          GraftCatalog.parts(bk)
-        }
-      }.foreach { spec =>
+      // resolves from the BRANCH's own registration (create_branch
+      // registers parts(bk) + partSpecs(bk) under the same lock that
+      // seeds the shards, so a live branch of a partitioned table
+      // ALWAYS has one) — resolving main's CURRENT spec would, after a
+      // post-fork evolve_spec on main, route branch writes through
+      // main's new transform while shards get tagged with the branch's
+      // old spec id and reads prune under the branch's own spec vector
+      // (ADVICE r17).
+      GraftCatalog.parts.get(bk).foreach { spec =>
         return new GraftPartitionedTable(bk, GraftStore.stores(bk).schema,
           spec, GraftCatalog.morTables.contains(mainKey))
       }
@@ -1436,6 +1426,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         (k +: GraftStore.stores.keys.filter(_.startsWith(k + "#p="))
           .toSeq.sorted).foreach(f)
       }
+    // property changes VALIDATE BEFORE ANYTHING APPLIES: a
+    // multi-property statement that fails on a later entry must not
+    // leave earlier mode flips behind (the user observed the ALTER as
+    // rejected — review r18)
+    changes.foreach {
+      case sp: TableChange.SetProperty => sp.property match {
+        case "write.delete.mode" =>
+          require(sp.value == "equality" || sp.value == "position",
+            s"graft catalog: write.delete.mode must be 'equality' or " +
+              s"'position', got '${sp.value}'")
+        case "write.mode" =>
+          require(sp.value == "merge-on-read" || sp.value == "copy-on-write",
+            s"graft catalog: write.mode must be 'merge-on-read' or " +
+              s"'copy-on-write', got '${sp.value}'")
+        case p => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported table property '$p'")
+      }
+      case rp: TableChange.RemoveProperty =>
+        if (rp.property != "write.delete.mode" && rp.property != "write.mode")
+          throw new UnsupportedOperationException(
+            s"graft catalog: unsupported table property '${rp.property}'")
+      case _ => ()
+    }
     // does this statement EVOLVE the stores (schema commit), or only
     // touch catalog-side metadata (constraints)? Only the former is a
     // table-level ledger commit — a constraint-only ALTER must not
@@ -1520,32 +1533,38 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       // only — existing DVs/tuple sets keep applying at read, pending
       // debt compacts away the same). Catalog-side metadata only: no
       // store commit, no ledger version (like constraints — the WAP
-      // fence must survive a mode flip no snapshot ever saw).
+      // fence must survive a mode flip no snapshot ever saw). Values
+      // were pre-validated above, so nothing here can half-apply.
+      // delete-mode toggles PROPAGATE to live branches: write.mode
+      // already resolves live through mainKey at load, and branches
+      // cannot be ALTERed directly, so asymmetric fork-time pinning
+      // would leave a branch channel dead-ended on a mode the user can
+      // no longer change (review r18).
       case sp: TableChange.SetProperty =>
+        def branchKeys: Seq[String] =
+          GraftCatalog.branches.keys.filter(_.startsWith(k + "#b=")).toSeq
         sp.property match {
           case "write.delete.mode" => sp.value match {
-            case "equality" => GraftCatalog.eqDeleteTables.put(k, ())
-            case "position" => GraftCatalog.eqDeleteTables.remove(k)
-            case v => throw new IllegalArgumentException(
-              s"graft catalog: write.delete.mode must be 'equality' or " +
-                s"'position', got '$v'")
+            case "equality" =>
+              GraftCatalog.eqDeleteTables.put(k, ())
+              branchKeys.foreach(GraftCatalog.eqDeleteTables.put(_, ()))
+            case _ =>
+              GraftCatalog.eqDeleteTables.remove(k)
+              branchKeys.foreach(GraftCatalog.eqDeleteTables.remove)
           }
           case "write.mode" => sp.value match {
             case "merge-on-read" => GraftCatalog.morTables.put(k, ())
-            case "copy-on-write" => GraftCatalog.morTables.remove(k)
-            case v => throw new IllegalArgumentException(
-              s"graft catalog: write.mode must be 'merge-on-read' or " +
-                s"'copy-on-write', got '$v'")
+            case _ => GraftCatalog.morTables.remove(k)
           }
-          case p => throw new UnsupportedOperationException(
-            s"graft catalog: unsupported table property '$p'")
+          case _ => () // unreachable: pre-validated
         }
       case rp: TableChange.RemoveProperty =>
         rp.property match {
-          case "write.delete.mode" => GraftCatalog.eqDeleteTables.remove(k)
-          case "write.mode" => GraftCatalog.morTables.remove(k)
-          case p => throw new UnsupportedOperationException(
-            s"graft catalog: unsupported table property '$p'")
+          case "write.delete.mode" =>
+            GraftCatalog.eqDeleteTables.remove(k)
+            GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))
+              .foreach(GraftCatalog.eqDeleteTables.remove)
+          case _ => GraftCatalog.morTables.remove(k)
         }
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other")
@@ -1810,11 +1829,17 @@ object GraftCatalog {
       case _ => None
     }
     key.filter(eqDeleteTables.contains).map { k =>
-      val parts = k.stripPrefix("cat::").split('.')
-      val ref = parts.last.split("#b=") match {
-        case Array(tbl, b) => s"$tbl@$b@eq_deletes"
-        case _ => s"${parts.last}@eq_deletes"
+      // split the BRANCH suffix off before dot-splitting the path: a
+      // branch name may contain dots ('v1.fix'), and splitting the
+      // whole key on '.' would leave an unquotable 't#b=v1' segment
+      // (review r18)
+      val (path, branch) = k.stripPrefix("cat::").split("#b=", 2) match {
+        case Array(p, b) => (p, Some(b))
+        case other => (other.head, None)
       }
+      val parts = path.split('.')
+      val ref = branch.map(b => s"${parts.last}@$b@eq_deletes")
+        .getOrElse(s"${parts.last}@eq_deletes")
       (parts.init :+ s"`$ref`").mkString(".")
     }
   }
@@ -2516,7 +2541,7 @@ private[sources] class GraftPartitionedTable(
               "(exactly-once epoch ledger); Complete/truncate output " +
               "mode is unsupported — use Append or Update")
           else new GraftPartsStreamingWrite(tableKey, info.schema(), spec,
-            loadSpecId)
+            loadSpecId, info.queryId())
       }
     }
 
@@ -3081,7 +3106,7 @@ private[sources] object GraftPartWriters {
   * ([[GraftPartsMicroBatchStream]]).
   */
 private[sources] class GraftPartsStreamingWrite(tableKey: String,
-    schema: StructType, spec: PartSpec, specId: Int)
+    schema: StructType, spec: PartSpec, specId: Int, queryId: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -3097,17 +3122,21 @@ private[sources] class GraftPartsStreamingWrite(tableKey: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val byPart = GraftPartWriters.mergeByPart(messages)
     GraftStore.stores.synchronized {
-      // exactly-once at TABLE grain: the whole epoch lands or none of
-      // it — shard publishes and the ledger entry sit inside the same
-      // lock as the epoch check
-      if (GraftStore.epochs.get(tableKey).exists(_ >= epochId)) return
+      // exactly-once at (table, query) grain: the whole epoch lands or
+      // none of it — shard publishes and the ledger entry sit inside
+      // the same lock as the epoch check. Keyed PER QUERY because
+      // epochIds are only monotonic within one streaming query; a
+      // table-grained key would silently drop a second query's epochs
+      // (review r18)
+      val ek = if (queryId.isEmpty) tableKey else s"$tableKey#q=$queryId"
+      if (GraftStore.epochs.get(ek).exists(_ >= epochId)) return
       GraftCatalog.validateSpecCapture(tableKey, specId, spec)
       byPart.foreach { case (pv, batches) =>
         GraftStore.publish(s"$tableKey#p=$pv", schema, batches,
           truncate = false)
       }
       GraftCatalog.recordPartVersion(tableKey)
-      GraftStore.epochs.put(tableKey, epochId)
+      GraftStore.epochs.put(ek, epochId)
       ()
     }
   }

@@ -302,8 +302,13 @@ object GraftStore {
       ()
     }
 
-  private[graft] def drop(name: String): Unit =
-    { stores.remove(name); history.remove(name); epochs.remove(name); () }
+  private[graft] def drop(name: String): Unit = {
+    stores.remove(name); history.remove(name); epochs.remove(name)
+    // per-query epoch marks (`name#q=<queryId>`) — exact-or-`#`-prefixed
+    // so a sibling store whose key merely extends `name` is untouched
+    epochs.keys.filter(_.startsWith(name + "#")).foreach(epochs.remove)
+    ()
+  }
 
   /** Evict every store under `prefix` except `keep` — the stale-session /
     * stale-fixture cleanup for appId-keyed harness stores (ADVICE r11):
@@ -928,13 +933,24 @@ object GraftStore {
     * later one) already committed — idempotent under micro-batch replay.
     * Returns whether the epoch was applied (false = replay no-op).
     */
+  /** Exactly-once epoch commit. The ledger key is PER (store, query):
+    * Spark guarantees epochId monotonicity only WITHIN one streaming
+    * query, so a table-grained key would silently drop a SECOND
+    * query's epochs (its batch ids also start at 0) while its
+    * checkpoint advanced as if committed (review r18). A restart from
+    * a deleted checkpoint mints a new queryId and re-ingests —
+    * standard at-least-once for a sink with no external idempotence
+    * token, never silent loss.
+    */
   private[graft] def publishEpoch(name: String, schema: StructType,
-      incoming: Seq[Array[Array[Any]]], epochId: Long): Boolean =
+      incoming: Seq[Array[Array[Any]]], epochId: Long,
+      queryId: String = ""): Boolean =
     stores.synchronized {
-      if (epochs.get(name).exists(_ >= epochId)) false
+      val ek = if (queryId.isEmpty) name else s"$name#q=$queryId"
+      if (epochs.get(ek).exists(_ >= epochId)) false
       else {
         publish(name, schema, incoming, truncate = false)
-        epochs.put(name, epochId)
+        epochs.put(ek, epochId)
         true
       }
     }
@@ -977,7 +993,8 @@ private[sources] class GraftStoreTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftStoreWriteBuilder(storeKey, info.schema())
+    new GraftStoreWriteBuilder(storeKey, info.schema(),
+      queryId = info.queryId())
 }
 
 /** Streaming epochs into the store: every micro-batch is one
@@ -986,7 +1003,8 @@ private[sources] class GraftStoreTable(
   * is shared — one VERSION in the table's time-travel history: streaming
   * commits are first-class commits.
   */
-private[sources] class GraftStoreStreamingWrite(name: String, schema: StructType)
+private[sources] class GraftStoreStreamingWrite(name: String,
+    schema: StructType, queryId: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
@@ -1018,7 +1036,8 @@ private[sources] class GraftStoreStreamingWrite(name: String, schema: StructType
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     GraftStore.publishEpoch(name, schema,
-      messages.map(_.asInstanceOf[GraftStoreCommit].rows).toSeq, epochId)
+      messages.map(_.asInstanceOf[GraftStoreCommit].rows).toSeq, epochId,
+      queryId)
     ()
   }
 
@@ -1192,7 +1211,8 @@ private[sources] case class GraftStorePartition(rows: Array[Array[Any]],
 }
 
 private[sources] class GraftStoreWriteBuilder(name: String, schema: StructType,
-    expectSnapshot: () => Option[GraftStore.Committed] = () => None)
+    expectSnapshot: () => Option[GraftStore.Committed] = () => None,
+    queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -1208,7 +1228,7 @@ private[sources] class GraftStoreWriteBuilder(name: String, schema: StructType,
         "graft store streaming writes are append-only (exactly-once epoch " +
           "ledger); Complete/truncate output mode is unsupported — use " +
           "Append or Update")
-      else new GraftStoreStreamingWrite(name, schema)
+      else new GraftStoreStreamingWrite(name, schema, queryId)
   }
 }
 

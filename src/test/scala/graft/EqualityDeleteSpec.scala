@@ -574,6 +574,18 @@ class EqualityDeleteSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("cannot contain '@'"),
         e.getMessage.take(160))
+      // DOTTED branch names route too (the channel ref splits the
+      // branch suffix off before dot-splitting the path)
+      spark.sql("CALL graft_cat.system.create_branch('spec.eqb1', 'v1.fix')")
+      // the fork inherits main's (published) pending sets; the branch
+      // DELETE must add exactly one more through its own channel
+      val inherited = GraftStore.eqDeleteCount(key + "#b=v1.fix")
+      spark.sql(
+        """DELETE FROM graft_cat.spec.`eqb1@v1.fix` WHERE event_id IN
+          |  (SELECT event_id FROM graft_cat.spec.eqb1k)""".stripMargin)
+      assert(GraftStore.eqDeleteCount(key + "#b=v1.fix") === inherited + 1,
+        "a dotted branch name must still route through its channel")
+      spark.sql("CALL graft_cat.system.drop_branch('spec.eqb1', 'v1.fix')")
     } finally {
       spark.sql("DROP TABLE graft_cat.spec.eqb1")
       spark.sql("DROP TABLE graft_cat.spec.eqb1k")

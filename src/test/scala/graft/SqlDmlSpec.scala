@@ -382,7 +382,46 @@ class SqlDmlSpec extends SparkSpec {
       }
       assert(unknown.getMessage.contains("unsupported table property"),
         unknown.getMessage.take(160))
+      // ATOMIC: a multi-property statement failing on a later entry
+      // must not leave the earlier flip applied
+      spark.sql("ALTER TABLE graft_cat.spec.wmt UNSET TBLPROPERTIES " +
+        "('write.mode')")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.spec.wmt SET TBLPROPERTIES " +
+          "('write.mode'='merge-on-read', 'write.delete.mode'='vectorized')")
+      }
+      assert(!spark.sql("SHOW TBLPROPERTIES graft_cat.spec.wmt").collect()
+        .exists(_.getString(0) == "write.mode"),
+        "a rejected multi-property ALTER must apply nothing")
     } finally spark.sql("DROP TABLE graft_cat.spec.wmt")
+  }
+
+  test("delete-mode toggles PROPAGATE to live branches (write.mode already resolves live through main)") {
+    cat()
+    spark.range(0, 6).select(col("id").as("k")).repartition(1)
+      .writeTo("graft_cat.spec.wmb").create() // positional at create
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.wmb', 'b')")
+      // branches cannot be ALTERed directly, so the main-table toggle
+      // must reach the branch — else its channel is a dead end
+      spark.sql("ALTER TABLE graft_cat.spec.wmb SET TBLPROPERTIES " +
+        "('write.delete.mode'='equality')")
+      spark.range(2, 4).select(col("id").as("k"))
+        .writeTo("graft_cat.spec.`wmb@b@eq_deletes`").append()
+      assert(graft.sources.GraftStore
+        .eqDeleteCount("cat::graft_cat.spec.wmb#b=b") === 1,
+        "the SET must propagate to the live branch")
+      assert(spark.table("graft_cat.spec.`wmb@b`").count() === 4L)
+      // ... and UNSET revokes it everywhere: the branch DELETE falls
+      // back to the positional tier
+      spark.sql("ALTER TABLE graft_cat.spec.wmb UNSET TBLPROPERTIES " +
+        "('write.delete.mode')")
+      spark.sql("DELETE FROM graft_cat.spec.`wmb@b` WHERE k = 5")
+      assert(graft.sources.GraftStore
+        .eqDeleteCount("cat::graft_cat.spec.wmb#b=b") === 1,
+        "post-UNSET branch DELETEs must not commit eq-deletes")
+      assert(spark.table("graft_cat.spec.`wmb@b`").count() === 3L)
+    } finally spark.sql("DROP TABLE graft_cat.spec.wmb")
   }
 
   test("graft_cat.days binds TIMESTAMP_NTZ to its own type: no session-timezone shift against the routing") {

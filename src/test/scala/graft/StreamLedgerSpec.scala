@@ -363,4 +363,38 @@ class StreamLedgerSpec extends SparkSpec {
         "no row may be ingested twice across checkpoint resumes")
     } finally spark.sql("DROP TABLE graft_cat.spec.sipw")
   }
+
+  test("two INDEPENDENT streaming queries into one table: neither's epochs are swallowed (per-query ledger)") {
+    cat()
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"))
+      .writeTo("graft_cat.spec.twoq").create()
+    val root = java.nio.file.Files.createTempDirectory("graft_twoq")
+    try {
+      def ingest(ckpt: String, offset: Long): Unit = {
+        val q = spark.readStream
+          .format("rate-micro-batch")
+          .option("rowsPerBatch", "4").option("numPartitions", "1")
+          .load()
+          .select((col("value") + offset).as("v"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", root.resolve(ckpt).toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_cat.spec.twoq")
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      ingest("ckptA", 0L)
+      val n1 = spark.table("graft_cat.spec.twoq").count()
+      assert(n1 > 0)
+      // a SECOND query (own checkpoint, its batch ids restart at 0)
+      // must land its rows — a table-grained epoch ledger would
+      // silently drop them while its checkpoint advanced
+      ingest("ckptB", 1000L)
+      val n2 = spark.table("graft_cat.spec.twoq").count()
+      assert(n2 > n1, "the second query's epochs were swallowed")
+      assert(spark.table("graft_cat.spec.twoq")
+        .filter(col("v") >= 1000L).count() === n2 - n1)
+    } finally spark.sql("DROP TABLE graft_cat.spec.twoq")
+  }
 }

@@ -58,4 +58,39 @@ class PartsStreamingWriteSpec extends graft.SparkSpec {
         .head.getLong(0) === 7L)
     } finally spark.sql("DROP TABLE graft_cat.spec.psw")
   }
+
+  test("the epoch ledger is keyed PER QUERY: a second streaming query's epoch 0 is not swallowed by the first's") {
+    cat()
+    spark.range(0, 2)
+      .select((col("id") % 2).cast("string").as("p"), col("id").as("v"))
+      .repartition(1)
+      .writeTo("graft_cat.spec.pswq").partitionedBy(col("p")).create()
+    val k = "cat::graft_cat.spec.pswq"
+    try {
+      val schema = GraftStore.stores(k).schema
+      val spec = GraftCatalog.parts(k)
+      def msg(v: Long): GraftPartCommit = GraftPartCommit(Map(
+        (v % 2).toString -> Array(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            (v % 2).toString), v))))
+      val qA = new GraftPartsStreamingWrite(k, schema, spec,
+        GraftCatalog.currentSpecId(k), "query-A")
+      val qB = new GraftPartsStreamingWrite(k, schema, spec,
+        GraftCatalog.currentSpecId(k), "query-B")
+      qA.commit(0L, Array(msg(10L)))
+      // epochIds are only monotonic WITHIN one query: B's epoch 0 must
+      // land (a table-grained ledger would silently drop it while B's
+      // checkpoint advanced as if committed)
+      qB.commit(0L, Array(msg(11L)))
+      assert(spark.table("graft_cat.spec.pswq").count() === 4L,
+        "both queries' epoch-0 commits must land")
+      // replay WITHIN a query still refuses
+      qA.commit(0L, Array(msg(10L)))
+      assert(spark.table("graft_cat.spec.pswq").count() === 4L)
+      // DROP TABLE reaps the per-query epoch marks
+      spark.sql("DROP TABLE graft_cat.spec.pswq")
+      assert(!GraftStore.epochs.keys.exists(_.startsWith(k)),
+        "per-query epoch marks must be reaped with the table")
+    } finally scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.pswq"))
+  }
 }
