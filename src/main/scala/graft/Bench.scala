@@ -135,13 +135,28 @@ object Bench {
     // The min of two passes approximates a quiet-machine minimum at 2× wall
     // cost; a failure on EITHER pass reports as failed (flakiness must
     // surface, not hide behind the successful pass).
+    //
+    // ESCALATE TO MIN-OF-3 when the two samples disagree by >1.5×
+    // (VERDICT r18 #7): a bad ambient window wide enough to cover BOTH
+    // passes is the one shape min-of-2 can't absorb — r18 graded
+    // graph_triangles at 24.9 s against a 17-round 1.53–1.68 s band
+    // because one ~60 s session stall straddled both reps (its
+    // neighbors in measurement order moved 11× in the same window,
+    // QueryProbe re-measured it at band level, SCALE.md r19 forensics).
+    // A third pass after the window has usually passed restores the
+    // quiet-machine minimum; the re-run budget is bounded because
+    // agreement (the common case) never escalates.
     val results = SparkEntry.queries.toSeq.filter(q => headline(q._1)).map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
       val best =
         if (t1 < 0) t1
         else {
           val t2 = timeOnce(name, fn)
-          if (t2 < 0) t2 else math.min(t1, t2)
+          if (t2 < 0) t2
+          else if (math.max(t1, t2) > 1.5 * math.min(t1, t2)) {
+            val t3 = timeOnce(name, fn)
+            if (t3 < 0) t3 else math.min(math.min(t1, t2), t3)
+          } else math.min(t1, t2)
         }
       name -> best
     }

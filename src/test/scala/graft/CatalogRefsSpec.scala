@@ -218,4 +218,33 @@ class CatalogRefsSpec extends SparkSpec {
       assert(baseLive <= baseTotal)
     } finally spark.sql("DROP TABLE graft_cat.spec.ptr")
   }
+
+  test("'#' is refused in table, branch, tag and clone-target names (ADVICE r19: store-key suffix collisions)") {
+    cat()
+    // '#' separates internal store-key suffixes (#p= shards, #b=
+    // branches, #t= tags, #q= epoch marks): a backticked name carrying
+    // it would be enumerated as another table's shard/branch keys
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.spec.`x#p=1` (id BIGINT)")
+    }
+    assert(e1.getMessage.contains("#"), e1.getMessage)
+    spark.sql("CREATE TABLE graft_cat.spec.refguard (id BIGINT)")
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.create_branch('spec.refguard', 'b#p=0')")
+      }
+      assert(e2.getMessage.contains("#"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.create_tag('spec.refguard', 't#q=x')")
+      }
+      assert(e3.getMessage.contains("#"), e3.getMessage)
+      val e4 = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.clone_table('spec.refguard', " +
+          "'spec.y#b=main')")
+      }
+      assert(e4.getMessage.contains("#"), e4.getMessage)
+    } finally spark.sql("DROP TABLE graft_cat.spec.refguard")
+  }
 }

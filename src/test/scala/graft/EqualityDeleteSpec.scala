@@ -592,6 +592,35 @@ class EqualityDeleteSpec extends SparkSpec {
     }
   }
 
+  test("the eq-delete channel ENFORCES the per-statement tuple budget (VERDICT r18 #3)") {
+    cat()
+    val (key, _) = mkTable("eqbud")
+    try {
+      // shrink the budget so the fixture's distinct key count exceeds it
+      spark.conf.set("spark.graft.eqDelete.tupleBudget", "3")
+      val keys = spark.table("graft_cat.spec.eqbud")
+        .select(col("event_id")).distinct().limit(10)
+      val err = intercept[Exception] {
+        keys.writeTo("graft_cat.spec.`eqbud@eq_deletes`").append()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+      assert(rootMsg(err).contains("per-statement budget"),
+        s"refusal must name the budget, got: ${rootMsg(err).take(300)}")
+      // the refused statement committed NOTHING
+      assert(GraftStore.eqDeleteCount(key) === 0,
+        "a budget refusal must not leave a partial tuple-set commit")
+      // within budget: commits normally
+      spark.conf.set("spark.graft.eqDelete.tupleBudget", "4194304")
+      keys.writeTo("graft_cat.spec.`eqbud@eq_deletes`").append()
+      assert(GraftStore.eqDeleteCount(key) === 1)
+    } finally {
+      spark.conf.set("spark.graft.eqDelete.tupleBudget", "4194304")
+      spark.sql("DROP TABLE graft_cat.spec.eqbud")
+    }
+  }
+
   test("the streaming upsert path carries no data-proportional driver collect (VERDICT r17 #1 pin)") {
     // mechanical pin, ReadmeClaimsSpec-style: the upsert recipe's
     // foreachBatch must source the eq-delete keys as a PLAN (the

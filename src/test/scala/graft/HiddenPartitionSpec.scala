@@ -67,6 +67,214 @@ class HiddenPartitionSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.hpd")
   }
 
+  test("months(ts): routing by calendar month, range pruning, month-aligned retention drop") {
+    cat()
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.hpm (o_orderkey BIGINT,
+        |  o_orderdate TIMESTAMP, o_totalprice DOUBLE)
+        |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+    try {
+      ord.writeTo("graft_cat.spec.hpm").append()
+      val months = ord.select(date_trunc("MONTH", col("o_orderdate")).as("m"))
+        .distinct().count()
+      assert(months > 12, s"orders should span years of months, got $months")
+      val shardCount = spark.table("graft_cat.spec.hpm")
+        .select(col("_group")).distinct().count()
+      assert(shardCount === months, "one shard per calendar month")
+
+      // range pruning from a raw-ts predicate — never names the ordinal
+      val cutoff = ord.agg(date_trunc("MONTH", max(col("o_orderdate"))))
+        .head.getTimestamp(0)
+      val expect = ord.filter(col("o_orderdate") >= cutoff).count()
+      assert(spark.table("graft_cat.spec.hpm")
+        .filter(col("o_orderdate") >= cutoff).count() === expect)
+      val (total, skipped) =
+        GraftStore.skipLog.getOrElse("cat::graft_cat.spec.hpm", (-1, -1))
+      assert(total.toLong === months && skipped.toLong === months - 1,
+        s"expected $months shards with ${months - 1} pruned, got $total/$skipped")
+
+      // month-aligned retention DELETE = metadata drop: the surviving
+      // month shard is reference-identical afterwards
+      val cutLd = java.time.LocalDate.ofEpochDay(Math.floorDiv(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(cutoff), 86400L * 1000000L))
+      val survivorKey = "cat::graft_cat.spec.hpm#p=" +
+        ((cutLd.getYear - 1970).toLong * 12 + cutLd.getMonthValue - 1)
+      val keepRef = GraftStore.batchesRef(survivorKey)
+      spark.sql(
+        s"DELETE FROM graft_cat.spec.hpm WHERE o_orderdate < TIMESTAMP '$cutoff'")
+      assert(spark.table("graft_cat.spec.hpm").count() === expect)
+      assert(GraftStore.batchesRef(survivorKey).get eq keepRef.get,
+        "the surviving month shard must not be rewritten by a partition drop")
+
+      // a MID-MONTH bound (even day-aligned) cannot drop month shards:
+      // stays COW, still answers correctly
+      val unaligned = new java.sql.Timestamp(cutoff.getTime + 10L * 86400 * 1000)
+      spark.sql(
+        s"DELETE FROM graft_cat.spec.hpm WHERE o_orderdate < TIMESTAMP '$unaligned'")
+      assert(spark.table("graft_cat.spec.hpm").count() ===
+        ord.filter(col("o_orderdate") >= unaligned).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.hpm")
+  }
+
+  test("years(d): DATE column routing, pruning, Jan-1-aligned retention drop") {
+    cat()
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.hpy (o_orderkey BIGINT, d DATE)
+        |PARTITIONED BY (years(d))""".stripMargin)
+    try {
+      ord.writeTo("graft_cat.spec.hpy").append()
+      val years = ord.select(year(col("d")).as("y")).distinct().count()
+      assert(years > 1, s"orders should span multiple years, got $years")
+      assert(spark.table("graft_cat.spec.hpy")
+        .select(col("_group")).distinct().count() === years,
+        "one shard per calendar year")
+      val maxYear = ord.agg(max(year(col("d")))).head.getInt(0)
+      val expect = ord.filter(year(col("d")) === maxYear).count()
+      assert(spark.table("graft_cat.spec.hpy")
+        .filter(col("d") >= java.sql.Date.valueOf(s"$maxYear-01-01"))
+        .count() === expect)
+      val (total, skipped) =
+        GraftStore.skipLog.getOrElse("cat::graft_cat.spec.hpy", (-1, -1))
+      assert(total.toLong === years && skipped.toLong === years - 1)
+      // Jan-1 DATE bound: metadata year-shard drop
+      spark.sql(
+        s"DELETE FROM graft_cat.spec.hpy WHERE d < DATE '$maxYear-01-01'")
+      assert(spark.table("graft_cat.spec.hpy").count() === expect)
+      // a mid-year DATE bound refuses the drop and stays COW
+      spark.sql(
+        s"DELETE FROM graft_cat.spec.hpy WHERE d < DATE '$maxYear-03-01'")
+      assert(spark.table("graft_cat.spec.hpy").count() ===
+        ord.filter(col("d") >= java.sql.Date.valueOf(s"$maxYear-03-01")).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.hpy")
+  }
+
+  test("hours(ts): epoch-hour routing, range pruning, hour-aligned drop; refuses DATE columns") {
+    cat()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("value")).limit(120)
+    val frozen = spark.createDataFrame(ev.collectAsList(), ev.schema)
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.hph (event_id BIGINT, ts TIMESTAMP,
+        |  value DOUBLE) PARTITIONED BY (hours(ts))""".stripMargin)
+    try {
+      frozen.writeTo("graft_cat.spec.hph").append()
+      val hoursN = frozen.select(date_trunc("HOUR", col("ts")).as("h"))
+        .distinct().count()
+      assert(spark.table("graft_cat.spec.hph")
+        .select(col("_group")).distinct().count() === hoursN,
+        "one shard per UTC hour")
+      val cutoff = frozen.agg(date_trunc("HOUR", max(col("ts"))))
+        .head.getTimestamp(0)
+      val expect = frozen.filter(col("ts") >= cutoff).count()
+      assert(spark.table("graft_cat.spec.hph")
+        .filter(col("ts") >= cutoff).count() === expect)
+      val (total, skipped) =
+        GraftStore.skipLog.getOrElse("cat::graft_cat.spec.hph", (-1, -1))
+      assert(total.toLong === hoursN && skipped.toLong === hoursN - 1)
+      // hour-aligned retention = metadata drop
+      spark.sql(s"DELETE FROM graft_cat.spec.hph WHERE ts < TIMESTAMP '$cutoff'")
+      assert(spark.table("graft_cat.spec.hph").count() === expect)
+    } finally spark.sql("DROP TABLE graft_cat.spec.hph")
+    // hours over DATE is meaningless — refused at CREATE
+    val err = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft_cat.spec.hph_bad (id BIGINT, d DATE)
+          |PARTITIONED BY (hours(d))""".stripMargin)
+    }
+    assert(err.getMessage.contains("hours"), err.getMessage)
+  }
+
+  test("truncate(w, col): string prefix + integral floor routing, pruning, aligned drops") {
+    cat()
+    // STRING truncate: prefix shards, equality/prefix pruning, and the
+    // COW-not-drop trap (a prefix shard holds values equality does not
+    // select)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.hpt (c_custkey BIGINT,
+        |  c_mktsegment STRING) PARTITIONED BY (truncate(1, c_mktsegment))""".stripMargin)
+    try {
+      cust.writeTo("graft_cat.spec.hpt").append()
+      val prefixes = cust.select(substring(col("c_mktsegment"), 1, 1).as("p"))
+        .distinct().count()
+      assert(spark.table("graft_cat.spec.hpt")
+        .select(col("_group")).distinct().count() === prefixes,
+        "one shard per 1-char prefix")
+      val nb = cust.filter(col("c_mktsegment") === "BUILDING").count()
+      assert(spark.table("graft_cat.spec.hpt")
+        .filter(col("c_mktsegment") === "BUILDING").count() === nb)
+      val (t1, s1) =
+        GraftStore.skipLog.getOrElse("cat::graft_cat.spec.hpt", (-1, -1))
+      assert(t1.toLong === prefixes && s1.toLong === prefixes - 1,
+        s"equality should prune to the literal's own prefix shard, got $t1/$s1")
+      // a >=w prefix predicate pins the shard exactly too
+      assert(spark.table("graft_cat.spec.hpt")
+        .filter(col("c_mktsegment").startsWith("BU")).count() === nb)
+      val (t2, s2) =
+        GraftStore.skipLog.getOrElse("cat::graft_cat.spec.hpt", (-1, -1))
+      assert(t2.toLong === prefixes && s2.toLong === prefixes - 1)
+      // equality must NOT take the metadata drop path (shard 'B' could
+      // hold other B-segments): COW, correct count
+      spark.sql("DELETE FROM graft_cat.spec.hpt WHERE c_mktsegment = 'BUILDING'")
+      assert(spark.table("graft_cat.spec.hpt").count() === cust.count() - nb)
+    } finally spark.sql("DROP TABLE graft_cat.spec.hpt")
+
+    // INTEGRAL truncate: floor-of-w shards, range pruning, and a
+    // w-aligned bound IS a metadata drop (order-preserving ordinal)
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.hpti (o_orderkey BIGINT)
+        |PARTITIONED BY (truncate(1000, o_orderkey))""".stripMargin)
+    try {
+      ord.writeTo("graft_cat.spec.hpti").append()
+      val shards = ord.select((col("o_orderkey") -
+        pmod(col("o_orderkey"), lit(1000))).as("f")).distinct().count()
+      assert(spark.table("graft_cat.spec.hpti")
+        .select(col("_group")).distinct().count() === shards)
+      val maxK = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+      val bound = (maxK / 1000) * 1000
+      val expect = ord.filter(col("o_orderkey") >= bound).count()
+      assert(spark.table("graft_cat.spec.hpti")
+        .filter(col("o_orderkey") >= bound).count() === expect)
+      val (t3, s3) =
+        GraftStore.skipLog.getOrElse("cat::graft_cat.spec.hpti", (-1, -1))
+      assert(t3.toLong === shards && s3.toLong === shards - 1)
+      // aligned integral bound: metadata drop; unaligned: COW
+      spark.sql(s"DELETE FROM graft_cat.spec.hpti WHERE o_orderkey < $bound")
+      assert(spark.table("graft_cat.spec.hpti").count() === expect)
+      spark.sql(s"DELETE FROM graft_cat.spec.hpti WHERE o_orderkey < ${bound + 7}")
+      assert(spark.table("graft_cat.spec.hpti").count() ===
+        ord.filter(col("o_orderkey") >= bound + 7).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.hpti")
+  }
+
+  test("evolve_spec accepts the r19 transforms (months/years/hours/truncate)") {
+    cat()
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.hpe (id BIGINT, ts TIMESTAMP,
+        |  seg STRING) PARTITIONED BY (days(ts))""".stripMargin)
+    try {
+      val r1 = spark.sql(
+        "CALL graft_cat.system.evolve_spec('spec.hpe', 'months(ts)')")
+        .head
+      assert(r1.getInt(0) === 1 && r1.getString(1).contains("months"))
+      val r2 = spark.sql(
+        "CALL graft_cat.system.evolve_spec('spec.hpe', 'truncate(2, seg)')")
+        .head
+      assert(r2.getInt(0) === 2 && r2.getString(1).contains("truncate"))
+      // hours over a TIMESTAMP is fine as an evolution target too
+      val r3 = spark.sql(
+        "CALL graft_cat.system.evolve_spec('spec.hpe', 'hours(ts)')").head
+      assert(r3.getInt(0) === 3 && r3.getString(1).contains("hours"))
+    } finally spark.sql("DROP TABLE graft_cat.spec.hpe")
+  }
+
   test("bucket(n, k): murmur3 routing, equality pruning to one shard, DML group narrowing") {
     cat()
     val ev = Tables.events(spark, sfDir)

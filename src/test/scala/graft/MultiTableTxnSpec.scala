@@ -200,4 +200,78 @@ class MultiTableTxnSpec extends SparkSpec {
       spark.sql("DROP TABLE graft_cat.spec.mt4b")
     }
   }
+
+  test("catalog publish ordinal: ONE 'txn<N>' token reads every published table consistently; outsiders refuse (VERDICT r18 #5)") {
+    cat()
+    seed("mt5a", "mt5b")
+    spark.sql("CREATE TABLE graft_cat.spec.mt5c (id BIGINT)")
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt5a', 'tx')")
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt5b', 'tx')")
+      spark.sql("DELETE FROM graft_cat.spec.`mt5a@tx` WHERE value < 30")
+      spark.sql(
+        """MERGE INTO graft_cat.spec.`mt5b@tx` m
+          |USING (SELECT event_type, count(*) AS n
+          |       FROM graft_cat.spec.`mt5a@tx` GROUP BY event_type) c
+          |ON m.event_type = c.event_type
+          |WHEN MATCHED THEN UPDATE SET n = c.n
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val pub = spark.sql("CALL graft_cat.system.publish_tables(" +
+        "'spec.mt5a@tx,spec.mt5b@tx')").collect()
+      // every row of one publish carries the SAME catalog ordinal
+      val cvs = pub.map(_.getLong(3)).distinct
+      assert(cvs.length === 1, "one catalog ordinal per publish call")
+      val cv = cvs.head
+      // and it equals per-table resolution of the returned ordinals
+      pub.foreach { r =>
+        val tbl = r.getString(0)
+        val perTable = spark.sql(
+          s"SELECT count(*) FROM graft_cat.$tbl VERSION AS OF ${r.getInt(2)}")
+          .head.getLong(0)
+        val byToken = spark.sql(
+          s"SELECT count(*) FROM graft_cat.$tbl VERSION AS OF 'txn$cv'")
+          .head.getLong(0)
+        assert(byToken === perTable,
+          s"$tbl: token read must equal the per-ordinal read")
+      }
+      // drift both tables: the token keeps serving the transaction
+      spark.sql("INSERT INTO graft_cat.spec.mt5b VALUES ('drift', 999)")
+      val byType = spark.sql(
+        s"SELECT * FROM graft_cat.spec.mt5a VERSION AS OF 'txn$cv'")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("nc"))
+      val manifest = spark.sql(
+        s"SELECT * FROM graft_cat.spec.mt5b VERSION AS OF 'txn$cv'")
+      assert(byType.join(manifest, Seq("event_type"), "full_outer")
+        .filter(col("nc").isNull || col("n").isNull ||
+          col("nc") =!= col("n")).isEmpty,
+        "the single-token cross-table read must be mutually consistent")
+      // a table OUTSIDE the publish set refuses the token — serving
+      // its nearest ordinal would fake consistency
+      val e1 = intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM graft_cat.spec.mt5c VERSION AS OF 'txn$cv'")
+          .collect()
+      }
+      assert(e1.getMessage.contains("not part of catalog publish"),
+        e1.getMessage.take(200))
+      // an unknown ordinal refuses too
+      val e2 = intercept[Exception] {
+        spark.sql(
+          "SELECT * FROM graft_cat.spec.mt5a VERSION AS OF 'txn999999'")
+          .collect()
+      }
+      assert(e2.getMessage.contains("no catalog publish"),
+        e2.getMessage.take(200))
+      // tags can no longer shadow the token namespace
+      val e3 = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.create_tag('spec.mt5a', 'txn1')")
+      }
+      assert(e3.getMessage.contains("catalog publish ordinal"),
+        e3.getMessage.take(200))
+    } finally {
+      spark.sql("DROP TABLE graft_cat.spec.mt5a")
+      spark.sql("DROP TABLE graft_cat.spec.mt5b")
+      spark.sql("DROP TABLE graft_cat.spec.mt5c")
+    }
+  }
 }
