@@ -307,6 +307,8 @@ object GraftStore {
     // per-query epoch marks (`name#q=<queryId>`) — exact-or-`#`-prefixed
     // so a sibling store whose key merely extends `name` is untouched
     epochs.keys.filter(_.startsWith(name + "#")).foreach(epochs.remove)
+    epochFps.remove(name)
+    epochFps.keys.filter(_.startsWith(name + "#")).foreach(epochFps.remove)
     ()
   }
 
@@ -940,20 +942,78 @@ object GraftStore {
     * checkpoint advanced as if committed (review r18). A restart from
     * a deleted checkpoint mints a new queryId and re-ingests —
     * standard at-least-once for a sink with no external idempotence
-    * token, never silent loss.
+    * token... unless the OPTIONAL content-fingerprint tier is on
+    * (VERDICT r18 #6, `spark.graft.stream.fingerprintDedup`): each
+    * applied non-empty epoch also records an ORDER-INSENSITIVE batch
+    * fingerprint (restart re-partitions tasks, so row/task order must
+    * not matter), and an epoch whose fingerprint is already in the
+    * store's set — the checkpoint-wipe replay: new queryId, same
+    * content — is suppressed while its query ledger still advances.
+    * Opt-in because it intentionally trades one semantic for another:
+    * a stream that LEGITIMATELY appends a byte-identical batch twice
+    * would be deduped; right for idempotent re-ingest pipelines,
+    * wrong for event-count semantics.
     */
   private[graft] def publishEpoch(name: String, schema: StructType,
       incoming: Seq[Array[Array[Any]]], epochId: Long,
-      queryId: String = ""): Boolean =
+      queryId: String = "", fingerprintDedup: Boolean = false): Boolean =
     stores.synchronized {
       val ek = if (queryId.isEmpty) name else s"$name#q=$queryId"
       if (epochs.get(ek).exists(_ >= epochId)) false
       else {
-        publish(name, schema, incoming, truncate = false)
+        val fp =
+          if (fingerprintDedup && incoming.exists(_.nonEmpty))
+            Some(fingerprintEpoch(schema, incoming))
+          else None
+        val known = fp.exists(epochFps.getOrElse(name, Set.empty).contains)
+        if (!known) {
+          publish(name, schema, incoming, truncate = false)
+          fp.foreach(f =>
+            epochFps.put(name, epochFps.getOrElse(name, Set.empty) + f))
+        }
         epochs.put(ek, epochId)
-        true
+        !known
       }
     }
+
+  /** store → fingerprints of applied epochs (the content-dedup tier's
+    * memory; reaped with the store in [[drop]]).
+    */
+  private[graft] val epochFps = TrieMap.empty[String, Set[Long]]
+
+  /** Order-insensitive epoch fingerprint: per-row ordered hash (values
+    * rendered through stable string forms — the internal types here are
+    * primitives, UTF8String and copied arrays), combined COMMUTATIVELY
+    * (sum + xor + count) so task partitioning and row order — both of
+    * which change across a restart — cannot move it.
+    */
+  private[sources] def fingerprintEpoch(schema: StructType,
+      incoming: Seq[Array[Array[Any]]]): Long = {
+    var sum = 0L
+    var xor = 0L
+    var n = 0L
+    incoming.foreach(_.foreach { row =>
+      var h = 1125899906842597L
+      var i = 0
+      while (i < row.length) {
+        val cell = row(i)
+        val s = cell match {
+          case null => "<graft-null>"
+          case a: Array[_] => a.mkString("[", ",", "]")
+          case other => other.toString
+        }
+        h = h * 31 + s.hashCode + (if (cell == null) -1 else cell match {
+          case l: java.lang.Long => java.lang.Long.hashCode(l)
+          case _ => 0
+        })
+        i += 1
+      }
+      sum += h
+      xor ^= h
+      n += 1
+    })
+    sum ^ java.lang.Long.rotateLeft(xor, 17) ^ (n * 0x9E3779B97F4A7C15L)
+  }
 }
 
 private[sources] class GraftStoreTable(
@@ -1035,9 +1095,15 @@ private[sources] class GraftStoreStreamingWrite(name: String,
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // the optional checkpoint-wipe idempotence tier (VERDICT r18 #6):
+    // commit runs on the driver, so the session conf is in scope
+    val fpDedup = try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.stream.fingerprintDedup", "false")
+        .toBoolean
+      catch { case _: Exception => false }
     GraftStore.publishEpoch(name, schema,
       messages.map(_.asInstanceOf[GraftStoreCommit].rows).toSeq, epochId,
-      queryId)
+      queryId, fingerprintDedup = fpDedup)
     ()
   }
 

@@ -6,8 +6,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The partition TRANSFORM of a partitioned catalog table — identity
-  * (r14's original), or the HIDDEN transforms `days(ts)` / `bucket(n,
-  * col)` (Iceberg's innovation over Hive partitioning): rows are routed
+  * (r14's original), or the HIDDEN transforms `days(ts)` / `months(ts)`
+  * / `years(ts)` / `hours(ts)` / `truncate(w, col)` / `bucket(n, col)`
+  * (the full Iceberg transform family): rows are routed
   * to a partition value DERIVED from a source column, and reads prune
   * partitions from predicates on the SOURCE column — users never name,
   * or even know, the partition value. `valueOf` is the write-side

@@ -397,4 +397,54 @@ class StreamLedgerSpec extends SparkSpec {
         .filter(col("v") >= 1000L).count() === n2 - n1)
     } finally spark.sql("DROP TABLE graft_cat.spec.twoq")
   }
+
+  test("checkpoint-wipe idempotence: the fingerprint tier suppresses same-content re-ingest; default stays at-least-once (VERDICT r18 #6)") {
+    cat()
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"))
+      .writeTo("graft_cat.spec.fpq").create()
+    val root = java.nio.file.Files.createTempDirectory("graft_fpq")
+    try {
+      // deterministic content: rate-micro-batch from a FRESH checkpoint
+      // replays the identical value sequence — exactly what a restart
+      // from a deleted checkpoint does (new queryId, same batches)
+      def ingest(ckpt: String, offset: Long): Unit = {
+        val q = spark.readStream
+          .format("rate-micro-batch")
+          .option("rowsPerBatch", "4").option("numPartitions", "1")
+          .load()
+          .select((col("value") + offset).as("v"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", root.resolve(ckpt).toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_cat.spec.fpq")
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      spark.conf.set("spark.graft.stream.fingerprintDedup", "true")
+      ingest("c1", 0L)
+      val n1 = spark.table("graft_cat.spec.fpq").count()
+      assert(n1 > 0)
+      // the wipe replay: fresh checkpoint = new queryId, identical
+      // content — the per-query ledger alone would re-ingest (its
+      // epoch keys are new), the fingerprint tier suppresses
+      ingest("c2", 0L)
+      assert(spark.table("graft_cat.spec.fpq").count() === n1,
+        "same-content re-ingest must be suppressed with the tier on")
+      // genuinely NEW content from another fresh query still lands
+      ingest("c3", 5000L)
+      val n3 = spark.table("graft_cat.spec.fpq").count()
+      assert(n3 === 2 * n1, "new content must never be suppressed")
+      // default off: the documented at-least-once contract — a wiped
+      // checkpoint re-ingests (fingerprints are neither recorded nor
+      // consulted)
+      spark.conf.set("spark.graft.stream.fingerprintDedup", "false")
+      ingest("c4", 0L)
+      assert(spark.table("graft_cat.spec.fpq").count() === n3 + n1,
+        "with the tier off, replay must land (at-least-once, no silence)")
+    } finally {
+      spark.conf.set("spark.graft.stream.fingerprintDedup", "false")
+      spark.sql("DROP TABLE graft_cat.spec.fpq")
+    }
+  }
 }
