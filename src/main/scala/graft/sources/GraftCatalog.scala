@@ -2576,6 +2576,31 @@ private[sources] class GraftPartitionedTable(
             alignedOrdinal(sp, b).map(d => v.toLong >= d)
           case _ => None
         }
+        // STRING truncate is order-preserving too (a value extends its
+        // prefix shard, and extension is ≥): `col < b` / `col >= b`
+        // decide WHOLE shards exactly when len(b) ≤ w (compare shard
+        // vs b directly — a short bound can never split a shard), and
+        // when len(b) > w for every shard except b's own prefix shard
+        // (mixed — refuse, the drop stays COW). ASCII-only: Spark
+        // compares UTF8String bytes while the shard value here is a
+        // Java String — identical orders only inside ASCII.
+        case ("<" | ">=",
+            PartSpec.TruncatePart(w, c,
+              org.apache.spark.sql.types.StringType)) =>
+          p.children() match {
+            case Array(a, b) if isRefTo(a, c) => strLit(b).flatMap { lit =>
+              def ascii(s: String) = s.forall(_ < 128)
+              if (!ascii(lit) || !ascii(v)) None
+              else if (lit.length <= w)
+                Some(if (p.name() == "<") v < lit else v >= lit)
+              else {
+                val bt = lit.substring(0, w)
+                if (v == bt) None // b's own shard holds rows on both sides
+                else Some(if (p.name() == "<") v < bt else v > bt)
+              }
+            }
+            case _ => None
+          }
         case _ => None
       }
     if (predicates.isEmpty) return None
@@ -3325,11 +3350,31 @@ private[sources] class GraftPartsStreamingWrite(tableKey: String,
       val ek = if (queryId.isEmpty) tableKey else s"$tableKey#q=$queryId"
       if (GraftStore.epochs.get(ek).exists(_ >= epochId)) return
       GraftCatalog.validateSpecCapture(tableKey, specId, spec)
+      // the OPT-IN checkpoint-wipe idempotence tier, same contract as
+      // the flat sink ([[GraftStore.publishEpoch]]): fingerprint the
+      // WHOLE epoch's content (order-insensitive across rows, tasks
+      // AND shards) and suppress a new-queryId twin
+      val fpDedup = try org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.stream.fingerprintDedup", "false")
+          .toBoolean
+        catch { case _: Exception => false }
+      val fp =
+        if (fpDedup && byPart.valuesIterator.exists(_.exists(_.nonEmpty)))
+          Some(GraftStore.fingerprintEpoch(schema,
+            byPart.valuesIterator.flatten.toSeq))
+        else None
+      if (fp.exists(GraftStore.epochFps
+          .getOrElse(tableKey, Set.empty).contains)) {
+        GraftStore.epochs.put(ek, epochId) // this query's ledger advances
+        return
+      }
       byPart.foreach { case (pv, batches) =>
         GraftStore.publish(s"$tableKey#p=$pv", schema, batches,
           truncate = false)
       }
       GraftCatalog.recordPartVersion(tableKey)
+      fp.foreach(f => GraftStore.epochFps.put(tableKey,
+        GraftStore.epochFps.getOrElse(tableKey, Set.empty) + f))
       GraftStore.epochs.put(ek, epochId)
       ()
     }

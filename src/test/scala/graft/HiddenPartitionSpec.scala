@@ -223,6 +223,22 @@ class HiddenPartitionSpec extends SparkSpec {
       // hold other B-segments): COW, correct count
       spark.sql("DELETE FROM graft_cat.spec.hpt WHERE c_mktsegment = 'BUILDING'")
       assert(spark.table("graft_cat.spec.hpt").count() === cust.count() - nb)
+      // prefix shards ARE order-preserving: a `<` retention bound of
+      // length ≤ w drops whole shards as metadata — survivors stay
+      // reference-identical (segments: AUTOMOBILE/BUILDING < 'F';
+      // FURNITURE/HOUSEHOLD/MACHINERY survive)
+      val fRef = GraftStore.batchesRef("cat::graft_cat.spec.hpt#p=F")
+      spark.sql("DELETE FROM graft_cat.spec.hpt WHERE c_mktsegment < 'F'")
+      val nFHM = cust.filter(col("c_mktsegment") >= "F").count()
+      assert(spark.table("graft_cat.spec.hpt").count() === nFHM)
+      assert(GraftStore.batchesRef("cat::graft_cat.spec.hpt#p=F").get
+        eq fRef.get,
+        "a prefix-aligned drop must not rewrite surviving shards")
+      // a bound LONGER than w mixes its own prefix shard ('F...'):
+      // refused, stays COW, still answers correctly
+      spark.sql("DELETE FROM graft_cat.spec.hpt WHERE c_mktsegment < 'FX'")
+      assert(spark.table("graft_cat.spec.hpt").count() ===
+        cust.filter(col("c_mktsegment") >= "FX").count())
     } finally spark.sql("DROP TABLE graft_cat.spec.hpt")
 
     // INTEGRAL truncate: floor-of-w shards, range pruning, and a

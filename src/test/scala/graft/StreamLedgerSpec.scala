@@ -447,4 +447,48 @@ class StreamLedgerSpec extends SparkSpec {
       spark.sql("DROP TABLE graft_cat.spec.fpq")
     }
   }
+
+  test("checkpoint-wipe idempotence on a PARTITIONED table: whole-epoch fingerprint, shard-order-insensitive") {
+    cat()
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.fpp (v BIGINT, p STRING)
+        |PARTITIONED BY (p)""".stripMargin)
+    val root = java.nio.file.Files.createTempDirectory("graft_fpp")
+    try {
+      def ingest(ckpt: String, offset: Long): Unit = {
+        val q = spark.readStream
+          .format("rate-micro-batch")
+          .option("rowsPerBatch", "6").option("numPartitions", "2")
+          .load()
+          .select((col("value") + offset).as("v"),
+            (col("value") % 3).cast("string").as("p"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", root.resolve(ckpt).toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_cat.spec.fpp")
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+      }
+      spark.conf.set("spark.graft.stream.fingerprintDedup", "true")
+      ingest("c1", 0L)
+      val n1 = spark.table("graft_cat.spec.fpp").count()
+      assert(n1 > 0)
+      val v1 = graft.sources.GraftCatalog
+        .partVersions("cat::graft_cat.spec.fpp").size
+      // identical content from a fresh checkpoint (2 task partitions —
+      // the fingerprint must not care how rows split across tasks or
+      // shards): suppressed, and NO table version was burned
+      ingest("c2", 0L)
+      assert(spark.table("graft_cat.spec.fpp").count() === n1,
+        "partitioned same-content re-ingest must be suppressed")
+      assert(graft.sources.GraftCatalog
+        .partVersions("cat::graft_cat.spec.fpp").size === v1,
+        "a suppressed epoch must not record a table-level version")
+      // new content still lands, one version per applied epoch
+      ingest("c3", 9000L)
+      assert(spark.table("graft_cat.spec.fpp").count() === 2 * n1)
+    } finally {
+      spark.conf.set("spark.graft.stream.fingerprintDedup", "false")
+      spark.sql("DROP TABLE graft_cat.spec.fpp")
+    }
+  }
 }
