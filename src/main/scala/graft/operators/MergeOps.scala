@@ -423,6 +423,46 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** `TIMESTAMP AS OF` — the timestamp spelling of time travel
+    * (Iceberg/Delta both ship it; a user replaying "the table as of
+    * 09:00" reaches for a timestamp, not an ordinal). The catalog
+    * keeps a commit-millis ledger index-aligned with each version
+    * vector and resolves a timestamp to the LATEST commit at or
+    * before it, then serves through the ordinal path — so the three
+    * digests here are the SAME three states `sql_time_travel` pins by
+    * ordinal, addressed by wall-clock instants captured between
+    * commits (sleep margins keep the instants strictly between
+    * commit times). Shares the ordinal query's oracle cell-exactly.
+    */
+  def sqlTimeTravelTimestamp(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("value"))
+    withDmlTable(s, ev.filter(col("event_id") % 2 === 0)) { tbl =>
+      Thread.sleep(15)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(15)
+      ev.filter(col("event_id") % 2 === 1).writeTo(tbl).append()
+      Thread.sleep(15)
+      val t2 = System.currentTimeMillis()
+      Thread.sleep(15)
+      s.sql(s"DELETE FROM $tbl WHERE value < 50")
+      Thread.sleep(15)
+      val t3 = System.currentTimeMillis()
+      def lit(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      def digest(v: Int, ms: Long): DataFrame =
+        s.sql(
+          s"""SELECT CAST($v AS BIGINT) AS v, count(*) AS n,
+             | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |   / 100.0 AS total
+             |FROM $tbl TIMESTAMP AS OF '${lit(ms)}'""".stripMargin)
+      digest(1, t1).unionByName(digest(2, t2)).unionByName(digest(3, t3))
+        .orderBy("v")
+    }
+  }
+
   /** `VERSION AS OF` on a PARTITIONED catalog table — r14/r15's loud
     * refusal upgraded to the Iceberg model: shards commit physically,
     * but every statement appends exactly ONE entry to a table-level
@@ -2329,6 +2369,10 @@ object MergeOps extends QueryModule {
     RegisteredQuery("sql_spec_evolution", sqlSpecEvolution,
       Some(sqlSpecEvolutionOracle)),
     RegisteredQuery("sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelOracle)),
+    // the TIMESTAMP spelling resolves to the same three states —
+    // shared oracle, cell-exact
+    RegisteredQuery("sql_time_travel_timestamp", sqlTimeTravelTimestamp,
+      Some(sqlTimeTravelOracle)),
     RegisteredQuery("sql_time_travel_partitioned", sqlTimeTravelPartitioned,
       Some(sqlTimeTravelPartitionedOracle)),
     RegisteredQuery("sql_delete_partitioned", sqlDeletePartitioned,

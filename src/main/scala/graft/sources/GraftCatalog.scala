@@ -842,6 +842,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       GraftCatalog.parts.remove(bk)
       GraftCatalog.partSpecs.remove(bk)
       GraftCatalog.partVersions.remove(bk)
+      GraftCatalog.partVersionTimes.remove(bk)
       GraftCatalog.eqDeleteTables.remove(bk)
       GraftStore.dropMatching(kk => kk == bk || kk.startsWith(bk + "#p="))
     }
@@ -1081,6 +1082,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               GraftCatalog.parts.remove(bk)
               GraftCatalog.partSpecs.remove(bk)
               GraftCatalog.partVersions.remove(bk)
+              GraftCatalog.partVersionTimes.remove(bk)
               GraftCatalog.eqDeleteTables.remove(bk)
               dropBranchStores()
             }
@@ -1290,6 +1292,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * read a transactional table format serves here, so every committed
     * state of a DML'd table stays queryable.
     */
+  /** `TIMESTAMP AS OF` / `FOR SYSTEM_TIME AS OF` — the Iceberg/Delta
+    * timestamp-travel contract: the timestamp (Spark hands MICROS)
+    * resolves to the LATEST commit at or before it, then serves
+    * through the ordinal path (so expiry, tags-vs-ordinals and
+    * partitioned pinning all behave identically for both spellings).
+    * Resolution ledgers: [[GraftCatalog.partVersionTimes]]
+    * (table-level, partitioned) / [[GraftStore.historyTimes]] (flat,
+    * incl. branch stores), both index-aligned with their version
+    * vectors by construction. A timestamp before the first commit
+    * refuses with the first commit time in the message.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ms = Math.floorDiv(timestamp, 1000L)
+    val k = key(ident)
+    val times: Vector[Long] =
+      if (GraftCatalog.parts.contains(k))
+        GraftCatalog.partVersionTimes.getOrElse(k, Vector.empty)
+      else branchParts(ident) match {
+        case Some((mainKey, branch)) =>
+          val bk = s"$mainKey#b=$branch"
+          if (!GraftCatalog.branches.contains(bk))
+            throw new NoSuchTableException(ident)
+          if (GraftCatalog.parts.contains(mainKey))
+            GraftCatalog.partVersionTimes.getOrElse(bk, Vector.empty)
+          else GraftStore.historyTimes.getOrElse(bk, Vector.empty)
+        case None => GraftStore.historyTimes.getOrElse(k, Vector.empty)
+      }
+    if (times.isEmpty) throw new NoSuchTableException(ident)
+    val v = times.lastIndexWhere(_ <= ms)
+    require(v >= 0,
+      s"graft catalog: no version of '${ident.name}' committed at or " +
+        s"before epoch-millis $ms (first commit: ${times.head})")
+    loadTable(ident, v.toString)
+  }
+
   override def loadTable(ident: Identifier, version: String): Table = {
     // `VERSION AS OF 'txn<N>'` — the CATALOG-LEVEL publish ordinal
     // (VERDICT r18 #5): one token, minted per `publish_tables` commit,
@@ -1694,6 +1731,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     GraftCatalog.parts.remove(k)
     GraftCatalog.partSpecs.remove(k)
     GraftCatalog.partVersions.remove(k)
+    GraftCatalog.partVersionTimes.remove(k)
     // branch-scoped registrations of a partitioned table's branches
     GraftCatalog.parts.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.parts.remove)
@@ -1703,6 +1741,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       .foreach(GraftCatalog.eqDeleteTables.remove)
     GraftCatalog.partVersions.keys.filter(_.startsWith(k + "#b="))
       .foreach(GraftCatalog.partVersions.remove)
+    GraftCatalog.partVersionTimes.keys.filter(_.startsWith(k + "#b="))
+      .foreach(GraftCatalog.partVersionTimes.remove)
     GraftCatalog.morTables.remove(k)
     GraftCatalog.eqDeleteTables.remove(k)
     GraftCatalog.constraintsReg.remove(k)
@@ -1841,6 +1881,13 @@ object GraftCatalog {
     * under `GraftStore.stores.synchronized` from every commit path that
     * mutates a partitioned table, AFTER its shard publishes.
     */
+  /** table key → wall-clock commit millis of each [[partVersions]]
+    * entry, index-aligned (expire tombstones in place) — the
+    * partitioned half of the `TIMESTAMP AS OF` resolution ledger.
+    */
+  private[sources] val partVersionTimes = scala.collection.concurrent
+    .TrieMap.empty[String, Vector[Long]]
+
   private[sources] def recordPartVersion(tableKey: String): Unit =
     GraftStore.stores.synchronized {
       GraftStore.stores.get(tableKey).foreach { base =>
@@ -1851,6 +1898,9 @@ object GraftCatalog {
         partVersions.put(tableKey,
           partVersions.getOrElse(tableKey, Vector.empty) :+
             ((base.schema, shards)))
+        partVersionTimes.put(tableKey,
+          partVersionTimes.getOrElse(tableKey, Vector.empty) :+
+            System.currentTimeMillis())
         ()
       }
     }

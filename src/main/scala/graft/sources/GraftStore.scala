@@ -298,12 +298,30 @@ object GraftStore {
         // materialized them via liveLogicalRows)
         eqDeletes = cur.map(_.eqDeletes).getOrElse(Seq.empty))
       stores.put(name, snap)
-      history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+      appendHistory(name, snap)
       ()
     }
 
+  /** store → wall-clock commit millis of each [[history]] entry,
+    * INDEX-ALIGNED with it (retention tombstones entries in place, so
+    * lengths never diverge) — the resolution ledger of
+    * `TIMESTAMP AS OF` (the Iceberg/Delta timestamp-travel contract:
+    * a timestamp resolves to the LATEST snapshot committed at or
+    * before it). Every history append goes through [[appendHistory]]
+    * or [[seed]], so the two vectors cannot drift.
+    */
+  private[sources] val historyTimes = TrieMap.empty[String, Vector[Long]]
+
+  private def appendHistory(name: String, snap: Committed): Unit = {
+    history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+    historyTimes.put(name,
+      historyTimes.getOrElse(name, Vector.empty) :+ System.currentTimeMillis())
+    ()
+  }
+
   private[graft] def drop(name: String): Unit = {
     stores.remove(name); history.remove(name); epochs.remove(name)
+    historyTimes.remove(name)
     // per-query epoch marks (`name#q=<queryId>`) — exact-or-`#`-prefixed
     // so a sibling store whose key merely extends `name` is untouched
     epochs.keys.filter(_.startsWith(name + "#")).foreach(epochs.remove)
@@ -454,7 +472,7 @@ object GraftStore {
         val snap = cur.copy(dvs = dvs, truncCount = cur.truncCount + 1,
           lineage = Array.empty)
         stores.put(name, snap)
-        history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+        appendHistory(name, snap)
       }
       newlyDeleted
     }
@@ -479,7 +497,7 @@ object GraftStore {
         truncCount = math.max(prevTc, snap.truncCount) + 1,
         lineage = Array.empty)
       stores.put(name, adopted)
-      history.put(name, history.getOrElse(name, Vector.empty) :+ adopted)
+      appendHistory(name, adopted)
       adopted.liveRowCount
     }
 
@@ -510,7 +528,7 @@ object GraftStore {
         truncCount = cur.truncCount + 1,
         lineage = Array.empty)
       stores.put(name, snap)
-      history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+      appendHistory(name, snap)
       ()
     }
 
@@ -658,7 +676,7 @@ object GraftStore {
         // deletes/inserts) — what lets CDC render pre/post image pairs
         lineage = lineage)
       stores.put(name, snap)
-      history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+      appendHistory(name, snap)
       ()
     }
 
@@ -737,6 +755,7 @@ object GraftStore {
       require(!stores.contains(name), s"store '$name' already exists")
       stores.put(name, snap)
       history.put(name, Vector(snap))
+      historyTimes.put(name, Vector(System.currentTimeMillis()))
       ()
     }
 
@@ -878,7 +897,7 @@ object GraftStore {
         throw new IllegalStateException(s"no store '$name' to evolve"))
       val snap = f(cur)
       stores.put(name, snap)
-      history.put(name, history.getOrElse(name, Vector.empty) :+ snap)
+      appendHistory(name, snap)
       ()
     }
 

@@ -219,6 +219,54 @@ class CatalogRefsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.ptr")
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at-or-before; partitioned and FOR SYSTEM_TIME spellings; pre-history refusal") {
+    cat()
+    def lit(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id").limit(50)
+    val ev = spark.createDataFrame(evBase.collectAsList(), evBase.schema)
+    val t0 = System.currentTimeMillis() - 60000 // before any commit
+    // FLAT table
+    ev.writeTo("graft_cat.spec.tt1").create()
+    Thread.sleep(15); val mid = System.currentTimeMillis(); Thread.sleep(15)
+    spark.sql("DELETE FROM graft_cat.spec.tt1 WHERE value < 50")
+    try {
+      val nMid = spark.sql(
+        s"SELECT count(*) FROM graft_cat.spec.tt1 TIMESTAMP AS OF '${lit(mid)}'")
+        .head.getLong(0)
+      assert(nMid === 50L, "mid timestamp must serve the pre-delete state")
+      // the ANSI system-versioning spelling rides the same path
+      assert(spark.sql("SELECT count(*) FROM graft_cat.spec.tt1 " +
+        s"FOR SYSTEM_TIME AS OF '${lit(System.currentTimeMillis() + 5)}'")
+        .head.getLong(0) ===
+        ev.filter(col("value") >= 50 || col("value").isNull).count())
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_cat.spec.tt1 " +
+          s"TIMESTAMP AS OF '${lit(t0)}'").collect()
+      }
+      assert(e.getMessage.contains("no version"), e.getMessage.take(200))
+    } finally spark.sql("DROP TABLE graft_cat.spec.tt1")
+    // PARTITIONED table: resolution walks the table-level ledger
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.tt2 (event_id BIGINT, ts TIMESTAMP,
+        |  value DOUBLE) PARTITIONED BY (days(ts))""".stripMargin)
+    try {
+      val rows = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("value")).limit(40)
+      spark.createDataFrame(rows.collectAsList(), rows.schema)
+        .writeTo("graft_cat.spec.tt2").append()
+      Thread.sleep(15); val pMid = System.currentTimeMillis(); Thread.sleep(15)
+      spark.sql("DELETE FROM graft_cat.spec.tt2 WHERE value < 50")
+      assert(spark.sql("SELECT count(*) FROM graft_cat.spec.tt2 " +
+        s"TIMESTAMP AS OF '${lit(pMid)}'").head.getLong(0) === 40L,
+        "partitioned timestamp travel must pin the pre-delete shard set")
+    } finally spark.sql("DROP TABLE graft_cat.spec.tt2")
+  }
+
   test("'#' is refused in table, branch, tag and clone-target names (ADVICE r19: store-key suffix collisions)") {
     cat()
     // '#' separates internal store-key suffixes (#p= shards, #b=
