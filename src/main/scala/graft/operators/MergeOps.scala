@@ -423,6 +423,52 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** DYNAMIC partition overwrite — `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`: replace
+    * EXACTLY the partitions the incoming data touches, leave every
+    * other shard untouched (the canonical 100 TB backfill:
+    * re-materialize one bad day of a day-partitioned fact without
+    * rewriting the other 999 — static overwrite mode would truncate
+    * the whole table). The script seeds an event_type-partitioned
+    * table, then overwrites with a doubled-value projection of ONLY
+    * the 'click' rows: the 'click' shard's content is replaced, every
+    * other type's rows read back byte-identical
+    * (`HiddenPartitionSpec` additionally pins the untouched shards
+    * reference-identical — zero rewrite, not just equal content).
+    */
+  def sqlInsertOverwriteDynamic(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withDmlTable(s, base, partitionBy = Some("event_type")) { tbl =>
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(
+        s"""INSERT OVERWRITE $tbl
+           |SELECT event_id, event_type, value * 2 AS value
+           |FROM $tbl VERSION AS OF 1 WHERE event_type = 'click'""".stripMargin)
+      finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.table(tbl).filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          roundTo(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    }
+  }
+
+  val sqlInsertOverwriteDynamicOracle: String =
+    """SELECT event_type, count(*) AS n,
+      | floor(sum(CASE WHEN event_type = 'click' THEN value * 2
+      |                ELSE value END) * 1e2 + 0.5) / 1e2 AS sum_value
+      |FROM events
+      |WHERE event_type IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** `TIMESTAMP AS OF` — the timestamp spelling of time travel
     * (Iceberg/Delta both ship it; a user replaying "the table as of
     * 09:00" reaches for a timestamp, not an ordinal). The catalog
@@ -2338,6 +2384,10 @@ object MergeOps extends QueryModule {
     // the FOURTH write model behind the same digest: partitioned MOR
     RegisteredQuery("sql_update_mor_partitioned", sqlUpdateMorPartitioned,
       Some(sqlUpdateDeleteOracle)),
+    // dynamic partition overwrite: the canonical backfill — replace
+    // exactly the touched shards, every other shard untouched
+    RegisteredQuery("sql_insert_overwrite_dynamic", sqlInsertOverwriteDynamic,
+      Some(sqlInsertOverwriteDynamicOracle)),
     // EQUALITY deletes (Iceberg v2's second delete model): tuple-set
     // commits with no target scan, applied at read, sequence semantics
     RegisteredQuery("sql_delete_eq", sqlDeleteEq, Some(sqlDeleteEqOracle)),

@@ -2425,7 +2425,7 @@ private[sources] class GraftPartitionedTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC)
 
   private def partKeys(): Seq[String] =
     GraftStore.stores.keys.filter(_.startsWith(tableKey + "#p=")).toSeq.sorted
@@ -2763,9 +2763,24 @@ private[sources] class GraftPartitionedTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var doTruncate = false
+      private var doDynamic = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
+      /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+        * `spark.sql.sources.partitionOverwriteMode=dynamic`): replace
+        * exactly the partitions the incoming data touches, leave every
+        * other shard's snapshot untouched — the canonical backfill at
+        * 100 TB (re-materialize one bad day of a day-partitioned fact
+        * without rewriting the other 999). Each touched shard commits
+        * a truncate-publish (a first-class commit — time travel to the
+        * pre-backfill day still works); one table-level version for
+        * the statement.
+        */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        doDynamic = true; this
+      }
       override def build(): Write = new Write
           with org.apache.spark.sql.connector.write
             .RequiresDistributionAndOrdering {
@@ -2796,9 +2811,11 @@ private[sources] class GraftPartitionedTable(
         override def toBatch: BatchWrite = new GraftPartBatchWrite(
           tableKey, info.schema(), spec, loadSpecId,
           // append/CTAS touch only the partitions the data lands in;
-          // truncate-overwrite replaces the whole table
+          // truncate-overwrite replaces the whole table; dynamic
+          // overwrite replaces exactly the touched shards
           replaceKeys = if (doTruncate) () => partKeys() else () => Seq.empty,
-          appendMode = !doTruncate)
+          appendMode = !doTruncate,
+          dynamicOverwrite = doDynamic)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           // streaming ingest INTO the partitioned table — the
@@ -3265,7 +3282,8 @@ private[sources] class GraftPartBatchWrite(
     tableKey: String, schema: StructType, spec: PartSpec, specId: Int,
     replaceKeys: () => Seq[String], appendMode: Boolean,
     expectShards: () => Option[Map[String, GraftStore.Committed]] =
-      () => None) extends BatchWrite {
+      () => None,
+    dynamicOverwrite: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val s = schema
@@ -3296,8 +3314,12 @@ private[sources] class GraftPartBatchWrite(
       if (!appendMode)
         replaceKeys().foreach(GraftStore.drop)
       byPart.foreach { case (pv, batches) =>
+        // dynamic overwrite: a TOUCHED shard's snapshot is replaced
+        // wholesale (truncate-publish = a first-class commit, its
+        // pre-backfill versions still time-travel); untouched shards
+        // are never visited
         GraftStore.publish(s"$tableKey#p=$pv", schema, batches,
-          truncate = false)
+          truncate = dynamicOverwrite)
       }
       // ONE table-level version per statement commit, however many
       // shards it touched — the ledger VERSION AS OF resolves against

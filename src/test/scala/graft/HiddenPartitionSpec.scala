@@ -270,6 +270,60 @@ class HiddenPartitionSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.hpti")
   }
 
+  test("dynamic partition overwrite replaces exactly the touched shards; static mode truncates; untouched shards never rewritten") {
+    cat()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    ev.writeTo("graft_cat.spec.dynow").partitionedBy(col("event_type"))
+      .create()
+    try {
+      val types = ev.select("event_type").distinct().collect()
+        .map(_.getString(0))
+      assert(types.length > 2, "fixture needs several event types")
+      val target = types.sorted.head
+      val others = types.filterNot(_ == target)
+      val refs = others.map(t => t ->
+        GraftStore.batchesRef(s"cat::graft_cat.spec.dynow#p=$t").get).toMap
+      val prev = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql(
+        s"""INSERT OVERWRITE graft_cat.spec.dynow
+           |SELECT event_id, event_type, value * 2 AS value
+           |FROM graft_cat.spec.dynow VERSION AS OF 1
+           |WHERE event_type = '$target'""".stripMargin)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // the touched shard was REPLACED (values doubled, same count)
+      val touched = spark.table("graft_cat.spec.dynow")
+        .filter(col("event_type") === target)
+      assert(touched.count() === ev.filter(col("event_type") === target).count())
+      // untouched shards: REFERENCE-identical — dynamic overwrite
+      // never visited them (zero rewrite, not just equal content)
+      others.foreach { t =>
+        assert(GraftStore.batchesRef(s"cat::graft_cat.spec.dynow#p=$t").get
+          eq refs(t), s"shard '$t' must not be rewritten")
+      }
+      // and the whole table still serves every type
+      assert(spark.table("graft_cat.spec.dynow")
+        .select("event_type").distinct().count() === types.length)
+      // STATIC mode (the default): the same statement truncates the
+      // WHOLE table — only the overwritten type survives
+      spark.sql(
+        s"""INSERT OVERWRITE graft_cat.spec.dynow
+           |SELECT event_id, event_type, value FROM
+           |graft_cat.spec.dynow WHERE event_type = '$target'""".stripMargin)
+      assert(spark.table("graft_cat.spec.dynow")
+        .select("event_type").distinct().count() === 1L,
+        "static INSERT OVERWRITE must truncate-replace the whole table")
+    } finally spark.sql("DROP TABLE graft_cat.spec.dynow")
+  }
+
   test("evolve_spec accepts the r19 transforms (months/years/hours/truncate)") {
     cat()
     spark.sql(
