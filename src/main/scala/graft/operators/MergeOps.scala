@@ -423,6 +423,53 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** METADATA TABLES (`t@snapshots` / `t@partitions` — Iceberg's
+    * `t.snapshots`/`t.partitions` surface): the version ledger with
+    * commit wall-clocks, and the live shard inventory with per-shard
+    * debt signals (positional-DV rows, pending eq-delete sets) — how
+    * an operator answers "which days need compaction?" with a SELECT
+    * instead of a procedure call. The digest pins the deterministic
+    * columns (ordinals, row counts, debt) across a partitioned MOR
+    * create → append → DELETE script; `committed_at` is wall-clock and
+    * deliberately excluded.
+    */
+  def metaTablesDigest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    withDmlTable(s, base, partitionBy = Some("event_type"),
+        mergeOnRead = true) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 9 = 0") // MOR: DV debt
+      val short = tbl.split('.').last
+      val snaps = s.table(s"graft_cat.dml.`$short@snapshots`")
+      val parts = s.table(s"graft_cat.dml.`$short@partitions`")
+      val snapDigest = snaps.agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("version") === 1, col("live_rows"))).as("rows_v1"),
+        sum(when(col("version") === 2, col("live_rows"))).as("rows_v2"))
+      val partDigest = parts.agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("live_rows")).as("live"),
+        sum(col("dv_deleted")).as("dv"),
+        sum(col("eq_delete_sets")).cast("long").as("eq_sets"))
+      snapDigest.crossJoin(partDigest)
+    }
+  }
+
+  val metaTablesDigestOracle: String =
+    """SELECT CAST(3 AS BIGINT) AS n_versions,
+      | (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+      |   AS rows_v1,
+      | (SELECT count(*) FROM events
+      |   WHERE event_type IS NOT NULL AND event_id % 9 <> 0) AS rows_v2,
+      | (SELECT count(DISTINCT event_type) FROM events
+      |   WHERE event_type IS NOT NULL) AS n_shards,
+      | (SELECT count(*) FROM events
+      |   WHERE event_type IS NOT NULL AND event_id % 9 <> 0) AS live,
+      | (SELECT count(*) FROM events
+      |   WHERE event_type IS NOT NULL AND event_id % 9 = 0) AS dv,
+      | CAST(0 AS BIGINT) AS eq_sets""".stripMargin
+
   /** DYNAMIC partition overwrite — `INSERT OVERWRITE` under
     * `spark.sql.sources.partitionOverwriteMode=dynamic`: replace
     * EXACTLY the partitions the incoming data touches, leave every
@@ -2388,6 +2435,9 @@ object MergeOps extends QueryModule {
     // exactly the touched shards, every other shard untouched
     RegisteredQuery("sql_insert_overwrite_dynamic", sqlInsertOverwriteDynamic,
       Some(sqlInsertOverwriteDynamicOracle)),
+    // metadata tables: the version ledger + shard inventory as SELECTs
+    RegisteredQuery("meta_tables_digest", metaTablesDigest,
+      Some(metaTablesDigestOracle)),
     // EQUALITY deletes (Iceberg v2's second delete model): tuple-set
     // commits with no target scan, applied at read, sequence semantics
     RegisteredQuery("sql_delete_eq", sqlDeleteEq, Some(sqlDeleteEqOracle)),

@@ -1095,6 +1095,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                   "graft catalog: 'eq_deletes' is the reserved " +
                     "equality-delete sink ref (`t@eq_deletes`), not a " +
                     "branch name")
+                require(branch != "snapshots" && branch != "partitions",
+                  s"graft catalog: '$branch' is a reserved metadata-" +
+                    s"table ref (`t@$branch`), not a branch name")
                 require(!branch.contains('@'),
                   "graft catalog: branch names cannot contain '@' — " +
                     "it separates composite refs (`t@b@eq_deletes`)")
@@ -1242,6 +1245,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (!GraftStore.stores.contains(mainKey))
           throw new NoSuchTableException(ident)
         return new GraftEqDeleteSinkTable(mainKey, ident.name)
+      }
+      // `t@snapshots` / `t@partitions` — read-only METADATA tables
+      // (Iceberg's t.snapshots / t.partitions): the version ledger
+      // with commit wall-clocks, and the live shard inventory with
+      // its per-shard debt signals
+      if (branch == "snapshots") {
+        if (!GraftStore.stores.contains(mainKey))
+          throw new NoSuchTableException(ident)
+        val partitioned = GraftCatalog.parts.contains(mainKey)
+        return new GraftMetaTable(s"graft_store($mainKey@snapshots)",
+          GraftMetaTables.snapshotsSchema,
+          () => GraftMetaTables.snapshotRows(mainKey, partitioned))
+      }
+      if (branch == "partitions") {
+        if (!GraftCatalog.parts.contains(mainKey))
+          throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"graft_store($mainKey@partitions)",
+          GraftMetaTables.partitionsSchema,
+          () => GraftMetaTables.partitionRows(mainKey))
       }
       // ... and it composes with WAP: `t@b@eq_deletes` is branch b's
       // own channel — a curation pass eq-upserts ON THE BRANCH, main
@@ -3825,6 +3847,105 @@ private[sources] class GraftGroupScan(name: String, dataSchema: StructType,
   * version was expired fails with the retention error, never serves a
   * partial diff.
   */
+/** A read-only METADATA table (the Iceberg `t.snapshots` /
+  * `t.partitions` model, served at reserved refs `t@snapshots` /
+  * `t@partitions`): rows are built from the live ledgers at scan time
+  * under the store lock, so one SELECT sees one consistent state.
+  * Driver-built by construction — metadata is O(versions)/O(shards),
+  * never data-proportional.
+  */
+private[sources] class GraftMetaTable(nm: String, out: StructType,
+    rowsFn: () => Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = nm
+  override def schema(): StructType = out
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = rowsFn()
+          override def description(): String = nm
+        }
+    }
+}
+
+private[sources] object GraftMetaTables {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val snapshotsSchema: StructType = new StructType()
+    .add("version", IntegerType, nullable = false)
+    .add("committed_at", TimestampType, nullable = false)
+    .add("live_rows", LongType, nullable = true) // null = expired
+    .add("batches", IntegerType, nullable = true)
+    .add("expired", BooleanType, nullable = false)
+
+  val partitionsSchema: StructType = new StructType()
+    .add("partition", StringType, nullable = false)
+    .add("spec_id", IntegerType, nullable = false)
+    .add("live_rows", LongType, nullable = false)
+    .add("batches", IntegerType, nullable = false)
+    .add("dv_deleted", LongType, nullable = false)
+    .add("eq_delete_sets", IntegerType, nullable = false)
+
+  /** `t@snapshots`: one row per table-level commit — ordinal, commit
+    * wall-clock, live rows and batch count of the pinned state (null
+    * once retention expired the entry; the ordinal stays, matching
+    * `VERSION AS OF`'s stable-ordinal contract).
+    */
+  def snapshotRows(key: String, partitioned: Boolean): Array[InternalRow] =
+    GraftStore.stores.synchronized {
+      if (partitioned) {
+        val ledger = GraftCatalog.partVersions.getOrElse(key, Vector.empty)
+        val times = GraftCatalog.partVersionTimes.getOrElse(key, Vector.empty)
+        ledger.zipWithIndex.map { case (e, v) =>
+          val ms = if (v < times.size) times(v) else 0L
+          val (rows, batches): (Any, Any) = e match {
+            case null => (null, null)
+            case (_, shards: Map[String @unchecked,
+                GraftStore.Committed @unchecked]) =>
+              (shards.valuesIterator.map(_.liveRowCount).sum,
+                shards.valuesIterator.map(_.batches.size).sum)
+          }
+          new GenericInternalRow(Array[Any](v, ms * 1000L, rows, batches,
+            e == null)): InternalRow
+        }.toArray
+      } else {
+        val hist = GraftStore.history.getOrElse(key, Vector.empty)
+        val times = GraftStore.historyTimes.getOrElse(key, Vector.empty)
+        hist.zipWithIndex.map { case (snap, v) =>
+          val ms = if (v < times.size) times(v) else 0L
+          val (rows, batches): (Any, Any) = snap match {
+            case null => (null, null)
+            case c => (c.liveRowCount, c.batches.size)
+          }
+          new GenericInternalRow(Array[Any](v, ms * 1000L, rows, batches,
+            snap == null)): InternalRow
+        }.toArray
+      }
+    }
+
+  /** `t@partitions`: one row per LIVE shard — decoded partition value,
+    * its spec id, live rows, batch count, positional-DV debt and
+    * pending equality-delete sets (the compaction-debt signals
+    * SCALE.md's maintenance rule keys on, per shard).
+    */
+  def partitionRows(key: String): Array[InternalRow] =
+    GraftStore.stores.synchronized {
+      GraftStore.stores.iterator.collect {
+        case (kk, c) if kk.startsWith(key + "#p=") =>
+          val sfx = kk.substring(kk.indexOf("#p=") + 3)
+          val (sid, _, v) = GraftCatalog.shardSpecOf(key, sfx)
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(v), sid, c.liveRowCount,
+            c.batches.size, c.deletedRowCount,
+            c.eqDeletes.size)): InternalRow
+      }.toArray
+    }
+}
+
 private[sources] class GraftCdcTable(mainKey: String, nm: String)
     extends Table with SupportsRead {
   private def dataSchema: StructType = GraftStore.stores

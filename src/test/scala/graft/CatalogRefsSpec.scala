@@ -267,6 +267,45 @@ class CatalogRefsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.tt2")
   }
 
+  test("metadata tables: t@snapshots tracks expiry with stable ordinals; t@partitions reports per-shard debt; names reserved") {
+    cat()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    ev.writeTo("graft_cat.spec.meta1").partitionedBy(col("event_type"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.meta1 WHERE event_id % 9 = 0")
+      val snaps = spark.table("graft_cat.spec.`meta1@snapshots`")
+      assert(snaps.count() === 3L, "create + append + delete = 3 versions")
+      // live_rows per version: v1 full, v2 post-delete
+      val byV = snaps.collect().map(r => r.getInt(0) -> r).toMap
+      assert(byV(1).getLong(2) === ev.count())
+      assert(byV(2).getLong(2) ===
+        ev.filter(col("event_id") % 9 =!= 0).count())
+      assert(!byV(2).getBoolean(4))
+      // partitions: one row per shard, DV debt attributed per shard
+      val parts = spark.table("graft_cat.spec.`meta1@partitions`")
+      assert(parts.count() ===
+        ev.select("event_type").distinct().count())
+      assert(parts.agg(sum(col("dv_deleted"))).head.getLong(0) ===
+        ev.filter(col("event_id") % 9 === 0).count())
+      // expiry: ordinals stay, expired entries null their stats
+      spark.sql("CALL graft_cat.system.expire_versions('spec.meta1', 1)")
+      val after = spark.table("graft_cat.spec.`meta1@snapshots`")
+      assert(after.count() === 3L, "ordinals must stay stable across expiry")
+      assert(after.filter(col("expired")).count() === 2L)
+      assert(after.filter(col("expired") && col("live_rows").isNotNull)
+        .count() === 0L)
+      // reserved: no branch may take the metadata-table names
+      val e = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.create_branch('spec.meta1', 'snapshots')")
+      }
+      assert(e.getMessage.contains("reserved"), e.getMessage.take(160))
+    } finally spark.sql("DROP TABLE graft_cat.spec.meta1")
+  }
+
   test("'#' is refused in table, branch, tag and clone-target names (ADVICE r19: store-key suffix collisions)") {
     cat()
     // '#' separates internal store-key suffixes (#p= shards, #b=
