@@ -423,6 +423,41 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** TYPE WIDENING (`ALTER COLUMN ... TYPE` — Iceberg's safe
+    * promotions, int→bigint and float→double): the evolution every
+    * long-lived table eventually needs when an id sequence outgrows
+    * INT. The script seeds narrow columns, widens both, then INSERTS a
+    * row only the widened types can hold (id > Int.MaxValue) — proving
+    * the widen is real, not a metadata lie — and digests with
+    * per-row-floor-then-integer-sum so float→double carries no
+    * accumulation-order noise. Old rows read as the new types; history
+    * snapshots keep serving their original types under their original
+    * schema (`SqlDmlSpec` pins both, plus the non-widening refusal).
+    */
+  def sqlAlterWidenType(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      col("event_id").cast("int").as("id"),
+      col("value").cast("float").as("vf"),
+      col("event_type"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE BIGINT")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN vf TYPE DOUBLE")
+      s.sql(s"INSERT INTO $tbl VALUES " +
+        "(CAST(10000000000 AS BIGINT), CAST(1.5 AS DOUBLE), 'widened')")
+      s.table(tbl).agg(
+        count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(floor(col("vf") * 100 + 0.5).cast("long")).as("sum_vf2"))
+    }
+  }
+
+  val sqlAlterWidenTypeOracle: String =
+    """SELECT count(*) + 1 AS n,
+      | CAST(sum(CAST(event_id AS INT)) + 10000000000 AS BIGINT) AS sum_id,
+      | CAST(sum(CAST(floor(CAST(CAST(value AS REAL) AS DOUBLE) * 100 + 0.5)
+      |   AS BIGINT)) + 150 AS BIGINT) AS sum_vf2
+      |FROM events""".stripMargin
+
   /** METADATA TABLES (`t@snapshots` / `t@partitions` — Iceberg's
     * `t.snapshots`/`t.partitions` surface): the version ledger with
     * commit wall-clocks, and the live shard inventory with per-shard
@@ -2438,6 +2473,9 @@ object MergeOps extends QueryModule {
     // metadata tables: the version ledger + shard inventory as SELECTs
     RegisteredQuery("meta_tables_digest", metaTablesDigest,
       Some(metaTablesDigestOracle)),
+    // type widening: int->bigint / float->double, eager store coercion
+    RegisteredQuery("sql_alter_widen_type", sqlAlterWidenType,
+      Some(sqlAlterWidenTypeOracle)),
     // EQUALITY deletes (Iceberg v2's second delete model): tuple-set
     // commits with no target scan, applied at read, sequence semantics
     RegisteredQuery("sql_delete_eq", sqlDeleteEq, Some(sqlDeleteEqOracle)),

@@ -1679,6 +1679,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "graft catalog: cannot drop the partition column")
         evolved = true
         evolveAll(GraftStore.dropColumn(_, del.fieldNames.head))
+      // TYPE WIDENING (Iceberg's safe promotions): int→bigint,
+      // float→double — the store coerces the column eagerly under the
+      // same lockstep evolution the other ALTERs use; anything
+      // non-widening refuses inside widenColumn. The partition SOURCE
+      // column is immutable (routing/pruning key on its exact type).
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft catalog: only top-level ALTER COLUMN TYPE is supported")
+        require(!partitioned.exists(
+            _.sourceCol.equalsIgnoreCase(ut.fieldNames.head)),
+          "graft catalog: cannot change the partition column's type " +
+            "(routing and pruning key on it)")
+        evolved = true
+        evolveAll(GraftStore.widenColumn(_, ut.fieldNames.head,
+          ut.newDataType()))
       // ANSI constraints (Spark 4's SPARK-51207 framework): the catalog
       // only has to STORE them and serve them from Table.constraints() —
       // write-side CHECK enforcement is Spark's own

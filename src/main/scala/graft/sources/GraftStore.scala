@@ -928,6 +928,87 @@ object GraftStore {
         cur.schema.fields(i).copy(name = to))), lineage = Array.empty)
     }
 
+  /** TYPE WIDENING (`ALTER COLUMN ... TYPE` — Iceberg's safe
+    * promotions, int→bigint and float→double): the schema commit plus
+    * an EAGER value coercion of the one column across committed
+    * batches, their physical-slot stats, the slot default and any
+    * pending equality-delete tuples keyed on it. Eager because this
+    * store's "decode" is the reader factory serving raw boxed values —
+    * a file format gets the promotion for free at Parquet decode; here
+    * the coercion at the widen commit buys the same user contract
+    * (old rows read as the new type, every downstream compare/probe
+    * type-exact) without a permanent coercion layer on every read.
+    * Rows are COPIED, never mutated — history snapshots keep serving
+    * their original (old-typed) values under their original schema.
+    * `truncCount` bumps: batch content objects changed, so streaming
+    * readers must fence (same contract as a DV commit or rewrite).
+    */
+  private[graft] def widenColumn(name: String, colName: String,
+      to: org.apache.spark.sql.types.DataType): Unit =
+    evolve(name) { cur =>
+      import org.apache.spark.sql.types._
+      val i = cur.schema.fieldIndex(colName)
+      val from = cur.schema.fields(i).dataType
+      val ok = (from, to) match {
+        case (ByteType | ShortType | IntegerType, LongType) => true
+        case (ByteType | ShortType, IntegerType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(ok, s"graft store '$name': cannot change column " +
+        s"'$colName' from ${from.catalogString} to ${to.catalogString} — " +
+        "only widening promotions (tinyint/smallint/int → bigint, " +
+        "float → double) are metadata-safe")
+      val slot = cur.projection(i)
+      def widen(v: Any): Any = v match {
+        case null => null
+        case n: java.lang.Number => to match {
+          case LongType => java.lang.Long.valueOf(n.longValue)
+          case IntegerType => java.lang.Integer.valueOf(n.intValue)
+          case DoubleType => java.lang.Double.valueOf(n.doubleValue)
+          case _ => v
+        }
+        case other => other
+      }
+      val batches = cur.batches.map(_.map { r =>
+        if (slot >= r.length || r(slot) == null) r
+        else {
+          val out = java.util.Arrays.copyOf(
+            r.asInstanceOf[Array[AnyRef]], r.length).asInstanceOf[Array[Any]]
+          out(slot) = widen(out(slot))
+          out
+        }
+      })
+      val stats = cur.stats.map {
+        case null => null
+        case st if slot < st.mins.length =>
+          val mins = st.mins.clone(); val maxs = st.maxs.clone()
+          mins(slot) = widen(mins(slot)); maxs(slot) = widen(maxs(slot))
+          BatchStats(st.rows, mins, maxs, st.hasNull, st.allNull)
+        case st => st
+      }
+      val eq = cur.eqDeletes.map { e =>
+        if (!e.slots.contains(slot)) e
+        else e.copy(tuples = e.tuples.map { t =>
+          val out = t.clone()
+          e.slots.zipWithIndex.foreach { case (s, j) =>
+            if (s == slot) out(j) = widen(out(j))
+          }
+          out
+        })
+      }
+      cur.copy(
+        schema = StructType(cur.schema.fields.updated(i,
+          cur.schema.fields(i).copy(dataType = to))),
+        batches = batches, stats = stats, eqDeletes = eq,
+        slotDefaults = cur.slotDefaults.get(slot) match {
+          case Some(d) => cur.slotDefaults.updated(slot, widen(d))
+          case None => cur.slotDefaults
+        },
+        truncCount = cur.truncCount + 1,
+        lineage = Array.empty)
+    }
+
   /** DROP: remove the logical mapping; the physical slot is TOMBSTONED
     * (old rows keep their values — time travel to pre-drop versions
     * still reads them) until the next truncate-overwrite/COW rewrite

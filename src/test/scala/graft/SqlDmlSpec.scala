@@ -892,4 +892,95 @@ class SqlDmlSpec extends SparkSpec {
       assert(spark.table("graft_cat.spec.pp").count() === base.count())
     } finally spark.sql("DROP TABLE graft_cat.spec.pp")
   }
+
+  test("ALTER COLUMN TYPE widening: old rows read wide, history serves the narrow past, refusals are loud, eq-tuples coerce") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id").cast("int").as("id"),
+        col("value").cast("float").as("vf"))
+    base.writeTo("graft_cat.spec.wt1").create()
+    try {
+      val preVersion = graft.sources.GraftStore
+        .versionCount("cat::graft_cat.spec.wt1") - 1
+      spark.sql("ALTER TABLE graft_cat.spec.wt1 ALTER COLUMN id TYPE BIGINT")
+      spark.sql("ALTER TABLE graft_cat.spec.wt1 ALTER COLUMN vf TYPE DOUBLE")
+      // the widened schema serves, and a value only BIGINT can hold lands
+      assert(spark.table("graft_cat.spec.wt1").schema("id").dataType ===
+        org.apache.spark.sql.types.LongType)
+      spark.sql("INSERT INTO graft_cat.spec.wt1 VALUES " +
+        "(CAST(10000000000 AS BIGINT), CAST(1.5 AS DOUBLE))")
+      assert(spark.table("graft_cat.spec.wt1")
+        .agg(max(col("id"))).head.getLong(0) === 10000000000L)
+      // every OLD row reads as the wide type (eager coercion), content intact
+      assert(spark.table("graft_cat.spec.wt1")
+        .filter(col("id") < 2000000000L).count() === base.count())
+      // history: the pre-widen version still serves the NARROW schema
+      val past = spark.sql("SELECT * FROM graft_cat.spec.wt1 " +
+        s"VERSION AS OF $preVersion")
+      assert(past.schema("id").dataType ===
+        org.apache.spark.sql.types.IntegerType)
+      assert(past.count() === base.count())
+      // non-widening changes refuse loudly — NARROWING dies in Spark's
+      // own analyzer (canUpCast), and an up-castable-but-lossy
+      // promotion Spark WOULD allow (bigint→double loses integer
+      // precision above 2^53) dies at the store's widening guard
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.spec.wt1 ALTER COLUMN id TYPE INT")
+      }
+      assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+        e1.getMessage.take(200))
+      val e1b = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE graft_cat.spec.wt1 ALTER COLUMN id TYPE DOUBLE")
+      }
+      assert(e1b.getMessage.contains("widening"), e1b.getMessage.take(200))
+    } finally spark.sql("DROP TABLE graft_cat.spec.wt1")
+
+    // PARTITIONED lockstep + the partition-source refusal. The source
+    // column here is an INT under bucket(4, src) — so widening IT is a
+    // change Spark's analyzer would allow (canUpCast int→bigint) and
+    // only the store's partition-immutability guard refuses (murmur3
+    // of an int and of a long differ: routing would tear)
+    val pb = Tables.events(spark, sfDir)
+      .select(col("event_id").cast("int").as("src"),
+        col("event_id").cast("int").as("n"))
+    spark.sql(
+      """CREATE TABLE graft_cat.spec.wt2 (src INT, n INT)
+        |PARTITIONED BY (bucket(4, src))""".stripMargin)
+    try {
+      pb.writeTo("graft_cat.spec.wt2").append()
+      spark.sql("ALTER TABLE graft_cat.spec.wt2 ALTER COLUMN n TYPE BIGINT")
+      assert(spark.table("graft_cat.spec.wt2")
+        .agg(sum(col("n"))).head.getLong(0) ===
+        pb.agg(sum(col("n").cast("long"))).head.getLong(0),
+        "every shard must widen in lockstep")
+      val e2 = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE graft_cat.spec.wt2 ALTER COLUMN src TYPE BIGINT")
+      }
+      assert(e2.getMessage.contains("partition column"),
+        e2.getMessage.take(200))
+    } finally spark.sql("DROP TABLE graft_cat.spec.wt2")
+
+    // PENDING equality-delete tuples keyed on the widened column must
+    // keep applying (the commit coerces them with the values)
+    val eb = Tables.events(spark, sfDir)
+      .select(col("event_id").cast("int").as("id"), col("value"))
+    eb.writeTo("graft_cat.spec.wt3")
+      .tableProperty("write.delete.mode", "equality").create()
+    try {
+      val victim = eb.agg(min(col("id"))).head.getInt(0)
+      spark.sql(s"DELETE FROM graft_cat.spec.wt3 WHERE id = $victim")
+      assert(spark.table("graft_cat.spec.wt3")
+        .filter(col("id") === victim).count() === 0L)
+      spark.sql("ALTER TABLE graft_cat.spec.wt3 ALTER COLUMN id TYPE BIGINT")
+      // the tuple set was typed INT at commit; post-widen the stored
+      // values are LONG — a non-coerced set would silently resurrect
+      assert(spark.table("graft_cat.spec.wt3")
+        .filter(col("id") === victim).count() === 0L,
+        "pending eq-delete tuples must coerce with the widen")
+      assert(spark.table("graft_cat.spec.wt3").count() ===
+        eb.filter(col("id") =!= victim).count())
+    } finally spark.sql("DROP TABLE graft_cat.spec.wt3")
+  }
 }
