@@ -423,6 +423,47 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** ATOMIC RTAS (`REPLACE TABLE ... AS SELECT`, the
+    * [[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]
+    * path): the new content materializes under an internal staging key
+    * and adopts the real name in ONE locked commit — which is what
+    * makes the self-referencing rollup here legal at all (`REPLACE
+    * TABLE t AS SELECT ... FROM t`): the SELECT reads the old
+    * snapshots while the write stages, and a failure anywhere leaves
+    * the old table byte-identical (`SqlDmlSpec` pins the failed-RTAS
+    * case; the non-staging path would have dropped the table before
+    * the first row was written). The CREATE OR REPLACE leg exercises
+    * orCreate on a fresh name.
+    */
+  def sqlRtasAtomic(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    withDmlTable(s, base) { tbl =>
+      // in-place rollup: REPLACE the fact with its own aggregate
+      s.sql(
+        s"""REPLACE TABLE $tbl AS
+           |SELECT event_type, count(*) AS n,
+           |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
+           |FROM $tbl GROUP BY event_type""".stripMargin)
+      // CREATE OR REPLACE on a FRESH name = the orCreate path
+      val tbl2 = s"${tbl}_cor"
+      s.sql(s"CREATE OR REPLACE TABLE $tbl2 AS SELECT * FROM $tbl")
+      val out = s.table(tbl2).orderBy("event_type")
+      // materialize BEFORE dropping the COR table (lazy plans over a
+      // dropped catalog table read empty)
+      val frozen = s.createDataFrame(out.collectAsList(), out.schema)
+      scala.util.Try(s.sql(s"DROP TABLE $tbl2"))
+      frozen
+    }
+  }
+
+  val sqlRtasAtomicOracle: String =
+    """SELECT event_type, count(*) AS n,
+      | floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
+      |FROM events WHERE event_type IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** TYPE WIDENING (`ALTER COLUMN ... TYPE` — Iceberg's safe
     * promotions, int→bigint and float→double): the evolution every
     * long-lived table eventually needs when an id sequence outgrows
@@ -2476,6 +2517,9 @@ object MergeOps extends QueryModule {
     // type widening: int->bigint / float->double, eager store coercion
     RegisteredQuery("sql_alter_widen_type", sqlAlterWidenType,
       Some(sqlAlterWidenTypeOracle)),
+    // atomic RTAS/COR-AS-SELECT through the staging catalog
+    RegisteredQuery("sql_rtas_atomic", sqlRtasAtomic,
+      Some(sqlRtasAtomicOracle)),
     // EQUALITY deletes (Iceberg v2's second delete model): tuple-set
     // commits with no target scan, applied at read, sequence semantics
     RegisteredQuery("sql_delete_eq", sqlDeleteEq, Some(sqlDeleteEqOracle)),

@@ -37,7 +37,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the store's eviction/commit machinery applies unchanged.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
   private var catName: String = "graft_cat"
 
   /** The hidden partition transforms as loadable catalog functions —
@@ -1465,15 +1465,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         s"— rename '${(ident.namespace :+ ident.name).mkString(".")}'")
     if (GraftStore.stores.contains(key(ident)))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    createAt(key(ident), schema, partitions, properties)
+  }
+
+  /** The registration body of [[createTable]], keyed directly — shared
+    * with the STAGING paths, which materialize a table under an
+    * internal `#stage=` key and adopt it atomically at commit.
+    */
+  private def createAt(k: String, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
     val mor = "merge-on-read".equalsIgnoreCase(properties.get("write.mode"))
     val eqDel = "equality".equalsIgnoreCase(
       properties.get("write.delete.mode"))
     partitions.toSeq match {
       case Seq() =>
-        GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
-        if (mor) GraftCatalog.morTables.put(key(ident), ())
-        if (eqDel) GraftCatalog.eqDeleteTables.put(key(ident), ())
-        new GraftRowLevelTable(key(ident), schema, mor)
+        GraftStore.publish(k, schema, Seq.empty, truncate = true)
+        if (mor) GraftCatalog.morTables.put(k, ())
+        if (eqDel) GraftCatalog.eqDeleteTables.put(k, ())
+        new GraftRowLevelTable(k, schema, mor)
       case Seq(t) =>
         // one transform: identity over a STRING column (the r14
         // original), or the HIDDEN transforms days(ts) / bucket(n, col)
@@ -1550,13 +1560,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           case other => throw new UnsupportedOperationException(
             s"graft catalog: unsupported partition transform '$other'")
         }
-        GraftStore.publish(key(ident), schema, Seq.empty, truncate = true)
-        GraftCatalog.parts.put(key(ident), spec)
-        GraftCatalog.partSpecs.put(key(ident), Vector(spec))
-        if (mor) GraftCatalog.morTables.put(key(ident), ())
-        if (eqDel) GraftCatalog.eqDeleteTables.put(key(ident), ())
-        GraftCatalog.recordPartVersion(key(ident)) // v0 = the create
-        new GraftPartitionedTable(key(ident), schema, spec, mor)
+        GraftStore.publish(k, schema, Seq.empty, truncate = true)
+        GraftCatalog.parts.put(k, spec)
+        GraftCatalog.partSpecs.put(k, Vector(spec))
+        if (mor) GraftCatalog.morTables.put(k, ())
+        if (eqDel) GraftCatalog.eqDeleteTables.put(k, ())
+        GraftCatalog.recordPartVersion(k) // v0 = the create
+        new GraftPartitionedTable(k, schema, spec, mor)
       case _ => throw new UnsupportedOperationException(
         "graft catalog supports at most one partition column")
     }
@@ -1762,40 +1772,99 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val k = key(ident)
-    val existed = GraftStore.stores.contains(k)
-    GraftCatalog.parts.remove(k)
-    GraftCatalog.partSpecs.remove(k)
-    GraftCatalog.partVersions.remove(k)
-    GraftCatalog.partVersionTimes.remove(k)
-    // branch-scoped registrations of a partitioned table's branches
-    GraftCatalog.parts.keys.filter(_.startsWith(k + "#b="))
-      .foreach(GraftCatalog.parts.remove)
-    GraftCatalog.partSpecs.keys.filter(_.startsWith(k + "#b="))
-      .foreach(GraftCatalog.partSpecs.remove)
-    GraftCatalog.eqDeleteTables.keys.filter(_.startsWith(k + "#b="))
-      .foreach(GraftCatalog.eqDeleteTables.remove)
-    GraftCatalog.partVersions.keys.filter(_.startsWith(k + "#b="))
-      .foreach(GraftCatalog.partVersions.remove)
-    GraftCatalog.partVersionTimes.keys.filter(_.startsWith(k + "#b="))
-      .foreach(GraftCatalog.partVersionTimes.remove)
-    GraftCatalog.morTables.remove(k)
-    GraftCatalog.eqDeleteTables.remove(k)
-    GraftCatalog.constraintsReg.remove(k)
-    GraftCatalog.branches.keys.filter(_.startsWith(k + "#b="))
-      .foreach(GraftCatalog.branches.remove)
-    GraftCatalog.tags.keys.filter(_.startsWith(k + "#t="))
-      .foreach(GraftCatalog.tags.remove)
-    GraftCatalog.partTags.keys.filter(_.startsWith(k + "#t="))
-      .foreach(GraftCatalog.partTags.remove)
-    GraftStore.dropMatching(s => s == k || s.startsWith(k + "#p=") ||
-      s.startsWith(k + "#b="))
-    existed
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.purge(key(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: RENAME unsupported")
+
+  /** ATOMIC CTAS / RTAS ([[StagingTableCatalog]] — the Iceberg model):
+    * `CREATE TABLE AS`, `REPLACE TABLE AS` and `CREATE OR REPLACE
+    * TABLE AS` materialize the new table under an internal
+    * `#stage=<uuid>` key (invisible to every prefix enumeration — the
+    * shard/branch/tag machinery matches `#p=`/`#b=`/`#t=` only, and
+    * user names cannot carry '#'), write the query's data into it,
+    * and ADOPT it under the real key in one locked commit — so a
+    * failed RTAS leaves the old table byte-identical (the non-staging
+    * path would have dropped it before the write started), and
+    * concurrent readers see the old table until the atomic swap.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = false, orCreate = false)
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = false)
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    require(!ident.name.contains('@'),
+      s"graft catalog: '@' names branches — '${ident.name}' is not a " +
+        "creatable table name")
+    require(!ident.name.contains('#') &&
+      !ident.namespace.exists(_.contains('#')),
+      s"graft catalog: '#' is reserved for internal store-key suffixes " +
+        s"— rename '${(ident.namespace :+ ident.name).mkString(".")}'")
+    val realKey = key(ident)
+    if (!replace && GraftStore.stores.contains(realKey))
+      throw new TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    if (replace && !orCreate && !GraftStore.stores.contains(realKey))
+      throw new NoSuchTableException(ident)
+    val stageKey =
+      s"$realKey#stage=${java.util.UUID.randomUUID().toString.take(8)}"
+    val inner = createAt(stageKey, schema, partitions, properties)
+    new GraftStagedTable(inner, ident, realKey, stageKey, replace, orCreate)
+  }
+}
+
+/** The staged half of an atomic CTAS/RTAS: a fully functional table
+  * under its `#stage=` key that Spark writes the query's rows into;
+  * `commitStagedChanges` adopts every store and registration under the
+  * real key in one locked swap (purging a replaced predecessor inside
+  * the same lock), `abortStagedChanges` purges the staging state and
+  * the real table is never touched.
+  */
+private[sources] class GraftStagedTable(inner: Table, ident: Identifier,
+    realKey: String, stageKey: String, replace: Boolean, orCreate: Boolean)
+    extends StagedTable with SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    GraftStore.stores.synchronized {
+      val exists = GraftStore.stores.contains(realKey)
+      if (!replace && exists) {
+        GraftCatalog.purge(stageKey)
+        throw new TableAlreadyExistsException(
+          (ident.namespace :+ ident.name).toSeq)
+      }
+      if (replace && !orCreate && !exists) {
+        GraftCatalog.purge(stageKey)
+        throw new NoSuchTableException(ident)
+      }
+      if (exists) GraftCatalog.purge(realKey)
+      GraftCatalog.moveKey(stageKey, realKey)
+    }
+  override def abortStagedChanges(): Unit = {
+    GraftCatalog.purge(stageKey)
+    ()
+  }
 }
 
 object GraftCatalog {
@@ -1805,6 +1874,58 @@ object GraftCatalog {
     */
   private[sources] val parts =
     scala.collection.concurrent.TrieMap.empty[String, PartSpec]
+
+  /** Remove EVERY store and registration under table key `k` — the
+    * shared teardown of DROP TABLE, staged-commit replacement and
+    * staged abort. Returns whether the base store existed.
+    */
+  private[sources] def purge(k: String): Boolean = {
+    val existed = GraftStore.stores.contains(k)
+    parts.remove(k)
+    partSpecs.remove(k)
+    partVersions.remove(k)
+    partVersionTimes.remove(k)
+    // branch-scoped registrations of a partitioned table's branches
+    Seq(parts, partSpecs, partVersions, partVersionTimes, eqDeleteTables)
+      .foreach { m =>
+        m.keys.filter(_.startsWith(k + "#b=")).foreach(m.remove)
+      }
+    morTables.remove(k)
+    eqDeleteTables.remove(k)
+    constraintsReg.remove(k)
+    branches.keys.filter(_.startsWith(k + "#b=")).foreach(branches.remove)
+    tags.keys.filter(_.startsWith(k + "#t=")).foreach(tags.remove)
+    partTags.keys.filter(_.startsWith(k + "#t=")).foreach(partTags.remove)
+    GraftStore.dropMatching(s => s == k || s.startsWith(k + "#p=") ||
+      s.startsWith(k + "#b="))
+    existed
+  }
+
+  /** Adopt every store and registration from staging key `from` under
+    * real key `to` — the commit half of atomic CTAS/RTAS. Call under
+    * the store lock with `to` already purged.
+    */
+  private[sources] def moveKey(from: String, to: String): Unit = {
+    def moveStores[V](m: scala.collection.concurrent.TrieMap[String, V]): Unit = {
+      m.keys.filter(kk => kk == from || kk.startsWith(from + "#p="))
+        .toSeq.foreach { kk =>
+          m.remove(kk).foreach(v => m.put(to + kk.substring(from.length), v))
+        }
+    }
+    moveStores(GraftStore.stores)
+    moveStores(GraftStore.history)
+    moveStores(GraftStore.historyTimes)
+    def moveReg[V](m: scala.collection.concurrent.TrieMap[String, V]): Unit =
+      m.remove(from).foreach(m.put(to, _))
+    moveReg(parts)
+    moveReg(partSpecs)
+    moveReg(partVersions)
+    moveReg(partVersionTimes)
+    moveReg(morTables)
+    moveReg(eqDeleteTables)
+    moveReg(constraintsReg)
+    ()
+  }
 
   /** Catalog-level publish ordinals (VERDICT r18 #5): one counter
     * bumped per `publish_tables` call, each recording the published

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.operators.MergeOps
+import graft.sources.GraftStore
 
 /** Row-level SQL DML through [[graft.sources.GraftCatalog]]: MERGE's
   * table state must equal the DataFrame merge exactly, the DELETE verb
@@ -891,6 +892,56 @@ class SqlDmlSpec extends SparkSpec {
       // sanity: the unfiltered read still sees every partition
       assert(spark.table("graft_cat.spec.pp").count() === base.count())
     } finally spark.sql("DROP TABLE graft_cat.spec.pp")
+  }
+
+  test("atomic RTAS: a failed REPLACE leaves the old table byte-identical; commit swaps wholesale; staging never leaks") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.rtas1").create()
+    try {
+      val refBefore = GraftStore
+        .batchesRef("cat::graft_cat.spec.rtas1").get
+      // a REPLACE whose SELECT fails at runtime: the staged write
+      // aborts and the OLD table is reference-identical — the
+      // non-staging path would have dropped it before the first row
+      val e = intercept[Exception] {
+        spark.sql(
+          """REPLACE TABLE graft_cat.spec.rtas1 AS
+            |SELECT event_id, raise_error('rtas boom') AS v
+            |FROM graft_cat.spec.rtas1""".stripMargin)
+      }
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+      assert(msgs(e).contains("rtas boom"), msgs(e).take(200))
+      assert(GraftStore.batchesRef("cat::graft_cat.spec.rtas1").get
+        eq refBefore,
+        "a failed RTAS must leave the old table untouched")
+      assert(spark.table("graft_cat.spec.rtas1").count() === base.count())
+      // no staging residue
+      assert(GraftStore
+        .keysWithPrefix("cat::graft_cat.spec.rtas1#stage=").isEmpty,
+        "aborted staging state must be purged")
+      // a SUCCESSFUL self-referencing rollup swaps wholesale
+      spark.sql(
+        """REPLACE TABLE graft_cat.spec.rtas1 AS
+          |SELECT count(*) AS n FROM graft_cat.spec.rtas1""".stripMargin)
+      assert(spark.table("graft_cat.spec.rtas1").head.getLong(0) ===
+        base.count())
+      assert(GraftStore
+        .keysWithPrefix("cat::graft_cat.spec.rtas1#stage=").isEmpty)
+      // REPLACE of a MISSING table refuses; CREATE OR REPLACE creates
+      val e2 = intercept[Exception] {
+        spark.sql("REPLACE TABLE graft_cat.spec.rtas_nope AS SELECT 1 AS x")
+      }
+      assert(e2.getMessage.toLowerCase.contains("table"),
+        e2.getMessage.take(160))
+      spark.sql(
+        "CREATE OR REPLACE TABLE graft_cat.spec.rtas2 AS SELECT 1 AS x")
+      try assert(spark.table("graft_cat.spec.rtas2").count() === 1L)
+      finally spark.sql("DROP TABLE graft_cat.spec.rtas2")
+    } finally spark.sql("DROP TABLE graft_cat.spec.rtas1")
   }
 
   test("ALTER COLUMN TYPE widening: old rows read wide, history serves the narrow past, refusals are loud, eq-tuples coerce") {
