@@ -19,8 +19,15 @@ trait SparkSpec extends AnyFunSuite {
     */
   def checkProp(p: org.scalacheck.Prop, minTests: Int = 10): Unit = {
     import org.scalacheck.{Test => SCTest}
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
-    assert(res.passed, res.status.toString)
+    // explicit seed so a rare falsification is REPLAYABLE from the
+    // failure message (r19: one full-suite LifecycleProperties
+    // falsification left no way to reproduce — the args print, but a
+    // generator this shaped needs the seed to re-walk shrinking)
+    val seed = org.scalacheck.rng.Seed.random()
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(minTests).withInitialSeed(seed), p)
+    assert(res.passed,
+      s"${res.status.toString} (replay seed: ${seed.toBase64})")
   }
 }
 
