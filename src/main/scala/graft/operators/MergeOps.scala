@@ -423,6 +423,37 @@ object MergeOps extends QueryModule {
       |FROM events WHERE value >= 50
       |ORDER BY v""".stripMargin
 
+  /** RETENTION BY WALL-CLOCK AGE (`CALL system.expire_older_than` —
+    * Iceberg's `expire_snapshots(older_than)`): the operational
+    * spelling every warehouse schedules, riding the same commit-millis
+    * ledgers `TIMESTAMP AS OF` resolves through. The script makes four
+    * commits, captures an instant before the last, expires older-than
+    * it — exactly the first three tombstone (ordinals stable, head
+    * immortal), the live table keeps serving, and a time travel into
+    * the expired range refuses (`CatalogRefsSpec` pins the refusal for
+    * both the ordinal and timestamp spellings).
+    */
+  def sqlExpireOlderThan(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE value < 50") // v2
+      Thread.sleep(15)
+      val bound = System.currentTimeMillis()
+      Thread.sleep(15)
+      s.sql(s"INSERT INTO $tbl VALUES (CAST(9999999 AS BIGINT), 0.0)") // v3
+      val res = s.sql("CALL graft_cat.system.expire_older_than(" +
+        s"'${tbl.stripPrefix("graft_cat.")}', '$bound')")
+      val after = s.table(tbl).agg(count(lit(1)).as("n_after"))
+      val out = res.crossJoin(after)
+      s.createDataFrame(out.collectAsList(), out.schema)
+    }
+  }
+
+  val sqlExpireOlderThanOracle: String =
+    """SELECT 3 AS expired_versions, 3 AS first_live_version,
+      | (SELECT count(*) FROM events WHERE value >= 50 OR value IS NULL)
+      |   + 1 AS n_after""".stripMargin
+
   /** ATOMIC RTAS (`REPLACE TABLE ... AS SELECT`, the
     * [[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]
     * path): the new content materializes under an internal staging key
@@ -2520,6 +2551,9 @@ object MergeOps extends QueryModule {
     // atomic RTAS/COR-AS-SELECT through the staging catalog
     RegisteredQuery("sql_rtas_atomic", sqlRtasAtomic,
       Some(sqlRtasAtomicOracle)),
+    // retention by wall-clock age over the commit-millis ledger
+    RegisteredQuery("sql_expire_older_than", sqlExpireOlderThan,
+      Some(sqlExpireOlderThanOracle)),
     // EQUALITY deletes (Iceberg v2's second delete model): tuple-set
     // commits with no target scan, applied at read, sequence semantics
     RegisteredQuery("sql_delete_eq", sqlDeleteEq, Some(sqlDeleteEqOracle)),

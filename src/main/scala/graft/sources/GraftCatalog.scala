@@ -89,6 +89,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "expire_versions"),
+        Identifier.of(Array("system"), "expire_older_than"),
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "publish_branch"),
@@ -119,6 +120,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (ident.name == "create_tag" || ident.name == "drop_tag")
       return tagProcedure(ident.name)
     if (ident.name == "evolve_spec") return evolveSpecProcedure
+    if (ident.name == "expire_older_than") return expireOlderThanProcedure
     require(ident.name == "expire_versions",
       s"graft catalog: unknown procedure system.${ident.name}")
     new UnboundProcedure {
@@ -141,46 +143,126 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             val k = s"cat::$catName.$tbl"
             require(GraftStore.stores.contains(k),
               s"graft catalog: no table '$tbl' to expire")
-            // partitioned: retention runs on the TABLE-LEVEL ledger —
-            // entries tombstone in place (ordinals stable), pinned tags
-            // keep serving (they hold the snapshot objects)
-            val (expired, firstLive) =
-              if (GraftCatalog.parts.contains(k))
-                GraftStore.stores.synchronized {
-                  require(keep >= 1,
-                    s"retention must keep at least the latest version, got $keep")
-                  val ledger = GraftCatalog.partVersions.getOrElse(k,
-                    throw new IllegalStateException(
-                      s"graft catalog: no table '$tbl' to expire"))
-                  val cut = math.max(0, ledger.size - keep)
-                  val n = ledger.take(cut).count(_ != null)
-                  if (n > 0) {
-                    GraftCatalog.partVersions.put(k,
-                      ledger.zipWithIndex.map { case (e, i) =>
-                        if (i < cut) null else e
-                      })
-                    // release the shard-level snapshot memory the
-                    // expired ledger entries were the last pin for
-                    GraftCatalog.tombstoneUnpinnedShardHistory(k)
-                  }
-                  (n, GraftCatalog.partVersions(k).indexWhere(_ != null))
-                }
-              else {
-                val n = GraftStore.expireVersions(k, keep)
-                (n, GraftStore.history(k).indexWhere(_ != null))
+            val (expired, firstLive) = runExpire(tbl, k, keep)
+            expireResultScan(tbl, expired, firstLive)
+          }
+        }
+    }
+  }
+
+  /** The shared retention cut of `expire_versions` /
+    * `expire_older_than`: partitioned tables tombstone TABLE-LEVEL
+    * ledger entries in place (ordinals stable, pinned tags keep
+    * serving — they hold the snapshot objects) and release the shard
+    * history the entries were the last pin for; flat tables tombstone
+    * their store history the same way.
+    */
+  private def runExpire(tbl: String, k: String, keep: Int): (Int, Int) =
+    if (GraftCatalog.parts.contains(k))
+      GraftStore.stores.synchronized {
+        require(keep >= 1,
+          s"retention must keep at least the latest version, got $keep")
+        val ledger = GraftCatalog.partVersions.getOrElse(k,
+          throw new IllegalStateException(
+            s"graft catalog: no table '$tbl' to expire"))
+        val cut = math.max(0, ledger.size - keep)
+        val n = ledger.take(cut).count(_ != null)
+        if (n > 0) {
+          GraftCatalog.partVersions.put(k,
+            ledger.zipWithIndex.map { case (e, i) =>
+              if (i < cut) null else e
+            })
+          // release the shard-level snapshot memory the
+          // expired ledger entries were the last pin for
+          GraftCatalog.tombstoneUnpinnedShardHistory(k)
+        }
+        (n, GraftCatalog.partVersions(k).indexWhere(_ != null))
+      }
+    else {
+      val n = GraftStore.expireVersions(k, keep)
+      (n, GraftStore.history(k).indexWhere(_ != null))
+    }
+
+  private def expireResultScan(tbl: String, expired: Int, firstLive: Int)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.sql.types.IntegerType
+    val out = new StructType()
+      .add("expired_versions", IntegerType, nullable = false)
+      .add("first_live_version", IntegerType, nullable = false)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = Array(
+          new GenericInternalRow(Array[Any](expired, firstLive)))
+        override def description(): String =
+          s"expire($tbl) result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** `CALL system.expire_older_than('ns.t', '2026-08-01 00:00:00')` —
+    * retention by WALL-CLOCK AGE, the operational spelling every
+    * warehouse actually schedules ("expire snapshots older than 7
+    * days"; Iceberg's expire_snapshots(older_than)). Resolution rides
+    * the commit-millis ledgers `TIMESTAMP AS OF` reads: keep = every
+    * version committed AT or AFTER the bound (floored at the latest
+    * version — retention never deletes the head), computed and cut
+    * under one store lock so a commit can't slip between count and
+    * tombstone. Accepts a UTC 'yyyy-MM-dd HH:mm:ss[.SSS]' literal or
+    * raw epoch millis.
+    */
+  private def expireOlderThanProcedure: procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.types.StringType
+    new UnboundProcedure {
+      override def name(): String = "expire_older_than"
+      override def description(): String =
+        "expire time-travel versions committed before a timestamp"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "expire_older_than"
+          override def description(): String =
+            "expire time-travel versions committed before a timestamp"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("older_than", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val boundStr = input.getUTF8String(1).toString.trim
+            val ms: Long =
+              if (boundStr.forall(_.isDigit)) boundStr.toLong
+              else try {
+                val fmt = new java.time.format.DateTimeFormatterBuilder()
+                  .appendPattern("yyyy-MM-dd HH:mm:ss")
+                  .optionalStart().appendFraction(
+                    java.time.temporal.ChronoField.MILLI_OF_SECOND,
+                    1, 3, true).optionalEnd()
+                  .toFormatter()
+                java.time.LocalDateTime.parse(boundStr, fmt)
+                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              } catch {
+                case e: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"graft catalog: cannot parse older_than " +
+                      s"'$boundStr' — use UTC 'yyyy-MM-dd HH:mm:ss" +
+                      "[.SSS]' or epoch millis", e)
               }
-            val out = new StructType()
-              .add("expired_versions", IntegerType, nullable = false)
-              .add("first_live_version", IntegerType, nullable = false)
-            val scan: org.apache.spark.sql.connector.read.Scan =
-              new org.apache.spark.sql.connector.read.LocalScan {
-                override def readSchema(): StructType = out
-                override def rows(): Array[InternalRow] = Array(
-                  new GenericInternalRow(Array[Any](expired, firstLive)))
-                override def description(): String =
-                  s"expire_versions($tbl) result"
-              }
-            java.util.Collections.singletonList(scan).iterator()
+            val k = s"cat::$catName.$tbl"
+            require(GraftStore.stores.contains(k),
+              s"graft catalog: no table '$tbl' to expire")
+            // one lock for count + cut: a commit between them would
+            // shift the keep boundary the count promised
+            val (expired, firstLive) = GraftStore.stores.synchronized {
+              val times =
+                if (GraftCatalog.parts.contains(k))
+                  GraftCatalog.partVersionTimes.getOrElse(k, Vector.empty)
+                else GraftStore.historyTimes.getOrElse(k, Vector.empty)
+              val keep = math.max(1, times.count(_ >= ms))
+              runExpire(tbl, k, keep)
+            }
+            expireResultScan(tbl, expired, firstLive)
           }
         }
     }

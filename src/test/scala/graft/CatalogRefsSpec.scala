@@ -267,6 +267,47 @@ class CatalogRefsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.tt2")
   }
 
+  test("expire_older_than: wall-clock retention over the commit ledger; expired range refuses both time-travel spellings") {
+    cat()
+    def lit(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"))
+    ev.writeTo("graft_cat.spec.exot").create() // v0 empty, v1 data
+    try {
+      Thread.sleep(15); val mid = System.currentTimeMillis(); Thread.sleep(15)
+      spark.sql("DELETE FROM graft_cat.spec.exot WHERE value < 50") // v2
+      Thread.sleep(15); val bound = System.currentTimeMillis(); Thread.sleep(15)
+      spark.sql("INSERT INTO graft_cat.spec.exot VALUES (9999999, 0.0)") // v3
+      // the UTC timestamp-literal spelling of the bound
+      val r = spark.sql("CALL graft_cat.system.expire_older_than(" +
+        s"'spec.exot', '${lit(bound)}')").head
+      assert(r.getInt(0) === 3 && r.getInt(1) === 3,
+        s"expected 3 expired / first live 3, got $r")
+      // the live head keeps serving
+      assert(spark.table("graft_cat.spec.exot").count() ===
+        ev.filter(col("value") >= 50 || col("value").isNull).count() + 1)
+      // both time-travel spellings refuse the expired range
+      val e1 = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_cat.spec.exot " +
+          "VERSION AS OF 1").collect()
+      }
+      assert(e1.getMessage.contains("EXPIRED"), e1.getMessage.take(160))
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_cat.spec.exot " +
+          s"TIMESTAMP AS OF '${lit(mid)}'").collect()
+      }
+      assert(e2.getMessage.contains("EXPIRED"), e2.getMessage.take(160))
+      // retention never deletes the head: an all-future bound keeps 1
+      val r2 = spark.sql("CALL graft_cat.system.expire_older_than(" +
+        s"'spec.exot', '${System.currentTimeMillis() + 3600000}')").head
+      assert(r2.getInt(1) === 3, "the head version must survive any bound")
+      assert(spark.table("graft_cat.spec.exot").count() > 0)
+    } finally spark.sql("DROP TABLE graft_cat.spec.exot")
+  }
+
   test("metadata tables: t@snapshots tracks expiry with stable ordinals; t@partitions reports per-shard debt; names reserved") {
     cat()
     val ev = Tables.events(spark, sfDir)
