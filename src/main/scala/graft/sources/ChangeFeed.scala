@@ -94,6 +94,83 @@ object ChangeFeed {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out)
   }
 
+  /** Changes committed strictly AFTER wall-clock `start`, up to `end`
+    * (or the ledger head) — the `startingTimestamp` spelling every
+    * operator scheduling "changes since yesterday" reaches for
+    * (Iceberg/Delta both accept timestamps on CDC reads). Bounds
+    * resolve through the SAME commit-millis ledgers `TIMESTAMP AS OF`
+    * reads ([[versionAtOrBefore]]): the start version is the commit
+    * AT OR BEFORE `start` — the state current at that instant — and
+    * the feed is the half-open ordinal range (start, end], so a bound
+    * captured between two commits yields exactly the later commits'
+    * changes. A start predating the first commit clamps to the
+    * creation version; an END bound predating every commit refuses
+    * loudly (an empty answer would read as "no changes" when the real
+    * answer is "the range is unaddressable"). Versions inside the
+    * range that retention expired refuse through the walk's existing
+    * both-sides-live check.
+    */
+  def tableChangesSince(s: SparkSession, tbl: String, start: String,
+      end: Option[String] = None, catalog: String = "graft_cat")
+      : DataFrame = {
+    val key = s"cat::$catalog.$tbl"
+    val fromVersion = math.max(0, versionAtOrBefore(key, tbl, start))
+    val toVersion = end match {
+      case None => ledgerSize(key, tbl) - 1
+      case Some(e) =>
+        val v = versionAtOrBefore(key, tbl, e)
+        require(v >= 0,
+          s"graft cdc: no commit of '$tbl' at or before end bound '$e'")
+        v
+    }
+    require(fromVersion <= toVersion,
+      s"graft cdc: start bound '$start' resolves past end " +
+        s"(versions $fromVersion > $toVersion)")
+    tableChanges(s, tbl, fromVersion, toVersion, catalog)
+  }
+
+  /** Resolve a wall-clock bound (UTC 'yyyy-MM-dd HH:mm:ss[.SSS]' or
+    * epoch millis) to the LAST version committed at or before it
+    * (-1 = before every commit), through the commit-millis ledger of
+    * either table shape — one resolution shim, one serving path.
+    */
+  private[sources] def versionAtOrBefore(key: String, tbl: String,
+      bound: String): Int = {
+    val ms = parseWallClockMillis(bound)
+    val times =
+      if (GraftCatalog.parts.contains(key))
+        GraftCatalog.partVersionTimes.getOrElse(key,
+          throw new IllegalStateException(s"no catalog table '$tbl'"))
+      else GraftStore.historyTimes.getOrElse(key,
+        throw new IllegalStateException(s"no catalog table '$tbl'"))
+    times.lastIndexWhere(_ <= ms)
+  }
+
+  /** The bound grammar `expire_older_than` established: non-empty
+    * (optionally signed) digits = epoch millis, else a UTC
+    * 'yyyy-MM-dd HH:mm:ss[.SSS]' literal; anything else refuses with
+    * the format hint.
+    */
+  private[sources] def parseWallClockMillis(bound: String): Long = {
+    val b = bound.trim
+    if (b.matches("-?\\d{1,18}")) b.toLong
+    else try {
+      val fmt = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("yyyy-MM-dd HH:mm:ss")
+        .optionalStart().appendFraction(
+          java.time.temporal.ChronoField.MILLI_OF_SECOND,
+          1, 3, true).optionalEnd()
+        .toFormatter()
+      java.time.LocalDateTime.parse(b, fmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"graft cdc: cannot parse timestamp bound '$b' — use UTC " +
+            "'yyyy-MM-dd HH:mm:ss[.SSS]' or epoch millis", e)
+    }
+  }
+
   private[sources] def histOf(key: String, tbl: String)
       : Vector[GraftStore.Committed] =
     GraftStore.history.getOrElse(key,

@@ -953,15 +953,33 @@ object GraftStore {
         case (ByteType | ShortType | IntegerType, LongType) => true
         case (ByteType | ShortType, IntegerType) => true
         case (FloatType, DoubleType) => true
+        // Iceberg's third safe promotion: decimal PRECISION growth at
+        // the SAME scale — every old value fits exactly in the wider
+        // type (shrinking precision or moving the scale would round or
+        // overflow, so both refuse)
+        case (f: DecimalType, t: DecimalType) =>
+          t.precision > f.precision && t.scale == f.scale
         case _ => false
       }
       require(ok, s"graft store '$name': cannot change column " +
         s"'$colName' from ${from.catalogString} to ${to.catalogString} — " +
         "only widening promotions (tinyint/smallint/int → bigint, " +
-        "float → double) are metadata-safe")
+        "float → double, decimal(P,S) → decimal(P'>P,S)) are " +
+        "metadata-safe")
       val slot = cur.projection(i)
       def widen(v: Any): Any = v match {
         case null => null
+        // decimals re-tag to the wider (precision, scale): the unscaled
+        // value is unchanged — same-scale growth is exact by definition
+        case d: Decimal => to match {
+          case dt: DecimalType =>
+            Decimal(d.toJavaBigDecimal, dt.precision, dt.scale)
+          case _ => v
+        }
+        case d: java.math.BigDecimal => to match {
+          case dt: DecimalType => Decimal(d, dt.precision, dt.scale)
+          case _ => v
+        }
         case n: java.lang.Number => to match {
           case LongType => java.lang.Long.valueOf(n.longValue)
           case IntegerType => java.lang.Integer.valueOf(n.intValue)
