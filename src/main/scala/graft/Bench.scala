@@ -23,6 +23,15 @@ object Bench {
     * "known" is harmless). Empty when no archive exists yet.
     */
   def latestFrozenQueries(): Set[String] =
+    latestFrozenTimes().keySet
+
+  /** Query name → seconds from the LATEST frozen `BENCH_FULL_rNN.json`
+    * — the per-query quiet-machine reference the band-aware escalation
+    * compares against. Envelope fields (`value`, `sf`, ...) ride along
+    * harmlessly: they never collide with query names in the headline
+    * set. Empty when no archive exists yet.
+    */
+  def latestFrozenTimes(): Map[String, Double] =
     try {
       val dir = java.nio.file.Paths.get(sys.props("user.dir"))
       val re = """BENCH_FULL_r(\d+)\.json""".r
@@ -39,13 +48,14 @@ object Bench {
         }
       finally stream.close()
       best match {
-        case None => Set.empty
+        case None => Map.empty
         case Some((_, p)) =>
           val txt = java.nio.file.Files.readString(p)
-          """"([A-Za-z0-9_]+)":""".r
-            .findAllMatchIn(txt).map(_.group(1)).toSet
+          """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
-    } catch { case _: Throwable => Set.empty }
+    } catch { case _: Throwable => Map.empty }
 
   /** The driver scrapes the LAST ~2000 chars of stdout for one JSON line;
     * the sbt "[success] Total time ..." epilogue (~80 chars) shares that
@@ -146,7 +156,7 @@ object Bench {
     // A third pass after the window has usually passed restores the
     // quiet-machine minimum; the re-run budget is bounded because
     // agreement (the common case) never escalates.
-    val results = SparkEntry.queries.toSeq.filter(q => headline(q._1)).map { case (name, fn) =>
+    val firstPass = SparkEntry.queries.toSeq.filter(q => headline(q._1)).map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
       val best =
         if (t1 < 0) t1
@@ -160,6 +170,35 @@ object Bench {
         }
       name -> best
     }
+    // BAND-AWARE RE-QUEUE (VERDICT r19 #2): sample disagreement can't
+    // catch a stall window wide enough that BOTH reps agree inside it
+    // (r19's corpus_filter: min-of-3 over a ~40 s stall graded 14.03 s
+    // against a 1.95 s 16-round median — every rep stalled, none
+    // disagreed). So after the WHOLE run — by when any such window has
+    // passed — re-time once every query whose min still exceeds 2× its
+    // value in the latest frozen BENCH_FULL archive (plus an absolute
+    // 0.25 s floor so sub-0.1 s noise doesn't re-queue half the list)
+    // and keep the min. A genuine regression survives: it reproduces
+    // after the window too, and lands in the artifact at its real cost.
+    val frozen = latestFrozenTimes()
+    val suspects = firstPass.collect {
+      case (name, t) if t >= 0 && frozen.get(name).exists(f =>
+        f > 0 && t > 2.0 * f && t > f + 0.25) => name
+    }
+    val results =
+      if (suspects.isEmpty) firstPass
+      else {
+        System.err.println(s"[bench] band re-queue (min > 2x frozen): " +
+          suspects.mkString(", "))
+        val fns = SparkEntry.queries
+        val retimed = suspects.map(n => n -> timeOnce(n, fns(n))).toMap
+        firstPass.map { case (name, t) =>
+          name -> (retimed.get(name) match {
+            case Some(r) if r >= 0 && t >= 0 => math.min(t, r)
+            case _ => t
+          })
+        }
+      }
     val (compact, full) = renderLines(results, sfDir)
     // stdout for the driver's line scraper — raw, because build.sbt sets
     // `run / outputStrategy := StdoutOutput` (the default LoggedOutput

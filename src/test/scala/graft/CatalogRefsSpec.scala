@@ -375,4 +375,134 @@ class CatalogRefsSpec extends SparkSpec {
       assert(e4.getMessage.contains("#"), e4.getMessage)
     } finally spark.sql("DROP TABLE graft_cat.spec.refguard")
   }
+
+  test("RENAME TO moves the whole identity: ledgers, tags, branches, epoch marks; refusals loud (VERDICT r19 #1)") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.rn1").create() // v0 create, v1 data
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.rn1 WHERE value < 40") // v2
+      spark.sql("CALL graft_cat.system.create_tag('spec.rn1', 'pre')")
+      spark.sql("CALL graft_cat.system.create_branch('spec.rn1', 'wip')")
+      val n101 = base.filter(col("event_id") % 101 === 0).count()
+      base.filter(col("event_id") % 101 === 0)
+        .writeTo("graft_cat.spec.`rn1@wip`").append()
+      // streaming exactly-once ledger mark, keyed per (store, query)
+      val schema = spark.table("graft_cat.spec.rn1").schema
+      assert(GraftStore.publishEpoch("cat::graft_cat.spec.rn1", schema,
+        Seq.empty, epochId = 5L, queryId = "qq"))
+      val preCount = spark.table("graft_cat.spec.rn1").count()
+
+      spark.sql("ALTER TABLE graft_cat.spec.rn1 RENAME TO spec.rn2")
+
+      // the old name is GONE (loud, not phantom)
+      intercept[Exception] {
+        spark.table("graft_cat.spec.rn1").collect()
+      }
+      // head, time travel and the tag all serve through the NEW name —
+      // the ledgers moved wholesale
+      assert(spark.table("graft_cat.spec.rn2").count() === preCount)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.rn2 VERSION AS OF 1")
+        .head.getLong(0) === base.count())
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.rn2 VERSION AS OF 'pre'")
+        .head.getLong(0) === preCount)
+      // the diverged branch moved with its content
+      assert(spark.table("graft_cat.spec.`rn2@wip`").count() ===
+        preCount + n101)
+      // the exactly-once epoch ledger moved: a restarted stream against
+      // the NEW name replays its epoch as a no-op
+      assert(!GraftStore.publishEpoch("cat::graft_cat.spec.rn2", schema,
+        Seq.empty, epochId = 5L, queryId = "qq"),
+        "the moved epoch mark must suppress the replay under the new name")
+      // the ref inventory lists under the new name
+      val names = spark.table("graft_cat.spec.`rn2@refs`")
+        .select("name").collect().map(_.getString(0)).sorted.toSeq
+      assert(names === Seq("main", "pre", "wip"))
+      // refusals: reserved chars in the target, existing target
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.spec.rn2 RENAME TO spec.`bad@nm`")
+      }
+      assert(e1.getMessage.contains("reserved"), e1.getMessage.take(200))
+      spark.range(3).select(col("id")).writeTo("graft_cat.spec.rn3").create()
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.spec.rn2 RENAME TO spec.rn3")
+      }
+      assert(e2.getMessage.toLowerCase.contains("already exists"),
+        e2.getMessage.take(200))
+    } finally {
+      scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.rn2"))
+      scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.rn3"))
+      scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.rn1")); ()
+    }
+  }
+
+  test("PARTITIONED rename: shards, spec registrations and the table-level ledger follow the new name") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    base.writeTo("graft_cat.spec.rnp1").partitionedBy(col("event_type"))
+      .create()
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.rnp1 WHERE value < 40") // v2
+      spark.sql("ALTER TABLE graft_cat.spec.rnp1 RENAME TO spec.rnp2")
+      val expect = base.filter(col("value") >= 40).count()
+      assert(spark.table("graft_cat.spec.rnp2").count() === expect)
+      // partition pruning still keys on the moved shard registrations
+      val types = base.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(spark.table("graft_cat.spec.rnp2")
+        .filter(col("event_type") === types.head).count() ===
+        base.filter(col("value") >= 40 &&
+          col("event_type") === types.head).count())
+      // the table-level ledger moved: time travel across the rename
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat.spec.rnp2 VERSION AS OF 1")
+        .head.getLong(0) === base.count())
+      // shard inventory serves under the new name
+      assert(spark.table("graft_cat.spec.`rnp2@partitions`").count() ===
+        types.length.toLong)
+    } finally {
+      scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.rnp2"))
+      scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.rnp1")); ()
+    }
+  }
+
+  test("t@refs inventory: main + branches + tags with heads/fences; reserved refs never appear (VERDICT r19 #4)") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.rf1")
+      .tableProperty("write.delete.mode", "equality").create()
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.rf1', 'wap')")
+      spark.sql("CALL graft_cat.system.create_tag('spec.rf1', 'gold')")
+      val refs = spark.table("graft_cat.spec.`rf1@refs`").collect()
+      val byName = refs.map(r => r.getString(0) -> r.getString(1)).toMap
+      // the eq-delete channel (`rf1@eq_deletes`) and the reserved
+      // metadata/CDC refs are ADDRESSING SCHEMES, not stateful refs:
+      // the inventory is exactly main + branches + tags
+      assert(byName === Map("main" -> "branch", "wap" -> "branch",
+        "gold" -> "tag"))
+      val main = refs.find(_.getString(0) == "main").get
+      assert(main.getInt(2) === 1, "main head = its ledger head ordinal")
+      assert(main.isNullAt(3))
+      assert(main.getLong(4) === base.count())
+      val wap = refs.find(_.getString(0) == "wap").get
+      assert(wap.getInt(2) === 0, "a fresh fork starts its own ledger")
+      assert(wap.getInt(3) === 2, "fork fence = main commit count at fork")
+      val gold = refs.find(_.getString(0) == "gold").get
+      assert(gold.getInt(2) === 1, "tag pins the then-head ordinal")
+      assert(gold.getLong(4) === base.count())
+      // drop_branch removes it from the inventory
+      spark.sql("CALL graft_cat.system.drop_branch('spec.rf1', 'wap')")
+      assert(spark.table("graft_cat.spec.`rf1@refs`").count() === 2L)
+      // 'refs' itself is a reserved name: create_branch refuses it
+      val e = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.create_branch('spec.rf1', 'refs')")
+      }
+      assert(e.getMessage.contains("reserved"), e.getMessage.take(200))
+    } finally spark.sql("DROP TABLE graft_cat.spec.rf1")
+  }
 }

@@ -430,4 +430,73 @@ class ChangeFeedSpec extends SparkSpec {
         "partitioned pre-rename rows must bridge through the range-end shards")
     } finally spark.sql("DROP TABLE graft_cat.spec.cfrp")
   }
+
+  test("timestamp bounds: at-or-before start, half-open range, clamping, refusals (VERDICT r19 #3)") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.filter(col("event_id") % 2 === 0)
+      .writeTo("graft_cat.spec.cfts").create() // v0 create, v1 data
+    try {
+      Thread.sleep(15)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(15)
+      base.filter(col("event_id") % 2 === 1)
+        .writeTo("graft_cat.spec.cfts").append() // v2
+      Thread.sleep(15)
+      val t2 = System.currentTimeMillis()
+      Thread.sleep(15)
+      spark.sql("DELETE FROM graft_cat.spec.cfts WHERE value < 40") // v3 DV
+
+      val odd = base.filter(col("event_id") % 2 === 1).count()
+      val dels = base.filter(col("value") < 40).count()
+      // since t1 (state then = v1): exactly v2's inserts + v3's deletes
+      val sinceT1 = ChangeFeed.tableChangesSince(spark, "spec.cfts",
+        t1.toString)
+      assert(sinceT1.filter(col("_change_type") === "insert").count() === odd)
+      assert(sinceT1.filter(col("_change_type") === "delete").count() === dels)
+      // since t2: v3 only
+      assert(ChangeFeed.tableChangesSince(spark, "spec.cfts", t2.toString)
+        .count() === dels)
+      // bounded window (t1, t2]: v2 only — the half-open contract
+      val window = ChangeFeed.tableChangesSince(spark, "spec.cfts",
+        t1.toString, Some(t2.toString))
+      assert(window.count() === odd)
+      assert(window.filter(col("_change_type") =!= "insert").count() === 0L)
+      // a start predating the table clamps to the creation version
+      assert(ChangeFeed.tableChangesSince(spark, "spec.cfts", "0").count()
+        === ChangeFeed.tableChanges(spark, "spec.cfts", 0, 3).count())
+      // an END bound predating every commit refuses loudly — an empty
+      // answer would read as "no changes" when the range is unaddressable
+      val e1 = intercept[IllegalArgumentException] {
+        ChangeFeed.tableChangesSince(spark, "spec.cfts", "0", Some("1"))
+      }
+      assert(e1.getMessage.contains("at or before"), e1.getMessage)
+      // a garbage bound refuses with the format hint
+      val e2 = intercept[IllegalArgumentException] {
+        ChangeFeed.tableChangesSince(spark, "spec.cfts", "not-a-time")
+      }
+      assert(e2.getMessage.contains("epoch millis"), e2.getMessage)
+      // the DSv2 options spelling on `t@changes` serves the same window
+      val viaOpts = spark.read.option("startingTimestamp", t1.toString)
+        .option("endingTimestamp", t2.toString)
+        .table("graft_cat.spec.`cfts@changes`")
+      assert(viaOpts.count() === odd)
+      // startingTimestamp and startingOffsets=latest are two different
+      // anchors — combining them refuses
+      val e3 = intercept[Exception] {
+        spark.read.option("startingOffsets", "latest")
+          .option("startingTimestamp", t1.toString)
+          .table("graft_cat.spec.`cfts@changes`").count()
+      }
+      assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
+      // an expired range refuses through the walk's both-sides-live
+      // check, not silently truncates
+      spark.sql("CALL graft_cat.system.expire_versions('spec.cfts', 1)")
+      val e4 = intercept[Exception] {
+        ChangeFeed.tableChangesSince(spark, "spec.cfts", t1.toString)
+          .count()
+      }
+      assert(e4.getMessage.contains("expired"), e4.getMessage)
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfts")
+  }
 }

@@ -274,4 +274,56 @@ class MultiTableTxnSpec extends SparkSpec {
       spark.sql("DROP TABLE graft_cat.spec.mt5c")
     }
   }
+
+  test("publish ordinal lifecycle: drop tombstones its pin; full expiry retires the token with the retention message (VERDICT r19 #6)") {
+    cat()
+    seed("mt6a", "mt6b")
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt6a', 'tx')")
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt6b', 'tx')")
+      spark.sql("DELETE FROM graft_cat.spec.`mt6a@tx` WHERE value < 30")
+      val cv = spark.sql("CALL graft_cat.system.publish_tables(" +
+        "'spec.mt6a@tx,spec.mt6b@tx')").head.getLong(3)
+      // push mt6a's head past the pin, then expire everything older:
+      // the PIN is dead while the publish entry itself is still live
+      spark.sql("INSERT INTO graft_cat.spec.mt6a VALUES (1, 'x', 1.0)")
+      spark.sql("CALL graft_cat.system.expire_versions('spec.mt6a', 1)")
+      val e1 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt6a " +
+          s"VERSION AS OF 'txn$cv'").collect()
+      }
+      assert(e1.getMessage.contains("EXPIRED by retention"),
+        e1.getMessage.take(200))
+      // the OTHER table's pin still serves the token
+      assert(spark.sql(s"SELECT count(*) FROM graft_cat.spec.mt6b " +
+        s"VERSION AS OF 'txn$cv'").head.getLong(0) > 0L)
+      // DROP + re-CREATE of the remaining pinned table: the token must
+      // refuse, never resolve the old ordinal against the successor's
+      // ledger (ADVICE r19 finding 1)
+      spark.sql("DROP TABLE graft_cat.spec.mt6b")
+      spark.range(3).select(col("id")).writeTo("graft_cat.spec.mt6b")
+        .create()
+      val e2 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt6b " +
+          s"VERSION AS OF 'txn$cv'").collect()
+      }
+      assert(e2.getMessage.contains("dropped or replaced"),
+        e2.getMessage.take(200))
+      // with EVERY pin dead, the next retention pass retires the
+      // ordinal off the live map — and it keeps refusing with the
+      // RETENTION message, not "no catalog publish" / NoSuchTable
+      spark.sql("CALL graft_cat.system.expire_versions('spec.mt6b', 1)")
+      val e3 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt6a " +
+          s"VERSION AS OF 'txn$cv'").collect()
+      }
+      assert(e3.getMessage.contains("EXPIRED by retention"),
+        e3.getMessage.take(200))
+      assert(!e3.getMessage.contains("no catalog publish"),
+        e3.getMessage.take(200))
+    } finally {
+      spark.sql("DROP TABLE graft_cat.spec.mt6a")
+      spark.sql("DROP TABLE graft_cat.spec.mt6b")
+    }
+  }
 }
