@@ -66,7 +66,7 @@ object EventLifecycleOps extends QueryModule {
     * (counts) and [[funnelLag]] (conversion-time distribution); one
     * user_id exchange for all three chained conditional-min windows.
     */
-  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def funnelTimes(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"))

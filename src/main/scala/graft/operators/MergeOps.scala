@@ -740,6 +740,40 @@ object MergeOps extends QueryModule {
       |   + (SELECT count(*) FROM events WHERE event_id % 101 = 0)
       |ORDER BY name""".stripMargin
 
+  /** `t@history` (Iceberg's `t.history`, distinct from `t@snapshots`):
+    * the ancestry view — parent ordinals, current-ancestor flags and
+    * retention tombstones. Ancestry here is linear by construction
+    * (`rollback` commits forward), so the digest pins the honest
+    * constants: every commit an ancestor, one root, parents = v-1 —
+    * plus a retention cut to prove `expired` mirrors the ledger
+    * tombstones, and a live row count tying the ledger to real data.
+    */
+  def metaHistoryDigest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE value < 60") // v2
+      s.sql(s"INSERT INTO $tbl VALUES (CAST(8888888 AS BIGINT), 99.0)") // v3
+      s.sql("CALL graft_cat.system.expire_versions(" +
+        s"'${tbl.stripPrefix("graft_cat.")}', 2)") // tombstones v0, v1
+      val short = tbl.split('.').last
+      val hist = s.table(s"graft_cat.dml.`$short@history`")
+      val digest = hist.agg(
+        count(lit(1)).as("n_versions"),
+        count(when(col("parent_version").isNull, 1)).as("n_roots"),
+        count(when(col("is_current_ancestor"), 1)).as("n_ancestors"),
+        count(when(col("expired"), 1)).as("n_expired"),
+        max(col("parent_version")).as("head_parent"))
+      digest.crossJoin(s.table(tbl).agg(count(lit(1)).as("n_live")))
+    }
+  }
+
+  val metaHistoryDigestOracle: String =
+    """SELECT CAST(4 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS n_roots,
+      | CAST(4 AS BIGINT) AS n_ancestors, CAST(2 AS BIGINT) AS n_expired,
+      | 2 AS head_parent,
+      | (SELECT count(*) FROM events WHERE value >= 60 OR value IS NULL)
+      |   + 1 AS n_live""".stripMargin
+
   /** DECIMAL PRECISION WIDENING (VERDICT r19 #5 — Iceberg's third safe
     * promotion, `decimal(P,S) → decimal(P',S)`, P'>P, same scale): the
     * money-column rung of [[sqlAlterWidenType]]. The script seeds
@@ -2740,6 +2774,9 @@ object MergeOps extends QueryModule {
     // ... and the stateful ref inventory: main + branches + tags
     RegisteredQuery("meta_refs_digest", metaRefsDigest,
       Some(metaRefsDigestOracle)),
+    // ... and the ancestry view with retention tombstones
+    RegisteredQuery("meta_history_digest", metaHistoryDigest,
+      Some(metaHistoryDigestOracle)),
     // ALTER TABLE RENAME: atomic key move; tags, time travel and the
     // exactly-once ledgers survive under the new name
     RegisteredQuery("sql_rename_table", sqlRenameTable,

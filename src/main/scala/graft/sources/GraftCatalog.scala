@@ -1188,7 +1188,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                     "equality-delete sink ref (`t@eq_deletes`), not a " +
                     "branch name")
                 require(branch != "snapshots" && branch != "partitions" &&
-                    branch != "refs",
+                    branch != "refs" && branch != "history",
                   s"graft catalog: '$branch' is a reserved metadata-" +
                     s"table ref (`t@$branch`), not a branch name")
                 require(!branch.contains('@'),
@@ -1367,6 +1367,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         return new GraftMetaTable(s"graft_store($mainKey@refs)",
           GraftMetaTables.refsSchema,
           () => GraftMetaTables.refsRows(mainKey, partitioned))
+      }
+      // `t@history` — the ancestry view (Iceberg's t.history)
+      if (branch == "history") {
+        if (!GraftStore.stores.contains(mainKey))
+          throw new NoSuchTableException(ident)
+        val partitioned = GraftCatalog.parts.contains(mainKey)
+        return new GraftMetaTable(s"graft_store($mainKey@history)",
+          GraftMetaTables.historySchema,
+          () => GraftMetaTables.historyRows(mainKey, partitioned))
       }
       // ... and it composes with WAP: `t@b@eq_deletes` is branch b's
       // own channel — a curation pass eq-upserts ON THE BRANCH, main
@@ -4263,6 +4272,13 @@ private[sources] object GraftMetaTables {
     .add("forked_at_version", IntegerType, nullable = true)
     .add("live_rows", LongType, nullable = true)
 
+  val historySchema: StructType = new StructType()
+    .add("version", IntegerType, nullable = false)
+    .add("committed_at", TimestampType, nullable = false)
+    .add("parent_version", IntegerType, nullable = true)
+    .add("is_current_ancestor", BooleanType, nullable = false)
+    .add("expired", BooleanType, nullable = false)
+
   /** `t@snapshots`: one row per table-level commit — ordinal, commit
     * wall-clock, live rows and batch count of the pinned state (null
     * once retention expired the entry; the ordinal stays, matching
@@ -4331,6 +4347,38 @@ private[sources] object GraftMetaTables {
     * (contract pinned by `CatalogRefsSpec`). Driver-built O(refs)
     * metadata, like the two tables above.
     */
+  /** `t@history` (Iceberg's `t.history`, distinct from `t@snapshots`):
+    * the ANCESTRY view — one row per ledger entry with its parent
+    * ordinal and current-ancestor flag. In this catalog ancestry is
+    * LINEAR by construction: `CALL system.rollback` restores a past
+    * state as a NEW forward commit (never rewinds the ledger), so
+    * every commit is an ancestor of the head and `parent_version` is
+    * always `version - 1` — the column exists so a user auditing
+    * "did we ever fork history?" gets the honest constant answer
+    * instead of having to know the design. `expired` mirrors the
+    * snapshots table's retention tombstones.
+    */
+  def historyRows(key: String, partitioned: Boolean): Array[InternalRow] =
+    GraftStore.stores.synchronized {
+      val (size, times, expiredAt): (Int, Vector[Long], Int => Boolean) =
+        if (partitioned) {
+          val ledger = GraftCatalog.partVersions.getOrElse(key, Vector.empty)
+          (ledger.size,
+            GraftCatalog.partVersionTimes.getOrElse(key, Vector.empty),
+            v => ledger(v) == null)
+        } else {
+          val hist = GraftStore.history.getOrElse(key, Vector.empty)
+          (hist.size, GraftStore.historyTimes.getOrElse(key, Vector.empty),
+            v => hist(v) == null)
+        }
+      (0 until size).map { v =>
+        val ms = if (v < times.size) times(v) else 0L
+        new GenericInternalRow(Array[Any](v, ms * 1000L,
+          if (v == 0) null else Int.box(v - 1), true,
+          expiredAt(v))): InternalRow
+      }.toArray
+    }
+
   def refsRows(key: String, partitioned: Boolean): Array[InternalRow] =
     GraftStore.stores.synchronized {
       def row(name: String, kind: String, headV: Any, fork: Any,

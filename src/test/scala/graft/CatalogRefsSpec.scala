@@ -498,11 +498,21 @@ class CatalogRefsSpec extends SparkSpec {
       // drop_branch removes it from the inventory
       spark.sql("CALL graft_cat.system.drop_branch('spec.rf1', 'wap')")
       assert(spark.table("graft_cat.spec.`rf1@refs`").count() === 2L)
-      // 'refs' itself is a reserved name: create_branch refuses it
+      // 'refs' and 'history' are reserved names: create_branch refuses
       val e = intercept[Exception] {
         spark.sql("CALL graft_cat.system.create_branch('spec.rf1', 'refs')")
       }
       assert(e.getMessage.contains("reserved"), e.getMessage.take(200))
+      val eh = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.create_branch('spec.rf1', 'history')")
+      }
+      assert(eh.getMessage.contains("reserved"), eh.getMessage.take(200))
+      // the ancestry view: linear by construction, parents = v-1
+      val hist = spark.table("graft_cat.spec.`rf1@history`").collect()
+      assert(hist.length === 2) // v0 create, v1 data
+      assert(hist.forall(_.getBoolean(3)), "linear ledger: all ancestors")
+      assert(hist.count(_.isNullAt(2)) === 1, "exactly one root")
     } finally spark.sql("DROP TABLE graft_cat.spec.rf1")
   }
 }

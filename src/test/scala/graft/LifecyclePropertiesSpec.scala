@@ -66,7 +66,13 @@ class LifecyclePropertiesSpec extends SparkSpec {
         val t3 = t2.flatMap(b => es.filter(e => e.tpe == "purchase" && e.tsMs > b).map(_.tsMs).minOption)
         (t1, t2, t3)
       }
-      val steps = byUser.keys.map(step)
+      // .keys is a SET — mapping it directly would DEDUPE users whose
+      // (t1,t2,t3) tuples coincide (two users, views at the same
+      // coarse-grain ts) and undercount the expectation. This was the
+      // r19 one-shot "falsification": the ENGINE was right; the brute
+      // force collapsed twin users (r20 forensics, seed
+      // 7owKNorqgw1X-To5fLCi7GJ21MFGOjG1yPXWBN0A4cJ=).
+      val steps = byUser.keys.toSeq.map(step)
       val expect = Seq(steps.count(_._1.isDefined).toLong,
         steps.count(_._2.isDefined).toLong, steps.count(_._3.isDefined).toLong)
       got == expect

@@ -22,8 +22,14 @@ trait SparkSpec extends AnyFunSuite {
     // explicit seed so a rare falsification is REPLAYABLE from the
     // failure message (r19: one full-suite LifecycleProperties
     // falsification left no way to reproduce — the args print, but a
-    // generator this shaped needs the seed to re-walk shrinking)
-    val seed = org.scalacheck.rng.Seed.random()
+    // generator this shaped needs the seed to re-walk shrinking).
+    // GRAFT_PROP_SEED replays a recorded seed exactly (r20: used to
+    // adjudicate the r19 one-shot — the seeded walk passed in a quiet
+    // environment; the one failure correlated with concurrent sbt
+    // runs sharing target/, see ADVICE).
+    val seed = sys.env.get("GRAFT_PROP_SEED")
+      .flatMap(s => org.scalacheck.rng.Seed.fromBase64(s).toOption)
+      .getOrElse(org.scalacheck.rng.Seed.random())
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(minTests).withInitialSeed(seed), p)
     assert(res.passed,
