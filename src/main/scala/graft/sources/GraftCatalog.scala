@@ -4453,19 +4453,52 @@ private[sources] class GraftCdcTable(mainKey: String, nm: String)
       // starts AFTER it), clamped to the creation version when the
       // bound predates the table. Mutually exclusive with
       // startingOffsets=latest (two different anchors).
-      private val startVersion: Option[Int] =
-        Option(opts.get("startingTimestamp")).map { ts =>
+      // ... and the ORDINAL spelling (`startingVersion`/`endingVersion`
+      // — Delta ships both): version bounds are EXCLUSIVE-start /
+      // inclusive-end into the same (a, b] walk, validated against the
+      // ledger. One anchor per side: a timestamp and a version for the
+      // same bound refuse rather than silently prefer one.
+      private def intOpt(name: String): Option[Int] =
+        Option(opts.get(name)).map { s =>
+          s.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"graft cdc: cannot parse $name '$s' — expected an integer " +
+              "commit ordinal"))
+        }
+      private val startVersion: Option[Int] = {
+        val byTs = Option(opts.get("startingTimestamp")).map { ts =>
           require(!startLatest, "graft cdc: startingTimestamp and " +
             "startingOffsets=latest are mutually exclusive")
           math.max(0, ChangeFeed.versionAtOrBefore(mainKey, nm, ts))
         }
-      private val endVersion: Option[Int] =
-        Option(opts.get("endingTimestamp")).map { ts =>
+        val byV = intOpt("startingVersion").map { v =>
+          require(byTs.isEmpty, "graft cdc: startingVersion and " +
+            "startingTimestamp are mutually exclusive")
+          require(!startLatest, "graft cdc: startingVersion and " +
+            "startingOffsets=latest are mutually exclusive")
+          require(v >= 0 && v < ChangeFeed.ledgerSize(mainKey, nm),
+            s"graft cdc: startingVersion $v out of range (table has " +
+              s"${ChangeFeed.ledgerSize(mainKey, nm)} commits)")
+          v
+        }
+        byV.orElse(byTs)
+      }
+      private val endVersion: Option[Int] = {
+        val byTs = Option(opts.get("endingTimestamp")).map { ts =>
           val v = ChangeFeed.versionAtOrBefore(mainKey, nm, ts)
           require(v >= 0, s"graft cdc: no commit of '$nm' at or " +
             s"before endingTimestamp '$ts'")
           v
         }
+        val byV = intOpt("endingVersion").map { v =>
+          require(byTs.isEmpty, "graft cdc: endingVersion and " +
+            "endingTimestamp are mutually exclusive")
+          require(v >= 0 && v < ChangeFeed.ledgerSize(mainKey, nm),
+            s"graft cdc: endingVersion $v out of range (table has " +
+              s"${ChangeFeed.ledgerSize(mainKey, nm)} commits)")
+          v
+        }
+        byV.orElse(byTs)
+      }
       override def build(): Scan =
         new GraftCdcScan(mainKey, nm, dataSchema, startLatest,
           startVersion, endVersion)
@@ -4496,8 +4529,8 @@ private[sources] class GraftCdcScan(mainKey: String, nm: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(endVersion.isEmpty,
-      "graft cdc: endingTimestamp applies to batch reads only — a " +
-        "stream has no end bound")
+      "graft cdc: endingTimestamp/endingVersion apply to batch reads " +
+        "only — a stream has no end bound")
     new GraftCdcMicroBatchStream(mainKey, nm, target, startLatest,
       startVersion)
   }

@@ -515,4 +515,38 @@ class CatalogRefsSpec extends SparkSpec {
       assert(hist.count(_.isNullAt(2)) === 1, "exactly one root")
     } finally spark.sql("DROP TABLE graft_cat.spec.rf1")
   }
+
+  test("PARTITIONED t@refs: branch heads off the branch ledger, tags pin shard sets, live rows sum shards") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    base.writeTo("graft_cat.spec.rfp").partitionedBy(col("event_type"))
+      .create() // table-level ledger: v0 create, v1 CTAS
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.rfp', 'wap')")
+      spark.sql(
+        "DELETE FROM graft_cat.spec.`rfp@wap` WHERE value < 40") // branch v+1
+      spark.sql("CALL graft_cat.system.create_tag('spec.rfp', 'gold')")
+      val refs = spark.table("graft_cat.spec.`rfp@refs`").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(refs.keySet === Set("main", "wap", "gold"))
+      assert(refs("main").getString(1) === "branch")
+      assert(refs("main").getInt(2) === 1, "main head = table-level ledger")
+      assert(refs("main").getLong(4) === base.count())
+      assert(refs("wap").getInt(3) === 2,
+        "fork fence = main table-level commit count at fork")
+      assert(refs("wap").getLong(4) ===
+        base.filter(col("value") >= 40).count(),
+        "branch live rows sum the BRANCH's shard stores")
+      assert(refs("gold").getString(1) === "tag")
+      assert(refs("gold").getInt(2) === 1,
+        "tag's ordinal located in the table-level ledger")
+      assert(refs("gold").getLong(4) === base.count())
+      // the partitioned ancestry view serves too
+      val hist = spark.table("graft_cat.spec.`rfp@history`").collect()
+      assert(hist.length === 2)
+      assert(hist.forall(_.getBoolean(3)))
+    } finally spark.sql("DROP TABLE graft_cat.spec.rfp")
+  }
 }

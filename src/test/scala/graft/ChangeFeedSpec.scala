@@ -489,6 +489,24 @@ class ChangeFeedSpec extends SparkSpec {
           .table("graft_cat.spec.`cfts@changes`").count()
       }
       assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
+      // the ORDINAL option spelling: (1, 2] = v2 only, like the window
+      val viaVersions = spark.read.option("startingVersion", "1")
+        .option("endingVersion", "2")
+        .table("graft_cat.spec.`cfts@changes`")
+      assert(viaVersions.count() === odd)
+      // one anchor per side: version + timestamp together refuse
+      val e5 = intercept[Exception] {
+        spark.read.option("startingVersion", "1")
+          .option("startingTimestamp", t1.toString)
+          .table("graft_cat.spec.`cfts@changes`").count()
+      }
+      assert(e5.getMessage.contains("mutually exclusive"), e5.getMessage)
+      // out-of-range ordinals refuse with the ledger size
+      val e6 = intercept[Exception] {
+        spark.read.option("startingVersion", "99")
+          .table("graft_cat.spec.`cfts@changes`").count()
+      }
+      assert(e6.getMessage.contains("out of range"), e6.getMessage)
       // an expired range refuses through the walk's both-sides-live
       // check, not silently truncates
       spark.sql("CALL graft_cat.system.expire_versions('spec.cfts', 1)")
