@@ -146,12 +146,14 @@ object ChangeFeed {
     times.lastIndexWhere(_ <= ms)
   }
 
-  /** The bound grammar `expire_older_than` established: non-empty
+  /** THE wall-clock bound grammar, shared by CDC bounds and
+    * `expire_older_than` (one copy — review r20): non-empty
     * (optionally signed) digits = epoch millis, else a UTC
     * 'yyyy-MM-dd HH:mm:ss[.SSS]' literal; anything else refuses with
-    * the format hint.
+    * the format hint. `what` names the bound in the refusal.
     */
-  private[sources] def parseWallClockMillis(bound: String): Long = {
+  private[sources] def parseWallClockMillis(bound: String,
+      what: String = "timestamp bound"): Long = {
     val b = bound.trim
     if (b.matches("-?\\d{1,18}")) b.toLong
     else try {
@@ -166,7 +168,7 @@ object ChangeFeed {
     } catch {
       case e: java.time.format.DateTimeParseException =>
         throw new IllegalArgumentException(
-          s"graft cdc: cannot parse timestamp bound '$b' — use UTC " +
+          s"graft: cannot parse $what '$b' — use UTC " +
             "'yyyy-MM-dd HH:mm:ss[.SSS]' or epoch millis", e)
     }
   }

@@ -237,28 +237,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
             val tbl = input.getUTF8String(0).toString
             val boundStr = input.getUTF8String(1).toString.trim
-            // epoch-millis fast path requires a NON-EMPTY all-digit
-            // string (optionally signed — pre-1970 bounds are legal);
-            // '' and garbage both reach the descriptive refusal below
-            // instead of a bare NumberFormatException (ADVICE r19)
+            // ONE bound grammar with the CDC timestamp options
+            // ([[ChangeFeed.parseWallClockMillis]]): non-empty signed
+            // digits = epoch millis (pre-1970 legal), else the UTC
+            // literal; '' and garbage reach the descriptive refusal,
+            // never a bare NumberFormatException (ADVICE r19)
             val ms: Long =
-              if (boundStr.matches("-?\\d{1,18}")) boundStr.toLong
-              else try {
-                val fmt = new java.time.format.DateTimeFormatterBuilder()
-                  .appendPattern("yyyy-MM-dd HH:mm:ss")
-                  .optionalStart().appendFraction(
-                    java.time.temporal.ChronoField.MILLI_OF_SECOND,
-                    1, 3, true).optionalEnd()
-                  .toFormatter()
-                java.time.LocalDateTime.parse(boundStr, fmt)
-                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-              } catch {
-                case e: java.time.format.DateTimeParseException =>
-                  throw new IllegalArgumentException(
-                    s"graft catalog: cannot parse older_than " +
-                      s"'$boundStr' — use UTC 'yyyy-MM-dd HH:mm:ss" +
-                      "[.SSS]' or epoch millis", e)
-              }
+              ChangeFeed.parseWallClockMillis(boundStr, "older_than")
             val k = s"cat::$catName.$tbl"
             require(GraftStore.stores.contains(k),
               s"graft catalog: no table '$tbl' to expire")
@@ -1180,17 +1165,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             }
             val (schema, row): (StructType, Array[Any]) = op match {
               case "create_branch" =>
-                require(branch != "changes",
-                  "graft catalog: 'changes' is the reserved CDC ref " +
-                    "(`t@changes`), not a branch name")
-                require(branch != "eq_deletes",
-                  "graft catalog: 'eq_deletes' is the reserved " +
-                    "equality-delete sink ref (`t@eq_deletes`), not a " +
-                    "branch name")
-                require(branch != "snapshots" && branch != "partitions" &&
-                    branch != "refs" && branch != "history",
-                  s"graft catalog: '$branch' is a reserved metadata-" +
-                    s"table ref (`t@$branch`), not a branch name")
+                // ONE shared set with loadTable's '@' dispatch: a name
+                // reserved there but not here would mint a branch that
+                // `t@<name>` can never address (review r20)
+                require(!GraftCatalog.reservedRefs.contains(branch),
+                  s"graft catalog: '$branch' is a reserved ref " +
+                    s"(`t@$branch` addresses the ${
+                      GraftCatalog.reservedRefs(branch)} surface), " +
+                    "not a branch name")
                 require(!branch.contains('@'),
                   "graft catalog: branch names cannot contain '@' — " +
                     "it separates composite refs (`t@b@eq_deletes`)")
@@ -1925,6 +1907,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     require(!newIdent.name.exists(c => c == '#' || c == '@'),
       s"graft catalog: illegal table name '${newIdent.name}' — '#' and " +
         "'@' are reserved for shard, branch, tag and channel refs")
+    // ... and, like createTable, the NAMESPACE segments too: a
+    // backticked namespace carrying '#' would forge a key inside
+    // another table's suffix space (`spec.t#p=v`.x) — prefix scans
+    // would enumerate it as that table's shard and DROP would destroy
+    // it (review r20)
+    require(!newIdent.namespace.exists(_.contains('#')),
+      s"graft catalog: '#' is reserved for internal store-key suffixes " +
+        s"— rename target '${(newIdent.namespace :+ newIdent.name)
+          .mkString(".")}' is illegal")
     GraftStore.stores.synchronized {
       val from = key(oldIdent)
       val to = key(newIdent)
@@ -2130,7 +2121,17 @@ object GraftCatalog {
     move(partTags)
     publishSnapshots.toSeq.foreach { case (ord, m) =>
       m.get(from).foreach { v =>
-        publishSnapshots.put(ord, (m - from) + (to -> v))
+        // re-point the pin so the token follows the renamed table —
+        // UNLESS the target name already carries a pin in this entry
+        // (necessarily a -1 tombstone: a live same-named table would
+        // have refused the rename, and a live pin of a dropped table is
+        // impossible — purge tombstones it). Overwriting that tombstone
+        // would let the renamed table silently impersonate the dropped
+        // table the publish actually pinned (review r20): keep the
+        // tombstone; the from-pin becomes unaddressable (refuses as
+        // "not part of the publish" under any future same-named table).
+        publishSnapshots.put(ord,
+          if (m.contains(to)) m - from else (m - from) + (to -> v))
       }
     }
   }
@@ -2145,6 +2146,20 @@ object GraftCatalog {
     * required. The Nessie model: the catalog, not the table, owns the
     * cross-table commit ordinal.
     */
+  /** The reserved `t@<ref>` names loadTable's '@' dispatch claims —
+    * the SINGLE source of truth the branch-name guard consults, so a
+    * metadata table added to the dispatch can never silently shadow a
+    * same-named branch (review r20). Values = the surface each
+    * addresses, for the refusal message.
+    */
+  private[sources] val reservedRefs: Map[String, String] = Map(
+    "changes" -> "CDC",
+    "eq_deletes" -> "equality-delete sink",
+    "snapshots" -> "version-ledger metadata",
+    "partitions" -> "shard-inventory metadata",
+    "refs" -> "ref-inventory metadata",
+    "history" -> "ancestry metadata")
+
   private[sources] val publishSeq =
     new java.util.concurrent.atomic.AtomicLong(0L)
   private[sources] val publishSnapshots =
@@ -4334,19 +4349,6 @@ private[sources] object GraftMetaTables {
       }.toArray
     }
 
-  /** `t@refs` (VERDICT r19 #4): the STATEFUL ref inventory — `main`,
-    * every WAP branch, every tag — so branches become LISTABLE without
-    * prior knowledge of their names (Iceberg ships `t.refs` for exactly
-    * this). One row per ref: name, kind, the ref's own head ordinal
-    * (null for a tag whose pinned snapshot retention has since
-    * tombstoned out of the ledger — the TAG still serves; only its
-    * ordinal coordinate aged out), the main-ledger fence a branch
-    * forked at, and the ref head's live row count. RESERVED refs
-    * (`changes`, `snapshots`, `partitions`, `refs`, `eq_deletes`) are
-    * addressing schemes, not stateful refs — they never appear
-    * (contract pinned by `CatalogRefsSpec`). Driver-built O(refs)
-    * metadata, like the two tables above.
-    */
   /** `t@history` (Iceberg's `t.history`, distinct from `t@snapshots`):
     * the ANCESTRY view — one row per ledger entry with its parent
     * ordinal and current-ancestor flag. In this catalog ancestry is
@@ -4379,6 +4381,20 @@ private[sources] object GraftMetaTables {
       }.toArray
     }
 
+  /** `t@refs` (VERDICT r19 #4): the STATEFUL ref inventory — `main`,
+    * every WAP branch, every tag — so branches become LISTABLE without
+    * prior knowledge of their names (Iceberg ships `t.refs` for exactly
+    * this). One row per ref: name, kind, the ref's own head ordinal
+    * (null for a tag whose pinned snapshot retention has since
+    * tombstoned out of the ledger — the TAG still serves; only its
+    * ordinal coordinate aged out), the main-ledger fence a branch
+    * forked at, and the ref head's live row count. RESERVED refs
+    * ([[GraftCatalog.reservedRefs]] — `changes`, `snapshots`,
+    * `partitions`, `refs`, `history`, `eq_deletes`) are addressing
+    * schemes, not stateful refs — they never appear (contract pinned
+    * by `CatalogRefsSpec`). Driver-built O(refs) metadata, like the
+    * two tables above.
+    */
   def refsRows(key: String, partitioned: Boolean): Array[InternalRow] =
     GraftStore.stores.synchronized {
       def row(name: String, kind: String, headV: Any, fork: Any,
@@ -4454,54 +4470,66 @@ private[sources] class GraftCdcTable(mainKey: String, nm: String)
       // bound predates the table. Mutually exclusive with
       // startingOffsets=latest (two different anchors).
       // ... and the ORDINAL spelling (`startingVersion`/`endingVersion`
-      // — Delta ships both): version bounds are EXCLUSIVE-start /
-      // inclusive-end into the same (a, b] walk, validated against the
-      // ledger. One anchor per side: a timestamp and a version for the
-      // same bound refuse rather than silently prefer one.
+      // — Delta ships both, and BOTH are INCLUSIVE there, so they are
+      // inclusive here too: startingVersion=5 serves version 5's
+      // changes, mapped onto the internal exclusive-start walk as
+      // anchor 4 (review r20 — a silently-exclusive start would drop
+      // one commit for every migrating user). One anchor per side:
+      // a timestamp and a version for the same bound refuse rather
+      // than silently prefer one.
       private def intOpt(name: String): Option[Int] =
         Option(opts.get(name)).map { s =>
           s.toIntOption.getOrElse(throw new IllegalArgumentException(
             s"graft cdc: cannot parse $name '$s' — expected an integer " +
               "commit ordinal"))
         }
-      private val startVersion: Option[Int] = {
-        val byTs = Option(opts.get("startingTimestamp")).map { ts =>
-          require(!startLatest, "graft cdc: startingTimestamp and " +
-            "startingOffsets=latest are mutually exclusive")
+      private def inRange(name: String, v: Int): Int = {
+        require(v >= 0 && v < ChangeFeed.ledgerSize(mainKey, nm),
+          s"graft cdc: $name $v out of range (table has " +
+            s"${ChangeFeed.ledgerSize(mainKey, nm)} commits)")
+        v
+      }
+      private val startOrd: Option[Int] =
+        intOpt("startingVersion").map(inRange("startingVersion", _))
+      private val endOrd: Option[Int] =
+        intOpt("endingVersion").map(inRange("endingVersion", _))
+      // timestamp bounds resolve to the internal EXCLUSIVE start anchor
+      // (the state current at the instant) / inclusive end
+      private val startTsAnchor: Option[Int] =
+        Option(opts.get("startingTimestamp")).map { ts =>
+          require(startOrd.isEmpty, "graft cdc: startingVersion and " +
+            "startingTimestamp are mutually exclusive")
           math.max(0, ChangeFeed.versionAtOrBefore(mainKey, nm, ts))
         }
-        val byV = intOpt("startingVersion").map { v =>
-          require(byTs.isEmpty, "graft cdc: startingVersion and " +
-            "startingTimestamp are mutually exclusive")
-          require(!startLatest, "graft cdc: startingVersion and " +
-            "startingOffsets=latest are mutually exclusive")
-          require(v >= 0 && v < ChangeFeed.ledgerSize(mainKey, nm),
-            s"graft cdc: startingVersion $v out of range (table has " +
-              s"${ChangeFeed.ledgerSize(mainKey, nm)} commits)")
-          v
-        }
-        byV.orElse(byTs)
-      }
-      private val endVersion: Option[Int] = {
-        val byTs = Option(opts.get("endingTimestamp")).map { ts =>
+      private val endTsV: Option[Int] =
+        Option(opts.get("endingTimestamp")).map { ts =>
+          require(endOrd.isEmpty, "graft cdc: endingVersion and " +
+            "endingTimestamp are mutually exclusive")
           val v = ChangeFeed.versionAtOrBefore(mainKey, nm, ts)
           require(v >= 0, s"graft cdc: no commit of '$nm' at or " +
             s"before endingTimestamp '$ts'")
           v
         }
-        val byV = intOpt("endingVersion").map { v =>
-          require(byTs.isEmpty, "graft cdc: endingVersion and " +
-            "endingTimestamp are mutually exclusive")
-          require(v >= 0 && v < ChangeFeed.ledgerSize(mainKey, nm),
-            s"graft cdc: endingVersion $v out of range (table has " +
-              s"${ChangeFeed.ledgerSize(mainKey, nm)} commits)")
-          v
-        }
-        byV.orElse(byTs)
+      private val startVersion: Option[Int] = {
+        val s = startOrd.map(_ - 1).orElse(startTsAnchor)
+        require(s.isEmpty || !startLatest, "graft cdc: a start bound " +
+          "and startingOffsets=latest are mutually exclusive")
+        s
       }
-      override def build(): Scan =
+      private val endVersion: Option[Int] = endOrd.orElse(endTsV)
+      override def build(): Scan = {
+        // an INVERTED window refuses loudly on this path too — the
+        // batch API already does; an empty answer would read as
+        // "no changes" when the request is unaddressable (review r20)
+        for (f <- startOrd; t <- endVersion) require(f <= t,
+          s"graft cdc: inverted range — startingVersion $f is past " +
+            s"the end bound (version $t)")
+        for (f <- startTsAnchor; t <- endVersion) require(f <= t,
+          s"graft cdc: inverted range — the start bound resolves to " +
+            s"version $f, past the end bound (version $t)")
         new GraftCdcScan(mainKey, nm, dataSchema, startLatest,
           startVersion, endVersion)
+      }
     }
 }
 

@@ -425,6 +425,13 @@ class CatalogRefsSpec extends SparkSpec {
         spark.sql("ALTER TABLE graft_cat.spec.rn2 RENAME TO spec.`bad@nm`")
       }
       assert(e1.getMessage.contains("reserved"), e1.getMessage.take(200))
+      // a '#'-carrying NAMESPACE would forge a key inside another
+      // table's shard space — refused like createTable (review r20)
+      val e1b = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE graft_cat.spec.rn2 RENAME TO `spec.rn2#p=v`.x")
+      }
+      assert(e1b.getMessage.contains("#"), e1b.getMessage.take(200))
       spark.range(3).select(col("id")).writeTo("graft_cat.spec.rn3").create()
       val e2 = intercept[Exception] {
         spark.sql("ALTER TABLE graft_cat.spec.rn2 RENAME TO spec.rn3")

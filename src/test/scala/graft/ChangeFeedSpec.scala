@@ -489,8 +489,9 @@ class ChangeFeedSpec extends SparkSpec {
           .table("graft_cat.spec.`cfts@changes`").count()
       }
       assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
-      // the ORDINAL option spelling: (1, 2] = v2 only, like the window
-      val viaVersions = spark.read.option("startingVersion", "1")
+      // the ORDINAL option spelling — both bounds INCLUSIVE (Delta
+      // parity): [2, 2] = v2 only, like the timestamp window
+      val viaVersions = spark.read.option("startingVersion", "2")
         .option("endingVersion", "2")
         .table("graft_cat.spec.`cfts@changes`")
       assert(viaVersions.count() === odd)
@@ -507,6 +508,13 @@ class ChangeFeedSpec extends SparkSpec {
           .table("graft_cat.spec.`cfts@changes`").count()
       }
       assert(e6.getMessage.contains("out of range"), e6.getMessage)
+      // an INVERTED window refuses loudly on the options path too
+      val e7 = intercept[Exception] {
+        spark.read.option("startingVersion", "3")
+          .option("endingVersion", "1")
+          .table("graft_cat.spec.`cfts@changes`").count()
+      }
+      assert(e7.getMessage.contains("inverted range"), e7.getMessage)
       // an expired range refuses through the walk's both-sides-live
       // check, not silently truncates
       spark.sql("CALL graft_cat.system.expire_versions('spec.cfts', 1)")

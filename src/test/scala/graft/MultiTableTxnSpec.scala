@@ -326,4 +326,37 @@ class MultiTableTxnSpec extends SparkSpec {
       spark.sql("DROP TABLE graft_cat.spec.mt6b")
     }
   }
+
+  test("rename cannot overwrite a dropped table's publish tombstone: the token keeps refusing for the dead pin") {
+    cat()
+    seed("mt7a", "mt7b")
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt7a', 'tx')")
+      spark.sql("CALL graft_cat.system.create_branch('spec.mt7b', 'tx')")
+      val cv = spark.sql("CALL graft_cat.system.publish_tables(" +
+        "'spec.mt7a@tx,spec.mt7b@tx')").head.getLong(3)
+      spark.sql("DROP TABLE graft_cat.spec.mt7b") // pin(b) -> tombstone
+      spark.sql("ALTER TABLE graft_cat.spec.mt7a RENAME TO spec.mt7b")
+      // the renamed table must NOT impersonate the dropped table the
+      // publish pinned under this name (review r20)
+      val e1 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt7b " +
+          s"VERSION AS OF 'txn$cv'").collect()
+      }
+      assert(e1.getMessage.contains("dropped or replaced"),
+        e1.getMessage.take(200))
+      // ... and the renamed table's own pin is gone, not mis-served
+      spark.range(2).select(col("id")).writeTo("graft_cat.spec.mt7a")
+        .create()
+      val e2 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_cat.spec.mt7a " +
+          s"VERSION AS OF 'txn$cv'").collect()
+      }
+      assert(e2.getMessage.contains("not part of catalog publish"),
+        e2.getMessage.take(200))
+    } finally {
+      scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.mt7a"))
+      scala.util.Try(spark.sql("DROP TABLE graft_cat.spec.mt7b")); ()
+    }
+  }
 }

@@ -27,9 +27,16 @@ trait SparkSpec extends AnyFunSuite {
     // adjudicate the r19 one-shot — the seeded walk passed in a quiet
     // environment; the one failure correlated with concurrent sbt
     // runs sharing target/, see ADVICE).
-    val seed = sys.env.get("GRAFT_PROP_SEED")
-      .flatMap(s => org.scalacheck.rng.Seed.fromBase64(s).toOption)
-      .getOrElse(org.scalacheck.rng.Seed.random())
+    // a malformed override must REFUSE, not silently fall back to a
+    // random seed — a typo'd replay that "passes" would adjudicate a
+    // real falsification as noise (review r20)
+    val seed = sys.env.get("GRAFT_PROP_SEED") match {
+      case Some(s) => org.scalacheck.rng.Seed.fromBase64(s).fold(
+        e => throw new IllegalArgumentException(
+          s"GRAFT_PROP_SEED '$s' is not a valid base64 seed", e),
+        identity)
+      case None => org.scalacheck.rng.Seed.random()
+    }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(minTests).withInitialSeed(seed), p)
     assert(res.passed,
