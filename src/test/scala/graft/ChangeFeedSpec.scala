@@ -525,4 +525,43 @@ class ChangeFeedSpec extends SparkSpec {
       assert(e4.getMessage.contains("expired"), e4.getMessage)
     } finally spark.sql("DROP TABLE graft_cat.spec.cfts")
   }
+
+  test("STREAMING timestamp anchor: startingTimestamp seeds the FIRST run; the checkpoint wins after") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.filter(col("event_id") % 2 === 0)
+      .writeTo("graft_cat.spec.cfst").create() // v0, v1
+    val root = java.nio.file.Files.createTempDirectory("graft_cfst")
+    try {
+      Thread.sleep(15)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(15)
+      base.filter(col("event_id") % 2 === 1)
+        .writeTo("graft_cat.spec.cfst").append() // v2
+      val odd = base.filter(col("event_id") % 2 === 1).count()
+      val dels = base.filter(col("value") < 40).count()
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      def drain(): Long = {
+        seen.set(0)
+        val q = spark.readStream.option("startingTimestamp", t1.toString)
+          .table("graft_cat.spec.`cfst@changes`")
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            seen.addAndGet(df.count()); ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally { scala.util.Try(q.stop()); () }
+        seen.get
+      }
+      // first run: only the commits AFTER the instant (v2) — v1's
+      // creation rows are behind the anchor
+      assert(drain() === odd)
+      // restart with the SAME checkpoint: the offset wins over the
+      // anchor — only the NEW commit streams, nothing replays
+      spark.sql("DELETE FROM graft_cat.spec.cfst WHERE value < 40") // v3
+      assert(drain() === dels)
+    } finally spark.sql("DROP TABLE graft_cat.spec.cfst")
+  }
 }
