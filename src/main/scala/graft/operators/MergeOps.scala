@@ -774,6 +774,58 @@ object MergeOps extends QueryModule {
       | (SELECT count(*) FROM events WHERE value >= 60 OR value IS NULL)
       |   + 1 AS n_live""".stripMargin
 
+  /** `t@files` (Iceberg's `t.files`): the BATCH inventory — one row per
+    * committed batch with its physical record count, positional-DV debt
+    * and per-column min/max footer bounds, keyed by CURRENT logical
+    * column name. The level below `t@partitions`: "which days need
+    * compaction?" is a shard question; "which BATCHES carry the debt,
+    * and are any of them tiny or skewed?" is this table. The digest
+    * pins the batch-count-independent invariants across a partitioned
+    * MOR create → DELETE script: shard coverage, physical-rows
+    * conservation (deletes mask, never shrink), the DV debt sum, and —
+    * the part only this table exposes — that min-of-lower /
+    * max-of-upper bounds over all batches reproduce the data's true
+    * range, proving the commit-time stats the skipper prunes by are
+    * faithful. Batch COUNTS are deliberately absent from the digest:
+    * they depend on writer parallelism (task count), not semantics.
+    */
+  def metaFilesDigest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    withDmlTable(s, base, partitionBy = Some("event_type"),
+        mergeOnRead = true) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 9 = 0") // MOR: DV debt
+      val short = tbl.split('.').last
+      val files = s.table(s"graft_cat.dml.`$short@files`")
+      files.agg(
+        countDistinct(col("partition")).as("n_parts"),
+        sum(col("record_count")).as("rec"),
+        sum(col("dv_deleted")).as("dv"),
+        min(element_at(col("lower_bounds"), "event_id").cast("long"))
+          .as("min_id"),
+        max(element_at(col("upper_bounds"), "event_id").cast("long"))
+          .as("max_id"),
+        min(floor(element_at(col("lower_bounds"), "value").cast("double")
+          * 100 + 0.5).cast("long")).as("min_val_cents"))
+    }
+  }
+
+  val metaFilesDigestOracle: String =
+    """SELECT
+      | (SELECT count(DISTINCT event_type) FROM events
+      |   WHERE event_type IS NOT NULL) AS n_parts,
+      | (SELECT count(*) FROM events WHERE event_type IS NOT NULL) AS rec,
+      | (SELECT count(*) FROM events
+      |   WHERE event_type IS NOT NULL AND event_id % 9 = 0) AS dv,
+      | (SELECT min(event_id) FROM events
+      |   WHERE event_type IS NOT NULL) AS min_id,
+      | (SELECT max(event_id) FROM events
+      |   WHERE event_type IS NOT NULL) AS max_id,
+      | (SELECT CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      |     AS BIGINT) FROM events
+      |   WHERE event_type IS NOT NULL) AS min_val_cents""".stripMargin
+
   /** DECIMAL PRECISION WIDENING (VERDICT r19 #5 — Iceberg's third safe
     * promotion, `decimal(P,S) → decimal(P',S)`, P'>P, same scale): the
     * money-column rung of [[sqlAlterWidenType]]. The script seeds
@@ -1316,6 +1368,57 @@ object MergeOps extends QueryModule {
       | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
       |   AS total
       |FROM events WHERE value >= 25""".stripMargin
+
+  /** TARGETED compaction (Iceberg's `rewrite_data_files(table, where)`):
+    * the maintenance loop the inventory metadata tables exist FOR —
+    * SELECT the debt-heaviest shard from `t@partitions`, CALL
+    * `compact(table, partition)` on exactly that shard. The digest pins
+    * the surgical contract: the target's DV debt is gone and its
+    * batches bin-packed to one, every OTHER shard's debt is untouched,
+    * and the table's logical content never changes. At 100 TB this is
+    * rewriting one hot day instead of the whole table — a bounded
+    * nightly job instead of an unbounded one.
+    */
+  def sqlCompactPartition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    withDmlTable(s, base, partitionBy = Some("event_type"),
+        mergeOnRead = true) { tbl =>
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 6 = 2") // DV debt, all shards
+      val short = tbl.split('.').last
+      val target = s.table(s"graft_cat.dml.`$short@partitions`")
+        .orderBy(col("dv_deleted").desc, col("partition"))
+        .select("partition").head.getString(0)
+      s.sql("CALL graft_cat.system.compact(" +
+        s"'${tbl.stripPrefix("graft_cat.")}', '$target')")
+      val parts = s.table(s"graft_cat.dml.`$short@partitions`")
+      parts.agg(
+        sum(when(col("partition") === target, col("dv_deleted")))
+          .as("dv_target"),
+        sum(when(col("partition") === target, col("batches")))
+          .cast("long").as("batches_target"),
+        sum(when(col("partition") =!= target, col("dv_deleted")))
+          .as("dv_rest"))
+        .withColumn("target", lit(target))
+        .crossJoin(s.table(tbl).agg(count(lit(1)).as("live")))
+    }
+  }
+
+  val sqlCompactPartitionOracle: String =
+    """WITH debt AS (
+      |  SELECT event_type, count(*) FILTER (WHERE event_id % 6 = 2) AS dv
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+      |), tgt AS (
+      |  SELECT event_type FROM debt ORDER BY dv DESC, event_type LIMIT 1
+      |)
+      |SELECT CAST(0 AS BIGINT) AS dv_target,
+      | CAST(1 AS BIGINT) AS batches_target,
+      | (SELECT CAST(sum(dv) AS BIGINT) FROM debt
+      |   WHERE event_type <> (SELECT event_type FROM tgt)) AS dv_rest,
+      | (SELECT event_type FROM tgt) AS target,
+      | (SELECT count(*) FROM events
+      |   WHERE event_type IS NOT NULL AND event_id % 6 <> 2) AS live""".stripMargin
 
   /** Batch CHANGE FEED over the commit ledger
     * ([[graft.sources.ChangeFeed.tableChanges]]) — the CDC surface the
@@ -2777,6 +2880,9 @@ object MergeOps extends QueryModule {
     // ... and the ancestry view with retention tombstones
     RegisteredQuery("meta_history_digest", metaHistoryDigest,
       Some(metaHistoryDigestOracle)),
+    // ... and the batch inventory with footer bounds (t@files)
+    RegisteredQuery("meta_files_digest", metaFilesDigest,
+      Some(metaFilesDigestOracle)),
     // ALTER TABLE RENAME: atomic key move; tags, time travel and the
     // exactly-once ledgers survive under the new name
     RegisteredQuery("sql_rename_table", sqlRenameTable,
@@ -2855,6 +2961,9 @@ object MergeOps extends QueryModule {
       Some(sqlDeletePartitionDropOracle)),
     RegisteredQuery("sql_call_compact", sqlCallCompact,
       Some(sqlCallCompactOracle)),
+    // ... and the targeted form: inventory-driven, one shard only
+    RegisteredQuery("sql_compact_partition", sqlCompactPartition,
+      Some(sqlCompactPartitionOracle)),
     RegisteredQuery("cdc_table_changes", cdcTableChanges,
       Some(cdcTableChangesOracle)),
     RegisteredQuery("cdc_changes_view", cdcChangesView,

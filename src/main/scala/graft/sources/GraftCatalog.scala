@@ -272,6 +272,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * live_rows). Itself a first-class truncate-commit, so time travel to
     * pre-compaction versions still resolves and streaming readers fail
     * loudly rather than reading re-packed batches under stale offsets.
+    *
+    * TARGETED form (Iceberg's `rewrite_data_files(table, where)`): an
+    * optional second argument names ONE partition by its decoded value
+    * — the `partition` column of `t@partitions`/`t@files`, so the
+    * maintenance loop composes as SELECT the debt, CALL the fix:
+    * `compact('ns.t', '2026-08-01')` rewrites only that shard; every
+    * other shard's batches, DVs and ledger are untouched. At 100 TB
+    * this is the difference between rewriting one hot day and
+    * rewriting the table. A partition value with no live shard REFUSES
+    * (a silent no-op would read as "compacted"); naming a partition on
+    * an unpartitioned table refuses too.
     */
   private def compactProcedure: procedures.UnboundProcedure = {
     import org.apache.spark.sql.connector.catalog.procedures._
@@ -286,17 +297,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           override def description(): String =
             "materialize deletion vectors and bin-pack committed batches"
           override def parameters(): Array[ProcedureParameter] = Array(
-            ProcedureParameter.in("table", StringType).build())
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("partition", StringType)
+              .defaultValue("CAST(NULL AS STRING)")
+              .comment("decoded partition value (t@partitions.partition);" +
+                " omit to compact every shard").build())
           override def isDeterministic: Boolean = false
           override def call(input: InternalRow)
               : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
             val tbl = input.getUTF8String(0).toString
+            val partArg =
+              if (input.numFields > 1 && !input.isNullAt(1))
+                Some(input.getUTF8String(1).toString)
+              else None
             val k = s"cat::$catName.$tbl"
             val keys =
-              if (GraftCatalog.parts.contains(k))
-                GraftStore.stores.keys.filter(_.startsWith(k + "#p="))
-                  .toSeq.sorted
-              else {
+              if (GraftCatalog.parts.contains(k)) {
+                val all = GraftStore.stores.keys
+                  .filter(_.startsWith(k + "#p=")).toSeq.sorted
+                partArg match {
+                  case None => all
+                  case Some(pv) =>
+                    val hit = all.filter { kk =>
+                      val sfx = kk.substring(kk.indexOf("#p=") + 3)
+                      GraftCatalog.shardSpecOf(k, sfx)._3 == pv
+                    }
+                    require(hit.nonEmpty,
+                      s"graft catalog: table '$tbl' has no live shard " +
+                        s"for partition '$pv' — nothing to compact " +
+                        "(t@partitions lists the live inventory)")
+                    hit
+                }
+              } else {
+                require(partArg.isEmpty,
+                  s"graft catalog: '$tbl' is not partitioned — call " +
+                    "compact without a partition argument")
                 require(GraftStore.stores.contains(k),
                   s"graft catalog: no table '$tbl' to compact")
                 Seq(k)
@@ -1350,6 +1385,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           GraftMetaTables.refsSchema,
           () => GraftMetaTables.refsRows(mainKey, partitioned))
       }
+      // `t@files` — the batch inventory (Iceberg's t.files): one row
+      // per committed batch with record count, positional-DV debt and
+      // per-column min/max bounds — the table a user queries to debug
+      // skew and decide WHICH batches compaction should rewrite
+      if (branch == "files") {
+        if (!GraftStore.stores.contains(mainKey))
+          throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"graft_store($mainKey@files)",
+          GraftMetaTables.filesSchema,
+          () => GraftMetaTables.filesRows(mainKey,
+            GraftCatalog.parts.contains(mainKey)))
+      }
       // `t@history` — the ancestry view (Iceberg's t.history)
       if (branch == "history") {
         if (!GraftStore.stores.contains(mainKey))
@@ -2158,7 +2205,8 @@ object GraftCatalog {
     "snapshots" -> "version-ledger metadata",
     "partitions" -> "shard-inventory metadata",
     "refs" -> "ref-inventory metadata",
-    "history" -> "ancestry metadata")
+    "history" -> "ancestry metadata",
+    "files" -> "batch-inventory metadata")
 
   private[sources] val publishSeq =
     new java.util.concurrent.atomic.AtomicLong(0L)
@@ -4287,6 +4335,20 @@ private[sources] object GraftMetaTables {
     .add("forked_at_version", IntegerType, nullable = true)
     .add("live_rows", LongType, nullable = true)
 
+  val filesSchema: StructType = new StructType()
+    .add("partition", StringType, nullable = true) // null = flat table
+    .add("batch", IntegerType, nullable = false)
+    .add("record_count", LongType, nullable = false)
+    .add("dv_deleted", LongType, nullable = false)
+    .add("lower_bounds",
+      MapType(StringType, StringType, valueContainsNull = false),
+      nullable = true) // null = a pre-stats snapshot's batch
+    .add("upper_bounds",
+      MapType(StringType, StringType, valueContainsNull = false),
+      nullable = true)
+    .add("null_value_columns", ArrayType(StringType, containsNull = false),
+      nullable = true)
+
   val historySchema: StructType = new StructType()
     .add("version", IntegerType, nullable = false)
     .add("committed_at", TimestampType, nullable = false)
@@ -4349,6 +4411,94 @@ private[sources] object GraftMetaTables {
       }.toArray
     }
 
+  /** `t@files` (Iceberg's `t.files`): the BATCH inventory — one row
+    * per committed batch of the CURRENT snapshot with its record
+    * count, positional-DV debt and per-column min/max bounds, the
+    * batch-granular level below `t@partitions`. This is the table a
+    * user queries to debug skew ("which batches are tiny?") and to
+    * pick compaction targets ("which batches carry the DV debt?").
+    * Contract notes, all matching the table-format analogue:
+    *  - `record_count` is the batch's PHYSICAL row count — deletes
+    *    never shrink it (DVs mask at read); `dv_deleted` is the
+    *    positional-DV debt pinned to the batch. Pending EQUALITY
+    *    deletes are deliberately absent: they are key sets, not
+    *    batch-addressed positions, until a rewrite applies them —
+    *    their debt signal lives in `t@partitions.eq_delete_sets`.
+    *  - bounds are the commit-time footer stats, rendered from the
+    *    store's INTERNAL value domain via `String.valueOf`
+    *    (UTF8String text, micros longs for timestamps, days ints for
+    *    dates), keyed by CURRENT logical column name through the slot
+    *    projection — a renamed column shows under its new name, a
+    *    dropped column disappears, exactly like field-id-keyed
+    *    parquet stats. All-null and NaN-poisoned slots are omitted;
+    *    a pre-stats snapshot's batch gets null maps (the same
+    *    "degrade to no-skip, never wrong" posture as the skipper).
+    *  - `null_value_columns` lists columns with at least one null in
+    *    the batch (the store tracks a flag, not Iceberg's counts —
+    *    an honest rendering of what commit time recorded).
+    * Driver-built O(batches) under the store lock like its siblings —
+    * stats were computed at commit; this only renders them.
+    */
+  def filesRows(key: String, partitioned: Boolean): Array[InternalRow] =
+    GraftStore.stores.synchronized {
+      import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData,
+        GenericArrayData}
+      def render(v: Any): UTF8String = UTF8String.fromString(v match {
+        case u: UTF8String => u.toString
+        case other => String.valueOf(other)
+      })
+      def batchRows(part: Any, c: GraftStore.Committed)
+          : Iterator[InternalRow] = {
+        val proj = c.projection
+        val fields = c.schema.fields
+        c.batches.indices.iterator.map { i =>
+          val st = if (i < c.stats.length) c.stats(i) else null
+          val dv = c.dvs.get(i)
+            .map(w => java.util.BitSet.valueOf(w).cardinality().toLong)
+            .getOrElse(0L)
+          val (lo, hi, nullCols): (Any, Any, Any) =
+            if (st == null) (null, null, null)
+            else {
+              val names = scala.collection.mutable.ArrayBuffer.empty[Any]
+              val mins = scala.collection.mutable.ArrayBuffer.empty[Any]
+              val maxs = scala.collection.mutable.ArrayBuffer.empty[Any]
+              val nulls = scala.collection.mutable.ArrayBuffer.empty[Any]
+              var j = 0
+              while (j < fields.length) {
+                val slot = if (j < proj.length) proj(j) else -1
+                if (slot >= 0 && slot < st.mins.length) {
+                  if (st.mins(slot) != null) {
+                    names += UTF8String.fromString(fields(j).name)
+                    mins += render(st.mins(slot))
+                    maxs += render(st.maxs(slot))
+                  }
+                  if (st.hasNull(slot))
+                    nulls += UTF8String.fromString(fields(j).name)
+                }
+                j += 1
+              }
+              (new ArrayBasedMapData(new GenericArrayData(names.toArray),
+                new GenericArrayData(mins.toArray)),
+                new ArrayBasedMapData(new GenericArrayData(names.toArray),
+                  new GenericArrayData(maxs.toArray)),
+                new GenericArrayData(nulls.toArray))
+            }
+          new GenericInternalRow(Array[Any](part, i,
+            c.batches(i).length.toLong, dv, lo, hi, nullCols)): InternalRow
+        }
+      }
+      if (partitioned)
+        GraftStore.stores.iterator.collect {
+          case (kk, c) if kk.startsWith(key + "#p=") =>
+            val sfx = kk.substring(kk.indexOf("#p=") + 3)
+            val (_, _, v) = GraftCatalog.shardSpecOf(key, sfx)
+            batchRows(UTF8String.fromString(v), c)
+        }.flatten.toArray
+      else
+        GraftStore.stores.get(key).iterator
+          .flatMap(c => batchRows(null, c)).toArray
+    }
+
   /** `t@history` (Iceberg's `t.history`, distinct from `t@snapshots`):
     * the ANCESTRY view — one row per ledger entry with its parent
     * ordinal and current-ancestor flag. In this catalog ancestry is
@@ -4390,7 +4540,7 @@ private[sources] object GraftMetaTables {
     * ordinal coordinate aged out), the main-ledger fence a branch
     * forked at, and the ref head's live row count. RESERVED refs
     * ([[GraftCatalog.reservedRefs]] — `changes`, `snapshots`,
-    * `partitions`, `refs`, `history`, `eq_deletes`) are addressing
+    * `partitions`, `refs`, `history`, `files`, `eq_deletes`) are addressing
     * schemes, not stateful refs — they never appear (contract pinned
     * by `CatalogRefsSpec`). Driver-built O(refs) metadata, like the
     * two tables above.

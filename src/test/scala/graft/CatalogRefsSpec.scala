@@ -556,4 +556,87 @@ class CatalogRefsSpec extends SparkSpec {
       assert(hist.forall(_.getBoolean(3)))
     } finally spark.sql("DROP TABLE graft_cat.spec.rfp")
   }
+
+  test("t@files batch inventory: physical counts, DV debt, bounds keyed by CURRENT column names; reserved name refused") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.fl1")
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      val extra = base.filter(col("event_id") % 7 === 0)
+      extra.writeTo("graft_cat.spec.fl1").append() // second batch set
+      spark.sql("DELETE FROM graft_cat.spec.fl1 WHERE event_id % 5 = 0")
+      val files = spark.table("graft_cat.spec.`fl1@files`").collect()
+      assert(files.nonEmpty)
+      assert(files.forall(_.isNullAt(0)), "flat table: partition is null")
+      // record_count is PHYSICAL — the MOR delete masks, never shrinks
+      val written = base.count() + extra.count()
+      assert(files.map(_.getLong(2)).sum === written)
+      // dv_deleted sums to exactly the masked rows
+      val masked = base.filter(col("event_id") % 5 === 0).count() +
+        extra.filter(col("event_id") % 5 === 0).count()
+      assert(files.map(_.getLong(3)).sum === masked)
+      assert(spark.table("graft_cat.spec.fl1").count() === written - masked)
+      // bounds: min-of-mins / max-of-maxs over batches = the data's range
+      // (deleted rows INCLUDED — footer stats are commit-time physical)
+      def boundsOf(col4: Int, key: String): Seq[Long] = files.toSeq
+        .filterNot(_.isNullAt(col4))
+        .flatMap(r => r.getMap[String, String](col4).get(key))
+        .map(_.toLong)
+      val ids = base.select("event_id").collect().map(_.getLong(0))
+      assert(boundsOf(4, "event_id").min === ids.min)
+      assert(boundsOf(5, "event_id").max === ids.max)
+      // null tracking: 'value' has nulls in the fixture; event_id never
+      val nullCols = files.toSeq.filterNot(_.isNullAt(6))
+        .flatMap(_.getSeq[String](6)).toSet
+      val hasNullValues =
+        base.filter(col("value").isNull).count() > 0
+      assert(!nullCols.contains("event_id"))
+      assert(nullCols.contains("value") === hasNullValues)
+      // bounds follow a RENAME COLUMN: keyed by the CURRENT logical
+      // name through the slot projection (the field-id contract)
+      spark.sql(
+        "ALTER TABLE graft_cat.spec.fl1 RENAME COLUMN value TO amount")
+      val renamed = spark.table("graft_cat.spec.`fl1@files`").collect()
+      val keys = renamed.toSeq.filterNot(_.isNullAt(4))
+        .flatMap(_.getMap[String, String](4).keys).toSet
+      assert(keys.contains("amount") && !keys.contains("value"))
+      // 'files' is a reserved ref: create_branch refuses
+      val e = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.create_branch('spec.fl1', 'files')")
+      }
+      assert(e.getMessage.contains("reserved"), e.getMessage.take(200))
+    } finally spark.sql("DROP TABLE graft_cat.spec.fl1")
+  }
+
+  test("PARTITIONED t@files agrees with t@partitions: per-shard batch counts and live = record_count - dv_deleted") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    base.writeTo("graft_cat.spec.flp").partitionedBy(col("event_type"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.flp WHERE event_id % 4 = 1")
+      val files = spark.table("graft_cat.spec.`flp@files`").collect()
+      val parts = spark.table("graft_cat.spec.`flp@partitions`").collect()
+      val filesBy = files.groupBy(_.getString(0))
+      assert(filesBy.keySet === parts.map(_.getString(0)).toSet)
+      parts.foreach { p =>
+        val f = filesBy(p.getString(0))
+        assert(f.length === p.getInt(3), "batch count per shard agrees")
+        assert(f.map(_.getLong(2)).sum - f.map(_.getLong(3)).sum ===
+          p.getLong(2), "live = physical - DV debt, per shard")
+      }
+      // shard-local bounds: each shard's batches only cover ITS rows
+      val perShardMin = base.groupBy("event_type")
+        .agg(min("event_id").as("m")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      filesBy.foreach { case (part, fs) =>
+        val lo = fs.toSeq.filterNot(_.isNullAt(4))
+          .flatMap(_.getMap[String, String](4).get("event_id")).map(_.toLong)
+        assert(lo.min === perShardMin(part), s"shard $part lower bound")
+      }
+    } finally spark.sql("DROP TABLE graft_cat.spec.flp")
+  }
 }

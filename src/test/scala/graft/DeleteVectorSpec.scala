@@ -163,6 +163,52 @@ class DeleteVectorSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.dvc")
   }
 
+  test("TARGETED compact('t', partition): one shard rewritten, every other untouched; refusals loud") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    base.writeTo("graft_cat.spec.dvtc").partitionedBy(col("event_type"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      spark.sql("DELETE FROM graft_cat.spec.dvtc WHERE event_id % 3 = 0")
+      def inventory(): Map[String, (Int, Long)] =
+        spark.table("graft_cat.spec.`dvtc@partitions`").collect()
+          .map(r => r.getString(0) -> ((r.getInt(3), r.getLong(4)))).toMap
+      val before = inventory()
+      assert(before.size > 1, "fixture has several event types")
+      val target = before.keys.min
+      val want = spark.table("graft_cat.spec.dvtc")
+        .orderBy("event_id", "value").collect().toSeq
+      spark.sql(s"CALL graft_cat.system.compact('spec.dvtc', '$target')")
+      val after = inventory()
+      assert(after(target) === ((1, 0L)),
+        "target shard bin-packed to one batch, DV debt gone")
+      (before.keySet - target).foreach(p =>
+        assert(after(p) === before(p), s"shard $p untouched"))
+      // logical content identical row-for-row
+      assert(spark.table("graft_cat.spec.dvtc")
+        .orderBy("event_id", "value").collect().toSeq === want)
+      // a partition value with no live shard refuses — a silent no-op
+      // would read as "compacted"
+      val e = intercept[Exception] {
+        spark.sql(
+          "CALL graft_cat.system.compact('spec.dvtc', 'no_such_part')")
+      }
+      assert(e.getMessage.contains("no live shard"), e.getMessage.take(300))
+    } finally spark.sql("DROP TABLE graft_cat.spec.dvtc")
+    // naming a partition on an UNPARTITIONED table refuses too
+    Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+      .limit(10).writeTo("graft_cat.spec.dvtf").create()
+    try {
+      val ef = intercept[Exception] {
+        spark.sql("CALL graft_cat.system.compact('spec.dvtf', 'x')")
+      }
+      assert(ef.getMessage.contains("not partitioned"),
+        ef.getMessage.take(300))
+    } finally spark.sql("DROP TABLE graft_cat.spec.dvtf")
+  }
+
   test("CALL system.rollback restores an earlier commit as a NEW commit (undo without history rewrite)") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
