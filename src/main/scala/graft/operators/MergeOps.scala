@@ -826,6 +826,55 @@ object MergeOps extends QueryModule {
       |     AS BIGINT) FROM events
       |   WHERE event_type IS NOT NULL) AS min_val_cents""".stripMargin
 
+  /** WAP AUDIT through branch-scoped metadata tables: `t@b@partitions`
+    * / `t@b@files` / `t@b@snapshots` serve branch b's OWN inventory,
+    * the way `t@b@eq_deletes` already serves its delete channel. The
+    * audit half of write-audit-publish: a curation pass deletes ON the
+    * branch, then SELECTs the branch's shard debt and batch inventory
+    * to decide whether to publish — while main's inventory stays dark
+    * (zero debt, full live rows). The digest pins both sides at once
+    * plus physical-rows conservation on the branch (fork is zero-copy;
+    * the branch's batches are main's batches until a branch write
+    * diverges them). Same O(metadata) builders, pointed at the
+    * branch's store keys.
+    */
+  def metaWapAuditDigest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    withDmlTable(s, base, partitionBy = Some("event_type"),
+        mergeOnRead = true) { tbl =>
+      val short0 = tbl.stripPrefix("graft_cat.")
+      val t = tbl.split('.').last
+      s.sql(s"CALL graft_cat.system.create_branch('$short0', 'audit')")
+      s.sql(s"DELETE FROM graft_cat.dml.`$t@audit` WHERE event_id % 5 = 3")
+      val bp = s.table(s"graft_cat.dml.`$t@audit@partitions`")
+      val mp = s.table(s"graft_cat.dml.`$t@partitions`")
+      val bf = s.table(s"graft_cat.dml.`$t@audit@files`")
+      bp.agg(
+          sum(col("dv_deleted")).as("branch_dv"),
+          sum(col("live_rows")).as("branch_live"))
+        .crossJoin(mp.agg(
+          sum(col("dv_deleted")).as("main_dv"),
+          sum(col("live_rows")).as("main_live")))
+        .crossJoin(bf.agg(
+          sum(col("record_count")).as("branch_physical")))
+    }
+  }
+
+  val metaWapAuditDigestOracle: String =
+    """SELECT
+      | (SELECT count(*) FROM events
+      |   WHERE event_type IS NOT NULL AND event_id % 5 = 3) AS branch_dv,
+      | (SELECT count(*) FROM events
+      |   WHERE event_type IS NOT NULL AND event_id % 5 <> 3)
+      |   AS branch_live,
+      | CAST(0 AS BIGINT) AS main_dv,
+      | (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+      |   AS main_live,
+      | (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+      |   AS branch_physical""".stripMargin
+
   /** DECIMAL PRECISION WIDENING (VERDICT r19 #5 — Iceberg's third safe
     * promotion, `decimal(P,S) → decimal(P',S)`, P'>P, same scale): the
     * money-column rung of [[sqlAlterWidenType]]. The script seeds
@@ -2883,6 +2932,9 @@ object MergeOps extends QueryModule {
     // ... and the batch inventory with footer bounds (t@files)
     RegisteredQuery("meta_files_digest", metaFilesDigest,
       Some(metaFilesDigestOracle)),
+    // ... and the branch-scoped audit composition (t@b@partitions etc.)
+    RegisteredQuery("meta_wap_audit_digest", metaWapAuditDigest,
+      Some(metaWapAuditDigestOracle)),
     // ALTER TABLE RENAME: atomic key move; tags, time travel and the
     // exactly-once ledgers survive under the new name
     RegisteredQuery("sql_rename_table", sqlRenameTable,

@@ -1406,6 +1406,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           GraftMetaTables.historySchema,
           () => GraftMetaTables.historyRows(mainKey, partitioned))
       }
+      // ... and the metadata tables compose with WAP the same way the
+      // eq-delete channel does: `t@b@partitions` / `t@b@files` /
+      // `t@b@snapshots` serve branch b's OWN inventory — the audit
+      // half of write-audit-publish. A curation pass writes to the
+      // branch, then SELECTs the branch's shard debt, batch bounds and
+      // version ledger to decide whether to publish, all while main
+      // stays dark. Same driver-built O(metadata) builders, pointed at
+      // the branch's store keys (a branch owns its shards and ledger
+      // from the fork). Tags deliberately do NOT compose: a tag is a
+      // pinned snapshot, not a live ref with its own ledger.
+      if (branch.endsWith("@partitions") || branch.endsWith("@files") ||
+          branch.endsWith("@snapshots")) {
+        val at = branch.lastIndexOf('@')
+        val (b, meta) = (branch.substring(0, at), branch.substring(at + 1))
+        val bk = s"$mainKey#b=$b"
+        if (b.isEmpty || !GraftCatalog.branches.contains(bk))
+          throw new NoSuchTableException(ident)
+        val partitioned = GraftCatalog.parts.contains(bk)
+        if (meta == "partitions") {
+          if (!partitioned) throw new NoSuchTableException(ident)
+          return new GraftMetaTable(s"graft_store($bk@partitions)",
+            GraftMetaTables.partitionsSchema,
+            () => GraftMetaTables.partitionRows(bk))
+        }
+        return new GraftMetaTable(s"graft_store($bk@$meta)",
+          if (meta == "files") GraftMetaTables.filesSchema
+          else GraftMetaTables.snapshotsSchema,
+          () =>
+            if (meta == "files") GraftMetaTables.filesRows(bk, partitioned)
+            else GraftMetaTables.snapshotRows(bk, partitioned))
+      }
       // ... and it composes with WAP: `t@b@eq_deletes` is branch b's
       // own channel — a curation pass eq-upserts ON THE BRANCH, main
       // dark until publish carries the tuple sets by reference

@@ -557,6 +557,42 @@ class CatalogRefsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.rfp")
   }
 
+  test("WAP audit: t@b@partitions / t@b@files / t@b@snapshots serve the BRANCH's own inventory; main stays dark") {
+    cat()
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_type").isNotNull)
+    base.writeTo("graft_cat.spec.wau").partitionedBy(col("event_type"))
+      .tableProperty("write.mode", "merge-on-read").create()
+    try {
+      spark.sql("CALL graft_cat.system.create_branch('spec.wau', 'audit')")
+      spark.sql(
+        "DELETE FROM graft_cat.spec.`wau@audit` WHERE event_id % 2 = 0")
+      val deleted = base.filter(col("event_id") % 2 === 0).count()
+      // the branch's shard inventory carries the branch's DV debt...
+      val bparts = spark.table("graft_cat.spec.`wau@audit@partitions`")
+        .collect()
+      assert(bparts.map(_.getLong(4)).sum === deleted)
+      // ...while main's inventory is dark (the WAP contract)
+      val mparts = spark.table("graft_cat.spec.`wau@partitions`").collect()
+      assert(mparts.map(_.getLong(4)).sum === 0L)
+      assert(mparts.map(_.getLong(2)).sum === base.count())
+      // branch batch inventory: physical counts conserved, debt visible
+      val bfiles = spark.table("graft_cat.spec.`wau@audit@files`").collect()
+      assert(bfiles.map(_.getLong(2)).sum === base.count())
+      assert(bfiles.map(_.getLong(3)).sum === deleted)
+      // branch version ledger: the fork seed + the delete commit
+      val bsnaps = spark.table("graft_cat.spec.`wau@audit@snapshots`")
+        .collect()
+      assert(bsnaps.length === 2)
+      assert(bsnaps.map(_.getInt(0)).toSeq.sorted === Seq(0, 1))
+      // an unknown branch refuses rather than serving an empty audit
+      intercept[Exception] {
+        spark.table("graft_cat.spec.`wau@nope@files`").collect()
+      }
+    } finally spark.sql("DROP TABLE graft_cat.spec.wau")
+  }
+
   test("t@files batch inventory: physical counts, DV debt, bounds keyed by CURRENT column names; reserved name refused") {
     cat()
     val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
