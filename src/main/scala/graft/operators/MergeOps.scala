@@ -826,6 +826,58 @@ object MergeOps extends QueryModule {
       |     AS BIGINT) FROM events
       |   WHERE event_type IS NOT NULL) AS min_val_cents""".stripMargin
 
+  /** `t@all_files` (Iceberg's `t.all_files`): the HISTORICAL batch
+    * census — every batch of every live ledger version with its DV
+    * debt as of that version, so "which commit introduced this batch /
+    * when did its debt appear?" is one SELECT instead of N time
+    * travels. The script walks a full flat-table lifecycle — CTAS,
+    * append, DV delete, compact — and digests the per-version
+    * invariants: physical rows at each rung (the DV commit conserves
+    * them; the compact commit shrinks them to live), the debt sum
+    * surfacing exactly at the delete version, the post-compaction
+    * bin-pack to ONE batch, and the `is_current` flag pointing at the
+    * compaction commit. Expired versions are absent by contract
+    * (pinned in `CatalogRefsSpec`); bounds live in `t@files` only
+    * (historical snapshots carry their own slot layouts).
+    */
+  def metaAllFilesDigest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("value"))
+    withDmlTable(s, base) { tbl => // v0 create, v1 CTAS
+      base.filter(col("event_id") % 97 === 0).writeTo(tbl).append() // v2
+      s.sql(s"DELETE FROM $tbl WHERE value < 40") // v3: deletion vectors
+      s.sql("CALL graft_cat.system.compact(" +
+        s"'${tbl.stripPrefix("graft_cat.")}')") // v4: bin-pack
+      val short = tbl.split('.').last
+      val af = s.table(s"graft_cat.dml.`$short@all_files`")
+      af.agg(
+        sum(when(col("version") === 1, col("record_count"))).as("rows_v1"),
+        sum(when(col("version") === 2, col("record_count"))).as("rows_v2"),
+        sum(when(col("version") === 3, col("record_count"))).as("rows_v3"),
+        sum(when(col("version") === 3, col("dv_deleted"))).as("dv_v3"),
+        sum(when(col("version") === 4, col("record_count"))).as("rows_v4"),
+        count(when(col("version") === 4, 1)).as("batches_v4"),
+        max(when(col("is_current"), col("version"))).as("cur_v"))
+    }
+  }
+
+  val metaAllFilesDigestOracle: String =
+    """SELECT
+      | (SELECT count(*) FROM events) AS rows_v1,
+      | (SELECT count(*) FROM events)
+      |   + (SELECT count(*) FROM events WHERE event_id % 97 = 0)
+      |   AS rows_v2,
+      | (SELECT count(*) FROM events)
+      |   + (SELECT count(*) FROM events WHERE event_id % 97 = 0)
+      |   AS rows_v3,
+      | (SELECT count(*) FROM events WHERE value < 40)
+      |   + (SELECT count(*) FROM events
+      |       WHERE event_id % 97 = 0 AND value < 40) AS dv_v3,
+      | (SELECT count(*) FROM events WHERE value >= 40 OR value IS NULL)
+      |   + (SELECT count(*) FROM events WHERE event_id % 97 = 0
+      |       AND (value >= 40 OR value IS NULL)) AS rows_v4,
+      | CAST(1 AS BIGINT) AS batches_v4,
+      | 4 AS cur_v""".stripMargin
+
   /** WAP AUDIT through branch-scoped metadata tables: `t@b@partitions`
     * / `t@b@files` / `t@b@snapshots` serve branch b's OWN inventory,
     * the way `t@b@eq_deletes` already serves its delete channel. The
@@ -2935,6 +2987,9 @@ object MergeOps extends QueryModule {
     // ... and the branch-scoped audit composition (t@b@partitions etc.)
     RegisteredQuery("meta_wap_audit_digest", metaWapAuditDigest,
       Some(metaWapAuditDigestOracle)),
+    // ... and the historical batch census (t@all_files)
+    RegisteredQuery("meta_all_files_digest", metaAllFilesDigest,
+      Some(metaAllFilesDigestOracle)),
     // ALTER TABLE RENAME: atomic key move; tags, time travel and the
     // exactly-once ledgers survive under the new name
     RegisteredQuery("sql_rename_table", sqlRenameTable,

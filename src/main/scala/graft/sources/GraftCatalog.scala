@@ -1397,6 +1397,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           () => GraftMetaTables.filesRows(mainKey,
             GraftCatalog.parts.contains(mainKey)))
       }
+      // `t@all_files` — the HISTORICAL batch census (Iceberg's
+      // t.all_files): every batch of every live ledger version, so
+      // "which commit introduced this batch, and when did its DV debt
+      // appear?" is a SELECT over versions instead of N time travels
+      if (branch == "all_files") {
+        if (!GraftStore.stores.contains(mainKey))
+          throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"graft_store($mainKey@all_files)",
+          GraftMetaTables.allFilesSchema,
+          () => GraftMetaTables.allFilesRows(mainKey,
+            GraftCatalog.parts.contains(mainKey)))
+      }
       // `t@history` — the ancestry view (Iceberg's t.history)
       if (branch == "history") {
         if (!GraftStore.stores.contains(mainKey))
@@ -1417,7 +1429,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       // from the fork). Tags deliberately do NOT compose: a tag is a
       // pinned snapshot, not a live ref with its own ledger.
       if (branch.endsWith("@partitions") || branch.endsWith("@files") ||
-          branch.endsWith("@snapshots")) {
+          branch.endsWith("@snapshots") || branch.endsWith("@history")) {
         val at = branch.lastIndexOf('@')
         val (b, meta) = (branch.substring(0, at), branch.substring(at + 1))
         val bk = s"$mainKey#b=$b"
@@ -1430,12 +1442,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             GraftMetaTables.partitionsSchema,
             () => GraftMetaTables.partitionRows(bk))
         }
-        return new GraftMetaTable(s"graft_store($bk@$meta)",
-          if (meta == "files") GraftMetaTables.filesSchema
-          else GraftMetaTables.snapshotsSchema,
-          () =>
-            if (meta == "files") GraftMetaTables.filesRows(bk, partitioned)
-            else GraftMetaTables.snapshotRows(bk, partitioned))
+        val (sch, rows) = meta match {
+          case "files" => (GraftMetaTables.filesSchema,
+            () => GraftMetaTables.filesRows(bk, partitioned))
+          case "history" => (GraftMetaTables.historySchema,
+            () => GraftMetaTables.historyRows(bk, partitioned))
+          case _ => (GraftMetaTables.snapshotsSchema,
+            () => GraftMetaTables.snapshotRows(bk, partitioned))
+        }
+        return new GraftMetaTable(s"graft_store($bk@$meta)", sch, rows)
       }
       // ... and it composes with WAP: `t@b@eq_deletes` is branch b's
       // own channel — a curation pass eq-upserts ON THE BRANCH, main
@@ -2237,7 +2252,8 @@ object GraftCatalog {
     "partitions" -> "shard-inventory metadata",
     "refs" -> "ref-inventory metadata",
     "history" -> "ancestry metadata",
-    "files" -> "batch-inventory metadata")
+    "files" -> "batch-inventory metadata",
+    "all_files" -> "historical batch-census metadata")
 
   private[sources] val publishSeq =
     new java.util.concurrent.atomic.AtomicLong(0L)
@@ -4380,6 +4396,14 @@ private[sources] object GraftMetaTables {
     .add("null_value_columns", ArrayType(StringType, containsNull = false),
       nullable = true)
 
+  val allFilesSchema: StructType = new StructType()
+    .add("version", IntegerType, nullable = false)
+    .add("partition", StringType, nullable = true) // null = flat table
+    .add("batch", IntegerType, nullable = false)
+    .add("record_count", LongType, nullable = false)
+    .add("dv_deleted", LongType, nullable = false)
+    .add("is_current", BooleanType, nullable = false)
+
   val historySchema: StructType = new StructType()
     .add("version", IntegerType, nullable = false)
     .add("committed_at", TimestampType, nullable = false)
@@ -4528,6 +4552,55 @@ private[sources] object GraftMetaTables {
       else
         GraftStore.stores.get(key).iterator
           .flatMap(c => batchRows(null, c)).toArray
+    }
+
+  /** `t@all_files` (Iceberg's `t.all_files`): the HISTORICAL batch
+    * census — one row per batch per LIVE ledger version, with the
+    * snapshot-local batch ordinal, physical record count,
+    * positional-DV debt AS OF that version, and an `is_current` flag.
+    * This answers "which commit introduced this batch?" and "when did
+    * this batch's DV debt appear?" with one SELECT over versions
+    * instead of N time-travel reads. Deliberate deltas from
+    * `t@files`: retention-expired versions are simply ABSENT (their
+    * pinned state is gone; the ordinals remain visible in
+    * `t@snapshots` as tombstones), and column bounds are not rendered
+    * (each historical snapshot carries its own schema/slot layout —
+    * bounds keyed by any single naming would lie across evolution;
+    * the CURRENT snapshot's bounds live in `t@files`). O(versions ×
+    * batches) driver-built metadata, the same cost shape as Iceberg's
+    * all_files manifest walk.
+    */
+  def allFilesRows(key: String, partitioned: Boolean): Array[InternalRow] =
+    GraftStore.stores.synchronized {
+      def rowsOf(v: Int, cur: Boolean, part: Any, c: GraftStore.Committed)
+          : Iterator[InternalRow] =
+        c.batches.indices.iterator.map { i =>
+          val dv = c.dvs.get(i)
+            .map(w => java.util.BitSet.valueOf(w).cardinality().toLong)
+            .getOrElse(0L)
+          new GenericInternalRow(Array[Any](v, part, i,
+            c.batches(i).length.toLong, dv, cur)): InternalRow
+        }
+      if (partitioned) {
+        val ledger = GraftCatalog.partVersions.getOrElse(key, Vector.empty)
+        val head = ledger.size - 1
+        ledger.zipWithIndex.iterator.flatMap {
+          case (null, _) => Iterator.empty
+          case ((_, shards: Map[String @unchecked,
+              GraftStore.Committed @unchecked]), v) =>
+            shards.toSeq.sortBy(_._1).iterator.flatMap { case (sfx, c) =>
+              val (_, _, pv) = GraftCatalog.shardSpecOf(key, sfx)
+              rowsOf(v, v == head, UTF8String.fromString(pv), c)
+            }
+        }.toArray
+      } else {
+        val hist = GraftStore.history.getOrElse(key, Vector.empty)
+        val head = hist.size - 1
+        hist.zipWithIndex.iterator.flatMap {
+          case (null, _) => Iterator.empty
+          case (c, v) => rowsOf(v, v == head, null, c)
+        }.toArray
+      }
     }
 
   /** `t@history` (Iceberg's `t.history`, distinct from `t@snapshots`):

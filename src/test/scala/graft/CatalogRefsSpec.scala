@@ -645,6 +645,43 @@ class CatalogRefsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_cat.spec.fl1")
   }
 
+  test("t@all_files: historical census across versions; expired versions absent; t@b@history composes") {
+    cat()
+    val base = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    base.writeTo("graft_cat.spec.af1").create() // v0 create, v1 CTAS
+    try {
+      base.filter(col("event_id") % 101 === 0)
+        .writeTo("graft_cat.spec.af1").append() // v2
+      spark.sql("DELETE FROM graft_cat.spec.af1 WHERE value < 40") // v3 DV
+      def census(): Array[org.apache.spark.sql.Row] =
+        spark.table("graft_cat.spec.`af1@all_files`").collect()
+      val af = census()
+      // v0 (empty create) contributes no batch rows; v1..v3 all serve
+      assert(af.map(_.getInt(0)).toSet === Set(1, 2, 3))
+      def rows(v: Int) = af.filter(_.getInt(0) == v).map(_.getLong(3)).sum
+      def dv(v: Int) = af.filter(_.getInt(0) == v).map(_.getLong(4)).sum
+      // the DV commit conserves physical rows; debt appears AT v3 only
+      assert(rows(3) === rows(2))
+      assert(rows(2) === rows(1) +
+        base.filter(col("event_id") % 101 === 0).count())
+      val deleted = base.filter(col("value") < 40).count() +
+        base.filter(col("event_id") % 101 === 0)
+          .filter(col("value") < 40).count()
+      assert(dv(1) === 0L && dv(2) === 0L && dv(3) === deleted)
+      // is_current marks the head version's rows only
+      assert(af.filter(_.getBoolean(5)).map(_.getInt(0)).toSet === Set(3))
+      // retention: expired versions are ABSENT from the census (their
+      // ordinals stay visible in t@snapshots as tombstones)
+      spark.sql("CALL graft_cat.system.expire_versions('spec.af1', 2)")
+      assert(census().map(_.getInt(0)).toSet === Set(2, 3))
+      // ... and branch ancestry composes like the other branch-scoped
+      // metadata tables
+      spark.sql("CALL graft_cat.system.create_branch('spec.af1', 'wip')")
+      val bh = spark.table("graft_cat.spec.`af1@wip@history`").collect()
+      assert(bh.nonEmpty && bh.forall(_.getBoolean(3)))
+    } finally spark.sql("DROP TABLE graft_cat.spec.af1")
+  }
+
   test("PARTITIONED t@files agrees with t@partitions: per-shard batch counts and live = record_count - dv_deleted") {
     cat()
     val base = Tables.events(spark, sfDir)
