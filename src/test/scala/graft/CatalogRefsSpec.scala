@@ -710,6 +710,13 @@ class CatalogRefsSpec extends SparkSpec {
           .flatMap(_.getMap[String, String](4).get("event_id")).map(_.toLong)
         assert(lo.min === perShardMin(part), s"shard $part lower bound")
       }
+      // the PARTITIONED historical census agrees with t@files at the
+      // current version: same shard coverage, same physical/debt sums
+      val afCur = spark.table("graft_cat.spec.`flp@all_files`").collect()
+        .filter(_.getBoolean(5))
+      assert(afCur.map(_.getString(1)).toSet === filesBy.keySet)
+      assert(afCur.map(_.getLong(3)).sum === files.map(_.getLong(2)).sum)
+      assert(afCur.map(_.getLong(4)).sum === files.map(_.getLong(3)).sum)
     } finally spark.sql("DROP TABLE graft_cat.spec.flp")
   }
 }
