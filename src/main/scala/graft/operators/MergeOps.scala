@@ -903,6 +903,7 @@ object MergeOps extends QueryModule {
       val bp = s.table(s"graft_cat.dml.`$t@audit@partitions`")
       val mp = s.table(s"graft_cat.dml.`$t@partitions`")
       val bf = s.table(s"graft_cat.dml.`$t@audit@files`")
+      val baf = s.table(s"graft_cat.dml.`$t@audit@all_files`")
       bp.agg(
           sum(col("dv_deleted")).as("branch_dv"),
           sum(col("live_rows")).as("branch_live"))
@@ -911,6 +912,10 @@ object MergeOps extends QueryModule {
           sum(col("live_rows")).as("main_live")))
         .crossJoin(bf.agg(
           sum(col("record_count")).as("branch_physical")))
+        // the branch's historical census at its head agrees with the
+        // current inventory (t@b@all_files composes too)
+        .crossJoin(baf.filter(col("is_current")).agg(
+          sum(col("record_count")).as("branch_census_physical")))
     }
   }
 
@@ -925,7 +930,9 @@ object MergeOps extends QueryModule {
       | (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
       |   AS main_live,
       | (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
-      |   AS branch_physical""".stripMargin
+      |   AS branch_physical,
+      | (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+      |   AS branch_census_physical""".stripMargin
 
   /** DECIMAL PRECISION WIDENING (VERDICT r19 #5 — Iceberg's third safe
     * promotion, `decimal(P,S) → decimal(P',S)`, P'>P, same scale): the

@@ -1429,7 +1429,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       // from the fork). Tags deliberately do NOT compose: a tag is a
       // pinned snapshot, not a live ref with its own ledger.
       if (branch.endsWith("@partitions") || branch.endsWith("@files") ||
-          branch.endsWith("@snapshots") || branch.endsWith("@history")) {
+          branch.endsWith("@snapshots") || branch.endsWith("@history") ||
+          branch.endsWith("@all_files")) {
         val at = branch.lastIndexOf('@')
         val (b, meta) = (branch.substring(0, at), branch.substring(at + 1))
         val bk = s"$mainKey#b=$b"
@@ -1445,6 +1446,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val (sch, rows) = meta match {
           case "files" => (GraftMetaTables.filesSchema,
             () => GraftMetaTables.filesRows(bk, partitioned))
+          case "all_files" => (GraftMetaTables.allFilesSchema,
+            () => GraftMetaTables.allFilesRows(bk, partitioned))
           case "history" => (GraftMetaTables.historySchema,
             () => GraftMetaTables.historyRows(bk, partitioned))
           case _ => (GraftMetaTables.snapshotsSchema,

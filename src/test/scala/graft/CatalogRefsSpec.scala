@@ -586,6 +586,11 @@ class CatalogRefsSpec extends SparkSpec {
         .collect()
       assert(bsnaps.length === 2)
       assert(bsnaps.map(_.getInt(0)).toSeq.sorted === Seq(0, 1))
+      // branch historical census: fork version debt-free, head carries it
+      val baf = spark.table("graft_cat.spec.`wau@audit@all_files`")
+        .collect()
+      assert(baf.filter(_.getInt(0) == 0).map(_.getLong(4)).sum === 0L)
+      assert(baf.filter(_.getBoolean(5)).map(_.getLong(4)).sum === deleted)
       // an unknown branch refuses rather than serving an empty audit
       intercept[Exception] {
         spark.table("graft_cat.spec.`wau@nope@files`").collect()
