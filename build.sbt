@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // scratch root for staged inputs / streaming checkpoints / shuffle
+  // spill (java.io.tmpdir + spark.local.dir); env-parameterized so the
+  // A/B between disk-backed /tmp and a fast local volume is one env var
+  s"-Djava.io.tmpdir=${sys.env.getOrElse("GRAFT_TMPDIR", "/tmp")}",
+  s"-Dspark.local.dir=${sys.env.getOrElse("GRAFT_TMPDIR", "/tmp")}",
 )

@@ -445,8 +445,9 @@ object Dedup extends QueryModule {
 
   /** Connected components over an undirected pair graph: min-label
     * propagation (each node takes the min of its own and its neighbors'
-    * labels) plus double pointer jumping (root := root-of-root, twice —
-    * path compression), converging in O(log diameter) rounds.
+    * labels, several hops per round) plus pointer jumping (root :=
+    * root's root — path compression), converging in O(log diameter)
+    * rounds.
     *
     * The loop body is deliberately the RDD API, not DataFrames — the one
     * place in this engine where that is the right call. A DataFrame loop
@@ -463,7 +464,23 @@ object Dedup extends QueryModule {
     * never quadratic; at 100 TB the same loop runs with a reliable
     * checkpoint dir and a partition count sized to the dup graph.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol, hopsPerRound = 4, jumpsPerRound = 1)
+
+  /** Round-shape-parameterized body — [[connectedComponents]] pins the
+    * measured default (4 hops + 1 jump per round, r20 optimization). A
+    * hop and a jump cost about the same here — one re-key shuffle over
+    * |V|-bounded label rows (the co-partitioned edge join is narrow) vs
+    * two — so the round SHAPE only moves the ROUND COUNT, and each round
+    * carries a fixed convergence-probe action whose scheduling dominates
+    * at dup-graph scale. Hop-heavy rounds converge in the fewest rounds
+    * on long-chain graphs (the emb 0.4-threshold graph: 6 rounds at
+    * 2h+2j, 4 at 4h+1j, measured CC-only 1.78→0.73 s; shapes h1jN need
+    * 10 rounds and lose — OPTIMIZATION_r20.md §cc). Exposed
+    * private[graft] so the A/B probe can measure shapes side by side.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, aCol: String,
+      bCol: String, hopsPerRound: Int, jumpsPerRound: Int): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
@@ -498,14 +515,17 @@ object Dedup extends QueryModule {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
-      // (a) two neighbor-min hops: edges and labels share `part`, so each
+      // (a) neighbor-min hop(s): edges and labels share `part`, so each
       // join shuffles neither side; only the hop outputs re-key
-      val hop1 = edges.join(labels, part).map { case (_, (y, r)) => (y, r) }
-      val l1 = labels.union(hop1).reduceByKey(part, math.min(_: Long, _: Long))
-      val hop2 = edges.join(l1, part).map { case (_, (y, r)) => (y, r) }
-      val l2 = l1.union(hop2).reduceByKey(part, math.min(_: Long, _: Long))
-      // (b) double pointer jump: label-chain depth quarters every round
-      val next = jump(jump(l2)).persist(StorageLevel.MEMORY_AND_DISK)
+      var cur = labels
+      for (_ <- 1 to hopsPerRound) {
+        val hop = edges.join(cur, part).map { case (_, (y, r)) => (y, r) }
+        cur = cur.union(hop).reduceByKey(part, math.min(_: Long, _: Long))
+      }
+      // (b) pointer jumps: label-chain depth halves per jump, and each
+      // jump touches only the |V|-sized label table, never the edges
+      for (_ <- 1 to jumpsPerRound) cur = jump(cur)
+      val next = cur.persist(StorageLevel.MEMORY_AND_DISK)
       // probe every round after the first — RDD counts over the tiny
       // label table cost scheduling only, and the loop is O(log d) rounds
       changed =

@@ -179,8 +179,15 @@ object GraphOps extends QueryModule {
 
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val e = coEdges(s, dir)
+    // deg is |V|-bounded — materialize it once (localCheckpoint) so the
+    // two broadcast attachments below don't each re-run the |E|-sized
+    // union+aggregate (r20: the unmaterialized plan re-computed this
+    // subtree four times — twice per deg side, again inside each adj
+    // branch — because the renamed projections make the subtrees
+    // canonically distinct, so ReusedExchange never applies)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     // deg is |V|-bounded and the closing probe is |E|-bounded (16 B/edge —
     // ~15 MB at sf0.1, above the 10 MB auto-broadcast bar, far below
     // executor memory). Broadcast both: the wedge stream (O(m^1.5) rows,
@@ -191,12 +198,17 @@ object GraphOps extends QueryModule {
     val withDeg = e
       .join(broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")), "a")
       .join(broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")), "b")
+    // oriented (|E| rows × 2 longs) feeds three consumers — the wedge
+    // stream and both adjacency sides; checkpoint it once for the same
+    // no-duplicate-subtree reason as deg
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("a")).otherwise(col("b")).as("src"),
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
     val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      .localCheckpoint()
     val tris = oriented
       .join(broadcast(adj.select(col("src").as("au"), col("nbrs").as("nu"))),
         col("src") === col("au"))
@@ -325,9 +337,14 @@ object GraphOps extends QueryModule {
   def kCore(s: SparkSession, dir: String, kOverride: Option[Long] = None,
       rounds: Int = kCoreRounds): DataFrame = {
     val e = coEdges(s, dir)
+    // both endpoint restrictions are LEFT SEMI against the SAME alive
+    // subplan (no per-side rename) so the two BroadcastExchanges are
+    // canonically identical and ReuseExchange builds the broadcast once
+    // per round instead of twice (r20; semantically identical to the
+    // former inner joins — alive's v is unique, a groupBy key)
     def restrict(alive: DataFrame): DataFrame = e
-      .join(broadcast(alive.select(col("v").as("a"))), "a")
-      .join(broadcast(alive.select(col("v").as("b"))), "b")
+      .join(broadcast(alive), col("a") === col("v"), "left_semi")
+      .join(broadcast(alive), col("b") === col("v"), "left_semi")
     var alive = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v"))).distinct()
     // two 1-row dimension probes (the pageRank nations.count() pattern);

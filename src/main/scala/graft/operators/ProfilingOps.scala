@@ -651,9 +651,14 @@ object ProfilingOps extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val k = 1024
+    // materialize the keyed order-value table once (|orders| rows × 2
+    // longs): the sample leg, the exact leg's min/max/n probe, its bucket
+    // histogram and its pass-2 ranking are FOUR separate actions that
+    // each re-ran the lineitem scan + aggregation before r20
     val pop = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("ov_c"))
+      .localCheckpoint()
     val sample = pop
       .withColumn("h",
         conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)

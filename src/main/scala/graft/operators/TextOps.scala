@@ -170,21 +170,33 @@ object TextOps extends QueryModule {
     * LLM data pipelines). Run ids via lag + cumulative flag sum (same
     * shape as sessionization); all codegen'd, one shuffle on doc_id.
     */
-  def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Run-length stats per document in ONE map-only pass: a fold over the
+    * token array tracking (prev token, current run, max run, run count) —
+    * r20 optimization replacing the posexplode + lag/sum windows + two
+    * keyed aggregations spelling, which shuffled every TOKEN twice (guide
+    * §2.4: the per-doc run structure never needed a cross-row operator —
+    * the document row already holds its whole token sequence). Identical
+    * arithmetic: a token extends the run iff it equals its predecessor
+    * (tokens are never null, so the null-safe compare against the seed's
+    * null prev starts run 1 exactly where lag() returned null).
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("new_run",
-        when(col("tok") === lag(col("tok"), 1).over(w), 0).otherwise(1))
-      .withColumn("run_id", sum(col("new_run")).over(cum))
-      .groupBy("doc_id", "run_id")
-      .agg(count(lit(1)).as("rl"))
-      .groupBy("doc_id")
-      .agg(max(col("rl")).as("max_run_len"), count(lit(1)).as("n_runs"))
+      .select(col("doc_id"),
+        aggregate(
+          split(col("text"), " "),
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+            lit(0L).as("max_run"), lit(0L).as("n_runs")),
+          (acc, tok) => {
+            val ext = tok <=> acc("prev")
+            val run = when(ext, acc("run") + 1L).otherwise(lit(1L))
+            struct(tok.as("prev"), run.as("run"),
+              greatest(acc("max_run"), run).as("max_run"),
+              when(ext, acc("n_runs")).otherwise(acc("n_runs") + 1L).as("n_runs"))
+          }).as("rs"))
+      .select(col("doc_id"), col("rs.max_run").as("max_run_len"),
+        col("rs.n_runs").as("n_runs"))
       .orderBy("doc_id")
-  }
 
   val textRepetitionOracle: String =
     """WITH toks AS (

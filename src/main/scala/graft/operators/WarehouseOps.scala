@@ -992,9 +992,6 @@ object WarehouseOps extends QueryModule {
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val costC = floor(col("l_extendedprice") * 100 / col("l_quantity") + 0.5).cast("long")
-    val ps = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(costC).as("supply_cost_c"))
     val euro = Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
@@ -1005,6 +1002,19 @@ object WarehouseOps extends QueryModule {
     val p = Tables.part(s, dir)
       .filter(col("p_size") === 16 && col("p_type").endsWith("MALL"))
       .select(col("p_partkey"))
+    // pre-filter the fact side with broadcast SEMI joins on both selective
+    // dimensions BEFORE the (l_partkey, l_suppkey) aggregation (guide
+    // §3.2: reduce the big side before shuffling it) — the final inner
+    // joins keep exactly these groups anyway, and per-group MIN is
+    // untouched by dropping whole groups, so the exchange now carries
+    // ~1/250 of the lineitem rows (p_size+p_type keep ~2% of parts,
+    // EUROPE ~20% of suppliers)
+    val ps = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(euro.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(costC).as("supply_cost_c"))
     ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
       .withColumn("min_cost_c",
