@@ -376,8 +376,10 @@ object GraphOps extends QueryModule {
       prev = n
       r += 1
     }
-    val core = restrict(alive)
-    core.select(col("a").as("partkey")).unionAll(core.select(col("b").as("partkey")))
+    // same one-pass explode as the loop body: the unionAll spelling ran
+    // the final restriction join twice, once per endpoint projection (r20)
+    restrict(alive)
+      .select(explode(array(col("a"), col("b"))).as("partkey"))
       .groupBy("partkey").agg(count(lit(1)).as("core_deg"))
       .orderBy(col("core_deg").desc, col("partkey"))
       .limit(20)

@@ -1912,8 +1912,12 @@ object MergeOps extends QueryModule {
     withDmlTable(s, base, mergeOnRead = true) { tbl =>
       s.sql(s"UPDATE $tbl SET value = value + 1000 WHERE event_id % 10 = 0")
       val Array(ns, t) = tbl.stripPrefix("graft_cat.").split("\\.")
+      // the v2 change slice feeds THREE subplans (pre, post, del/ins
+      // census) — materialize it once instead of re-running the change
+      // feed reconstruction scan per consumer (r20)
       val ch = s.table(s"graft_cat.$ns.`$t@changes`")
         .filter(col("_commit_version") === 2)
+        .localCheckpoint()
       def cents(c: org.apache.spark.sql.Column) =
         floor(c * 100 + 0.5).cast("long")
       val pre = ch.filter(col("_change_type") === "update_preimage")

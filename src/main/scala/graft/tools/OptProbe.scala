@@ -28,17 +28,11 @@ object OptProbe {
     }
 
     import graft.operators._
-    time("emb_edges_blocked") { Similarity.embNearDupEdgesBlocked(spark, sfDir) }
-    for ((h, j) <- Seq((2, 2), (3, 2), (4, 2), (4, 1), (6, 1), (3, 1)))
-      time(s"emb_cc_blocked_h${h}j$j") {
-        Dedup.connectedComponents(
-          Similarity.embNearDupEdgesBlocked(spark, sfDir), "vec_a", "vec_b", h, j)
-      }
-    time("text_stats") { TextOps.textStats(spark, sfDir) }
-    time("text_repetition") { TextOps.textRepetition(spark, sfDir) }
-    time("contamination") { Dedup.contaminationCheck(spark, sfDir) }
-    time("ngram_jaccard") { Dedup.dedupNgramJaccard(spark, sfDir) }
-    time("minhash_lsh") { Dedup.dedupMinhashLsh(spark, sfDir) }
+    for (_ <- 1 to 2) {
+      time("sim_recall_report") { Similarity.simRecallReport(spark, sfDir) }
+      time("ngram_jaccard") { Dedup.dedupNgramJaccard(spark, sfDir) }
+      time("text_repetition") { TextOps.textRepetition(spark, sfDir) }
+    }
     spark.stop()
   }
 }
