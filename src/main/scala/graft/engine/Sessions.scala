@@ -24,6 +24,23 @@ object Sessions {
     "spark.sql.shuffle.partitions" -> shufflePartitions,
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // PARALLELISM-SIZING KNOBS (r21; guide §2.2/§2.6 — the r20 driver
+    // measured the full suite FASTER at 8 cores than 32 because every
+    // stage's task count is core-derived). Both are env-parameterized so
+    // the A/B is a rerun, not a rebuild; defaults are the MEASURED
+    // winners at bench SF (see OPTIMIZATION_r21.md):
+    //  - parallelismFirst stays TRUE (Spark's default): the pure
+    //    byte-derived alternative (false + 64 MB advisory) collapses
+    //    compute-heavy small-byte stages — wedge explodes, shingle
+    //    joins — onto 1–2 tasks (measured: graph_triangles 3.6→8.1 s);
+    //  - minPartitionSize floors AQE's coalescing so KB-scale shuffle
+    //    partitions still merge under parallelismFirst.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+      sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"),
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+      sys.env.getOrElse("GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
+    "spark.sql.files.minPartitionNum" ->
+      sys.env.getOrElse("GRAFT_SCAN_MIN_PARTITIONS", shufflePartitions),
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // fixtures store timestamp[us] with isAdjustedToUTC=false; Spark 4
     // would infer TIMESTAMP_NTZ, which (a) rejects unix_micros and (b)

@@ -468,16 +468,20 @@ object Dedup extends QueryModule {
     connectedComponents(pairs, aCol, bCol, hopsPerRound = 4, jumpsPerRound = 1)
 
   /** Round-shape-parameterized body — [[connectedComponents]] pins the
-    * measured default (4 hops + 1 jump per round, r20 optimization). A
-    * hop and a jump cost about the same here — one re-key shuffle over
-    * |V|-bounded label rows (the co-partitioned edge join is narrow) vs
-    * two — so the round SHAPE only moves the ROUND COUNT, and each round
-    * carries a fixed convergence-probe action whose scheduling dominates
-    * at dup-graph scale. Hop-heavy rounds converge in the fewest rounds
-    * on long-chain graphs (the emb 0.4-threshold graph: 6 rounds at
-    * 2h+2j, 4 at 4h+1j, measured CC-only 1.78→0.73 s; shapes h1jN need
-    * 10 rounds and lose — OPTIMIZATION_r20.md §cc). Exposed
-    * private[graft] so the A/B probe can measure shapes side by side.
+    * measured steady-state shape (4 hops + 1 jump per round, r20
+    * optimization), which the loop RAMPS INTO (1 hop, then 2, then the
+    * full shape — r21): short-chain graphs exit after one or two cheap
+    * rounds instead of paying the hop-heavy rounds tuned on the
+    * long-chain emb graph. A hop and a jump cost about the same here —
+    * one re-key shuffle over |V|-bounded label rows (the co-partitioned
+    * edge join is narrow) vs two — so the round SHAPE only moves the
+    * ROUND COUNT, and each round carries a fixed convergence-probe
+    * action whose scheduling dominates at dup-graph scale. Hop-heavy
+    * rounds converge in the fewest rounds on long-chain graphs (the emb
+    * 0.4-threshold graph: 6 rounds at 2h+2j, 4 at 4h+1j, measured
+    * CC-only 1.78→0.73 s; shapes h1jN need 10 rounds and lose —
+    * OPTIMIZATION_r20.md §cc). Exposed private[graft] so the A/B probe
+    * can measure shapes side by side.
     */
   private[graft] def connectedComponents(pairs: DataFrame, aCol: String,
       bCol: String, hopsPerRound: Int, jumpsPerRound: Int): DataFrame = {
@@ -515,24 +519,36 @@ object Dedup extends QueryModule {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
-      // (a) neighbor-min hop(s): edges and labels share `part`, so each
-      // join shuffles neither side; only the hop outputs re-key
+      // ADAPTIVE ROUND SHAPE (r21): ramp the hop count 1 → 2 → full.
+      // The fixed 4-hop round (r20) wins on long-chain graphs but taxes
+      // the short-chain graphs most dedup consumers feed it — they
+      // converge within a hop or two and still paid 4 edge-joins + a
+      // jump per round (driver-measured: dedup_clusters 1.52→1.92 s,
+      // dedup_quality_survivor 1.52→2.59 s, VERDICT r20 #2). Ramping
+      // lets those exit after 1–2 cheap rounds while escalating graphs
+      // still get the measured hop-heavy shape; labels are monotone
+      // non-increasing under both hop and jump, so ANY schedule has the
+      // same unique fixpoint and `changed == 0` after a round containing
+      // a hop still proves hop-fixpoint (= convergence).
+      val hops = math.min(hopsPerRound, 1 << iter)
       var cur = labels
-      for (_ <- 1 to hopsPerRound) {
+      for (_ <- 1 to hops) {
         val hop = edges.join(cur, part).map { case (_, (y, r)) => (y, r) }
         cur = cur.union(hop).reduceByKey(part, math.min(_: Long, _: Long))
       }
       // (b) pointer jumps: label-chain depth halves per jump, and each
-      // jump touches only the |V|-sized label table, never the edges
-      for (_ <- 1 to jumpsPerRound) cur = jump(cur)
+      // jump touches only the |V|-sized label table, never the edges.
+      // No jump on the 1-hop warmup round: chains are still short there,
+      // and a converged-at-init graph exits without paying one.
+      if (iter >= 1) for (_ <- 1 to jumpsPerRound) cur = jump(cur)
       val next = cur.persist(StorageLevel.MEMORY_AND_DISK)
-      // probe every round after the first — RDD counts over the tiny
-      // label table cost scheduling only, and the loop is O(log d) rounds
-      changed =
-        if (iter >= 1)
-          next.join(labels, part)
-            .filter { case (_, (a, b)) => a != b }.count()
-        else { next.count(); 1L }
+      // probe EVERY round (r21, was iter >= 1): the probe is a
+      // co-partitioned narrow join + count over the tiny label table —
+      // same cost class as the bare materializing count it replaces —
+      // and it lets a graph whose init labels were already the fixpoint
+      // exit after one 1-hop round
+      changed = next.join(labels, part)
+        .filter { case (_, (a, b)) => a != b }.count()
       labels.unpersist(blocking = false)
       labels = next
       iter += 1

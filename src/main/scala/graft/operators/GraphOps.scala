@@ -198,15 +198,19 @@ object GraphOps extends QueryModule {
     val withDeg = e
       .join(broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")), "a")
       .join(broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")), "b")
-    // oriented (|E| rows × 2 longs) feeds three consumers — the wedge
-    // stream and both adjacency sides; checkpoint it once for the same
-    // no-duplicate-subtree reason as deg
+    // oriented (|E| rows × 2 longs) feeds two consumers — the adjacency
+    // build and the wedge stream — but stays LAZY (r21): it is a map-only
+    // projection over the memoized pair census plus two broadcast attaches
+    // of the checkpointed deg, so recomputing it twice costs two cheap
+    // narrow passes, while the r20 eager checkpoint paid an |E|-row
+    // materialization job that measured SLOWER than the duplicate passes
+    // at bench scale (2.04 s vs the 1.53–1.68 s band). Only the
+    // |V|-bounded deg/adj are materialized.
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("a")).otherwise(col("b")).as("src"),
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint()
     val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint()
     val tris = oriented
@@ -321,66 +325,75 @@ object GraphOps extends QueryModule {
     * the oracle compares exactly even where convergence needs fewer
     * rounds.
     *
-    * Scale: per round, the alive set (|V|-bounded) broadcasts against the
-    * cached edge list for the induced-subgraph restriction, then one
-    * keyed count — the Pregel-style degree-filter iteration. No driver
-    * graph state (the driver holds the loop counter). Each round's alive
-    * set is localCheckpoint-ed: unlike [[pageRank]] (whose recurrence
-    * references the previous ranks exactly once, so lineage grows
-    * linearly), the peel references the previous alive set four times
-    * per round (two endpoint restrictions × the self-union), and
-    * Catalyst plans are trees — without the checkpoint the logical plan
-    * duplicates 4^rounds times. At crawl scale the broadcasts become
-    * co-partitioned semi-joins keyed on the edge endpoint; the
-    * checkpoint-per-iteration is already the right shape there.
+    * Scale: per round, the alive set (|V|-bounded — the same bound the
+    * former `broadcast(alive)` DataFrame relied on) broadcasts against
+    * the cached edge list for the induced-subgraph restriction, then one
+    * keyed count with map-side combine — the Pregel-style degree-filter
+    * iteration. The loop body is the RDD API (r21), like
+    * [[graft.operators.Dedup.connectedComponents]] and for the same
+    * measured reason: a DataFrame loop re-runs Catalyst
+    * analysis/optimization + codegen per round and needs an eager
+    * localCheckpoint per round just to stop 4^rounds plan duplication —
+    * fixed driver cost that dominated this query at dup-graph scale. At
+    * crawl scale where |V| outgrows a broadcast, the restriction
+    * becomes a co-partitioned semi-join keyed on the edge endpoint.
     */
   def kCore(s: SparkSession, dir: String, kOverride: Option[Long] = None,
       rounds: Int = kCoreRounds): DataFrame = {
-    val e = coEdges(s, dir)
-    // both endpoint restrictions are LEFT SEMI against the SAME alive
-    // subplan (no per-side rename) so the two BroadcastExchanges are
-    // canonically identical and ReuseExchange builds the broadcast once
-    // per round instead of twice (r20; semantically identical to the
-    // former inner joins — alive's v is unique, a groupBy key)
-    def restrict(alive: DataFrame): DataFrame = e
-      .join(broadcast(alive), col("a") === col("v"), "left_semi")
-      .join(broadcast(alive), col("b") === col("v"), "left_semi")
-    var alive = e.select(col("a").as("v"))
-      .unionAll(e.select(col("b").as("v"))).distinct()
-    // two 1-row dimension probes (the pageRank nations.count() pattern);
+    // The peel loop is the RDD API for the same reason the
+    // [[graft.operators.Dedup.connectedComponents]] loop is (r21): a
+    // DataFrame loop re-runs Catalyst analysis/optimization and
+    // whole-stage codegen per round (~200–350 ms driver time each, the
+    // CC measurement) plus an eager localCheckpoint job per round —
+    // that fixed cost dominated graph_kcore at bench scale (driver:
+    // 3.27 s @32c for 5 rounds over a ~20k-node graph). Per round here:
+    // broadcast the |V|-bounded alive set (a sorted long array — the
+    // SAME driver/executor memory shape the former explicit
+    // `broadcast(alive)` DataFrame had), one filter+reduceByKey over
+    // the cached edge list with map-side combine, one collect. At crawl
+    // scale where |V| outgrows a broadcast, the restriction becomes a
+    // co-partitioned semi-join keyed on the edge endpoint — unchanged
+    // from the former DataFrame spelling's scale argument.
+    import org.apache.spark.storage.StorageLevel
+    val sc = s.sparkContext
+    val edges = coEdges(s, dir)
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // the arithmetic mirrors the oracle operation-for-operation:
     // integer 2·|E| first, THEN the double division
+    var alive: Array[Long] = edges
+      .flatMap { case (a, b) => Iterator(a, b) }.distinct().collect().sorted
     val k = kOverride.getOrElse {
-      val ne = e.count()
-      val nv = alive.count()
-      math.ceil(kCoreFactor * ((2L * ne).toDouble / nv)).toLong
+      val ne = edges.count()
+      math.ceil(kCoreFactor * ((2L * ne).toDouble / alive.length)).toLong
+    }
+    def coreDegrees(aliveSet: Array[Long]) = {
+      val bset = sc.broadcast(aliveSet)
+      edges.filter { case (a, b) =>
+        java.util.Arrays.binarySearch(bset.value, a) >= 0 &&
+          java.util.Arrays.binarySearch(bset.value, b) >= 0
+      }.flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
+        .reduceByKey(_ + _)
     }
     // alive sets shrink monotonically, so an unchanged count IS the
     // fixpoint — stop early rather than burn the remaining no-op rounds
-    // (the count is a near-free reduce over the just-checkpointed set,
-    // and the oracle's fixed-round spelling agrees at any round >= the
+    // (the oracle's fixed-round spelling agrees at any round >= the
     // convergence round)
     var prev = -1L
     var r = 0
-    var changed = true
-    while (r < rounds && changed && prev != 0) {
-      // explode both endpoints from ONE pass over the restricted edges
-      // (a self-union would re-evaluate the restriction join twice)
-      alive = restrict(alive)
-        .select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select("v")
-        .localCheckpoint()
-      val n = alive.count()
-      changed = n != prev
-      prev = n
+    while (r < rounds && prev != alive.length && alive.length != 0) {
+      prev = alive.length
+      alive = coreDegrees(alive)
+        .filter { case (_, d) => d >= k }.keys.collect().sorted
       r += 1
     }
-    // same one-pass explode as the loop body: the unionAll spelling ran
-    // the final restriction join twice, once per endpoint projection (r20)
-    restrict(alive)
-      .select(explode(array(col("a"), col("b"))).as("partkey"))
-      .groupBy("partkey").agg(count(lit(1)).as("core_deg"))
+    // materialize the census into the DF world (eager localCheckpoint,
+    // |V|-bounded) BEFORE releasing the cached edges — the CC pattern
+    val census = s.createDataFrame(coreDegrees(alive))
+      .toDF("partkey", "core_deg").localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    census
       .orderBy(col("core_deg").desc, col("partkey"))
       .limit(20)
   }
