@@ -34,13 +34,25 @@ object Sessions {
     //    compute-heavy small-byte stages — wedge explodes, shingle
     //    joins — onto 1–2 tasks (measured: graph_triangles 3.6→8.1 s);
     //  - minPartitionSize floors AQE's coalescing so KB-scale shuffle
-    //    partitions still merge under parallelismFirst.
+    //    partitions still merge under parallelismFirst;
+    //  - the scan-split floor (files.minPartitionNum) defaults to 8,
+    //    NOT the core count: Spark's core-derived default shreds an
+    //    11 MB page-cached parquet into 32 ~350 KB splits at local[32]
+    //    — pure scheduling overhead, the measured reason the r20 driver
+    //    found 8 cores beating 32 end-to-end. 8 is the measured knee
+    //    (full suite 261→225 s at local[32]; byte-derived 1 measured
+    //    WORSE — per-row scan compute needs the parallelism), and it is
+    //    core-count-independent, so the driver's 8-core scaling run
+    //    sees the same floor. [[clusterConf]] overrides the floor back
+    //    to total cores: on a fleet, a small input should still engage
+    //    every executor, and at 100 TB the byte-derived split count
+    //    (bytes / maxPartitionBytes) dwarfs any floor either way.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
       sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"),
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
       sys.env.getOrElse("GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
     "spark.sql.files.minPartitionNum" ->
-      sys.env.getOrElse("GRAFT_SCAN_MIN_PARTITIONS", shufflePartitions),
+      sys.env.getOrElse("GRAFT_SCAN_MIN_PARTITIONS", "8"),
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // fixtures store timestamp[us] with isAdjustedToUTC=false; Spark 4
     // would infer TIMESTAMP_NTZ, which (a) rejects unix_micros and (b)
@@ -106,7 +118,11 @@ object Sessions {
       "spark.executor.memory" -> s"${executorMemGb}g",
       "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
       "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString,
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (128L << 20).toString)
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (128L << 20).toString,
+      // scan-split floor returns to total cores on a fleet (see the
+      // [[tuneConf]] comment): small inputs should still engage every
+      // executor; at volume the byte-derived count dominates anyway
+      "spark.sql.files.minPartitionNum" -> totalCores.toString)
   }
 
   def forCluster(

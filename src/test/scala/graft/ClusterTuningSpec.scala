@@ -45,6 +45,20 @@ class ClusterTuningSpec extends AnyFunSuite {
     assert(o2("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS")
   }
 
+  test("parallelism sizing (r21): local scan floor is the measured 8, cluster floor is total cores") {
+    // local: core-derived scan splits shred page-cached fixture files
+    // into ~350 KB tasks at local[32] (measured: full suite 261→225 s
+    // with the floor at 8); the knob is env-overridable for A/Bs
+    val local = Sessions.tuneConf("32")
+    assert(local("spark.sql.files.minPartitionNum") == "8")
+    assert(local("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "true")
+    assert(local("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "1m")
+    // cluster: a small input must still engage the whole fleet, and at
+    // volume the byte-derived split count dominates any floor
+    val o = Sessions.clusterConf(executors = 10, coresPerExecutor = 4)
+    assert(o("spark.sql.files.minPartitionNum") == "40")
+  }
+
   test("streaming state sizing: light state keeps the on-heap provider and core floor") {
     // stream_update_counts-shaped: 10M live user keys x 64 B counters =
     // 640 MB total state on a 10-executor cluster -> 64 MB/executor, far
